@@ -1,0 +1,73 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+/** Deterministic feature-hashing text embedder.
+  *
+  * The reference embeds with `SentenceTransformer('all-MiniLM-L6-v2')`
+  * (`src/ml/pipeline.py:4-9`; GPU-batched variant
+  * `scripts/run_training_batch.py:41-73`). No pretrained transformer is
+  * available offline/JVM, so this is the public-knowledge hashing trick
+  * (Weinberger et al. 2009): tokens + token bigrams hashed into `dim`
+  * buckets with a sign hash, then L2-normalized. Properties the pipeline
+  * relies on — deterministic, order-insensitive at the bag level, similar
+  * texts ⇒ nearby vectors — hold; absolute distances differ from MiniLM,
+  * so thresholds are recalibrated against the embeddings fixture
+  * (SURVEY.md §7.4 risk 3).
+  */
+object Embed {
+  val DefaultDim = 64 // matches /root/testdata embeddings fixture width
+
+  def tokenize(text: String): Array[String] =
+    text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+
+  /** Hash a token stream (unigrams + bigrams) into a dense L2-normalized
+    * vector. Pure function of the text — no global state, no RNG. */
+  def embed(text: String, dim: Int = DefaultDim): Array[Float] = {
+    val v = new Array[Float](dim)
+    val toks = tokenize(text)
+    var i = 0
+    while (i < toks.length) {
+      addFeature(v, toks(i), dim)
+      if (i + 1 < toks.length) addFeature(v, toks(i) + " " + toks(i + 1), dim)
+      i += 1
+    }
+    l2normalize(v)
+  }
+
+  private def addFeature(v: Array[Float], feat: String, dim: Int): Unit = {
+    val h = MurmurHash3.stringHash(feat, 0x9747b28c)
+    val idx = math.floorMod(h, dim)
+    val sign = if (MurmurHash3.stringHash(feat, 0x85ebca6b) < 0) -1f else 1f
+    v(idx) += sign
+  }
+
+  private def l2normalize(v: Array[Float]): Array[Float] = {
+    var n = 0.0
+    var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    if (n > 0) {
+      val inv = (1.0 / math.sqrt(n)).toFloat
+      i = 0
+      while (i < v.length) { v(i) *= inv; i += 1 }
+    }
+    v
+  }
+
+  /** Column form. UDF (not codegen) — used once per ingest, off the
+    * relational hot path; the per-partition closure initializes nothing,
+    * so there is no per-row model-load cost to amortize (the reference
+    * batches GPU encodes for that reason, run_training_batch.py:57-73). */
+  def embedCol(text: Column, dim: Int = DefaultDim): Column = {
+    val f = udf((s: String) => if (s == null) null else embed(s, dim))
+    f(text)
+  }
+
+  /** Attach an `embedding` column built from `textCol`. */
+  def withEmbedding(df: DataFrame, textCol: String,
+      out: String = "embedding", dim: Int = DefaultDim): DataFrame =
+    df.withColumn(out, embedCol(col(textCol), dim))
+}

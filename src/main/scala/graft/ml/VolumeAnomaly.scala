@@ -1,0 +1,92 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-cluster volume time-series features + batch-relative anomaly
+  * ranking (reference `src/ml/volume_analyzer.py`).
+  *
+  * Feature semantics (volume_analyzer.py:40-73, last-5 window per cluster):
+  *   current   = last count
+  *   velocity  = last − previous
+  *   roll_mean = mean of visible window
+  *   z_dev     = (last − roll_mean) / (roll_std + 1e-5)
+  *
+  * Scoring: the reference fits an IsolationForest and then *only* consumes
+  * its scores through a batch-relative z-threshold (flag z < −1, cap 3,
+  * skip if >30% flagged — volume_analyzer.py:125-156, incident_ops.py:87-97).
+  * The engine's score is −|z_dev| (lower = more anomalous, same ordering
+  * contract), which passes the identical gate without a driver-side forest
+  * — a pure shuffle-once DataFrame plan (SURVEY.md §7.3 justification).
+  */
+object VolumeAnomaly {
+
+  /** counts: (cluster_id, batch_ts, log_count) — one row per cluster per
+    * batch. Returns latest-batch features per cluster. */
+  def features(counts: DataFrame, windowSize: Int = 5): DataFrame = {
+    val byCluster = Window.partitionBy("cluster_id").orderBy("batch_ts")
+    val lastN = byCluster.rowsBetween(-(windowSize - 1), 0)
+    counts
+      .withColumn("velocity",
+        col("log_count") - lag("log_count", 1).over(byCluster))
+      .withColumn("roll_mean", avg("log_count").over(lastN))
+      .withColumn("roll_std", stddev_pop("log_count").over(lastN))
+      .withColumn("z_dev",
+        (col("log_count") - col("roll_mean")) / (col("roll_std") + lit(1e-5)))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("cluster_id")
+          .orderBy(col("batch_ts").desc)))
+      .filter(col("rn") === 1)
+      .withColumn("n_obs", count(lit(1)).over(
+        Window.partitionBy("cluster_id")))
+      .drop("rn")
+      .select(col("cluster_id"), col("batch_ts"), col("log_count"),
+        coalesce(col("velocity"), lit(0L)).as("velocity"),
+        col("roll_mean"), col("roll_std"), col("z_dev"))
+  }
+
+  /** All clusters with score = −|z_dev| and batch-relative score_z
+    * (volume_analyzer.py:125-139 before thresholding). `zdevRound`
+    * stabilizes the flag set for oracle-differential comparison. */
+  def scoredFeatures(feats: DataFrame,
+      zdevRound: Option[Int] = None): DataFrame = {
+    val zdev = zdevRound.map(sc => round(col("z_dev"), sc))
+      .getOrElse(col("z_dev"))
+    val scored = feats.withColumn("score", -abs(zdev))
+    val stats = scored.agg(
+      avg("score").as("mu"), stddev_pop("score").as("sigma"),
+      count(lit(1)).as("n_eval"))
+    scored.crossJoin(stats)
+      .withColumn("score_z",
+        (col("score") - col("mu")) / (col("sigma") + lit(1e-5)))
+  }
+
+  /** Batch-relative ranking: flag score-z < zThresh; guard if
+    * flagged/evaluated > maxRatio; keep worst `cap`. */
+  def rankAnomalies(feats: DataFrame, zThresh: Double = -1.0,
+      cap: Int = 3, maxRatio: Double = 0.3,
+      zdevRound: Option[Int] = None): DataFrame = {
+    val flagged = scoredFeatures(feats, zdevRound)
+      .filter(col("score_z") < zThresh)
+      .withColumn("n_flagged", count(lit(1)).over(Window.partitionBy()))
+      // J6 sanity guard: >30% flagged ⇒ assume miscalibration, emit none
+      .filter(col("n_flagged") <= col("n_eval") * maxRatio)
+      .orderBy(col("score"), col("cluster_id"))
+      .limit(cap)
+    flagged.select("cluster_id", "batch_ts", "log_count", "score", "score_z")
+  }
+
+  /** Incident merge (reference A8/C2, incident_ops.py:6-41): split flagged
+    * clusters into refresh (already open) vs create (new), one set-oriented
+    * pass replacing the per-key existence probes. */
+  def mergeIncidents(flagged: DataFrame, openIncidents: DataFrame): DataFrame = {
+    val refresh = flagged.join(openIncidents, Seq("cluster_id"), "left_semi")
+      .withColumn("action", lit("refresh"))
+    val create = flagged.join(openIncidents, Seq("cluster_id"), "left_anti")
+      .withColumn("action", lit("create"))
+    refresh.unionByName(create)
+      .select(col("cluster_id"), col("action"),
+        lit("NEW").as("status"), lit("SRE").as("assigned_role"))
+  }
+}

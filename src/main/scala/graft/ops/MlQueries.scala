@@ -1,0 +1,311 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ml.{Centroids, DenStream, Distance, Embed, Quality, VolumeAnomaly}
+import graft.pipeline.Enrich
+import Tables._
+
+/** Vector / ML operator surface (SURVEY.md §2.H6, §2.J).
+  *
+  * SQL-expressible pieces (distances, k-NN, volume features, anomaly
+  * ranking, incident merge, purity metrics, silhouette) carry DuckDB
+  * oracles; model-bearing pieces (hashing embedder, semantic grouping,
+  * DenStream) are rows-only here and golden-tested in ScalaTest.
+  */
+object MlQueries {
+
+  /** q21 — Minkowski p=1.5 distance column (reference H6,
+    * vector_engine.py:18-19) — every vector's distance to vec 0. */
+  def q21Minkowski(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val ref = e.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>").as("ref"))
+    e.crossJoin(broadcast(ref))
+      .select($"vec_id",
+        round(Distance.minkowski($"embedding".cast("array<double>"),
+          $"ref", 1.5), 4).as("dist"))
+      .orderBy($"vec_id")
+  }
+  val q21Sql: String =
+    """SELECT e.vec_id,
+      |  ROUND(POW(list_sum(list_transform(
+      |    list_zip(CAST(e.embedding AS DOUBLE[]), r.ref),
+      |    x -> POW(ABS(x[1] - x[2]), 1.5))), 1.0/1.5), 4) AS dist
+      |FROM embeddings e,
+      |  (SELECT CAST(embedding AS DOUBLE[]) AS ref FROM embeddings
+      |   WHERE vec_id = 0) r
+      |ORDER BY e.vec_id""".stripMargin
+
+  /** q22 — brute-force cosine top-k neighbors (similarity-search baseline;
+    * reference C4 shape generalized to k-NN). */
+  def q22CosineKnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".cast("array<double>").as("qv"))
+    val c = e.select($"vec_id".as("cid"),
+      $"embedding".cast("array<double>").as("cv"))
+    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"cid")
+    c.crossJoin(broadcast(q))
+      .filter($"cid" =!= $"qid")
+      .withColumn("cos_sim", round(Distance.cosine($"cv", $"qv"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"qid", $"cid", $"cos_sim", $"rn")
+      .orderBy($"qid", $"rn")
+  }
+  val q22Sql: String =
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      |      FROM embeddings),
+      |p AS (SELECT qid, cid,
+      |        ROUND(list_cosine_similarity(cv, qv), 6) AS cos_sim
+      |      FROM c, q WHERE cid != qid),
+      |r AS (SELECT qid, cid, cos_sim,
+      |        ROW_NUMBER() OVER (PARTITION BY qid
+      |                           ORDER BY cos_sim DESC, cid) AS rn
+      |      FROM p)
+      |SELECT qid, cid, cos_sim, rn FROM r WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
+
+  private def hourlyCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d).groupBy($"user_id".as("cluster_id"),
+        unix_micros(date_trunc("hour", $"ts")).as("batch_ts"))
+      .agg(count(lit(1)).as("log_count"))
+  }
+  private val hourlyCountsSql =
+    """SELECT user_id AS cluster_id,
+      |  epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS batch_ts,
+      |  COUNT(*) AS log_count
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** q26 — volume time-series features (reference D7/E2/E3,
+    * volume_analyzer.py:40-73): latest-batch features per cluster. */
+  def q26VolumeFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    VolumeAnomaly.features(hourlyCounts(s, d))
+      .select($"cluster_id", $"batch_ts", $"log_count", $"velocity",
+        round($"roll_mean", 4).as("roll_mean"),
+        round($"roll_std", 4).as("roll_std"),
+        round($"z_dev", 4).as("z_dev"))
+      .orderBy($"cluster_id")
+  }
+  val q26Sql: String =
+    s"""WITH counts AS ($hourlyCountsSql),
+      |f AS (SELECT cluster_id, batch_ts, log_count,
+      |  COALESCE(log_count - LAG(log_count) OVER wo, 0) AS velocity,
+      |  AVG(log_count) OVER w5 AS roll_mean,
+      |  STDDEV_POP(log_count) OVER w5 AS roll_std,
+      |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |                     ORDER BY batch_ts DESC) AS rn
+      |FROM counts
+      |WINDOW wo AS (PARTITION BY cluster_id ORDER BY batch_ts),
+      |       w5 AS (PARTITION BY cluster_id ORDER BY batch_ts
+      |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+      |SELECT cluster_id, batch_ts, log_count, velocity,
+      |  ROUND(roll_mean, 4) AS roll_mean, ROUND(roll_std, 4) AS roll_std,
+      |  ROUND((log_count - roll_mean) / (roll_std + 1e-5), 4) AS z_dev
+      |FROM f WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
+  /** q27 — batch-relative anomaly ranking (reference J5,
+    * volume_analyzer.py:125-156 + J6 guard incident_ops.py:87-97). */
+  def q27AnomalyRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    VolumeAnomaly.rankAnomalies(
+        VolumeAnomaly.features(hourlyCounts(s, d)), zdevRound = Some(6))
+      .select($"cluster_id", $"log_count",
+        round($"score", 6).as("score"), round($"score_z", 4).as("score_z"))
+      .orderBy($"cluster_id")
+  }
+  val q27Sql: String =
+    s"""WITH counts AS ($hourlyCountsSql),
+      |f AS (SELECT cluster_id, batch_ts, log_count,
+      |  AVG(log_count) OVER w5 AS roll_mean,
+      |  STDDEV_POP(log_count) OVER w5 AS roll_std,
+      |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |                     ORDER BY batch_ts DESC) AS rn
+      |FROM counts
+      |WINDOW w5 AS (PARTITION BY cluster_id ORDER BY batch_ts
+      |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+      |latest AS (SELECT cluster_id, batch_ts, log_count,
+      |  -ABS(ROUND((log_count - roll_mean) / (roll_std + 1e-5), 6)) AS score
+      |FROM f WHERE rn = 1),
+      |stats AS (SELECT AVG(score) AS mu, STDDEV_POP(score) AS sigma,
+      |  COUNT(*) AS n_eval FROM latest),
+      |flagged AS (SELECT cluster_id, log_count, score,
+      |  (score - mu) / (sigma + 1e-5) AS score_z, n_eval
+      |FROM latest, stats WHERE (score - mu) / (sigma + 1e-5) < -1.0),
+      |guarded AS (SELECT * FROM flagged
+      |  WHERE (SELECT COUNT(*) FROM flagged) <= n_eval * 0.3
+      |  ORDER BY score, cluster_id LIMIT 3)
+      |SELECT cluster_id, log_count, ROUND(score, 6) AS score,
+      |  ROUND(score_z, 4) AS score_z
+      |FROM guarded ORDER BY cluster_id""".stripMargin
+
+  /** q28 — incident upsert split (reference A8/C2, incident_ops.py:6-41):
+    * flagged clusters vs currently-open incidents → refresh/create. */
+  def q28IncidentMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val flagged = VolumeAnomaly.rankAnomalies(
+      VolumeAnomaly.features(hourlyCounts(s, d)), zdevRound = Some(6))
+    val open = events(s, d)
+      .filter($"event_type" === "error" && $"value" > 190.0)
+      .select($"user_id".as("cluster_id")).distinct()
+    VolumeAnomaly.mergeIncidents(flagged, open)
+      .orderBy($"cluster_id")
+  }
+  val q28Sql: String =
+    s"""WITH counts AS ($hourlyCountsSql),
+      |f AS (SELECT cluster_id, batch_ts, log_count,
+      |  AVG(log_count) OVER w5 AS roll_mean,
+      |  STDDEV_POP(log_count) OVER w5 AS roll_std,
+      |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |                     ORDER BY batch_ts DESC) AS rn
+      |FROM counts
+      |WINDOW w5 AS (PARTITION BY cluster_id ORDER BY batch_ts
+      |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+      |latest AS (SELECT cluster_id, log_count,
+      |  -ABS(ROUND((log_count - roll_mean) / (roll_std + 1e-5), 6)) AS score
+      |FROM f WHERE rn = 1),
+      |stats AS (SELECT AVG(score) AS mu, STDDEV_POP(score) AS sigma,
+      |  COUNT(*) AS n_eval FROM latest),
+      |flagged AS (SELECT cluster_id, score, n_eval,
+      |  (score - mu) / (sigma + 1e-5) AS score_z
+      |FROM latest, stats WHERE (score - mu) / (sigma + 1e-5) < -1.0),
+      |guarded AS (SELECT cluster_id, score FROM flagged
+      |  WHERE (SELECT COUNT(*) FROM flagged) <= n_eval * 0.3
+      |  ORDER BY score, cluster_id LIMIT 3),
+      |open_inc AS (SELECT DISTINCT user_id AS cluster_id FROM events
+      |  WHERE event_type = 'error' AND value > 190.0)
+      |SELECT g.cluster_id,
+      |  CASE WHEN o.cluster_id IS NOT NULL THEN 'refresh' ELSE 'create' END
+      |    AS action,
+      |  'NEW' AS status, 'SRE' AS assigned_role
+      |FROM guarded g LEFT JOIN open_inc o ON g.cluster_id = o.cluster_id
+      |ORDER BY g.cluster_id""".stripMargin
+
+  /** q29 — homogeneity / completeness / v-measure (reference J7,
+    * validate_quality.py:11-27; Rosenberg & Hirschberg 2007 entropies). */
+  def q29Homogeneity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Quality.homogeneityCompleteness(documents(s, d), "lang", "source")
+      .select(round($"homogeneity", 6).as("homogeneity"),
+        round($"completeness", 6).as("completeness"),
+        round($"v_measure", 6).as("v_measure"))
+  }
+  val q29Sql: String =
+    """WITH joint AS (SELECT lang AS c, source AS k,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_ck
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT SUM(n_ck) AS n FROM joint),
+      |bc AS (SELECT c, SUM(n_ck) AS n_c FROM joint GROUP BY c),
+      |bk AS (SELECT k, SUM(n_ck) AS n_k FROM joint GROUP BY k),
+      |hc AS (SELECT -SUM((n_c/n)*ln(n_c/n)) AS h_c FROM bc, tot),
+      |hk AS (SELECT -SUM((n_k/n)*ln(n_k/n)) AS h_k FROM bk, tot),
+      |hck AS (SELECT -SUM((n_ck/n)*ln(n_ck/n_k)) AS h_ck
+      |  FROM joint JOIN bk USING(k), tot),
+      |hkc AS (SELECT -SUM((n_ck/n)*ln(n_ck/n_c)) AS h_kc
+      |  FROM joint JOIN bc USING(c), tot)
+      |SELECT ROUND(1 - h_ck/h_c, 6) AS homogeneity,
+      |  ROUND(1 - h_kc/h_k, 6) AS completeness,
+      |  ROUND(2*(1 - h_ck/h_c)*(1 - h_kc/h_k) /
+      |        ((1 - h_ck/h_c) + (1 - h_kc/h_k)), 6) AS v_measure
+      |FROM hc, hk, hck, hkc""".stripMargin
+
+  /** q30 — exact mean silhouette (reference J8, validate_quality.py:30-56)
+    * of the embeddings fixture under its ground-truth labels. */
+  def q30Silhouette(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Quality.silhouette(embeddings(s, d), "vec_id", "embedding", "label")
+      .select(round($"silhouette", 4).as("silhouette"))
+  }
+  val q30Sql: String =
+    """WITH pts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+      |    label AS cl FROM embeddings),
+      |pairs AS (SELECT a.id, a.cl, b.cl AS bcl,
+      |    sqrt(list_sum(list_transform(list_zip(a.v, b.v),
+      |      x -> (x[1]-x[2])*(x[1]-x[2])))) AS d
+      |  FROM pts a JOIN pts b ON a.id != b.id),
+      |meanto AS (SELECT id, cl, bcl, AVG(d) AS mean_d
+      |  FROM pairs GROUP BY 1, 2, 3),
+      |own AS (SELECT id, mean_d AS a_i FROM meanto WHERE cl = bcl),
+      |oth AS (SELECT id, MIN(mean_d) AS b_i FROM meanto
+      |  WHERE cl != bcl GROUP BY id)
+      |SELECT ROUND(AVG((b_i - a_i) / GREATEST(a_i, b_i)), 4) AS silhouette
+      |FROM own JOIN oth USING (id)""".stripMargin
+
+  /** q31 — hashing-embedder output (reference J1; rows-only: the murmur
+    * hash is not expressible in the oracle; determinism golden-tested). */
+  def q31EmbedDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Embed.withEmbedding(documents(s, d), "text")
+      .select($"doc_id", $"embedding")
+      .orderBy($"doc_id")
+  }
+
+  /** q32 — online semantic grouping (reference J2; rows-only). */
+  def q32SemanticGroups(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val logs = Enrich.logView(s, d)
+      .withColumn("embed_text",
+        concat($"message", lit(". Parsed: "), $"parsed_data"))
+    val emb = Embed.withEmbedding(logs, "embed_text")
+    Centroids.assign(emb, "log_id", "embedding", threshold = 1.8)
+      .groupBy($"semantic_group").agg(count(lit(1)).as("n"))
+      .orderBy($"semantic_group")
+  }
+
+  /** q33 — DenStream fit + distributed predict (reference J3; rows-only). */
+  def q33DenStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (enriched, _) = Enrich.trainingBatch(s, d, limit = 2000)
+    enriched.groupBy($"cluster_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"cluster_id", $"event_type")
+  }
+
+  /** q34 — full pipeline e2e (reference §3.1; rows-only): embed →
+    * semantic group → DenStream cluster → hourly volume → anomaly scores.
+    * Emits the per-cluster scored table (the incident *candidates*; the
+    * flag/guard/merge tail is oracle-checked by q27/q28). */
+  def q34PipelineE2E(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (enriched, _) = Enrich.trainingBatch(s, d, limit = 2000)
+    val counts = enriched.filter($"cluster_id" >= 0)
+      .groupBy($"cluster_id",
+        unix_micros(date_trunc("hour", $"ts")).as("batch_ts"))
+      .agg(count(lit(1)).as("log_count"))
+    VolumeAnomaly.scoredFeatures(VolumeAnomaly.features(counts))
+      .select($"cluster_id", $"log_count", $"score", $"score_z",
+        ($"score_z" < -1.0).as("flagged"))
+      .orderBy($"cluster_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_minkowski" -> (q21Minkowski _),
+    "q22_cosine_knn" -> (q22CosineKnn _),
+    "q26_volume_features" -> (q26VolumeFeatures _),
+    "q27_anomaly_rank" -> (q27AnomalyRank _),
+    "q28_incident_merge" -> (q28IncidentMerge _),
+    "q29_homogeneity" -> (q29Homogeneity _),
+    "q30_silhouette" -> (q30Silhouette _),
+    "q31_embed_docs" -> (q31EmbedDocs _),
+    "q32_semantic_groups" -> (q32SemanticGroups _),
+    "q33_denstream" -> (q33DenStream _),
+    "q34_pipeline_e2e" -> (q34PipelineE2E _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q21_minkowski" -> q21Sql,
+    "q22_cosine_knn" -> q22Sql,
+    "q26_volume_features" -> q26Sql,
+    "q27_anomaly_rank" -> q27Sql,
+    "q28_incident_merge" -> q28Sql,
+    "q29_homogeneity" -> q29Sql,
+    "q30_silhouette" -> q30Sql)
+}

@@ -1,0 +1,52 @@
+package graft.state
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned model/state persistence with blue/green publication.
+  *
+  * Reference: joblib pickles saved per run (`src/ml/model.py:18-46`,
+  * `vector_engine.py:47-61`) and the training script's staging-dir →
+  * atomic-rename swap (`scripts/run_training_batch.py:30-36, 243-257`).
+  * Engine form: state is ordinary parquet tables (micro-clusters,
+  * centroids, anomaly baselines) written to `<root>/_staging/<name>` and
+  * atomically moved over `<root>/<name>`, with the previous production
+  * copy kept as `<name>_backup`.
+  */
+object ModelStore {
+
+  private def rm(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+
+  /** Write `df` to the staging area of `root`. */
+  def stage(df: DataFrame, root: String, name: String): Unit =
+    df.write.mode("overwrite").parquet(s"$root/_staging/$name")
+
+  /** Blue/green publish: prod → backup, staging → prod (atomic per state
+    * table, mirroring run_training_batch.py:243-257). */
+  def publish(root: String, name: String): Unit = {
+    val prod = Paths.get(root, name)
+    val backup = Paths.get(root, s"${name}_backup")
+    val staging = Paths.get(root, "_staging", name)
+    require(Files.exists(staging), s"no staged state at $staging")
+    rm(backup)
+    if (Files.exists(prod))
+      Files.move(prod, backup, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staging, prod, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def save(df: DataFrame, root: String, name: String): Unit = {
+    stage(df, root, name)
+    publish(root, name)
+  }
+
+  def load(spark: SparkSession, root: String, name: String): DataFrame =
+    spark.read.parquet(s"$root/$name")
+
+  def exists(root: String, name: String): Boolean =
+    Files.exists(Paths.get(root, name))
+}

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml._
+import graft.pipeline.Enrich
+import graft.state.ModelStore
+
+class MlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("embedder is deterministic and L2-normalized") {
+    val a = Embed.embed("error user=42. Parsed: {\"k\": 7}")
+    val b = Embed.embed("error user=42. Parsed: {\"k\": 7}")
+    assert(a.sameElements(b))
+    val n = math.sqrt(a.map(x => x.toDouble * x).sum)
+    assert(math.abs(n - 1.0) < 1e-5)
+    // different text -> different vector
+    val c = Embed.embed("signup user=42. Parsed: {\"k\": 7}")
+    assert(!a.sameElements(c))
+  }
+
+  test("minkowski scala/column forms agree and satisfy metric axioms") {
+    val a = Array(0.1f, 0.5f, -0.3f)
+    val b = Array(0.2f, -0.1f, 0.4f)
+    val d = Distance.minkowskiS(a, b, 1.5)
+    assert(d > 0)
+    assert(Distance.minkowskiS(a, a, 1.5) == 0.0)
+    assert(math.abs(Distance.minkowskiS(b, a, 1.5) - d) < 1e-12)
+    // column form agrees
+    import spark.implicits._
+    val df = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+    val dc = df.select(Distance.minkowski(col("a").cast("array<double>"),
+      col("b").cast("array<double>"), 1.5)).first().getDouble(0)
+    assert(math.abs(dc - d) < 1e-6)
+  }
+
+  test("centroid fold: first vector founds sem_grp_<id>, near joins, far founds") {
+    val v1 = Array(1f, 0f, 0f, 0f)
+    val v2 = Array(0.99f, 0.1f, 0f, 0f) // near v1
+    val v3 = Array(0f, 1f, 0f, 0f)      // far
+    val (cs, out) = Centroids.foldAssign(
+      Iterator((10L, v1), (11L, v2), (12L, v3)), threshold = 0.5)
+    assert(cs.map(_.semanticId) == Seq("sem_grp_10", "sem_grp_12"))
+    assert(out.toSeq == Seq((10L, "sem_grp_10"), (11L, "sem_grp_10"),
+      (12L, "sem_grp_12")))
+    assert(cs(0).n == 2 && cs(1).n == 1)
+  }
+
+  test("centroids do not drift (reference behavior, vector_engine.py:38-39)") {
+    val v1 = Array(1f, 0f)
+    val v2 = Array(0.9f, 0.1f)
+    val (cs, _) = Centroids.foldAssign(Iterator((1L, v1), (2L, v2)), 0.5)
+    assert(cs(0).center.sameElements(v1))
+  }
+
+  test("DenStream: merges within epsilon, new cluster beyond, predicts noise") {
+    val m = new DenStream.Model(epsilon = 0.5, lambda = 0.0)
+    m.learnOne(Array(1f, 0f))
+    m.learnOne(Array(0.9f, 0f)) // merges
+    m.learnOne(Array(-1f, 0f))  // new
+    assert(m.clusters.length == 2)
+    assert(m.clusters(0).weight == 2.0)
+    assert(m.predictOne(Array(0.95f, 0f)) == 0)
+    assert(m.predictOne(Array(-0.95f, 0f)) == 1)
+    assert(m.predictOne(Array(0f, 10f)) == -1) // noise
+  }
+
+  test("DenStream decay halves weight after 1/lambda steps shape") {
+    val m = new DenStream.Model(epsilon = 0.1, lambda = 0.1)
+    m.learnOne(Array(1f, 0f))
+    // 10 far points advance the clock by 10 -> first cluster decays 2^-1
+    (1 to 10).foreach(i => m.learnOne(Array(-1f - i * 10f, 0f)))
+    val w = m.clusters.head.weight
+    assert(w < 1.0 && w > 0.4, s"weight $w")
+  }
+
+  test("quality gate: pipeline clustering reaches the reference's 0.8 bar") {
+    // the reference's own acceptance threshold (validate_quality.py:84-85)
+    import spark.implicits._
+    val (enriched, model) = Enrich.trainingBatch(spark, sf, limit = 1000)
+    val scored = enriched.filter($"cluster_id" >= 0)
+    val h = Quality.homogeneityCompleteness(scored, "event_type", "cluster_id")
+      .collect()(0)
+    assert(h.getDouble(0) > 0.8, s"homogeneity ${h.getDouble(0)}")
+    assert(h.getDouble(1) > 0.5, s"completeness ${h.getDouble(1)}")
+    assert(model.clusters.nonEmpty)
+  }
+
+  test("homogeneity/completeness exact on a hand-computed 2x2 table") {
+    import spark.implicits._
+    // classes {a,a,b,b}, clusters {1,1,1,2}: H(C)=ln2
+    // joint: (a,1)=2, (b,1)=1, (b,2)=1
+    val df = Seq(("a", 1), ("a", 1), ("b", 1), ("b", 2)).toDF("lab", "cl")
+    val r = Quality.homogeneityCompleteness(df, "lab", "cl").collect()(0)
+    val ln2 = math.log(2)
+    // H(C|K): cluster1 (n=3): -(2/4)ln(2/3) - (1/4)ln(1/3); cluster2: 0
+    val hck = -(2.0 / 4) * math.log(2.0 / 3) - (1.0 / 4) * math.log(1.0 / 3)
+    val expectedHomog = 1.0 - hck / ln2
+    assert(math.abs(r.getDouble(0) - expectedHomog) < 1e-9)
+  }
+
+  test("silhouette: two tight separated clusters score near 1") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, Seq(0.0, 0.0), 0L), (2L, Seq(0.1, 0.0), 0L),
+      (3L, Seq(10.0, 0.0), 1L), (4L, Seq(10.1, 0.0), 1L))
+      .toDF("id", "v", "cl")
+    val sGot = Quality.silhouette(pts, "id", "v", "cl")
+      .collect()(0).getDouble(0)
+    assert(sGot > 0.97, s"silhouette $sGot")
+  }
+
+  test("volume features + ranking: injected spike is flagged first") {
+    import spark.implicits._
+    // five flat clusters + one spiking: ratio 1/6 stays under the 30%
+    // guard (with only 2 clusters the reference guard would also skip)
+    val counts = (1 to 5).flatMap(c =>
+      (1 to 6).map(t => (c.toLong, t.toLong, 10L))) ++
+      ((1 to 5).map(t => (6L, t.toLong, 10L)) :+ (6L, 6L, 100L))
+    val df = counts.toDF("cluster_id", "batch_ts", "log_count")
+    val feats = VolumeAnomaly.features(df)
+    val f2 = feats.filter($"cluster_id" === 6).collect()(0)
+    assert(f2.getAs[Long]("velocity") == 90L)
+    val flagged = VolumeAnomaly.rankAnomalies(feats)
+    val rows = flagged.collect()
+    assert(rows.length == 1 && rows(0).getAs[Long]("cluster_id") == 6L)
+  }
+
+  test("anomaly guard: >30% flagged emits nothing") {
+    import spark.implicits._
+    // 2 clusters, both spiking -> both would flag -> ratio 1.0 > 0.3 -> none
+    val counts = ((1 to 5).map(t => (1L, t.toLong, 10L)) :+ (1L, 6L, 100L)) ++
+      ((1 to 5).map(t => (2L, t.toLong, 10L)) :+ (2L, 6L, 100L))
+    val feats = VolumeAnomaly.features(
+      counts.toDF("cluster_id", "batch_ts", "log_count"))
+    assert(VolumeAnomaly.rankAnomalies(feats).isEmpty)
+  }
+
+  test("incident merge splits refresh vs create") {
+    import spark.implicits._
+    val flagged = Seq((1L, 1L, 10L, -2.0, -1.5), (2L, 1L, 20L, -3.0, -2.0))
+      .toDF("cluster_id", "batch_ts", "log_count", "score", "score_z")
+    val open = Seq(Tuple1(1L)).toDF("cluster_id")
+    val m = VolumeAnomaly.mergeIncidents(flagged, open).collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r.getAs[String]("action"))
+      .toMap
+    assert(m == Map(1L -> "refresh", 2L -> "create"))
+  }
+
+  test("ModelStore blue/green: publish swaps staging to prod with backup") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-state").toString
+    val v1 = Seq((1, "a")).toDF("id", "x")
+    ModelStore.save(v1, root, "centroids")
+    assert(ModelStore.load(spark, root, "centroids").count() == 1)
+    val v2 = Seq((1, "a"), (2, "b")).toDF("id", "x")
+    ModelStore.save(v2, root, "centroids")
+    assert(ModelStore.load(spark, root, "centroids").count() == 2)
+    assert(spark.read.parquet(s"$root/centroids_backup").count() == 1)
+  }
+
+  test("DenStream state round-trips through a DataFrame") {
+    val m = new DenStream.Model(1.0, 0.0005)
+    m.learnOne(Array(1f, 0f)); m.learnOne(Array(-1f, 0f))
+    val df = DenStream.stateDF(spark, m)
+    val m2 = DenStream.fromStateDF(df, 1.0, 0.0005)
+    assert(m2.clusters.length == 2)
+    assert(m2.predictOne(Array(0.9f, 0f)) == m.predictOne(Array(0.9f, 0f)))
+  }
+}

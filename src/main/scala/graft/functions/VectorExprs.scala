@@ -1,0 +1,169 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for hot-path vector math.
+  *
+  * The HOF formulations in [[graft.ml.Distance]] are correct but evaluate
+  * a lambda per element per pass (cosine = 3 passes); on O(millions) of
+  * pairs that dominates (SURVEY.md §4: "custom Expression only if the HOF
+  * formulation proves too slow at bench scale" — it did: the brute
+  * near-dup pair scan). These generate a single fused whole-stage-codegen
+  * loop per pair: no virtual calls, no per-element allocation.
+  *
+  * Exposure: Spark 4 made `Column(expression)` private[sql], so the
+  * expressions register in the session FunctionRegistry (public API) and
+  * surface through `call_function` — [[VectorExprs.register]] is invoked
+  * lazily by every table load (graft.ops.Tables) and by the df-taking
+  * library entry points.
+  */
+abstract class ArrayPairFold extends BinaryExpression {
+  // callers cast operands to array<double>; no ExpectsInputTypes (that
+  // trait's AbstractDataType signature is private[sql] in Spark 4)
+  override def dataType: DataType = DoubleType
+}
+
+/** Cosine similarity in one fused pass (dot + both norms together);
+  * 1e-12 denominator floor matches Distance.cosineHof. */
+case class ArrayCosine(left: Expression, right: Expression)
+    extends ArrayPairFold {
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / math.max(math.sqrt(nx) * math.sqrt(ny), 1e-12)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $xi = $a.getDouble($i);
+        |  double $yi = $b.getDouble($i);
+        |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        |}
+        |${ev.value} = $dot / java.lang.Math.max(
+        |  java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny), 1e-12);
+      """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** Squared euclidean distance, single fused loop. */
+case class ArraySqEuclidean(left: Expression, right: Expression)
+    extends ArrayPairFold {
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1
+    }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $s = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $d = $a.getDouble($i) - $b.getDouble($i);
+        |  $s += $d * $d;
+        |}
+        |${ev.value} = $s;
+      """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** Minkowski distance (Σ|aᵢ−bᵢ|^p)^(1/p) — reference H6 semantics
+  * (vector_engine.py:18-19), fused loop. */
+case class ArrayMinkowski(left: Expression, right: Expression, p: Double)
+    extends ArrayPairFold {
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += math.pow(math.abs(x.getDouble(i) - y.getDouble(i)), p); i += 1
+    }
+    math.pow(s, 1.0 / p)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $s = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $s += java.lang.Math.pow(
+        |    java.lang.Math.abs($a.getDouble($i) - $b.getDouble($i)), $p);
+        |}
+        |${ev.value} = java.lang.Math.pow($s, ${1.0 / p});
+      """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
+object VectorExprs {
+
+  /** Idempotent per-session registration of the vector expressions. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => ArrayCosine(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sq_euclidean",
+      exprs => ArraySqEuclidean(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_minkowski15",
+      exprs => ArrayMinkowski(exprs(0), exprs(1), 1.5), "built-in")
+  }
+
+  def cosine(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
+  def sqEuclidean(a: Column, b: Column): Column =
+    call_function("graft_sq_euclidean", a, b)
+
+  def euclidean(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.sqrt(sqEuclidean(a, b))
+
+  /** Only p=1.5 (the reference's constant) is pre-registered; other p
+    * fall back to the HOF formulation. */
+  def minkowski(a: Column, b: Column, p: Double): Column =
+    if (p == 1.5) call_function("graft_minkowski15", a, b)
+    else graft.ml.Distance.minkowskiHof(a, b, p)
+}

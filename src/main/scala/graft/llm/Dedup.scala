@@ -1,0 +1,194 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+import graft.ml.Distance
+
+/** Deduplication operators for large-scale training-data pipelines.
+  * North-star extension beyond the reference (SURVEY.md §2.J note): the
+  * reference's only dedup is key-based upsert (`ON CONFLICT (log_id) DO
+  * NOTHING`, src/db/log_ops.py:47-55); these generalize to content dedup.
+  *
+  * Scale design: every variant is a shuffle-on-key plan — no driver
+  * loops, no cross join over the full corpus. MinHash/SimHash candidate
+  * generation is the LSH band trick (Broder 1997 / Charikar 2002, public):
+  * candidates meet only inside a band bucket, so the pair space is
+  * bucket-local, then exact verification runs on the candidate set only.
+  */
+object Dedup {
+
+  /** Exact content dedup via hash-groupBy (keep = min id per content).
+    * At 100 TB this is one shuffle on a 128-bit key; no sort. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Token-set Jaccard on a column pair (codegen'd array ops). */
+  def tokenJaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  private def tokensOf(textCol: Column): Column =
+    array_distinct(split(textCol, " "))
+
+  /** N-gram (token-set) Jaccard near-dup pairs within a blocking group.
+    * Blocking (`groupCol`) bounds the pair space — the 100 TB analog is
+    * blocking by LSH bucket (see [[minHashCandidates]]); here the fixture's
+    * `source` plays that role for the oracle-checkable variant. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(groupCol).as("g"), col(idCol).as("id_a"),
+      tokensOf(col(textCol)).as("toks_a"))
+    val b = df.select(col(groupCol).as("g"), col(idCol).as("id_b"),
+      tokensOf(col(textCol)).as("toks_b"))
+    a.join(b, "g")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", tokenJaccard(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("g"), col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---------------- MinHash + LSH ----------------
+
+  /** K minhash values over token n-gram shingles; seeds are fixed so the
+    * signature is a pure function of the text. */
+  def minHashSignature(text: String, k: Int = 64, shingle: Int = 3): Array[Int] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val shingles: Iterator[String] =
+      if (toks.length < shingle) Iterator(toks.mkString(" "))
+      else toks.sliding(shingle).map(_.mkString(" "))
+    val sig = Array.fill(k)(Int.MaxValue)
+    shingles.foreach { sh =>
+      val base = MurmurHash3.stringHash(sh, 0x5bd1e995)
+      var i = 0
+      while (i < k) {
+        // universal-hash family: h_i(x) = murmur(x) * a_i + b_i (odd a_i)
+        val h = base * (2 * i + 1) + MurmurHash3.productHash((i, 0x27d4eb2f))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** Candidate pairs via banded minhash: rows agreeing on any band bucket.
+    * bands × rowsPerBand must equal k. One explode + one shuffle on
+    * (band, bucket) + bucket-local pairing. */
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16): DataFrame = {
+    val rowsPer = k / bands
+    val sigUdf = udf((t: String) => minHashSignature(t, k))
+    val banded = df
+      .select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+      .select(col("id"), posexplode(
+        // hash each band's slice into one bucket key
+        (0 until bands).foldLeft(array()) { (acc, b) =>
+          concat(acc, array(hash(slice(col("sig"), b * rowsPer + 1, rowsPer))))
+        }))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Shingle set of a text (n-token windows) — the similarity space the
+    * minhash signature estimates. Word-order sensitive by design: MinHash
+    * dedup targets *sequence* near-dups (standard web-dedup formulation);
+    * bag-level dups are [[jaccardPairs]]'s territory. */
+  def shingleSet(text: String, n: Int = 3): Array[String] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Array(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+  }
+
+  /** Full MinHash-LSH near-dup: banded candidates → exact shingle-Jaccard
+    * verification (only candidates pay the verification cost, and the
+    * verified metric is the one the signature estimates). */
+  def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 64, bands: Int = 16,
+      shingle: Int = 3): DataFrame = {
+    val cands = minHashCandidates(df, idCol, textCol, k, bands)
+    val sh = udf((t: String) => shingleSet(t, shingle))
+    val toks = df.select(col(idCol).as("id"), sh(col(textCol)).as("toks"))
+    cands
+      .join(toks.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("toks", "toks_a"), "id_a")
+      .join(toks.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("toks", "toks_b"), "id_b")
+      .withColumn("jaccard", tokenJaccard(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** 64-bit SimHash (Charikar 2002) over tokens: majority vote of signed
+    * feature-hash bits. */
+  def simHash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { t =>
+      val h1 = MurmurHash3.stringHash(t, 0x9747b28c)
+      val h2 = MurmurHash3.stringHash(t, 0x85ebca6b)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+
+  /** SimHash near-dups: band the 64 bits into 4 × 16-bit keys (any exact
+    * band match is a candidate — guarantees recall for hamming ≤ 3),
+    * verify by bit_count(xor) ≤ maxHamming. */
+  def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val shUdf = udf((t: String) => simHash64(t))
+    val hashed = df.select(col(idCol).as("id"),
+      shUdf(col(textCol)).as("sh"))
+    val banded = hashed.select(col("id"), col("sh"), posexplode(array(
+      (0 until 4).map(b =>
+        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("sh").as("sh_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---------------- Embedding near-dup ----------------
+
+  /** Cosine near-dup pairs. Brute pair space — correct baseline; at scale
+    * block first with [[SimSearch.withLshBucket]] and join on bucket. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    val a = df.select(col(idCol).as("id_a"),
+      col(vecCol).cast("array<double>").as("v_a"))
+    val b = df.select(col(idCol).as("id_b"),
+      col(vecCol).cast("array<double>").as("v_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(Distance.cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+import graft.ml.Distance
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  * North-star extension (SURVEY.md §2.J note): the reference's only vector
+  * search is the brute nearest-centroid loop (src/ml/vector_engine.py:21-45).
+  *
+  * Two paths:
+  *  - [[knnBrute]]: exact top-k by cosine — the correctness baseline. Cost
+  *    O(|Q|·|C|); fine when the query side broadcasts.
+  *  - [[knnLsh]]: random-hyperplane LSH (Charikar 2002) with L independent
+  *    hash tables (Indyk–Motwani): a candidate meets a query if they share
+  *    a bucket in ANY table. Candidates are bucket-local, the join
+  *    shuffles on (table, bucket) — the 100 TB path. Recall/cost is tuned
+  *    by (bits, tables): more bits → smaller buckets, more tables →
+  *    higher recall. On near-random vectors (this fixture) the achievable
+  *    recall/cost tradeoff is fundamentally modest; clustered real
+  *    embeddings fare far better.
+  */
+object SimSearch {
+
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim): ±1 from a fixed murmur stream — no RNG state. */
+  private def planeSign(table: Int, plane: Int, dim: Int): Float =
+    if (MurmurHash3.productHash((table, plane, dim, 0x9e3779b9)) < 0) -1f
+    else 1f
+
+  def lshBucket(vec: Array[Float], bits: Int, table: Int = 0): Int = {
+    var bucket = 0
+    var p = 0
+    while (p < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < vec.length) { dot += vec(i) * planeSign(table, p, i); i += 1 }
+      if (dot >= 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** Per-table buckets, encoded as table*2^bits + bucket so one int keys
+    * the (table, bucket) pair. */
+  def lshBuckets(vec: Array[Float], bits: Int, tables: Int): Array[Int] =
+    Array.tabulate(tables)(t => (t << bits) | lshBucket(vec, bits, t))
+
+  def withLshBucket(df: DataFrame, vecCol: String, bits: Int = 8,
+      out: String = "bucket"): DataFrame = {
+    val f = udf((v: Array[Float]) => lshBucket(v, bits))
+    df.withColumn(out, f(col(vecCol).cast("array<float>")))
+  }
+
+  /** Exact top-k cosine neighbors of `queries` among `candidates`. */
+  def knnBrute(queries: DataFrame, candidates: DataFrame, qId: String,
+      cId: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.VectorExprs.register(queries.sparkSession)
+    val q = queries.select(col(qId).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val c = candidates.select(col(cId).as("cid"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("cid"))
+    c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos_sim", round(Distance.cosine(col("cv"), col("qv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Multi-table LSH approximate top-k. Both sides hash once per table;
+    * the candidate set is the union over tables of same-bucket pairs. */
+  def knnLsh(queries: DataFrame, candidates: DataFrame, qId: String,
+      cId: String, vecCol: String, k: Int, bits: Int = 4,
+      tables: Int = 8): DataFrame = {
+    graft.functions.VectorExprs.register(queries.sparkSession)
+    val bucketsUdf = udf((v: Array[Float]) => lshBuckets(v, bits, tables))
+    val q = queries
+      .select(col(qId).as("qid"), col(vecCol).cast("array<float>").as("qvf"))
+      .withColumn("bucket", explode(bucketsUdf(col("qvf"))))
+      .withColumn("qv", col("qvf").cast("array<double>"))
+      .drop("qvf")
+    val c = candidates
+      .select(col(cId).as("cid"), col(vecCol).cast("array<float>").as("cvf"))
+      .withColumn("bucket", explode(bucketsUdf(col("cvf"))))
+      .withColumn("cv", col("cvf").cast("array<double>"))
+      .drop("cvf")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("cid"))
+    c.join(q, "bucket")
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(Distance.cosine(col("cv"), col("qv")), 6).as("cos_sim"))
+      .distinct() // a pair can meet in several tables
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+}

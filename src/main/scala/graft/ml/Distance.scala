@@ -18,13 +18,18 @@ object Distance {
   private def zsum(a: Column, b: Column, f: (Column, Column) => Column): Column =
     aggregate(zip_with(a, b, f), lit(0.0), (acc, x) => acc + x)
 
-  /** Minkowski distance: (Σ|aᵢ−bᵢ|^p)^(1/p). Reference vector_engine.py:18. */
+  /** Minkowski distance: (Σ|aᵢ−bᵢ|^p)^(1/p). Reference vector_engine.py:18.
+    * Delegates to the fused codegen expression (graft.functions.VectorExprs)
+    * — the HOF twin below documents the declarative formulation. */
   def minkowski(a: Column, b: Column, p: Double): Column =
+    graft.functions.VectorExprs.minkowski(a, b, p)
+
+  def minkowskiHof(a: Column, b: Column, p: Double): Column =
     pow(zsum(a, b, (x, y) => pow(abs(x - y), p)), 1.0 / p)
 
   /** Squared Euclidean (cheaper when only ordering matters). */
   def sqEuclidean(a: Column, b: Column): Column =
-    zsum(a, b, (x, y) => (x - y) * (x - y))
+    graft.functions.VectorExprs.sqEuclidean(a, b)
 
   def euclidean(a: Column, b: Column): Column = sqrt(sqEuclidean(a, b))
 
@@ -33,8 +38,12 @@ object Distance {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  /** Cosine similarity; 0-vector guarded via 1e-12 floor. */
+  /** Cosine similarity; 0-vector guarded via 1e-12 floor. Fused one-pass
+    * codegen (dot + both norms in a single loop). */
   def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosine(a, b)
+
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / greatest(norm(a) * norm(b), lit(1e-12))
 
   /** Plain-Scala twins for driver-side/fold code (same formulas). */

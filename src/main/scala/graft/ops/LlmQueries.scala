@@ -1,0 +1,224 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Dedup, Multimodal, SimSearch, TextOps}
+import Tables._
+
+/** LLM-training-data operator surface: dedup, similarity search, text
+  * analysis, multimodal plumbing (north-star extensions; design slots
+  * cited in SURVEY.md §2.J note).
+  */
+object LlmQueries {
+
+  /** q40 — exact dedup via hash-groupBy. */
+  def q40DedupExact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.exact(documents(s, d), "doc_id", "text")
+      .orderBy($"keep_id")
+  }
+  val q40Sql: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS dup_count
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  /** q41 — token-set Jaccard near-dup pairs, blocked by source. */
+  def q41JaccardNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.jaccardPairs(documents(s, d), "doc_id", "text", "source", 0.9)
+      .orderBy($"id_a", $"id_b")
+  }
+  val q41Sql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    list_distinct(string_split(text, ' ')) AS toks FROM documents)
+      |SELECT a.source AS g, a.doc_id AS id_a, b.doc_id AS id_b,
+      |  ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE),
+      |        6) AS jaccard
+      |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |      CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)
+      |      >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** q42 — MinHash-LSH near-dup (rows-only: murmur signatures are not
+    * oracle-expressible; recall vs exact shingle-Jaccard is
+    * ScalaTest-gated). Finds sequence-level near-dups. */
+  def q42MinHashNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.minHashNearDups(documents(s, d), "doc_id", "text", 0.3)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** q43 — SimHash banding (rows-only): candidate pairs with hamming
+    * distance of their 64-bit signatures. */
+  def q43SimHash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.simHashNearDups(documents(s, d), "doc_id", "text", maxHamming = 16)
+      .orderBy($"hamming", $"id_a", $"id_b")
+  }
+
+  /** q44 — embedding-cosine near-dup pairs. */
+  def q44EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.embeddingNearDups(embeddings(s, d), "vec_id", "embedding", 0.4)
+      .orderBy($"id_a", $"id_b")
+  }
+  val q44Sql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** q45 — LSH-bucketed approximate kNN (rows-only; recall floor is
+    * ScalaTest-gated against knnBrute). */
+  def q45KnnLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    SimSearch.knnLsh(e.filter($"vec_id" < 10), e, "vec_id", "vec_id",
+        "embedding", k = 5)
+      .select($"qid", $"cid", $"cos_sim", $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
+  /** q46 — token counting: whitespace + BPE-ish pre-tokenizer pieces. */
+  def q46TextStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextOps.withTokenCounts(documents(s, d), "text")
+      .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"),
+        $"n_bpe_pieces".cast("long").as("n_bpe_pieces"), $"n_chars")
+      .orderBy($"doc_id")
+  }
+  val q46Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_pieces,
+      |  n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q47 — n-gram-heuristic language ID with per-language scores. */
+  def q47LangId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextOps.withLangId(documents(s, d), "text")
+      .select($"doc_id", $"lang",
+        $"score_en".cast("long").as("score_en"),
+        $"score_fr".cast("long").as("score_fr"),
+        $"score_es".cast("long").as("score_es"),
+        $"score_de".cast("long").as("score_de"),
+        $"lang_pred")
+      .orderBy($"doc_id")
+  }
+  val q47Sql: String = {
+    def cnt(words: Seq[String]) =
+      words.map(w => s"'$w'").mkString(
+        "CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN (",
+        ", ", "))) AS BIGINT)")
+    s"""WITH sc AS (SELECT doc_id, lang,
+      |  ${cnt(TextOps.lexicons("en"))} AS score_en,
+      |  ${cnt(TextOps.lexicons("fr"))} AS score_fr,
+      |  ${cnt(TextOps.lexicons("es"))} AS score_es,
+      |  ${cnt(TextOps.lexicons("de"))} AS score_de
+      |FROM documents)
+      |SELECT doc_id, lang, score_en, score_fr, score_es, score_de,
+      |  CASE
+      |    WHEN score_en > 0 AND score_en >= score_fr AND score_en >= score_es
+      |         AND score_en >= score_de THEN 'en'
+      |    WHEN score_fr > 0 AND score_fr >= score_es AND score_fr >= score_de
+      |         THEN 'fr'
+      |    WHEN score_es > 0 AND score_es >= score_de THEN 'es'
+      |    WHEN score_de > 0 THEN 'de'
+      |    ELSE 'und' END AS lang_pred
+      |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  /** q48 — quality scoring (length / diversity / punctuation / stopword
+    * ratios + composite). */
+  def q48QualityScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextOps.withQualityScore(documents(s, d), "text")
+      .select($"doc_id", $"n_tokens", $"distinct_ratio", $"punct_ratio",
+        $"stopword_ratio", $"quality_score")
+      .orderBy($"doc_id")
+  }
+  val q48Sql: String = {
+    val en = TextOps.lexicons("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dis,
+      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+      |    AS n_punct,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ($en)))
+      |    AS DOUBLE) AS n_stop,
+      |  CAST(length(text) AS DOUBLE) AS n_len
+      |FROM documents)
+      |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+      |  ROUND(n_dis / GREATEST(n_tok, 1.0), 6) AS distinct_ratio,
+      |  ROUND(n_punct / GREATEST(n_len, 1.0), 6) AS punct_ratio,
+      |  ROUND(n_stop / GREATEST(n_tok, 1.0), 6) AS stopword_ratio,
+      |  ROUND(LEAST(n_tok / 50.0, 1.0) * 0.25 +
+      |    (n_dis / GREATEST(n_tok, 1.0)) * 0.25 +
+      |    (1.0 - LEAST((n_punct / GREATEST(n_len, 1.0)) * 5.0, 1.0)) * 0.25 +
+      |    LEAST((n_stop / GREATEST(n_tok, 1.0)) * 5.0, 1.0) * 0.25, 6)
+      |    AS quality_score
+      |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** q49 — document fingerprint (md5 of normalized text). */
+  def q49Fingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", TextOps.fingerprint($"text").as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+  val q49Sql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+      |    AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q50 — multimodal feature extraction (rows-only; decode STUBBED —
+    * byte histogram stands in for a codec, plumbing is real). */
+  def q50MediaFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.extractFeatures(Multimodal.mediaTable(s, d))
+      .select($"media_id", $"meta.kind".as("kind"),
+        $"meta.n_bytes".as("n_bytes"), $"features")
+      .orderBy($"media_id")
+  }
+
+  /** q51 — frame sampling over binary payloads (rows-only). */
+  def q51FrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.frameSample(Multimodal.mediaTable(s, d), 4)
+      .select($"media_id", $"frame_id", $"frame_hash")
+      .orderBy($"media_id", $"frame_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_dedup_exact" -> (q40DedupExact _),
+    "q41_jaccard_neardup" -> (q41JaccardNearDup _),
+    "q42_minhash_neardup" -> (q42MinHashNearDup _),
+    "q43_simhash" -> (q43SimHash _),
+    "q44_embedding_neardup" -> (q44EmbeddingNearDup _),
+    "q45_knn_lsh" -> (q45KnnLsh _),
+    "q46_text_stats" -> (q46TextStats _),
+    "q47_lang_id" -> (q47LangId _),
+    "q48_quality_score" -> (q48QualityScore _),
+    "q49_fingerprint" -> (q49Fingerprint _),
+    "q50_media_features" -> (q50MediaFeatures _),
+    "q51_frame_sample" -> (q51FrameSample _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_dedup_exact" -> q40Sql,
+    "q41_jaccard_neardup" -> q41Sql,
+    "q44_embedding_neardup" -> q44Sql,
+    "q46_text_stats" -> q46Sql,
+    "q47_lang_id" -> q47Sql,
+    "q48_quality_score" -> q48Sql,
+    "q49_fingerprint" -> q49Sql)
+}

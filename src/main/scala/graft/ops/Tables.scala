@@ -13,8 +13,12 @@ import org.apache.spark.sql.types._
   * and DuckDB both truncate to us via the helpers below).
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // lazy idempotent registration of the custom vector expressions —
+    // every query path loads at least one table through here
+    graft.functions.VectorExprs.register(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Multimodal, SimSearch, TextOps}
+
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("exact dedup collapses planted duplicates to min id") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("id", "text")
+    val rows = Dedup.exact(df, "id", "text").collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("dup_count")).toMap
+    assert(rows == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("minhash recall: every exact shingle-jaccard>=0.5 pair is found") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // exact ground truth by brute shingle jaccard
+    val sh = udf((t: String) => Dedup.shingleSet(t))
+    val t = docs.select($"doc_id".as("id"), sh($"text").as("toks"))
+    val exactPairs = t.as("a").crossJoin(t.as("b"))
+      .filter($"a.id" < $"b.id")
+      .withColumn("j", Dedup.tokenJaccard($"a.toks", $"b.toks"))
+      .filter($"j" >= 0.5)
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "fixture should contain sequence near-dups")
+    val found = Dedup.minHashNearDups(docs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.subsetOf(found),
+      s"missed ${(exactPairs -- found).size} of ${exactPairs.size}")
+  }
+
+  test("simhash: identical texts collide, near texts within small hamming") {
+    val a = Dedup.simHash64("the quick brown fox jumps over the lazy dog")
+    val b = Dedup.simHash64("the quick brown fox jumps over the lazy dog")
+    assert(a == b)
+    val c = Dedup.simHash64("the quick brown fox leaps over the lazy dog")
+    val ham = java.lang.Long.bitCount(a ^ c)
+    assert(ham <= 16, s"hamming $ham")
+    val far = Dedup.simHash64("completely unrelated words entirely different")
+    assert(java.lang.Long.bitCount(a ^ far) > ham)
+  }
+
+  test("knnLsh recall@5 vs brute force on the embeddings fixture") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter($"vec_id" < 20)
+    val brute = SimSearch.knnBrute(q, e, "vec_id", "vec_id", "embedding", 5)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SimSearch.knnLsh(q, e, "vec_id", "vec_id", "embedding", 5)
+      .select("qid", "cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & approx).size.toDouble / brute.size
+    // 4-bit x 8-table sign-LSH on 64-dim unstructured
+    // vectors: recall is modest by construction; the gate pins
+    // the implementation against silent regression
+    assert(recall >= 0.5, s"recall@5 $recall")
+  }
+
+  test("langId picks the language whose function words dominate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat of the house is in the garden"),
+      (2L, "le chat et la maison des gens est une merveille"),
+      (3L, "el gato de los juegos y las casas que en madrid es"),
+      (4L, "der hund und die katze das ist ein tier nicht mit"),
+      (5L, "zzz qqq www")).toDF("doc_id", "text")
+    val got = TextOps.withLangId(df, "text").select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "es", 4L -> "de",
+      5L -> "und"))
+  }
+
+  test("quality score is in [0,1] and penalizes degenerate text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a a a a a"),                      // no diversity
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away"))
+      .toDF("doc_id", "text")
+    val m = TextOps.withQualityScore(df, "text")
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(m(2L) > m(1L))
+  }
+
+  test("winnow fingerprint survives local edits better than md5") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val edited = base.replace("delta", "delta2")
+    val a = TextOps.winnow(base).toSet
+    val b = TextOps.winnow(edited).toSet
+    val overlap = (a & b).size.toDouble / (a | b).size
+    assert(overlap > 0.3, s"overlap $overlap")
+  }
+
+  test("media pipeline: features are normalized histograms; frames cover payload") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(spark, sf)
+    val feats = Multimodal.extractFeatures(media)
+      .select($"features").limit(5).collect()
+    feats.foreach { r =>
+      val h = r.getSeq[Float](0)
+      assert(h.length == 16)
+      assert(math.abs(h.sum - 1.0) < 1e-3)
+    }
+    val frames = Multimodal.frameSample(media.limit(10), 4)
+    assert(frames.count() == 40)
+    assert(frames.select("frame_id").distinct().count() == 4)
+  }
+
+  test("lsh bucket is deterministic and in range") {
+    val v = Array.tabulate(64)(i => (i % 7 - 3) / 10f)
+    val b1 = SimSearch.lshBucket(v, 8)
+    val b2 = SimSearch.lshBucket(v, 8)
+    assert(b1 == b2 && b1 >= 0 && b1 < 256)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+
+/** Streaming surface exposed through the driver contract: each query runs
+  * a real Structured Streaming job synchronously (memory sink, all data
+  * available) and returns the materialized result — so the *streaming*
+  * path is what the DuckDB oracle checks.
+  */
+object StreamQueries {
+
+  /** q60 — tumbling event-time volume via readStream + watermark (I3);
+    * result must equal the batch/oracle aggregation exactly. */
+  def q60StreamVolume(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = StreamOps.tumblingVolume(StreamOps.eventsStream(s, d))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("graft_stream_vol")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table("graft_stream_vol")
+      .select(unix_micros($"window_start").as("window_start_us"),
+        $"event_type", $"cnt")
+      .orderBy($"window_start_us", $"event_type")
+  }
+  val q60Sql: String =
+    """SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))
+      |    AS window_start_us,
+      |  event_type, COUNT(*) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q61 — stateful streaming semantic grouping (I5; rows-only): group
+    * sizes from the flatMapGroupsWithState centroid pipeline over the
+    * event stream (state carried across micro-batches). */
+  def q61StreamSemantic(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val logs = StreamOps.eventsStream(s, d)
+      .filter($"event_type".isin("error", "signup", "purchase"))
+      .withColumn("embed_text",
+        concat($"event_type", lit(" user="), $"user_id",
+          lit(". Parsed: "), $"props"))
+    val embedded = graft.ml.Embed.withEmbedding(logs, "embed_text")
+    val pairs = embedded
+      .select($"event_id".as("_1"), $"embedding".as("_2"))
+      .as[(Long, Array[Float])]
+    val out = StreamOps.statefulSemanticGroups(pairs, threshold = 1.8)
+    val q = out.toDF().writeStream
+      .outputMode("update")
+      .format("memory").queryName("graft_stream_sem")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table("graft_stream_sem")
+      .groupBy($"semantic_group").agg(count(lit(1)).as("n"))
+      .orderBy($"semantic_group")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_stream_volume" -> (q60StreamVolume _),
+    "q61_stream_semantic" -> (q61StreamSemantic _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q60_stream_volume" -> q60Sql)
+}

@@ -1,0 +1,144 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.ml.{Centroids, DenStream, Embed}
+
+/** Structured Streaming interpretation of the reference's batch-simulated
+  * stream (SURVEY.md §2.I).
+  *
+  * The reference simulates streaming with externally-framed id ranges and
+  * a `batch_order` commit table (run_incremental_batch.py:29-35, 101-110);
+  * here the same semantics land on real streaming primitives:
+  *   I1 offsets/commits → checkpointed file source + idempotent sink
+  *   I3 tumbling volume → event-time window + watermark
+  *   I5 per-event state → flatMapGroupsWithState centroid state
+  */
+object StreamOps {
+
+  /** Raw schema of the events fixture when read with nanosAsLong. */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // ns since epoch (parquet TIMESTAMP(NANOS))
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events fixture with a proper event-time
+    * column (same ns→us truncation as the batch reader). */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      // file source needs a directory; glob-filter to the events table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** I3 — tumbling event-time volume counts with a watermark (the
+    * reference's per-batch `GROUP BY cluster_id COUNT(*)`,
+    * incident_ops.py:52-61, with the batch id as the window). */
+  def tumblingVolume(events: DataFrame, keyCol: String = "event_type",
+      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col(keyCol), col("cnt"))
+
+  /** Carried centroid state for [[statefulSemanticGroups]]. */
+  case class CentroidState(centroids: Seq[(String, Seq[Float])])
+
+  case class SemAssign(log_id: Long, semantic_group: String)
+
+  /** I5 — order-sensitive online semantic grouping as streaming state
+    * (reference J2 across batches: the centroid map lives in the engine's
+    * state store instead of centroids.pkl). Single logical key ⇒ strict
+    * global order, matching the reference exactly; shard the key for the
+    * 100 TB variant (per-shard namespaces, SURVEY.md §7.4 risk 2). */
+  def statefulSemanticGroups(events: Dataset[(Long, Array[Float])],
+      threshold: Double, p: Double = 1.5): Dataset[SemAssign] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_ => 0) // single global namespace (reference semantics)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[(Long, Array[Float])],
+         state: GroupState[CentroidState]) =>
+          val existing = state.getOption
+            .map(_.centroids.map(c =>
+              Centroids.Centroid(c._1, c._2.toArray, 0L)))
+            .getOrElse(Seq.empty)
+          val buf = scala.collection.mutable.ArrayBuffer(existing: _*)
+          val sorted = rows.toArray.sortBy(_._1) // strict id order in batch
+          val out = scala.collection.mutable.ArrayBuffer.empty[SemAssign]
+          sorted.foreach { case (id, vec) =>
+            var best = -1
+            var bestD = Double.MaxValue
+            var i = 0
+            while (i < buf.length) {
+              val dd = graft.ml.Distance.minkowskiS(vec, buf(i).center, p)
+              if (dd < bestD) { bestD = dd; best = i }
+              i += 1
+            }
+            if (best >= 0 && bestD < threshold)
+              out += SemAssign(id, buf(best).semanticId)
+            else {
+              buf += Centroids.Centroid(s"sem_grp_$id", vec, 1L)
+              out += SemAssign(id, s"sem_grp_$id")
+            }
+          }
+          state.update(CentroidState(
+            buf.toSeq.map(c => (c.semanticId, c.center.toSeq))))
+          out.iterator
+      }
+  }
+
+  /** §3.1 as a streaming pipeline: enrichment in foreachBatch with an
+    * idempotent (anti-join) sink — the A5 `ON CONFLICT DO NOTHING` analog.
+    * Runs with AvailableNow so callers can await completion. */
+  def enrichmentPipeline(spark: SparkSession, sfDir: String, sinkDir: String,
+      checkpointDir: String, model: DenStream.Model,
+      centroids: Array[Centroids.Centroid]): Unit = {
+    val stream = eventsStream(spark, sfDir)
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val logs = batch.select(
+          col("event_id").as("log_id"), col("ts"),
+          when(col("event_type") === "error", "error")
+            .when(col("event_type").isin("signup", "purchase"), "warning")
+            .otherwise("info").as("level"),
+          concat(col("event_type"), lit(" user="), col("user_id"))
+            .as("message"),
+          col("props").as("parsed_data"))
+          .filter(col("level").isin("warning", "error"))
+        val embedded = Embed.withEmbedding(
+          logs.withColumn("embed_text",
+            concat(col("message"), lit(". Parsed: "), col("parsed_data"))),
+          "embed_text")
+        val withSem = Centroids.scoreAgainst(embedded, centroids, "log_id",
+          "embedding", threshold = 1.8)
+        val enriched = DenStream
+          .withPredictions(withSem, model, "embedding")
+          .drop("embed_text", "embedding")
+        // idempotent append: drop rows whose log_id already reached the sink
+        val fresh = try {
+          val existing = batch.sparkSession.read.parquet(sinkDir)
+            .select("log_id")
+          enriched.join(existing, Seq("log_id"), "left_anti")
+        } catch { case _: Exception => enriched } // first batch: empty sink
+        fresh.write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

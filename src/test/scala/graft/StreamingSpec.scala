@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Enrich
+import graft.streaming.StreamOps
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("streaming tumbling volume equals the batch aggregation") {
+    import spark.implicits._
+    val agg = StreamOps.tumblingVolume(StreamOps.eventsStream(spark, sf))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("vol")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("vol")
+      .select(unix_micros($"window_start").as("ws"), $"event_type", $"cnt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.ops.Tables.events(spark, sf)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros($"w.start"), $"event_type", $"cnt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("stateful semantic grouping carries centroids across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    val out = StreamOps.statefulSemanticGroups(input.toDS(), threshold = 0.5)
+    val q = out.writeStream
+      .outputMode("update")
+      .format("memory").queryName("sem")
+      .start()
+    val v1 = Array(1f, 0f, 0f)
+    val near = Array(0.95f, 0.05f, 0f)
+    val far = Array(0f, 1f, 0f)
+    input.addData((1L, v1), (2L, far))
+    q.processAllAvailable()
+    input.addData((3L, near)) // second micro-batch: must join sem_grp_1
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sem").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "sem_grp_1")
+    assert(got(2L) == "sem_grp_2")
+    assert(got(3L) == "sem_grp_1", s"state not carried: $got")
+  }
+
+  test("foreachBatch enrichment sink is idempotent (A5 upsert analog)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val (_, model) = Enrich.trainingBatch(spark, sf, limit = 500)
+    val centroids = Array.empty[graft.ml.Centroids.Centroid]
+    StreamOps.enrichmentPipeline(spark, sf, s"$tmp/sink", s"$tmp/cp1",
+      model, centroids)
+    val n1 = spark.read.parquet(s"$tmp/sink").count()
+    assert(n1 > 0)
+    // re-run with a FRESH checkpoint: the source re-delivers everything;
+    // the anti-join sink must not duplicate
+    StreamOps.enrichmentPipeline(spark, sf, s"$tmp/sink", s"$tmp/cp2",
+      model, centroids)
+    val n2 = spark.read.parquet(s"$tmp/sink").count()
+    assert(n2 == n1, s"sink not idempotent: $n1 -> $n2")
+    // and log_ids are unique
+    val distinct = spark.read.parquet(s"$tmp/sink")
+      .select("log_id").distinct().count()
+    assert(distinct == n1)
+  }
+}

@@ -7,11 +7,13 @@ object SparkEntry {
     ops.Relational.q01Agg(spark, "/root/testdata/sf0.001")
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.MlQueries.queries ++
-      ops.LlmQueries.queries ++ ops.StreamQueries.queries
+    ops.Relational.queries ++ ops.Relational2.queries ++
+      ops.MlQueries.queries ++ ops.LlmQueries.queries ++
+      ops.StreamQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracleSql ++ ops.MlQueries.oracleSql ++
-      ops.LlmQueries.oracleSql ++ ops.StreamQueries.oracleSql
+    ops.Relational.oracleSql ++ ops.Relational2.oracleSql ++
+      ops.MlQueries.oracleSql ++ ops.LlmQueries.oracleSql ++
+      ops.StreamQueries.oracleSql
 }

@@ -1,0 +1,262 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Tables._
+
+/** Second relational wave — remaining SURVEY.md §2 rows: scalar fetch,
+  * update-by-key as pure derivation, CSV staging roundtrip, JSON vector
+  * transport, typed Welford aggregator, one-hot, extended window ranking,
+  * intersect/except, vector arithmetic, as-of join.
+  */
+object Relational2 {
+
+  /** q70 — scalar aggregate fetch (reference A2/D3: min timestamp /
+    * global MAX(last_seen)). */
+  def q70ScalarAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d).agg(
+      unix_micros(min($"ts")).as("min_ts_us"),
+      unix_micros(max($"ts")).as("max_ts_us"),
+      min($"event_id").as("min_id"),
+      max($"event_id").as("max_id"))
+  }
+  val q70Sql: String =
+    """SELECT epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS min_ts_us,
+      |  epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS max_ts_us,
+      |  MIN(event_id) AS min_id, MAX(event_id) AS max_id
+      |FROM events""".stripMargin
+
+  /** q71 — update-by-key as pure derivation (reference A6/C3: `UPDATE logs
+    * SET cluster_id` = join + coalesce; no in-place mutation in Spark). */
+  def q71UpdateJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val updates = orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", lit("U").as("new_flag"))
+    lineitem(s, d)
+      .join(updates, $"l_orderkey" === $"o_orderkey", "left_outer")
+      .withColumn("flag", coalesce($"new_flag", $"l_returnflag"))
+      .groupBy($"flag").agg(count(lit(1)).as("cnt"))
+      .orderBy($"flag")
+  }
+  val q71Sql: String =
+    """SELECT COALESCE(u.new_flag, l.l_returnflag) AS flag, COUNT(*) AS cnt
+      |FROM lineitem l
+      |LEFT JOIN (SELECT o_orderkey, 'U' AS new_flag FROM orders
+      |           WHERE o_orderpriority = '1-URGENT') u
+      |  ON l.l_orderkey = u.o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q72 — CSV staging sink + re-source (reference A10: crash-resilient
+    * CSV buffer, run_training_batch.py:109-156). Writes the batch to CSV,
+    * reads it back with an explicit schema, aggregates the re-read data. */
+  def q72CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val staging = s"${System.getProperty("java.io.tmpdir")}/graft_csv_stage"
+    events(s, d)
+      .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id",
+        $"event_type", $"value")
+      .write.mode("overwrite").option("header", "true").csv(staging)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    s.read.schema(schema).option("header", "true").csv(staging)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), min($"ts_us").as("first_ts_us"))
+      .orderBy($"event_type")
+  }
+  val q72Sql: String =
+    """SELECT event_type, COUNT(*) AS cnt,
+      |  MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_ts_us
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q73 — JSON vector transport (reference A11: json.dumps/loads of the
+    * embedding for CSV staging): to_json → from_json roundtrip must
+    * preserve the vector (self-cosine 1.0 via the codegen expression). */
+  def q73JsonVector(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, d)
+      .withColumn("js", to_json($"embedding"))
+      .withColumn("parsed", from_json($"js", ArrayType(FloatType)))
+      .select($"vec_id", size($"parsed").as("dim"),
+        round(graft.functions.VectorExprs.cosine(
+          $"parsed".cast("array<double>"),
+          $"embedding".cast("array<double>")), 6).as("self_cos"))
+      .orderBy($"vec_id")
+  }
+  val q73Sql: String =
+    """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+      |  ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+      |    CAST(embedding AS DOUBLE[])), 6) AS self_cos
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** q74 — typed Welford Aggregator (reference D11: river StandardScaler's
+    * running mean/std) vs the oracle's avg/stddev_pop. */
+  def q74Welford(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .select($"event_type", $"value").as[(String, Double)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.WelfordAgg.meanStd)
+      .map { case (k, ms) => (k, ms.mean, ms.std) }
+      .toDF("event_type", "mean_v", "std_v")
+      .select($"event_type", round($"mean_v", 4).as("mean_v"),
+        round($"std_v", 4).as("std_v"))
+      .orderBy($"event_type")
+  }
+  val q74Sql: String =
+    """SELECT event_type, ROUND(AVG(value), 4) AS mean_v,
+      |  ROUND(STDDEV_POP(value), 4) AS std_v
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q75 — one-hot encoding (reference D12: river OneHotEncoder over
+    * level/source/semantic_group) with a fixed category dictionary. */
+  def q75OneHot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cats = Seq("click", "error", "purchase", "signup", "view")
+    events(s, d)
+      .select($"event_id",
+        array(cats.map(c =>
+          when($"event_type" === c, 1).otherwise(0)): _*).as("onehot"))
+      .orderBy($"event_id")
+  }
+  val q75Sql: String =
+    """SELECT event_id,
+      |  [CASE WHEN event_type = 'click' THEN 1 ELSE 0 END,
+      |   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END,
+      |   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END,
+      |   CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END,
+      |   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END] AS onehot
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** q76 — extended ranking/analytic window functions (§2.E note:
+    * rank/dense_rank/ntile/lead beyond the reference's row_number). */
+  def q76RankFuncs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"value".desc, $"event_id")
+    events(s, d)
+      .select($"event_id", $"user_id", $"value",
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        lead($"event_id", 1).over(w).as("next_event"))
+      .filter($"rnk" <= 10)
+      .orderBy($"user_id", $"rnk")
+  }
+  val q76Sql: String =
+    """SELECT event_id, user_id, value,
+      |  RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+      |  NTILE(4) OVER w AS quartile,
+      |  LEAD(event_id, 1) OVER w AS next_event
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+      |QUALIFY rnk <= 10
+      |ORDER BY user_id, rnk""".stripMargin
+
+  /** q77 — intersect / except set operations (§2.G extended surface). */
+  def q77SetOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val clickers = ev.filter($"event_type" === "click").select($"user_id")
+    val buyers = ev.filter($"event_type" === "purchase").select($"user_id")
+    val errorers = ev.filter($"event_type" === "error" && $"value" > 180.0)
+      .select($"user_id")
+    clickers.intersect(buyers).except(errorers).orderBy($"user_id")
+  }
+  val q77Sql: String =
+    """SELECT user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  INTERSECT
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'error' AND value > 180.0
+      |ORDER BY user_id""".stripMargin
+
+  /** q78 — vector arithmetic (reference H7: the disabled 0.9/0.1 centroid
+    * drift update, vector_engine.py:38-39) via zip_with. */
+  def q78VectorMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val ref = e.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>").as("ref"))
+    e.crossJoin(broadcast(ref))
+      .withColumn("mixed", zip_with($"embedding".cast("array<double>"),
+        $"ref", (x, y) => lit(0.9) * x + lit(0.1) * y))
+      .select($"vec_id",
+        round(sqrt(aggregate($"mixed", lit(0.0),
+          (acc, x) => acc + x * x)), 6).as("mixed_norm"))
+      .orderBy($"vec_id")
+  }
+  val q78Sql: String =
+    """SELECT e.vec_id,
+      |  ROUND(sqrt(list_sum(list_transform(
+      |    list_zip(CAST(e.embedding AS DOUBLE[]), r.ref),
+      |    x -> (0.9*x[1] + 0.1*x[2]) * (0.9*x[1] + 0.1*x[2])))), 6)
+      |    AS mixed_norm
+      |FROM embeddings e,
+      |  (SELECT CAST(embedding AS DOUBLE[]) AS ref FROM embeddings
+      |   WHERE vec_id = 0) r
+      |ORDER BY e.vec_id""".stripMargin
+
+  /** q79 — as-of join (operator Spark lacks; merge-style single-shuffle
+    * implementation in [[AsOfJoin]]): each error event matched to the same
+    * user's most recent prior purchase. */
+  def q79AsofJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id".as("purchase_id"),
+        $"value".as("purchase_value"))
+    AsOfJoin.asofLeft(errors, purchases, "user_id", "ts",
+        Seq("purchase_id", "purchase_value"))
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        $"asof_purchase_id", $"asof_purchase_value")
+      .orderBy($"event_id")
+  }
+  val q79Sql: String =
+    """SELECT e.event_id, e.user_id,
+      |  epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+      |  p.purchase_id AS asof_purchase_id,
+      |  p.purchase_value AS asof_purchase_value
+      |FROM (SELECT user_id, ts, event_id FROM events
+      |      WHERE event_type = 'error') e
+      |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS purchase_id,
+      |                  value AS purchase_value FROM events
+      |                WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id
+      | AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+      |ORDER BY e.event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_scalar_agg" -> (q70ScalarAgg _),
+    "q71_update_join" -> (q71UpdateJoin _),
+    "q72_csv_roundtrip" -> (q72CsvRoundtrip _),
+    "q73_json_vector" -> (q73JsonVector _),
+    "q74_welford" -> (q74Welford _),
+    "q75_onehot" -> (q75OneHot _),
+    "q76_rank_funcs" -> (q76RankFuncs _),
+    "q77_set_ops2" -> (q77SetOps _),
+    "q78_vector_mix" -> (q78VectorMix _),
+    "q79_asof_join" -> (q79AsofJoin _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q70_scalar_agg" -> q70Sql,
+    "q71_update_join" -> q71Sql,
+    "q72_csv_roundtrip" -> q72Sql,
+    "q73_json_vector" -> q73Sql,
+    "q74_welford" -> q74Sql,
+    "q75_onehot" -> q75Sql,
+    "q76_rank_funcs" -> q76Sql,
+    "q77_set_ops2" -> q77Sql,
+    "q78_vector_mix" -> q78Sql,
+    "q79_asof_join" -> q79Sql)
+}

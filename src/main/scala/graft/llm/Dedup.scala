@@ -42,10 +42,17 @@ object Dedup {
       groupCol: String, threshold: Double): DataFrame = {
     val a = df.select(col(groupCol).as("g"), col(idCol).as("id_a"),
       tokensOf(col(textCol)).as("toks_a"))
+      .withColumn("sz_a", size(col("toks_a")))
     val b = df.select(col(groupCol).as("g"), col(idCol).as("id_b"),
       tokensOf(col(textCol)).as("toks_b"))
+      .withColumn("sz_b", size(col("toks_b")))
     a.join(b, "g")
       .filter(col("id_a") < col("id_b"))
+      // lossless size prefilter: jaccard >= t implies
+      // min(|A|,|B|) >= t * max(|A|,|B|) — prunes most pairs before the
+      // expensive intersection (cheap codegen'd int compare)
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")))
       .withColumn("jaccard", tokenJaccard(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("g"), col("id_a"), col("id_b"),

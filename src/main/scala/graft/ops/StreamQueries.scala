@@ -60,10 +60,41 @@ object StreamQueries {
       .orderBy($"semantic_group")
   }
 
+  /** q62 — session windows (I7 extended surface: the reference has no
+    * session concept): per-user sessions with a 4-hour inactivity gap.
+    * Oracle reproduces session_window's exact semantics via the classic
+    * lag + cumulative-sum sessionization. */
+  def q62SessionWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(session_window($"ts", "4 hours").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_micros($"w.start").as("session_start_us"),
+        unix_micros($"w.end").as("session_end_us"), $"n_events")
+      .orderBy($"user_id", $"session_start_us")
+  }
+  val q62Sql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |flags AS (SELECT user_id, ts,
+      |  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |         <= INTERVAL '4 hours' THEN 0 ELSE 1 END AS new_session
+      |FROM e),
+      |sess AS (SELECT user_id, ts,
+      |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS session_id
+      |FROM flags)
+      |SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+      |  epoch_us(MAX(ts) + INTERVAL '4 hours') AS session_end_us,
+      |  COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_stream_volume" -> (q60StreamVolume _),
-    "q61_stream_semantic" -> (q61StreamSemantic _))
+    "q61_stream_semantic" -> (q61StreamSemantic _),
+    "q62_session_window" -> (q62SessionWindow _))
 
   val oracleSql: Map[String, String] = Map(
-    "q60_stream_volume" -> q60Sql)
+    "q60_stream_volume" -> q60Sql,
+    "q62_session_window" -> q62Sql)
 }

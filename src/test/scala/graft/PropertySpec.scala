@@ -1,0 +1,99 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, SimSearch}
+import graft.ml.{Distance, Embed}
+
+/** Property-based coverage (SURVEY.md §5 plan item 3): metric axioms,
+  * embedder determinism, dedup idempotence.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Run a ScalaCheck property under ScalaTest without the
+    * scalatestplus bridge (not in the offline cache). */
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.listOfN(16, Gen.chooseNum(-5.0f, 5.0f)).map(_.toArray)
+
+  test("minkowski p=1.5: non-negativity, identity, symmetry, triangle") {
+    check(Prop.forAll(vecGen, vecGen, vecGen) { (a, b, c) =>
+      val dab = Distance.minkowskiS(a, b, 1.5)
+      val dba = Distance.minkowskiS(b, a, 1.5)
+      val dac = Distance.minkowskiS(a, c, 1.5)
+      val dcb = Distance.minkowskiS(c, b, 1.5)
+      dab >= 0 &&
+        Distance.minkowskiS(a, a, 1.5) == 0.0 &&
+        math.abs(dab - dba) < 1e-9 &&
+        dab <= dac + dcb + 1e-9 // triangle holds for p >= 1
+    })
+  }
+
+  test("cosine similarity is bounded in [-1, 1] and reflexive") {
+    check(Prop.forAll(vecGen) { a =>
+      val nonZero = a.exists(_ != 0f)
+      val cAA = Distance.cosineS(a, a)
+      val bounded = !nonZero || (cAA > 0.999999 && cAA <= 1.000001)
+      bounded
+    })
+    check(Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val c = Distance.cosineS(a, b)
+      c >= -1.000001 && c <= 1.000001
+    })
+  }
+
+  private val textGen: Gen[String] = Gen.listOf(
+    Gen.oneOf("spark", "scan", "join", "window", "agg", "sort", "hash",
+      "key", "batch", "stream")).map(_.mkString(" "))
+
+  test("embedder: deterministic, unit norm or zero, dimension fixed") {
+    check(Prop.forAll(textGen) { t =>
+      val v1 = Embed.embed(t)
+      val v2 = Embed.embed(t)
+      val n = math.sqrt(v1.map(x => x.toDouble * x).sum)
+      v1.sameElements(v2) && v1.length == Embed.DefaultDim &&
+        (n == 0.0 || math.abs(n - 1.0) < 1e-5)
+    })
+  }
+
+  test("simhash of identical text is identical; hamming is symmetric") {
+    check(Prop.forAll(textGen, textGen) { (a, b) =>
+      val ha = Dedup.simHash64(a)
+      val hb = Dedup.simHash64(b)
+      Dedup.simHash64(a) == ha &&
+        java.lang.Long.bitCount(ha ^ hb) ==
+          java.lang.Long.bitCount(hb ^ ha)
+    })
+  }
+
+  test("minhash signature: deterministic; identical texts share all bands") {
+    check(Prop.forAll(textGen.suchThat(_.nonEmpty)) { t =>
+      val s1 = Dedup.minHashSignature(t)
+      val s2 = Dedup.minHashSignature(t)
+      s1.sameElements(s2) && s1.length == 64
+    })
+  }
+
+  test("lsh buckets: deterministic, within range, table-distinct streams") {
+    check(Prop.forAll(vecGen) { v =>
+      val b = SimSearch.lshBuckets(v, 4, 8)
+      b.length == 8 &&
+        b.zipWithIndex.forall { case (x, t) =>
+          (x >> 4) == t && (x & 15) >= 0 && (x & 15) < 16
+        } &&
+        b.sameElements(SimSearch.lshBuckets(v, 4, 8))
+    })
+  }
+
+  test("winnow fingerprints are deterministic and non-empty") {
+    check(Prop.forAll(textGen.suchThat(_.nonEmpty)) { t =>
+      val w = graft.llm.TextOps.winnow(t)
+      w.nonEmpty && w.sameElements(graft.llm.TextOps.winnow(t))
+    })
+  }
+}

@@ -85,6 +85,18 @@ object LlmQueries {
       .orderBy($"qid", $"rn")
   }
 
+  /** q55 — IVF approximate kNN (rows-only; recall gate in ScalaTest):
+    * the k-means-partitioned scale path next to q45's LSH. */
+  def q55KnnIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val (index, centroids) = graft.llm.Ivf.buildIndex(e, "vec_id",
+      "embedding", nlist = 16)
+    graft.llm.Ivf.knn(e.filter($"vec_id" < 10), index, centroids,
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      .orderBy($"qid", $"rn")
+  }
+
   /** q46 — token counting: whitespace + BPE-ish pre-tokenizer pieces. */
   def q46TextStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -206,6 +218,7 @@ object LlmQueries {
     "q43_simhash" -> (q43SimHash _),
     "q44_embedding_neardup" -> (q44EmbeddingNearDup _),
     "q45_knn_lsh" -> (q45KnnLsh _),
+    "q55_knn_ivf" -> (q55KnnIvf _),
     "q46_text_stats" -> (q46TextStats _),
     "q47_lang_id" -> (q47LangId _),
     "q48_quality_score" -> (q48QualityScore _),

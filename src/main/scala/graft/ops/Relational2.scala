@@ -236,7 +236,44 @@ object Relational2 {
       | AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
       |ORDER BY e.event_id""".stripMargin
 
+  /** q81 — incremental pattern extraction (reference B6 + C1: the manual
+    * watermark `WHERE l.timestamp > :last_time` from pattern_ops.py:43
+    * feeding the argmin join). "last_seen" is derived deterministically as
+    * the max ts of the first 80% of event ids (the already-processed
+    * prefix); patterns are extracted only from strictly-later events. */
+  def q81PatternIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val cutoffId = ev.agg((max($"event_id") * 0.8).cast("long")).first().getLong(0)
+    val lastSeen = ev.filter($"event_id" <= cutoffId)
+      .agg(max($"ts")).first().getTimestamp(0)
+    val fresh = ev.filter($"ts" > lit(lastSeen)).as("e")
+    val agg = fresh.groupBy($"event_type")
+      .agg(min($"event_id").as("first_event"), count(lit(1)).as("total_count"))
+      .as("t")
+    fresh.join(agg, $"e.event_type" === $"t.event_type" &&
+        $"e.event_id" === $"t.first_event")
+      .select($"e.event_type", $"t.first_event", $"t.total_count",
+        concat_ws(" | ", $"e.event_type", $"e.props").as("template"))
+      .orderBy($"e.event_type")
+  }
+  val q81Sql: String =
+    """WITH cutoff AS (SELECT CAST(MAX(event_id) * 0.8 AS BIGINT) AS cid
+      |  FROM events),
+      |last_seen AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS lt FROM events, cutoff
+      |  WHERE event_id <= cid),
+      |fresh AS (SELECT * FROM events, last_seen
+      |  WHERE CAST(ts AS TIMESTAMP) > lt)
+      |SELECT e.event_type, t.first_event, t.total_count,
+      |  concat_ws(' | ', e.event_type, e.props) AS template
+      |FROM fresh e
+      |JOIN (SELECT event_type, MIN(event_id) AS first_event,
+      |        COUNT(*) AS total_count FROM fresh GROUP BY event_type) t
+      |  ON e.event_type = t.event_type AND e.event_id = t.first_event
+      |ORDER BY e.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_pattern_incremental" -> (q81PatternIncremental _),
     "q70_scalar_agg" -> (q70ScalarAgg _),
     "q71_update_join" -> (q71UpdateJoin _),
     "q72_csv_roundtrip" -> (q72CsvRoundtrip _),
@@ -249,6 +286,7 @@ object Relational2 {
     "q79_asof_join" -> (q79AsofJoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q81_pattern_incremental" -> q81Sql,
     "q70_scalar_agg" -> q70Sql,
     "q71_update_join" -> q71Sql,
     "q72_csv_roundtrip" -> q72Sql,

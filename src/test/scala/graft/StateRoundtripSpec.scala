@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.{Centroids, DenStream, Embed}
+import graft.pipeline.Enrich
+import graft.state.ModelStore
+
+/** §3 cross-run parity: the training batch persists model state through
+  * ModelStore (the pickle/blue-green analog, A12/A13); a later incremental
+  * batch loads it and must score identically to the in-memory model.
+  */
+class StateRoundtripSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("train -> persist -> load -> incremental scores identically") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-rt").toString
+
+    // training run (§3.2): fit + persist
+    val (enriched, model) = Enrich.trainingBatch(spark, sf, limit = 600)
+    ModelStore.save(DenStream.stateDF(spark, model), root, "denstream")
+    val logs = Enrich.logView(spark, sf)
+      .filter($"level".isin("warning", "error"))
+      .orderBy($"log_id").limit(600)
+      .withColumn("embed_text",
+        concat($"message", lit(". Parsed: "), $"parsed_data"))
+    val emb = Embed.withEmbedding(logs, "embed_text")
+    ModelStore.save(
+      Centroids.fitCentroids(emb, "log_id", "embedding", 1.8),
+      root, "centroids")
+
+    // a fresh process would start here: load state from disk
+    val model2 = DenStream.fromStateDF(
+      ModelStore.load(spark, root, "denstream"), epsilon = 1.0,
+      lambda = 0.0005)
+    val centroids2 = ModelStore.load(spark, root, "centroids").collect()
+      .map(r => Centroids.Centroid(r.getString(0),
+        r.getSeq[Float](1).toArray, r.getLong(2)))
+
+    // incremental batch (§3.1) over a later id range with loaded state
+    val incr = Enrich.incrementalBatch(spark, sf, model2, centroids2,
+      lo = 700, hi = 900)
+    val got = incr.select($"log_id", $"cluster_id", $"semantic_group")
+      .orderBy($"log_id").collect()
+    assert(got.nonEmpty)
+
+    // identical scoring with the original in-memory model
+    val incrOrig = Enrich.incrementalBatch(spark, sf, model,
+      centroids2, lo = 700, hi = 900)
+      .select($"log_id", $"cluster_id", $"semantic_group")
+      .orderBy($"log_id").collect()
+    assert(got.map(_.toString).sameElements(incrOrig.map(_.toString)))
+    assert(enriched.count() > 0)
+  }
+
+  test("partitioned sink: partition pruning reaches the scan (A7 at scale)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    graft.ops.Tables.events(spark, sf)
+      .withColumn("ts", unix_micros($"ts")) // plain column for rewrite
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val read = spark.read.parquet(dir).filter($"event_type" === "error")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_type"), s"no partition pruning:\n$plan")
+    val expected = graft.ops.Tables.events(spark, sf)
+      .filter($"event_type" === "error").count()
+    assert(read.count() == expected)
+  }
+}

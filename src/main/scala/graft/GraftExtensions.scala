@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{ArrayCosine, ArrayMinkowski, ArraySqEuclidean}
+import graft.functions.{ArrayCosine, ArrayMinkowski, ArraySqEuclidean, SortedIntersectSize}
 
 /** SparkSessionExtensions entry point: makes the engine installable into
   * any session via `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayMinkowski].getName,
         "graft_minkowski15"),
       (exprs: Seq[Expression]) => ArrayMinkowski(exprs(0), exprs(1), 1.5)))
+    e.injectFunction((new FunctionIdentifier("graft_sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName,
+        "graft_sorted_intersect_size"),
+      (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => FoldSelfDistance)
   }
 }

@@ -138,6 +138,48 @@ case class ArrayMinkowski(left: Expression, right: Expression, p: Double)
       r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** |A ∩ B| for two SORTED string arrays — linear merge scan, no hash-set
+  * allocation per row (array_intersect builds one per call). Callers sort
+  * once per side with `array_sort` before the pairwise join, so the
+  * O(n+m) merge replaces the O(n·m)-ish allocation-heavy path on the
+  * near-dup pair scan. Jaccard = inter / (|A| + |B| − inter). */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val n = x.numElements(); val m = y.numElements()
+    while (i < n && j < m) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val n = ctx.freshName("n")
+      val m = ctx.freshName("m"); val cmp = ctx.freshName("cmp")
+      s"""
+        |int $i = 0, $j = 0, $c = 0;
+        |int $n = $a.numElements(), $m = $b.numElements();
+        |while ($i < $n && $j < $m) {
+        |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+        |  if ($cmp == 0) { $c++; $i++; $j++; }
+        |  else if ($cmp < 0) $i++;
+        |  else $j++;
+        |}
+        |${ev.value} = $c;
+      """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
 object VectorExprs {
 
   /** Idempotent per-session registration of the vector expressions. */
@@ -150,6 +192,8 @@ object VectorExprs {
       exprs => ArraySqEuclidean(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_minkowski15",
       exprs => ArrayMinkowski(exprs(0), exprs(1), 1.5), "built-in")
+    reg.createOrReplaceTempFunction("graft_sorted_intersect_size",
+      exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
   }
 
   def cosine(a: Column, b: Column): Column =
@@ -166,4 +210,8 @@ object VectorExprs {
   def minkowski(a: Column, b: Column, p: Double): Column =
     if (p == 1.5) call_function("graft_minkowski15", a, b)
     else graft.ml.Distance.minkowskiHof(a, b, p)
+
+  /** Requires both operands pre-sorted (array_sort). */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    call_function("graft_sorted_intersect_size", a, b)
 }

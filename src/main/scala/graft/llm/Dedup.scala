@@ -40,12 +40,17 @@ object Dedup {
     * `source` plays that role for the oracle-checkable variant. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, threshold: Double): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    // sort once per side so the pairwise step is a linear merge scan
+    // (SortedIntersectSize) instead of per-pair hash-set building
     val a = df.select(col(groupCol).as("g"), col(idCol).as("id_a"),
-      tokensOf(col(textCol)).as("toks_a"))
+      array_sort(tokensOf(col(textCol))).as("toks_a"))
       .withColumn("sz_a", size(col("toks_a")))
     val b = df.select(col(groupCol).as("g"), col(idCol).as("id_b"),
-      tokensOf(col(textCol)).as("toks_b"))
+      array_sort(tokensOf(col(textCol))).as("toks_b"))
       .withColumn("sz_b", size(col("toks_b")))
+    val inter = graft.functions.VectorExprs
+      .sortedIntersectSize(col("toks_a"), col("toks_b"))
     a.join(b, "g")
       .filter(col("id_a") < col("id_b"))
       // lossless size prefilter: jaccard >= t implies
@@ -53,7 +58,9 @@ object Dedup {
       // expensive intersection (cheap codegen'd int compare)
       .filter(least(col("sz_a"), col("sz_b")) >=
         lit(threshold) * greatest(col("sz_a"), col("sz_b")))
-      .withColumn("jaccard", tokenJaccard(col("toks_a"), col("toks_b")))
+      .withColumn("inter", inter.cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("g"), col("id_a"), col("id_b"),
         round(col("jaccard"), 6).as("jaccard"))

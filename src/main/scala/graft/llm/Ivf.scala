@@ -23,29 +23,38 @@ import graft.ml.Distance
   */
 object Ivf {
 
-  /** Deterministic k-means: returns (listId, centroid) table. */
+  /** Deterministic k-means: returns (listId, centroid) table. The
+    * centroid set is tiny (nlist × dim), so each Lloyd iteration
+    * materializes it to the driver — this truncates the lineage (an
+    * un-materialized loop re-executes every prior iteration per stage)
+    * and is exactly what a 100 TB run does: iterate on a sample/driver,
+    * broadcast the final centroids for the one full-corpus assign. */
   def fitCentroids(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 3): DataFrame = {
     val spark = df.sparkSession
+    import spark.implicits._
     graft.functions.VectorExprs.register(spark)
     val pts = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
+      col(vecCol).cast("array<double>").as("v")).cache()
     var centroids = pts.orderBy("id").limit(nlist)
       .select(row_number().over(Window.orderBy("id")).as("list_id"),
         col("v").as("c"))
       .withColumn("list_id", col("list_id") - 1)
     var i = 0
     while (i < iters) {
-      val assigned = assign(pts, centroids)
-      centroids = assigned
+      val updated = assign(pts, centroids)
         .select(col("list_id"), posexplode(col("v")))
         .groupBy(col("list_id"), col("pos"))
         .agg(avg(col("col")).as("m"))
         .groupBy(col("list_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .getField("m").as("c"))
+        .collect() // nlist rows — lineage cut, not a data collect
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      centroids = updated.toSeq.toDF("list_id", "c")
       i += 1
     }
+    pts.unpersist()
     centroids
   }
 

@@ -89,12 +89,55 @@ object StreamQueries {
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** q63 — stream-stream interval join (extended surface): each error
+    * event joined to purchases by the same user within the preceding
+    * hour, both sides watermarked. Oracle is the equivalent batch
+    * interval join. */
+  def q63StreamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = StreamOps.eventsStream(s, d)
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id".as("err_id"), $"user_id", $"ts".as("err_ts"))
+      .withWatermark("err_ts", "2 hours")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("buy_id"), $"user_id".as("buy_user"),
+        $"ts".as("buy_ts"))
+      .withWatermark("buy_ts", "2 hours")
+    val joined = errors.join(purchases,
+      $"user_id" === $"buy_user" &&
+        $"buy_ts" >= $"err_ts" - expr("INTERVAL 1 HOUR") &&
+        $"buy_ts" <= $"err_ts")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory").queryName("graft_stream_ss")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table("graft_stream_ss")
+      .select($"err_id", $"buy_id", unix_micros($"err_ts").as("err_ts_us"),
+        unix_micros($"buy_ts").as("buy_ts_us"))
+      .orderBy($"err_id", $"buy_id")
+  }
+  val q63Sql: String =
+    """SELECT e.event_id AS err_id, p.event_id AS buy_id,
+      |  epoch_us(CAST(e.ts AS TIMESTAMP)) AS err_ts_us,
+      |  epoch_us(CAST(p.ts AS TIMESTAMP)) AS buy_ts_us
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id
+      | AND CAST(p.ts AS TIMESTAMP)
+      |       >= CAST(e.ts AS TIMESTAMP) - INTERVAL '1 hour'
+      | AND CAST(p.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)
+      |ORDER BY err_id, buy_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_stream_volume" -> (q60StreamVolume _),
     "q61_stream_semantic" -> (q61StreamSemantic _),
-    "q62_session_window" -> (q62SessionWindow _))
+    "q62_session_window" -> (q62SessionWindow _),
+    "q63_stream_stream_join" -> (q63StreamStreamJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q60_stream_volume" -> q60Sql,
-    "q62_session_window" -> q62Sql)
+    "q62_session_window" -> q62Sql,
+    "q63_stream_stream_join" -> q63Sql)
 }

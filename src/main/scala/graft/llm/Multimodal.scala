@@ -51,6 +51,36 @@ object Multimodal {
     df.withColumn(out, f(col(payloadCol)))
   }
 
+  /** Partition-batched variant of [[extractFeatures]]: rows flow through
+    * `mapPartitions` in fixed-size chunks (64 — the reference's GPU batch
+    * size, run_training_batch.py:57-61), the JVM analog of `mapInPandas`
+    * batch shape. A real decoder would initialize once per partition
+    * (before the iterator) and process each chunk as one batch call. */
+  def extractFeaturesBatched(df: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload", batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // <- per-partition decoder init would go here (once, not per row)
+        rows.grouped(batchSize).flatMap { batch =>
+          // <- one batched "decode" call per chunk (STUB: byte histogram)
+          batch.iterator.map { case (id, bytes) =>
+            val h = new Array[Float](16)
+            if (bytes != null && bytes.nonEmpty) {
+              bytes.foreach(b => h((b & 0xFF) >> 4) += 1f)
+              val n = bytes.length.toFloat
+              var i = 0
+              while (i < 16) { h(i) /= n; i += 1 }
+            }
+            (id, h)
+          }
+        }
+      }
+      .toDF(idCol, "features")
+  }
+
   /** STUB resize: truncate/pad payload to `size` bytes (stands in for a
     * real resample; keeps the binary-in/binary-out contract). */
   def resizeStub(df: DataFrame, size: Int,

@@ -130,14 +130,42 @@ object StreamQueries {
       | AND CAST(p.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)
       |ORDER BY err_id, buy_id""".stripMargin
 
+  /** q64 — sliding event-time windows (I7: `window(ts, len, slide)`),
+    * 2-hour windows sliding hourly — each event lands in two windows.
+    * Oracle: union of the two shifted hour-buckets per event. */
+  def q64SlidingWindow(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(window($"ts", "2 hours", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros($"w.start").as("window_start_us"),
+        $"event_type", $"cnt")
+      .orderBy($"window_start_us", $"event_type")
+  }
+  val q64Sql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)))
+      |      AS ws
+      |  FROM events
+      |  UNION ALL
+      |  SELECT event_type,
+      |    epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+      |             - INTERVAL '1 hour') AS ws
+      |  FROM events)
+      |SELECT ws AS window_start_us, event_type, COUNT(*) AS cnt
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_stream_volume" -> (q60StreamVolume _),
+    "q64_sliding_window" -> (q64SlidingWindow _),
     "q61_stream_semantic" -> (q61StreamSemantic _),
     "q62_session_window" -> (q62SessionWindow _),
     "q63_stream_stream_join" -> (q63StreamStreamJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q60_stream_volume" -> q60Sql,
+    "q64_sliding_window" -> q64Sql,
     "q62_session_window" -> q62Sql,
     "q63_stream_stream_join" -> q63Sql)
 }

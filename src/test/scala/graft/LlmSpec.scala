@@ -117,6 +117,17 @@ class LlmSpec extends AnyFunSuite {
     assert(frames.select("frame_id").distinct().count() == 4)
   }
 
+  test("batched feature extraction equals the per-row variant") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(spark, sf).limit(50)
+    val perRow = Multimodal.extractFeatures(media)
+      .select($"media_id", $"features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val batched = Multimodal.extractFeaturesBatched(media)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(batched == perRow)
+  }
+
   test("lsh bucket is deterministic and in range") {
     val v = Array.tabulate(64)(i => (i % 7 - 3) / 10f)
     val b1 = SimSearch.lshBucket(v, 8)

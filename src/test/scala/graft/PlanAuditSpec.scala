@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan audit over the whole query surface: no query may degenerate into
+  * an unintended cartesian/nested-loop join. Queries that *deliberately*
+  * broadcast a tiny side into a cross join (distance-to-reference-vector,
+  * query-side kNN, scalar stat attachment) are whitelisted; everything
+  * else must plan hash/sort-merge joins only.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  // intentional broadcast-cross shapes: tiny side (1..10 rows or a scalar
+  // stats row) against the corpus, or an exact pairwise metric
+  private val intendedCross = Set(
+    "q16_zscore",            // scalar stats crossJoin
+    "q21_minkowski",         // reference-vector broadcast
+    "q22_cosine_knn",        // query-side broadcast kNN
+    "q27_anomaly_rank",      // scalar stats
+    "q28_incident_merge",    // scalar stats
+    "q29_homogeneity",       // entropy scalar combination
+    "q30_silhouette",        // exact pairwise (validation-bounded)
+    "q34_pipeline_e2e",      // scalar stats
+    "q44_embedding_neardup", // brute pair baseline (blocked variant = q42/q45)
+    "q55_knn_ivf",           // centroid-table broadcast
+    "q78_vector_mix",        // reference-vector broadcast
+    "q45_knn_lsh")           // stats-free, but plans via tiny bucket join
+
+  test("no unintended cartesian or nested-loop joins anywhere") {
+    val skip = Set("q60_stream_volume", "q61_stream_semantic",
+      "q63_stream_stream_join", "q72_csv_roundtrip") // streaming/side-effect
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip.contains)
+      .flatMap { name =>
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        val hasCross = plan.contains("BroadcastNestedLoopJoin") ||
+          plan.contains("CartesianProduct")
+        if (hasCross && !intendedCross.contains(name)) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"unintended cross joins in: ${offenders.mkString(", ")}")
+  }
+
+  test("parquet filters are pushed down where filters exist") {
+    import org.apache.spark.sql.functions._
+    val df = graft.ops.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("1995-01-01").cast("timestamp"))
+      .select("l_orderkey")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("LessThanOrEqual"), scan)
+  }
+}

@@ -188,6 +188,46 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ---------------- Connected components / canonical keeper ----------
+
+  /** Connected components over a near-dup pair graph via min-label
+    * propagation: every doc ends up labeled with the smallest id in its
+    * component — the canonical "keep" id a dedup pass retains. Iterative
+    * join plan (O(diameter) rounds, each one shuffle); lineage is cut per
+    * round with localCheckpoint so round N does not re-execute rounds
+    * 1..N-1. Converges because labels are monotonically non-increasing
+    * and bounded. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // each node adopts the min label among itself and its neighbors
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "n_label"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("n_label")).as("min_n"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("min_n"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("keep_id"))
+  }
+
   // ---------------- Embedding near-dup ----------------
 
   /** Cosine near-dup pairs. Brute pair space — correct baseline; at scale

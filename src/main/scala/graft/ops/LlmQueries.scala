@@ -97,6 +97,35 @@ object LlmQueries {
       .orderBy($"qid", $"rn")
   }
 
+  /** q56 — LSH-blocked embedding near-dup (the 100 TB path for q44's
+    * brute baseline; rows-only — subset relation gated in ScalaTest). */
+  def q56EmbeddingNearDupLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = SimSearch.withLshBucket(embeddings(s, d), "embedding", bits = 4)
+    val a = e.select($"bucket", $"vec_id".as("id_a"),
+      $"embedding".cast("array<double>").as("v_a"))
+    val b = e.select($"bucket", $"vec_id".as("id_b"),
+      $"embedding".cast("array<double>").as("v_b"))
+    a.join(b, "bucket")
+      .filter($"id_a" < $"id_b")
+      .withColumn("cos_sim",
+        round(graft.ml.Distance.cosine($"v_a", $"v_b"), 6))
+      .filter($"cos_sim" >= 0.4)
+      .select($"id_a", $"id_b", $"cos_sim")
+      .distinct()
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** q57 — dedup keeper assignment: connected components over the
+    * sequence-near-dup pair graph; each doc labeled with its component's
+    * canonical (min) id (rows-only; exactness gated in ScalaTest). */
+  def q57DedupComponents(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.minHashNearDups(documents(s, d), "doc_id", "text", 0.3)
+    Dedup.connectedComponents(pairs)
+      .orderBy($"id")
+  }
+
   /** q46 — token counting: whitespace + BPE-ish pre-tokenizer pieces. */
   def q46TextStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -219,6 +248,8 @@ object LlmQueries {
     "q44_embedding_neardup" -> (q44EmbeddingNearDup _),
     "q45_knn_lsh" -> (q45KnnLsh _),
     "q55_knn_ivf" -> (q55KnnIvf _),
+    "q56_neardup_lsh" -> (q56EmbeddingNearDupLsh _),
+    "q57_dedup_components" -> (q57DedupComponents _),
     "q46_text_stats" -> (q46TextStats _),
     "q47_lang_id" -> (q47LangId _),
     "q48_quality_score" -> (q48QualityScore _),

@@ -117,6 +117,37 @@ class LlmSpec extends AnyFunSuite {
     assert(frames.select("frame_id").distinct().count() == 4)
   }
 
+  test("connected components: min-label per component, exact on a known graph") {
+    import spark.implicits._
+    // components: {1,2,3} via 1-2, 2-3; {10,11}; isolated nodes absent
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components handle chains longer than one hop") {
+    import spark.implicits._
+    // path graph 1-2-3-4-5-6: diameter 5, needs several rounds
+    val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(1L))
+    assert(got.keySet == (1L to 6L).toSet)
+  }
+
+  test("lsh-blocked near-dup pairs are a subset of brute pairs") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val brute = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = graft.ops.LlmQueries.q56EmbeddingNearDupLsh(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(brute))
+  }
+
   test("batched feature extraction equals the per-row variant") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, sf).limit(50)

@@ -41,24 +41,36 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, threshold: Double): DataFrame = {
     graft.functions.VectorExprs.register(df.sparkSession)
-    // sort once per side so the pairwise step is a linear merge scan
-    // (SortedIntersectSize) instead of per-pair hash-set building
-    val a = df.select(col(groupCol).as("g"), col(idCol).as("id_a"),
-      array_sort(tokensOf(col(textCol))).as("toks_a"))
-      .withColumn("sz_a", size(col("toks_a")))
-    val b = df.select(col(groupCol).as("g"), col(idCol).as("id_b"),
-      array_sort(tokensOf(col(textCol))).as("toks_b"))
-      .withColumn("sz_b", size(col("toks_b")))
-    val inter = graft.functions.VectorExprs
-      .sortedIntersectSize(col("toks_a"), col("toks_b"))
-    a.join(b, "g")
+    // Two-phase pair generation: phase 1 joins only (group, id, size) —
+    // a few ints per row — and applies the lossless size prefilter
+    // (jaccard >= t implies min(|A|,|B|) >= t*max(|A|,|B|)), so the
+    // O(n²/groups) pair blowup never materializes token arrays. Phase 2
+    // broadcast-joins the token arrays back for surviving pairs only and
+    // verifies with a linear sorted-merge intersection
+    // (SortedIntersectSize) — sort once per doc, not per pair.
+    val toks = df.select(col(idCol).as("id"),
+      array_sort(tokensOf(col(textCol))).as("toks"))
+    val narrow = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      size(tokensOf(col(textCol))).as("sz"))
+    val aN = narrow.select(col("g"), col("id").as("id_a"),
+      col("sz").as("sz_a"))
+    val bN = narrow.select(col("g"), col("id").as("id_b"),
+      col("sz").as("sz_b"))
+    val candidates = aN.join(bN, "g")
       .filter(col("id_a") < col("id_b"))
-      // lossless size prefilter: jaccard >= t implies
-      // min(|A|,|B|) >= t * max(|A|,|B|) — prunes most pairs before the
-      // expensive intersection (cheap codegen'd int compare)
       .filter(least(col("sz_a"), col("sz_b")) >=
         lit(threshold) * greatest(col("sz_a"), col("sz_b")))
-      .withColumn("inter", inter.cast("double"))
+    val inter = graft.functions.VectorExprs
+      .sortedIntersectSize(col("toks_a"), col("toks_b")).cast("double")
+    // no broadcast hint: AQE broadcasts the token table when it is small
+    // and falls back to a shuffle join at corpus scale (the candidate
+    // side stays narrow either way)
+    candidates
+      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")),
+        "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")),
+        "id_b")
+      .withColumn("inter", inter)
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)

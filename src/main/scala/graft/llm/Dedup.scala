@@ -106,6 +106,10 @@ object Dedup {
     * (band, bucket) + bucket-local pairing. */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16): DataFrame = {
+    require(bands > 0 && k % bands == 0 && k / bands > 0,
+      s"bands ($bands) must evenly divide k ($k) with >=1 row per band — " +
+        "otherwise banding degenerates to one global bucket (full cross " +
+        "product) or silently ignores part of the signature")
     val rowsPer = k / bands
     val sigUdf = udf((t: String) => minHashSignature(t, k))
     val banded = df

@@ -45,7 +45,12 @@ object Ivf {
       val updated = assign(pts, centroids)
         .select(col("list_id"), posexplode(col("v")))
         .groupBy(col("list_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        // decimal sum → mean: order-independent, so centroids are
+        // bit-reproducible across partitionings (double avg() is not —
+        // partial-aggregation order would leak into the last ulps and
+        // Lloyd iterations would amplify the divergence)
+        .agg((sum(col("col").cast("decimal(28,14)")) / count(lit(1)))
+          .cast("double").as("m"))
         .groupBy(col("list_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .getField("m").as("c"))

@@ -32,13 +32,27 @@ object SimSearch {
     if (MurmurHash3.productHash((table, plane, dim, 0x9e3779b9)) < 0) -1f
     else 1f
 
+  /** Sign matrices are constant per (table, bits, dim) — memoize so the
+    * per-row hot loop reads a flat array instead of re-hashing a tuple
+    * per (plane, dim) element per row. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Float]]()
+
+  private def planes(table: Int, bits: Int, dim: Int): Array[Float] =
+    planeCache.computeIfAbsent((table, bits, dim), { key =>
+      val (t, b, d) = key
+      Array.tabulate(b * d)(i => planeSign(t, i / d, i % d))
+    })
+
   def lshBucket(vec: Array[Float], bits: Int, table: Int = 0): Int = {
+    val m = planes(table, bits, vec.length)
     var bucket = 0
     var p = 0
     while (p < bits) {
       var dot = 0.0
       var i = 0
-      while (i < vec.length) { dot += vec(i) * planeSign(table, p, i); i += 1 }
+      val off = p * vec.length
+      while (i < vec.length) { dot += vec(i) * m(off + i); i += 1 }
       if (dot >= 0) bucket |= (1 << p)
       p += 1
     }

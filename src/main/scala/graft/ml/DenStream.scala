@@ -28,6 +28,12 @@ object DenStream {
     private var nextId = 0
     private var clock = 0L
 
+    /** Restore id allocation + decay clock after state reload. */
+    private[DenStream] def resumeAt(id: Int, t: Long): Unit = {
+      nextId = id
+      clock = t
+    }
+
     private def dist(v: Array[Float], c: Array[Double]): Double = {
       var s = 0.0
       var i = 0
@@ -134,6 +140,13 @@ object DenStream {
     df.collect().foreach { r =>
       m.clusters += MicroCluster(r.getInt(0), r.getSeq[Double](1).toArray,
         r.getDouble(2), r.getLong(3))
+    }
+    // resume id allocation and the decay timeline where the saved model
+    // left off — otherwise continued learning would mint duplicate
+    // cluster ids and freeze decay until the clock catches up
+    if (m.clusters.nonEmpty) {
+      m.resumeAt(m.clusters.map(_.id).max + 1,
+        m.clusters.map(_.lastT).max)
     }
     m
   }

@@ -38,9 +38,6 @@ object VolumeAnomaly {
         row_number().over(Window.partitionBy("cluster_id")
           .orderBy(col("batch_ts").desc)))
       .filter(col("rn") === 1)
-      .withColumn("n_obs", count(lit(1)).over(
-        Window.partitionBy("cluster_id")))
-      .drop("rn")
       .select(col("cluster_id"), col("batch_ts"), col("log_count"),
         coalesce(col("velocity"), lit(0L)).as("velocity"),
         col("roll_mean"), col("roll_std"), col("z_dev"))

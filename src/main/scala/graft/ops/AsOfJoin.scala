@@ -39,8 +39,10 @@ object AsOfJoin {
       acc.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val unioned = l.unionByName(rAligned.select(l.columns.map(col): _*))
+    // deterministic tiebreak among right rows sharing (key, ts): order by
+    // a stable hash of the payload so `last()` always picks the same one
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("_is_left"))
+      .orderBy(col(tsCol), col("_is_left"), hash(col("_r_payload")))
       .rowsBetween(Window.unboundedPreceding, 0)
     val matched = unioned
       .withColumn("_match", last(col("_r_payload"), ignoreNulls = true).over(w))

@@ -56,7 +56,10 @@ object Relational2 {
     * reads it back with an explicit schema, aggregates the re-read data. */
   def q72CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val staging = s"${System.getProperty("java.io.tmpdir")}/graft_csv_stage"
+    // unique per-invocation staging dir: a fixed shared path would let
+    // concurrent runs clobber each other between write and lazy re-read
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_csv_stage").toString
     events(s, d)
       .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id",
         $"event_type", $"value")
@@ -244,7 +247,11 @@ object Relational2 {
   def q81PatternIncremental(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = events(s, d)
-    val cutoffId = ev.agg((max($"event_id") * 0.8).cast("long")).first().getLong(0)
+    // floor() explicitly on BOTH sides: a bare cast truncates in Spark
+    // but rounds in DuckDB, which would diverge when max*0.8 has
+    // fractional part >= 0.5
+    val cutoffId = ev.agg(floor(max($"event_id") * 0.8).cast("long"))
+      .first().getLong(0)
     val lastSeen = ev.filter($"event_id" <= cutoffId)
       .agg(max($"ts")).first().getTimestamp(0)
     val fresh = ev.filter($"ts" > lit(lastSeen)).as("e")
@@ -258,7 +265,7 @@ object Relational2 {
       .orderBy($"e.event_type")
   }
   val q81Sql: String =
-    """WITH cutoff AS (SELECT CAST(MAX(event_id) * 0.8 AS BIGINT) AS cid
+    """WITH cutoff AS (SELECT CAST(FLOOR(MAX(event_id) * 0.8) AS BIGINT) AS cid
       |  FROM events),
       |last_seen AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS lt FROM events, cutoff
       |  WHERE event_id <= cid),

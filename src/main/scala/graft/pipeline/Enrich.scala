@@ -18,6 +18,11 @@ import graft.ops.Tables
   */
 object Enrich {
 
+  /** Calibrated defaults (CalibrateSpec; hashing-embedder space). */
+  val DefaultLimit = 5000
+  val DefaultEpsilon = 1.0
+  val DefaultSemThreshold = 1.8
+
   /** Log-shaped view of events (SURVEY.md §7.2 step 3 recast). */
   def logView(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir).select(
@@ -40,8 +45,8 @@ object Enrich {
     * grouping → DenStream fit → distributed predict; returns the enriched
     * frame plus the fitted model for state persistence. */
   def trainingBatch(spark: SparkSession, sfDir: String,
-      limit: Int = 5000, epsilon: Double = 1.0,
-      semThreshold: Double = 1.8): (DataFrame, DenStream.Model) = {
+      limit: Int = DefaultLimit, epsilon: Double = DefaultEpsilon,
+      semThreshold: Double = DefaultSemThreshold): (DataFrame, DenStream.Model) = {
     // epsilon/semThreshold are calibrated for the hashing-embedder space
     // (CalibrateSpec sweep: eps=1.0 → homogeneity .99 vs event_type); the
     // reference's 0.9 / 0.35 are MiniLM-space values (model.py:10-15,
@@ -65,7 +70,8 @@ object Enrich {
     * SURVEY.md §3.1 note). */
   def incrementalBatch(spark: SparkSession, sfDir: String,
       model: DenStream.Model, centroids: Array[Centroids.Centroid],
-      lo: Long, hi: Long, semThreshold: Double = 1.8): DataFrame = {
+      lo: Long, hi: Long,
+      semThreshold: Double = DefaultSemThreshold): DataFrame = {
     val logs = logView(spark, sfDir)
       .filter(col("log_id").between(lo, hi) &&
         col("level").isin("warning", "error"))

@@ -44,16 +44,13 @@ object PipelineRunner {
   def train(spark: SparkSession, sfDir: String, stateDir: String,
       outDir: String): Unit = {
     val (enriched, model) = Enrich.trainingBatch(spark, sfDir)
-    // persist model state (A12) with blue/green swap (A13)
+    // persist model state (A12) with blue/green swap (A13); centroids fit
+    // from the SAME cached embedded frame the model trained on — no
+    // re-embedding, no drift between persisted state and fitted model
     ModelStore.save(DenStream.stateDF(spark, model), stateDir, "denstream")
-    val logs = Enrich.logView(spark, sfDir)
-      .filter(F.col("level").isin("warning", "error"))
-      .orderBy("log_id").limit(5000)
-      .withColumn("embed_text", F.concat(F.col("message"),
-        F.lit(". Parsed: "), F.col("parsed_data")))
     ModelStore.save(
-      Centroids.fitCentroids(Embed.withEmbedding(logs, "embed_text"),
-        "log_id", "embedding", 1.8),
+      Centroids.fitCentroids(enriched, "log_id", "embedding",
+        Enrich.DefaultSemThreshold),
       stateDir, "centroids")
     // log_embeddings-analog sink: one set-oriented write (A5 bulk form)
     enriched
@@ -92,11 +89,15 @@ object PipelineRunner {
       .select("cluster_id", "batch_ts", "log_count")
     val feats = graft.ml.VolumeAnomaly.features(history)
     val flagged = graft.ml.VolumeAnomaly.rankAnomalies(feats)
+    // absent table = no open incidents; any other read failure propagates
+    // (a corrupt incidents table must not silently become "create all")
     val open =
-      try spark.read.parquet(s"$outDir/incidents")
-        .filter(F.col("status").isin("NEW", "OPEN"))
-        .select("cluster_id").distinct()
-      catch { case _: Exception => flagged.select("cluster_id").limit(0) }
+      if (java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$outDir/incidents")))
+        spark.read.parquet(s"$outDir/incidents")
+          .filter(F.col("status").isin("NEW", "OPEN"))
+          .select("cluster_id").distinct()
+      else flagged.select("cluster_id").limit(0)
     val incidents = graft.ml.VolumeAnomaly.mergeIncidents(flagged, open)
       .withColumn("created_at", F.current_timestamp())
     incidents.write.mode("append").parquet(s"$outDir/incidents")

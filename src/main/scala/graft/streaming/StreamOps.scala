@@ -129,12 +129,16 @@ object StreamOps {
         val enriched = DenStream
           .withPredictions(withSem, model, "embedding")
           .drop("embed_text", "embedding")
-        // idempotent append: drop rows whose log_id already reached the sink
-        val fresh = try {
-          val existing = batch.sparkSession.read.parquet(sinkDir)
-            .select("log_id")
-          enriched.join(existing, Seq("log_id"), "left_anti")
-        } catch { case _: Exception => enriched } // first batch: empty sink
+        // idempotent append: drop rows whose log_id already reached the
+        // sink. Only a genuinely absent sink counts as empty — any other
+        // read failure must propagate, or replays would silently write
+        // duplicates (the exact bug the anti-join exists to prevent)
+        val fresh =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(sinkDir))) {
+            val existing = batch.sparkSession.read.parquet(sinkDir)
+              .select("log_id")
+            enriched.join(existing, Seq("log_id"), "left_anti")
+          } else enriched
         fresh.write.mode("append").parquet(sinkDir)
         ()
       }

@@ -170,4 +170,14 @@ class MlSpec extends AnyFunSuite {
     assert(m2.clusters.length == 2)
     assert(m2.predictOne(Array(0.9f, 0f)) == m.predictOne(Array(0.9f, 0f)))
   }
+
+  test("restored DenStream continues learning with fresh ids (no collisions)") {
+    val m = new DenStream.Model(0.5, 0.0005)
+    m.learnOne(Array(1f, 0f)); m.learnOne(Array(-1f, 0f)) // ids 0, 1
+    val m2 = DenStream.fromStateDF(DenStream.stateDF(spark, m), 0.5, 0.0005)
+    m2.learnOne(Array(0f, 5f)) // outlier -> new cluster, must not reuse 0
+    val ids = m2.clusters.map(_.id)
+    assert(ids.distinct.length == ids.length, s"duplicate ids: $ids")
+    assert(ids.max == 2)
+  }
 }

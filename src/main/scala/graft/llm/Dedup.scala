@@ -213,13 +213,19 @@ object Dedup {
     * round with localCheckpoint so round N does not re-execute rounds
     * 1..N-1. Converges because labels are monotonically non-increasing
     * and bounded. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+      allIds: Option[DataFrame] = None): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
+    val paired = edges.select(col("src").as("id")).distinct()
+    // with allIds the output is a TOTAL keeper assignment: unpaired docs
+    // label themselves (they are their own canonical keeper)
+    val nodes = allIds
+      .map(ids => ids.toDF("id").union(paired).distinct())
+      .getOrElse(paired)
+    var labels = nodes
       .withColumn("label", col("id"))
       .localCheckpoint()
     var changed = 1L
@@ -241,6 +247,11 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // silent truncation would corrupt keeper assignment downstream —
+    // a component wider than maxIter hops must fail loudly
+    require(changed == 0,
+      s"connectedComponents did not converge after $maxIter rounds " +
+        s"($changed labels still moving) — raise maxIter")
     labels.select(col("id"), col("label").as("keep_id"))
   }
 

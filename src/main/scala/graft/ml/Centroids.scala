@@ -57,7 +57,10 @@ object Centroids {
       threshold: Double, p: Double = 1.5): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+    // null vectors (null source text) carry no geometry: excluded from
+    // the fold; callers left-join assignments so such ids get null group
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .repartition(1)
       .sortWithinPartitions(col(idCol))
@@ -101,19 +104,24 @@ object Centroids {
   }
 
   /** Batch scoring against a frozen centroid table (the incremental path
-    * once state is loaded): broadcast nested-loop argmin, C4 shape. */
-  def scoreAgainst(df: DataFrame, centroids: Array[Centroid], idCol: String,
+    * once state is loaded): broadcast nested-loop argmin, C4 shape.
+    * Null vectors (e.g. from null source text) score to null group. */
+  def scoreAgainst(df: DataFrame, centroids: Array[Centroid],
       vecCol: String, threshold: Double, p: Double = 1.5): DataFrame = {
     val score = udf { (vec: Array[Float]) =>
-      var best = -1
-      var bestD = Double.MaxValue
-      var i = 0
-      while (i < centroids.length) {
-        val dd = Distance.minkowskiS(vec, centroids(i).center, p)
-        if (dd < bestD) { bestD = dd; best = i }
-        i += 1
+      if (vec == null) null
+      else {
+        var best = -1
+        var bestD = Double.MaxValue
+        var i = 0
+        while (i < centroids.length) {
+          val dd = Distance.minkowskiS(vec, centroids(i).center, p)
+          if (dd < bestD) { bestD = dd; best = i }
+          i += 1
+        }
+        if (best >= 0 && bestD < threshold) centroids(best).semanticId
+        else null
       }
-      if (best >= 0 && bestD < threshold) centroids(best).semanticId else null
     }
     df.withColumn("semantic_group", score(col(vecCol).cast("array<float>")))
   }

@@ -95,7 +95,8 @@ object DenStream {
   def fit(df: DataFrame, idCol: String, vecCol: String, epsilon: Double,
       lambda: Double = 0.0005): Model = {
     val m = new Model(epsilon, lambda)
-    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .orderBy(col(idCol))
       .collect()
       .foreach(r => m.learnOne(r.getSeq[Float](1).toArray))
@@ -110,19 +111,22 @@ object DenStream {
     val centers = model.clusters.map(c => (c.id, c.center)).toArray
     val eps = model.epsilon
     val predict = udf { (vec: Array[Float]) =>
-      var best = -1
-      var bestD = Double.MaxValue
-      var i = 0
-      while (i < centers.length) {
-        val c = centers(i)._2
-        var s = 0.0
-        var j = 0
-        while (j < vec.length) { val d = vec(j) - c(j); s += d * d; j += 1 }
-        val dd = math.sqrt(s)
-        if (dd < bestD) { bestD = dd; best = i }
-        i += 1
+      if (vec == null) -1 // null embedding (null source text) => noise
+      else {
+        var best = -1
+        var bestD = Double.MaxValue
+        var i = 0
+        while (i < centers.length) {
+          val c = centers(i)._2
+          var s = 0.0
+          var j = 0
+          while (j < vec.length) { val d = vec(j) - c(j); s += d * d; j += 1 }
+          val dd = math.sqrt(s)
+          if (dd < bestD) { bestD = dd; best = i }
+          i += 1
+        }
+        if (best >= 0 && bestD < eps) centers(best)._1 else -1
       }
-      if (best >= 0 && bestD < eps) centers(best)._1 else -1
     }
     df.withColumn(out, predict(col(vecCol).cast("array<float>")))
   }

@@ -45,8 +45,9 @@ object Quality {
         when(col("h_k") === 0.0, 1.0)
           .otherwise(lit(1.0) - col("h_kc") / col("h_k")).as("completeness"))
       .withColumn("v_measure",
-        lit(2.0) * col("homogeneity") * col("completeness") /
-          (col("homogeneity") + col("completeness")))
+        when(col("homogeneity") + col("completeness") === 0.0, 0.0)
+          .otherwise(lit(2.0) * col("homogeneity") * col("completeness") /
+            (col("homogeneity") + col("completeness"))))
   }
 
   /** Mean silhouette coefficient over (id, vec, cluster) rows — exact,

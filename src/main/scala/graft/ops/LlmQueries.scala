@@ -117,12 +117,15 @@ object LlmQueries {
   }
 
   /** q57 — dedup keeper assignment: connected components over the
-    * sequence-near-dup pair graph; each doc labeled with its component's
-    * canonical (min) id (rows-only; exactness gated in ScalaTest). */
+    * sequence-near-dup pair graph; EVERY doc labeled with its component's
+    * canonical (min) id — unpaired docs keep themselves (rows-only;
+    * exactness gated in ScalaTest). */
   def q57DedupComponents(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = Dedup.minHashNearDups(documents(s, d), "doc_id", "text", 0.3)
-    Dedup.connectedComponents(pairs)
+    val docs = documents(s, d)
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 0.3)
+    Dedup.connectedComponents(pairs,
+        allIds = Some(docs.select($"doc_id")))
       .orderBy($"id")
   }
 

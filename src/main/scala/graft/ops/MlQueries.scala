@@ -211,12 +211,16 @@ object MlQueries {
       |hck AS (SELECT -SUM((n_ck/n)*ln(n_ck/n_k)) AS h_ck
       |  FROM joint JOIN bk USING(k), tot),
       |hkc AS (SELECT -SUM((n_ck/n)*ln(n_ck/n_c)) AS h_kc
-      |  FROM joint JOIN bc USING(c), tot)
-      |SELECT ROUND(1 - h_ck/h_c, 6) AS homogeneity,
-      |  ROUND(1 - h_kc/h_k, 6) AS completeness,
-      |  ROUND(2*(1 - h_ck/h_c)*(1 - h_kc/h_k) /
-      |        ((1 - h_ck/h_c) + (1 - h_kc/h_k)), 6) AS v_measure
-      |FROM hc, hk, hck, hkc""".stripMargin
+      |  FROM joint JOIN bc USING(c), tot),
+      |m AS (SELECT
+      |  CASE WHEN h_c = 0 THEN 1.0 ELSE 1 - h_ck/h_c END AS homog,
+      |  CASE WHEN h_k = 0 THEN 1.0 ELSE 1 - h_kc/h_k END AS compl
+      |FROM hc, hk, hck, hkc)
+      |SELECT ROUND(homog, 6) AS homogeneity,
+      |  ROUND(compl, 6) AS completeness,
+      |  ROUND(CASE WHEN homog + compl = 0 THEN 0.0
+      |        ELSE 2*homog*compl/(homog + compl) END, 6) AS v_measure
+      |FROM m""".stripMargin
 
   /** q30 — exact mean silhouette (reference J8, validate_quality.py:30-56)
     * of the embeddings fixture under its ground-truth labels. */
@@ -227,7 +231,7 @@ object MlQueries {
   }
   val q30Sql: String =
     """WITH pts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
-      |    label AS cl FROM embeddings),
+      |    label AS cl FROM embeddings WHERE label >= 0),
       |pairs AS (SELECT a.id, a.cl, b.cl AS bcl,
       |    sqrt(list_sum(list_transform(list_zip(a.v, b.v),
       |      x -> (x[1]-x[2])*(x[1]-x[2])))) AS d
@@ -237,8 +241,12 @@ object MlQueries {
       |own AS (SELECT id, mean_d AS a_i FROM meanto WHERE cl = bcl),
       |oth AS (SELECT id, MIN(mean_d) AS b_i FROM meanto
       |  WHERE cl != bcl GROUP BY id)
-      |SELECT ROUND(AVG((b_i - a_i) / GREATEST(a_i, b_i)), 4) AS silhouette
-      |FROM own JOIN oth USING (id)""".stripMargin
+      |SELECT ROUND(AVG(CASE WHEN own.a_i IS NULL THEN 0.0
+      |    ELSE (oth.b_i - own.a_i) / GREATEST(own.a_i, oth.b_i) END), 4)
+      |  AS silhouette
+      |FROM (SELECT DISTINCT id FROM pts) p
+      |LEFT JOIN own USING (id)
+      |LEFT JOIN oth USING (id)""".stripMargin
 
   /** q31 — hashing-embedder output (reference J1; rows-only: the murmur
     * hash is not expressible in the oracle; determinism golden-tested). */

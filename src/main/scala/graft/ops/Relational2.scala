@@ -57,9 +57,18 @@ object Relational2 {
   def q72CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // unique per-invocation staging dir: a fixed shared path would let
-    // concurrent runs clobber each other between write and lazy re-read
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft_csv_stage").toString
+    // concurrent runs clobber each other between write and lazy re-read;
+    // a shutdown hook bounds the /tmp accumulation across repeated runs
+    val stagingPath = java.nio.file.Files
+      .createTempDirectory("graft_csv_stage")
+    sys.addShutdownHook {
+      import java.nio.file.Files
+      if (Files.exists(stagingPath))
+        Files.walk(stagingPath)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    }
+    val staging = stagingPath.toString
     events(s, d)
       .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id",
         $"event_type", $"value")

@@ -76,7 +76,7 @@ object Enrich {
       .filter(col("log_id").between(lo, hi) &&
         col("level").isin("warning", "error"))
     val embedded = Embed.withEmbedding(withText(logs), "embed_text")
-    val withSem = Centroids.scoreAgainst(embedded, centroids, "log_id",
+    val withSem = Centroids.scoreAgainst(embedded, centroids,
       "embedding", semThreshold)
     DenStream.withPredictions(withSem, model, "embedding")
       .drop("embed_text")

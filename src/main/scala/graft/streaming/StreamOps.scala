@@ -124,8 +124,8 @@ object StreamOps {
           logs.withColumn("embed_text",
             concat(col("message"), lit(". Parsed: "), col("parsed_data"))),
           "embed_text")
-        val withSem = Centroids.scoreAgainst(embedded, centroids, "log_id",
-          "embedding", threshold = 1.8)
+        val withSem = Centroids.scoreAgainst(embedded, centroids,
+          "embedding", threshold = graft.pipeline.Enrich.DefaultSemThreshold)
         val enriched = DenStream
           .withPredictions(withSem, model, "embedding")
           .drop("embed_text", "embedding")

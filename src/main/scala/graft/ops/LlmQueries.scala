@@ -129,6 +129,80 @@ object LlmQueries {
       .orderBy($"id")
   }
 
+  /** q58 — composed training-corpus cleaning pipeline, fully
+    * SQL-expressible and oracle-checked end to end: language gate →
+    * quality-score gate → exact dedup (keep = min doc_id per content) →
+    * per-language corpus stats. The flagship "what a 100 TB data pipeline
+    * actually runs" composition (each stage is one shuffle). */
+  def q58CleanCorpus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val scored = TextOps.withQualityScore(
+      TextOps.withLangId(docs, "text"), "text")
+    val kept = scored
+      .filter($"lang_pred" =!= "und" && $"quality_score" >= 0.5)
+    val keepIds = kept.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    kept.join(keepIds, "doc_id")
+      .groupBy($"lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        round(
+          sum($"quality_score".cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_quality"))
+      .orderBy($"lang_pred")
+  }
+  val q58Sql: String = {
+    def cnt(words: Seq[String]) =
+      words.map(w => s"'$w'").mkString(
+        "CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN (",
+        ", ", "))) AS BIGINT)")
+    val en = TextOps.lexicons("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH sc AS (SELECT doc_id, text,
+      |  ${cnt(TextOps.lexicons("en"))} AS s_en,
+      |  ${cnt(TextOps.lexicons("fr"))} AS s_fr,
+      |  ${cnt(TextOps.lexicons("es"))} AS s_es,
+      |  ${cnt(TextOps.lexicons("de"))} AS s_de
+      |FROM documents),
+      |lang AS (SELECT doc_id, text,
+      |  CASE
+      |    WHEN s_en > 0 AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de
+      |      THEN 'en'
+      |    WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+      |    WHEN s_es > 0 AND s_es >= s_de THEN 'es'
+      |    WHEN s_de > 0 THEN 'de'
+      |    ELSE 'und' END AS lang_pred
+      |FROM sc),
+      |q AS (SELECT doc_id, text, lang_pred,
+      |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dis,
+      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+      |    AS n_punct,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ($en)))
+      |    AS DOUBLE) AS n_stop,
+      |  CAST(length(text) AS DOUBLE) AS n_len
+      |FROM lang),
+      |scored AS (SELECT doc_id, text, lang_pred,
+      |  CAST(n_tok AS BIGINT) AS n_tokens,
+      |  ROUND(LEAST(n_tok / 50.0, 1.0) * 0.25 +
+      |    (n_dis / GREATEST(n_tok, 1.0)) * 0.25 +
+      |    (1.0 - LEAST((n_punct / GREATEST(n_len, 1.0)) * 5.0, 1.0)) * 0.25 +
+      |    LEAST((n_stop / GREATEST(n_tok, 1.0)) * 5.0, 1.0) * 0.25, 6)
+      |    AS quality_score
+      |FROM q),
+      |kept AS (SELECT * FROM scored
+      |  WHERE lang_pred != 'und' AND quality_score >= 0.5),
+      |keep_ids AS (SELECT MIN(doc_id) AS doc_id FROM kept
+      |  GROUP BY md5(text))
+      |SELECT lang_pred, COUNT(*) AS n_docs,
+      |  SUM(n_tokens) AS total_tokens,
+      |  ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) /
+      |        COUNT(*), 6) AS avg_quality
+      |FROM kept JOIN keep_ids USING (doc_id)
+      |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+  }
+
   /** q46 — token counting: whitespace + BPE-ish pre-tokenizer pieces. */
   def q46TextStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -253,6 +327,7 @@ object LlmQueries {
     "q55_knn_ivf" -> (q55KnnIvf _),
     "q56_neardup_lsh" -> (q56EmbeddingNearDupLsh _),
     "q57_dedup_components" -> (q57DedupComponents _),
+    "q58_clean_corpus" -> (q58CleanCorpus _),
     "q46_text_stats" -> (q46TextStats _),
     "q47_lang_id" -> (q47LangId _),
     "q48_quality_score" -> (q48QualityScore _),
@@ -262,6 +337,7 @@ object LlmQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Sql,
+    "q58_clean_corpus" -> q58Sql,
     "q41_jaccard_neardup" -> q41Sql,
     "q44_embedding_neardup" -> q44Sql,
     "q46_text_stats" -> q46Sql,

@@ -288,8 +288,40 @@ object Relational2 {
       |  ON e.event_type = t.event_type AND e.event_id = t.first_event
       |ORDER BY e.event_type""".stripMargin
 
+  /** q82 — JSON-lines sink + re-source (A10 family, json format): stage
+    * a projection as JSON files, read back with explicit schema, verify
+    * the re-read aggregate against the oracle on the original parquet. */
+  def q82JsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stagingPath = java.nio.file.Files
+      .createTempDirectory("graft_json_stage")
+    sys.addShutdownHook {
+      import java.nio.file.Files
+      if (Files.exists(stagingPath))
+        Files.walk(stagingPath)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    }
+    events(s, d)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+      .write.mode("overwrite").json(stagingPath.toString)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    s.read.schema(schema).json(stagingPath.toString)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
+  val q82Sql: String =
+    """SELECT event_type, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_pattern_incremental" -> (q81PatternIncremental _),
+    "q82_json_roundtrip" -> (q82JsonRoundtrip _),
     "q70_scalar_agg" -> (q70ScalarAgg _),
     "q71_update_join" -> (q71UpdateJoin _),
     "q72_csv_roundtrip" -> (q72CsvRoundtrip _),
@@ -303,6 +335,7 @@ object Relational2 {
 
   val oracleSql: Map[String, String] = Map(
     "q81_pattern_incremental" -> q81Sql,
+    "q82_json_roundtrip" -> q82Sql,
     "q70_scalar_agg" -> q70Sql,
     "q71_update_join" -> q71Sql,
     "q72_csv_roundtrip" -> q72Sql,

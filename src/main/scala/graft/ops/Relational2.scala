@@ -319,9 +319,53 @@ object Relational2 {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q83 — exact percentiles + correlation aggregates (extended §2.D
+    * surface): median/p90 of value and corr(value, k) per event type. */
+  def q83Percentiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .withColumn("k_val",
+        get_json_object($"props", "$.k").cast("double"))
+      .groupBy($"event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("median_v"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90_v"),
+        round(corr($"value", $"k_val"), 4).as("corr_vk"),
+        round(covar_pop($"value", $"k_val"), 4).as("covar_vk"))
+      .orderBy($"event_type")
+  }
+  val q83Sql: String =
+    """SELECT event_type,
+      |  ROUND(quantile_cont(value, 0.5), 4) AS median_v,
+      |  ROUND(quantile_cont(value, 0.9), 4) AS p90_v,
+      |  ROUND(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)),
+      |        4) AS corr_vk,
+      |  ROUND(covar_pop(value,
+      |        CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4)
+      |    AS covar_vk
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q84 — rollup with subtotals and grand total (extended §2.D: grouping
+    * sets family, absent from the reference). */
+  def q84Rollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .rollup($"event_type", floor($"event_id" / 500).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"event_type".asc_nulls_first, $"bucket".asc_nulls_first)
+  }
+  val q84Sql: String =
+    """SELECT event_type, CAST(FLOOR(event_id / 500) AS BIGINT) AS bucket,
+      |  COUNT(*) AS cnt
+      |FROM events
+      |GROUP BY ROLLUP (event_type, CAST(FLOOR(event_id / 500) AS BIGINT))
+      |ORDER BY event_type ASC NULLS FIRST, bucket ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q81_pattern_incremental" -> (q81PatternIncremental _),
     "q82_json_roundtrip" -> (q82JsonRoundtrip _),
+    "q83_percentiles" -> (q83Percentiles _),
+    "q84_rollup" -> (q84Rollup _),
     "q70_scalar_agg" -> (q70ScalarAgg _),
     "q71_update_join" -> (q71UpdateJoin _),
     "q72_csv_roundtrip" -> (q72CsvRoundtrip _),
@@ -336,6 +380,8 @@ object Relational2 {
   val oracleSql: Map[String, String] = Map(
     "q81_pattern_incremental" -> q81Sql,
     "q82_json_roundtrip" -> q82Sql,
+    "q83_percentiles" -> q83Sql,
+    "q84_rollup" -> q84Sql,
     "q70_scalar_agg" -> q70Sql,
     "q71_update_join" -> q71Sql,
     "q72_csv_roundtrip" -> q72Sql,

@@ -345,6 +345,24 @@ object Relational2 {
       |    AS covar_vk
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q85 — array explode → word frequency top-k (extended §2.H array
+    * surface: generator functions over split tokens). */
+  def q85ExplodeTopWords(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"word")
+      .limit(20)
+  }
+  val q85Sql: String =
+    """SELECT word, COUNT(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |WHERE word != ''
+      |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin
+
   /** q84 — rollup with subtotals and grand total (extended §2.D: grouping
     * sets family, absent from the reference). */
   def q84Rollup(s: SparkSession, d: String): DataFrame = {
@@ -366,6 +384,7 @@ object Relational2 {
     "q82_json_roundtrip" -> (q82JsonRoundtrip _),
     "q83_percentiles" -> (q83Percentiles _),
     "q84_rollup" -> (q84Rollup _),
+    "q85_explode_topwords" -> (q85ExplodeTopWords _),
     "q70_scalar_agg" -> (q70ScalarAgg _),
     "q71_update_join" -> (q71UpdateJoin _),
     "q72_csv_roundtrip" -> (q72CsvRoundtrip _),
@@ -382,6 +401,7 @@ object Relational2 {
     "q82_json_roundtrip" -> q82Sql,
     "q83_percentiles" -> q83Sql,
     "q84_rollup" -> q84Sql,
+    "q85_explode_topwords" -> q85Sql,
     "q70_scalar_agg" -> q70Sql,
     "q71_update_join" -> q71Sql,
     "q72_csv_roundtrip" -> q72Sql,

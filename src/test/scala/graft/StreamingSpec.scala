@@ -55,6 +55,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(3L) == "sem_grp_1", s"state not carried: $got")
   }
 
+  test("streaming dropDuplicates suppresses replayed events (I2 dedup)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val deduped = input.toDS().toDF("event_id", "payload")
+      .dropDuplicates("event_id")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .start()
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    input.addData((1L, "a-replayed"), (3L, "c")) // 1 is a cross-batch dup
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows(1L) == "a") // the first delivery won; replay suppressed
+  }
+
   test("foreachBatch enrichment sink is idempotent (A5 upsert analog)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString

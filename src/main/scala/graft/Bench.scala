@@ -13,17 +13,29 @@ object Bench {
     // warm-up: exercise scan + shuffle + codegen once on the smallest SF
     // so JIT/codegen startup isn't charged to whichever query runs first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // a failed query records -1 — time-to-exception must never masquerade
+    // as a (fast) success in the benchmark totals
     def timeAll(): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-    // two timed passes, per-query min: standard warm-measurement practice
-    // (single-pass numbers on a shared box carry scheduler noise)
+    // two timed passes, per-query min of the SUCCESSFUL runs: standard
+    // warm-measurement practice (single-pass numbers carry scheduler
+    // noise); -1 only if both passes failed
     val p1 = timeAll()
     val p2 = timeAll()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val results = p1.map { case (k, v1) =>
+      val v2 = p2(k)
+      k -> ((v1 >= 0, v2 >= 0) match {
+        case (true, true) => math.min(v1, v2)
+        case (true, false) => v1
+        case (false, true) => v2
+        case _ => -1.0
+      })
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -29,25 +29,31 @@ object Multimodal {
       struct(
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-        length(col("text")).as("n_bytes"),
+        // byte length of the PAYLOAD, not the character count — they
+        // differ for any non-ASCII text
+        octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
         col("source").as("origin")).as("meta"))
   }
 
-  /** STUB decode → 16-bin normalized byte histogram as the "feature
-    * vector". Real decoders plug in at this exact seam (binary in,
-    * float array out, partition-local). */
+  /** The one stubbed "decode": 16-bin normalized byte histogram. Shared
+    * by the per-row and batched paths so the stub cannot diverge. */
+  private[llm] def byteHistogram(bytes: Array[Byte]): Array[Float] = {
+    val h = new Array[Float](16)
+    if (bytes != null && bytes.nonEmpty) {
+      bytes.foreach(b => h((b & 0xFF) >> 4) += 1f)
+      val n = bytes.length.toFloat
+      var i = 0
+      while (i < 16) { h(i) /= n; i += 1 }
+    }
+    h
+  }
+
+  /** STUB decode → byte histogram as the "feature vector". Real decoders
+    * plug in at this exact seam (binary in, float array out,
+    * partition-local). */
   def extractFeatures(df: DataFrame, payloadCol: String = "payload",
       out: String = "features"): DataFrame = {
-    val f = udf { (bytes: Array[Byte]) =>
-      val h = new Array[Float](16)
-      if (bytes != null && bytes.nonEmpty) {
-        bytes.foreach(b => h((b & 0xFF) >> 4) += 1f)
-        val n = bytes.length.toFloat
-        var i = 0
-        while (i < 16) { h(i) /= n; i += 1 }
-      }
-      h
-    }
+    val f = udf((bytes: Array[Byte]) => byteHistogram(bytes))
     df.withColumn(out, f(col(payloadCol)))
   }
 
@@ -67,14 +73,7 @@ object Multimodal {
         rows.grouped(batchSize).flatMap { batch =>
           // <- one batched "decode" call per chunk (STUB: byte histogram)
           batch.iterator.map { case (id, bytes) =>
-            val h = new Array[Float](16)
-            if (bytes != null && bytes.nonEmpty) {
-              bytes.foreach(b => h((b & 0xFF) >> 4) += 1f)
-              val n = bytes.length.toFloat
-              var i = 0
-              while (i < 16) { h(i) /= n; i += 1 }
-            }
-            (id, h)
+            (id, byteHistogram(bytes))
           }
         }
       }

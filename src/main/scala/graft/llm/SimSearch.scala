@@ -88,30 +88,37 @@ object SimSearch {
   }
 
   /** Multi-table LSH approximate top-k. Both sides hash once per table;
-    * the candidate set is the union over tables of same-bucket pairs. */
+    * the candidate set is the union over tables of same-bucket pairs.
+    * Pair ids are deduplicated BEFORE vectors join back, so a pair that
+    * collides in several tables pays the cosine exactly once (same
+    * two-phase shape as Dedup.jaccardPairs). */
   def knnLsh(queries: DataFrame, candidates: DataFrame, qId: String,
       cId: String, vecCol: String, k: Int, bits: Int = 4,
       tables: Int = 8): DataFrame = {
     graft.functions.VectorExprs.register(queries.sparkSession)
     val bucketsUdf = udf((v: Array[Float]) => lshBuckets(v, bits, tables))
-    val q = queries
+    val qB = queries
       .select(col(qId).as("qid"), col(vecCol).cast("array<float>").as("qvf"))
       .withColumn("bucket", explode(bucketsUdf(col("qvf"))))
-      .withColumn("qv", col("qvf").cast("array<double>"))
-      .drop("qvf")
-    val c = candidates
+      .select(col("qid"), col("bucket"))
+    val cB = candidates
       .select(col(cId).as("cid"), col(vecCol).cast("array<float>").as("cvf"))
       .withColumn("bucket", explode(bucketsUdf(col("cvf"))))
-      .withColumn("cv", col("cvf").cast("array<double>"))
-      .drop("cvf")
+      .select(col("cid"), col("bucket"))
+    val pairIds = cB.join(qB, "bucket")
+      .filter(col("cid") =!= col("qid"))
+      .select("qid", "cid")
+      .distinct() // a pair can meet in several tables
+    val qv = queries.select(col(qId).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val cv = candidates.select(col(cId).as("cid"),
+      col(vecCol).cast("array<double>").as("cv"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("cid"))
-    c.join(q, "bucket")
-      .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"),
-        round(Distance.cosine(col("cv"), col("qv")), 6).as("cos_sim"))
-      .distinct() // a pair can meet in several tables
+    pairIds.join(qv, "qid").join(cv, "cid")
+      .withColumn("cos_sim", round(Distance.cosine(col("cv"), col("qv")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("cos_sim"), col("rn"))
   }
 }

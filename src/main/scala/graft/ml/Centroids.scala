@@ -69,20 +69,24 @@ object Centroids {
   }
 
   /** Centroid state table `(semantic_group, center, n)` — the engine's
-    * analog of centroids.pkl (vector_engine.py:47-61). */
+    * analog of centroids.pkl (vector_engine.py:47-61).
+    *
+    * Derived relationally from [[assign]]'s output instead of a second
+    * sequential fold: because centroids never drift, each centroid IS the
+    * founder row's vector (`sem_grp_<founderId>`) and `n` is the group
+    * size — so one fold (the pipeline's sequential bottleneck) serves
+    * both assignment and state, and the two can never diverge. */
   def fitCentroids(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, p: Double = 1.5): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
-      .as[(Long, Array[Float])]
-      .repartition(1)
-      .sortWithinPartitions(col(idCol))
-      .mapPartitions { it =>
-        foldAssign(it, threshold, p)._1.iterator
-          .map(c => (c.semanticId, c.center, c.n))
-      }
-      .toDF("semantic_group", "center", "n")
+    val assignments = assign(df, idCol, vecCol, threshold, p)
+    val founders = assignments.groupBy(col("semantic_group"))
+      .agg(min(col(idCol)).as("founder_id"),
+        count(lit(1)).as("n"))
+    val vecs = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("founder_id"),
+        col(vecCol).cast("array<float>").as("center"))
+    founders.join(vecs, "founder_id")
+      .select(col("semantic_group"), col("center"), col("n"))
   }
 
   /** Scale-out variant: stable shard key → parallel per-shard folds with

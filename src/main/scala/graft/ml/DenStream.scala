@@ -132,16 +132,31 @@ object DenStream {
   }
 
   /** Micro-cluster state as a table — the engine's model.pkl analog
-    * (model.py:18-29); round-trips through ModelStore. */
+    * (model.py:18-29); round-trips through ModelStore. Hyperparameters
+    * travel WITH the state so a reloading process can never score with a
+    * different epsilon than the model was trained with. */
   def stateDF(spark: SparkSession, model: Model): DataFrame = {
     import spark.implicits._
-    model.clusters.map(c => (c.id, c.center, c.weight, c.lastT)).toSeq
-      .toDF("cluster_id", "center", "weight", "last_t")
+    model.clusters
+      .map(c => (c.id, c.center, c.weight, c.lastT, model.epsilon,
+        model.lambda))
+      .toSeq
+      .toDF("cluster_id", "center", "weight", "last_t", "epsilon", "lambda")
   }
 
-  def fromStateDF(df: DataFrame, epsilon: Double, lambda: Double): Model = {
-    val m = new Model(epsilon, lambda)
-    df.collect().foreach { r =>
+  /** Rebuild a model from persisted state. Persisted hyperparameters (if
+    * present — older state tables may lack the columns) override the
+    * arguments, so inference always uses the training-time epsilon. */
+  def fromStateDF(df: DataFrame, epsilon: Double = 1.0,
+      lambda: Double = 0.0005): Model = {
+    val rows = df.collect()
+    val hasHyper = df.columns.contains("epsilon")
+    val eps = if (hasHyper && rows.nonEmpty)
+      rows.head.getAs[Double]("epsilon") else epsilon
+    val lam = if (hasHyper && rows.nonEmpty)
+      rows.head.getAs[Double]("lambda") else lambda
+    val m = new Model(eps, lam)
+    rows.foreach { r =>
       m.clusters += MicroCluster(r.getInt(0), r.getSeq[Double](1).toArray,
         r.getDouble(2), r.getLong(3))
     }

@@ -64,14 +64,16 @@ object PipelineRunner {
     * incident merge + batch commit marker. */
   def incremental(spark: SparkSession, sfDir: String, stateDir: String,
       outDir: String, lo: Long, hi: Long): Unit = {
+    // hyperparameters come from the persisted state itself — inference
+    // can never drift from the trained epsilon (args are only fallback)
     val model = DenStream.fromStateDF(
-      ModelStore.load(spark, stateDir, "denstream"), epsilon = 1.0,
-      lambda = 0.0005)
+      ModelStore.load(spark, stateDir, "denstream"))
     val centroids = ModelStore.load(spark, stateDir, "centroids").collect()
       .map(r => Centroids.Centroid(r.getString(0),
         r.getSeq[Float](1).toArray, r.getLong(2)))
     val enriched = Enrich.incrementalBatch(spark, sfDir, model, centroids,
       lo, hi)
+    enriched.cache() // consumed by three actions: write, counts, count()
     enriched
       .withColumn("embedding", F.col("embedding").cast("array<float>"))
       .write.mode("overwrite").parquet(s"$outDir/log_embeddings_incr")
@@ -109,5 +111,6 @@ object PipelineRunner {
       .write.mode("append").parquet(s"$outDir/batch_order")
     println(s"[incremental] range=[$lo,$hi] rows=${enriched.count()} " +
       s"incidents=${incidents.count()}")
+    enriched.unpersist()
   }
 }

@@ -44,8 +44,16 @@ object ModelStore {
     publish(root, name)
   }
 
+  /** Load production state; falls back to the backup copy if prod is
+    * missing (covers a crash between publish()'s two renames — prod was
+    * moved aside but staging never landed). */
   def load(spark: SparkSession, root: String, name: String): DataFrame =
-    spark.read.parquet(s"$root/$name")
+    if (Files.exists(Paths.get(root, name)))
+      spark.read.parquet(s"$root/$name")
+    else if (Files.exists(Paths.get(root, s"${name}_backup")))
+      spark.read.parquet(s"$root/${name}_backup")
+    else
+      spark.read.parquet(s"$root/$name") // surface the original error
 
   def exists(root: String, name: String): Boolean =
     Files.exists(Paths.get(root, name))

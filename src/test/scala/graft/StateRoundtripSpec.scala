@@ -34,8 +34,7 @@ class StateRoundtripSpec extends AnyFunSuite {
 
     // a fresh process would start here: load state from disk
     val model2 = DenStream.fromStateDF(
-      ModelStore.load(spark, root, "denstream"), epsilon = 1.0,
-      lambda = 0.0005)
+      ModelStore.load(spark, root, "denstream"))
     val centroids2 = ModelStore.load(spark, root, "centroids").collect()
       .map(r => Centroids.Centroid(r.getString(0),
         r.getSeq[Float](1).toArray, r.getLong(2)))

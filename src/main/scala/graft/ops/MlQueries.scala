@@ -278,6 +278,36 @@ object MlQueries {
       .orderBy($"cluster_id", $"event_type")
   }
 
+  /** q35 — approximate aggregates (rows-only: HLL/quantile-sketch values
+    * are implementation-specific; accuracy vs exact is ScalaTest-gated).
+    * The 100 TB form of q08/q83: one pass, bounded memory, no exact
+    * distinct shuffle or full sort. */
+  def q35ApproxAggs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id").as("approx_users"),
+        count(lit(1)).as("n"),
+        percentile_approx($"value", lit(0.5), lit(1000)).as("approx_median"))
+      .orderBy($"event_type")
+  }
+
+  /** q36 — sharded semantic grouping (rows-only): the 100 TB variant of
+    * q32 — parallel per-shard folds, per-shard namespaces
+    * (SURVEY.md §7.4 risk 1 scale-out path). */
+  def q36SemanticSharded(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val logs = Enrich.logView(s, d)
+      .withColumn("embed_text",
+        concat($"message", lit(". Parsed: "), $"parsed_data"))
+    val emb = Embed.withEmbedding(logs, "embed_text")
+    Centroids.assignSharded(emb, "log_id", "embedding", threshold = 1.8,
+        shards = 4)
+      .groupBy($"semantic_group").agg(count(lit(1)).as("n"))
+      .orderBy($"semantic_group")
+  }
+
   /** q34 — full pipeline e2e (reference §3.1; rows-only): embed →
     * semantic group → DenStream cluster → hourly volume → anomaly scores.
     * Emits the per-cluster scored table (the incident *candidates*; the
@@ -306,7 +336,9 @@ object MlQueries {
     "q31_embed_docs" -> (q31EmbedDocs _),
     "q32_semantic_groups" -> (q32SemanticGroups _),
     "q33_denstream" -> (q33DenStream _),
-    "q34_pipeline_e2e" -> (q34PipelineE2E _))
+    "q34_pipeline_e2e" -> (q34PipelineE2E _),
+    "q35_approx_aggs" -> (q35ApproxAggs _),
+    "q36_semantic_sharded" -> (q36SemanticSharded _))
 
   val oracleSql: Map[String, String] = Map(
     "q21_minkowski" -> q21Sql,

@@ -150,6 +150,33 @@ class MlSpec extends AnyFunSuite {
     assert(m == Map(1L -> "refresh", 2L -> "create"))
   }
 
+  test("approx aggregates stay within tolerance of exact counterparts") {
+    import spark.implicits._
+    val approx = graft.ops.MlQueries.q35ApproxAggs(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    val exact = graft.ops.Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct($"user_id").as("u"),
+        org.apache.spark.sql.functions.expr("percentile(value, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (u, m)) =>
+      val (au, am) = approx(k)
+      assert(math.abs(au - u).toDouble / u < 0.1, s"$k HLL off: $au vs $u")
+      assert(math.abs(am - m) / math.max(math.abs(m), 1.0) < 0.1,
+        s"$k approx median off: $am vs $m")
+    }
+  }
+
+  test("sharded semantic grouping covers every row with shard-local names") {
+    val out = graft.ops.MlQueries.q36SemanticSharded(spark, sf).collect()
+    assert(out.nonEmpty)
+    val total = out.map(_.getAs[Long]("n")).sum
+    assert(total == 1000L) // all sf0.001 events assigned exactly once
+    assert(out.forall(_.getAs[String]("semantic_group").startsWith("s")))
+  }
+
   test("ModelStore blue/green: publish swaps staging to prod with backup") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-state").toString

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, SimSearch}
+import graft.ml.{Quality, VolumeAnomaly}
+import graft.ops.AsOfJoin
+
+/** Empty-input and degenerate-shape behavior of the library operators:
+  * empty in → empty (or well-defined) out, never a crash. At 100 TB a
+  * partition, an id range, or a whole day of data being empty is routine.
+  */
+class EdgeCasesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def emptyDf(schema: String) = {
+    import org.apache.spark.sql.Row
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType.fromDDL(schema))
+  }
+
+  test("volume features + ranking on an empty counts table") {
+    val empty = emptyDf(
+      "cluster_id BIGINT, batch_ts BIGINT, log_count BIGINT")
+    assert(VolumeAnomaly.features(empty).isEmpty)
+    assert(VolumeAnomaly.rankAnomalies(
+      VolumeAnomaly.features(empty)).isEmpty)
+  }
+
+  test("dedup operators on an empty corpus") {
+    val empty = emptyDf("doc_id BIGINT, text STRING, source STRING")
+    assert(Dedup.exact(empty, "doc_id", "text").isEmpty)
+    assert(Dedup.jaccardPairs(empty, "doc_id", "text", "source", 0.9).isEmpty)
+    assert(Dedup.minHashNearDups(empty, "doc_id", "text", 0.5).isEmpty)
+    assert(Dedup.simHashNearDups(empty, "doc_id", "text").isEmpty)
+  }
+
+  test("connected components on an empty pair set (with and without ids)") {
+    import spark.implicits._
+    val empty = emptyDf("id_a BIGINT, id_b BIGINT")
+    assert(Dedup.connectedComponents(empty).isEmpty)
+    val ids = Seq(1L, 2L).toDF("doc_id")
+    val total = Dedup.connectedComponents(empty, allIds = Some(ids))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(total == Map(1L -> 1L, 2L -> 2L)) // everyone keeps themselves
+  }
+
+  test("knn on empty query/candidate sides") {
+    val emptyVecs = emptyDf("vec_id BIGINT, embedding ARRAY<FLOAT>")
+    val some = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert(SimSearch.knnBrute(emptyVecs, some, "vec_id", "vec_id",
+      "embedding", 5).isEmpty)
+    assert(SimSearch.knnBrute(some.limit(2), emptyVecs, "vec_id", "vec_id",
+      "embedding", 5).isEmpty)
+    assert(SimSearch.knnLsh(emptyVecs, some, "vec_id", "vec_id",
+      "embedding", 5).isEmpty)
+  }
+
+  test("asof join with an empty right side leaves all lefts unmatched") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "e1")).toDF("k", "ts", "name")
+    val right = emptyDf("k BIGINT, ts BIGINT, rid BIGINT")
+    val got = AsOfJoin.asofLeft(left, right, "k", "ts", Seq("rid")).collect()
+    assert(got.length == 1 && got(0).isNullAt(got(0).fieldIndex("asof_rid")))
+  }
+
+  test("quality metrics on single-class / single-cluster degenerate input") {
+    import spark.implicits._
+    // all rows one class AND one cluster: H(C)=H(K)=0 -> convention 1.0/1.0
+    val df = Seq(("a", 1), ("a", 1)).toDF("lab", "cl")
+    val r = Quality.homogeneityCompleteness(df, "lab", "cl").collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0)
+    assert(!r.getDouble(2).isNaN) // v_measure guard
+  }
+}

@@ -44,6 +44,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"unintended cross joins in: ${offenders.mkString(", ")}")
   }
 
+  test("hot relational queries execute inside whole-stage codegen") {
+    // AQE wraps the plan until execution; disable it here so the
+    // WholeStageCodegen spans are visible in the static physical plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("q01_agg", "q04_filter_counts", "q07_bucket_hist", "q17_join_agg")
+        .foreach { name =>
+          val plan = SparkEntry.queries(name)(spark, sf)
+            .queryExecution.executedPlan.toString
+          // codegen stages print as "*(n) Operator" in plan.toString
+          assert(plan.contains("*("),
+            s"$name has no codegen span:\n$plan")
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("parquet filters are pushed down where filters exist") {
     import org.apache.spark.sql.functions._
     val df = graft.ops.Tables.lineitem(spark, sf)

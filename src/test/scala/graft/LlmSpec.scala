@@ -159,6 +159,17 @@ class LlmSpec extends AnyFunSuite {
     assert(batched == perRow)
   }
 
+  test("resize stub: fixed output size, truncates long and pads short payloads") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(spark, sf).limit(20)
+    val rows = Multimodal.resizeStub(media, size = 64)
+      .select($"resized", $"meta.n_bytes").collect()
+    rows.foreach { r =>
+      val resized = r.getAs[Array[Byte]](0)
+      assert(resized.length == 64)
+    }
+  }
+
   test("lsh bucket is deterministic and in range") {
     val v = Array.tabulate(64)(i => (i % 7 - 3) / 10f)
     val b1 = SimSearch.lshBucket(v, 8)

@@ -98,10 +98,21 @@ object LlmQueries {
   }
 
   /** q56 — LSH-blocked embedding near-dup (the 100 TB path for q44's
-    * brute baseline; rows-only — subset relation gated in ScalaTest). */
+    * brute baseline). The blocking hash is axis-aligned random-hyperplane
+    * LSH (sign of 4 fixed coordinates → 16 buckets): same Charikar family
+    * as [[SimSearch.withLshBucket]]'s murmur hyperplanes, but expressible
+    * in SQL — so the full blocked-pair semantics (bucket restriction +
+    * cosine threshold) are hash-checked in DuckDB, not just
+    * ScalaTest-gated. One shuffle on the bucket key; pair space is
+    * bucket-local. */
   def q56EmbeddingNearDupLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = SimSearch.withLshBucket(embeddings(s, d), "embedding", bits = 4)
+    val bucket = (0 until 4).map(i =>
+        when(element_at($"embedding", i + 1) > lit(0f), lit(1 << i))
+          .otherwise(lit(0)))
+      .reduce(_ + _)
+    val e = embeddings(s, d)
+      .select($"vec_id", $"embedding", bucket.as("bucket"))
     val a = e.select($"bucket", $"vec_id".as("id_a"),
       $"embedding".cast("array<double>").as("v_a"))
     val b = e.select($"bucket", $"vec_id".as("id_b"),
@@ -112,22 +123,53 @@ object LlmQueries {
         round(graft.ml.Distance.cosine($"v_a", $"v_b"), 6))
       .filter($"cos_sim" >= 0.4)
       .select($"id_a", $"id_b", $"cos_sim")
-      .distinct()
       .orderBy($"id_a", $"id_b")
   }
+  val q56Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |  (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END +
+      |   CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
+      |   CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END +
+      |   CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+      |  FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+      |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
 
-  /** q57 — dedup keeper assignment: connected components over the
-    * sequence-near-dup pair graph; EVERY doc labeled with its component's
-    * canonical (min) id — unpaired docs keep themselves (rows-only;
-    * exactness gated in ScalaTest). */
+  /** q57 — dedup keeper assignment: connected components over a near-dup
+    * pair graph; EVERY doc labeled with its component's canonical (min)
+    * id — unpaired docs keep themselves. The edge set is the
+    * oracle-expressible token-Jaccard graph (q41's pairs), so the whole
+    * keeper assignment is verified end-to-end in DuckDB via a
+    * recursive-CTE reachability closure; the minhash-pair variant of the
+    * same [[Dedup.connectedComponents]] stays ScalaTest-gated (LlmSpec
+    * exact graphs + q42's pair recall). */
   def q57DedupComponents(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d)
-    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 0.3)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 0.9)
+      .select($"id_a", $"id_b")
     Dedup.connectedComponents(pairs,
         allIds = Some(docs.select($"doc_id")))
       .orderBy($"id")
   }
+  val q57Sql: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, source,
+      |    list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)
+      |        >= 0.9),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src)
+      |SELECT id, MIN(r) AS keep_id FROM reach GROUP BY id ORDER BY id""".stripMargin
 
   /** q58 — composed training-corpus cleaning pipeline, fully
     * SQL-expressible and oracle-checked end to end: language gate →
@@ -148,9 +190,12 @@ object LlmQueries {
       .groupBy($"lang_pred")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_tokens").as("total_tokens"),
-        round(
-          sum($"quality_score".cast("decimal(18,6)")).cast("double") /
-            count(lit(1)), 6).as("avg_quality"))
+        // exact decimal sum ÷ count with NO re-round: the final round-6 of
+        // the division landed on opposite sides of a half-tie in Spark
+        // (HALF_UP) vs DuckDB — the unrounded IEEE division of two exact
+        // values is bit-identical in both engines
+        (sum($"quality_score".cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("avg_quality"))
       .orderBy($"lang_pred")
   }
   val q58Sql: String = {
@@ -197,8 +242,8 @@ object LlmQueries {
       |  GROUP BY md5(text))
       |SELECT lang_pred, COUNT(*) AS n_docs,
       |  SUM(n_tokens) AS total_tokens,
-      |  ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) /
-      |        COUNT(*), 6) AS avg_quality
+      |  CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) /
+      |        COUNT(*) AS avg_quality
       |FROM kept JOIN keep_ids USING (doc_id)
       |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
   }
@@ -300,22 +345,39 @@ object LlmQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** q50 — multimodal feature extraction (rows-only; decode STUBBED —
-    * byte histogram stands in for a codec, plumbing is real). */
+    * byte histogram stands in for a codec, plumbing is real). The feature
+    * vector is serialized with to_json — raw array columns crash the
+    * driver's pandas row-sort. */
   def q50MediaFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Multimodal.extractFeatures(Multimodal.mediaTable(s, d))
       .select($"media_id", $"meta.kind".as("kind"),
-        $"meta.n_bytes".as("n_bytes"), $"features")
+        $"meta.n_bytes".as("n_bytes"), to_json($"features").as("features_json"))
       .orderBy($"media_id")
   }
 
-  /** q51 — frame sampling over binary payloads (rows-only). */
+  /** q51 — frame sampling over binary payloads. Oracle-checked: the
+    * payload is the utf-8 encoding of `text`, and the fixture text is
+    * pure ASCII (verified at every SF), so DuckDB's character substring
+    * equals the byte slicing and md5 matches Spark's md5 over the
+    * frame bytes. */
   def q51FrameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Multimodal.frameSample(Multimodal.mediaTable(s, d), 4)
-      .select($"media_id", $"frame_id", $"frame_hash")
+      .select($"media_id", $"frame_id".cast("long").as("frame_id"),
+        $"frame_hash")
       .orderBy($"media_id", $"frame_id")
   }
+  val q51Sql: String =
+    """WITH m AS (SELECT doc_id AS media_id, text,
+      |    length(text) AS len,
+      |    GREATEST(1, length(text) // 4) AS step
+      |  FROM documents)
+      |SELECT media_id, CAST(t.i AS BIGINT) AS frame_id,
+      |  md5(substring(text, CAST(t.i * step + 1 AS BIGINT), step))
+      |    AS frame_hash
+      |FROM m, unnest(range(0, least(4, len))) AS t(i)
+      |ORDER BY media_id, frame_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> (q40DedupExact _),
@@ -343,5 +405,8 @@ object LlmQueries {
     "q46_text_stats" -> q46Sql,
     "q47_lang_id" -> q47Sql,
     "q48_quality_score" -> q48Sql,
-    "q49_fingerprint" -> q49Sql)
+    "q49_fingerprint" -> q49Sql,
+    "q51_frame_sample" -> q51Sql,
+    "q56_neardup_lsh" -> q56Sql,
+    "q57_dedup_components" -> q57Sql)
 }

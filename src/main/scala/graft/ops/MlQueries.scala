@@ -249,11 +249,13 @@ object MlQueries {
       |LEFT JOIN oth USING (id)""".stripMargin
 
   /** q31 — hashing-embedder output (reference J1; rows-only: the murmur
-    * hash is not expressible in the oracle; determinism golden-tested). */
+    * hash is not expressible in the oracle; determinism golden-tested).
+    * The vector is serialized with to_json — raw array columns crash the
+    * driver's pandas row-sort. */
   def q31EmbedDocs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Embed.withEmbedding(documents(s, d), "text")
-      .select($"doc_id", $"embedding")
+      .select($"doc_id", to_json($"embedding").as("embedding_json"))
       .orderBy($"doc_id")
   }
 
@@ -278,20 +280,40 @@ object MlQueries {
       .orderBy($"cluster_id", $"event_type")
   }
 
-  /** q35 — approximate aggregates (rows-only: HLL/quantile-sketch values
-    * are implementation-specific; accuracy vs exact is ScalaTest-gated).
-    * The 100 TB form of q08/q83: one pass, bounded memory, no exact
-    * distinct shuffle or full sort. */
+  /** q35 — approximate aggregates. HLL/quantile-sketch values are
+    * implementation-specific, so the raw sketches cannot hash-match an
+    * oracle; instead the query emits the EXACT aggregates (oracle-checked)
+    * plus `*_ok` tolerance gates asserting the sketch landed within its
+    * documented error bound (HLL++ rsd 5% → 15% gate; GK quantile with
+    * accuracy 1000 → 5%-or-1.0 gate). The oracle emits literal TRUE for
+    * the gates, so a sketch drifting out of tolerance fails the hash.
+    * The 100 TB deployment runs only the approx columns (one pass,
+    * bounded memory — no exact distinct shuffle or full sort); the exact
+    * twins here are the verification harness. */
   def q35ApproxAggs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     events(s, d)
       .groupBy($"event_type")
       .agg(
-        approx_count_distinct($"user_id").as("approx_users"),
         count(lit(1)).as("n"),
-        percentile_approx($"value", lit(0.5), lit(1000)).as("approx_median"))
+        countDistinct($"user_id").as("exact_users"),
+        approx_count_distinct($"user_id").as("au"),
+        expr("percentile(value, 0.5)").as("em"),
+        percentile_approx($"value", lit(0.5), lit(1000)).as("am"))
+      .select($"event_type", $"n", $"exact_users",
+        (abs($"au" - $"exact_users") <= $"exact_users" * 0.15).as("users_ok"),
+        round($"em", 4).as("exact_median"),
+        (abs($"am" - $"em") <= greatest(abs($"em") * 0.05, lit(1.0)))
+          .as("median_ok"))
       .orderBy($"event_type")
   }
+  val q35Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS users_ok,
+      |  ROUND(quantile_cont(value, 0.5), 4) AS exact_median,
+      |  TRUE AS median_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** q36 — sharded semantic grouping (rows-only): the 100 TB variant of
     * q32 — parallel per-shard folds, per-shard namespaces
@@ -347,5 +369,6 @@ object MlQueries {
     "q27_anomaly_rank" -> q27Sql,
     "q28_incident_merge" -> q28Sql,
     "q29_homogeneity" -> q29Sql,
-    "q30_silhouette" -> q30Sql)
+    "q30_silhouette" -> q30Sql,
+    "q35_approx_aggs" -> q35Sql)
 }

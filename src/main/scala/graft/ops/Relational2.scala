@@ -132,19 +132,22 @@ object Relational2 {
   def q75OneHot(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val cats = Seq("click", "error", "purchase", "signup", "view")
+    // vector serialized with to_json on BOTH sides — a raw array column
+    // crashes the driver's pandas row-sort
     events(s, d)
       .select($"event_id",
-        array(cats.map(c =>
-          when($"event_type" === c, 1).otherwise(0)): _*).as("onehot"))
+        to_json(array(cats.map(c =>
+          when($"event_type" === c, 1).otherwise(0)): _*)).as("onehot"))
       .orderBy($"event_id")
   }
   val q75Sql: String =
     """SELECT event_id,
-      |  [CASE WHEN event_type = 'click' THEN 1 ELSE 0 END,
+      |  CAST(to_json([CASE WHEN event_type = 'click' THEN 1 ELSE 0 END,
       |   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END,
       |   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END,
       |   CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END,
-      |   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END] AS onehot
+      |   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END]) AS VARCHAR)
+      |    AS onehot
       |FROM events ORDER BY event_id""".stripMargin
 
   /** q76 — extended ranking/analytic window functions (§2.E note:

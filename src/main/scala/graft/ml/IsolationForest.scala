@@ -1,0 +1,114 @@
+package graft.ml
+
+import scala.util.Random
+
+/** Pure-Scala Isolation Forest (Liu, Ting & Zhou 2008 — public algorithm)
+  * for parity with the reference's anomaly model
+  * (`/root/reference/src/ml/volume_analyzer.py:19-24`: 100 trees,
+  * contamination 0.05, seed 42).
+  *
+  * The reference fits on the per-cluster latest-batch feature matrix — at
+  * most one row per cluster, a driver-scale input by construction — and
+  * then consumes the scores only through the batch-relative z-gate
+  * (volume_analyzer.py:125-147). [[fit]] therefore runs on the driver
+  * (seed-fixed, deterministic) and scoring distributes via a broadcast
+  * model; see [[VolumeAnomaly.rankAnomaliesIF]].
+  *
+  * Determinism note: a Scala RNG cannot replay numpy's Mersenne stream, so
+  * tree shapes differ from sklearn's — the parity contract (gated in
+  * MlSpec) is that the z-thresholded FLAG SET matches, which is the only
+  * part of the forest the reference pipeline consumes.
+  */
+object IsolationForest {
+
+  sealed trait Node
+  final case class Leaf(size: Int) extends Node
+  final case class Split(feature: Int, value: Double, lo: Node, hi: Node)
+    extends Node
+
+  /** threshold = (1 − contamination)-quantile of the training scores:
+    * points scoring above it are the contamination fraction sklearn's
+    * `predict` would flag as −1. */
+  final case class Model(trees: Seq[Node], psi: Int, threshold: Double)
+    extends Serializable
+
+  private val EulerGamma = 0.5772156649015329
+
+  /** Average unsuccessful-search path length in a BST of n nodes —
+    * the normalizer c(n) from the paper. */
+  def avgPathLength(n: Int): Double =
+    if (n <= 1) 0.0
+    else 2.0 * (math.log(n - 1.0) + EulerGamma) - 2.0 * (n - 1.0) / n
+
+  private def build(data: Array[Array[Double]], idx: Array[Int],
+      height: Int, maxHeight: Int, rnd: Random): Node = {
+    if (height >= maxHeight || idx.length <= 1) Leaf(idx.length)
+    else {
+      val nf = data(0).length
+      // candidate features = those with spread in this node (a constant
+      // feature cannot split; choosing it would loop to the height cap)
+      val lo = new Array[Double](nf)
+      val hi = new Array[Double](nf)
+      java.util.Arrays.fill(lo, Double.MaxValue)
+      java.util.Arrays.fill(hi, Double.MinValue)
+      idx.foreach { i =>
+        val row = data(i)
+        var f = 0
+        while (f < nf) {
+          if (row(f) < lo(f)) lo(f) = row(f)
+          if (row(f) > hi(f)) hi(f) = row(f)
+          f += 1
+        }
+      }
+      val candidates = (0 until nf).filter(f => hi(f) > lo(f))
+      if (candidates.isEmpty) Leaf(idx.length)
+      else {
+        val f = candidates(rnd.nextInt(candidates.length))
+        val split = lo(f) + rnd.nextDouble() * (hi(f) - lo(f))
+        val (l, r) = idx.partition(i => data(i)(f) < split)
+        Split(f, split,
+          build(data, l, height + 1, maxHeight, rnd),
+          build(data, r, height + 1, maxHeight, rnd))
+      }
+    }
+  }
+
+  def fit(data: Array[Array[Double]], nTrees: Int = 100, seed: Long = 42L,
+      sampleSize: Int = 256, contamination: Double = 0.05): Model = {
+    require(data.nonEmpty, "IsolationForest.fit on empty data")
+    val rnd = new Random(seed)
+    val psi = math.min(sampleSize, data.length)
+    val maxH = math.max(1,
+      math.ceil(math.log(psi.toDouble) / math.log(2.0)).toInt)
+    val all = (0 until data.length).toVector
+    val trees = (0 until nTrees).map { _ =>
+      val sample = rnd.shuffle(all).take(psi).toArray
+      build(data, sample, 0, maxH, rnd)
+    }
+    val m = Model(trees, psi, threshold = 0.0)
+    val scores = data.map(x => score(m, x)).sorted
+    val k = math.min(scores.length - 1, math.max(0,
+      math.ceil((1.0 - contamination) * scores.length).toInt - 1))
+    m.copy(threshold = scores(k))
+  }
+
+  private def pathLength(node: Node, x: Array[Double], depth: Int): Double =
+    node match {
+      case Leaf(sz) => depth + avgPathLength(sz)
+      case Split(f, v, l, r) =>
+        if (x(f) < v) pathLength(l, x, depth + 1)
+        else pathLength(r, x, depth + 1)
+    }
+
+  /** Anomaly score in (0, 1]: higher = more anomalous (paper eq. 2). */
+  def score(m: Model, x: Array[Double]): Double = {
+    var sum = 0.0
+    m.trees.foreach(t => sum += pathLength(t, x, 0))
+    math.pow(2.0, -(sum / m.trees.size) / avgPathLength(m.psi))
+  }
+
+  /** sklearn-style predict: true = anomalous (score above the
+    * contamination threshold fixed at fit time). */
+  def isAnomaly(m: Model, x: Array[Double]): Boolean =
+    score(m, x) > m.threshold
+}

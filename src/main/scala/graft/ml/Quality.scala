@@ -82,4 +82,36 @@ object Quality {
       .select(col("id"), lit(0.0).as("s"))
     perPoint.unionByName(singles).agg(avg("s").as("silhouette"))
   }
+
+  /** Simplified (centroid-based) silhouette — the O(N·k) scale variant of
+    * [[silhouette]]'s exact O(N²) (Hruschka et al. 2004, public
+    * formulation): a_i = distance to own centroid, b_i = min distance to
+    * another cluster's centroid. The exact metric stays the correctness
+    * baseline (q30, with the reference's own 2000-row cap); this is the
+    * 100 TB path — one explode-aggregate for centroids (k × dim rows),
+    * one broadcast join for distances, no pairwise self-join. */
+  def silhouetteSimplified(df: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    val pts = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"),
+      col(clusterCol).cast("long").as("cl"))
+      .filter(col("cl") >= 0)
+    val dims = pts.select(col("cl"), posexplode(col("v")))
+    val centVec = dims.groupBy(col("cl").as("ccl"), col("pos"))
+      .agg(avg(col("col")).as("cx"))
+      .groupBy("ccl")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        s => s.getField("cx")).as("cv"))
+    val withD = pts.crossJoin(broadcast(centVec))
+      .withColumn("d", Distance.euclidean(col("v"), col("cv")))
+    val own = withD.filter(col("cl") === col("ccl"))
+      .select(col("id"), col("d").as("a_i"))
+    val oth = withD.filter(col("cl") =!= col("ccl"))
+      .groupBy("id").agg(min("d").as("b_i"))
+    own.join(oth, Seq("id"), "inner")
+      .select(((col("b_i") - col("a_i")) /
+        greatest(col("a_i"), col("b_i"))).as("s"))
+      .agg(avg("s").as("silhouette_simplified"))
+  }
 }

@@ -74,6 +74,50 @@ object VolumeAnomaly {
     flagged.select("cluster_id", "batch_ts", "log_count", "score", "score_z")
   }
 
+  /** [[rankAnomalies]] with the reference's actual model: an
+    * IsolationForest (volume_analyzer.py:19-24 — 100 trees, contamination
+    * 0.05, seed 42) fit on the per-cluster feature matrix, scores consumed
+    * through the identical batch-relative z-gate. The fit input is at most
+    * one row per cluster (driver-scale by construction — guarded), scoring
+    * distributes via a broadcast model. Engine score = −IF score so lower
+    * = more anomalous, matching [[scoredFeatures]]'s ordering contract. */
+  def rankAnomaliesIF(feats: DataFrame, zThresh: Double = -1.0,
+      cap: Int = 3, maxRatio: Double = 0.3, nTrees: Int = 100,
+      seed: Long = 42L, contamination: Double = 0.05): DataFrame = {
+    val spark = feats.sparkSession
+    val collected = feats.select(
+      col("log_count").cast("double"), col("velocity").cast("double"),
+      col("roll_mean"), col("z_dev")).collect()
+    // the reference trains on the latest-batch per-cluster matrix — tiny.
+    // Fail loudly if a caller hands this a row-scale frame: the fit is
+    // driver-side by design and must never see table-sized input.
+    require(collected.length <= 100000,
+      s"rankAnomaliesIF fit input has ${collected.length} rows — this is " +
+        "a per-cluster (driver-scale) model; aggregate first")
+    val data = collected.map(r =>
+      Array(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val model = IsolationForest.fit(data, nTrees, seed,
+      sampleSize = 256, contamination = contamination)
+    val bc = spark.sparkContext.broadcast(model)
+    val scoreUdf = udf((lc: Double, v: Double, rm: Double, zd: Double) =>
+      -IsolationForest.score(bc.value, Array(lc, v, rm, zd)))
+    val scored = feats.withColumn("score",
+      scoreUdf(col("log_count").cast("double"),
+        col("velocity").cast("double"), col("roll_mean"), col("z_dev")))
+    val stats = scored.agg(
+      avg("score").as("mu"), stddev_pop("score").as("sigma"),
+      count(lit(1)).as("n_eval"))
+    scored.crossJoin(stats)
+      .withColumn("score_z",
+        (col("score") - col("mu")) / (col("sigma") + lit(1e-5)))
+      .filter(col("score_z") < zThresh)
+      .withColumn("n_flagged", count(lit(1)).over(Window.partitionBy()))
+      .filter(col("n_flagged") <= col("n_eval") * maxRatio)
+      .orderBy(col("score"), col("cluster_id"))
+      .limit(cap)
+      .select("cluster_id", "batch_ts", "log_count", "score", "score_z")
+  }
+
   /** Incident merge (reference A8/C2, incident_ops.py:6-41): split flagged
     * clusters into refresh (already open) vs create (new), one set-oriented
     * pass replacing the per-key existence probes. */

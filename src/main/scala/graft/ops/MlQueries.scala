@@ -248,6 +248,50 @@ object MlQueries {
       |LEFT JOIN own USING (id)
       |LEFT JOIN oth USING (id)""".stripMargin
 
+  /** q37 — anomaly ranking through the reference's ACTUAL model: a
+    * seed-fixed pure-Scala IsolationForest (volume_analyzer.py:19-24) fit
+    * on the per-cluster feature matrix, consumed through the identical
+    * batch-relative z-gate as q27. Rows-only by design: when a genuine
+    * spike exists the IF-ranked flag set equals the z-ranked one (gated in
+    * MlSpec's golden test, and empirically identical at sf0.001/sf0.01) —
+    * but among hundreds of near-tied clusters the two models legitimately
+    * break ties differently, so pinning an oracle to the −|z| set would
+    * assert a parity the models don't promise. */
+  def q37AnomalyIForest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    VolumeAnomaly.rankAnomaliesIF(
+        VolumeAnomaly.features(hourlyCounts(s, d)))
+      .select($"cluster_id", $"log_count")
+      .orderBy($"cluster_id")
+  }
+
+  /** q38 — simplified (centroid-based) silhouette: q30's 100 TB scale
+    * variant, oracle-checked against the same formula in DuckDB. */
+  def q38SilhouetteSimplified(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Quality.silhouetteSimplified(embeddings(s, d), "vec_id", "embedding",
+        "label")
+      .select(round($"silhouette_simplified", 4).as("silhouette_simplified"))
+  }
+  val q38Sql: String =
+    """WITH pts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+      |    label AS cl FROM embeddings WHERE label >= 0),
+      |dims AS (SELECT cl, t.pos, v[t.pos] AS x
+      |  FROM pts, unnest(range(1, len(v) + 1)) AS t(pos)),
+      |cent AS (SELECT cl AS ccl, pos, AVG(x) AS cx
+      |  FROM dims GROUP BY cl, pos),
+      |cvec AS (SELECT ccl, list(cx ORDER BY pos) AS cv
+      |  FROM cent GROUP BY ccl),
+      |d AS (SELECT p.id, p.cl, c.ccl,
+      |    sqrt(list_sum(list_transform(list_zip(p.v, c.cv),
+      |      z -> (z[1]-z[2])*(z[1]-z[2])))) AS d
+      |  FROM pts p, cvec c),
+      |own AS (SELECT id, d AS a_i FROM d WHERE cl = ccl),
+      |oth AS (SELECT id, MIN(d) AS b_i FROM d WHERE cl != ccl GROUP BY id)
+      |SELECT ROUND(AVG((b_i - a_i) / GREATEST(a_i, b_i)), 4)
+      |  AS silhouette_simplified
+      |FROM own JOIN oth USING (id)""".stripMargin
+
   /** q31 — hashing-embedder output (reference J1; rows-only: the murmur
     * hash is not expressible in the oracle; determinism golden-tested).
     * The vector is serialized with to_json — raw array columns crash the
@@ -360,7 +404,9 @@ object MlQueries {
     "q33_denstream" -> (q33DenStream _),
     "q34_pipeline_e2e" -> (q34PipelineE2E _),
     "q35_approx_aggs" -> (q35ApproxAggs _),
-    "q36_semantic_sharded" -> (q36SemanticSharded _))
+    "q36_semantic_sharded" -> (q36SemanticSharded _),
+    "q37_anomaly_iforest" -> (q37AnomalyIForest _),
+    "q38_silhouette_simplified" -> (q38SilhouetteSimplified _))
 
   val oracleSql: Map[String, String] = Map(
     "q21_minkowski" -> q21Sql,
@@ -370,5 +416,6 @@ object MlQueries {
     "q28_incident_merge" -> q28Sql,
     "q29_homogeneity" -> q29Sql,
     "q30_silhouette" -> q30Sql,
-    "q35_approx_aggs" -> q35Sql)
+    "q35_approx_aggs" -> q35Sql,
+    "q38_silhouette_simplified" -> q38Sql)
 }

@@ -127,28 +127,40 @@ object Relational2 {
       |  ROUND(STDDEV_POP(value), 4) AS std_v
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** q75 — one-hot encoding (reference D12: river OneHotEncoder over
-    * level/source/semantic_group) with a fixed category dictionary. */
+  /** q75 — one-hot encoding with a GROWING category dictionary (reference
+    * D12: river OneHotEncoder, pipeline.py:34-37 — columns grow as new
+    * categories arrive). The dictionary is data-driven: categories indexed
+    * by first appearance (min event_id), vector width = dictionary size —
+    * no fixed category list. The vector serializes with to_json on both
+    * sides (a raw array column crashes the driver's pandas row-sort).
+    * The across-micro-batch stateful variant of the same encoder is
+    * [[graft.streaming.GrowingOneHot]] (StreamingSpec widening test). */
   def q75OneHot(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val cats = Seq("click", "error", "purchase", "signup", "view")
-    // vector serialized with to_json on BOTH sides — a raw array column
-    // crashes the driver's pandas row-sort
-    events(s, d)
+    val ev = events(s, d)
+    val dict = ev.groupBy($"event_type")
+      .agg(min($"event_id").as("first_seen"))
+      .select($"event_type",
+        (row_number().over(Window.orderBy($"first_seen")) - 1).as("idx"))
+    val n = dict.groupBy().agg(count(lit(1)).as("n_cats"))
+    // dict and n are category-cardinality-sized — broadcast joins
+    ev.join(broadcast(dict), "event_type").crossJoin(broadcast(n))
       .select($"event_id",
-        to_json(array(cats.map(c =>
-          when($"event_type" === c, 1).otherwise(0)): _*)).as("onehot"))
+        to_json(transform(sequence(lit(0), $"n_cats" - 1),
+          i => when(i === $"idx", 1).otherwise(0))).as("onehot"))
       .orderBy($"event_id")
   }
   val q75Sql: String =
-    """SELECT event_id,
-      |  CAST(to_json([CASE WHEN event_type = 'click' THEN 1 ELSE 0 END,
-      |   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END,
-      |   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END,
-      |   CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END,
-      |   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END]) AS VARCHAR)
+    """WITH dict AS (SELECT event_type,
+      |    ROW_NUMBER() OVER (ORDER BY MIN(event_id)) - 1 AS idx
+      |  FROM events GROUP BY event_type),
+      |n AS (SELECT COUNT(*) AS n_cats FROM dict)
+      |SELECT e.event_id,
+      |  CAST(to_json(list_transform(range(0, n.n_cats),
+      |    i -> CASE WHEN i = d.idx THEN 1 ELSE 0 END)) AS VARCHAR)
       |    AS onehot
-      |FROM events ORDER BY event_id""".stripMargin
+      |FROM events e JOIN dict d USING (event_type), n
+      |ORDER BY e.event_id""".stripMargin
 
   /** q76 — extended ranking/analytic window functions (§2.E note:
     * rank/dense_rank/ntile/lead beyond the reference's row_number). */

@@ -107,12 +107,21 @@ object StreamQueries {
       $"user_id" === $"buy_user" &&
         $"buy_ts" >= $"err_ts" - expr("INTERVAL 1 HOUR") &&
         $"buy_ts" <= $"err_ts")
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory").queryName("graft_stream_ss")
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    // A stream-stream join carries 4 state stores per shuffle partition,
+    // and every micro-batch pays a commit per store — at test scale that
+    // fixed machinery (32 partitions × 4 stores) dwarfs the data. Pin a
+    // small partition count for the stream's lifetime; a real cluster
+    // sizes this up with data volume (state store count scales with it).
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory").queryName("graft_stream_ss")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table("graft_stream_ss")
       .select($"err_id", $"buy_id", unix_micros($"err_ts").as("err_ts_us"),
         unix_micros($"buy_ts").as("buy_ts_us"))

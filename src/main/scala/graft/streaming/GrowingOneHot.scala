@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.state.ModelStore
+
+/** Growing-category one-hot encoding across micro-batches (reference D12:
+  * river OneHotEncoder, `src/ml/pipeline.py:34-37` — the encoder's column
+  * set grows as new categories arrive and already-assigned indexes never
+  * move).
+  *
+  * The category dictionary is a state table `(cat, idx)` maintained by
+  * foreachBatch union-distinct: each batch's unseen categories append with
+  * the next free indexes (published via [[ModelStore]] blue/green, so a
+  * crash mid-update cannot corrupt the dictionary), then the batch encodes
+  * against the updated dictionary — vectors WIDEN over the stream's
+  * lifetime while existing indexes stay stable. Within one batch, new
+  * categories index in lexical order (micro-batch granularity is the
+  * stream analog of river's per-row encounter order). The batch-query twin
+  * with first-seen ordering is q75 (ops/Relational2).
+  *
+  * Scale: the dictionary is category-cardinality-sized (driver-safe by
+  * definition of one-hot — a high-cardinality column must hash-encode
+  * instead), and encoding broadcasts it; the data path stays fully
+  * distributed with no extra shuffle.
+  */
+object GrowingOneHot {
+
+  val dictName = "onehot_dict"
+
+  /** Load dictionary state; empty on a fresh stream (no state published
+    * yet) — any other read failure propagates. */
+  def loadDict(spark: SparkSession, stateRoot: String): Map[String, Int] =
+    if (!Files.exists(Paths.get(stateRoot, dictName)) &&
+        !Files.exists(Paths.get(stateRoot, s"${dictName}_backup")))
+      Map.empty
+    else
+      ModelStore.load(spark, stateRoot, dictName)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+
+  /** Union-distinct the batch's categories into the persisted dictionary;
+    * returns the updated dictionary. */
+  def updateDict(batch: DataFrame, catCol: String,
+      stateRoot: String): Map[String, Int] = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val existing = loadDict(spark, stateRoot)
+    val seen = batch.select(col(catCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).filter(_ != null)
+    val fresh = seen.filterNot(existing.contains).sorted
+    if (fresh.isEmpty) existing
+    else {
+      val updated = existing ++
+        fresh.zipWithIndex.map { case (c, i) => c -> (existing.size + i) }
+      ModelStore.save(updated.toSeq.toDF("cat", "idx"), stateRoot, dictName)
+      updated
+    }
+  }
+
+  /** Encode `catCol` against a dictionary: vector width = dict size,
+    * position = the category's stable index. */
+  def encode(df: DataFrame, catCol: String,
+      dict: Map[String, Int]): DataFrame = {
+    require(dict.nonEmpty, "growing one-hot: empty dictionary")
+    val m = typedlit(dict)
+    df.withColumn("onehot",
+      transform(sequence(lit(0), lit(dict.size - 1)),
+        i => when(i === element_at(m, col(catCol).cast("string")), 1)
+          .otherwise(0)))
+  }
+
+  /** Stream runner: per micro-batch, grow the dictionary then append the
+    * encoded rows (onehot serialized as JSON so sinks/oracles can compare
+    * it without array-typed columns). */
+  def run(source: DataFrame, catCol: String, stateRoot: String,
+      outPath: String): StreamingQuery =
+    source.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dict = updateDict(batch, catCol, stateRoot)
+        if (dict.nonEmpty)
+          encode(batch, catCol, dict)
+            .withColumn("onehot", to_json(col("onehot")))
+            .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+}

@@ -113,6 +113,52 @@ class MlSpec extends AnyFunSuite {
     assert(sGot > 0.97, s"silhouette $sGot")
   }
 
+  test("simplified silhouette tracks the exact metric on separated clusters") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, Seq(0.0, 0.0), 0L), (2L, Seq(0.1, 0.0), 0L),
+      (3L, Seq(10.0, 0.0), 1L), (4L, Seq(10.1, 0.0), 1L))
+      .toDF("id", "v", "cl")
+    val exact = Quality.silhouette(pts, "id", "v", "cl")
+      .collect()(0).getDouble(0)
+    val simp = Quality.silhouetteSimplified(pts, "id", "v", "cl")
+      .collect()(0).getDouble(0)
+    assert(simp > 0.97, s"simplified silhouette $simp")
+    assert(math.abs(simp - exact) < 0.05,
+      s"simplified $simp vs exact $exact diverge")
+  }
+
+  test("isolation forest: outlier scores above inliers, threshold flags it") {
+    val inliers = (1 to 100).map(i =>
+      Array(10.0 + (i % 5) * 0.1, (i % 3) * 0.1)).toArray
+    val data = inliers :+ Array(100.0, 50.0)
+    val m = IsolationForest.fit(data)
+    val outScore = IsolationForest.score(m, Array(100.0, 50.0))
+    val inScore = IsolationForest.score(m, Array(10.2, 0.1))
+    assert(outScore > inScore, s"outlier $outScore <= inlier $inScore")
+    assert(IsolationForest.isAnomaly(m, Array(100.0, 50.0)))
+    assert(!IsolationForest.isAnomaly(m, Array(10.2, 0.1)))
+    // seed-fixed determinism
+    val m2 = IsolationForest.fit(data)
+    assert(IsolationForest.score(m2, Array(100.0, 50.0)) == outScore)
+  }
+
+  test("isolation-forest ranking flags the same set as the z-gate") {
+    import spark.implicits._
+    // the spike fixture: the IF-ranked flag set must equal the z-ranked
+    // one — the reference consumes its forest only through this gate
+    val counts = (1 to 5).flatMap(c =>
+      (1 to 6).map(t => (c.toLong, t.toLong, 10L))) ++
+      ((1 to 5).map(t => (6L, t.toLong, 10L)) :+ (6L, 6L, 100L))
+    val feats = VolumeAnomaly.features(
+      counts.toDF("cluster_id", "batch_ts", "log_count"))
+    val zSet = VolumeAnomaly.rankAnomalies(feats).collect()
+      .map(_.getAs[Long]("cluster_id")).toSet
+    val ifSet = VolumeAnomaly.rankAnomaliesIF(feats).collect()
+      .map(_.getAs[Long]("cluster_id")).toSet
+    assert(ifSet == zSet && ifSet == Set(6L), s"IF $ifSet vs z $zSet")
+  }
+
   test("volume features + ranking: injected spike is flagged first") {
     import spark.implicits._
     // five flat clusters + one spiking: ratio 1/6 stays under the 30%

@@ -26,7 +26,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q44_embedding_neardup", // brute pair baseline (blocked variant = q42/q45)
     "q55_knn_ivf",           // centroid-table broadcast
     "q78_vector_mix",        // reference-vector broadcast
-    "q45_knn_lsh")           // stats-free, but plans via tiny bucket join
+    "q45_knn_lsh",           // stats-free, but plans via tiny bucket join
+    "q37_anomaly_iforest",   // scalar stats (same gate as q27)
+    "q38_silhouette_simplified", // k-row centroid-table broadcast
+    "q75_onehot")            // 1-row dictionary-size broadcast
 
   test("no unintended cartesian or nested-loop joins anywhere") {
     val skip = Set("q60_stream_volume", "q61_stream_semantic",

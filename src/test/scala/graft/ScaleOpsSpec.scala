@@ -39,6 +39,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(index.select("id").distinct().count() == e.count())
   }
 
+  test("connected components converge in bounded rounds") {
+    import spark.implicits._
+    // star: every label lands in one round, one more round detects quiet
+    val star = (2L to 10L).map(i => (1L, i)).toDF("id_a", "id_b")
+    val (sl, starRounds) =
+      graft.llm.Dedup.connectedComponentsWithRounds(star)
+    assert(sl.collect().map(_.getLong(1)).forall(_ == 1L))
+    assert(starRounds <= 2, s"star graph took $starRounds rounds")
+    // path 1-2-3-4-5-6: diameter 5 → ≤ 5 moving rounds + 1 quiescent
+    val path = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (pl, pathRounds) =
+      graft.llm.Dedup.connectedComponentsWithRounds(path)
+    assert(pl.collect().map(_.getLong(1)).toSet == Set(1L))
+    assert(pathRounds <= 6, s"diameter-5 path took $pathRounds rounds")
+  }
+
   test("salted join returns exactly the plain join's rows") {
     import spark.implicits._
     // skewed left: key 1 dominates

@@ -97,4 +97,32 @@ class StreamingSpec extends AnyFunSuite {
       .select("log_id").distinct().count()
     assert(distinct == n1)
   }
+
+  test("growing one-hot widens the vector when a new category arrives") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-onehot-state").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-onehot-out").toString + "/enc"
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.GrowingOneHot.run(
+      input.toDS().toDF("id", "cat"), "cat", root, out)
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    input.addData((3L, "c"), (4L, "a"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out)
+      .select($"id", $"onehot").as[(Long, String)].collect().toMap
+    // batch 1: dictionary {a→0, b→1}, width 2
+    assert(got(1L) == "[1,0]" && got(2L) == "[0,1]")
+    // batch 2: c arrives → dictionary grows to width 3; a's index is
+    // STABLE (river semantics: existing columns never move)
+    assert(got(3L) == "[0,0,1]", s"new category: ${got(3L)}")
+    assert(got(4L) == "[1,0,0]", s"stable index: ${got(4L)}")
+    // state table survives for the next stream incarnation
+    val dict = graft.streaming.GrowingOneHot.loadDict(spark, root)
+    assert(dict == Map("a" -> 0, "b" -> 1, "c" -> 2))
+  }
 }

@@ -13,10 +13,18 @@ object Bench {
     // warm-up: exercise scan + shuffle + codegen once on the smallest SF
     // so JIT/codegen startup isn't charged to whichever query runs first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // optional subset (comma-separated names) for scale-stress runs where
+    // the deliberate O(N²) correctness baselines (q22/q30/q44) would
+    // dominate; default = every query (the driver's surface)
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = subset
+      .map(s => SparkEntry.queries.filter { case (k, _) => s(k) })
+      .getOrElse(SparkEntry.queries)
     // a failed query records -1 — time-to-exception must never masquerade
     // as a (fast) success in the benchmark totals
     def timeAll(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }

@@ -40,7 +40,6 @@ object Dedup {
     * `source` plays that role for the oracle-checkable variant. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, threshold: Double): DataFrame = {
-    graft.functions.VectorExprs.register(df.sparkSession)
     // Two-phase pair generation: phase 1 joins only (group, id, size) —
     // a few ints per row — and applies the lossless size prefilter
     // (jaccard >= t implies min(|A|,|B|) >= t*max(|A|,|B|)), so the
@@ -48,18 +47,33 @@ object Dedup {
     // broadcast-joins the token arrays back for surviving pairs only and
     // verifies with a linear sorted-merge intersection
     // (SortedIntersectSize) — sort once per doc, not per pair.
-    val toks = df.select(col(idCol).as("id"),
-      array_sort(tokensOf(col(textCol))).as("toks"))
     val narrow = df.select(col(groupCol).as("g"), col(idCol).as("id"),
       size(tokensOf(col(textCol))).as("sz"))
+    verifyCandidates(df, sizeFilteredCandidates(narrow, threshold),
+      idCol, textCol, threshold)
+  }
+
+  /** Phase 1: bucket-local self-join of the narrow (g, id, sz) table with
+    * the lossless size prefilter. */
+  def sizeFilteredCandidates(narrow: DataFrame,
+      threshold: Double): DataFrame = {
     val aN = narrow.select(col("g"), col("id").as("id_a"),
       col("sz").as("sz_a"))
     val bN = narrow.select(col("g"), col("id").as("id_b"),
       col("sz").as("sz_b"))
-    val candidates = aN.join(bN, "g")
+    aN.join(bN, "g")
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("sz_a"), col("sz_b")) >=
         lit(threshold) * greatest(col("sz_a"), col("sz_b")))
+  }
+
+  /** Phase 2: join token arrays back for surviving candidates only and
+    * verify with the codegen sorted-merge intersection. */
+  private def verifyCandidates(df: DataFrame, candidates: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    graft.functions.VectorExprs.register(df.sparkSession)
+    val toks = df.select(col(idCol).as("id"),
+      array_sort(tokensOf(col(textCol))).as("toks"))
     val inter = graft.functions.VectorExprs
       .sortedIntersectSize(col("toks_a"), col("toks_b")).cast("double")
     // no broadcast hint: AQE broadcasts the token table when it is small
@@ -78,7 +92,43 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** [[jaccardPairs]] reading phase 1 from a PRE-BUCKETED narrow table:
+    * the 100 TB posture — a corpus pipeline maintains the (blocking-key,
+    * id, size) layout bucketed by the blocking key once (`bucketBy(g)` at
+    * ingest), and every dedup pass's dominant candidate self-join then
+    * reads co-located buckets with NO shuffle exchange on either side
+    * (asserted in BucketingSpec). `table` is the bucketed catalog table
+    * to (re)write; at scale it would already exist. */
+  def jaccardPairsBucketed(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, threshold: Double,
+      table: String = "graft_jaccard_narrow", buckets: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    df.select(col(groupCol).as("g"), col(idCol).as("id"),
+        size(tokensOf(col(textCol))).as("sz"))
+      .write.bucketBy(buckets, "g").sortBy("g")
+      .mode("overwrite").saveAsTable(table)
+    verifyCandidates(df,
+      sizeFilteredCandidates(spark.table(table), threshold),
+      idCol, textCol, threshold)
+  }
+
   // ---------------- MinHash + LSH ----------------
+
+  /** One representative (min id) per distinct content. Signature-based
+    * near-dup runs exact-dedup FIRST (standard pipeline order): identical
+    * texts share identical signatures, so an exact-dup group of size m
+    * lands whole in every band bucket and the bucket-local pair space
+    * grows with m² — measured 100× candidate blowup (q43: 1.2 s → 87 s)
+    * on a 10×-replicated stress corpus (BASELINE.md). Representatives
+    * collapse that to one row per content; exact-dup membership itself is
+    * [[exact]]'s output (q40) and the keeper closure is q57's components.
+    * On a corpus with no exact dups this is a no-op. */
+  private def representatives(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("_h"))
+      // texts in a group are identical (md5 key) — first() deterministic
+      .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
+      .drop("_h")
 
   /** K minhash values over token n-gram shingles; seeds are fixed so the
     * signature is a pure function of the text. */
@@ -144,9 +194,10 @@ object Dedup {
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 64, bands: Int = 16,
       shingle: Int = 3): DataFrame = {
-    val cands = minHashCandidates(df, idCol, textCol, k, bands)
+    val reps = representatives(df, idCol, textCol)
+    val cands = minHashCandidates(reps, idCol, textCol, k, bands)
     val sh = udf((t: String) => shingleSet(t, shingle))
-    val toks = df.select(col(idCol).as("id"), sh(col(textCol)).as("toks"))
+    val toks = reps.select(col(idCol).as("id"), sh(col(textCol)).as("toks"))
     cands
       .join(toks.withColumnRenamed("id", "id_a")
         .withColumnRenamed("toks", "toks_a"), "id_a")
@@ -185,8 +236,8 @@ object Dedup {
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val shUdf = udf((t: String) => simHash64(t))
-    val hashed = df.select(col(idCol).as("id"),
-      shUdf(col(textCol)).as("sh"))
+    val hashed = representatives(df, idCol, textCol)
+      .select(col(idCol).as("id"), shUdf(col(textCol)).as("sh"))
     val banded = hashed.select(col("id"), col("sh"), posexplode(array(
       (0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))

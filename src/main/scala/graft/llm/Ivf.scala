@@ -63,15 +63,21 @@ object Ivf {
     centroids
   }
 
-  /** Nearest-centroid assignment: one broadcast + argmin window. */
-  private def assign(pts: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id")).orderBy(col("d"), col("list_id"))
+  /** Nearest-centroid assignment: broadcast + `min_by` argmin. A hash
+    * aggregate with map-side partial combine — no per-id sort; the window
+    * row_number formulation paid a full sort inside every Lloyd iteration
+    * AND the final full-corpus assign. Ties break to the smaller list_id
+    * (struct ordering), matching the window orderBy it replaces. */
+  private def assign(pts: DataFrame, centroids: DataFrame): DataFrame =
     pts.crossJoin(broadcast(centroids))
       .withColumn("d", Distance.sqEuclidean(col("v"), col("c")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("id"))
+      // every row of an id-group carries the same v — first() is
+      // deterministic in value here
+      .agg(first(col("v")).as("v"),
+        min_by(col("list_id"), struct(col("d"), col("list_id")))
+          .as("list_id"))
       .select(col("id"), col("v"), col("list_id"))
-  }
 
   /** Build the index: rows tagged with their inverted-list id. */
   def buildIndex(df: DataFrame, idCol: String, vecCol: String,

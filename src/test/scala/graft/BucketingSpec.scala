@@ -48,4 +48,40 @@ class BucketingSpec extends AnyFunSuite {
       SparkSession.clearActiveSession()
     }
   }
+
+  test("bucketed jaccard candidate join: no exchange, same pairs") {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-bucketing")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.ui.enabled", "false")
+      .getOrCreate()
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force SMJ: at corpus scale neither side broadcasts, which is
+    // exactly when the bucket layout earns its keep
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sf = "/root/testdata/sf0.001"
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val bucketed = graft.llm.Dedup.jaccardPairsBucketed(
+        docs, "doc_id", "text", "source", 0.9)
+      // phase-1 candidate join over the bucketed narrow table must plan
+      // with no shuffle on either side
+      val candPlan = graft.llm.Dedup.sizeFilteredCandidates(
+          spark.table("graft_jaccard_narrow"), 0.9)
+        .queryExecution.executedPlan.toString
+      assert(!candPlan.contains("Exchange"),
+        s"bucketed candidate join still shuffles:\n$candPlan")
+      // and the full bucketed variant returns exactly jaccardPairs' rows
+      val plain = graft.llm.Dedup.jaccardPairs(
+          docs, "doc_id", "text", "source", 0.9)
+        .collect().map(_.toString).sorted
+      val got = bucketed.collect().map(_.toString).sorted
+      assert(got.sameElements(plain))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS graft_jaccard_narrow")
+      SparkSession.clearActiveSession()
+    }
+  }
 }

@@ -35,21 +35,19 @@ object Multimodal {
         col("source").as("origin")).as("meta"))
   }
 
-  /** The one stubbed "decode": 16-bin normalized byte histogram. Shared
-    * by the per-row and batched paths so the stub cannot diverge. */
-  private[llm] def byteHistogram(bytes: Array[Byte]): Array[Float] = {
-    val h = new Array[Float](16)
-    if (bytes != null && bytes.nonEmpty) {
-      bytes.foreach(b => h((b & 0xFF) >> 4) += 1f)
-      val n = bytes.length.toFloat
-      var i = 0
-      while (i < 16) { h(i) /= n; i += 1 }
-    }
+  /** The one stubbed "decode": 16-bin byte-count histogram (high nibble).
+    * Shared by the per-row and batched paths so the stub cannot diverge.
+    * Counts, not normalized ratios, deliberately: integer-exact, so the
+    * whole multimodal extract is DuckDB-oracle-checkable (q50) instead of
+    * trusting float formatting parity. */
+  private[llm] def byteHistogram(bytes: Array[Byte]): Array[Int] = {
+    val h = new Array[Int](16)
+    if (bytes != null) bytes.foreach(b => h((b & 0xFF) >> 4) += 1)
     h
   }
 
   /** STUB decode → byte histogram as the "feature vector". Real decoders
-    * plug in at this exact seam (binary in, float array out,
+    * plug in at this exact seam (binary in, fixed-width array out,
     * partition-local). */
   def extractFeatures(df: DataFrame, payloadCol: String = "payload",
       out: String = "features"): DataFrame = {

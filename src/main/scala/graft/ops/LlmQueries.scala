@@ -344,10 +344,11 @@ object LlmQueries {
       |    AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** q50 — multimodal feature extraction (rows-only; decode STUBBED —
-    * byte histogram stands in for a codec, plumbing is real). The feature
-    * vector is serialized with to_json — raw array columns crash the
-    * driver's pandas row-sort. */
+  /** q50 — multimodal feature extraction (decode STUBBED — a byte-count
+    * histogram stands in for a codec, the plumbing is real). Fully
+    * oracle-checked: the payload is utf-8 of ASCII fixture text, so DuckDB
+    * reproduces the per-nibble byte counts, the typed metadata struct, and
+    * the JSON-serialized feature vector exactly. */
   def q50MediaFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Multimodal.extractFeatures(Multimodal.mediaTable(s, d))
@@ -355,6 +356,17 @@ object LlmQueries {
         $"meta.n_bytes".as("n_bytes"), to_json($"features").as("features_json"))
       .orderBy($"media_id")
   }
+  val q50Sql: String =
+    """WITH m AS (SELECT doc_id AS media_id,
+      |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+      |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    octet_length(encode(text)) AS n_bytes, text
+      |  FROM documents)
+      |SELECT media_id, kind, n_bytes,
+      |  CAST(to_json(list_transform(range(0, 16), b ->
+      |    len(list_filter(regexp_split_to_array(text, ''),
+      |      ch -> unicode(ch) // 16 = b)))) AS VARCHAR) AS features_json
+      |FROM m ORDER BY media_id""".stripMargin
 
   /** q51 — frame sampling over binary payloads. Oracle-checked: the
     * payload is the utf-8 encoding of `text`, and the fixture text is
@@ -406,6 +418,7 @@ object LlmQueries {
     "q47_lang_id" -> q47Sql,
     "q48_quality_score" -> q48Sql,
     "q49_fingerprint" -> q49Sql,
+    "q50_media_features" -> q50Sql,
     "q51_frame_sample" -> q51Sql,
     "q56_neardup_lsh" -> q56Sql,
     "q57_dedup_components" -> q57Sql)

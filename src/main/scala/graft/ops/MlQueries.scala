@@ -292,6 +292,20 @@ object MlQueries {
       |  AS silhouette_simplified
       |FROM own JOIN oth USING (id)""".stripMargin
 
+  /** q39 — 2-D visualization projection feed (reference J9,
+    * visualise_results.py:46-63): deterministic top-2 PCA stands in for
+    * t-SNE (an iterative stochastic fit — viz-only, out of scope).
+    * Rows-only: eigendecomposition is not oracle-expressible; axis
+    * recovery on known structure is ScalaTest-gated (MlSpec). */
+  def q39PcaProjection(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ml.Projection.pca2d(embeddings(s, d), "vec_id", "embedding",
+        "label")
+      .select($"id", round($"pc1", 4).as("pc1"),
+        round($"pc2", 4).as("pc2"), $"label")
+      .orderBy($"id")
+  }
+
   /** q31 — hashing-embedder output (reference J1; rows-only: the murmur
     * hash is not expressible in the oracle; determinism golden-tested).
     * The vector is serialized with to_json — raw array columns crash the
@@ -406,7 +420,8 @@ object MlQueries {
     "q35_approx_aggs" -> (q35ApproxAggs _),
     "q36_semantic_sharded" -> (q36SemanticSharded _),
     "q37_anomaly_iforest" -> (q37AnomalyIForest _),
-    "q38_silhouette_simplified" -> (q38SilhouetteSimplified _))
+    "q38_silhouette_simplified" -> (q38SilhouetteSimplified _),
+    "q39_pca_projection" -> (q39PcaProjection _))
 
   val oracleSql: Map[String, String] = Map(
     "q21_minkowski" -> q21Sql,

@@ -102,15 +102,16 @@ class LlmSpec extends AnyFunSuite {
     assert(overlap > 0.3, s"overlap $overlap")
   }
 
-  test("media pipeline: features are normalized histograms; frames cover payload") {
+  test("media pipeline: features are byte-count histograms; frames cover payload") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, sf)
     val feats = Multimodal.extractFeatures(media)
-      .select($"features").limit(5).collect()
+      .select($"features", $"meta.n_bytes").limit(5).collect()
     feats.foreach { r =>
-      val h = r.getSeq[Float](0)
+      val h = r.getSeq[Int](0)
       assert(h.length == 16)
-      assert(math.abs(h.sum - 1.0) < 1e-3)
+      // counts partition the payload bytes exactly
+      assert(h.sum == r.getInt(1))
     }
     val frames = Multimodal.frameSample(media.limit(10), 4)
     assert(frames.count() == 40)
@@ -153,9 +154,9 @@ class LlmSpec extends AnyFunSuite {
     val media = Multimodal.mediaTable(spark, sf).limit(50)
     val perRow = Multimodal.extractFeatures(media)
       .select($"media_id", $"features").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     val batched = Multimodal.extractFeaturesBatched(media)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(batched == perRow)
   }
 

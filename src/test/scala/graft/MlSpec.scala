@@ -128,6 +128,30 @@ class MlSpec extends AnyFunSuite {
       s"simplified $simp vs exact $exact diverge")
   }
 
+  test("pca projection recovers the dominant variance axis") {
+    import spark.implicits._
+    // variance lives along (1, 2, 0, 0)/√5; tiny orthogonal jitter
+    val pts = (0 until 100).map { i =>
+      val t = i - 49.5
+      (i.toLong, Seq(t, 2 * t, (i % 3) * 0.01, (i % 5) * 0.01), 0L)
+    }.toDF("vec_id", "embedding", "label")
+    val proj = Projection.pca2d(pts, "vec_id", "embedding", "label")
+      .orderBy("id").collect()
+    val pc1 = proj.map(_.getDouble(1))
+    val ts = (0 until 100).map(i => i - 49.5)
+    // perfect alignment → |corr(pc1, t)| ≈ 1
+    val n = pc1.length
+    val (mx, my) = (pc1.sum / n, ts.sum / n)
+    val corr = pc1.zip(ts).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      math.sqrt(pc1.map(x => (x - mx) * (x - mx)).sum *
+        ts.map(y => (y - my) * (y - my)).sum)
+    assert(math.abs(corr) > 0.999, s"pc1 misaligned: corr $corr")
+    // determinism (fixed start vector, sign-fixed eigenvectors)
+    val again = Projection.pca2d(pts, "vec_id", "embedding", "label")
+      .orderBy("id").collect().map(_.getDouble(1))
+    assert(again.sameElements(pc1))
+  }
+
   test("isolation forest: outlier scores above inliers, threshold flags it") {
     val inliers = (1 to 100).map(i =>
       Array(10.0 + (i % 5) * 0.1, (i % 3) * 0.1)).toArray

@@ -18,6 +18,13 @@ object Bench {
     // dominate; default = every query (the driver's surface)
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
+    // a typo'd name would silently shrink (or empty) the run and its
+    // total would masquerade as a fast pass — fail loudly instead
+    subset.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_QUERIES names unknown queries: ${unknown.mkString(",")}")
+    }
     val selected = subset
       .map(s => SparkEntry.queries.filter { case (k, _) => s(k) })
       .getOrElse(SparkEntry.queries)

@@ -35,9 +35,12 @@ object IsolationForest {
   private val EulerGamma = 0.5772156649015329
 
   /** Average unsuccessful-search path length in a BST of n nodes —
-    * the normalizer c(n) from the paper. */
+    * the normalizer c(n) from the paper. n=2 is exact (H(1)=1, so
+    * c(2)=1): the ln+γ approximation would give 0.154 and systematically
+    * inflate scores of points in size-2 leaves. */
   def avgPathLength(n: Int): Double =
     if (n <= 1) 0.0
+    else if (n == 2) 1.0
     else 2.0 * (math.log(n - 1.0) + EulerGamma) - 2.0 * (n - 1.0) / n
 
   private def build(data: Array[Array[Double]], idx: Array[Int],
@@ -100,11 +103,17 @@ object IsolationForest {
         else pathLength(r, x, depth + 1)
     }
 
-  /** Anomaly score in (0, 1]: higher = more anomalous (paper eq. 2). */
+  /** Anomaly score in (0, 1]: higher = more anomalous (paper eq. 2).
+    * A degenerate model (psi=1 → c(psi)=0) has no isolation information;
+    * every point gets the paper's "indistinct" score 0.5 instead of NaN. */
   def score(m: Model, x: Array[Double]): Double = {
-    var sum = 0.0
-    m.trees.foreach(t => sum += pathLength(t, x, 0))
-    math.pow(2.0, -(sum / m.trees.size) / avgPathLength(m.psi))
+    val denom = avgPathLength(m.psi)
+    if (denom <= 0.0) 0.5
+    else {
+      var sum = 0.0
+      m.trees.foreach(t => sum += pathLength(t, x, 0))
+      math.pow(2.0, -(sum / m.trees.size) / denom)
+    }
   }
 
   /** sklearn-style predict: true = anomalous (score above the

@@ -18,14 +18,32 @@ import org.apache.spark.sql.functions._
 object Projection {
 
   /** Top-`k` eigenvectors of a symmetric d×d matrix via deterministic
-    * power iteration + deflation (fixed start vector, no RNG). */
+    * power iteration + deflation. The start vector is seeded-pseudo-random
+    * (NOT the uniform vector: for an equicorrelated covariance aI + bJ
+    * the uniform vector is itself an exact eigenvector, and when it is a
+    * NON-dominant one the iteration would never rotate off it); each
+    * iterate is also re-orthogonalized against the eigenvectors already
+    * found so deflation round-off cannot leak them back in. */
   private[ml] def topEigenvectors(cov: Array[Array[Double]], k: Int,
       iters: Int = 200): Seq[Array[Double]] = {
     val d = cov.length
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     val work = cov.map(_.clone())
+    val rnd = new scala.util.Random(42L)
+    def orthonormalize(x: Array[Double]): Array[Double] = {
+      val y = x.clone()
+      out.foreach { u =>
+        var dot = 0.0
+        var i = 0
+        while (i < d) { dot += y(i) * u(i); i += 1 }
+        i = 0
+        while (i < d) { y(i) -= dot * u(i); i += 1 }
+      }
+      val n = math.sqrt(y.map(c => c * c).sum)
+      if (n > 1e-12) y.map(_ / n) else y
+    }
     (0 until k).foreach { _ =>
-      var v = Array.tabulate(d)(i => 1.0 / math.sqrt(d.toDouble))
+      var v = orthonormalize(Array.fill(d)(rnd.nextDouble() - 0.5))
       var it = 0
       while (it < iters) {
         val nv = Array.tabulate(d)(i => {
@@ -34,8 +52,7 @@ object Projection {
           while (j < d) { s += work(i)(j) * v(j); j += 1 }
           s
         })
-        val n = math.sqrt(nv.map(x => x * x).sum)
-        v = if (n > 1e-12) nv.map(_ / n) else nv
+        v = orthonormalize(nv)
         it += 1
       }
       // fix sign for determinism: first nonzero component positive
@@ -70,16 +87,21 @@ object Projection {
     val spark = df.sparkSession
     val pts = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"), col(labelCol))
-    val dims = pts.select(col("id"), posexplode(col("v")))
-    // one d-sized and one d²-sized aggregate — constant-size results
-    val means = dims.groupBy("pos").agg(avg("col").as("m"))
+    // one d-sized and one d²-sized aggregate — constant-size results.
+    // The second moments expand each row's outer product IN-ROW (nested
+    // transform + flatten + posexplode): no self-join, and the d²-group
+    // aggregate combines map-side, so the only shuffle is d² rows per
+    // partition — the Gramian pattern that survives 100 TB.
+    val means = pts.select(posexplode(col("v")))
+      .groupBy("pos").agg(avg("col").as("m"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val moments = dims.select(col("id"), col("pos").as("i"),
-        col("col").as("xi"))
-      .join(dims.select(col("id"), col("pos").as("j"), col("col").as("xj")),
-        "id")
-      .groupBy("i", "j")
-      .agg(avg(col("xi") * col("xj")).as("e_ij"))
+    val moments = pts
+      .select(explode(flatten(expr(
+        """transform(v, (x, i) ->
+          |  transform(v, (y, j) -> struct(i AS i, j AS j, x * y AS p)))"""
+          .stripMargin))).as("o"))
+      .groupBy(col("o.i").as("i"), col("o.j").as("j"))
+      .agg(avg(col("o.p")).as("e_ij"))
       .collect()
     val d = means.size
     val cov = Array.ofDim[Double](d, d)

@@ -88,6 +88,12 @@ object VolumeAnomaly {
     val collected = feats.select(
       col("log_count").cast("double"), col("velocity").cast("double"),
       col("roll_mean"), col("z_dev")).collect()
+    // empty input → empty ranking, matching rankAnomalies (fit would throw)
+    if (collected.isEmpty)
+      return feats
+        .withColumn("score", lit(0.0)).withColumn("score_z", lit(0.0))
+        .select("cluster_id", "batch_ts", "log_count", "score", "score_z")
+        .limit(0)
     // the reference trains on the latest-batch per-cluster matrix — tiny.
     // Fail loudly if a caller hands this a row-scale frame: the fit is
     // driver-side by design and must never see table-sized input.

@@ -16,14 +16,17 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
-      salts: Int): DataFrame = {
-    // deterministic salt (no RNG, so plans replay identically) from the
-    // key plus ONE cheap disambiguating column — hashing every column
-    // would pay per-row width for no extra spread; the non-key column is
-    // what spreads a hot key's rows across salt partitions
-    val saltCols = key +: left.columns.filter(_ != key).take(1)
+      salts: Int, saltCols: Seq[String] = Nil): DataFrame = {
+    // deterministic salt (no RNG, so plans replay identically). Default:
+    // hash ALL left columns — guaranteed to spread a hot key whenever any
+    // attribute differs. Pass `saltCols` (cheap columns that VARY within
+    // a hot key) to avoid hashing wide rows; hashing only the key would
+    // be self-defeating (one salt per key = no spread), and a non-key
+    // column that is constant per key silently degrades the same way.
+    val cols =
+      if (saltCols.nonEmpty) key +: saltCols else left.columns.toSeq
     val salted = left.withColumn("_salt",
-      pmod(hash(saltCols.map(col): _*), lit(salts)))
+      pmod(hash(cols.map(col): _*), lit(salts)))
     val exploded = right.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     salted.join(exploded, Seq(key, "_salt")).drop("_salt")

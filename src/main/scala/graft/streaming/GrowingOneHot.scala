@@ -74,19 +74,27 @@ object GrowingOneHot {
           .otherwise(0)))
   }
 
-  /** Stream runner: per micro-batch, grow the dictionary then append the
+  /** Stream runner: per micro-batch, grow the dictionary then write the
     * encoded rows (onehot serialized as JSON so sinks/oracles can compare
-    * it without array-typed columns). */
+    * it without array-typed columns). Each batch writes to its own
+    * `batch=<id>` partition with overwrite, so a replayed micro-batch
+    * rewrites — not duplicates — its output (same idempotence class as
+    * the dictionary's blue/green publish). With an all-null or empty
+    * first batch the dictionary can still be empty — those rows are
+    * emitted with a zero-width "[]" vector rather than silently dropped
+    * (river: no categories seen yet means no columns). */
   def run(source: DataFrame, catCol: String, stateRoot: String,
       outPath: String): StreamingQuery =
     source.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val dict = updateDict(batch, catCol, stateRoot)
-        if (dict.nonEmpty)
-          encode(batch, catCol, dict)
-            .withColumn("onehot", to_json(col("onehot")))
-            .write.mode("append").parquet(outPath)
+        val encoded =
+          if (dict.nonEmpty)
+            encode(batch, catCol, dict)
+              .withColumn("onehot", to_json(col("onehot")))
+          else batch.withColumn("onehot", lit("[]"))
+        encoded.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         ()
       }
       .start()

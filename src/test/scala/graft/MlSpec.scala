@@ -152,6 +152,40 @@ class MlSpec extends AnyFunSuite {
     assert(again.sameElements(pc1))
   }
 
+  test("pca handles an anti-correlated (equicorrelated-covariance) axis") {
+    import spark.implicits._
+    // variance along (1,-1)/√2: the uniform start vector is an exact
+    // NON-dominant eigenvector of this covariance — a fixed uniform
+    // start would never rotate onto the true axis
+    val pts = (0 until 100).map { i =>
+      val t = i - 49.5
+      (i.toLong, Seq(t, -t), 0L)
+    }.toDF("vec_id", "embedding", "label")
+    val pc1 = Projection.pca2d(pts, "vec_id", "embedding", "label")
+      .orderBy("id").collect().map(_.getDouble(1))
+    val ts = (0 until 100).map(i => (i - 49.5).toDouble)
+    val n = pc1.length
+    val (mx, my) = (pc1.sum / n, ts.sum / n)
+    val corr = pc1.zip(ts).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      math.sqrt(pc1.map(x => (x - mx) * (x - mx)).sum *
+        ts.map(y => (y - my) * (y - my)).sum)
+    assert(math.abs(corr) > 0.999, s"pc1 missed the diagonal axis: $corr")
+  }
+
+  test("isolation forest edge cases: exact c(2), degenerate fits") {
+    import spark.implicits._
+    // c(2) is exact (H(1)=1): the ln+γ approximation would give 0.154
+    assert(IsolationForest.avgPathLength(2) == 1.0)
+    // single-row fit: no isolation information → indistinct 0.5, not NaN
+    val m1 = IsolationForest.fit(Array(Array(1.0, 2.0)))
+    assert(IsolationForest.score(m1, Array(1.0, 2.0)) == 0.5)
+    // empty feature frame → empty ranking (same contract as rankAnomalies)
+    val empty = Seq.empty[(Long, Long, Long)]
+      .toDF("cluster_id", "batch_ts", "log_count")
+    val feats = VolumeAnomaly.features(empty)
+    assert(VolumeAnomaly.rankAnomaliesIF(feats).isEmpty)
+  }
+
   test("isolation forest: outlier scores above inliers, threshold flags it") {
     val inliers = (1 to 100).map(i =>
       Array(10.0 + (i % 5) * 0.1, (i % 3) * 0.1)).toArray

@@ -125,4 +125,27 @@ class StreamingSpec extends AnyFunSuite {
     val dict = graft.streaming.GrowingOneHot.loadDict(spark, root)
     assert(dict == Map("a" -> 0, "b" -> 1, "c" -> 2))
   }
+
+  test("growing one-hot keeps rows from a batch with no known categories") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-onehot-null").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-onehot-nullout").toString + "/enc"
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.GrowingOneHot.run(
+      input.toDS().toDF("id", "cat"), "cat", root, out)
+    // all-null first batch: dictionary stays empty, rows must still land
+    // in the sink (zero-width vector), not silently vanish
+    input.addData((1L, null: String), (2L, null: String))
+    q.processAllAvailable()
+    input.addData((3L, "a"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out)
+      .select($"id", $"onehot").as[(Long, String)].collect().toMap
+    assert(got(1L) == "[]" && got(2L) == "[]")
+    assert(got(3L) == "[1]")
+  }
 }

@@ -72,4 +72,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scan.contains("PushedFilters") &&
       scan.contains("LessThanOrEqual"), scan)
   }
+
+  test("categorical filters reach the parquet scan in shipped queries") {
+    // q77's event_type equality filters must appear as pushed predicates
+    // on the events scan, not as post-scan Filter-only evaluation
+    val plan = SparkEntry.queries("q77_set_ops2")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(event_type"),
+      s"event_type filter not pushed:\n$plan")
+  }
+
+  test("scans prune to the projected columns in shipped queries") {
+    // q46 consumes only doc_id/text/n_chars — the documents scan must not
+    // read lang or source
+    val plan = SparkEntry.queries("q46_text_stats")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("doc_id"), s"no ReadSchema line:\n$plan")
+    assert(!scanLine.contains("lang") && !scanLine.contains("source"),
+      s"documents scan reads unprojected columns: $scanLine")
+  }
 }

@@ -96,18 +96,16 @@ object Projection {
       .groupBy("pos").agg(avg("col").as("m"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val moments = pts
-      .select(explode(flatten(expr(
-        """transform(v, (x, i) ->
-          |  transform(v, (y, j) -> struct(i AS i, j AS j, x * y AS p)))"""
-          .stripMargin))).as("o"))
-      .groupBy(col("o.i").as("i"), col("o.j").as("j"))
-      .agg(avg(col("o.p")).as("e_ij"))
+      .select(posexplode(expr(
+        "flatten(transform(v, x -> transform(v, y -> x * y)))")))
+      .groupBy("pos").agg(avg("col").as("e"))
       .collect()
     val d = means.size
     val cov = Array.ofDim[Double](d, d)
     moments.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      cov(i)(j) = r.getDouble(2) - means(i) * means(j)
+      val p = r.getInt(0)
+      val (i, j) = (p / d, p % d)
+      cov(i)(j) = r.getDouble(1) - means(i) * means(j)
     }
     val Seq(p1, p2) = topEigenvectors(cov, 2)
     val mu = Array.tabulate(d)(means(_))

@@ -208,6 +208,55 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Oracle-expressible MinHash-LSH near-dup (q52): the same banded-LSH
+    * shape as [[minHashNearDups]], but with every hash derivable in SQL —
+    * shingle base = first 60 bits of md5, then k=16 universal hashes
+    * h_i = (a_i·base + b_i) mod (2⁶¹−1) in exact integer arithmetic,
+    * per-doc minima, 4 bands of 4 bucketed by md5 of the band minima.
+    * [[minHashNearDups]] keeps murmur hashing (one cheap hash per
+    * shingle-slot vs an md5) as the throughput path; this variant trades
+    * hash cost for END-TO-END DuckDB verifiability of the banding
+    * machinery itself. Same two-phase plan: narrow bucket self-join for
+    * candidates, shingle arrays joined back only for survivors. */
+  def minHashNearDupsSql(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val P = "2305843009213693951" // 2^61 - 1
+    val sh = udf((t: String) => shingleSet(t, 3))
+    val docs = df.select(col(idCol).as("id"), sh(col(textCol)).as("shs"))
+      .localCheckpoint() // shingles used twice (hashing + verify)
+    val base = docs.select(col("id"), explode(col("shs")).as("sh"))
+      .withColumn("b",
+        conv(substring(md5(col("sh")), 1, 15), 16, 10)
+          .cast(DecimalType(38, 0)))
+    // 16 parallel min-aggregates over per-shingle hash values: one
+    // map-side-combining groupBy of the shingle rows, no k-way explode
+    // (exploding would shuffle k× the rows for the same minima)
+    val withH = base.select(col("id") +: (0 until 16).map(i =>
+      (col("b") * lit(2 * i + 1) + lit(7919 * i + 13))
+        .mod(expr(s"CAST($P AS DECIMAL(38,0))"))
+        .cast("long").as(s"h$i")): _*)
+    val sig = withH.groupBy(col("id"))
+      .agg(min(col("h0")).as("m0"),
+        (1 until 16).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+    val buckets = sig.select(col("id"), posexplode(array(
+      (0 until 4).map(b => md5(concat_ws(",",
+        (0 until 4).map(j => col(s"m${4 * b + j}").cast("string")): _*))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkt")
+    val cands = buckets.select(col("band"), col("bkt"), col("id").as("id_a"))
+      .join(buckets.select(col("band"), col("bkt"), col("id").as("id_b")),
+        Seq("band", "bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(docs.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
+      .withColumn("jaccard", tokenJaccard(col("shs_a"), col("shs_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   // ---------------- SimHash ----------------
 
   /** 64-bit SimHash (Charikar 2002) over tokens: majority vote of signed
@@ -273,10 +322,23 @@ object Dedup {
     * tests pin it (ScaleOpsSpec). */
   def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 50,
       allIds: Option[DataFrame] = None): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint()
+    // the loop's frames are narrow (two longs per row) and their size is
+    // now KNOWN (edges just materialized) — size the per-round shuffles
+    // from it instead of inheriting the session-wide partition count.
+    // Each round is several stages; at test scale 32-partition rounds are
+    // pure scheduling overhead, at corpus scale ~500k edges/partition
+    // (~8 MB) keeps rounds in memory. Restored after the loop.
+    val edgeCount = edges.count()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val roundParts = math.max(1L, math.min(prevParts.toLong * 4,
+      edgeCount / 500000L + 1)).toString
+    spark.conf.set("spark.sql.shuffle.partitions", roundParts)
+    try {
     val paired = edges.select(col("src").as("id")).distinct()
     // with allIds the output is a TOTAL keeper assignment: unpaired docs
     // label themselves (they are their own canonical keeper)
@@ -315,7 +377,11 @@ object Dedup {
     require(!changed,
       s"connectedComponents did not converge after $maxIter rounds " +
         "(labels still moving) — raise maxIter")
-    (labels.select(col("id"), col("label").as("keep_id")), i)
+    // materialize the final labels BEFORE restoring the partition conf so
+    // the caller's lazy plan doesn't re-run rounds at session granularity
+    (labels.select(col("id"), col("label").as("keep_id")).localCheckpoint(),
+      i)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   // ---------------- Embedding near-dup ----------------

@@ -85,6 +85,52 @@ object LlmQueries {
       .orderBy($"qid", $"rn")
   }
 
+  /** q52 — MinHash-LSH near-dup with every hash SQL-derivable
+    * ([[Dedup.minHashNearDupsSql]]): the banding machinery itself —
+    * signature minima, band buckets, candidate generation, verification —
+    * is hash-checked end to end in DuckDB. q42 keeps the murmur variant
+    * as the cheap-hash throughput path. */
+  def q52MinHashSqlNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.minHashNearDupsSql(documents(s, d), "doc_id", "text", 0.3)
+      .orderBy($"id_a", $"id_b")
+  }
+  val q52Sql: String =
+    """WITH docs AS (SELECT doc_id AS id,
+      |    list_distinct(CASE WHEN len(toks) < 3
+      |      THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(range(1, len(toks) - 1), i ->
+      |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shs
+      |  FROM (SELECT doc_id,
+      |      list_filter(string_split_regex(lower(text), '\s+'),
+      |        x -> x != '') AS toks
+      |    FROM documents)),
+      |base AS (SELECT id, t.sh AS sh,
+      |    CAST(('0x' || substr(md5(t.sh), 1, 15)) AS BIGINT) AS b
+      |  FROM docs, unnest(shs) AS t(sh)),
+      |h AS (SELECT id, t.i AS i,
+      |    CAST((CAST(b AS HUGEINT) * (2*t.i + 1) + (7919*t.i + 13))
+      |      % 2305843009213693951 AS BIGINT) AS hv
+      |  FROM base, unnest(range(0, 16)) AS t(i)),
+      |sig AS (SELECT id, i, MIN(hv) AS m FROM h GROUP BY id, i),
+      |bucket AS (SELECT id, CAST(i // 4 AS INTEGER) AS band,
+      |    md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bkt
+      |  FROM sig GROUP BY id, i // 4),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM bucket a JOIN bucket b
+      |    ON a.band = b.band AND a.bkt = b.bkt AND a.id < b.id)
+      |SELECT c.id_a, c.id_b,
+      |  ROUND(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /
+      |    CAST(len(list_distinct(list_concat(x.shs, y.shs))) AS DOUBLE), 6)
+      |    AS jaccard
+      |FROM cand c
+      |JOIN docs x ON c.id_a = x.id
+      |JOIN docs y ON c.id_b = y.id
+      |WHERE CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /
+      |      CAST(len(list_distinct(list_concat(x.shs, y.shs))) AS DOUBLE)
+      |      >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** q55 — IVF approximate kNN (rows-only; recall gate in ScalaTest):
     * the k-means-partitioned scale path next to q45's LSH. */
   def q55KnnIvf(s: SparkSession, d: String): DataFrame = {
@@ -398,6 +444,7 @@ object LlmQueries {
     "q43_simhash" -> (q43SimHash _),
     "q44_embedding_neardup" -> (q44EmbeddingNearDup _),
     "q45_knn_lsh" -> (q45KnnLsh _),
+    "q52_minhash_sql" -> (q52MinHashSqlNearDup _),
     "q55_knn_ivf" -> (q55KnnIvf _),
     "q56_neardup_lsh" -> (q56EmbeddingNearDupLsh _),
     "q57_dedup_components" -> (q57DedupComponents _),
@@ -419,6 +466,7 @@ object LlmQueries {
     "q48_quality_score" -> q48Sql,
     "q49_fingerprint" -> q49Sql,
     "q50_media_features" -> q50Sql,
+    "q52_minhash_sql" -> q52Sql,
     "q51_frame_sample" -> q51Sql,
     "q56_neardup_lsh" -> q56Sql,
     "q57_dedup_components" -> q57Sql)

@@ -304,6 +304,56 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Oracle-expressible SimHash near-dup (q53): same majority-vote-of-bits
+    * construction as [[simHashNearDups]], but the per-token 64 bits come
+    * from md5 (60 from the first 15 hex chars, 4 from the next) instead of
+    * murmur, and the fingerprint is kept as four 16-bit band values — so
+    * signature, banding, candidate generation and hamming verification
+    * are all reproducible in DuckDB. The murmur variant stays the
+    * throughput path (one cheap hash vs an md5 per token). */
+  def simHashNearDupsSql(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 16): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("b1",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      .withColumn("b2",
+        conv(substring(md5(col("tok")), 16, 15), 16, 10).cast("long"))
+    def bit(i: Int): Column =
+      if (i < 60) shiftright(col("b1"), i).bitwiseAND(lit(1L))
+      else shiftright(col("b2"), i - 60).bitwiseAND(lit(1L))
+    // 64 vote aggregates in one map-side-combining pass
+    val votes = toks.groupBy(col("id"))
+      .agg(sum(when(bit(0) === 1, 1).otherwise(-1)).as("v0"),
+        (1 until 64).map(i =>
+          sum(when(bit(i) === 1, 1).otherwise(-1)).as(s"v$i")): _*)
+    val sig = votes.select(col("id") +: (0 until 4).map(b =>
+      (0 until 16).map(j =>
+        when(col(s"v${16 * b + j}") > 0, lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _).as(s"band$b")): _*)
+    val banded = sig.select(col("id"), col("band0"), col("band1"),
+      col("band2"), col("band3"),
+      posexplode(array(col("band0"), col("band1"), col("band2"),
+        col("band3"))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkt")
+    val l = banded.select(col("band"), col("bkt"), col("id").as("id_a"),
+      col("band0").as("a0"), col("band1").as("a1"), col("band2").as("a2"),
+      col("band3").as("a3"))
+    val r = banded.select(col("band"), col("bkt"), col("id").as("id_b"),
+      col("band0").as("b0"), col("band1").as("b1"), col("band2").as("b2"),
+      col("band3").as("b3"))
+    l.join(r, Seq("band", "bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        ((0 until 4).map(b =>
+          bit_count(col(s"a$b").bitwiseXOR(col(s"b$b"))))
+          .reduce(_ + _)).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ---------------- Connected components / canonical keeper ----------
 
   /** Connected components over a near-dup pair graph via min-label

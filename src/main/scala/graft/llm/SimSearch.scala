@@ -87,6 +87,44 @@ object SimSearch {
       .filter(col("rn") <= k)
   }
 
+  /** Oracle-expressible multi-table LSH top-k (q54): 8 tables, table t's
+    * 4-bit bucket = signs of coordinates 4t..4t+3 — axis-aligned
+    * hyperplanes, the SQL-derivable member of the same Charikar family as
+    * [[knnLsh]]'s murmur hyperplanes. Identical two-phase plan: a
+    * candidate meets a query in ANY table, pair ids dedup BEFORE the
+    * cosine joins back. */
+  def knnLshSql(queries: DataFrame, candidates: DataFrame, qId: String,
+      cId: String, vecCol: String, k: Int, tables: Int = 8): DataFrame = {
+    graft.functions.VectorExprs.register(queries.sparkSession)
+    def buckets(vf: org.apache.spark.sql.Column) =
+      array((0 until tables).map(t =>
+        (0 until 4).map(i =>
+          when(element_at(vf, 4 * t + i + 1) > lit(0f), lit(1 << i))
+            .otherwise(lit(0)))
+          .reduce(_ + _) + lit(t << 4)): _*)
+    val qB = queries
+      .select(col(qId).as("qid"),
+        explode(buckets(col(vecCol).cast("array<float>"))).as("bucket"))
+    val cB = candidates
+      .select(col(cId).as("cid"),
+        explode(buckets(col(vecCol).cast("array<float>"))).as("bucket"))
+    val pairIds = cB.join(qB, "bucket")
+      .filter(col("cid") =!= col("qid"))
+      .select("qid", "cid")
+      .distinct()
+    val qv = queries.select(col(qId).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val cv = candidates.select(col(cId).as("cid"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("cid"))
+    pairIds.join(qv, "qid").join(cv, "cid")
+      .withColumn("cos_sim", round(Distance.cosine(col("cv"), col("qv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("cos_sim"), col("rn"))
+  }
+
   /** Multi-table LSH approximate top-k. Both sides hash once per table;
     * the candidate set is the union over tables of same-bucket pairs.
     * Pair ids are deduplicated BEFORE vectors join back, so a pair that

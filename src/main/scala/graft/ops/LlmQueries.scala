@@ -131,6 +131,88 @@ object LlmQueries {
       |      >= 0.3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q53 — SimHash near-dup with md5-derived bit votes
+    * ([[Dedup.simHashNearDupsSql]]): fingerprint, banding and hamming
+    * verification DuckDB-checked end to end; q43 keeps the murmur
+    * throughput variant. */
+  def q53SimHashSql(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.simHashNearDupsSql(documents(s, d), "doc_id", "text",
+        maxHamming = 16)
+      .orderBy($"hamming", $"id_a", $"id_b")
+  }
+  val q53Sql: String =
+    """WITH toks AS (SELECT doc_id AS id, t.tok AS tok,
+      |    CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS b1,
+      |    CAST(('0x' || substr(md5(t.tok), 16, 15)) AS BIGINT) AS b2
+      |  FROM documents,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x != '')) AS t(tok)),
+      |votes AS (SELECT id, u.i AS i,
+      |    SUM(CASE WHEN (CASE WHEN u.i < 60 THEN (b1 >> u.i) & 1
+      |                        ELSE (b2 >> (u.i - 60)) & 1 END) = 1
+      |        THEN 1 ELSE -1 END) AS v
+      |  FROM toks, unnest(range(0, 64)) AS u(i)
+      |  GROUP BY id, u.i),
+      |sig AS (SELECT id, CAST(i // 16 AS INTEGER) AS band,
+      |    CAST(SUM(CASE WHEN v > 0
+      |      THEN CAST(1 AS BIGINT) << CAST(i % 16 AS INTEGER)
+      |      ELSE 0 END) AS BIGINT) AS bval
+      |  FROM votes GROUP BY id, i // 16),
+      |wide AS (SELECT id,
+      |    MAX(CASE WHEN band = 0 THEN bval END) AS band0,
+      |    MAX(CASE WHEN band = 1 THEN bval END) AS band1,
+      |    MAX(CASE WHEN band = 2 THEN bval END) AS band2,
+      |    MAX(CASE WHEN band = 3 THEN bval END) AS band3
+      |  FROM sig GROUP BY id),
+      |banded AS (SELECT id, band0, band1, band2, band3, t.band AS band,
+      |    CASE t.band WHEN 0 THEN band0 WHEN 1 THEN band1
+      |      WHEN 2 THEN band2 ELSE band3 END AS bkt
+      |  FROM wide, unnest(range(0, 4)) AS t(band)),
+      |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+      |    bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
+      |    + bit_count(xor(a.band2, b.band2))
+      |    + bit_count(xor(a.band3, b.band3)) AS hamming
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bkt = b.bkt AND a.id < b.id)
+      |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM pairs
+      |WHERE hamming <= 16
+      |ORDER BY hamming, id_a, id_b""".stripMargin
+
+  /** q54 — multi-table LSH kNN with sign-hyperplane tables
+    * ([[SimSearch.knnLshSql]]): the whole approximate-kNN pipeline —
+    * per-table buckets, any-table candidate union, pair dedup, exact
+    * rerank — DuckDB-checked; q45 keeps the murmur-hyperplane variant. */
+  def q54KnnLshSql(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    SimSearch.knnLshSql(e.filter($"vec_id" < 10), e, "vec_id", "vec_id",
+        "embedding", k = 5)
+      .orderBy($"qid", $"rn")
+  }
+  val q54Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    embedding AS f FROM embeddings),
+      |bk AS (SELECT vec_id, t.t AS tb,
+      |    (CASE WHEN f[4*t.t+1] > 0 THEN 1 ELSE 0 END
+      |     + CASE WHEN f[4*t.t+2] > 0 THEN 2 ELSE 0 END
+      |     + CASE WHEN f[4*t.t+3] > 0 THEN 4 ELSE 0 END
+      |     + CASE WHEN f[4*t.t+4] > 0 THEN 8 ELSE 0 END) AS bkt
+      |  FROM e, unnest(range(0, 8)) AS t(t)),
+      |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+      |  FROM bk q JOIN bk c ON q.tb = c.tb AND q.bkt = c.bkt
+      |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+      |p AS (SELECT cand.qid, cand.cid,
+      |    ROUND(list_cosine_similarity(cv.v, qv.v), 6) AS cos_sim
+      |  FROM cand JOIN e qv ON cand.qid = qv.vec_id
+      |  JOIN e cv ON cand.cid = cv.vec_id),
+      |r AS (SELECT qid, cid, cos_sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |                       ORDER BY cos_sim DESC, cid) AS rn
+      |  FROM p)
+      |SELECT qid, cid, cos_sim, rn FROM r WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
+
   /** q55 — IVF approximate kNN (rows-only; recall gate in ScalaTest):
     * the k-means-partitioned scale path next to q45's LSH. */
   def q55KnnIvf(s: SparkSession, d: String): DataFrame = {
@@ -445,6 +527,8 @@ object LlmQueries {
     "q44_embedding_neardup" -> (q44EmbeddingNearDup _),
     "q45_knn_lsh" -> (q45KnnLsh _),
     "q52_minhash_sql" -> (q52MinHashSqlNearDup _),
+    "q53_simhash_sql" -> (q53SimHashSql _),
+    "q54_knn_lsh_sql" -> (q54KnnLshSql _),
     "q55_knn_ivf" -> (q55KnnIvf _),
     "q56_neardup_lsh" -> (q56EmbeddingNearDupLsh _),
     "q57_dedup_components" -> (q57DedupComponents _),
@@ -467,6 +551,8 @@ object LlmQueries {
     "q49_fingerprint" -> q49Sql,
     "q50_media_features" -> q50Sql,
     "q52_minhash_sql" -> q52Sql,
+    "q53_simhash_sql" -> q53Sql,
+    "q54_knn_lsh_sql" -> q54Sql,
     "q51_frame_sample" -> q51Sql,
     "q56_neardup_lsh" -> q56Sql,
     "q57_dedup_components" -> q57Sql)

@@ -197,16 +197,24 @@ object Dedup {
     val reps = representatives(df, idCol, textCol)
     val cands = minHashCandidates(reps, idCol, textCol, k, bands)
     val sh = udf((t: String) => shingleSet(t, shingle))
-    val toks = reps.select(col(idCol).as("id"), sh(col(textCol)).as("toks"))
-    cands
-      .join(toks.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("toks", "toks_a"), "id_a")
-      .join(toks.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("toks", "toks_b"), "id_b")
-      .withColumn("jaccard", tokenJaccard(col("toks_a"), col("toks_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    val shingles = reps.select(col(idCol).as("id"),
+      sh(col(textCol)).as("shs"))
+    verifyShingleJaccard(cands, shingles, threshold)
   }
+
+  /** Shared verify tail: join shingle arrays back to the candidate pairs
+    * and keep those meeting the exact-Jaccard threshold. */
+  private def verifyShingleJaccard(cands: DataFrame, shingles: DataFrame,
+      threshold: Double): DataFrame =
+    cands
+      .join(shingles.select(col("id").as("id_a"), col("shs").as("shs_a")),
+        "id_a")
+      .join(shingles.select(col("id").as("id_b"), col("shs").as("shs_b")),
+        "id_b")
+      .withColumn("jaccard", tokenJaccard(col("shs_a"), col("shs_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
 
   /** Oracle-expressible MinHash-LSH near-dup (q52): the same banded-LSH
     * shape as [[minHashNearDups]], but with every hash derivable in SQL —
@@ -223,8 +231,14 @@ object Dedup {
     import org.apache.spark.sql.types.DecimalType
     val P = "2305843009213693951" // 2^61 - 1
     val sh = udf((t: String) => shingleSet(t, 3))
-    val docs = df.select(col(idCol).as("id"), sh(col(textCol)).as("shs"))
-      .localCheckpoint() // shingles used twice (hashing + verify)
+    // exact-dedup-first like every signature path (identical texts share
+    // identical signatures — band buckets otherwise grow with duplicate
+    // multiplicity and pair space with its square); lazy checkpoint:
+    // shingles are used twice (hashing + verify) but constructing the
+    // frame must not launch a job (plan audits build queries unexecuted)
+    val docs = representatives(df, idCol, textCol)
+      .select(col(idCol).as("id"), sh(col(textCol)).as("shs"))
+      .localCheckpoint(false)
     val base = docs.select(col("id"), explode(col("shs")).as("sh"))
       .withColumn("b",
         conv(substring(md5(col("sh")), 1, 15), 16, 10)
@@ -249,12 +263,7 @@ object Dedup {
         Seq("band", "bkt"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    cands
-      .join(docs.select(col("id").as("id_a"), col("shs").as("shs_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("shs").as("shs_b")), "id_b")
-      .withColumn("jaccard", tokenJaccard(col("shs_a"), col("shs_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    verifyShingleJaccard(cands, docs, threshold)
   }
 
   // ---------------- SimHash ----------------
@@ -313,8 +322,10 @@ object Dedup {
     * throughput path (one cheap hash vs an md5 per token). */
   def simHashNearDupsSql(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 16): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+    // exact-dedup-first, as in every signature path
+    val toks = representatives(df, idCol, textCol)
+      .select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("b1",
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
@@ -372,23 +383,10 @@ object Dedup {
     * tests pin it (ScaleOpsSpec). */
   def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 50,
       allIds: Option[DataFrame] = None): (DataFrame, Int) = {
-    val spark = pairs.sparkSession
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint()
-    // the loop's frames are narrow (two longs per row) and their size is
-    // now KNOWN (edges just materialized) — size the per-round shuffles
-    // from it instead of inheriting the session-wide partition count.
-    // Each round is several stages; at test scale 32-partition rounds are
-    // pure scheduling overhead, at corpus scale ~500k edges/partition
-    // (~8 MB) keeps rounds in memory. Restored after the loop.
-    val edgeCount = edges.count()
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val roundParts = math.max(1L, math.min(prevParts.toLong * 4,
-      edgeCount / 500000L + 1)).toString
-    spark.conf.set("spark.sql.shuffle.partitions", roundParts)
-    try {
     val paired = edges.select(col("src").as("id")).distinct()
     // with allIds the output is a TOTAL keeper assignment: unpaired docs
     // label themselves (they are their own canonical keeper)
@@ -427,11 +425,7 @@ object Dedup {
     require(!changed,
       s"connectedComponents did not converge after $maxIter rounds " +
         "(labels still moving) — raise maxIter")
-    // materialize the final labels BEFORE restoring the partition conf so
-    // the caller's lazy plan doesn't re-run rounds at session granularity
-    (labels.select(col("id"), col("label").as("keep_id")).localCheckpoint(),
-      i)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    (labels.select(col("id"), col("label").as("keep_id")), i)
   }
 
   // ---------------- Embedding near-dup ----------------

@@ -112,6 +112,14 @@ object SimSearch {
       .filter(col("cid") =!= col("qid"))
       .select("qid", "cid")
       .distinct()
+    rerankTopK(pairIds, queries, candidates, qId, cId, vecCol, k)
+  }
+
+  /** Shared exact-rerank tail: deduped candidate pair ids joined back to
+    * their vectors, ranked by cosine per query, top-k kept. */
+  private def rerankTopK(pairIds: DataFrame, queries: DataFrame,
+      candidates: DataFrame, qId: String, cId: String, vecCol: String,
+      k: Int): DataFrame = {
     val qv = queries.select(col(qId).as("qid"),
       col(vecCol).cast("array<double>").as("qv"))
     val cv = candidates.select(col(cId).as("cid"),
@@ -147,16 +155,6 @@ object SimSearch {
       .filter(col("cid") =!= col("qid"))
       .select("qid", "cid")
       .distinct() // a pair can meet in several tables
-    val qv = queries.select(col(qId).as("qid"),
-      col(vecCol).cast("array<double>").as("qv"))
-    val cv = candidates.select(col(cId).as("cid"),
-      col(vecCol).cast("array<double>").as("cv"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos_sim").desc, col("cid"))
-    pairIds.join(qv, "qid").join(cv, "cid")
-      .withColumn("cos_sim", round(Distance.cosine(col("cv"), col("qv")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("cid"), col("cos_sim"), col("rn"))
+    rerankTopK(pairIds, queries, candidates, qId, cId, vecCol, k)
   }
 }

@@ -93,8 +93,15 @@ object Projection {
     // aggregate combines map-side, so the only shuffle is d² rows per
     // partition — the Gramian pattern that survives 100 TB.
     val means = pts.select(posexplode(col("v")))
-      .groupBy("pos").agg(avg("col").as("m"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      .groupBy("pos").agg(avg("col").as("m"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getLong(2))))
+      .toMap
+    // the flattened outer-product decode below assumes every vector has
+    // the same length — a ragged column would scramble covariance cells
+    // silently, so reject it here (every position must appear in every
+    // row: equal counts across positions ⇔ uniform length)
+    require(means.values.map(_._2).toSet.size <= 1,
+      s"pca2d requires uniform vector length; got ragged '$vecCol'")
     val moments = pts
       .select(posexplode(expr(
         "flatten(transform(v, x -> transform(v, y -> x * y)))")))
@@ -105,10 +112,10 @@ object Projection {
     moments.foreach { r =>
       val p = r.getInt(0)
       val (i, j) = (p / d, p % d)
-      cov(i)(j) = r.getDouble(1) - means(i) * means(j)
+      cov(i)(j) = r.getDouble(1) - means(i)._1 * means(j)._1
     }
     val Seq(p1, p2) = topEigenvectors(cov, 2)
-    val mu = Array.tabulate(d)(means(_))
+    val mu = Array.tabulate(d)(means(_)._1)
     val bc = spark.sparkContext.broadcast((mu, p1, p2))
     val proj = udf((v: Seq[Double]) => {
       val (m, a, b) = bc.value

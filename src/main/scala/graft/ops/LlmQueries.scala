@@ -96,7 +96,10 @@ object LlmQueries {
       .orderBy($"id_a", $"id_b")
   }
   val q52Sql: String =
-    """WITH docs AS (SELECT doc_id AS id,
+    """WITH reps AS (SELECT doc_id, text FROM documents
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+      |                             ORDER BY doc_id) = 1),
+      |docs AS (SELECT doc_id AS id,
       |    list_distinct(CASE WHEN len(toks) < 3
       |      THEN [array_to_string(toks, ' ')]
       |      ELSE list_transform(range(1, len(toks) - 1), i ->
@@ -104,7 +107,7 @@ object LlmQueries {
       |  FROM (SELECT doc_id,
       |      list_filter(string_split_regex(lower(text), '\s+'),
       |        x -> x != '') AS toks
-      |    FROM documents)),
+      |    FROM reps)),
       |base AS (SELECT id, t.sh AS sh,
       |    CAST(('0x' || substr(md5(t.sh), 1, 15)) AS BIGINT) AS b
       |  FROM docs, unnest(shs) AS t(sh)),
@@ -142,10 +145,13 @@ object LlmQueries {
       .orderBy($"hamming", $"id_a", $"id_b")
   }
   val q53Sql: String =
-    """WITH toks AS (SELECT doc_id AS id, t.tok AS tok,
+    """WITH reps AS (SELECT doc_id, text FROM documents
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+      |                             ORDER BY doc_id) = 1),
+      |toks AS (SELECT doc_id AS id, t.tok AS tok,
       |    CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS b1,
       |    CAST(('0x' || substr(md5(t.tok), 16, 15)) AS BIGINT) AS b2
-      |  FROM documents,
+      |  FROM reps,
       |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
       |      x -> x != '')) AS t(tok)),
       |votes AS (SELECT id, u.i AS i,

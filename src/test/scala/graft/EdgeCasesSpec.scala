@@ -35,6 +35,9 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(empty, "doc_id", "text", "source", 0.9).isEmpty)
     assert(Dedup.minHashNearDups(empty, "doc_id", "text", 0.5).isEmpty)
     assert(Dedup.simHashNearDups(empty, "doc_id", "text").isEmpty)
+    // the SQL-verifiable variants share the same contract
+    assert(Dedup.minHashNearDupsSql(empty, "doc_id", "text", 0.5).isEmpty)
+    assert(Dedup.simHashNearDupsSql(empty, "doc_id", "text").isEmpty)
   }
 
   test("connected components on an empty pair set (with and without ids)") {
@@ -56,6 +59,8 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(SimSearch.knnBrute(some.limit(2), emptyVecs, "vec_id", "vec_id",
       "embedding", 5).isEmpty)
     assert(SimSearch.knnLsh(emptyVecs, some, "vec_id", "vec_id",
+      "embedding", 5).isEmpty)
+    assert(SimSearch.knnLshSql(emptyVecs, some, "vec_id", "vec_id",
       "embedding", 5).isEmpty)
   }
 

@@ -128,9 +128,13 @@ object VolumeAnomaly {
     * clusters into refresh (already open) vs create (new), one set-oriented
     * pass replacing the per-key existence probes. */
   def mergeIncidents(flagged: DataFrame, openIncidents: DataFrame): DataFrame = {
-    val refresh = flagged.join(openIncidents, Seq("cluster_id"), "left_semi")
+    // flagged feeds BOTH branches; un-materialized, the union would run
+    // its whole upstream scoring pipeline twice. It is tiny by contract
+    // (rankAnomalies caps it), so an eager checkpoint costs one small job
+    val f = flagged.localCheckpoint()
+    val refresh = f.join(openIncidents, Seq("cluster_id"), "left_semi")
       .withColumn("action", lit("refresh"))
-    val create = flagged.join(openIncidents, Seq("cluster_id"), "left_anti")
+    val create = f.join(openIncidents, Seq("cluster_id"), "left_anti")
       .withColumn("action", lit("create"))
     refresh.unionByName(create)
       .select(col("cluster_id"), col("action"),

@@ -48,9 +48,13 @@ object Ivf {
         // decimal sum → mean: order-independent, so centroids are
         // bit-reproducible across partitionings (double avg() is not —
         // partial-aggregation order would leak into the last ulps and
-        // Lloyd iterations would amplify the divergence)
-        .agg((sum(col("col").cast("decimal(28,14)")) / count(lit(1)))
-          .cast("double").as("m"))
+        // Lloyd iterations would amplify the divergence). Cast to double
+        // BEFORE the division (the repo's davg convention): exact decimal
+        // sum, then one IEEE division — the same two steps DuckDB's
+        // CAST(SUM(DECIMAL) AS DOUBLE)/COUNT performs, so the oracle
+        // (q59) reproduces the centroids bit for bit
+        .agg((sum(col("col").cast("decimal(28,14)")).cast("double") /
+          count(lit(1))).as("m"))
         .groupBy(col("list_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .getField("m").as("c"))

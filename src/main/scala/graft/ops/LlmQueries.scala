@@ -231,6 +231,53 @@ object LlmQueries {
       .orderBy($"qid", $"rn")
   }
 
+  /** q59 — IVF coarse-quantizer oracle: the deterministic Lloyd centroids
+    * (seeds = first nlist vectors by id, 3 iterations, decimal-sum means —
+    * [[graft.llm.Ivf.fitCentroids]]) exploded to (list_id, pos, val) rows
+    * and hash-checked against the SAME three iterations unrolled in
+    * DuckDB SQL. This pins the index-construction math itself; the kNN
+    * tail stays recall-gated (q55). */
+  def q59IvfCentroids(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.llm.Ivf.fitCentroids(embeddings(s, d), "vec_id", "embedding",
+        nlist = 16)
+      .select($"list_id", posexplode($"c"))
+      .select($"list_id", $"pos", round($"col", 6).as("val"))
+      .orderBy($"list_id", $"pos")
+  }
+  val q59Sql: String = {
+    // one Lloyd iteration: argmin assignment (row_number over distance
+    // with list_id tiebreak — exactly Ivf.assign's min_by struct order)
+    // then per-(list, dim) decimal-sum mean
+    def iteration(prev: String, cur: String): String =
+      s"""a_$cur AS (SELECT p.id, p.v, c.list_id,
+         |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+         |      list_sum(list_transform(list_zip(p.v, c.c),
+         |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
+         |  FROM pts p, $prev c),
+         |$cur AS (SELECT list_id, list(m ORDER BY pos) AS c FROM (
+         |    SELECT a.list_id, t.pos AS pos,
+         |      CAST(SUM(CAST(a.v[t.pos] AS DECIMAL(28,14))) AS DOUBLE)
+         |        / COUNT(*) AS m
+         |    FROM a_$cur a, unnest(range(1, 65)) AS t(pos)
+         |    WHERE a.rn = 1
+         |    GROUP BY a.list_id, t.pos)
+         |  GROUP BY list_id)""".stripMargin
+    s"""WITH pts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |seeds AS (SELECT id, v FROM pts ORDER BY id LIMIT 16),
+      |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS list_id,
+      |    v AS c FROM seeds),
+      |${iteration("c0", "c1")},
+      |${iteration("c1", "c2")},
+      |${iteration("c2", "c3")}
+      |SELECT CAST(c.list_id AS INTEGER) AS list_id,
+      |  CAST(t.pos - 1 AS INTEGER) AS pos,
+      |  ROUND(c.c[t.pos], 6) AS val
+      |FROM c3 c, unnest(range(1, 65)) AS t(pos)
+      |ORDER BY list_id, pos""".stripMargin
+  }
+
   /** q56 — LSH-blocked embedding near-dup (the 100 TB path for q44's
     * brute baseline). The blocking hash is axis-aligned random-hyperplane
     * LSH (sign of 4 fixed coordinates → 16 buckets): same Charikar family
@@ -536,6 +583,7 @@ object LlmQueries {
     "q53_simhash_sql" -> (q53SimHashSql _),
     "q54_knn_lsh_sql" -> (q54KnnLshSql _),
     "q55_knn_ivf" -> (q55KnnIvf _),
+    "q59_ivf_centroids" -> (q59IvfCentroids _),
     "q56_neardup_lsh" -> (q56EmbeddingNearDupLsh _),
     "q57_dedup_components" -> (q57DedupComponents _),
     "q58_clean_corpus" -> (q58CleanCorpus _),
@@ -559,6 +607,7 @@ object LlmQueries {
     "q52_minhash_sql" -> q52Sql,
     "q53_simhash_sql" -> q53Sql,
     "q54_knn_lsh_sql" -> q54Sql,
+    "q59_ivf_centroids" -> q59Sql,
     "q51_frame_sample" -> q51Sql,
     "q56_neardup_lsh" -> q56Sql,
     "q57_dedup_components" -> q57Sql)

@@ -38,6 +38,33 @@ object Embed {
     l2normalize(v)
   }
 
+  /** Oracle-expressible feature-hashing embedder (q65): the same
+    * Weinberger-style construction as [[embed]] — token (unigram) →
+    * bucket + sign, bucket-summed, L2-normalized — but with the hashes
+    * md5-derived so every step reproduces in DuckDB. Emitted as sparse
+    * (id, pos, val) rows (absent buckets are zero). [[embed]]'s murmur
+    * path (plus bigrams) stays the throughput embedder the pipeline
+    * runs; this pins the hashing-embedder MATH in the oracle the way
+    * q52/q53/q54/q59 pin the other signature ops. */
+  def embedSqlRows(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = DefaultDim): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("b",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val sums = toks
+      .select(col("id"), pmod(col("b"), lit(dim.toLong)).cast("int").as("pos"),
+        when(shiftright(col("b"), 8).bitwiseAND(lit(1L)) === 1L, 1.0)
+          .otherwise(-1.0).as("sgn"))
+      .groupBy("id", "pos").agg(sum("sgn").as("s")) // exact ±1 integers
+    val norms = sums.groupBy("id")
+      .agg(sqrt(sum(col("s") * col("s"))).as("nrm"))
+    sums.join(norms, "id")
+      .select(col("id"), col("pos"),
+        round(col("s") / greatest(col("nrm"), lit(1e-12)), 6).as("val"))
+  }
+
   private def addFeature(v: Array[Float], feat: String, dim: Int): Unit = {
     val h = MurmurHash3.stringHash(feat, 0x9747b28c)
     val idx = math.floorMod(h, dim)

@@ -292,6 +292,32 @@ object MlQueries {
       |  AS silhouette_simplified
       |FROM own JOIN oth USING (id)""".stripMargin
 
+  /** q65 — oracle-checked hashing embedder ([[Embed.embedSqlRows]]):
+    * md5-derived bucket/sign hashes make the feature-hashing embedding
+    * (bucket sums + L2 normalization) reproducible in DuckDB as sparse
+    * (doc_id, pos, val) rows. q31 keeps the murmur+bigram production
+    * embedder (rows-only, determinism golden-tested). */
+  def q65EmbedSql(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Embed.embedSqlRows(documents(s, d), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id", $"pos")
+  }
+  val q65Sql: String =
+    """WITH toks AS (SELECT doc_id AS id, t.tok AS tok,
+      |    CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS b
+      |  FROM documents,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x != '')) AS t(tok)),
+      |sums AS (SELECT id, CAST(b % 64 AS INTEGER) AS pos,
+      |    SUM(CASE WHEN (b >> 8) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS s
+      |  FROM toks GROUP BY id, CAST(b % 64 AS INTEGER)),
+      |norms AS (SELECT id, sqrt(SUM(s * s)) AS nrm FROM sums GROUP BY id)
+      |SELECT s.id AS doc_id, s.pos,
+      |  ROUND(s.s / GREATEST(n.nrm, 1e-12), 6) AS val
+      |FROM sums s JOIN norms n USING (id)
+      |ORDER BY doc_id, pos""".stripMargin
+
   /** q39 — 2-D visualization projection feed (reference J9,
     * visualise_results.py:46-63): deterministic top-2 PCA stands in for
     * t-SNE (an iterative stochastic fit — viz-only, out of scope).
@@ -421,7 +447,8 @@ object MlQueries {
     "q36_semantic_sharded" -> (q36SemanticSharded _),
     "q37_anomaly_iforest" -> (q37AnomalyIForest _),
     "q38_silhouette_simplified" -> (q38SilhouetteSimplified _),
-    "q39_pca_projection" -> (q39PcaProjection _))
+    "q39_pca_projection" -> (q39PcaProjection _),
+    "q65_embed_sql" -> (q65EmbedSql _))
 
   val oracleSql: Map[String, String] = Map(
     "q21_minkowski" -> q21Sql,
@@ -432,5 +459,6 @@ object MlQueries {
     "q29_homogeneity" -> q29Sql,
     "q30_silhouette" -> q30Sql,
     "q35_approx_aggs" -> q35Sql,
-    "q38_silhouette_simplified" -> q38Sql)
+    "q38_silhouette_simplified" -> q38Sql,
+    "q65_embed_sql" -> q65Sql)
 }

@@ -20,6 +20,11 @@ import graft.ml.Distance
   */
 object Dedup {
 
+  /** Explicit whitespace class used by every tokenizer that has a DuckDB
+    * oracle twin: Java's `\s` matches vertical tab, RE2's does not — an
+    * explicit class pins both engines to the same split. */
+  val WsClass = "[ \\t\\n\\x0B\\f\\r]+"
+
   /** Exact content dedup via hash-groupBy (keep = min id per content).
     * At 100 TB this is one shuffle on a 128-bit key; no sort. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -133,7 +138,7 @@ object Dedup {
   /** K minhash values over token n-gram shingles; seeds are fixed so the
     * signature is a pure function of the text. */
   def minHashSignature(text: String, k: Int = 64, shingle: Int = 3): Array[Int] = {
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = text.toLowerCase.split(WsClass).filter(_.nonEmpty)
     val shingles: Iterator[String] =
       if (toks.length < shingle) Iterator(toks.mkString(" "))
       else toks.sliding(shingle).map(_.mkString(" "))
@@ -183,7 +188,7 @@ object Dedup {
     * dedup targets *sequence* near-dups (standard web-dedup formulation);
     * bag-level dups are [[jaccardPairs]]'s territory. */
   def shingleSet(text: String, n: Int = 3): Array[String] = {
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val toks = text.toLowerCase.split(WsClass).filter(_.nonEmpty)
     if (toks.length < n) Array(toks.mkString(" "))
     else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
   }
@@ -272,7 +277,7 @@ object Dedup {
     * feature-hash bits. */
   def simHash64(text: String): Long = {
     val counts = new Array[Int](64)
-    text.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { t =>
+    text.toLowerCase.split(WsClass).filter(_.nonEmpty).foreach { t =>
       val h1 = MurmurHash3.stringHash(t, 0x9747b28c)
       val h2 = MurmurHash3.stringHash(t, 0x85ebca6b)
       val h = (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
@@ -325,7 +330,7 @@ object Dedup {
     // exact-dedup-first, as in every signature path
     val toks = representatives(df, idCol, textCol)
       .select(col(idCol).as("id"),
-        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+        explode(split(lower(col(textCol)), WsClass)).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("b1",
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))

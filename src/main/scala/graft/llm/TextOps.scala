@@ -28,7 +28,7 @@ object TextOps {
     df.withColumn("n_tokens", size(tokens(col(textCol))))
       .withColumn("n_bpe_pieces",
         size(regexp_extract_all(col(textCol),
-          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))))
+          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0))))
 
   private def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*)))
@@ -41,7 +41,7 @@ object TextOps {
     val distinctRatio = size(array_distinct(toks)).cast("double") /
       greatest(nTok, lit(1.0))
     val punct = size(regexp_extract_all(col(textCol),
-      lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+      lit("[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0))).cast("double")
     val punctRatio = punct / greatest(length(col(textCol)).cast("double"),
       lit(1.0))
     val stopRatio = countIn(toks, lexicons("en")).cast("double") /
@@ -78,12 +78,12 @@ object TextOps {
   /** Stable document fingerprint: md5 of whitespace-normalized lowercase
     * text (SQL-expressible; the oracle mirrors it). */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+    md5(regexp_replace(trim(lower(text)), "[ \\t\\n\\x0B\\f\\r]+", " "))
 
   /** Winnowing fingerprint set (Schleimer et al. 2003): k-gram rolling
     * hashes, minimum per sliding window — robust to local edits. */
   def winnow(text: String, k: Int = 5, window: Int = 4): Array[Int] = {
-    val s = text.toLowerCase.replaceAll("\\s+", " ")
+    val s = text.toLowerCase.replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ")
     if (s.length < k) return Array(MurmurHash3.stringHash(s, 0x1b873593))
     val grams = (0 to s.length - k)
       .map(i => MurmurHash3.stringHash(s.substring(i, i + k), 0x1b873593))

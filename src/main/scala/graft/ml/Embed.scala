@@ -49,7 +49,7 @@ object Embed {
   def embedSqlRows(df: DataFrame, idCol: String, textCol: String,
       dim: Int = DefaultDim): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
-      explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      explode(split(lower(col(textCol)), graft.llm.Dedup.WsClass)).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("b",
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))

@@ -127,17 +127,16 @@ object VolumeAnomaly {
   /** Incident merge (reference A8/C2, incident_ops.py:6-41): split flagged
     * clusters into refresh (already open) vs create (new), one set-oriented
     * pass replacing the per-key existence probes. */
-  def mergeIncidents(flagged: DataFrame, openIncidents: DataFrame): DataFrame = {
-    // flagged feeds BOTH branches; un-materialized, the union would run
-    // its whole upstream scoring pipeline twice. It is tiny by contract
-    // (rankAnomalies caps it), so an eager checkpoint costs one small job
-    val f = flagged.localCheckpoint()
-    val refresh = f.join(openIncidents, Seq("cluster_id"), "left_semi")
-      .withColumn("action", lit("refresh"))
-    val create = f.join(openIncidents, Seq("cluster_id"), "left_anti")
-      .withColumn("action", lit("create"))
-    refresh.unionByName(create)
-      .select(col("cluster_id"), col("action"),
+  def mergeIncidents(flagged: DataFrame, openIncidents: DataFrame): DataFrame =
+    // one pass: a semi/anti split would scan flagged's whole upstream
+    // scoring pipeline twice; a left join with a presence marker computes
+    // the same refresh-vs-create decision in a single scan
+    flagged.join(
+        openIncidents.select(col("cluster_id")).distinct()
+          .withColumn("is_open", lit(true)),
+        Seq("cluster_id"), "left")
+      .select(col("cluster_id"),
+        when(col("is_open"), lit("refresh")).otherwise(lit("create"))
+          .as("action"),
         lit("NEW").as("status"), lit("SRE").as("assigned_role"))
-  }
 }

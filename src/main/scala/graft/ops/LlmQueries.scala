@@ -105,7 +105,7 @@ object LlmQueries {
       |      ELSE list_transform(range(1, len(toks) - 1), i ->
       |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shs
       |  FROM (SELECT doc_id,
-      |      list_filter(string_split_regex(lower(text), '\s+'),
+      |      list_filter(string_split_regex(lower(text), '[ \t\n\v\f\r]+'),
       |        x -> x != '') AS toks
       |    FROM reps)),
       |base AS (SELECT id, t.sh AS sh,
@@ -152,7 +152,7 @@ object LlmQueries {
       |    CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS b1,
       |    CAST(('0x' || substr(md5(t.tok), 16, 15)) AS BIGINT) AS b2
       |  FROM reps,
-      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\v\f\r]+'),
       |      x -> x != '')) AS t(tok)),
       |votes AS (SELECT id, u.i AS i,
       |    SUM(CASE WHEN (CASE WHEN u.i < 60 THEN (b1 >> u.i) & 1
@@ -403,7 +403,7 @@ object LlmQueries {
       |q AS (SELECT doc_id, text, lang_pred,
       |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
       |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dis,
-      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\v\\f\\r]')) AS DOUBLE)
       |    AS n_punct,
       |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ($en)))
       |    AS DOUBLE) AS n_stop,
@@ -441,7 +441,7 @@ object LlmQueries {
     """SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
       |  CAST(len(regexp_extract_all(text,
-      |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_pieces,
+      |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\v\f\r]')) AS BIGINT) AS n_bpe_pieces,
       |  n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -494,7 +494,7 @@ object LlmQueries {
     s"""WITH f AS (SELECT doc_id,
       |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
       |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dis,
-      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\v\\f\\r]')) AS DOUBLE)
       |    AS n_punct,
       |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ($en)))
       |    AS DOUBLE) AS n_stop,
@@ -521,7 +521,7 @@ object LlmQueries {
   }
   val q49Sql: String =
     """SELECT doc_id,
-      |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+      |  md5(regexp_replace(trim(lower(text)), '[ \t\n\v\f\r]+', ' ', 'g'))
       |    AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 

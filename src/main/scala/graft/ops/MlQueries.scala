@@ -307,7 +307,7 @@ object MlQueries {
     """WITH toks AS (SELECT doc_id AS id, t.tok AS tok,
       |    CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS b
       |  FROM documents,
-      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\v\f\r]+'),
       |      x -> x != '')) AS t(tok)),
       |sums AS (SELECT id, CAST(b % 64 AS INTEGER) AS pos,
       |    SUM(CASE WHEN (b >> 8) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS s

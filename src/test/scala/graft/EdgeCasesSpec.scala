@@ -38,6 +38,7 @@ class EdgeCasesSpec extends AnyFunSuite {
     // the SQL-verifiable variants share the same contract
     assert(Dedup.minHashNearDupsSql(empty, "doc_id", "text", 0.5).isEmpty)
     assert(Dedup.simHashNearDupsSql(empty, "doc_id", "text").isEmpty)
+    assert(graft.ml.Embed.embedSqlRows(empty, "doc_id", "text").isEmpty)
   }
 
   test("connected components on an empty pair set (with and without ids)") {

@@ -87,35 +87,23 @@ object Projection {
     val spark = df.sparkSession
     val pts = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"), col(labelCol))
-    // one d-sized and one d²-sized aggregate — constant-size results.
-    // The second moments expand each row's outer product IN-ROW (nested
-    // transform + flatten + posexplode): no self-join, and the d²-group
-    // aggregate combines map-side, so the only shuffle is d² rows per
-    // partition — the Gramian pattern that survives 100 TB.
-    val means = pts.select(posexplode(col("v")))
-      .groupBy("pos").agg(avg("col").as("m"), count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getLong(2))))
-      .toMap
-    // the flattened outer-product decode below assumes every vector has
-    // the same length — a ragged column would scramble covariance cells
-    // silently, so reject it here (every position must appear in every
-    // row: equal counts across positions ⇔ uniform length)
-    require(means.values.map(_._2).toSet.size <= 1,
-      s"pca2d requires uniform vector length; got ragged '$vecCol'")
-    val moments = pts
-      .select(posexplode(expr(
-        "flatten(transform(v, x -> transform(v, y -> x * y)))")))
-      .groupBy("pos").agg(avg("col").as("e"))
-      .collect()
-    val d = means.size
-    val cov = Array.ofDim[Double](d, d)
-    moments.foreach { r =>
-      val p = r.getInt(0)
-      val (i, j) = (p / d, p % d)
-      cov(i)(j) = r.getDouble(1) - means(i)._1 * means(j)._1
-    }
+    // ONE map-side-combining pass accumulates [n, Σv, Σ v·vᵀ] in a
+    // d²-sized buffer per partition (GramianAgg — the MLlib
+    // computeGramian pattern as a typed Aggregator): the shuffle carries
+    // one buffer per partition regardless of N, and a ragged vector
+    // column fails loudly inside the aggregator.
+    import df.sparkSession.implicits._
+    val g = pts.select(col("v")).as[Seq[Double]]
+      .select(graft.functions.GramianAgg.gramian)
+      .head()
+    require(g.nonEmpty, s"pca2d on an empty '$vecCol' column")
+    val d = (math.sqrt(g.length - 0.75) - 0.5).toInt // length = 1 + d + d²
+    require(1 + d + d * d == g.length, s"corrupt gramian buffer ${g.length}")
+    val n = g(0)
+    val mu = Array.tabulate(d)(i => g(1 + i) / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      g(1 + d + i * d + j) / n - mu(i) * mu(j))
     val Seq(p1, p2) = topEigenvectors(cov, 2)
-    val mu = Array.tabulate(d)(means(_)._1)
     val bc = spark.sparkContext.broadcast((mu, p1, p2))
     val proj = udf((v: Seq[Double]) => {
       val (m, a, b) = bc.value

@@ -233,8 +233,7 @@ object Dedup {
     * candidates, shingle arrays joined back only for survivors. */
   def minHashNearDupsSql(df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val P = "2305843009213693951" // 2^61 - 1
+    val P = 2305843009213693951L // 2^61 - 1 (Mersenne)
     val sh = udf((t: String) => shingleSet(t, 3))
     // exact-dedup-first like every signature path (identical texts share
     // identical signatures — band buckets otherwise grow with duplicate
@@ -246,15 +245,27 @@ object Dedup {
       .localCheckpoint(false)
     val base = docs.select(col("id"), explode(col("shs")).as("sh"))
       .withColumn("b",
-        conv(substring(md5(col("sh")), 1, 15), 16, 10)
-          .cast(DecimalType(38, 0)))
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"))
+    // (a·base + c) mod p computed entirely in codegen'd long arithmetic
+    // (no BigDecimal in the per-shingle hot loop): base < 2^60 splits as
+    // hi·2^30 + lo, and ×2^30 mod the MERSENNE p folds as
+    // (x<<30 & p) + (x >>> 31) — partially reduced (< p + 2^36), so one
+    // conditional subtract finishes. Congruent to the DuckDB oracle's
+    // HUGEINT (a·base + c) % p exactly; the oracle hash-checks it.
+    def hmod(a: Int, c: Int): Column = {
+      val hi = shiftright(col("b"), 30)                 // < 2^30
+      val lo = col("b").bitwiseAND(lit((1L << 30) - 1))
+      val t = hi * lit(a.toLong)                        // < 2^35
+      val folded = shiftleft(t, 30).bitwiseAND(lit(P)) +
+        shiftright(t, 31)
+      val h0 = folded + lo * lit(a.toLong) + lit(c.toLong)
+      when(h0 >= P, h0 - P).otherwise(h0)
+    }
     // 16 parallel min-aggregates over per-shingle hash values: one
     // map-side-combining groupBy of the shingle rows, no k-way explode
     // (exploding would shuffle k× the rows for the same minima)
     val withH = base.select(col("id") +: (0 until 16).map(i =>
-      (col("b") * lit(2 * i + 1) + lit(7919 * i + 13))
-        .mod(expr(s"CAST($P AS DECIMAL(38,0))"))
-        .cast("long").as(s"h$i")): _*)
+      hmod(2 * i + 1, 7919 * i + 13).as(s"h$i")): _*)
     val sig = withH.groupBy(col("id"))
       .agg(min(col("h0")).as("m0"),
         (1 until 16).map(i => min(col(s"h$i")).as(s"m$i")): _*)

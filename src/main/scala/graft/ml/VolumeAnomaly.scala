@@ -85,12 +85,16 @@ object VolumeAnomaly {
       cap: Int = 3, maxRatio: Double = 0.3, nTrees: Int = 100,
       seed: Long = 42L, contamination: Double = 0.05): DataFrame = {
     val spark = feats.sparkSession
-    val collected = feats.select(
+    // the fit's collect AND the scoring pass both consume feats — lazy
+    // checkpoint so the collect materializes it once and scoring reuses
+    // the cached partitions instead of recomputing the window pipeline
+    val f = feats.localCheckpoint(false)
+    val collected = f.select(
       col("log_count").cast("double"), col("velocity").cast("double"),
       col("roll_mean"), col("z_dev")).collect()
     // empty input → empty ranking, matching rankAnomalies (fit would throw)
     if (collected.isEmpty)
-      return feats
+      return f
         .withColumn("score", lit(0.0)).withColumn("score_z", lit(0.0))
         .select("cluster_id", "batch_ts", "log_count", "score", "score_z")
         .limit(0)
@@ -107,7 +111,7 @@ object VolumeAnomaly {
     val bc = spark.sparkContext.broadcast(model)
     val scoreUdf = udf((lc: Double, v: Double, rm: Double, zd: Double) =>
       -IsolationForest.score(bc.value, Array(lc, v, rm, zd)))
-    val scored = feats.withColumn("score",
+    val scored = f.withColumn("score",
       scoreUdf(col("log_count").cast("double"),
         col("velocity").cast("double"), col("roll_mean"), col("z_dev")))
     val stats = scored.agg(

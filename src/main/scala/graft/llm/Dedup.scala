@@ -20,10 +20,8 @@ import graft.ml.Distance
   */
 object Dedup {
 
-  /** Explicit whitespace class used by every tokenizer that has a DuckDB
-    * oracle twin: Java's `\s` matches vertical tab, RE2's does not — an
-    * explicit class pins both engines to the same split. */
-  val WsClass = "[ \\t\\n\\x0B\\f\\r]+"
+  /** Canonical oracle-pinned whitespace class ([[TextOps.WsClass]]). */
+  val WsClass = TextOps.WsClass
 
   /** Exact content dedup via hash-groupBy (keep = min id per content).
     * At 100 TB this is one shuffle on a 128-bit key; no sort. */

@@ -13,6 +13,18 @@ import scala.util.hashing.MurmurHash3
   */
 object TextOps {
 
+  /** Explicit whitespace characters used by every regex that has a DuckDB
+    * oracle twin: Java's `\s` matches vertical tab, RE2's does not — an
+    * explicit class pins both engines to the same behavior. */
+  val WsChars = " \\t\\n\\x0B\\f\\r"
+
+  /** `\s+` replacement built from [[WsChars]]. */
+  val WsClass = s"[$WsChars]+"
+
+  /** Non-alphanumeric-non-whitespace ("punctuation") class from
+    * [[WsChars]]. */
+  val PunctClass = s"[^A-Za-z0-9$WsChars]"
+
   /** Small per-language function-word lexicons (public knowledge). */
   val lexicons: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it"),
@@ -28,7 +40,7 @@ object TextOps {
     df.withColumn("n_tokens", size(tokens(col(textCol))))
       .withColumn("n_bpe_pieces",
         size(regexp_extract_all(col(textCol),
-          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0))))
+          lit(s"[A-Za-z]+|[0-9]|$PunctClass"), lit(0))))
 
   private def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*)))
@@ -41,7 +53,7 @@ object TextOps {
     val distinctRatio = size(array_distinct(toks)).cast("double") /
       greatest(nTok, lit(1.0))
     val punct = size(regexp_extract_all(col(textCol),
-      lit("[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0))).cast("double")
+      lit(PunctClass), lit(0))).cast("double")
     val punctRatio = punct / greatest(length(col(textCol)).cast("double"),
       lit(1.0))
     val stopRatio = countIn(toks, lexicons("en")).cast("double") /
@@ -78,12 +90,12 @@ object TextOps {
   /** Stable document fingerprint: md5 of whitespace-normalized lowercase
     * text (SQL-expressible; the oracle mirrors it). */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(trim(lower(text)), "[ \\t\\n\\x0B\\f\\r]+", " "))
+    md5(regexp_replace(trim(lower(text)), WsClass, " "))
 
   /** Winnowing fingerprint set (Schleimer et al. 2003): k-gram rolling
     * hashes, minimum per sliding window — robust to local edits. */
   def winnow(text: String, k: Int = 5, window: Int = 4): Array[Int] = {
-    val s = text.toLowerCase.replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ")
+    val s = text.toLowerCase.replaceAll(WsClass, " ")
     if (s.length < k) return Array(MurmurHash3.stringHash(s, 0x1b873593))
     val grams = (0 to s.length - k)
       .map(i => MurmurHash3.stringHash(s.substring(i, i + k), 0x1b873593))

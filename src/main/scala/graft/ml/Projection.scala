@@ -9,11 +9,11 @@ import org.apache.spark.sql.functions._
   * stochastic fit, out of scope as viz — so the engine ships the
   * deterministic stand-in that feeds the same plot: top-2 PCA.
   *
-  * Scale shape: one pass for the d means + d² second moments (posexplode
-  * self-join, d² rows per point with d = embedding dim — the Gramian,
-  * collected at d² scalars regardless of N), a tiny seed-free power
-  * iteration on the driver's d×d covariance, then one broadcast-project
-  * over the corpus. No row-scale collect anywhere.
+  * Scale shape: ONE map-side-combining aggregation pass accumulates
+  * [n, Σv, Σ v·vᵀ] ([[graft.functions.GramianAgg]] — a (1+d+d²)-double
+  * buffer per partition regardless of N), a seeded power iteration on the
+  * driver's d×d covariance, then one broadcast-project over the corpus.
+  * No row-scale collect anywhere.
   */
 object Projection {
 
@@ -85,8 +85,11 @@ object Projection {
   def pca2d(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
     val spark = df.sparkSession
+    // lazy checkpoint: the Gramian fit and the projection pass both scan
+    // pts — materialize the (possibly expensive) upstream plan once
     val pts = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"), col(labelCol))
+      .localCheckpoint(false)
     // ONE map-side-combining pass accumulates [n, Σv, Σ v·vᵀ] in a
     // d²-sized buffer per partition (GramianAgg — the MLlib
     // computeGramian pattern as a typed Aggregator): the shuffle carries
@@ -96,7 +99,11 @@ object Projection {
     val g = pts.select(col("v")).as[Seq[Double]]
       .select(graft.functions.GramianAgg.gramian)
       .head()
-    require(g.nonEmpty, s"pca2d on an empty '$vecCol' column")
+    // empty input → empty projection (edge-case convention), not a throw
+    if (g.isEmpty)
+      return pts.withColumn("pc1", lit(0.0)).withColumn("pc2", lit(0.0))
+        .select(col("id"), col("pc1"), col("pc2"), col(labelCol))
+        .limit(0)
     val d = (math.sqrt(g.length - 0.75) - 0.5).toInt // length = 1 + d + d²
     require(1 + d + d * d == g.length, s"corrupt gramian buffer ${g.length}")
     val n = g(0)

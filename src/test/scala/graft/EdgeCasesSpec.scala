@@ -41,6 +41,13 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(graft.ml.Embed.embedSqlRows(empty, "doc_id", "text").isEmpty)
   }
 
+  test("pca projection on an empty input returns an empty frame") {
+    val empty = emptyDf(
+      "vec_id BIGINT, embedding ARRAY<DOUBLE>, label BIGINT")
+    assert(graft.ml.Projection
+      .pca2d(empty, "vec_id", "embedding", "label").isEmpty)
+  }
+
   test("connected components on an empty pair set (with and without ids)") {
     import spark.implicits._
     val empty = emptyDf("id_a BIGINT, id_b BIGINT")

@@ -417,12 +417,18 @@ object Dedup {
       // the convergence flag rides along in the SAME pass (materialized
       // by the eager localCheckpoint), so detecting quiescence costs a
       // scan of the checkpointed partitions — not the extra shuffle join
-      // + full recount per round the naive formulation pays
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("label", "n_label"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("n_label")).as("min_n"))
+      // + full recount per round the naive formulation pays. Round 1's
+      // labels are the identity map, so its neighbor minimum is min(dst)
+      // per src straight off the edge list — no join.
+      val neighborMin =
+        if (i == 0)
+          edges.groupBy(col("src").as("id"))
+            .agg(min(col("dst")).as("min_n"))
+        else edges
+          .join(labels.withColumnRenamed("id", "dst")
+            .withColumnRenamed("label", "n_label"), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min(col("n_label")).as("min_n"))
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("min_n"), col("label")))

@@ -422,7 +422,7 @@ object LlmQueries {
       |keep_ids AS (SELECT MIN(doc_id) AS doc_id FROM kept
       |  GROUP BY md5(text))
       |SELECT lang_pred, COUNT(*) AS n_docs,
-      |  SUM(n_tokens) AS total_tokens,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
       |  CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) /
       |        COUNT(*) AS avg_quality
       |FROM kept JOIN keep_ids USING (doc_id)

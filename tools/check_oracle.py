@@ -1,41 +1,65 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB correctness gate.
 
-Usage: python3 tools/check_oracle.py <outDir> <sfDir>
+Usage: python3 tools/check_oracle.py <outDir> <sfDir> [name ...]
 
 Reads each <outDir>/<name>/ parquet (written by graft.Verify), runs the
 matching SQL from <outDir>/oracle_sql.json in DuckDB over the sfDir
-parquet tables, sorts columns by name and rows by all columns, and
-compares values exactly. Dev tooling only — not part of the engine.
+parquet tables, and compares via pandas ``.df()`` frames — the same
+materialization the driver hashes — so a dtype divergence (e.g. DuckDB
+HUGEINT -> float64 vs Spark int64) FAILS here exactly as it fails on the
+driver. Columns are sorted by name, rows by all columns, and both dtypes
+and values must match. Dev tooling only — not part of the engine.
 """
 import json
-import math
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in idx:
-            v = r[i]
-            if hasattr(v, "as_integer_ratio") and not isinstance(v, (int, float)):
-                v = float(v)  # Decimal -> exact double compare
-            elif isinstance(v, list):
-                v = tuple(v)
-            vals.append(v)
-        out.append(tuple(vals))
-    key = lambda t: tuple((x is None, str(x)) for x in t)
-    return sorted(out, key=key), sorted(cols)
+def canon(df):
+    """Sort columns by name, rows by all columns; driver-equivalent frame."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df.columns):
+        # stringify sort keys so object columns (e.g. mixed None) stay sortable
+        order = df.astype(str).sort_values(
+            by=list(df.columns), kind="mergesort").index
+        df = df.loc[order].reset_index(drop=True)
+    return df
 
 
-def main(out_dir, sf_dir):
+def compare(name, s_df, o_df):
+    s_df, o_df = canon(s_df), canon(o_df)
+    if list(s_df.columns) != list(o_df.columns):
+        return f"columns {list(s_df.columns)} vs oracle {list(o_df.columns)}"
+    if len(s_df) != len(o_df):
+        return f"{len(s_df)} rows vs oracle {len(o_df)}"
+    # The driver hashes each cell's printed representation: integer widths
+    # collapse (int32(5) and int64(5) both print "5") but int-vs-float does
+    # NOT (int64 "23044" vs float64 "23044.0") — verified against
+    # CORRECTNESS_r02 (q76 int32/int64 passed; q58 int64/float64 failed).
+    s_str = s_df.astype(str)
+    o_str = o_df.astype(str)
+    if not s_str.equals(o_str):
+        for i in range(len(s_str)):
+            if not s_str.iloc[i].equals(o_str.iloc[i]):
+                s_dt = [str(t) for t in s_df.dtypes]
+                o_dt = [str(t) for t in o_df.dtypes]
+                dt = [(c, a, b) for c, a, b in zip(s_df.columns, s_dt, o_dt)
+                      if a != b]
+                hint = f"\n   dtype diffs: {dt}" if dt else ""
+                return (f"first diff at sorted row {i}:\n"
+                        f"   spark : {tuple(s_str.iloc[i])}\n"
+                        f"   oracle: {tuple(o_str.iloc[i])}{hint}")
+        return "frames differ (no row-level diff found?)"
+    return None
+
+
+def main(out_dir, sf_dir, only=()):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -43,43 +67,31 @@ def main(out_dir, sf_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         try:
-            spark_rel = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            s_df = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
         except Exception as e:
             print(f"FAIL {name}: no spark output ({e})")
             n_fail += 1
             continue
-        s_cols = [d[0] for d in spark_rel.description]
-        s_rows = spark_rel.fetchall()
         try:
-            o_rel = con.execute(sql)
-            o_cols = [d[0] for d in o_rel.description]
-            o_rows = o_rel.fetchall()
+            o_df = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
             continue
-        sr, sc = canon(s_rows, s_cols)
-        orr, oc = canon(o_rows, o_cols)
-        if sc != oc:
-            print(f"FAIL {name}: columns {sc} vs oracle {oc}")
-            n_fail += 1
-        elif len(sr) != len(orr):
-            print(f"FAIL {name}: {len(sr)} rows vs oracle {len(orr)}")
-            n_fail += 1
-        elif sr != orr:
-            bad = next(i for i, (a, b) in enumerate(zip(sr, orr)) if a != b)
-            print(f"FAIL {name}: first diff at sorted row {bad}:")
-            print(f"   spark : {sr[bad]}")
-            print(f"   oracle: {orr[bad]}")
+        err = compare(name, s_df, o_df)
+        if err:
+            print(f"FAIL {name}: {err}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(sr)} rows)")
+            print(f"PASS {name} ({len(s_df)} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))

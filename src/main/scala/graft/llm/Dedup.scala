@@ -389,63 +389,169 @@ object Dedup {
     * 1..N-1. Converges because labels are monotonically non-increasing
     * and bounded. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
-      allIds: Option[DataFrame] = None): DataFrame =
-    connectedComponentsWithRounds(pairs, maxIter, allIds)._1
+      allIds: Option[DataFrame] = None,
+      dedupEdges: Boolean = true): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter, allIds, dedupEdges)._1
 
   /** [[connectedComponents]] that also reports the number of propagation
     * rounds it ran — the per-round job count is the 100 TB cost driver, so
     * tests pin it (ScaleOpsSpec). */
   def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 50,
-      allIds: Option[DataFrame] = None): (DataFrame, Int) = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
+      allIds: Option[DataFrame] = None,
+      dedupEdges: Boolean = true): (DataFrame, Int) = {
+    // both edge directions from ONE pass over `pairs`: a union of two
+    // selects evaluates the (often expensive) upstream pair join twice
+    // before the checkpoint cuts lineage — measured 2x the whole jaccard
+    // join cost on q57.
+    // `dedupEdges = false` skips the distinct for callers whose pair set
+    // is unique by construction (jaccardPairs emits one row per pair) —
+    // min-label propagation is idempotent over duplicate edges, so this
+    // is a size knob, not a correctness one; banded-LSH callers that can
+    // emit a pair once per band keep the default.
+    val bidir = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
       .localCheckpoint()
-    val paired = edges.select(col("src").as("id")).distinct()
-    // with allIds the output is a TOTAL keeper assignment: unpaired docs
-    // label themselves (they are their own canonical keeper)
-    val nodes = allIds
-      .map(ids => ids.toDF("id").union(paired).distinct())
-      .getOrElse(paired)
-    var labels = nodes
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    var changed = true
-    var i = 0
-    while (changed && i < maxIter) {
-      // each node adopts the min label among itself and its neighbors;
-      // the convergence flag rides along in the SAME pass (materialized
-      // by the eager localCheckpoint), so detecting quiescence costs a
-      // scan of the checkpointed partitions — not the extra shuffle join
-      // + full recount per round the naive formulation pays. Round 1's
-      // labels are the identity map, so its neighbor minimum is min(dst)
-      // per src straight off the edge list — no join.
-      val neighborMin =
-        if (i == 0)
-          edges.groupBy(col("src").as("id"))
-            .agg(min(col("dst")).as("min_n"))
-        else edges
-          .join(labels.withColumnRenamed("id", "dst")
-            .withColumnRenamed("label", "n_label"), "dst")
-          .groupBy(col("src").as("id"))
-          .agg(min(col("n_label")).as("min_n"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("min_n"), col("label")))
-            .as("label"),
-          (coalesce(col("min_n"), col("label")) < col("label"))
-            .as("_moved"))
-        .localCheckpoint()
-      changed = !updated.filter(col("_moved")).isEmpty
-      labels = updated.drop("_moved")
-      i += 1
+    // Size the loop's parallelism from the graph, not the session conf:
+    // the per-round cost at small scale is pure scheduling/planning
+    // overhead, and at large scale a fixed count under-partitions. ~1M
+    // edge rows per partition keeps a partition's join+agg state
+    // comfortably in executor memory; the count is free (bidir is
+    // already materialized by the checkpoint).
+    val loopParts =
+      math.max(1L, math.min((bidir.count() - 1) / 1000000L + 1, 65536L)).toInt
+    // Two-level CC: a graph that fits ONE partition (≤1M edge rows by
+    // construction) is solved by a local union-find in a single task —
+    // one job, zero shuffles — instead of paying O(diameter) rounds of
+    // Catalyst planning + checkpoint machinery (~0.3 s/round measured,
+    // dominating q57 at test scale). The distributed min-label loop
+    // below is the path for graphs that genuinely need the cluster.
+    val idType = bidir.schema("src").dataType
+    val localOrd: Option[Ordering[Any]] = idType match {
+      case org.apache.spark.sql.types.LongType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+      case org.apache.spark.sql.types.IntegerType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
+      case org.apache.spark.sql.types.StringType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      case _ => None // exotic id type: use the distributed loop
     }
-    // silent truncation would corrupt keeper assignment downstream —
-    // a component wider than maxIter hops must fail loudly
-    require(!changed,
-      s"connectedComponents did not converge after $maxIter rounds " +
-        "(labels still moving) — raise maxIter")
-    (labels.select(col("id"), col("label").as("keep_id")), i)
+    val (labels, rounds) = (loopParts, localOrd) match {
+      case (1, Some(ord)) =>
+        val sch = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType),
+          org.apache.spark.sql.types.StructField("label", idType)))
+        val uf = bidir.coalesce(1).mapPartitions { it =>
+          // union-find with path compression; roots then relabel to the
+          // component minimum so output matches the distributed loop
+          val parent = new java.util.HashMap[Any, Any]()
+          def find(x: Any): Any = {
+            var r = x
+            while (parent.getOrDefault(r, r) != r)
+              r = parent.getOrDefault(r, r)
+            var c = x
+            while (parent.getOrDefault(c, c) != c) {
+              val next = parent.getOrDefault(c, c)
+              parent.put(c, r); c = next
+            }
+            r
+          }
+          it.foreach { row =>
+            val a = row.get(0); val b = row.get(1)
+            parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent.put(ra, rb)
+          }
+          val minOfRoot = new java.util.HashMap[Any, Any]()
+          val nodes = new java.util.ArrayList[Any](parent.keySet())
+          nodes.forEach { n =>
+            val r = find(n)
+            val cur = minOfRoot.get(r)
+            if (cur == null || ord.lt(n, cur)) minOfRoot.put(r, n)
+          }
+          val out = new scala.collection.mutable.ArrayBuffer[
+            org.apache.spark.sql.Row](nodes.size())
+          nodes.forEach { n =>
+            out += org.apache.spark.sql.Row(n, minOfRoot.get(find(n)))
+          }
+          out.iterator
+        }(org.apache.spark.sql.Encoders.row(sch))
+        (uf.localCheckpoint(), 1)
+      case _ =>
+        // Every shuffle in the loop is pinned to loopParts by an explicit
+        // hash repartition; ENSURE_REQUIREMENTS then matches the other
+        // join sides to the existing layout, leaving ONE loopParts-wide
+        // shuffle per round (the groupBy(src)) instead of three
+        // conf-width ones. The checkpoint after the repartition pins
+        // HashPartitioning(dst) for the planner AND stops each round's
+        // two jobs from re-running the repartition's map side.
+        val dsted = bidir.repartition(loopParts, col("dst"))
+        val edges = (if (dedupEdges) dsted.distinct() else dsted)
+          .localCheckpoint()
+        // the loop runs on the PAIRED subgraph only — unpaired docs can
+        // never change label (they are their own keeper), so carrying the
+        // whole universe through every round's joins is wasted shuffle;
+        // they are attached with one broadcast left-join after convergence
+        val paired = edges.select(col("src").as("id"))
+          .repartition(loopParts, col("id")).distinct()
+        var labels = paired
+          .withColumn("label", col("id"))
+          .localCheckpoint()
+        var changed = true
+        var i = 0
+        while (changed && i < maxIter) {
+          // each node adopts the min label among itself and its neighbors;
+          // the convergence flag rides along in the SAME pass (materialized
+          // by the eager localCheckpoint), so detecting quiescence costs a
+          // scan of the checkpointed partitions — not the extra shuffle
+          // join + full recount per round the naive formulation pays.
+          // Round 1's labels are the identity map, so its neighbor minimum
+          // is min(dst) per src straight off the edge list — no join.
+          val neighborMin =
+            if (i == 0)
+              edges.repartition(loopParts, col("src"))
+                .groupBy(col("src").as("id"))
+                .agg(min(col("dst")).as("min_n"))
+            else edges
+              .join(labels.withColumnRenamed("id", "dst")
+                .withColumnRenamed("label", "n_label"), "dst")
+              .repartition(loopParts, col("src"))
+              .groupBy(col("src").as("id"))
+              .agg(min(col("n_label")).as("min_n"))
+          val updated = labels.join(neighborMin, Seq("id"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("min_n"), col("label")))
+                .as("label"),
+              (coalesce(col("min_n"), col("label")) < col("label"))
+                .as("_moved"))
+            .localCheckpoint()
+          changed = !updated.filter(col("_moved")).isEmpty
+          labels = updated.drop("_moved")
+          i += 1
+        }
+        // silent truncation would corrupt keeper assignment downstream —
+        // a component wider than maxIter hops must fail loudly
+        require(!changed,
+          s"connectedComponents did not converge after $maxIter rounds " +
+            "(labels still moving) — raise maxIter")
+        (labels, i)
+    }
+    // with allIds the output is a TOTAL keeper assignment: unpaired docs
+    // label themselves. allIds MUST be the id universe the pairs were
+    // derived from (a superset of paired ids — true for every caller,
+    // since pairs come from the same table). The converged paired-label
+    // set is one row per paired doc (tiny next to the universe), so this
+    // is a broadcast map-side join — the universe is never shuffled.
+    val total = allIds match {
+      case Some(ids) =>
+        ids.toDF("id").join(broadcast(labels), Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("label"), col("id")).as("label"))
+      case None => labels
+    }
+    (total.select(col("id"), col("label").as("keep_id")), rounds)
   }
 
   // ---------------- Embedding near-dup ----------------

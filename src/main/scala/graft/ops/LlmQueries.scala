@@ -333,7 +333,10 @@ object LlmQueries {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 0.9)
       .select($"id_a", $"id_b")
     Dedup.connectedComponents(pairs,
-        allIds = Some(docs.select($"doc_id")))
+        allIds = Some(docs.select($"doc_id")),
+        // jaccardPairs emits each pair exactly once (one blocking group
+        // per doc) — no distinct needed on the edge set
+        dedupEdges = false)
       .orderBy($"id")
   }
   val q57Sql: String =

@@ -43,16 +43,29 @@ object GrowingOneHot {
       ModelStore.load(spark, stateRoot, dictName)
         .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
 
+  /** Ceiling on dictionary size: one-hot is only meaningful for low-
+    * cardinality columns (level/source-like); a message-like column must
+    * hash-encode instead, and this guard makes that misuse fail loudly
+    * instead of collecting an unbounded dictionary to the driver. */
+  val defaultMaxCategories = 10000
+
   /** Union-distinct the batch's categories into the persisted dictionary;
-    * returns the updated dictionary. */
-  def updateDict(batch: DataFrame, catCol: String,
-      stateRoot: String): Map[String, Int] = {
+    * returns the updated dictionary. Fails if the grown dictionary would
+    * exceed `maxCategories` (the limit+1 fetch bounds the collect itself,
+    * so even the failing path never pulls an unbounded set driver-side). */
+  def updateDict(batch: DataFrame, catCol: String, stateRoot: String,
+      maxCategories: Int = defaultMaxCategories): Map[String, Int] = {
     val spark = batch.sparkSession
     import spark.implicits._
     val existing = loadDict(spark, stateRoot)
     val seen = batch.select(col(catCol).cast("string")).distinct()
+      .limit(maxCategories + 1)
       .collect().map(_.getString(0)).filter(_ != null)
     val fresh = seen.filterNot(existing.contains).sorted
+    require(existing.size + fresh.length <= maxCategories,
+      s"growing one-hot: column '$catCol' would exceed $maxCategories " +
+        s"categories (${existing.size} existing + >=${fresh.length} new) — " +
+        "one-hot is for low-cardinality columns; hash-encode instead")
     if (fresh.isEmpty) existing
     else {
       val updated = existing ++

@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -78,6 +80,23 @@ class EdgeCasesSpec extends AnyFunSuite {
     val right = emptyDf("k BIGINT, ts BIGINT, rid BIGINT")
     val got = AsOfJoin.asofLeft(left, right, "k", "ts", Seq("rid")).collect()
     assert(got.length == 1 && got(0).isNullAt(got(0).fieldIndex("asof_rid")))
+  }
+
+  test("growing one-hot refuses a high-cardinality category column") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("onehot_guard").toString
+    val wide = spark.range(50).select($"id".cast("string").as("cat"))
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.GrowingOneHot.updateDict(
+        wide, "cat", root, maxCategories = 10)
+    }
+    assert(e.getMessage.contains("hash-encode"))
+    // nothing was published: a fresh load still sees an empty dictionary
+    assert(graft.streaming.GrowingOneHot.loadDict(spark, root).isEmpty)
+    // under the ceiling the same input is fine
+    val ok = graft.streaming.GrowingOneHot.updateDict(
+      wide, "cat", root, maxCategories = 64)
+    assert(ok.size == 50)
   }
 
   test("quality metrics on single-class / single-cluster degenerate input") {

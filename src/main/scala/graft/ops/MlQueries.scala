@@ -431,6 +431,62 @@ object MlQueries {
       .orderBy($"cluster_id")
   }
 
+  /** q66 — oracle twin for q34's deterministic prefix (SURVEY §3.2 /
+    * reference run_training_batch.py lifecycle): the identical pipeline
+    * composition — bounded ordered sample → hourly volume → window
+    * features → batch-relative scoring → flag gate — with the single
+    * non-SQL stage (DenStream's cluster assignment, order-dependent by
+    * construction) replaced by the SQL-derivable event_type key. This
+    * pins every q34 stage except the model predict itself in DuckDB;
+    * q34 stays rows-only for the learned cluster ids. */
+  def q66PipelinePrefix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // the exact trainingBatch sample semantics (Enrich.scala:54-57)
+    val logs = Enrich.logView(s, d)
+      .filter($"level".isin("warning", "error"))
+      .orderBy($"log_id").limit(2000)
+    val counts = logs.groupBy($"event_type".as("cluster_id"),
+        unix_micros(date_trunc("hour", $"ts")).as("batch_ts"))
+      .agg(count(lit(1)).as("log_count"))
+    VolumeAnomaly.scoredFeatures(VolumeAnomaly.features(counts),
+        zdevRound = Some(6))
+      .select($"cluster_id", $"log_count",
+        // + 0.0 folds IEEE -0.0 (a zero z_dev negated by -ABS) to 0.0 on
+        // both engines — identical term in the oracle SQL
+        (round($"score", 6) + lit(0.0)).as("score"),
+        (round($"score_z", 4) + lit(0.0)).as("score_z"),
+        ($"score_z" < -1.0).as("flagged"))
+      .orderBy($"cluster_id")
+  }
+  val q66Sql: String =
+    """WITH logs AS (
+      |  SELECT event_id AS log_id, ts, event_type
+      |  FROM events
+      |  WHERE event_type IN ('error', 'signup', 'purchase')
+      |  ORDER BY event_id LIMIT 2000),
+      |counts AS (
+      |  SELECT event_type AS cluster_id,
+      |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS batch_ts,
+      |    COUNT(*) AS log_count
+      |  FROM logs GROUP BY 1, 2),
+      |f AS (SELECT cluster_id, batch_ts, log_count,
+      |  AVG(log_count) OVER w5 AS roll_mean,
+      |  STDDEV_POP(log_count) OVER w5 AS roll_std,
+      |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |                     ORDER BY batch_ts DESC) AS rn
+      |FROM counts
+      |WINDOW w5 AS (PARTITION BY cluster_id ORDER BY batch_ts
+      |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+      |latest AS (SELECT cluster_id, batch_ts, log_count,
+      |  -ABS(ROUND((log_count - roll_mean) / (roll_std + 1e-5), 6)) AS score
+      |FROM f WHERE rn = 1),
+      |stats AS (SELECT AVG(score) AS mu, STDDEV_POP(score) AS sigma
+      |          FROM latest)
+      |SELECT cluster_id, log_count, ROUND(score, 6) + 0.0 AS score,
+      |  ROUND((score - mu) / (sigma + 1e-5), 4) + 0.0 AS score_z,
+      |  (score - mu) / (sigma + 1e-5) < -1.0 AS flagged
+      |FROM latest, stats ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_minkowski" -> (q21Minkowski _),
     "q22_cosine_knn" -> (q22CosineKnn _),
@@ -448,7 +504,8 @@ object MlQueries {
     "q37_anomaly_iforest" -> (q37AnomalyIForest _),
     "q38_silhouette_simplified" -> (q38SilhouetteSimplified _),
     "q39_pca_projection" -> (q39PcaProjection _),
-    "q65_embed_sql" -> (q65EmbedSql _))
+    "q65_embed_sql" -> (q65EmbedSql _),
+    "q66_pipeline_prefix" -> (q66PipelinePrefix _))
 
   val oracleSql: Map[String, String] = Map(
     "q21_minkowski" -> q21Sql,
@@ -460,5 +517,6 @@ object MlQueries {
     "q30_silhouette" -> q30Sql,
     "q35_approx_aggs" -> q35Sql,
     "q38_silhouette_simplified" -> q38Sql,
-    "q65_embed_sql" -> q65Sql)
+    "q65_embed_sql" -> q65Sql,
+    "q66_pipeline_prefix" -> q66Sql)
 }

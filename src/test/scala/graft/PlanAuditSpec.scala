@@ -23,6 +23,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q29_homogeneity",       // entropy scalar combination
     "q30_silhouette",        // exact pairwise (validation-bounded)
     "q34_pipeline_e2e",      // scalar stats
+    "q66_pipeline_prefix",   // scalar stats (q34's oracle twin)
     "q44_embedding_neardup", // brute pair baseline (blocked variant = q42/q45)
     "q55_knn_ivf",           // centroid-table broadcast
     "q78_vector_mix",        // reference-vector broadcast

@@ -575,6 +575,37 @@ object LlmQueries {
       |FROM m, unnest(range(0, least(4, len))) AS t(i)
       |ORDER BY media_id, frame_id""".stripMargin
 
+  /** q67 — REAL media decode for the image kind: image rows carry genuine
+    * 24-bit BMP payloads (synthesized from the leading text bytes —
+    * Multimodal.mediaTableBmp), and the engine decodes them by parsing
+    * the header, skipping stride padding, and un-reversing the bottom-up
+    * rows. Differentially oracle-checked: DuckDB computes the expected
+    * top-down pixel bytes straight from the SOURCE TEXT via substring
+    * math (ASCII fixture ⇒ chars == bytes), so a decoder that misreads
+    * the pixel offset, stride, or row order hash-mismatches. */
+  def q67BmpDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.mediaTableBmp(s, d)
+      .filter($"meta.kind" === "image" && $"meta.n_bytes" >= 60)
+    Multimodal.decodeBmpFeatures(media)
+      .select($"media_id", $"width", $"height",
+        md5($"pixels").as("pixel_md5"),
+        to_json($"pixel_hist").as("hist_json"))
+      .orderBy($"media_id")
+  }
+  val q67Sql: String =
+    """WITH m AS (SELECT doc_id AS media_id, text FROM documents
+      |  WHERE CAST(doc_id % 3 AS INTEGER) = 0 AND length(text) >= 60),
+      |px AS (SELECT media_id,
+      |    substr(text, 46, 15) || substr(text, 31, 15) ||
+      |    substr(text, 16, 15) || substr(text, 1, 15) AS pix
+      |  FROM m)
+      |SELECT media_id, 5 AS width, 4 AS height, md5(pix) AS pixel_md5,
+      |  CAST(to_json(list_transform(range(0, 16), b ->
+      |    len(list_filter(regexp_split_to_array(pix, ''),
+      |      ch -> unicode(ch) // 16 = b)))) AS VARCHAR) AS hist_json
+      |FROM px ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> (q40DedupExact _),
     "q41_jaccard_neardup" -> (q41JaccardNearDup _),
@@ -595,7 +626,8 @@ object LlmQueries {
     "q48_quality_score" -> (q48QualityScore _),
     "q49_fingerprint" -> (q49Fingerprint _),
     "q50_media_features" -> (q50MediaFeatures _),
-    "q51_frame_sample" -> (q51FrameSample _))
+    "q51_frame_sample" -> (q51FrameSample _),
+    "q67_bmp_decode" -> (q67BmpDecode _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Sql,
@@ -613,5 +645,6 @@ object LlmQueries {
     "q59_ivf_centroids" -> q59Sql,
     "q51_frame_sample" -> q51Sql,
     "q56_neardup_lsh" -> q56Sql,
-    "q57_dedup_components" -> q57Sql)
+    "q57_dedup_components" -> q57Sql,
+    "q67_bmp_decode" -> q67Sql)
 }

@@ -160,6 +160,47 @@ class LlmSpec extends AnyFunSuite {
     assert(batched == perRow)
   }
 
+  test("bmp codec: encode/decode roundtrip recovers pixels top-down") {
+    // 2x2 image, width*3=6 -> stride 8: two padding bytes per row the
+    // decoder must skip; bottom-up storage it must reverse
+    val content = Array.tabulate[Byte](2 * 2 * 3)(i => (i + 1).toByte)
+    val bmp = Multimodal.bmpEncode(content, 2, 2)
+    assert(bmp.length == 54 + 8 * 2)
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    val (w, h, pixels) = Multimodal.bmpDecode(bmp)
+    assert((w, h) == (2, 2))
+    // file row 0 = bottom image row, so top-down output = rows swapped
+    assert(pixels.toSeq == (content.slice(6, 12) ++ content.slice(0, 6)).toSeq)
+  }
+
+  test("bmp decode rejects non-BMP and unsupported variants loudly") {
+    intercept[IllegalArgumentException] {
+      Multimodal.bmpDecode("not a bitmap at all".getBytes("UTF-8"))
+    }
+    // corrupt the bpp field of a valid file -> unsupported-variant error
+    val bmp = Multimodal.bmpEncode(new Array[Byte](12), 2, 2)
+    bmp(28) = 8
+    val e = intercept[IllegalArgumentException](Multimodal.bmpDecode(bmp))
+    assert(e.getMessage.contains("unsupported"))
+  }
+
+  test("bmp media table: image rows decode, other kinds keep raw payload") {
+    import spark.implicits._
+    val media = Multimodal.mediaTableBmp(spark, sf)
+    val images = media.filter($"meta.kind" === "image" && $"meta.n_bytes" >= 60)
+    val decoded = Multimodal.decodeBmpFeatures(images.limit(10)).collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { r =>
+      assert(r.getInt(1) == 5 && r.getInt(2) == 4)
+      assert(r.getAs[Array[Byte]](3).length == 60)
+      assert(r.getSeq[Int](4).sum == 60) // histogram partitions the pixels
+    }
+    // non-image payloads are untouched text bytes, not BMPs
+    val audio = media.filter($"meta.kind" === "audio").limit(1).collect()(0)
+    val payload = audio.getAs[Array[Byte]](1)
+    assert(!(payload(0) == 'B'.toByte && payload(1) == 'M'.toByte))
+  }
+
   test("resize stub: fixed output size, truncates long and pads short payloads") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, sf).limit(20)

@@ -50,7 +50,10 @@ object VolumeAnomaly {
       zdevRound: Option[Int] = None): DataFrame = {
     val zdev = zdevRound.map(sc => round(col("z_dev"), sc))
       .getOrElse(col("z_dev"))
-    val scored = feats.withColumn("score", -abs(zdev))
+    // the batch stats aggregate AND the main side both consume `scored`
+    // — lazy checkpoint so the window pipeline upstream materializes
+    // once (per-cluster rows, tiny) instead of twice
+    val scored = feats.withColumn("score", -abs(zdev)).localCheckpoint(false)
     val stats = scored.agg(
       avg("score").as("mu"), stddev_pop("score").as("sigma"),
       count(lit(1)).as("n_eval"))

@@ -389,25 +389,51 @@ object Dedup {
     * 1..N-1. Converges because labels are monotonically non-increasing
     * and bounded. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
-      allIds: Option[DataFrame] = None,
-      dedupEdges: Boolean = true): DataFrame =
-    connectedComponentsWithRounds(pairs, maxIter, allIds, dedupEdges)._1
+      allIds: Option[DataFrame] = None): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter, allIds)._1
+
+  /** Path-compressed union-find over a partition's (src, dst) rows —
+    * the building block of both CC fast paths. Duplicate and
+    * self-referential edges cost one map probe each, so callers never
+    * need to pre-distinct their edge sets. Returns the parent map plus
+    * the find function (call find again after all unions — interior
+    * entries may still point at stale roots until compressed). */
+  private def unionFindOf(rows: Iterator[org.apache.spark.sql.Row])
+      : (java.util.HashMap[Any, Any], Any => Any) = {
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r)
+        r = parent.getOrDefault(r, r)
+      var c = x
+      while (parent.getOrDefault(c, c) != c) {
+        val next = parent.getOrDefault(c, c)
+        parent.put(c, r); c = next
+      }
+      r
+    }
+    rows.foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(ra, rb)
+    }
+    (parent, find)
+  }
 
   /** [[connectedComponents]] that also reports the number of propagation
     * rounds it ran — the per-round job count is the 100 TB cost driver, so
     * tests pin it (ScaleOpsSpec). */
   def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 50,
-      allIds: Option[DataFrame] = None,
-      dedupEdges: Boolean = true): (DataFrame, Int) = {
+      allIds: Option[DataFrame] = None): (DataFrame, Int) = {
     // both edge directions from ONE pass over `pairs`: a union of two
     // selects evaluates the (often expensive) upstream pair join twice
     // before the checkpoint cuts lineage — measured 2x the whole jaccard
-    // join cost on q57.
-    // `dedupEdges = false` skips the distinct for callers whose pair set
-    // is unique by construction (jaccardPairs emits one row per pair) —
-    // min-label propagation is idempotent over duplicate edges, so this
-    // is a size knob, not a correctness one; banded-LSH callers that can
-    // emit a pair once per band keep the default.
+    // join cost on q57. No distinct anywhere on the raw edges: the fast
+    // path absorbs duplicates at a map-probe each and min-label
+    // propagation is idempotent over them; a caller whose pair set is
+    // heavily duplicated BY CONSTRUCTION (e.g. banded LSH emitting a
+    // pair once per matching band) should dedup before calling.
     val bidir = pairs
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
@@ -417,7 +443,7 @@ object Dedup {
     // Size the loop's parallelism from the graph, not the session conf:
     // the per-round cost at small scale is pure scheduling/planning
     // overhead, and at large scale a fixed count under-partitions. ~1M
-    // edge rows per partition keeps a partition's join+agg state
+    // edge rows per partition keeps a partition's union-find/join state
     // comfortably in executor memory; the count is free (bidir is
     // already materialized by the checkpoint).
     val loopParts =
@@ -426,8 +452,9 @@ object Dedup {
     // construction) is solved by a local union-find in a single task —
     // one job, zero shuffles — instead of paying O(diameter) rounds of
     // Catalyst planning + checkpoint machinery (~0.3 s/round measured,
-    // dominating q57 at test scale). The distributed min-label loop
-    // below is the path for graphs that genuinely need the cluster.
+    // dominating q57 at test scale). Bigger graphs first CONTRACT
+    // partition-locally, then run the distributed min-label loop on the
+    // contracted graph.
     val idType = bidir.schema("src").dataType
     val localOrd: Option[Ordering[Any]] = idType match {
       case org.apache.spark.sql.types.LongType =>
@@ -444,26 +471,9 @@ object Dedup {
           org.apache.spark.sql.types.StructField("id", idType),
           org.apache.spark.sql.types.StructField("label", idType)))
         val uf = bidir.coalesce(1).mapPartitions { it =>
-          // union-find with path compression; roots then relabel to the
-          // component minimum so output matches the distributed loop
-          val parent = new java.util.HashMap[Any, Any]()
-          def find(x: Any): Any = {
-            var r = x
-            while (parent.getOrDefault(r, r) != r)
-              r = parent.getOrDefault(r, r)
-            var c = x
-            while (parent.getOrDefault(c, c) != c) {
-              val next = parent.getOrDefault(c, c)
-              parent.put(c, r); c = next
-            }
-            r
-          }
-          it.foreach { row =>
-            val a = row.get(0); val b = row.get(1)
-            parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
-            val (ra, rb) = (find(a), find(b))
-            if (ra != rb) parent.put(ra, rb)
-          }
+          // union-find; roots then relabel to the component minimum so
+          // output matches the distributed loop
+          val (parent, find) = unionFindOf(it)
           val minOfRoot = new java.util.HashMap[Any, Any]()
           val nodes = new java.util.ArrayList[Any](parent.keySet())
           nodes.forEach { n =>
@@ -487,8 +497,15 @@ object Dedup {
         // conf-width ones. The checkpoint after the repartition pins
         // HashPartitioning(dst) for the planner AND stops each round's
         // two jobs from re-running the repartition's map side.
-        val dsted = bidir.repartition(loopParts, col("dst"))
-        val edges = (if (dedupEdges) dsted.distinct() else dsted)
+        // (A partition-local union-find contraction level was tried here
+        // and measured a wash at sf1x100: hash(dst) partitioning spreads
+        // each component across partitions, so the stitched star graph
+        // keeps the original diameter — same 5 rounds — and the extra
+        // full pass over the edges costs what the smaller loop graph
+        // saves. Min-label propagation is idempotent over duplicate
+        // edges, so no distinct on the raw edge set either: a dedup
+        // shuffle costs more than dup rows riding through the joins.)
+        val edges = bidir.repartition(loopParts, col("dst"))
           .localCheckpoint()
         // the loop runs on the PAIRED subgraph only — unpaired docs can
         // never change label (they are their own keeper), so carrying the

@@ -333,10 +333,7 @@ object LlmQueries {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 0.9)
       .select($"id_a", $"id_b")
     Dedup.connectedComponents(pairs,
-        allIds = Some(docs.select($"doc_id")),
-        // jaccardPairs emits each pair exactly once (one blocking group
-        // per doc) — no distinct needed on the edge set
-        dedupEdges = false)
+        allIds = Some(docs.select($"doc_id")))
       .orderBy($"id")
   }
   val q57Sql: String =

@@ -38,7 +38,7 @@ object ProfileQ57 {
       time("jaccardPairs count")(pairs.count())
       val (cc, rounds) = time("connectedComponents") {
         val r = graft.llm.Dedup.connectedComponentsWithRounds(pairs,
-          allIds = Some(docs.select($"doc_id")), dedupEdges = false)
+          allIds = Some(docs.select($"doc_id")))
         (r._1, r._2)
       }
       println(s"[prof]   rounds = $rounds")

@@ -387,7 +387,11 @@ object Dedup {
     * join plan (O(diameter) rounds, each one shuffle); lineage is cut per
     * round with localCheckpoint so round N does not re-execute rounds
     * 1..N-1. Converges because labels are monotonically non-increasing
-    * and bounded. */
+    * and bounded.
+    *
+    * With `allIds` the output covers EXACTLY that id universe (unpaired
+    * ids keep themselves); `pairs` must be derived from the same table,
+    * since a paired id absent from `allIds` is dropped, not labeled. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
       allIds: Option[DataFrame] = None): DataFrame =
     connectedComponentsWithRounds(pairs, maxIter, allIds)._1
@@ -462,7 +466,26 @@ object Dedup {
       case org.apache.spark.sql.types.IntegerType =>
         Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
       case org.apache.spark.sql.types.StringType =>
-        Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+        // UTF-8 byte order, NOT Java's UTF-16 compareTo: Spark's min()
+        // in the distributed loop compares UTF-8 binary, and the two
+        // orders disagree on supplementary-plane characters — the fast
+        // path must pick the same keeper as the loop (and as a SQL MIN)
+        Some(new Ordering[Any] {
+          def compare(a: Any, b: Any): Int = {
+            val x = a.asInstanceOf[String]
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val y = b.asInstanceOf[String]
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var i = 0
+            val n = math.min(x.length, y.length)
+            while (i < n) {
+              val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+              if (d != 0) return d
+              i += 1
+            }
+            x.length - y.length
+          }
+        })
       case _ => None // exotic id type: use the distributed loop
     }
     val (labels, rounds) = (loopParts, localOrd) match {
@@ -555,15 +578,18 @@ object Dedup {
             "(labels still moving) — raise maxIter")
         (labels, i)
     }
-    // with allIds the output is a TOTAL keeper assignment: unpaired docs
-    // label themselves. allIds MUST be the id universe the pairs were
-    // derived from (a superset of paired ids — true for every caller,
-    // since pairs come from the same table). The converged paired-label
-    // set is one row per paired doc (tiny next to the universe), so this
-    // is a broadcast map-side join — the universe is never shuffled.
+    // with allIds the output covers EXACTLY that universe: unpaired ids
+    // label themselves, and (contract, documented in the scaladoc) a
+    // paired id outside allIds does not appear — pairs must derive from
+    // the same table as allIds, as every in-repo caller's do. The
+    // converged label set is usually small next to the universe, so no
+    // explicit broadcast hint: AQE sees the checkpointed labels' real
+    // size at runtime and picks a broadcast join when it fits, while a
+    // dedup-heavy corpus whose paired set approaches the universe
+    // degrades to a shuffle join instead of an 8GB broadcast failure.
     val total = allIds match {
       case Some(ids) =>
-        ids.toDF("id").join(broadcast(labels), Seq("id"), "left")
+        ids.toDF("id").join(labels, Seq("id"), "left")
           .select(col("id"),
             coalesce(col("label"), col("id")).as("label"))
       case None => labels

@@ -134,7 +134,11 @@ object Multimodal {
       s"unsupported BMP variant: bpp=$bpp compression=$compression " +
         s"${width}x$height (only 24-bit uncompressed bottom-up)")
     val stride = ((width * 3) + 3) / 4 * 4
-    require(bytes.length >= pixelOffset + stride * height,
+    // Long arithmetic: a hostile header (huge height, negative offset)
+    // must hit THIS require, not wrap Int and surface as an array error
+    require(pixelOffset >= 54 &&
+      bytes.length.toLong >= pixelOffset.toLong + stride.toLong * height &&
+      3L * width * height <= Int.MaxValue,
       "BMP payload truncated")
     val pixels = new Array[Byte](width * height * 3)
     var row = 0

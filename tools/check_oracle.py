@@ -6,10 +6,13 @@ Usage: python3 tools/check_oracle.py <outDir> <sfDir> [name ...]
 Reads each <outDir>/<name>/ parquet (written by graft.Verify), runs the
 matching SQL from <outDir>/oracle_sql.json in DuckDB over the sfDir
 parquet tables, and compares via pandas ``.df()`` frames — the same
-materialization the driver hashes — so a dtype divergence (e.g. DuckDB
-HUGEINT -> float64 vs Spark int64) FAILS here exactly as it fails on the
-driver. Columns are sorted by name, rows by all columns, and both dtypes
-and values must match. Dev tooling only — not part of the engine.
+materialization the driver hashes — so a dtype divergence that changes
+the printed value (e.g. DuckDB HUGEINT -> float64's "23044.0" vs Spark
+int64's "23044") FAILS here exactly as it fails on the driver. Rows are
+compared stringified after sorting columns by name and rows by all
+columns; width-only dtype differences (int32 vs int64) intentionally
+pass, mirroring the driver (q76 precedent). Dev tooling only — not part
+of the engine.
 """
 import json
 import sys
@@ -65,6 +68,12 @@ def main(out_dir, sf_dir, only=()):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # same contract as graft.Verify's subset arg: a typo'd name must fail
+    # loudly, never produce a "0 pass / 0 fail" false green
+    unknown = set(only) - set(oracle)
+    if unknown:
+        raise SystemExit(f"unknown queries (no oracle entry): "
+                         f"{', '.join(sorted(unknown))}")
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:

@@ -25,9 +25,14 @@ object Centroids {
 
   final case class Centroid(semanticId: String, center: Array[Float], var n: Long)
 
-  /** Sequential fold over an ordered iterator — the reference algorithm. */
-  def foldAssign(rows: Iterator[(Long, Array[Float])], threshold: Double,
-      p: Double = 1.5): (ArrayBuffer[Centroid], ArrayBuffer[(Long, String)]) = {
+  /** Sequential fold with a pluggable pair distance — the reference's loop
+    * shape (compare to all live centroids, strict first-min argmin, strict
+    * `< threshold` join-else-found). [[foldAssign]] specializes it to
+    * Minkowski; q68 runs the same control flow under squared Euclidean so
+    * the fold is oracle-reproducible on exact-integer geometry. */
+  def foldAssignWith(rows: Iterator[(Long, Array[Float])], threshold: Double,
+      dist: (Array[Float], Array[Float]) => Double)
+      : (ArrayBuffer[Centroid], ArrayBuffer[(Long, String)]) = {
     val cs = ArrayBuffer.empty[Centroid]
     val out = ArrayBuffer.empty[(Long, String)]
     rows.foreach { case (id, vec) =>
@@ -35,7 +40,7 @@ object Centroids {
       var bestD = Double.MaxValue
       var i = 0
       while (i < cs.length) {
-        val dd = Distance.minkowskiS(vec, cs(i).center, p)
+        val dd = dist(vec, cs(i).center)
         if (dd < bestD) { bestD = dd; best = i }
         i += 1
       }
@@ -51,10 +56,16 @@ object Centroids {
     (cs, out)
   }
 
-  /** Parity path: assignments `(id, semantic_group)` for every row of `df`,
-    * computed in strict `idCol` order. */
-  def assign(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, p: Double = 1.5): DataFrame = {
+  /** Sequential fold over an ordered iterator — the reference algorithm. */
+  def foldAssign(rows: Iterator[(Long, Array[Float])], threshold: Double,
+      p: Double = 1.5): (ArrayBuffer[Centroid], ArrayBuffer[(Long, String)]) =
+    foldAssignWith(rows, threshold, Distance.minkowskiS(_, _, p))
+
+  /** [[assign]] with a pluggable distance (same narrow one-partition
+    * parity path). */
+  def assignWith(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double,
+      dist: (Array[Float], Array[Float]) => Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // null vectors (null source text) carry no geometry: excluded from
@@ -64,9 +75,15 @@ object Centroids {
       .as[(Long, Array[Float])]
       .repartition(1)
       .sortWithinPartitions(col(idCol))
-      .mapPartitions { it => foldAssign(it, threshold, p)._2.iterator }
+      .mapPartitions { it => foldAssignWith(it, threshold, dist)._2.iterator }
       .toDF(idCol, "semantic_group")
   }
+
+  /** Parity path: assignments `(id, semantic_group)` for every row of `df`,
+    * computed in strict `idCol` order. */
+  def assign(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, p: Double = 1.5): DataFrame =
+    assignWith(df, idCol, vecCol, threshold, Distance.minkowskiS(_, _, p))
 
   /** Centroid state table `(semantic_group, center, n)` — the engine's
     * analog of centroids.pkl (vector_engine.py:47-61).

@@ -48,21 +48,49 @@ object Embed {
     * q52/q53/q54/q59 pin the other signature ops. */
   def embedSqlRows(df: DataFrame, idCol: String, textCol: String,
       dim: Int = DefaultDim): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(split(lower(col(textCol)), graft.llm.Dedup.WsClass)).as("tok"))
-      .filter(col("tok") =!= "")
-      .withColumn("b",
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-    val sums = toks
-      .select(col("id"), pmod(col("b"), lit(dim.toLong)).cast("int").as("pos"),
-        when(shiftright(col("b"), 8).bitwiseAND(lit(1L)) === 1L, 1.0)
-          .otherwise(-1.0).as("sgn"))
-      .groupBy("id", "pos").agg(sum("sgn").as("s")) // exact ±1 integers
+    val sums = md5BucketSums(df, idCol, textCol, dim)
     val norms = sums.groupBy("id")
       .agg(sqrt(sum(col("s") * col("s"))).as("nrm"))
     sums.join(norms, "id")
       .select(col("id"), col("pos"),
         round(col("s") / greatest(col("nrm"), lit(1e-12)), 6).as("val"))
+  }
+
+  /** Sparse `(id, pos, s)` md5 bucket/sign sums — the shared first stage of
+    * [[embedSqlRows]] and [[denseSqlVectors]]. `s` is an exact integer
+    * (sum of ±1 per token). */
+  private def md5BucketSums(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(lower(col(textCol)), graft.llm.Dedup.WsClass)).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("b",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    toks
+      .select(col("id"), pmod(col("b"), lit(dim.toLong)).cast("int").as("pos"),
+        when(shiftright(col("b"), 8).bitwiseAND(lit(1L)) === 1L, 1.0)
+          .otherwise(-1.0).as("sgn"))
+      .groupBy("id", "pos").agg(sum("sgn").as("s")) // exact ±1 integers
+  }
+
+  /** Dense UNNORMALIZED integer bucket-count vectors under the same
+    * md5-derived bucket/sign hashes as [[embedSqlRows]]. Every coordinate
+    * is an exact small integer, so squared-Euclidean distances between
+    * these vectors are exact in both Spark and DuckDB — the property q68
+    * uses to pin the order-dependent grouping fold
+    * ([[graft.ml.Centroids.foldAssignWith]]) against a recursive-CTE
+    * oracle. Rows with no tokens get the zero vector (as does the
+    * oracle's dense CTE). */
+  def denseSqlVectors(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    val maps = md5BucketSums(df, idCol, textCol, dim)
+      .groupBy("id")
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("s"))))
+        .as("m"))
+    df.select(col(idCol).as("id")).join(maps, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          p => coalesce(element_at(col("m"), p), lit(0.0))).as("vec"))
   }
 
   private def addFeature(v: Array[Float], feat: String, dim: Int): Unit = {

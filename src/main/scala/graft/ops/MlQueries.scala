@@ -487,6 +487,144 @@ object MlQueries {
       |  (score - mu) / (sigma + 1e-5) < -1.0 AS flagged
       |FROM latest, stats ORDER BY cluster_id""".stripMargin
 
+  /** q68 — oracle-checked ORDER-DEPENDENT semantic-grouping fold: the q32
+    * machinery (reference vector_engine.py:21-45 — strict arrival order,
+    * compare to all live centroids, first-min argmin, strict `< threshold`
+    * join-else-found, groups named `sem_grp_<founderId>`) made
+    * oracle-reproducible. Documents embed into dense md5 integer
+    * bucket-count vectors (q65's hash math, unnormalized, dim 16) and run
+    * through the PRODUCTION fold loop ([[Centroids.foldAssignWith]]) under
+    * squared Euclidean, threshold 100: all-integer geometry, so every
+    * distance, the first-min tie-break, and the threshold compare are
+    * exact in both engines; DuckDB replays the fold as a recursive CTE.
+    * q32/q36 keep the murmur embedder + Minkowski p=1.5 as the production
+    * path (rows-only — murmur is not oracle-expressible). */
+  def q68SemanticFoldSql(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dense = Embed.denseSqlVectors(documents(s, d), "doc_id", "text",
+      dim = 16)
+    Centroids.assignWith(dense, "doc_id", "vec", threshold = 100.0,
+        Distance.sqEuclideanS)
+      .select($"doc_id", $"semantic_group".as("grp"))
+      .orderBy($"doc_id")
+  }
+  val q68Sql: String =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id AS id,
+      |    CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS b
+      |  FROM documents,
+      |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\v\f\r]+'),
+      |      x -> x != '')) AS t(tok)),
+      |sums AS (SELECT id, CAST(b % 16 AS INTEGER) AS pos,
+      |    CAST(SUM(CASE WHEN (b >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS DOUBLE)
+      |      AS s
+      |  FROM toks GROUP BY 1, 2),
+      |dense AS (SELECT d.doc_id AS id, p.pos, COALESCE(s.s, 0.0) AS x
+      |  FROM documents d CROSS JOIN unnest(range(0, 16)) AS p(pos)
+      |  LEFT JOIN sums s ON s.id = d.doc_id AND s.pos = p.pos),
+      |vecs AS (SELECT id, list(x ORDER BY pos) AS v FROM dense GROUP BY id),
+      |ranked AS (SELECT id, v, row_number() OVER (ORDER BY id) AS rn
+      |  FROM vecs),
+      |fold AS (
+      |  SELECT 0::BIGINT AS rn, CAST(NULL AS BIGINT) AS id,
+      |         CAST(NULL AS BIGINT) AS grp,
+      |         CAST([] AS STRUCT(gid BIGINT, c DOUBLE[])[]) AS cs
+      |  UNION ALL
+      |  SELECT rn, id,
+      |    CASE WHEN hit THEN cs[bi].gid ELSE id END AS grp,
+      |    CASE WHEN hit THEN cs
+      |         ELSE list_append(cs, {'gid': id, 'c': v}) END AS cs
+      |  FROM (
+      |    SELECT r.rn, r.id, r.v, f.cs,
+      |      COALESCE(list_min(dists) < 100.0, FALSE) AS hit,
+      |      list_position(dists, list_min(dists)) AS bi
+      |    FROM fold f JOIN ranked r ON r.rn = f.rn + 1,
+      |    LATERAL (SELECT list_transform(f.cs,
+      |        s -> list_sum(list_transform(list_zip(s.c, r.v),
+      |          z -> (z[1] - z[2]) * (z[1] - z[2])))) AS dists) t
+      |  )
+      |)
+      |SELECT id AS doc_id, 'sem_grp_' || CAST(grp AS VARCHAR) AS grp
+      |FROM fold WHERE rn > 0 ORDER BY doc_id""".stripMargin
+
+  /** q69 — oracle-checked DenStream machinery (the q33 model family,
+    * reference model.py:10-15 / run_training_batch.py:133-136): the full
+    * order-dependent `learn_one` fold — per-row argmin over live
+    * micro-clusters, strict `< epsilon` merge-else-create, INCREMENTAL
+    * CENTER DRIFT `(c·w + v)/(w+1)` — runs through the production
+    * [[DenStream.Model.learnOne]] loop, then the distributed
+    * [[DenStream.withPredictions]] probe assigns every doc. With
+    * `lambda = 0` every operation in the fold is mul/add/div/sqrt —
+    * all IEEE-correctly-rounded, so the drifted double centers are
+    * BIT-IDENTICAL in DuckDB's recursive-CTE replay (validated at three
+    * SFs), and the integer cluster-id output needs no rounding at all.
+    * The decay path (`2^{-λΔt}`) is deliberately excluded: `pow` is not
+    * correctly rounded and differs across libm implementations — decay
+    * and pruning stay ScalaTest-gated (MlSpec/GoldenSpec); q33 keeps the
+    * production murmur-embedder + decay configuration (rows-only). */
+  def q69DenstreamFoldSql(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dense = Embed.denseSqlVectors(documents(s, d), "doc_id", "text",
+      dim = 16)
+    val model = DenStream.fit(dense, "doc_id", "vec", epsilon = 10.0,
+      lambda = 0.0)
+    DenStream.withPredictions(dense, model, "vec")
+      .select($"doc_id", $"cluster_id")
+      .orderBy($"doc_id")
+  }
+  val q69Sql: String =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id AS id,
+      |    CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS b
+      |  FROM documents,
+      |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\v\f\r]+'),
+      |      x -> x != '')) AS t(tok)),
+      |sums AS (SELECT id, CAST(b % 16 AS INTEGER) AS pos,
+      |    CAST(SUM(CASE WHEN (b >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS DOUBLE)
+      |      AS s
+      |  FROM toks GROUP BY 1, 2),
+      |dense AS (SELECT d.doc_id AS id, p.pos, COALESCE(s.s, 0.0) AS x
+      |  FROM documents d CROSS JOIN unnest(range(0, 16)) AS p(pos)
+      |  LEFT JOIN sums s ON s.id = d.doc_id AND s.pos = p.pos),
+      |vecs AS (SELECT id, list(x ORDER BY pos) AS v FROM dense GROUP BY id),
+      |ranked AS (SELECT id, v, row_number() OVER (ORDER BY id) AS rn
+      |  FROM vecs),
+      |fold AS (
+      |  SELECT 0::BIGINT AS rn, 0 AS nid,
+      |         CAST([] AS STRUCT(cid INTEGER, c DOUBLE[], w DOUBLE)[]) AS cs
+      |  UNION ALL
+      |  SELECT rn,
+      |    CASE WHEN hit THEN nid ELSE nid + 1 END AS nid,
+      |    CASE WHEN hit THEN list_transform(cs, (s, i) -> CASE WHEN i = bi
+      |           THEN {'cid': s.cid,
+      |             'c': list_transform(list_zip(s.c, v),
+      |               z -> (z[1]*s.w + z[2])/(s.w + 1.0)),
+      |             'w': s.w + 1.0} ELSE s END)
+      |         ELSE list_append(cs, {'cid': nid, 'c': v, 'w': 1.0}) END AS cs
+      |  FROM (
+      |    SELECT r.rn, r.v, f.nid, f.cs,
+      |      COALESCE(list_min(dists) < 10.0, FALSE) AS hit,
+      |      list_position(dists, list_min(dists)) AS bi
+      |    FROM fold f JOIN ranked r ON r.rn = f.rn + 1,
+      |    LATERAL (SELECT list_transform(f.cs,
+      |        s -> sqrt(list_sum(list_transform(list_zip(s.c, r.v),
+      |          z -> (z[1] - z[2]) * (z[1] - z[2]))))) AS dists) t
+      |  )
+      |),
+      |final AS (SELECT cs FROM fold ORDER BY rn DESC LIMIT 1),
+      |probe AS (
+      |  SELECT v.id, t.dists
+      |  FROM vecs v, final f,
+      |  LATERAL (SELECT list_transform(f.cs,
+      |      s -> sqrt(list_sum(list_transform(list_zip(s.c, v.v),
+      |        z -> (z[1] - z[2]) * (z[1] - z[2]))))) AS dists) t
+      |)
+      |SELECT p.id AS doc_id,
+      |  CASE WHEN COALESCE(list_min(p.dists) < 10.0, FALSE)
+      |       THEN f.cs[list_position(p.dists, list_min(p.dists))].cid
+      |       ELSE -1 END AS cluster_id
+      |FROM probe p, final f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_minkowski" -> (q21Minkowski _),
     "q22_cosine_knn" -> (q22CosineKnn _),
@@ -505,7 +643,9 @@ object MlQueries {
     "q38_silhouette_simplified" -> (q38SilhouetteSimplified _),
     "q39_pca_projection" -> (q39PcaProjection _),
     "q65_embed_sql" -> (q65EmbedSql _),
-    "q66_pipeline_prefix" -> (q66PipelinePrefix _))
+    "q66_pipeline_prefix" -> (q66PipelinePrefix _),
+    "q68_semantic_fold_sql" -> (q68SemanticFoldSql _),
+    "q69_denstream_fold_sql" -> (q69DenstreamFoldSql _))
 
   val oracleSql: Map[String, String] = Map(
     "q21_minkowski" -> q21Sql,
@@ -518,5 +658,7 @@ object MlQueries {
     "q35_approx_aggs" -> q35Sql,
     "q38_silhouette_simplified" -> q38Sql,
     "q65_embed_sql" -> q65Sql,
-    "q66_pipeline_prefix" -> q66Sql)
+    "q66_pipeline_prefix" -> q66Sql,
+    "q68_semantic_fold_sql" -> q68Sql,
+    "q69_denstream_fold_sql" -> q69Sql)
 }

@@ -49,6 +49,25 @@ class MlSpec extends AnyFunSuite {
     assert(cs(0).n == 2 && cs(1).n == 1)
   }
 
+  test("centroid fold with pluggable distance: q68's sqEuclid semantics " +
+      "(first-min tie-break, strict < threshold)") {
+    // exact-integer geometry: two founders equidistant from v3 — the FIRST
+    // live centroid must win the argmin (dd < bestD, not <=)
+    val v1 = Array(2f, 0f)
+    val v2 = Array(0f, 2f)
+    val v3 = Array(1f, 1f) // sqd 2 to both
+    val (_, out) = Centroids.foldAssignWith(
+      Iterator((1L, v1), (2L, v2), (3L, v3)), threshold = 3.0,
+      Distance.sqEuclideanS)
+    assert(out.toSeq == Seq((1L, "sem_grp_1"), (2L, "sem_grp_2"),
+      (3L, "sem_grp_1")))
+    // strict <: a distance exactly AT the threshold founds a new group
+    val (cs2, _) = Centroids.foldAssignWith(
+      Iterator((1L, v1), (2L, v2)), threshold = 8.0, // sqd(v1,v2) == 8
+      Distance.sqEuclideanS)
+    assert(cs2.map(_.semanticId) == Seq("sem_grp_1", "sem_grp_2"))
+  }
+
   test("centroids do not drift (reference behavior, vector_engine.py:38-39)") {
     val v1 = Array(1f, 0f)
     val v2 = Array(0.9f, 0.1f)

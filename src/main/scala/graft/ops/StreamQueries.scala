@@ -165,16 +165,84 @@ object StreamQueries {
       |SELECT ws AS window_start_us, event_type, COUNT(*) AS cnt
       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q86 — oracle-checked STREAMING stateful semantic grouping: q61's
+    * exact machinery ([[StreamOps.statefulSemanticGroupsWith]] —
+    * `flatMapGroupsWithState`, centroid state in the state store,
+    * in-batch id sort) run over q68's oracle-expressible geometry (dense
+    * md5 integer vectors, squared Euclidean, threshold 100). The input is
+    * split into FOUR ascending doc_id-range parquet files consumed one
+    * per micro-batch (`maxFilesPerTrigger=1`, mtime-ordered), so centroid
+    * state genuinely carries across batch boundaries — founders from
+    * batch 1 absorb members in batches 2-4 — while global id order is
+    * preserved, making the single-fold recursive CTE (q68Sql) the exact
+    * answer. This pins the streaming state path the way q68 pins the
+    * batch fold; q61 keeps the production murmur + Minkowski stream
+    * (rows-only). */
+  def q86StreamFoldSql(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val dense = graft.ml.Embed.denseSqlVectors(
+        Tables.documents(s, d), "doc_id", "text", dim = 16)
+      .select($"doc_id", $"vec".cast("array<float>").as("vec"))
+    val tiled = dense.withColumn("tile",
+      ntile(4).over(Window.orderBy($"doc_id")))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_q86_in")
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_q86_stage")
+    for (k <- 1 to 4) {
+      val stage = stageDir.resolve(s"t$k")
+      tiled.filter($"tile" === k).select($"doc_id", $"vec")
+        .coalesce(1).write.parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"q86: no parquet written for tile $k"))
+      val dest = streamDir.resolve(f"batch_$k%02d.parquet")
+      java.nio.file.Files.move(part, dest)
+      // backdated, strictly ascending mtimes pin the file-source order
+      require(dest.toFile.setLastModified(1600000000000L + k * 60000L),
+        s"q86: cannot set mtime on $dest")
+    }
+    val schema = new StructType()
+      .add("doc_id", LongType).add("vec", ArrayType(FloatType))
+    val pairs = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .select($"doc_id".as("_1"), $"vec".as("_2"))
+      .as[(Long, Array[Float])]
+    val out = StreamOps.statefulSemanticGroupsWith(pairs, threshold = 100.0,
+      graft.ml.Distance.sqEuclideanS)
+    // one state store per shuffle partition per batch — pin small at test
+    // scale (same rationale and restore discipline as q63 above)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = out.toDF().writeStream
+        .outputMode("update")
+        .format("memory").queryName("graft_stream_fold")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table("graft_stream_fold")
+      .select($"log_id".as("doc_id"), $"semantic_group".as("grp"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_stream_volume" -> (q60StreamVolume _),
     "q64_sliding_window" -> (q64SlidingWindow _),
     "q61_stream_semantic" -> (q61StreamSemantic _),
     "q62_session_window" -> (q62SessionWindow _),
-    "q63_stream_stream_join" -> (q63StreamStreamJoin _))
+    "q63_stream_stream_join" -> (q63StreamStreamJoin _),
+    "q86_stream_fold_sql" -> (q86StreamFoldSql _))
 
   val oracleSql: Map[String, String] = Map(
     "q60_stream_volume" -> q60Sql,
     "q64_sliding_window" -> q64Sql,
     "q62_session_window" -> q62Sql,
-    "q63_stream_stream_join" -> q63Sql)
+    "q63_stream_stream_join" -> q63Sql,
+    // identical answer by construction: ascending id-range batches keep
+    // the global fold order, so the batch-fold CTE is the exact oracle
+    "q86_stream_fold_sql" -> MlQueries.q68Sql)
 }

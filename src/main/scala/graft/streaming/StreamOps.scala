@@ -62,7 +62,17 @@ object StreamOps {
     * global order, matching the reference exactly; shard the key for the
     * 100 TB variant (per-shard namespaces, SURVEY.md §7.4 risk 2). */
   def statefulSemanticGroups(events: Dataset[(Long, Array[Float])],
-      threshold: Double, p: Double = 1.5): Dataset[SemAssign] = {
+      threshold: Double, p: Double = 1.5): Dataset[SemAssign] =
+    statefulSemanticGroupsWith(events, threshold,
+      graft.ml.Distance.minkowskiS(_, _, p))
+
+  /** [[statefulSemanticGroups]] with a pluggable pair distance — the same
+    * parameterization as `Centroids.foldAssignWith`; q86 runs it under
+    * squared Euclidean so the streaming state machinery is
+    * oracle-checkable. */
+  def statefulSemanticGroupsWith(events: Dataset[(Long, Array[Float])],
+      threshold: Double,
+      dist: (Array[Float], Array[Float]) => Double): Dataset[SemAssign] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_ => 0) // single global namespace (reference semantics)
@@ -82,7 +92,7 @@ object StreamOps {
             var bestD = Double.MaxValue
             var i = 0
             while (i < buf.length) {
-              val dd = graft.ml.Distance.minkowskiS(vec, buf(i).center, p)
+              val dd = dist(vec, buf(i).center)
               if (dd < bestD) { bestD = dd; best = i }
               i += 1
             }

@@ -55,6 +55,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(3L) == "sem_grp_1", s"state not carried: $got")
   }
 
+  test("stateful semantic grouping with pluggable distance (q86's sqEuclid) " +
+      "carries centroids across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    // integer geometry, threshold 4: sqd((3,0),(1,0)) = 4 is NOT a hit
+    // (strict <), sqd((3,0),(2,0)) = 1 is
+    val out = StreamOps.statefulSemanticGroupsWith(input.toDS(),
+      threshold = 4.0, graft.ml.Distance.sqEuclideanS)
+    val q = out.writeStream
+      .outputMode("update")
+      .format("memory").queryName("sem_sq")
+      .start()
+    input.addData((1L, Array(3f, 0f)), (2L, Array(10f, 0f)))
+    q.processAllAvailable()
+    input.addData((3L, Array(2f, 0f)), (4L, Array(1f, 0f)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sem_sq").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "sem_grp_1")
+    assert(got(2L) == "sem_grp_2")
+    assert(got(3L) == "sem_grp_1", s"state not carried: $got")
+    // centroids never drift: (1,0) is sqd 4 from founder (3,0) — exactly
+    // AT the threshold, so strict < makes it found a new group even
+    // though it sits sqd 1 from the batch-2 member (2,0)
+    assert(got(4L) == "sem_grp_4", s"strict-< boundary broken: $got")
+  }
+
   test("streaming dropDuplicates suppresses replayed events (I2 dedup)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

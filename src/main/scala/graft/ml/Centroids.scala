@@ -110,7 +110,14 @@ object Centroids {
     * per-shard namespaces. Trades the reference's single global namespace
     * for shard-local ones; same threshold semantics within a shard. */
   def assignSharded(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, shards: Int, p: Double = 1.5): DataFrame = {
+      threshold: Double, shards: Int, p: Double = 1.5): DataFrame =
+    assignShardedWith(df, idCol, vecCol, threshold, shards,
+      Distance.minkowskiS(_, _, p))
+
+  /** [[assignSharded]] with a pluggable distance (q87's oracle path). */
+  def assignShardedWith(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, shards: Int,
+      dist: (Array[Float], Array[Float]) => Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
@@ -118,7 +125,7 @@ object Centroids {
       .groupByKey { case (id, _) => (id % shards).toInt }
       .flatMapGroups { (shard, it) =>
         val sorted = it.toArray.sortBy(_._1)
-        foldAssign(sorted.iterator, threshold, p)._2.iterator
+        foldAssignWith(sorted.iterator, threshold, dist)._2.iterator
           .map { case (id, g) => (id, s"s${shard}_$g") }
       }
       .toDF(idCol, "semantic_group")

@@ -625,6 +625,68 @@ object MlQueries {
       |       ELSE -1 END AS cluster_id
       |FROM probe p, final f ORDER BY doc_id""".stripMargin
 
+  /** q87 — oracle-checked SHARDED semantic-grouping fold (the q36
+    * scale-out path, SURVEY §7.4 risk 1): [[Centroids.assignShardedWith]]
+    * — stable `id % shards` key, parallel per-shard sequential folds,
+    * per-shard group namespaces `s<shard>_sem_grp_<founderId>` — over the
+    * same exact-integer md5 geometry as q68. The DuckDB CTE recursion is
+    * PARTITIONED: seeded with one empty state per shard, each level
+    * advances every shard's fold by one row, so the oracle replays all
+    * four folds independently just as the executors run them. With q68
+    * (global fold), q69 (DenStream), and q86 (streaming state), every
+    * fold variant the engine ships is now oracle-pinned. */
+  def q87ShardedFoldSql(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dense = Embed.denseSqlVectors(documents(s, d), "doc_id", "text",
+      dim = 16)
+    Centroids.assignShardedWith(dense, "doc_id", "vec", threshold = 100.0,
+        shards = 4, Distance.sqEuclideanS)
+      .select($"doc_id", $"semantic_group".as("grp"))
+      .orderBy($"doc_id")
+  }
+  val q87Sql: String =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id AS id,
+      |    CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS b
+      |  FROM documents,
+      |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\v\f\r]+'),
+      |      x -> x != '')) AS t(tok)),
+      |sums AS (SELECT id, CAST(b % 16 AS INTEGER) AS pos,
+      |    CAST(SUM(CASE WHEN (b >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS DOUBLE)
+      |      AS s
+      |  FROM toks GROUP BY 1, 2),
+      |dense AS (SELECT d.doc_id AS id, p.pos, COALESCE(s.s, 0.0) AS x
+      |  FROM documents d CROSS JOIN unnest(range(0, 16)) AS p(pos)
+      |  LEFT JOIN sums s ON s.id = d.doc_id AND s.pos = p.pos),
+      |vecs AS (SELECT id, list(x ORDER BY pos) AS v FROM dense GROUP BY id),
+      |ranked AS (SELECT id, v, id % 4 AS sh,
+      |    row_number() OVER (PARTITION BY id % 4 ORDER BY id) AS rn
+      |  FROM vecs),
+      |fold AS (
+      |  SELECT sh, 0::BIGINT AS rn, CAST(NULL AS BIGINT) AS id,
+      |         CAST(NULL AS BIGINT) AS grp,
+      |         CAST([] AS STRUCT(gid BIGINT, c DOUBLE[])[]) AS cs
+      |  FROM (SELECT DISTINCT id % 4 AS sh FROM vecs) shards
+      |  UNION ALL
+      |  SELECT sh, rn, id,
+      |    CASE WHEN hit THEN cs[bi].gid ELSE id END AS grp,
+      |    CASE WHEN hit THEN cs
+      |         ELSE list_append(cs, {'gid': id, 'c': v}) END AS cs
+      |  FROM (
+      |    SELECT r.sh, r.rn, r.id, r.v, f.cs,
+      |      COALESCE(list_min(dists) < 100.0, FALSE) AS hit,
+      |      list_position(dists, list_min(dists)) AS bi
+      |    FROM fold f JOIN ranked r ON r.sh = f.sh AND r.rn = f.rn + 1,
+      |    LATERAL (SELECT list_transform(f.cs,
+      |        s -> list_sum(list_transform(list_zip(s.c, r.v),
+      |          z -> (z[1] - z[2]) * (z[1] - z[2])))) AS dists) t
+      |  )
+      |)
+      |SELECT id AS doc_id,
+      |  's' || CAST(sh AS VARCHAR) || '_sem_grp_' || CAST(grp AS VARCHAR)
+      |    AS grp
+      |FROM fold WHERE rn > 0 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_minkowski" -> (q21Minkowski _),
     "q22_cosine_knn" -> (q22CosineKnn _),
@@ -645,7 +707,8 @@ object MlQueries {
     "q65_embed_sql" -> (q65EmbedSql _),
     "q66_pipeline_prefix" -> (q66PipelinePrefix _),
     "q68_semantic_fold_sql" -> (q68SemanticFoldSql _),
-    "q69_denstream_fold_sql" -> (q69DenstreamFoldSql _))
+    "q69_denstream_fold_sql" -> (q69DenstreamFoldSql _),
+    "q87_sharded_fold_sql" -> (q87ShardedFoldSql _))
 
   val oracleSql: Map[String, String] = Map(
     "q21_minkowski" -> q21Sql,
@@ -660,5 +723,6 @@ object MlQueries {
     "q65_embed_sql" -> q65Sql,
     "q66_pipeline_prefix" -> q66Sql,
     "q68_semantic_fold_sql" -> q68Sql,
-    "q69_denstream_fold_sql" -> q69Sql)
+    "q69_denstream_fold_sql" -> q69Sql,
+    "q87_sharded_fold_sql" -> q87Sql)
 }

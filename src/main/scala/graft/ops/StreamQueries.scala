@@ -190,11 +190,13 @@ object StreamQueries {
       ntile(4).over(Window.orderBy($"doc_id")))
     val streamDir = java.nio.file.Files.createTempDirectory("graft_q86_in")
     val stageDir = java.nio.file.Files.createTempDirectory("graft_q86_stage")
+    // one job writes all four splits (partitionBy drops the tile column
+    // from the files, keeping the stream schema (doc_id, vec))
+    val stage = stageDir.resolve("t")
+    tiled.coalesce(1).write.partitionBy("tile").parquet(stage.toString)
     for (k <- 1 to 4) {
-      val stage = stageDir.resolve(s"t$k")
-      tiled.filter($"tile" === k).select($"doc_id", $"vec")
-        .coalesce(1).write.parquet(stage.toString)
-      val part = java.nio.file.Files.list(stage).iterator().asScala
+      val part = java.nio.file.Files.list(stage.resolve(s"tile=$k"))
+        .iterator().asScala
         .find(_.toString.endsWith(".parquet"))
         .getOrElse(sys.error(s"q86: no parquet written for tile $k"))
       val dest = streamDir.resolve(f"batch_$k%02d.parquet")

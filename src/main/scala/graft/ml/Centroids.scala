@@ -31,7 +31,7 @@ object Centroids {
     * Minkowski; q68 runs the same control flow under squared Euclidean so
     * the fold is oracle-reproducible on exact-integer geometry. */
   def foldAssignWith(rows: Iterator[(Long, Array[Float])], threshold: Double,
-      dist: (Array[Float], Array[Float]) => Double)
+      dist: Distance.PairDist)
       : (ArrayBuffer[Centroid], ArrayBuffer[(Long, String)]) = {
     val cs = ArrayBuffer.empty[Centroid]
     val out = ArrayBuffer.empty[(Long, String)]
@@ -64,8 +64,7 @@ object Centroids {
   /** [[assign]] with a pluggable distance (same narrow one-partition
     * parity path). */
   def assignWith(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double,
-      dist: (Array[Float], Array[Float]) => Double): DataFrame = {
+      threshold: Double, dist: Distance.PairDist): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // null vectors (null source text) carry no geometry: excluded from
@@ -117,10 +116,12 @@ object Centroids {
   /** [[assignSharded]] with a pluggable distance (q87's oracle path). */
   def assignShardedWith(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, shards: Int,
-      dist: (Array[Float], Array[Float]) => Double): DataFrame = {
+      dist: Distance.PairDist): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+    // same null-vector exclusion (and rationale) as [[assignWith]]
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .groupByKey { case (id, _) => (id % shards).toInt }
       .flatMapGroups { (shard, it) =>

@@ -46,6 +46,15 @@ object Distance {
   def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / greatest(norm(a) * norm(b), lit(1e-12))
 
+  /** Unboxed pair-distance SAM for the sequential folds. A plain
+    * `(Array[Float], Array[Float]) => Double` would box the Double return
+    * on every call of the fold's innermost O(n·k) loop (Function2 is not
+    * specialized for reference-typed arguments); a SAM trait keeps the
+    * call site primitive-returning. */
+  trait PairDist extends Serializable {
+    def apply(a: Array[Float], b: Array[Float]): Double
+  }
+
   /** Plain-Scala twins for driver-side/fold code (same formulas). */
   def minkowskiS(a: Array[Float], b: Array[Float], p: Double): Double = {
     var s = 0.0

@@ -487,6 +487,25 @@ object MlQueries {
       |  (score - mu) / (sigma + 1e-5) < -1.0 AS flagged
       |FROM latest, stats ORDER BY cluster_id""".stripMargin
 
+  /** Shared md5 tokenize/bucket/densify CTE prefix of the fold oracles
+    * (q68/q69/q87) — single definition so a hash/tokenization change can
+    * never desynchronize them. Mirrors [[Embed.denseSqlVectors]] (dim 16,
+    * exact-integer coordinates). */
+  private val md5DenseVecsCte: String =
+    """toks AS (SELECT doc_id AS id,
+      |    CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS b
+      |  FROM documents,
+      |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\v\f\r]+'),
+      |      x -> x != '')) AS t(tok)),
+      |sums AS (SELECT id, CAST(b % 16 AS INTEGER) AS pos,
+      |    CAST(SUM(CASE WHEN (b >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS DOUBLE)
+      |      AS s
+      |  FROM toks GROUP BY 1, 2),
+      |dense AS (SELECT d.doc_id AS id, p.pos, COALESCE(s.s, 0.0) AS x
+      |  FROM documents d CROSS JOIN unnest(range(0, 16)) AS p(pos)
+      |  LEFT JOIN sums s ON s.id = d.doc_id AND s.pos = p.pos),
+      |vecs AS (SELECT id, list(x ORDER BY pos) AS v FROM dense GROUP BY id)""".stripMargin
+
   /** q68 — oracle-checked ORDER-DEPENDENT semantic-grouping fold: the q32
     * machinery (reference vector_engine.py:21-45 — strict arrival order,
     * compare to all live centroids, first-min argmin, strict `< threshold`
@@ -509,21 +528,8 @@ object MlQueries {
       .orderBy($"doc_id")
   }
   val q68Sql: String =
-    """WITH RECURSIVE
-      |toks AS (SELECT doc_id AS id,
-      |    CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS b
-      |  FROM documents,
-      |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\v\f\r]+'),
-      |      x -> x != '')) AS t(tok)),
-      |sums AS (SELECT id, CAST(b % 16 AS INTEGER) AS pos,
-      |    CAST(SUM(CASE WHEN (b >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS DOUBLE)
-      |      AS s
-      |  FROM toks GROUP BY 1, 2),
-      |dense AS (SELECT d.doc_id AS id, p.pos, COALESCE(s.s, 0.0) AS x
-      |  FROM documents d CROSS JOIN unnest(range(0, 16)) AS p(pos)
-      |  LEFT JOIN sums s ON s.id = d.doc_id AND s.pos = p.pos),
-      |vecs AS (SELECT id, list(x ORDER BY pos) AS v FROM dense GROUP BY id),
-      |ranked AS (SELECT id, v, row_number() OVER (ORDER BY id) AS rn
+    "WITH RECURSIVE\n" + md5DenseVecsCte + ",\n" +
+    """ranked AS (SELECT id, v, row_number() OVER (ORDER BY id) AS rn
       |  FROM vecs),
       |fold AS (
       |  SELECT 0::BIGINT AS rn, CAST(NULL AS BIGINT) AS id,
@@ -573,21 +579,8 @@ object MlQueries {
       .orderBy($"doc_id")
   }
   val q69Sql: String =
-    """WITH RECURSIVE
-      |toks AS (SELECT doc_id AS id,
-      |    CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS b
-      |  FROM documents,
-      |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\v\f\r]+'),
-      |      x -> x != '')) AS t(tok)),
-      |sums AS (SELECT id, CAST(b % 16 AS INTEGER) AS pos,
-      |    CAST(SUM(CASE WHEN (b >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS DOUBLE)
-      |      AS s
-      |  FROM toks GROUP BY 1, 2),
-      |dense AS (SELECT d.doc_id AS id, p.pos, COALESCE(s.s, 0.0) AS x
-      |  FROM documents d CROSS JOIN unnest(range(0, 16)) AS p(pos)
-      |  LEFT JOIN sums s ON s.id = d.doc_id AND s.pos = p.pos),
-      |vecs AS (SELECT id, list(x ORDER BY pos) AS v FROM dense GROUP BY id),
-      |ranked AS (SELECT id, v, row_number() OVER (ORDER BY id) AS rn
+    "WITH RECURSIVE\n" + md5DenseVecsCte + ",\n" +
+    """ranked AS (SELECT id, v, row_number() OVER (ORDER BY id) AS rn
       |  FROM vecs),
       |fold AS (
       |  SELECT 0::BIGINT AS rn, 0 AS nid,
@@ -645,21 +638,8 @@ object MlQueries {
       .orderBy($"doc_id")
   }
   val q87Sql: String =
-    """WITH RECURSIVE
-      |toks AS (SELECT doc_id AS id,
-      |    CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS b
-      |  FROM documents,
-      |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\v\f\r]+'),
-      |      x -> x != '')) AS t(tok)),
-      |sums AS (SELECT id, CAST(b % 16 AS INTEGER) AS pos,
-      |    CAST(SUM(CASE WHEN (b >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS DOUBLE)
-      |      AS s
-      |  FROM toks GROUP BY 1, 2),
-      |dense AS (SELECT d.doc_id AS id, p.pos, COALESCE(s.s, 0.0) AS x
-      |  FROM documents d CROSS JOIN unnest(range(0, 16)) AS p(pos)
-      |  LEFT JOIN sums s ON s.id = d.doc_id AND s.pos = p.pos),
-      |vecs AS (SELECT id, list(x ORDER BY pos) AS v FROM dense GROUP BY id),
-      |ranked AS (SELECT id, v, id % 4 AS sh,
+    "WITH RECURSIVE\n" + md5DenseVecsCte + ",\n" +
+    """ranked AS (SELECT id, v, id % 4 AS sh,
       |    row_number() OVER (PARTITION BY id % 4 ORDER BY id) AS rn
       |  FROM vecs),
       |fold AS (

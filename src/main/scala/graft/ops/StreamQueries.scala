@@ -190,42 +190,58 @@ object StreamQueries {
       ntile(4).over(Window.orderBy($"doc_id")))
     val streamDir = java.nio.file.Files.createTempDirectory("graft_q86_in")
     val stageDir = java.nio.file.Files.createTempDirectory("graft_q86_stage")
-    // one job writes all four splits (partitionBy drops the tile column
-    // from the files, keeping the stream schema (doc_id, vec))
-    val stage = stageDir.resolve("t")
-    tiled.coalesce(1).write.partitionBy("tile").parquet(stage.toString)
-    for (k <- 1 to 4) {
-      val part = java.nio.file.Files.list(stage.resolve(s"tile=$k"))
-        .iterator().asScala
-        .find(_.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"q86: no parquet written for tile $k"))
-      val dest = streamDir.resolve(f"batch_$k%02d.parquet")
-      java.nio.file.Files.move(part, dest)
-      // backdated, strictly ascending mtimes pin the file-source order
-      require(dest.toFile.setLastModified(1600000000000L + k * 60000L),
-        s"q86: cannot set mtime on $dest")
-    }
-    val schema = new StructType()
-      .add("doc_id", LongType).add("vec", ArrayType(FloatType))
-    val pairs = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString)
-      .select($"doc_id".as("_1"), $"vec".as("_2"))
-      .as[(Long, Array[Float])]
-    val out = StreamOps.statefulSemanticGroupsWith(pairs, threshold = 100.0,
-      graft.ml.Distance.sqEuclideanS)
-    // one state store per shuffle partition per batch — pin small at test
-    // scale (same rationale and restore discipline as q63 above)
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val q = out.toDF().writeStream
-        .outputMode("update")
-        .format("memory").queryName("graft_stream_fold")
-        .start()
-      q.processAllAvailable()
-      q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      // one job writes all four splits (partitionBy drops the tile column
+      // from the files, keeping the stream schema (doc_id, vec))
+      val stage = stageDir.resolve("t")
+      tiled.coalesce(1).write.partitionBy("tile").parquet(stage.toString)
+      for (k <- 1 to 4) {
+        val tileDir = stage.resolve(s"tile=$k")
+        require(java.nio.file.Files.isDirectory(tileDir),
+          s"q86: needs >= 4 documents (tile $k empty)")
+        val part = scala.util.Using.resource(
+            java.nio.file.Files.list(tileDir)) { files =>
+          files.iterator().asScala
+            .find(_.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"q86: no parquet written for tile $k"))
+        }
+        val dest = streamDir.resolve(f"batch_$k%02d.parquet")
+        java.nio.file.Files.move(part, dest)
+        // backdated, strictly ascending mtimes pin the file-source order
+        require(dest.toFile.setLastModified(1600000000000L + k * 60000L),
+          s"q86: cannot set mtime on $dest")
+      }
+      val schema = new StructType()
+        .add("doc_id", LongType).add("vec", ArrayType(FloatType))
+      val pairs = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+        .select($"doc_id".as("_1"), $"vec".as("_2"))
+        .as[(Long, Array[Float])]
+      val out = StreamOps.statefulSemanticGroupsWith(pairs,
+        threshold = 100.0, graft.ml.Distance.sqEuclideanS)
+      // one state store per shuffle partition per batch — pin small at
+      // test scale (same rationale and restore discipline as q63 above)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = out.toDF().writeStream
+          .outputMode("update")
+          .format("memory").queryName("graft_stream_fold")
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      // the memory table holds the result; the split files are dead weight
+      // (bench/stress loops would otherwise accumulate dataset copies)
+      for (dir <- Seq(streamDir, stageDir)) {
+        scala.util.Using.resource(java.nio.file.Files.walk(dir)) { w =>
+          w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    }
     s.table("graft_stream_fold")
       .select($"log_id".as("doc_id"), $"semantic_group".as("grp"))
       .orderBy($"doc_id")

@@ -72,7 +72,7 @@ object StreamOps {
     * oracle-checkable. */
   def statefulSemanticGroupsWith(events: Dataset[(Long, Array[Float])],
       threshold: Double,
-      dist: (Array[Float], Array[Float]) => Double): Dataset[SemAssign] = {
+      dist: graft.ml.Distance.PairDist): Dataset[SemAssign] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_ => 0) // single global namespace (reference semantics)

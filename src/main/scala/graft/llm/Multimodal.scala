@@ -193,6 +193,122 @@ object Multimodal {
       .toDF(idCol, "width", "height", "pixels", "pixel_hist")
   }
 
+  /** Canonical RIFF/WAVE encoder (PCM16LE mono, public format): each
+    * content byte becomes one sample `(b−128)·256`. A LIST chunk sits
+    * between `fmt ` and `data` ON PURPOSE, so a decoder that hardcodes
+    * the 44-byte canonical layout instead of walking chunks reads
+    * garbage and fails the differential oracle (q88). */
+  def wavEncode(content: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    val listPayload = "INFOgraft-wav-fixture.".getBytes("US-ASCII") // 22B even
+    val dataLen = content.length * 2
+    val riffLen = 4 + (8 + 16) + (8 + listPayload.length) + (8 + dataLen)
+    val out = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                // PCM
+      .putShort(1)                // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)     // byte rate
+      .putShort(2)                // block align
+      .putShort(16)               // bits per sample
+    out.put("LIST".getBytes("US-ASCII")).putInt(listPayload.length)
+      .put(listPayload)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    content.foreach(b => out.putShort((((b & 0xFF) - 128) * 256).toShort))
+    out.array()
+  }
+
+  /** Decode a PCM16LE mono RIFF/WAVE payload by genuinely walking the
+    * chunk list (unknown chunks skipped with the RIFF even-byte padding
+    * rule; `fmt ` validated before `data` is accepted). Returns
+    * (sampleRate, samples). Fails loudly outside the supported subset —
+    * same contract style as [[bmpDecode]]. */
+  def wavDecode(bytes: Array[Byte]): (Int, Array[Short]) = {
+    require(bytes != null && bytes.length >= 12, "not a WAV payload")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val a = new Array[Byte](4); buf.get(a); new String(a, "US-ASCII")
+    }
+    require(tag() == "RIFF", "wav: missing RIFF magic")
+    buf.getInt() // declared riff length; the chunk walk is authoritative
+    require(tag() == "WAVE", "wav: not a WAVE form")
+    var rate = 0
+    var samples: Array[Short] = null
+    while (samples == null) {
+      require(buf.remaining >= 8, "wav: no data chunk")
+      val id = tag()
+      val len = buf.getInt()
+      require(len >= 0 && len <= buf.remaining, s"wav: bad chunk length $len")
+      id match {
+        case "fmt " =>
+          require(len >= 16, "wav: short fmt chunk")
+          val fmt = buf.getShort(); val channels = buf.getShort()
+          rate = buf.getInt(); buf.getInt(); buf.getShort()
+          val bits = buf.getShort()
+          require(fmt == 1 && channels == 1 && bits == 16,
+            s"wav: unsupported format (fmt=$fmt ch=$channels bits=$bits; " +
+              "only PCM16 mono)")
+          buf.position(buf.position() + (len - 16) + (len & 1))
+        case "data" =>
+          require(rate > 0, "wav: data chunk before fmt")
+          val out = new Array[Short](len / 2)
+          var i = 0
+          while (i < out.length) { out(i) = buf.getShort(); i += 1 }
+          samples = out
+        case _ =>
+          buf.position(buf.position() + len + (len & 1)) // skip + pad
+      }
+    }
+    (rate, samples)
+  }
+
+  /** [[mediaTable]] with REAL payloads for the audio kind: docs mapping
+    * to kind=audio (doc_id % 3 == 1) with ≥ `nSamples` payload bytes
+    * become genuine RIFF/WAVE files whose PCM samples encode the leading
+    * text bytes. Other kinds keep the opaque payload. */
+  def mediaTableWav(spark: SparkSession, sfDir: String,
+      nSamples: Int = 40, sampleRate: Int = 8000): DataFrame = {
+    val enc = udf { (bytes: Array[Byte]) =>
+      wavEncode(bytes.take(nSamples), sampleRate)
+    }
+    mediaTable(spark, sfDir)
+      .withColumn("payload",
+        when(col("meta.kind") === "audio" && col("meta.n_bytes") >= nSamples,
+          enc(col("payload"))).otherwise(col("payload")))
+  }
+
+  /** Real audio decode → integer amplitude features (exact, so q88 can
+    * hash-match DuckDB): sample rate and count from the parsed header,
+    * sum/max/min amplitude over the PCM samples. Batched like
+    * [[decodeBmpFeatures]]. */
+  def decodeWavFeatures(df: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload", batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // decoder state would initialize here, once per partition
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val (rate, ss) = wavDecode(bytes)
+            var sum = 0L; var mx = Int.MinValue; var mn = Int.MaxValue
+            ss.foreach { v =>
+              sum += v
+              if (v > mx) mx = v
+              if (v < mn) mn = v
+            }
+            (id, rate, ss.length, sum, mx, mn)
+          }
+        }
+      }
+      .toDF(idCol, "sample_rate", "n_samples", "amp_sum", "amp_max",
+        "amp_min")
+  }
+
   /** STUB resize: truncate/pad payload to `size` bytes (stands in for a
     * real resample; keeps the binary-in/binary-out contract). */
   def resizeStub(df: DataFrame, size: Int,

@@ -603,6 +603,36 @@ object LlmQueries {
       |      ch -> unicode(ch) // 16 = b)))) AS VARCHAR) AS hist_json
       |FROM px ORDER BY media_id""".stripMargin
 
+  /** q88 — REAL media decode for the audio kind (companion to q67's BMP
+    * path): audio rows carry genuine RIFF/WAVE payloads
+    * ([[Multimodal.mediaTableWav]] — PCM16LE mono, a LIST chunk between
+    * fmt and data so decoders must walk chunks), and the engine parses
+    * the header and emits exact integer amplitude features.
+    * Differentially oracle-checked: DuckDB recomputes the expected
+    * samples `(byte−128)·256` straight from the SOURCE TEXT (ASCII
+    * fixture ⇒ chars == bytes), so a decoder that misreads the chunk
+    * layout, sample width, or endianness hash-mismatches. */
+  def q88WavDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.mediaTableWav(s, d)
+      .filter($"meta.kind" === "audio" && $"meta.n_bytes" >= 40)
+    Multimodal.decodeWavFeatures(media)
+      .select($"media_id", $"sample_rate", $"n_samples",
+        $"amp_sum", $"amp_max", $"amp_min")
+      .orderBy($"media_id")
+  }
+  val q88Sql: String =
+    """WITH audio AS (SELECT doc_id, text FROM documents
+      |  WHERE CAST(doc_id % 3 AS INTEGER) = 1 AND strlen(text) >= 40),
+      |samp AS (SELECT doc_id,
+      |    (unicode(substr(text, CAST(i AS INTEGER), 1)) - 128) * 256 AS v
+      |  FROM audio, unnest(range(1, 41)) AS t(i))
+      |SELECT doc_id AS media_id, 8000 AS sample_rate, 40 AS n_samples,
+      |  CAST(SUM(v) AS BIGINT) AS amp_sum,
+      |  CAST(MAX(v) AS INTEGER) AS amp_max,
+      |  CAST(MIN(v) AS INTEGER) AS amp_min
+      |FROM samp GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> (q40DedupExact _),
     "q41_jaccard_neardup" -> (q41JaccardNearDup _),
@@ -624,7 +654,8 @@ object LlmQueries {
     "q49_fingerprint" -> (q49Fingerprint _),
     "q50_media_features" -> (q50MediaFeatures _),
     "q51_frame_sample" -> (q51FrameSample _),
-    "q67_bmp_decode" -> (q67BmpDecode _))
+    "q67_bmp_decode" -> (q67BmpDecode _),
+    "q88_wav_decode" -> (q88WavDecode _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Sql,
@@ -643,5 +674,6 @@ object LlmQueries {
     "q51_frame_sample" -> q51Sql,
     "q56_neardup_lsh" -> q56Sql,
     "q57_dedup_components" -> q57Sql,
-    "q67_bmp_decode" -> q67Sql)
+    "q67_bmp_decode" -> q67Sql,
+    "q88_wav_decode" -> q88Sql)
 }

@@ -184,6 +184,34 @@ class LlmSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported"))
   }
 
+  test("wav codec: roundtrip recovers samples; decoder walks past the " +
+      "LIST chunk instead of assuming offset 44") {
+    val content = "Hello WAV fixture bytes!".getBytes("US-ASCII")
+    val wav = Multimodal.wavEncode(content, sampleRate = 8000)
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    // the LIST chunk shifts data past the canonical 44-byte layout
+    assert(new String(wav.slice(36, 40), "US-ASCII") == "LIST")
+    val (rate, samples) = Multimodal.wavDecode(wav)
+    assert(rate == 8000)
+    assert(samples.toSeq ==
+      content.toSeq.map(b => (((b & 0xFF) - 128) * 256).toShort))
+  }
+
+  test("wav decode rejects non-WAV and unsupported variants loudly") {
+    intercept[IllegalArgumentException] {
+      Multimodal.wavDecode("definitely not audio".getBytes("UTF-8"))
+    }
+    // corrupt bits-per-sample (offset: 12 riff/wave + 8 fmt header + 14)
+    val wav = Multimodal.wavEncode(new Array[Byte](4))
+    wav(34) = 8
+    val e = intercept[IllegalArgumentException](Multimodal.wavDecode(wav))
+    assert(e.getMessage.contains("unsupported"))
+    // truncated data chunk -> bad chunk length, not an array crash
+    val cut = Multimodal.wavEncode(new Array[Byte](16)).dropRight(5)
+    val e2 = intercept[IllegalArgumentException](Multimodal.wavDecode(cut))
+    assert(e2.getMessage.contains("bad chunk length"))
+  }
+
   test("bmp media table: image rows decode, other kinds keep raw payload") {
     import spark.implicits._
     val media = Multimodal.mediaTableBmp(spark, sf)

@@ -589,7 +589,20 @@ object Dedup {
     // degrades to a shuffle join instead of an 8GB broadcast failure.
     val total = allIds match {
       case Some(ids) =>
-        ids.toDF("id").join(labels, Seq("id"), "left")
+        val universe = ids.toDF("id")
+        // the fail-silent contract above, made loud on demand: under the
+        // debug flag, a paired id outside allIds (caller derived pairs
+        // from a different table) fails here instead of silently
+        // corrupting keeper assignment downstream. One anti-join over the
+        // (small, checkpointed) label set — cheap, but off by default.
+        if (pairs.sparkSession.conf
+            .get("spark.graft.dedup.checkUniverse", "false").toBoolean) {
+          val stray = labels.join(universe, Seq("id"), "left_anti").count()
+          require(stray == 0L,
+            s"connectedComponents: $stray paired id(s) absent from allIds " +
+              "— pairs must derive from the same table as allIds")
+        }
+        universe.join(labels, Seq("id"), "left")
           .select(col("id"),
             coalesce(col("label"), col("id")).as("label"))
       case None => labels

@@ -455,7 +455,10 @@ object MlQueries {
         // both engines — identical term in the oracle SQL
         (round($"score", 6) + lit(0.0)).as("score"),
         (round($"score_z", 4) + lit(0.0)).as("score_z"),
-        ($"score_z" < -1.0).as("flagged"))
+        // rounded on BOTH sides: μ/σ come from float aggregations whose
+        // summation order differs across engines; an ulp at the -1.0
+        // boundary must not flip the boolean (tolerance-boolean pattern)
+        (round($"score_z", 6) < -1.0).as("flagged"))
       .orderBy($"cluster_id")
   }
   val q66Sql: String =
@@ -484,7 +487,7 @@ object MlQueries {
       |          FROM latest)
       |SELECT cluster_id, log_count, ROUND(score, 6) + 0.0 AS score,
       |  ROUND((score - mu) / (sigma + 1e-5), 4) + 0.0 AS score_z,
-      |  (score - mu) / (sigma + 1e-5) < -1.0 AS flagged
+      |  ROUND((score - mu) / (sigma + 1e-5), 6) < -1.0 AS flagged
       |FROM latest, stats ORDER BY cluster_id""".stripMargin
 
   /** Shared md5 tokenize/bucket/densify CTE prefix of the fold oracles

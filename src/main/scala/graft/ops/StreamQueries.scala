@@ -190,6 +190,10 @@ object StreamQueries {
       ntile(4).over(Window.orderBy($"doc_id")))
     val streamDir = java.nio.file.Files.createTempDirectory("graft_q86_in")
     val stageDir = java.nio.file.Files.createTempDirectory("graft_q86_stage")
+    // memory-sink name derived from the (unique) temp dir: two concurrent
+    // invocations in one SparkSession must not collide on a fixed name
+    val sinkName = "graft_stream_fold_" +
+      streamDir.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
     try {
       // one job writes all four splits (partitionBy drops the tile column
       // from the files, keeping the stream schema (doc_id, vec))
@@ -227,7 +231,7 @@ object StreamQueries {
       try {
         val q = out.toDF().writeStream
           .outputMode("update")
-          .format("memory").queryName("graft_stream_fold")
+          .format("memory").queryName(sinkName)
           .start()
         q.processAllAvailable()
         q.stop()
@@ -242,9 +246,14 @@ object StreamQueries {
         }
       }
     }
-    s.table("graft_stream_fold")
+    // cut lineage off the memory sink, then drop it — unique sink names
+    // would otherwise accumulate one in-memory table per invocation
+    val res = s.table(sinkName)
       .select($"log_id".as("doc_id"), $"semantic_group".as("grp"))
       .orderBy($"doc_id")
+      .localCheckpoint()
+    s.catalog.dropTempView(sinkName)
+    res
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

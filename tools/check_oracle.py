@@ -24,12 +24,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def to_str(df):
+    """Stringify with dtype-independent NULL rendering: None (object),
+    NaN (float64), NaT (datetime64) and pd.NA all print differently under
+    astype(str); mask them to one token so a null never FAILs (or sorts
+    differently) just because the two engines picked different dtypes."""
+    return df.astype(str).mask(df.isna(), "NULL")
+
+
 def canon(df):
     """Sort columns by name, rows by all columns; driver-equivalent frame."""
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df.columns):
         # stringify sort keys so object columns (e.g. mixed None) stay sortable
-        order = df.astype(str).sort_values(
+        order = to_str(df).sort_values(
             by=list(df.columns), kind="mergesort").index
         df = df.loc[order].reset_index(drop=True)
     return df
@@ -45,8 +53,8 @@ def compare(name, s_df, o_df):
     # collapse (int32(5) and int64(5) both print "5") but int-vs-float does
     # NOT (int64 "23044" vs float64 "23044.0") — verified against
     # CORRECTNESS_r02 (q76 int32/int64 passed; q58 int64/float64 failed).
-    s_str = s_df.astype(str)
-    o_str = o_df.astype(str)
+    s_str = to_str(s_df)
+    o_str = to_str(o_df)
     if not s_str.equals(o_str):
         for i in range(len(s_str)):
             if not s_str.iloc[i].equals(o_str.iloc[i]):

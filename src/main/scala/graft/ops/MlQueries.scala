@@ -670,6 +670,141 @@ object MlQueries {
       |    AS grp
       |FROM fold WHERE rn > 0 ORDER BY doc_id""".stripMargin
 
+  /** q89 — FULL-PIPELINE fold twin: q34's end-to-end composition
+    * (reference run_incremental_batch.py:76-93 — embed → semantic group →
+    * model predict → incident detection) with EVERY stage oracle-exact,
+    * closing the one gap q66 left open (the learned cluster_id column).
+    * The q68 semantic fold and the q69 DenStream learnOne fold run over
+    * the shared md5 exact-integer geometry (same exactness preconditions:
+    * integer vectors, λ=0, IEEE-rounded ops only, first-min tie-break);
+    * the per-cluster volume/anomaly tail is q66's proven SQL shape over
+    * pseudo-batches `doc_id % 4` (documents carry no timestamp — the
+    * batch key just has to be deterministic on both engines). Output is
+    * per-doc: the enriched row (semantic group + learned cluster id,
+    * trainingBatch's join shape, Enrich.scala:62-64) plus its cluster's
+    * latest-batch volume score — so the hash pins every doc's assignment
+    * AND the scored tail in one result. */
+  def q89PipelineFoldE2E(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // three consumers (two folds + distributed probe): materialize once
+    val dense = Embed.denseSqlVectors(documents(s, d), "doc_id", "text",
+      dim = 16).localCheckpoint(false)
+    val sem = Centroids.assignWith(dense, "doc_id", "vec", threshold = 100.0,
+      Distance.sqEuclideanS)
+    val model = DenStream.fit(dense, "doc_id", "vec", epsilon = 10.0,
+      lambda = 0.0)
+    val enriched = DenStream.withPredictions(dense, model, "vec")
+      .join(sem, Seq("doc_id"), "left")
+      .localCheckpoint(false) // consumed by counts AND the final join
+    val counts = enriched.filter($"cluster_id" >= 0)
+      .groupBy($"cluster_id", ($"doc_id" % 4).as("batch_ts"))
+      .agg(count(lit(1)).as("log_count"))
+    val scored = VolumeAnomaly.scoredFeatures(VolumeAnomaly.features(counts),
+        zdevRound = Some(6))
+      .select($"cluster_id", $"log_count".as("cluster_volume"),
+        (round($"score", 6) + lit(0.0)).as("cluster_score"),
+        (round($"score_z", 4) + lit(0.0)).as("cluster_score_z"),
+        (round($"score_z", 6) < -1.0).as("flagged"))
+    enriched.select($"doc_id", $"semantic_group".as("grp"), $"cluster_id")
+      .join(scored, Seq("cluster_id"), "left")
+      .select($"doc_id", $"grp", $"cluster_id",
+        coalesce($"cluster_volume", lit(0L)).as("cluster_volume"),
+        coalesce($"cluster_score", lit(0.0)).as("cluster_score"),
+        coalesce($"cluster_score_z", lit(0.0)).as("cluster_score_z"),
+        coalesce($"flagged", lit(false)).as("flagged"))
+      .orderBy($"doc_id")
+  }
+  val q89Sql: String =
+    "WITH RECURSIVE\n" + md5DenseVecsCte + ",\n" +
+    """ranked AS (SELECT id, v, row_number() OVER (ORDER BY id) AS rn
+      |  FROM vecs),
+      |sem_fold AS (
+      |  SELECT 0::BIGINT AS rn, CAST(NULL AS BIGINT) AS id,
+      |         CAST(NULL AS BIGINT) AS grp,
+      |         CAST([] AS STRUCT(gid BIGINT, c DOUBLE[])[]) AS cs
+      |  UNION ALL
+      |  SELECT rn, id,
+      |    CASE WHEN hit THEN cs[bi].gid ELSE id END AS grp,
+      |    CASE WHEN hit THEN cs
+      |         ELSE list_append(cs, {'gid': id, 'c': v}) END AS cs
+      |  FROM (
+      |    SELECT r.rn, r.id, r.v, f.cs,
+      |      COALESCE(list_min(dists) < 100.0, FALSE) AS hit,
+      |      list_position(dists, list_min(dists)) AS bi
+      |    FROM sem_fold f JOIN ranked r ON r.rn = f.rn + 1,
+      |    LATERAL (SELECT list_transform(f.cs,
+      |        s -> list_sum(list_transform(list_zip(s.c, r.v),
+      |          z -> (z[1] - z[2]) * (z[1] - z[2])))) AS dists) t
+      |  )
+      |),
+      |sem AS (SELECT id, 'sem_grp_' || CAST(grp AS VARCHAR) AS grp
+      |  FROM sem_fold WHERE rn > 0),
+      |den_fold AS (
+      |  SELECT 0::BIGINT AS rn, 0 AS nid,
+      |         CAST([] AS STRUCT(cid INTEGER, c DOUBLE[], w DOUBLE)[]) AS cs
+      |  UNION ALL
+      |  SELECT rn,
+      |    CASE WHEN hit THEN nid ELSE nid + 1 END AS nid,
+      |    CASE WHEN hit THEN list_transform(cs, (s, i) -> CASE WHEN i = bi
+      |           THEN {'cid': s.cid,
+      |             'c': list_transform(list_zip(s.c, v),
+      |               z -> (z[1]*s.w + z[2])/(s.w + 1.0)),
+      |             'w': s.w + 1.0} ELSE s END)
+      |         ELSE list_append(cs, {'cid': nid, 'c': v, 'w': 1.0}) END AS cs
+      |  FROM (
+      |    SELECT r.rn, r.v, f.nid, f.cs,
+      |      COALESCE(list_min(dists) < 10.0, FALSE) AS hit,
+      |      list_position(dists, list_min(dists)) AS bi
+      |    FROM den_fold f JOIN ranked r ON r.rn = f.rn + 1,
+      |    LATERAL (SELECT list_transform(f.cs,
+      |        s -> sqrt(list_sum(list_transform(list_zip(s.c, r.v),
+      |          z -> (z[1] - z[2]) * (z[1] - z[2]))))) AS dists) t
+      |  )
+      |),
+      |final AS (SELECT cs FROM den_fold ORDER BY rn DESC LIMIT 1),
+      |probe AS (
+      |  SELECT v.id, t.dists
+      |  FROM vecs v, final f,
+      |  LATERAL (SELECT list_transform(f.cs,
+      |      s -> sqrt(list_sum(list_transform(list_zip(s.c, v.v),
+      |        z -> (z[1] - z[2]) * (z[1] - z[2]))))) AS dists) t
+      |),
+      |pred AS (
+      |  SELECT p.id,
+      |    CASE WHEN COALESCE(list_min(p.dists) < 10.0, FALSE)
+      |         THEN f.cs[list_position(p.dists, list_min(p.dists))].cid
+      |         ELSE -1 END AS cluster_id
+      |  FROM probe p, final f),
+      |counts AS (
+      |  SELECT cluster_id, id % 4 AS batch_ts, COUNT(*) AS log_count
+      |  FROM pred WHERE cluster_id >= 0 GROUP BY 1, 2),
+      |feat AS (SELECT cluster_id, log_count,
+      |  AVG(log_count) OVER w5 AS roll_mean,
+      |  STDDEV_POP(log_count) OVER w5 AS roll_std,
+      |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |                     ORDER BY batch_ts DESC) AS rn
+      |FROM counts
+      |WINDOW w5 AS (PARTITION BY cluster_id ORDER BY batch_ts
+      |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+      |latest AS (SELECT cluster_id, log_count,
+      |  -ABS(ROUND((log_count - roll_mean) / (roll_std + 1e-5), 6)) AS score
+      |FROM feat WHERE rn = 1),
+      |stats AS (SELECT AVG(score) AS mu, STDDEV_POP(score) AS sigma
+      |          FROM latest),
+      |scored AS (SELECT cluster_id, log_count AS cluster_volume,
+      |  ROUND(score, 6) + 0.0 AS cluster_score,
+      |  ROUND((score - mu) / (sigma + 1e-5), 4) + 0.0 AS cluster_score_z,
+      |  ROUND((score - mu) / (sigma + 1e-5), 6) < -1.0 AS flagged
+      |FROM latest, stats)
+      |SELECT p.id AS doc_id, s.grp, p.cluster_id,
+      |  COALESCE(sc.cluster_volume, 0) AS cluster_volume,
+      |  COALESCE(sc.cluster_score, 0.0) AS cluster_score,
+      |  COALESCE(sc.cluster_score_z, 0.0) AS cluster_score_z,
+      |  COALESCE(sc.flagged, FALSE) AS flagged
+      |FROM pred p JOIN sem s ON s.id = p.id
+      |LEFT JOIN scored sc ON sc.cluster_id = p.cluster_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_minkowski" -> (q21Minkowski _),
     "q22_cosine_knn" -> (q22CosineKnn _),
@@ -691,7 +826,8 @@ object MlQueries {
     "q66_pipeline_prefix" -> (q66PipelinePrefix _),
     "q68_semantic_fold_sql" -> (q68SemanticFoldSql _),
     "q69_denstream_fold_sql" -> (q69DenstreamFoldSql _),
-    "q87_sharded_fold_sql" -> (q87ShardedFoldSql _))
+    "q87_sharded_fold_sql" -> (q87ShardedFoldSql _),
+    "q89_pipeline_fold_e2e" -> (q89PipelineFoldE2E _))
 
   val oracleSql: Map[String, String] = Map(
     "q21_minkowski" -> q21Sql,
@@ -707,5 +843,6 @@ object MlQueries {
     "q66_pipeline_prefix" -> q66Sql,
     "q68_semantic_fold_sql" -> q68Sql,
     "q69_denstream_fold_sql" -> q69Sql,
-    "q87_sharded_fold_sql" -> q87Sql)
+    "q87_sharded_fold_sql" -> q87Sql,
+    "q89_pipeline_fold_e2e" -> q89Sql)
 }

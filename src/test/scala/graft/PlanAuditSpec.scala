@@ -24,6 +24,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q30_silhouette",        // exact pairwise (validation-bounded)
     "q34_pipeline_e2e",      // scalar stats
     "q66_pipeline_prefix",   // scalar stats (q34's oracle twin)
+    "q89_pipeline_fold_e2e", // scalar stats (q34's fully-pinned twin)
     "q44_embedding_neardup", // brute pair baseline (blocked variant = q42/q45)
     "q55_knn_ivf",           // centroid-table broadcast
     "q78_vector_mix",        // reference-vector broadcast

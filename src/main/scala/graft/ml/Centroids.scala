@@ -25,6 +25,32 @@ object Centroids {
 
   final case class Centroid(semanticId: String, center: Array[Float], var n: Long)
 
+  /** The sequential folds are safe only because the reference bounds their
+    * input at training-batch size (`run_training_batch.py:87` caps at 5k
+    * rows); feeding a 100-TB table into a one-partition fold would hang a
+    * single task for days. Enforce the contract: fold entry points throw
+    * once the input exceeds this many rows. Raise it deliberately (e.g.
+    * for stress runs) via the session conf, don't remove the guard. */
+  val FoldMaxRowsKey = "spark.graft.fold.maxRows"
+  val FoldMaxRowsDefault = 1000000L
+
+  private[ml] def foldMaxRows(df: DataFrame): Long =
+    df.sparkSession.conf.get(FoldMaxRowsKey, FoldMaxRowsDefault.toString).toLong
+
+  /** Pass-through iterator that fails loudly past `max` rows. */
+  private[ml] def boundedFold[T](it: Iterator[T], max: Long,
+      what: String): Iterator[T] = {
+    var n = 0L
+    it.map { r =>
+      n += 1
+      if (n > max) throw new IllegalStateException(
+        s"$what: sequential-fold input exceeds $FoldMaxRowsKey=$max rows; " +
+          "this path is bounded-parity only — use the sharded variant " +
+          "(Centroids.assignSharded) or raise the conf deliberately")
+      r
+    }
+  }
+
   /** Sequential fold with a pluggable pair distance — the reference's loop
     * shape (compare to all live centroids, strict first-min argmin, strict
     * `< threshold` join-else-found). [[foldAssign]] specializes it to
@@ -67,6 +93,7 @@ object Centroids {
       threshold: Double, dist: Distance.PairDist): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val max = foldMaxRows(df)
     // null vectors (null source text) carry no geometry: excluded from
     // the fold; callers left-join assignments so such ids get null group
     df.filter(col(vecCol).isNotNull)
@@ -74,7 +101,10 @@ object Centroids {
       .as[(Long, Array[Float])]
       .repartition(1)
       .sortWithinPartitions(col(idCol))
-      .mapPartitions { it => foldAssignWith(it, threshold, dist)._2.iterator }
+      .mapPartitions { it =>
+        foldAssignWith(boundedFold(it, max, "Centroids.assignWith"),
+          threshold, dist)._2.iterator
+      }
       .toDF(idCol, "semantic_group")
   }
 
@@ -119,13 +149,15 @@ object Centroids {
       dist: Distance.PairDist): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val max = foldMaxRows(df)
     // same null-vector exclusion (and rationale) as [[assignWith]]
     df.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .groupByKey { case (id, _) => (id % shards).toInt }
       .flatMapGroups { (shard, it) =>
-        val sorted = it.toArray.sortBy(_._1)
+        val sorted = boundedFold(it, max, s"Centroids.assignSharded(shard=$shard)")
+          .toArray.sortBy(_._1)
         foldAssignWith(sorted.iterator, threshold, dist)._2.iterator
           .map { case (id, g) => (id, s"s${shard}_$g") }
       }

@@ -95,11 +95,21 @@ object DenStream {
   def fit(df: DataFrame, idCol: String, vecCol: String, epsilon: Double,
       lambda: Double = 0.0005): Model = {
     val m = new Model(epsilon, lambda)
-    df.filter(col(vecCol).isNotNull)
+    // Driver-side fold is bounded-parity only (reference caps training at
+    // 5k rows) — enforce the contract BEFORE collecting: limit(max+1)
+    // keeps the driver fetch bounded even when the input is 100 TB, and
+    // one extra row proves the bound was exceeded.
+    val max = math.min(Centroids.foldMaxRows(df), Int.MaxValue - 1L).toInt
+    val rows = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .orderBy(col(idCol))
+      .limit(max + 1)
       .collect()
-      .foreach(r => m.learnOne(r.getSeq[Float](1).toArray))
+    if (rows.length > max) throw new IllegalStateException(
+      s"DenStream.fit: input exceeds ${Centroids.FoldMaxRowsKey}=$max rows; " +
+        "training is a bounded driver-side fold — pre-sample the batch or " +
+        "raise the conf deliberately")
+    rows.foreach(r => m.learnOne(r.getSeq[Float](1).toArray))
     m
   }
 

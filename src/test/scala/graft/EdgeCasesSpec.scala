@@ -99,6 +99,35 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(ok.size == 50)
   }
 
+  test("sequential folds fail loudly past spark.graft.fold.maxRows") {
+    import spark.implicits._
+    import graft.ml.{Centroids, DenStream}
+    def causeChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(c => Option(c.getMessage).getOrElse("")).mkString("|")
+    val df = (1L to 10L).map(i => (i, Array(i.toFloat)))
+      .toDF("id", "vec")
+    spark.conf.set(Centroids.FoldMaxRowsKey, "5")
+    try {
+      val eAssign = intercept[Exception] {
+        Centroids.assign(df, "id", "vec", 0.1).collect()
+      }
+      assert(causeChain(eAssign).contains(Centroids.FoldMaxRowsKey))
+      val eShard = intercept[Exception] {
+        Centroids.assignSharded(df, "id", "vec", 0.1, shards = 1).collect()
+      }
+      assert(causeChain(eShard).contains(Centroids.FoldMaxRowsKey))
+      val eFit = intercept[IllegalStateException] {
+        DenStream.fit(df, "id", "vec", 0.9)
+      }
+      assert(eFit.getMessage.contains(Centroids.FoldMaxRowsKey))
+      // within the bound the same inputs still fold normally
+      spark.conf.set(Centroids.FoldMaxRowsKey, "10")
+      assert(Centroids.assign(df, "id", "vec", 0.1).count() == 10)
+      assert(DenStream.fit(df, "id", "vec", 0.9).clusters.nonEmpty)
+    } finally spark.conf.unset(Centroids.FoldMaxRowsKey)
+  }
+
   test("quality metrics on single-class / single-cluster degenerate input") {
     import spark.implicits._
     // all rows one class AND one cluster: H(C)=H(K)=0 -> convention 1.0/1.0

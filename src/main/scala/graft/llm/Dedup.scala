@@ -627,4 +627,53 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
+
+  /** Keeper assignment over embedding near-dups, representatives-first —
+    * the scale path for [[embeddingNearDups]]'s all-pairs output. The
+    * measured super-linear growth of the pair form is output-driven: m
+    * exact copies of one vector contribute C(m,2) pairs, so 100× data
+    * with constant distinct content grows the OUTPUT ~110× per decade.
+    * Collapsing exact-duplicate vectors to one representative (min id
+    * per distinct content, same trick as the MinHash/SimHash paths)
+    * kills that m² term before any pairwise work; near-dup pairing then
+    * runs bucket-local over representatives only, connected components
+    * label the rep graph, and every row inherits its representative's
+    * component label. Because each rep is its group's min id, component
+    * labels are true min member ids — identical keeper semantics to
+    * [[connectedComponents]] over the full pair graph, at a pair space
+    * bounded by distinct content, not corpus size.
+    *
+    * `bucket` is the LSH blocking expression applied to the (double-cast)
+    * vector column: q91 passes the SQL-derivable 4-coordinate sign bucket
+    * (oracle-checkable in DuckDB); production can pass
+    * [[SimSearch.withLshBucket]]'s murmur hyperplanes.
+    *
+    * Plan shape at 100 TB: one shuffle on vector content (the window),
+    * one shuffle on bucket (pairing over reps), the CC label loop over
+    * the (small) rep pair graph, one join back by rep id. */
+  def embeddingKeepers(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bucket: Column => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val withRep = rows.withColumn("rep",
+      min(col("id")).over(Window.partitionBy(col("v"))))
+    val reps = withRep.filter(col("id") === col("rep"))
+      .select(col("id"), col("v"), bucket(col("v")).as("bucket"))
+    val a = reps.select(col("bucket"), col("id").as("id_a"),
+      col("v").as("v_a"))
+    val b = reps.select(col("bucket"), col("id").as("id_b"),
+      col("v").as("v_b"))
+    val pairs = a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        round(Distance.cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b")
+    val labels = connectedComponents(pairs,
+      allIds = Some(reps.select(col("id"))))
+    withRep.select(col("id"), col("rep"))
+      .join(labels.withColumnRenamed("id", "rep"), "rep")
+      .select(col("id"), col("keep_id"))
+  }
 }

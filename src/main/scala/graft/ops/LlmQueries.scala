@@ -319,6 +319,53 @@ object LlmQueries {
       |WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q91 — keeper assignment for embedding near-dups, representatives-
+    * first ([[Dedup.embeddingKeepers]]): the scale-safe variant of q56,
+    * whose all-pairs output is the suite's one measured super-linear
+    * growth (m exact copies of a vector = C(m,2) pairs). Exact vector
+    * dedup collapses copies to one representative before any pairwise
+    * work, q56's SQL-derivable sign bucket blocks the rep pair space,
+    * and connected components label every row with its component's min
+    * member id (q57's keeper semantics). Fully DuckDB-checkable: window
+    * min per vector content → bucketed rep pairs → recursive-CTE
+    * closure. */
+  def q91NearDupKeepers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      v => (0 until 4).map(i =>
+          when(element_at(v, i + 1) > lit(0d), lit(1 << i))
+            .otherwise(lit(0)))
+        .reduce(_ + _)
+    Dedup.embeddingKeepers(embeddings(s, d), "vec_id", "embedding",
+        0.4, bucket)
+      .orderBy($"id")
+  }
+  val q91Sql: String =
+    """WITH RECURSIVE m AS (SELECT vec_id AS id,
+      |    CAST(embedding AS DOUBLE[]) AS v,
+      |    MIN(vec_id) OVER (PARTITION BY CAST(embedding AS DOUBLE[]))
+      |      AS rep
+      |  FROM embeddings),
+      |reps AS (SELECT id, v,
+      |  (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END +
+      |   CASE WHEN v[2] > 0 THEN 2 ELSE 0 END +
+      |   CASE WHEN v[3] > 0 THEN 4 ELSE 0 END +
+      |   CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket
+      |  FROM m WHERE id = rep),
+      |pairs AS (SELECT a.id AS id_a, b.id AS id_b
+      |  FROM reps a JOIN reps b ON a.bucket = b.bucket AND a.id < b.id
+      |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT id, id AS r FROM reps
+      |  UNION
+      |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e
+      |    ON reach.r = e.src),
+      |labels AS (SELECT id, MIN(r) AS keep_id FROM reach GROUP BY id)
+      |SELECT m.id AS id, l.keep_id AS keep_id
+      |FROM m JOIN labels l ON m.rep = l.id ORDER BY id""".stripMargin
+
   /** q57 — dedup keeper assignment: connected components over a near-dup
     * pair graph; EVERY doc labeled with its component's canonical (min)
     * id — unpaired docs keep themselves. The edge set is the
@@ -655,7 +702,8 @@ object LlmQueries {
     "q50_media_features" -> (q50MediaFeatures _),
     "q51_frame_sample" -> (q51FrameSample _),
     "q67_bmp_decode" -> (q67BmpDecode _),
-    "q88_wav_decode" -> (q88WavDecode _))
+    "q88_wav_decode" -> (q88WavDecode _),
+    "q91_neardup_keepers" -> (q91NearDupKeepers _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Sql,
@@ -675,5 +723,6 @@ object LlmQueries {
     "q56_neardup_lsh" -> q56Sql,
     "q57_dedup_components" -> q57Sql,
     "q67_bmp_decode" -> q67Sql,
-    "q88_wav_decode" -> q88Sql)
+    "q88_wav_decode" -> q88Sql,
+    "q91_neardup_keepers" -> q91Sql)
 }

@@ -596,14 +596,18 @@ object LlmQueries {
       |      ch -> unicode(ch) // 16 = b)))) AS VARCHAR) AS features_json
       |FROM m ORDER BY media_id""".stripMargin
 
-  /** q51 — frame sampling over binary payloads. Oracle-checked: the
-    * payload is the utf-8 encoding of `text`, and the fixture text is
-    * pure ASCII (verified at every SF), so DuckDB's character substring
-    * equals the byte slicing and md5 matches Spark's md5 over the
-    * frame bytes. */
+  /** q51 — frame sampling over binary payloads, with the real video path
+    * plugged in: video-kind rows carry genuine uncompressed AVIs
+    * (Multimodal.mediaTableAvi) and their frames are the DECODED
+    * top-down frame pixels, one row per movi frame; other payloads keep
+    * fixed-offset chunk sampling. Oracle-checked both ways: the fixture
+    * text is pure ASCII (verified at every SF), so DuckDB recomputes the
+    * chunk hashes by character substring AND the decoded-frame hashes by
+    * the DIB row-flip substring math (2-row frames ⇒ expected top-down
+    * pixels = row1 || row0 of each 30-byte frame slice). */
   def q51FrameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Multimodal.frameSample(Multimodal.mediaTable(s, d), 4)
+    Multimodal.frameSampleDecoded(Multimodal.mediaTableAvi(s, d), 4)
       .select($"media_id", $"frame_id".cast("long").as("frame_id"),
         $"frame_hash")
       .orderBy($"media_id", $"frame_id")
@@ -611,13 +615,57 @@ object LlmQueries {
   val q51Sql: String =
     """WITH m AS (SELECT doc_id AS media_id, text,
       |    length(text) AS len,
+      |    CAST(doc_id % 3 AS INTEGER) AS kind3,
       |    GREATEST(1, length(text) // 4) AS step
-      |  FROM documents)
-      |SELECT media_id, CAST(t.i AS BIGINT) AS frame_id,
-      |  md5(substring(text, CAST(t.i * step + 1 AS BIGINT), step))
-      |    AS frame_hash
-      |FROM m, unnest(range(0, least(4, len))) AS t(i)
+      |  FROM documents),
+      |avi AS (SELECT media_id, CAST(t.f AS BIGINT) AS frame_id,
+      |    md5(substr(text, CAST(t.f * 30 + 16 AS BIGINT), 15) ||
+      |        substr(text, CAST(t.f * 30 + 1 AS BIGINT), 15))
+      |      AS frame_hash
+      |  FROM m, unnest(range(0, 2)) AS t(f)
+      |  WHERE kind3 = 2 AND len >= 60),
+      |chunks AS (SELECT media_id, CAST(t.i AS BIGINT) AS frame_id,
+      |    md5(substring(text, CAST(t.i * step + 1 AS BIGINT), step))
+      |      AS frame_hash
+      |  FROM m, unnest(range(0, least(4, len))) AS t(i)
+      |  WHERE NOT (kind3 = 2 AND len >= 60))
+      |SELECT * FROM avi UNION ALL SELECT * FROM chunks
       |ORDER BY media_id, frame_id""".stripMargin
+
+  /** q90 — REAL media decode for the video kind (closing the q67/q88
+    * trilogy): video rows carry genuine uncompressed AVIs and the engine
+    * decodes them by walking the RIFF chunk tree (strf geometry inside
+    * LIST hdrl→strl, frames inside LIST movi, a planted JUNK chunk that
+    * defeats fixed-offset readers) and un-flipping each DIB frame's
+    * bottom-up stride-padded rows. Differentially oracle-checked: DuckDB
+    * computes each frame's expected top-down pixel bytes straight from
+    * the SOURCE TEXT via substring math (w=5,h=2,2 frames: frame f =
+    * chars [f·30+16, f·30+30] || [f·30+1, f·30+15]), so a decoder that
+    * misreads geometry, stride, row order, or frame boundaries
+    * hash-mismatches. */
+  def q90AviDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.mediaTableAvi(s, d)
+      .filter($"meta.kind" === "video" && $"meta.n_bytes" >= 60)
+    Multimodal.decodeAviFrames(media)
+      .select($"media_id", $"frame_id", $"width", $"height",
+        md5($"pixels").as("pixel_md5"),
+        to_json($"pixel_hist").as("hist_json"))
+      .orderBy($"media_id", $"frame_id")
+  }
+  val q90Sql: String =
+    """WITH m AS (SELECT doc_id AS media_id, text FROM documents
+      |  WHERE CAST(doc_id % 3 AS INTEGER) = 2 AND length(text) >= 60),
+      |fr AS (SELECT media_id, CAST(t.f AS BIGINT) AS frame_id,
+      |    substr(text, CAST(t.f * 30 + 16 AS BIGINT), 15) ||
+      |    substr(text, CAST(t.f * 30 + 1 AS BIGINT), 15) AS pix
+      |  FROM m, unnest(range(0, 2)) AS t(f))
+      |SELECT media_id, frame_id, 5 AS width, 2 AS height,
+      |  md5(pix) AS pixel_md5,
+      |  CAST(to_json(list_transform(range(0, 16), b ->
+      |    len(list_filter(regexp_split_to_array(pix, ''),
+      |      ch -> unicode(ch) // 16 = b)))) AS VARCHAR) AS hist_json
+      |FROM fr ORDER BY media_id, frame_id""".stripMargin
 
   /** q67 — REAL media decode for the image kind: image rows carry genuine
     * 24-bit BMP payloads (synthesized from the leading text bytes —
@@ -703,6 +751,7 @@ object LlmQueries {
     "q51_frame_sample" -> (q51FrameSample _),
     "q67_bmp_decode" -> (q67BmpDecode _),
     "q88_wav_decode" -> (q88WavDecode _),
+    "q90_avi_decode" -> (q90AviDecode _),
     "q91_neardup_keepers" -> (q91NearDupKeepers _))
 
   val oracleSql: Map[String, String] = Map(
@@ -724,5 +773,6 @@ object LlmQueries {
     "q57_dedup_components" -> q57Sql,
     "q67_bmp_decode" -> q67Sql,
     "q88_wav_decode" -> q88Sql,
+    "q90_avi_decode" -> q90Sql,
     "q91_neardup_keepers" -> q91Sql)
 }

@@ -212,6 +212,61 @@ class LlmSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("bad chunk length"))
   }
 
+  test("avi codec: roundtrip recovers per-frame pixels top-down; decoder " +
+      "walks past the JUNK chunk instead of assuming offsets") {
+    // 5x2 frames, w*3=15 -> stride 16: per-row padding the decoder must
+    // skip; 2 frames; rows stored bottom-up it must reverse
+    val content = Array.tabulate[Byte](5 * 2 * 3 * 2)(i => (i + 1).toByte)
+    val avi = Multimodal.aviEncode(content, 5, 2, 2)
+    assert(Multimodal.isAvi(avi))
+    // the planted JUNK chunk sits between hdrl and movi
+    assert(new String(avi, "US-ASCII").contains("JUNK"))
+    val (w, h, frames) = Multimodal.aviDecode(avi)
+    assert((w, h) == (5, 2))
+    assert(frames.length == 2)
+    for (f <- 0 until 2) {
+      val base = f * 30
+      // each DIB frame stores rows bottom-up: top-down = rows swapped
+      val expected = content.slice(base + 15, base + 30) ++
+        content.slice(base, base + 15)
+      assert(frames(f).toSeq == expected.toSeq)
+    }
+  }
+
+  test("avi decode rejects non-AVI and unsupported variants loudly") {
+    intercept[IllegalArgumentException] {
+      Multimodal.aviDecode("definitely not video".getBytes("UTF-8"))
+    }
+    // corrupt the strf biBitCount (strf data offset 14) -> unsupported
+    val avi = Multimodal.aviEncode(new Array[Byte](60), 5, 2, 2)
+    val idx = new String(avi, "US-ASCII").indexOf("strf")
+    avi(idx + 8 + 14) = 8
+    val e = intercept[IllegalArgumentException](Multimodal.aviDecode(avi))
+    assert(e.getMessage.contains("unsupported"))
+    // truncated movi tail -> bad chunk length, not an array crash
+    val cut = Multimodal.aviEncode(new Array[Byte](60), 5, 2, 2).dropRight(5)
+    val e2 = intercept[IllegalArgumentException](Multimodal.aviDecode(cut))
+    assert(e2.getMessage.contains("bad chunk length"))
+  }
+
+  test("avi media table: video rows decode to frames, other kinds keep " +
+      "raw payload") {
+    import spark.implicits._
+    val media = Multimodal.mediaTableAvi(spark, sf)
+    val videos = media.filter($"meta.kind" === "video" && $"meta.n_bytes" >= 60)
+    val decoded = Multimodal.decodeAviFrames(videos.limit(10)).collect()
+    assert(decoded.nonEmpty && decoded.length % 2 == 0) // 2 frames per video
+    decoded.foreach { r =>
+      assert(r.getLong(1) == 0L || r.getLong(1) == 1L)
+      assert(r.getInt(2) == 5 && r.getInt(3) == 2)
+      assert(r.getAs[Array[Byte]](4).length == 30)
+      assert(r.getSeq[Int](5).sum == 30) // histogram partitions the pixels
+    }
+    // non-video payloads are untouched text bytes, not RIFF files
+    val image = media.filter($"meta.kind" === "image").limit(1).collect()(0)
+    assert(!Multimodal.isAvi(image.getAs[Array[Byte]](1)))
+  }
+
   test("bmp media table: image rows decode, other kinds keep raw payload") {
     import spark.implicits._
     val media = Multimodal.mediaTableBmp(spark, sf)

@@ -41,6 +41,9 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Dedup.minHashNearDupsSql(empty, "doc_id", "text", 0.5).isEmpty)
     assert(Dedup.simHashNearDupsSql(empty, "doc_id", "text").isEmpty)
     assert(graft.ml.Embed.embedSqlRows(empty, "doc_id", "text").isEmpty)
+    val emptyVecs = emptyDf("vec_id BIGINT, embedding ARRAY<FLOAT>")
+    assert(Dedup.embeddingKeepers(emptyVecs, "vec_id", "embedding", 0.4,
+      v => element_at(v, 1)).isEmpty)
   }
 
   test("pca projection on an empty input returns an empty frame") {

@@ -138,6 +138,31 @@ class LlmSpec extends AnyFunSuite {
     assert(got.keySet == (1L to 6L).toSet)
   }
 
+  test("embedding keepers: exact duplicates collapse to representatives " +
+      "before pairing and inherit the component keeper") {
+    import spark.implicits._
+    val bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      v => (0 until 4).map(i =>
+          when(element_at(v, i + 1) > lit(0d), lit(1 << i))
+            .otherwise(lit(0)))
+        .reduce(_ + _)
+    val a = Array(1f, 1f, 0f, 0f)   // bucket 3
+    val b = Array(1f, 0.5f, 0f, 0f) // bucket 3, cos(a,b) ≈ 0.949
+    val c = Array(-1f, 1f, 0f, 0f)  // bucket 2: never paired
+    val df = Seq(
+      (1L, a), (2L, a), (3L, a),    // three exact copies — one rep (1)
+      (4L, b), (5L, b),             // near-dup of a — one rep (4)
+      (6L, c)
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingKeepers(df, "vec_id", "embedding", 0.4, bucket)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reps 1 and 4 pair (same bucket, cosine over threshold); every
+    // exact copy inherits its rep's component label, which is the true
+    // min member id because reps are per-content min ids
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L))
+  }
+
   test("lsh-blocked near-dup pairs are a subset of brute pairs") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val brute = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.4)

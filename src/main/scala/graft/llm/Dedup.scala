@@ -648,18 +648,22 @@ object Dedup {
     * (oracle-checkable in DuckDB); production can pass
     * [[SimSearch.withLshBucket]]'s murmur hyperplanes.
     *
-    * Plan shape at 100 TB: one shuffle on vector content (the window),
-    * one shuffle on bucket (pairing over reps), the CC label loop over
-    * the (small) rep pair graph, one join back by rep id. */
+    * Plan shape at 100 TB: the rep table is a partial AGGREGATE (not a
+    * window), so map-side combine sends only distinct contents across
+    * its shuffle — on a duplicated corpus that collapse happens before
+    * the exchange, which is the whole point; it is then lazily
+    * checkpointed (it is small — one row per distinct content) so its
+    * two consumers (pair generation, final join) don't recompute the
+    * aggregation. Total over the raw data: one aggregation scan plus
+    * one join shuffle on content; everything else is rep-sized. */
   def embeddingKeepers(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bucket: Column => Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rows = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val withRep = rows.withColumn("rep",
-      min(col("id")).over(Window.partitionBy(col("v"))))
-    val reps = withRep.filter(col("id") === col("rep"))
-      .select(col("id"), col("v"), bucket(col("v")).as("bucket"))
+    val repTbl = rows.groupBy(col("v")).agg(min(col("id")).as("rep"))
+      .localCheckpoint(false)
+    val reps = repTbl.select(col("rep").as("id"), col("v"),
+      bucket(col("v")).as("bucket"))
     val a = reps.select(col("bucket"), col("id").as("id_a"),
       col("v").as("v_a"))
     val b = reps.select(col("bucket"), col("id").as("id_b"),
@@ -672,7 +676,7 @@ object Dedup {
       .select("id_a", "id_b")
     val labels = connectedComponents(pairs,
       allIds = Some(reps.select(col("id"))))
-    withRep.select(col("id"), col("rep"))
+    rows.join(repTbl, "v")
       .join(labels.withColumnRenamed("id", "rep"), "rep")
       .select(col("id"), col("keep_id"))
   }

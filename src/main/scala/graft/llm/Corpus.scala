@@ -1,0 +1,62 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-composition operators for training-data pipelines (north-star
+  * extension, SURVEY.md §2.J note): after cleaning and dedup, a pretraining
+  * pipeline still has to decide HOW MUCH of each source to take (domain
+  * mixing) and how documents become fixed-budget training sequences
+  * (concat-and-chunk packing). Both are deterministic arithmetic here —
+  * reproducible across engines, so both are DuckDB-oracle-checkable.
+  *
+  * Scale design: mixing is a pure row filter (no shuffle, no join — the
+  * sampling decision is arithmetic on the id, so it pushes into the scan
+  * and survives any partitioning); packing windows per shard key, so the
+  * cumulative sums parallelize across shards instead of funneling 100 TB
+  * through one global sort.
+  */
+object Corpus {
+
+  /** Modulus applied to the id BEFORE the multiplicative hash so the
+    * product stays far from Long overflow for any id. */
+  val MixModulus = 1000000007L
+
+  /** Knuth's multiplicative hash constant (TAOCP vol. 3 — public). */
+  val MixMultiplier = 2654435761L
+
+  /** Deterministic per-row sampling key in [0, 100): the id's
+    * multiplicative hash mod 100. Pure arithmetic (no RNG state, no
+    * engine-specific hash), so the exact same rows are kept on every
+    * run and in every engine — the property a reproducible training
+    * corpus needs. */
+  def sampleKey(id: Column): Column =
+    pmod(pmod(id, lit(MixModulus)) * lit(MixMultiplier), lit(100L))
+
+  /** Weighted corpus mixing: keep each row iff its sampling key falls
+    * under `weightPct` (a per-row Column in [0, 100], typically a CASE
+    * over the source/domain). Approximates "take weightPct% of each
+    * domain" with zero shuffles: the filter is scan-local arithmetic. */
+  def mixBySource(df: DataFrame, idCol: String,
+      weightPct: Column): DataFrame =
+    df.filter(sampleKey(col(idCol)) < weightPct)
+
+  /** Concat-and-chunk sequence packing: conceptually concatenate the
+    * shard's documents in id order and cut every `budget` tokens; a
+    * document's pack is where its first token lands —
+    * `floor(prefix_tokens / budget)` with `prefix_tokens` the exclusive
+    * running sum. Adds `prefix_tokens` and `pack_id`. Packing is
+    * per-`shardCol` so the window parallelizes (one cumulative sum per
+    * shard, not a global sort). */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+      shardCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("prefix_tokens",
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      // integer DIV, not float division: exact for any 64-bit token sum
+      .withColumn("pack_id", expr(s"prefix_tokens DIV $budget"))
+  }
+}

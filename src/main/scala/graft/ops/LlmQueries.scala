@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Dedup, Multimodal, SimSearch, TextOps}
+import graft.llm.{Corpus, Dedup, Multimodal, SimSearch, TextOps}
 import Tables._
 
 /** LLM-training-data operator surface: dedup, similarity search, text
@@ -365,6 +365,68 @@ object LlmQueries {
       |labels AS (SELECT id, MIN(r) AS keep_id FROM reach GROUP BY id)
       |SELECT m.id AS id, l.keep_id AS keep_id
       |FROM m JOIN labels l ON m.rep = l.id ORDER BY id""".stripMargin
+
+  /** q92 — weighted corpus mixing ([[Corpus.mixBySource]]): domain
+    * weights are a tier rule on the parsed source number (so the rule
+    * survives the stress sets' scaled-out `-i` source suffixes), the
+    * keep/drop decision is the id's multiplicative hash mod 100 — pure
+    * scan-local arithmetic, zero shuffles before the report aggregate,
+    * identical row selection in any engine. Reports the mixed corpus
+    * per source. */
+  def q92CorpusMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tier = regexp_extract($"source", "src([0-9]+)", 1).cast("long") % 4
+    val weight = when(tier === 0, 100L).when(tier === 1, 50L)
+      .when(tier === 2, 25L).otherwise(10L)
+    Corpus.mixBySource(documents(s, d), "doc_id", weight)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " ")).cast("long")).as("total_tokens"))
+      .orderBy($"source")
+  }
+  val q92Sql: String =
+    """WITH w AS (SELECT doc_id, text, source,
+      |    CASE CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) % 4
+      |      WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 25
+      |      ELSE 10 END AS pct
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      |FROM w
+      |WHERE ((doc_id % 1000000007) * 2654435761) % 100 < pct
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** q93 — concat-and-chunk sequence packing ([[Corpus.packSequences]]):
+    * per-source token streams cut every 512 tokens; a doc's pack is
+    * where its first token lands (exclusive running sum DIV budget).
+    * Per-shard windows keep the cumulative sums parallel — no global
+    * sort. Reports docs/tokens/id-range per (source, pack). */
+  def q93PackSequences(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+    Corpus.packSequences(docs, "doc_id", "n_tokens", "source", 512L)
+      .groupBy($"source", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("pack_tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"pack_id")
+  }
+  val q93Sql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |p AS (SELECT doc_id, source, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS prefix
+      |  FROM t)
+      |SELECT source, CAST(prefix // 512 AS BIGINT) AS pack_id,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM p GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
 
   /** q57 — dedup keeper assignment: connected components over a near-dup
     * pair graph; EVERY doc labeled with its component's canonical (min)
@@ -752,7 +814,9 @@ object LlmQueries {
     "q67_bmp_decode" -> (q67BmpDecode _),
     "q88_wav_decode" -> (q88WavDecode _),
     "q90_avi_decode" -> (q90AviDecode _),
-    "q91_neardup_keepers" -> (q91NearDupKeepers _))
+    "q91_neardup_keepers" -> (q91NearDupKeepers _),
+    "q92_corpus_mix" -> (q92CorpusMix _),
+    "q93_pack_sequences" -> (q93PackSequences _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Sql,
@@ -774,5 +838,7 @@ object LlmQueries {
     "q67_bmp_decode" -> q67Sql,
     "q88_wav_decode" -> q88Sql,
     "q90_avi_decode" -> q90Sql,
-    "q91_neardup_keepers" -> q91Sql)
+    "q91_neardup_keepers" -> q91Sql,
+    "q92_corpus_mix" -> q92Sql,
+    "q93_pack_sequences" -> q93Sql)
 }

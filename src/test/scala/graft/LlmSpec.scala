@@ -163,6 +163,34 @@ class LlmSpec extends AnyFunSuite {
       6L -> 6L))
   }
 
+  test("corpus mixing is deterministic and weight-monotone; packing cuts " +
+      "at the start-offset boundary") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    val docs = (1L to 200L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    // determinism: the same call keeps the same rows
+    val kept1 = Corpus.mixBySource(docs, "id", lit(30L))
+      .select($"id").collect().map(_.getLong(0)).toSet
+    val kept2 = Corpus.mixBySource(docs, "id", lit(30L))
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(kept1 == kept2 && kept1.nonEmpty && kept1.size < 200)
+    // monotone: a higher weight keeps a superset
+    val kept60 = Corpus.mixBySource(docs, "id", lit(60L))
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(kept1.subsetOf(kept60))
+    assert(Corpus.mixBySource(docs, "id", lit(100L)).count() == 200)
+    assert(Corpus.mixBySource(docs, "id", lit(0L)).count() == 0)
+    // packing: tokens 300+300 in one shard — the second doc STARTS at
+    // offset 300 < 512, so it packs with the first despite crossing the
+    // boundary; the third (starts at 600) opens pack 1
+    val t = Seq((1L, "s", 300L), (2L, "s", 300L), (3L, "s", 300L))
+      .toDF("id", "shard", "n_tokens")
+    val packs = Corpus.packSequences(t, "id", "n_tokens", "shard", 512L)
+      .select($"id", $"pack_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packs == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
   test("lsh-blocked near-dup pairs are a subset of brute pairs") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val brute = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.4)

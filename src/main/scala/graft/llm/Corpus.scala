@@ -42,6 +42,52 @@ object Corpus {
       weightPct: Column): DataFrame =
     df.filter(sampleKey(col(idCol)) < weightPct)
 
+  /** Distinct word k-gram shingles of a text column — native builtins
+    * only (sequence → slice → array_join), so the whole expression stays
+    * inside codegen; no UDF. Texts with fewer than k tokens produce no
+    * shingles. (Spark's `sequence(1, n)` counts DOWN when n < 1, so the
+    * short-text case must be guarded, not clamped.) */
+  def shingles(textCol: Column, k: Int): Column = {
+    val toks = split(textCol, " ")
+    val n = size(toks)
+    array_distinct(
+      when(n >= k,
+        transform(sequence(lit(1), n - (k - 1)),
+          i => array_join(slice(toks, i, lit(k)), " ")))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Eval-set decontamination: flag every train document sharing at
+    * least one word k-gram with the eval corpus (the standard
+    * pretraining hygiene step — k=8 is the common choice). Returns
+    * `(doc_id, n_shared, first_eval_doc)` for contaminated docs only.
+    *
+    * Scale shape: the EVAL side is broadcast — eval benchmarks are tiny
+    * next to a 100 TB corpus, so the train side streams through a
+    * broadcast hash join with no shuffle at all; the only aggregation
+    * is over the (small) hit set. Do not feed a second full corpus as
+    * `evalDf` — that calls for the jaccard/minhash pair machinery
+    * instead. */
+  def decontaminate(trainDf: DataFrame, evalDf: DataFrame, idCol: String,
+      textCol: String, k: Int = 8): DataFrame = {
+    val tSh = trainDf.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), k)).as("shingle"))
+    // collapse the eval side to one row per DISTINCT shingle before the
+    // broadcast (keeping the min doc as the representative): duplicate
+    // eval docs then cost nothing, the broadcast is bounded by distinct
+    // eval content, and each train shingle matches at most one row —
+    // the result is identical because n_shared counts train-side
+    // distinct shingles and min(eval_doc) = min of per-shingle mins
+    val eSh = evalDf.select(col(idCol).as("eval_doc"),
+        explode(shingles(col(textCol), k)).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(min(col("eval_doc")).as("eval_doc"))
+    tSh.join(broadcast(eSh), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_shared"),
+        min(col("eval_doc")).as("first_eval_doc"))
+  }
+
   /** Concat-and-chunk sequence packing: conceptually concatenate the
     * shard's documents in id order and cut every `budget` tokens; a
     * document's pack is where its first token lands —

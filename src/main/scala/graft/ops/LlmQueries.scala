@@ -428,6 +428,39 @@ object LlmQueries {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM p GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
 
+  /** q94 — eval-set decontamination ([[Corpus.decontaminate]]): the
+    * 10%-weight tier of q92's mixing rule plays the held-out eval set;
+    * train docs sharing any word 8-gram with it are flagged with their
+    * shared-shingle count and first matching eval doc. The eval shingle
+    * set is broadcast, so the train corpus never shuffles — the
+    * production decontamination shape. Oracle: DuckDB rebuilds the
+    * shingle sets with list_transform + slice and joins them. */
+  def q94Decontaminate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tier = regexp_extract($"source", "src([0-9]+)", 1).cast("long") % 4
+    val lab = documents(s, d).withColumn("is_eval", tier === 3)
+    Corpus.decontaminate(lab.filter(!$"is_eval"), lab.filter($"is_eval"),
+        "doc_id", "text", 8)
+      .orderBy($"doc_id")
+  }
+  val q94Sql: String =
+    """WITH lab AS (SELECT doc_id,
+      |    CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) % 4 = 3
+      |      AS is_eval,
+      |    string_split(text, ' ') AS tk
+      |  FROM documents),
+      |sh AS (SELECT doc_id, is_eval,
+      |    unnest(list_distinct(list_transform(
+      |      range(1, greatest(len(tk) - 6, 1)),
+      |      i -> array_to_string(tk[i:i+7], ' ')))) AS shingle
+      |  FROM lab),
+      |hits AS (SELECT t.doc_id, t.shingle, e.doc_id AS eval_doc
+      |  FROM sh t JOIN sh e ON t.shingle = e.shingle
+      |  WHERE NOT t.is_eval AND e.is_eval)
+      |SELECT doc_id, COUNT(DISTINCT shingle) AS n_shared,
+      |  MIN(eval_doc) AS first_eval_doc
+      |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q57 — dedup keeper assignment: connected components over a near-dup
     * pair graph; EVERY doc labeled with its component's canonical (min)
     * id — unpaired docs keep themselves. The edge set is the
@@ -816,7 +849,8 @@ object LlmQueries {
     "q90_avi_decode" -> (q90AviDecode _),
     "q91_neardup_keepers" -> (q91NearDupKeepers _),
     "q92_corpus_mix" -> (q92CorpusMix _),
-    "q93_pack_sequences" -> (q93PackSequences _))
+    "q93_pack_sequences" -> (q93PackSequences _),
+    "q94_decontaminate" -> (q94Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Sql,
@@ -840,5 +874,6 @@ object LlmQueries {
     "q90_avi_decode" -> q90Sql,
     "q91_neardup_keepers" -> q91Sql,
     "q92_corpus_mix" -> q92Sql,
-    "q93_pack_sequences" -> q93Sql)
+    "q93_pack_sequences" -> q93Sql,
+    "q94_decontaminate" -> q94Sql)
 }

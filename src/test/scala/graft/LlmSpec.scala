@@ -191,6 +191,27 @@ class LlmSpec extends AnyFunSuite {
     assert(packs == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("decontamination flags train docs sharing an 8-gram with the " +
+      "eval set; short texts produce no shingles") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    val common = "a b c d e f g h" // exactly 8 tokens
+    val train = Seq(
+      (1L, s"x y $common z"),          // contains the eval 8-gram
+      (2L, "p q r s t u v w x y z a"), // 8+ tokens, no overlap
+      (3L, "too short")                // < 8 tokens: must yield nothing
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, s"$common tail words here"))
+      .toDF("doc_id", "text")
+    val got = Corpus.decontaminate(train, evalSet, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 100L)))
+    // the sequence(1, n) guard: 2-token text, k=8 — no down-counting
+    assert(train.filter($"doc_id" === 3L)
+      .select(Corpus.shingles($"text", 8)).collect()(0)
+      .getSeq[String](0).isEmpty)
+  }
+
   test("lsh-blocked near-dup pairs are a subset of brute pairs") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val brute = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.4)

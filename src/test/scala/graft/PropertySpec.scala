@@ -96,4 +96,30 @@ class PropertySpec extends AnyFunSuite {
       w.nonEmpty && w.sameElements(graft.llm.TextOps.winnow(t))
     })
   }
+
+  test("avi codec roundtrip holds for arbitrary geometry, padded or not") {
+    // LlmSpec pins w=5 (15-byte rows -> padded stride); this sweeps
+    // widths including w*3 % 4 == 0 (no padding) and single-row/-frame
+    // degenerate shapes
+    val geom = for {
+      w <- Gen.chooseNum(1, 8)
+      h <- Gen.chooseNum(1, 5)
+      f <- Gen.chooseNum(1, 4)
+      bytes <- Gen.listOfN(w * h * 3 * f, Gen.chooseNum(-128, 127))
+    } yield (w, h, f, bytes.map(_.toByte).toArray)
+    check(Prop.forAll(geom) { case (w, h, f, content) =>
+      val (dw, dh, frames) = graft.llm.Multimodal.aviDecode(
+        graft.llm.Multimodal.aviEncode(content, w, h, f))
+      dw == w && dh == h && frames.length == f &&
+        frames.zipWithIndex.forall { case (px, fi) =>
+          val base = fi * w * h * 3
+          // bottom-up storage: decoded row r = content row h-1-r
+          (0 until h).forall { r =>
+            px.slice(r * w * 3, (r + 1) * w * 3).sameElements(
+              content.slice(base + (h - 1 - r) * w * 3,
+                base + (h - r) * w * 3))
+          }
+        }
+    })
+  }
 }

@@ -42,20 +42,23 @@ object Corpus {
       weightPct: Column): DataFrame =
     df.filter(sampleKey(col(idCol)) < weightPct)
 
-  /** Distinct word k-gram shingles of a text column — native builtins
-    * only (sequence → slice → array_join), so the whole expression stays
-    * inside codegen; no UDF. Texts with fewer than k tokens produce no
-    * shingles. (Spark's `sequence(1, n)` counts DOWN when n < 1, so the
-    * short-text case must be guarded, not clamped.) */
-  def shingles(textCol: Column, k: Int): Column = {
+  /** All word k-grams of a text column in order (with repeats) — native
+    * builtins only (sequence → slice → array_join), so the whole
+    * expression stays inside codegen; no UDF. Texts with fewer than k
+    * tokens produce no k-grams. (Spark's `sequence(1, n)` counts DOWN
+    * when n < 1, so the short-text case must be guarded, not clamped.) */
+  def kGrams(textCol: Column, k: Int): Column = {
     val toks = split(textCol, " ")
     val n = size(toks)
-    array_distinct(
-      when(n >= k,
-        transform(sequence(lit(1), n - (k - 1)),
-          i => array_join(slice(toks, i, lit(k)), " ")))
-        .otherwise(array().cast("array<string>")))
+    when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct word k-gram shingles ([[kGrams]] deduplicated). */
+  def shingles(textCol: Column, k: Int): Column =
+    array_distinct(kGrams(textCol, k))
 
   /** Eval-set decontamination: flag every train document sharing at
     * least one word k-gram with the eval corpus (the standard
@@ -86,6 +89,30 @@ object Corpus {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("shingle")).as("n_shared"),
         min(col("eval_doc")).as("first_eval_doc"))
+  }
+
+  /** Intra-document repetition stats — the Gopher/C4 family of cleaning
+    * signals the composite quality score doesn't cover: how much of a
+    * document is the same n-gram repeated. Emits per doc
+    * `(n_2grams, distinct_2grams, top_2gram_count)` as INTEGERS (ratios
+    * are one division away for the caller; integer outputs keep the
+    * operator hash-exact across engines). `n_2grams − distinct_2grams`
+    * is the duplicate mass; `top_2gram_count / n_2grams` is the
+    * most-repeated-gram fraction.
+    *
+    * Scale shape: counts per distinct gram come from one explode +
+    * two-level aggregation keyed by (doc, gram) — partial aggregation
+    * collapses repeats map-side, and nothing is ever collected. */
+  def repetitionStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(kGrams(col(textCol), 2)).as("gram"))
+    grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_2grams"),
+        count(lit(1)).as("distinct_2grams"),
+        max(col("cnt")).as("top_2gram_count"))
   }
 
   /** Concat-and-chunk sequence packing: conceptually concatenate the

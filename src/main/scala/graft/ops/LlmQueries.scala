@@ -461,6 +461,28 @@ object LlmQueries {
       |  MIN(eval_doc) AS first_eval_doc
       |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q95 — intra-document repetition stats ([[Corpus.repetitionStats]]):
+    * the Gopher/C4 cleaning signals — total / distinct / most-repeated
+    * word-2-gram counts per doc, integer-exact so the oracle
+    * hash-matches without float tolerance. */
+  def q95Repetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Corpus.repetitionStats(documents(s, d), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+  val q95Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |  FROM documents),
+      |g AS (SELECT doc_id,
+      |    unnest(list_transform(range(1, len(tk)),
+      |      i -> tk[i] || ' ' || tk[i+1])) AS gram
+      |  FROM t WHERE len(tk) >= 2),
+      |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_2grams,
+      |  COUNT(*) AS distinct_2grams,
+      |  CAST(MAX(cnt) AS BIGINT) AS top_2gram_count
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** q57 — dedup keeper assignment: connected components over a near-dup
     * pair graph; EVERY doc labeled with its component's canonical (min)
     * id — unpaired docs keep themselves. The edge set is the
@@ -850,7 +872,8 @@ object LlmQueries {
     "q91_neardup_keepers" -> (q91NearDupKeepers _),
     "q92_corpus_mix" -> (q92CorpusMix _),
     "q93_pack_sequences" -> (q93PackSequences _),
-    "q94_decontaminate" -> (q94Decontaminate _))
+    "q94_decontaminate" -> (q94Decontaminate _),
+    "q95_repetition" -> (q95Repetition _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Sql,
@@ -875,5 +898,6 @@ object LlmQueries {
     "q91_neardup_keepers" -> q91Sql,
     "q92_corpus_mix" -> q92Sql,
     "q93_pack_sequences" -> q93Sql,
-    "q94_decontaminate" -> q94Sql)
+    "q94_decontaminate" -> q94Sql,
+    "q95_repetition" -> q95Sql)
 }

@@ -212,6 +212,20 @@ class LlmSpec extends AnyFunSuite {
       .getSeq[String](0).isEmpty)
   }
 
+  test("repetition stats count duplicate 2-grams exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a"), // grams: "a b","b a","a b","b a" — all doubled
+      (2L, "x y z"),     // grams: "x y","y z" — no repetition
+      (3L, "solo")       // < 2 tokens: no grams, no output row
+    ).toDF("doc_id", "text")
+    val got = graft.llm.Corpus.repetitionStats(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(1L -> ((4L, 2L, 2L)), 2L -> ((2L, 2L, 1L))))
+  }
+
   test("lsh-blocked near-dup pairs are a subset of brute pairs") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val brute = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.4)

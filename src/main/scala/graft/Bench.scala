@@ -37,20 +37,19 @@ object Bench {
           catch { case _: Throwable => false }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-    // two timed passes, per-query min of the SUCCESSFUL runs: standard
-    // warm-measurement practice (single-pass numbers carry scheduler
-    // noise); -1 only if both passes failed
-    val p1 = timeAll()
-    val p2 = timeAll()
-    val results = p1.map { case (k, v1) =>
-      val v2 = p2(k)
-      k -> ((v1 >= 0, v2 >= 0) match {
-        case (true, true) => math.min(v1, v2)
-        case (true, false) => v1
-        case (false, true) => v2
-        case _ => -1.0
-      })
-    }
+    // N timed passes (SPARK_GRAFT_BENCH_PASSES, default 2), per-query min
+    // of the SUCCESSFUL runs: standard warm-measurement practice
+    // (single-pass numbers carry scheduler noise); -1 only if every pass
+    // failed. Regression adjudication runs with PASSES=3 — min-of-3
+    // without code edits.
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .map(_.toInt).getOrElse(2)
+    require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
+    val allPasses = (1 to passes).map(_ => timeAll())
+    val results = allPasses.head.keys.map { k =>
+      val ok = allPasses.map(_(k)).filter(_ >= 0)
+      k -> (if (ok.nonEmpty) ok.min else -1.0)
+    }.toMap
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Full-precision, full-name per-query map goes to a file: the driver
     // captures only a bounded tail (~2000 chars) of stdout, so the full
@@ -67,7 +66,16 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (fullJson + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // bench numbers still print below
+    // NonFatal only: an unwritable detail path must not kill the bench
+    // numbers below, but an OOM/VM error must not be swallowed either
+    catch { case scala.util.control.NonFatal(_) => () }
+    // the detail path is user-controlled env input interpolated into the
+    // stdout JSON — escape it so a quote/backslash can't break the parse
+    val detailJson = detailPath.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
     // "q57_dedup_components" -> "q57"; ids are unique by construction, but
     // fall back to the full name on any collision rather than drop data
     val shortKey: String => String = n => n.takeWhile(_ != '_')
@@ -80,7 +88,7 @@ object Bench {
       val key = if (collided(k)) k else shortKey(k)
       s"\"" + key + "\":" + fmt(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"detail":"$detailJson","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,7 +30,14 @@ object Corpus {
     * multiplicative hash mod 100. Pure arithmetic (no RNG state, no
     * engine-specific hash), so the exact same rows are kept on every
     * run and in every engine — the property a reproducible training
-    * corpus needs. */
+    * corpus needs.
+    *
+    * Parity contract: ids must be NON-NEGATIVE. Spark's `pmod` always
+    * returns a non-negative remainder while ANSI `%` (DuckDB, the q92
+    * oracle) follows the sign of the dividend — for a negative id the
+    * two engines would select different rows. All fixture/document ids
+    * are non-negative by construction; callers feeding synthetic ids
+    * must keep them ≥ 0. */
   def sampleKey(id: Column): Column =
     pmod(pmod(id, lit(MixModulus)) * lit(MixMultiplier), lit(100L))
 
@@ -121,7 +128,14 @@ object Corpus {
     * `floor(prefix_tokens / budget)` with `prefix_tokens` the exclusive
     * running sum. Adds `prefix_tokens` and `pack_id`. Packing is
     * per-`shardCol` so the window parallelizes (one cumulative sum per
-    * shard, not a global sort). */
+    * shard, not a global sort).
+    *
+    * Reproducibility precondition: `idCol` must be UNIQUE within each
+    * shard. The rowsBetween running sum orders only by `idCol`; tied
+    * ids within a shard could swap `prefix_tokens` (and so `pack_id`)
+    * across runs. Document ids satisfy this by construction; callers
+    * packing by a non-unique key must add their own tiebreaker to the
+    * id before calling. */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
       shardCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"pack budget must be positive, got $budget")

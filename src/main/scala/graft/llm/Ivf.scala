@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -23,26 +23,66 @@ import graft.ml.Distance
   */
 object Ivf {
 
+  /** The Lloyd loop is `iters` full shuffles over its input — fine for a
+    * sample, catastrophic for a 100 TB corpus. The scaladoc contract
+    * ("at 100 TB the iteration input is a sample") is enforced the same
+    * way as `spark.graft.fold.maxRows` (Centroids.scala): fitCentroids
+    * throws once the fit input exceeds this row bound. Pre-sample
+    * deterministically (e.g. `df.filter(pmod(col(id), lit(k)) === 0)`)
+    * and reserve the full corpus for the single final assign, or raise
+    * the conf deliberately for a stress run. */
+  val FitMaxRowsKey = "spark.graft.ivf.maxFitRows"
+  val FitMaxRowsDefault = 10000000L
+
   /** Deterministic k-means: returns (listId, centroid) table. The
-    * centroid set is tiny (nlist × dim), so each Lloyd iteration
-    * materializes it to the driver — this truncates the lineage (an
-    * un-materialized loop re-executes every prior iteration per stage)
-    * and is exactly what a 100 TB run does: iterate on a sample/driver,
-    * broadcast the final centroids for the one full-corpus assign. */
+    * centroid set is tiny (nlist × dim) and lives on the DRIVER between
+    * iterations — this truncates the lineage (an un-materialized loop
+    * re-executes every prior iteration per stage) and is exactly what a
+    * 100 TB run does: iterate on a sample/driver, broadcast the final
+    * centroids for the one full-corpus assign. With driver-resident
+    * centroids each Lloyd iteration is ONE shuffle (the (list, dim)
+    * partial-agg mean): the argmin is a per-row codegen expression
+    * ([[assignExpr]]), not a crossJoin + per-id re-shuffle, and the
+    * per-list arrays are assembled from the collected nlist×dim rows on
+    * the driver instead of a third distributed regroup. Same arithmetic,
+    * a third of the shuffles (BENCH r5 flagged q55's drift; the fit was
+    * 9 shuffle rounds of pure overhead at sample size). */
   def fitCentroids(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    fitCentroidsLocal(df, idCol, vecCol, nlist, iters)
+      .toDF("list_id", "c")
+  }
+
+  /** [[fitCentroids]] returning the driver-resident centroid list
+    * (list_id → centroid, sorted by list_id). */
+  private def fitCentroidsLocal(df: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    val spark = df.sparkSession
     graft.functions.VectorExprs.register(spark)
     val pts = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")).cache()
-    var centroids = pts.orderBy("id").limit(nlist)
-      .select(row_number().over(Window.orderBy("id")).as("list_id"),
-        col("v").as("c"))
-      .withColumn("list_id", col("list_id") - 1)
+    // enforce the sample-fit contract before paying any Lloyd shuffle;
+    // limit(max+1) keeps even this guard's scan bounded (the DenStream
+    // convention — never count the full input just to reject it)
+    val maxFit = spark.conf.get(FitMaxRowsKey, FitMaxRowsDefault.toString).toLong
+    val probe = math.min(maxFit + 1, Int.MaxValue.toLong).toInt
+    if (pts.limit(probe).count() > maxFit)
+      throw new IllegalStateException(
+        s"Ivf.fitCentroids: fit input exceeds $FitMaxRowsKey=$maxFit rows; " +
+          "the Lloyd loop is bounded to sample-sized inputs — fit on a " +
+          "deterministic sample and assign the full corpus afterwards, " +
+          "or raise the conf deliberately")
+    // seeds = first nlist vectors by id, list_id in id order (the
+    // collected twin of the old row_number-over-id-window formulation)
+    var cents: Seq[(Int, Seq[Double])] = pts.orderBy("id").limit(nlist)
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
     var i = 0
     while (i < iters) {
-      val updated = assign(pts, centroids)
+      val updated = pts
+        .withColumn("list_id", assignExpr(col("v"), cents))
         .select(col("list_id"), posexplode(col("v")))
         .groupBy(col("list_id"), col("pos"))
         // decimal sum → mean: order-independent, so centroids are
@@ -55,41 +95,44 @@ object Ivf {
         // (q59) reproduces the centroids bit for bit
         .agg((sum(col("col").cast("decimal(28,14)")).cast("double") /
           count(lit(1))).as("m"))
-        .groupBy(col("list_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-          .getField("m").as("c"))
-        .collect() // nlist rows — lineage cut, not a data collect
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
-      centroids = updated.toSeq.toDF("list_id", "c")
+        .collect() // nlist×dim rows — lineage cut, not a data collect
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      // per-list array assembly happens here on the driver — same values
+      // and same pos order the old groupBy(list) + array_sort(collect_
+      // list) round produced, without its extra shuffle
+      cents = updated.groupBy(_._1).toSeq
+        .map { case (lid, rows) => (lid, rows.sortBy(_._2).map(_._3).toSeq) }
+        .sortBy(_._1)
       i += 1
     }
     pts.unpersist()
-    centroids
+    cents
   }
 
-  /** Nearest-centroid assignment: broadcast + `min_by` argmin. A hash
-    * aggregate with map-side partial combine — no per-id sort; the window
-    * row_number formulation paid a full sort inside every Lloyd iteration
-    * AND the final full-corpus assign. Ties break to the smaller list_id
-    * (struct ordering), matching the window orderBy it replaces. */
-  private def assign(pts: DataFrame, centroids: DataFrame): DataFrame =
-    pts.crossJoin(broadcast(centroids))
-      .withColumn("d", Distance.sqEuclidean(col("v"), col("c")))
-      .groupBy(col("id"))
-      // every row of an id-group carries the same v — first() is
-      // deterministic in value here
-      .agg(first(col("v")).as("v"),
-        min_by(col("list_id"), struct(col("d"), col("list_id")))
-          .as("list_id"))
-      .select(col("id"), col("v"), col("list_id"))
+  /** Nearest-centroid argmin as ONE per-row codegen expression over the
+    * driver-resident centroid list: `array_min` over (distance, list_id)
+    * structs — struct ordering compares distance first, then list_id, so
+    * ties break to the smaller list_id EXACTLY like the
+    * `min_by(list_id, struct(d, list_id))` aggregate it replaces, with
+    * the same `Distance.sqEuclidean` doubles. No join, no shuffle: at
+    * 100 TB the assign is a map-only pass over the corpus. */
+  private def assignExpr(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    array_min(array(cents.map { case (lid, c) =>
+      struct(Distance.sqEuclidean(v, typedLit(c)).as("d"),
+        lit(lid).as("list_id"))
+    }: _*)).getField("list_id")
 
-  /** Build the index: rows tagged with their inverted-list id. */
+  /** Build the index: rows tagged with their inverted-list id (one
+    * map-only pass — [[assignExpr]]). */
   def buildIndex(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int): (DataFrame, DataFrame) = {
-    val centroids = fitCentroids(df, idCol, vecCol, nlist)
-    val pts = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    (assign(pts, centroids), centroids)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = fitCentroidsLocal(df, idCol, vecCol, nlist, iters = 3)
+    val index = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("list_id", assignExpr(col("v"), cents))
+    (index, cents.toDF("list_id", "c"))
   }
 
   /** Approximate top-k: probe the nprobe nearest lists per query. */
@@ -108,8 +151,11 @@ object Ivf {
       .select(col("qid"), col("qv"), col("list_id"))
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("cid"))
+    // probes is queries × nprobe — tiny next to the index; broadcasting
+    // it keeps the candidate join map-only (the index side, the corpus,
+    // never shuffles: its list_id tag is itself a map-only expression)
     index.withColumnRenamed("id", "cid")
-      .join(probes, "list_id")
+      .join(broadcast(probes), "list_id")
       .filter(col("cid") =!= col("qid"))
       .withColumn("cos_sim", round(Distance.cosine(col("v"), col("qv")), 6))
       .withColumn("rn", row_number().over(wRank))

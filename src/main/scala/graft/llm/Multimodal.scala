@@ -329,10 +329,24 @@ object Multimodal {
     * with w*3 % 4 != 0 and decoders must handle real padding). */
   def aviEncode(content: Array[Byte], width: Int, height: Int,
       nFrames: Int): Array[Byte] = {
+    // fail-loudly bounds, matching the decoder's contract: rcFrame in
+    // strh is 16-bit so width/height past Short.MaxValue would silently
+    // truncate, and the stride/buffer arithmetic below is Int — check
+    // the total in Long BEFORE any Int multiply can wrap into a
+    // plausible-looking (corrupt) file
+    require(width > 0 && height > 0 && nFrames > 0,
+      s"avi: non-positive geometry ${width}x$height x$nFrames frames")
+    require(width <= Short.MaxValue && height <= Short.MaxValue,
+      s"avi: geometry ${width}x$height exceeds the strh rcFrame range " +
+        "(max 32767) — refusing to emit a silently-truncated header")
+    val strideL = ((width.toLong * 3) + 3) / 4 * 4
+    require((strideL * height + 8) * nFrames + 1024 <= Int.MaxValue,
+      s"avi: total size for ${width}x$height x$nFrames frames overflows " +
+        "a RIFF Int chunk length")
     val frameContent = width * height * 3
     require(content.length == frameContent * nFrames,
       s"content must be ${frameContent * nFrames} bytes, got ${content.length}")
-    val stride = ((width * 3) + 3) / 4 * 4
+    val stride = strideL.toInt
     val frameSize = stride * height // multiple of 4, no odd-chunk pad
     val junk = "graft-avi-fixture.".getBytes("US-ASCII") // 18 B, even
     val strlSize = 4 + (8 + 56) + (8 + 40)
@@ -556,13 +570,21 @@ object Multimodal {
   def frameSampleDecoded(df: DataFrame, n: Int,
       payloadCol: String = "payload"): DataFrame = {
     val f = udf { (bytes: Array[Byte]) =>
-      if (bytes == null || bytes.isEmpty) Seq.empty[Array[Byte]]
-      else if (isAvi(bytes)) aviDecode(bytes)._3.toSeq
-      else {
+      def chunks: Seq[Array[Byte]] = {
         val step = math.max(1, bytes.length / n)
         (0 until math.min(n, bytes.length))
           .map(i => bytes.slice(i * step, math.min(i * step + step, bytes.length)))
       }
+      if (bytes == null || bytes.isEmpty) Seq.empty[Array[Byte]]
+      // the sample budget `n` bounds the decoded path too (a long video
+      // must not fan out unboundedly just because it decoded); the first
+      // n movi frames are the deterministic sample. A payload that wears
+      // the AVI magic but fails the parse falls back to chunk sampling —
+      // this operator's contract is never-throwing best-effort sampling,
+      // unlike decodeAviFrames' fail-loudly decode
+      else if (isAvi(bytes))
+        scala.util.Try(aviDecode(bytes)._3.take(n).toSeq).getOrElse(chunks)
+      else chunks
     }
     df.select(col("*"), posexplode(f(col(payloadCol))))
       .withColumnRenamed("pos", "frame_id")

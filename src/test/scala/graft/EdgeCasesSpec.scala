@@ -131,6 +131,23 @@ class EdgeCasesSpec extends AnyFunSuite {
     } finally spark.conf.unset(Centroids.FoldMaxRowsKey)
   }
 
+  test("Ivf.fitCentroids fails loudly past spark.graft.ivf.maxFitRows") {
+    import spark.implicits._
+    import graft.llm.Ivf
+    val df = (1L to 10L).map(i => (i, Array(i.toDouble, -i.toDouble)))
+      .toDF("id", "vec")
+    spark.conf.set(Ivf.FitMaxRowsKey, "5")
+    try {
+      val e = intercept[IllegalStateException] {
+        Ivf.fitCentroids(df, "id", "vec", nlist = 2).collect()
+      }
+      assert(e.getMessage.contains(Ivf.FitMaxRowsKey))
+      // within the bound the same input still fits normally
+      spark.conf.set(Ivf.FitMaxRowsKey, "10")
+      assert(Ivf.fitCentroids(df, "id", "vec", nlist = 2).count() == 2)
+    } finally spark.conf.unset(Ivf.FitMaxRowsKey)
+  }
+
   test("quality metrics on single-class / single-cluster degenerate input") {
     import spark.implicits._
     // all rows one class AND one cluster: H(C)=H(K)=0 -> convention 1.0/1.0

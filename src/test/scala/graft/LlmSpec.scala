@@ -337,6 +337,39 @@ class LlmSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("bad chunk length"))
   }
 
+  test("avi encode rejects oversized geometry loudly instead of " +
+      "truncating the header") {
+    // rcFrame is 16-bit: width past Short.MaxValue must throw, not wrap
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.aviEncode(Array.emptyByteArray, 40000, 2, 1)
+    }
+    assert(e.getMessage.contains("rcFrame"))
+    intercept[IllegalArgumentException] {
+      Multimodal.aviEncode(Array.emptyByteArray, 0, 2, 1)
+    }
+    // per-frame size fits Int but total frames overflow a RIFF chunk len
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.aviEncode(Array.emptyByteArray, 32000, 32000, 2)
+    }
+    assert(e2.getMessage.contains("overflows"))
+  }
+
+  test("frameSampleDecoded caps decoded frames at n and falls back to " +
+      "chunk sampling on a corrupt AVI-magic payload") {
+    import spark.implicits._
+    val content = Array.tabulate[Byte](5 * 2 * 3 * 4)(i => (i + 1).toByte)
+    val avi = Multimodal.aviEncode(content, 5, 2, 4) // 4 movi frames
+    // truncated tail keeps the RIFF/AVI magic but fails the chunk walk:
+    // chunk sampling must take over instead of the query dying
+    val bad = avi.dropRight(5)
+    val df = Seq((1L, avi), (2L, bad)).toDF("media_id", "payload")
+    val out = Multimodal.frameSampleDecoded(df, 2)
+      .select($"media_id", $"frame_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(out(1L) == 2) // 4 decoded frames capped at n=2
+    assert(out(2L) == 2) // chunk fallback: n=2 chunks
+  }
+
   test("avi media table: video rows decode to frames, other kinds keep " +
       "raw payload") {
     import spark.implicits._

@@ -95,6 +95,87 @@ object IsolationForest {
     m.copy(threshold = scores(k))
   }
 
+  /** md5-derived deterministic forest (the q98 twin): identical
+    * Leaf/Split machinery, scoring math and threshold quantile as
+    * [[fit]], but each node's randomness comes from
+    * md5("<tag>:<tree>:<path>:f|s") — a pure function of the node's
+    * position — instead of a sequential RNG stream. That makes
+    * construction ORDER-FREE: an oracle can replay it breadth-first in a
+    * recursive SQL CTE while this builder recurses depth-first, and both
+    * produce the same trees. No subsampling (psi = n): the twin's fit
+    * input is the per-cluster matrix, driver-scale by contract, and
+    * skipping the sample keeps the replay free of shuffle-order state.
+    * [[fit]] (seeded java Random, 100 trees, psi 256) remains the
+    * production model; this pins the split/partition/path-length/score
+    * machinery they share. */
+  def fitMd5(data: Array[Array[Double]], nTrees: Int, tag: String = "ift",
+      contamination: Double = 0.05): Model = {
+    require(data.nonEmpty, "IsolationForest.fitMd5 on empty data")
+    val psi = data.length
+    // smallest h with 2^h >= psi — an exact integer formula on purpose:
+    // ceil(log2(n)) via doubles can land either side of an integer at
+    // powers of two, and the oracle must agree on tree height exactly
+    var maxH = 0
+    while ((1L << maxH) < psi) maxH += 1
+    maxH = math.max(1, maxH)
+    val all = (0 until data.length).toArray
+    val trees = (0 until nTrees).map(t =>
+      buildMd5(data, all, t, "", 0, maxH, tag))
+    val m = Model(trees, psi, threshold = 0.0)
+    val scores = data.map(x => score(m, x)).sorted
+    val k = math.min(scores.length - 1, math.max(0,
+      math.ceil((1.0 - contamination) * scores.length).toInt - 1))
+    m.copy(threshold = scores(k))
+  }
+
+  /** First 15 hex chars of md5 as a non-negative Long — the engine-side
+    * twin of DuckDB `CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)`
+    * (the repo's standard oracle-expressible hash, Embed.md5BucketSums). */
+  private def md5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  private def buildMd5(data: Array[Array[Double]], idx: Array[Int],
+      tree: Int, path: String, height: Int, maxHeight: Int,
+      tag: String): Node = {
+    if (height >= maxHeight || idx.length <= 1) Leaf(idx.length)
+    else {
+      val nf = data(0).length
+      val lo = new Array[Double](nf)
+      val hi = new Array[Double](nf)
+      java.util.Arrays.fill(lo, Double.MaxValue)
+      java.util.Arrays.fill(hi, Double.MinValue)
+      idx.foreach { i =>
+        val row = data(i)
+        var f = 0
+        while (f < nf) {
+          if (row(f) < lo(f)) lo(f) = row(f)
+          if (row(f) > hi(f)) hi(f) = row(f)
+          f += 1
+        }
+      }
+      val candidates = (0 until nf).filter(f => hi(f) > lo(f))
+      if (candidates.isEmpty) Leaf(idx.length)
+      else {
+        val bf = md5Long60(s"$tag:$tree:$path:f")
+        val f = candidates((bf % candidates.length).toInt)
+        val bs = md5Long60(s"$tag:$tree:$path:s")
+        // 30 hash bits over 2^30: a dyadic rational, exact in binary64 —
+        // split = lo + u·(hi−lo) is then the same fixed IEEE op sequence
+        // in both engines
+        val u = (bs % 1073741824L).toDouble / 1073741824.0
+        val split = lo(f) + u * (hi(f) - lo(f))
+        val (l, r) = idx.partition(i => data(i)(f) < split)
+        Split(f, split,
+          buildMd5(data, l, tree, path + "L", height + 1, maxHeight, tag),
+          buildMd5(data, r, tree, path + "R", height + 1, maxHeight, tag))
+      }
+    }
+  }
+
   private def pathLength(node: Node, x: Array[Double], depth: Int): Double =
     node match {
       case Leaf(sz) => depth + avgPathLength(sz)

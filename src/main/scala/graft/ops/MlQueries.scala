@@ -318,11 +318,117 @@ object MlQueries {
       |FROM sums s JOIN norms n USING (id)
       |ORDER BY doc_id, pos""".stripMargin
 
+  /** q96 — PCA projection twin for q39 (reference J9,
+    * visualise_results.py:42-80): [[graft.ml.Projection.pca2d]] run over
+    * the md5 exact-integer geometry ([[Embed.denseSqlVectors]], the q89
+    * prefix at dim 8) so the whole linear-algebra path is hash-gated the
+    * way q59 pinned Lloyd. Parity argument: the integer vectors make the
+    * Gramian sums exact (order-independent), the covariance entries are
+    * then the SAME fixed IEEE op sequence in both engines, and both
+    * sides run a 200-iteration power method on that identical 8×8 matrix
+    * — the iteration CONVERGES (λ₂/λ₁ ≈ 0.65–0.72 and λ₃/λ₂ ≈ 0.67–0.72
+    * for this geometry at every fixture SF, so the residual after 200
+    * iterations is ≲1e-28), which is why the oracle may use a different
+    * deterministic start vector than the engine's seeded one and still
+    * agree far below the ROUND(…, 6) gate. Axes are sign-canonicalized
+    * (first |component| > 1e-12 positive) on both sides; the oracle
+    * replays the deflation + per-iteration re-orthogonalization of
+    * [[graft.ml.Projection.topEigenvectors]] as two recursive CTEs over
+    * a DOUBLE[] iterate. dim 8 (not 16) keeps the second eigengap wide —
+    * at dim 16 λ₃/λ₂ ≈ 0.95–0.97 and 200 iterations would leave pc2
+    * ~1e-3 from converged, visible at 6 decimals. */
+  def q96PcaSql(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dense = Embed.denseSqlVectors(documents(s, d), "doc_id", "text",
+      dim = 8)
+    val labeled = dense.join(documents(s, d).select($"doc_id", $"source"),
+      "doc_id")
+    graft.ml.Projection.pca2d(labeled, "doc_id", "vec", "source")
+      .select($"id".as("doc_id"), round($"pc1", 6).as("pc1"),
+        round($"pc2", 6).as("pc2"), $"source")
+      .orderBy($"doc_id")
+  }
+  val q96Sql: String = {
+    val D = 8
+    val R = s"range(1,${D + 1})"
+    // normalize: v / ||v||₂ (expression duplicated on purpose — a pure
+    // function, and inlining keeps the recursive terms subquery-free,
+    // which DuckDB's recursive binder requires)
+    def norm(e: String) =
+      s"list_transform($e, x -> x / sqrt(list_sum(list_transform($e, y -> y*y))))"
+    val mv1 =
+      s"list_transform($R, i -> list_sum(list_transform($R, j -> m.m[i][j] * it1.v[j])))"
+    val mv2 =
+      s"list_transform($R, i2 -> list_sum(list_transform($R, j2 -> m2x.m[i2][j2] * it2.v[j2])))"
+    val dotNvP1 = s"list_sum(list_transform($R, i3 -> ($mv2)[i3] * p1.p[i3]))"
+    // re-orthogonalize the iterate against p1 every step, as
+    // topEigenvectors' orthonormalize does
+    val ov = s"list_transform($R, i -> ($mv2)[i] - ($dotNvP1) * p1.p[i])"
+    // MATERIALIZED on every reused CTE: DuckDB inlines plain CTEs, and
+    // p1/covm2 referenced inside the second recursion would re-run the
+    // whole first 200-iteration recursion per step without it
+    s"""WITH RECURSIVE toks AS (SELECT doc_id AS id,
+      |    CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS b
+      |  FROM documents,
+      |    unnest(list_filter(string_split_regex(lower(text), '[ \\t\\n\\v\\f\\r]+'),
+      |      x -> x != '')) AS t(tok)),
+      |sums AS (SELECT id, CAST(b % $D AS INT) AS pos,
+      |    SUM(CASE WHEN (b >> 8) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS s
+      |  FROM toks GROUP BY id, CAST(b % $D AS INT)),
+      |docs AS (SELECT doc_id AS id, source FROM documents),
+      |dense AS MATERIALIZED (SELECT d.id, p.pos, COALESCE(s.s, 0.0) AS v
+      |  FROM docs d CROSS JOIN unnest(range(0,$D)) AS p(pos)
+      |  LEFT JOIN sums s ON s.id = d.id AND s.pos = p.pos),
+      |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM docs),
+      |m1 AS MATERIALIZED (SELECT pos, SUM(v) AS s1 FROM dense GROUP BY pos),
+      |m2 AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j, SUM(a.v * b.v) AS s2
+      |  FROM dense a JOIN dense b USING (id) GROUP BY a.pos, b.pos),
+      |cov AS (SELECT m2.i, m2.j, m2.s2 / nn.n - (a.s1 / nn.n) * (b.s1 / nn.n) AS c
+      |  FROM m2, nn, m1 a, m1 b WHERE a.pos = m2.i AND b.pos = m2.j),
+      |covm AS MATERIALIZED (SELECT list(cl ORDER BY i) AS m FROM (
+      |    SELECT i, list(c ORDER BY j) AS cl FROM cov GROUP BY i)),
+      |mu AS MATERIALIZED (SELECT list(s1 / nn.n ORDER BY pos) AS mu
+      |  FROM m1, nn GROUP BY nn.n),
+      |it1(k, v) AS (
+      |  SELECT 0, ${norm(s"list_transform($R, i -> CAST(i AS DOUBLE))")}
+      |  UNION ALL
+      |  SELECT k + 1, ${norm(mv1)}
+      |  FROM it1, covm m WHERE k < 200),
+      |pw1 AS MATERIALIZED (SELECT v FROM it1 ORDER BY k DESC LIMIT 1),
+      |p1 AS MATERIALIZED (SELECT CASE WHEN list_filter(v, x -> abs(x) > 1e-12)[1] < 0
+      |    THEN list_transform(v, x -> -x) ELSE v END AS p FROM pw1),
+      |lam1 AS MATERIALIZED (SELECT list_sum(list_transform($R,
+      |    i -> p1.p[i] * list_sum(list_transform($R, j -> m.m[i][j] * p1.p[j])))) AS l
+      |  FROM covm m, p1),
+      |covm2 AS MATERIALIZED (SELECT list_transform($R, i -> list_transform($R,
+      |    j -> m.m[i][j] - lam1.l * p1.p[i] * p1.p[j])) AS m FROM covm m, lam1, p1),
+      |it2(k, v) AS (
+      |  SELECT 0, ${norm(s"list_transform($R, i -> CAST(${D + 1} - i AS DOUBLE))")}
+      |  UNION ALL
+      |  SELECT k + 1, ${norm(ov)}
+      |  FROM it2, covm2 m2x, p1 WHERE k < 200),
+      |pw2 AS MATERIALIZED (SELECT v FROM it2 ORDER BY k DESC LIMIT 1),
+      |p2 AS MATERIALIZED (SELECT CASE WHEN list_filter(v, x -> abs(x) > 1e-12)[1] < 0
+      |    THEN list_transform(v, x -> -x) ELSE v END AS p FROM pw2),
+      |vecs AS MATERIALIZED (SELECT d.id, any_value(dd.source) AS source,
+      |    list(d.v ORDER BY d.pos) AS v
+      |  FROM dense d JOIN docs dd ON dd.id = d.id GROUP BY d.id)
+      |SELECT vecs.id AS doc_id,
+      |  ROUND(list_sum(list_transform($R, i -> (vecs.v[i] - mu.mu[i]) * p1.p[i])), 6) AS pc1,
+      |  ROUND(list_sum(list_transform($R, i -> (vecs.v[i] - mu.mu[i]) * p2.p[i])), 6) AS pc2,
+      |  vecs.source AS source
+      |FROM vecs, mu, p1, p2
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** q39 — 2-D visualization projection feed (reference J9,
     * visualise_results.py:46-63): deterministic top-2 PCA stands in for
     * t-SNE (an iterative stochastic fit — viz-only, out of scope).
-    * Rows-only: eigendecomposition is not oracle-expressible; axis
-    * recovery on known structure is ScalaTest-gated (MlSpec). */
+    * Rows-only here (the murmur embeddings aren't oracle-expressible),
+    * but the whole pca2d path — Gramian, covariance, power method,
+    * deflation, sign canonicalization, projection — is hash-gated by its
+    * q96 twin on md5 exact-integer geometry; axis recovery on known
+    * structure stays ScalaTest-gated (MlSpec). */
   def q39PcaProjection(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.ml.Projection.pca2d(embeddings(s, d), "vec_id", "embedding",
@@ -330,6 +436,117 @@ object MlQueries {
       .select($"id", round($"pc1", 4).as("pc1"),
         round($"pc2", 4).as("pc2"), $"label")
       .orderBy($"id")
+  }
+
+  /** q98 — isolation-forest twin for q37 (reference J4,
+    * volume_analyzer.py:19-24): pins the MODEL, not q37's ambiguous
+    * flag set. A 5-tree [[graft.ml.IsolationForest.fitMd5]] forest is
+    * fit on the q26 per-cluster feature matrix (roll_mean/z_dev rounded
+    * to 4dp first, so the matrix is bit-identical in both engines —
+    * q26's own hash gate proves that), with every node's feature choice
+    * and split fraction drawn from md5(tag:tree:path) instead of a
+    * sequential RNG. Node randomness being a pure function of position
+    * makes construction order-free, so the oracle replays it
+    * breadth-first in a recursive CTE while the engine builds
+    * depth-first — same trees, same leaf sizes, same path lengths, same
+    * scores, same contamination threshold. Training points are scored
+    * via the leaf that CONTAINS them (walk ≡ membership for fit data),
+    * which is what lets the oracle score without re-walking trees. q37
+    * (100 trees, java Random(42), psi 256) stays the production-shape
+    * query; this hash-pins the split/partition/path-length/score
+    * machinery the two share. */
+  def q98IForestSql(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val f = VolumeAnomaly.features(hourlyCounts(s, d))
+      .select($"cluster_id",
+        $"log_count".cast("double").as("f1"),
+        $"velocity".cast("double").as("f2"),
+        round($"roll_mean", 4).as("f3"),
+        round($"z_dev", 4).as("f4"))
+      .orderBy($"cluster_id")
+    val rows = f.collect() // per-cluster matrix — driver-scale by contract
+    require(rows.length <= 100000,
+      s"q98 fit input has ${rows.length} rows — per-cluster matrices only")
+    val data = rows.map(r =>
+      Array(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val model = graft.ml.IsolationForest.fitMd5(data, nTrees = 5)
+    val scored = rows.zip(data).toSeq.map { case (r, x) =>
+      val sc = graft.ml.IsolationForest.score(model, x)
+      (r.getLong(0), sc, sc > model.threshold)
+    }
+    scored.toDF("cluster_id", "if_score", "flagged")
+      .select($"cluster_id", round($"if_score", 6).as("if_score"),
+        $"flagged")
+      .orderBy($"cluster_id")
+  }
+  val q98Sql: String = {
+    // per-node md5 draws — the SQL twins of IsolationForest.md5Long60
+    def h(kind: String) =
+      s"CAST(('0x' || substr(md5('ift:' || tree || ':' || path || ':$kind'), 1, 15)) AS BIGINT)"
+    def mlist(k: String) = s"list_transform(members, x -> x[($k) + 1])"
+    def lo(k: String) = s"list_min(${mlist(k)})"
+    def hi(k: String) = s"list_max(${mlist(k)})"
+    val cands = s"list_filter([1,2,3,4], k -> ${lo("k")} < ${hi("k")})"
+    val fsel = s"(($cands)[1 + CAST((${h("f")}) % len($cands) AS INT)])"
+    // 30 hash bits / 2^30: dyadic, exact in binary64 (fitMd5's u)
+    val u = s"(CAST((${h("s")}) % 1073741824 AS DOUBLE) / 1073741824.0)"
+    val split = s"(${lo(fsel)} + $u * (${hi(fsel)} - ${lo(fsel)}))"
+    val expandable =
+      s"(depth < maxh.h AND len(members) > 1 AND len($cands) > 0)"
+    // c(n): IsolationForest.avgPathLength verbatim
+    def cOf(n: String) =
+      s"(CASE WHEN ($n) <= 1 THEN 0.0 WHEN ($n) = 2 THEN 1.0 " +
+        s"ELSE 2.0 * (ln(($n) - 1.0) + 0.5772156649015329) " +
+        s"- 2.0 * (($n) - 1.0) / ($n) END)"
+    s"""WITH RECURSIVE counts AS ($hourlyCountsSql),
+      |f AS (SELECT cluster_id, batch_ts, log_count,
+      |  COALESCE(log_count - LAG(log_count) OVER wo, 0) AS velocity,
+      |  AVG(log_count) OVER w5 AS roll_mean,
+      |  STDDEV_POP(log_count) OVER w5 AS roll_std,
+      |  ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |                     ORDER BY batch_ts DESC) AS rn
+      |FROM counts
+      |WINDOW wo AS (PARTITION BY cluster_id ORDER BY batch_ts),
+      |       w5 AS (PARTITION BY cluster_id ORDER BY batch_ts
+      |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+      |ft AS MATERIALIZED (SELECT cluster_id,
+      |  CAST(log_count AS DOUBLE) AS f1, CAST(velocity AS DOUBLE) AS f2,
+      |  ROUND(roll_mean, 4) AS f3,
+      |  ROUND((log_count - roll_mean) / (roll_std + 1e-5), 4) AS f4
+      |FROM f WHERE rn = 1),
+      |n0 AS MATERIALIZED (SELECT COUNT(*) AS n FROM ft),
+      |maxh AS MATERIALIZED (SELECT GREATEST(1, MIN(t.h)) AS h
+      |  FROM unnest(range(0, 41)) AS t(h), n0
+      |  WHERE (CAST(1 AS BIGINT) << t.h) >= n0.n),
+      |mem AS MATERIALIZED (SELECT list(
+      |    [CAST(cluster_id AS DOUBLE), f1, f2, f3, f4]
+      |    ORDER BY cluster_id) AS m FROM ft),
+      |nodes(tree, path, depth, members) AS (
+      |  SELECT t.t AS tree, '' AS path, 0 AS depth, mem.m AS members
+      |  FROM unnest(range(0, 5)) AS t(t), mem
+      |  UNION ALL
+      |  SELECT tree, path || s.lab, depth + 1,
+      |    CASE WHEN s.lab = 'L'
+      |      THEN list_filter(members, x -> x[($fsel) + 1] < $split)
+      |      ELSE list_filter(members, x -> NOT (x[($fsel) + 1] < $split))
+      |    END
+      |  FROM nodes, maxh, (SELECT unnest(['L', 'R']) AS lab) s
+      |  WHERE $expandable),
+      |leaves AS MATERIALIZED (SELECT tree, depth, len(members) AS sz, members
+      |  FROM nodes, maxh WHERE NOT $expandable),
+      |pl AS (SELECT tree, CAST(u.x[1] AS BIGINT) AS cid,
+      |    depth + ${cOf("sz")} AS plen
+      |  FROM leaves, unnest(leaves.members) AS u(x)),
+      |sc AS MATERIALIZED (SELECT cid,
+      |    pow(2.0, -((SUM(plen) / 5.0) / (SELECT ${cOf("n")} FROM n0))) AS s
+      |  FROM pl GROUP BY cid),
+      |thr AS MATERIALIZED (SELECT s AS t FROM (
+      |    SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn FROM sc) q
+      |  WHERE rn = (SELECT LEAST(n - 1, GREATEST(0,
+      |      CAST(ceil((1.0 - 0.05) * n) AS INT) - 1)) + 1 FROM n0))
+      |SELECT sc.cid AS cluster_id, ROUND(sc.s, 6) AS if_score,
+      |  sc.s > thr.t AS flagged
+      |FROM sc, thr ORDER BY cluster_id""".stripMargin
   }
 
   /** q31 — hashing-embedder output (reference J1; rows-only: the murmur
@@ -822,6 +1039,8 @@ object MlQueries {
     "q37_anomaly_iforest" -> (q37AnomalyIForest _),
     "q38_silhouette_simplified" -> (q38SilhouetteSimplified _),
     "q39_pca_projection" -> (q39PcaProjection _),
+    "q96_pca_sql" -> (q96PcaSql _),
+    "q98_iforest_sql" -> (q98IForestSql _),
     "q65_embed_sql" -> (q65EmbedSql _),
     "q66_pipeline_prefix" -> (q66PipelinePrefix _),
     "q68_semantic_fold_sql" -> (q68SemanticFoldSql _),
@@ -840,6 +1059,8 @@ object MlQueries {
     "q35_approx_aggs" -> q35Sql,
     "q38_silhouette_simplified" -> q38Sql,
     "q65_embed_sql" -> q65Sql,
+    "q96_pca_sql" -> q96Sql,
+    "q98_iforest_sql" -> q98Sql,
     "q66_pipeline_prefix" -> q66Sql,
     "q68_semantic_fold_sql" -> q68Sql,
     "q69_denstream_fold_sql" -> q69Sql,

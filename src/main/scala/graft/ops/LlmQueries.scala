@@ -483,6 +483,183 @@ object LlmQueries {
       |  CAST(MAX(cnt) AS BIGINT) AS top_2gram_count
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q97 — the corpus-prep CAPSTONE: the full LLM-training-data pipeline
+    * as ONE oracle-checked query, the q89 move applied to the corpus
+    * side. Stages, each individually oracle-green elsewhere, composed
+    * end-to-end: q58's clean gates (language-ID + quality ≥ 0.5) →
+    * exact-dedup representatives (min doc_id per content) → minhash-LSH
+    * near-dup pairs over the representatives (q52's SQL-derivable
+    * machinery) → connected-component keepers (q57's closure; keeper =
+    * component min) → eval-set 8-gram decontamination (q94's tier rule:
+    * tier 3 plays the held-out eval set, so train = tiers 0–2) → q92's
+    * weighted mixing → q93's 512-token sequence packing. Output is the
+    * packed-corpus report per (source, pack). What a user hits at 100 TB
+    * is exactly the inter-stage plan boundaries this composition
+    * exercises: representatives collapse before any pairwise work, the
+    * pair space is band-bucket-local, the eval shingle broadcast keeps
+    * the train side shuffle-free, mixing is scan-local arithmetic, and
+    * packing windows per shard. */
+  def q97CorpusPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tier = regexp_extract($"source", "src([0-9]+)", 1).cast("long") % 4
+    val lab = documents(s, d).withColumn("tier", tier)
+    val evalDocs = lab.filter($"tier" === 3)
+    val train = lab.filter($"tier" =!= 3)
+    // 1. clean: q58's gates
+    val scored = TextOps.withQualityScore(
+      TextOps.withLangId(train, "text"), "text")
+    val clean = scored
+      .filter($"lang_pred" =!= "und" && $"quality_score" >= 0.5)
+    // 2. representatives: exact dedup, keep = min doc_id per content
+    val keepIds = clean.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+    // lazy checkpoint: reps feed the pair join, the component universe
+    // AND the keeper join — materialize the clean+dedup prefix once
+    val reps = clean.join(keepIds, "doc_id")
+      .select($"doc_id", $"text", $"source", $"tier")
+      .localCheckpoint(false)
+    // 3. near-dup keepers: minhash pairs + component closure over reps
+    val pairs = Dedup.minHashNearDupsSql(reps, "doc_id", "text", 0.3)
+      .select($"id_a", $"id_b")
+    val cc = Dedup.connectedComponents(pairs,
+      allIds = Some(reps.select($"doc_id")))
+    val keepers = reps.join(
+      cc.filter($"id" === $"keep_id").select($"id".as("doc_id")), "doc_id")
+    // 4. decontaminate: drop keepers sharing any 8-gram with eval
+    val contaminated = Corpus.decontaminate(keepers, evalDocs,
+      "doc_id", "text", 8).select($"doc_id")
+    val decon = keepers.join(contaminated, Seq("doc_id"), "left_anti")
+    // 5. mix: q92's tier weights
+    val weight = when($"tier" === 0, 100L).when($"tier" === 1, 50L)
+      .when($"tier" === 2, 25L).otherwise(10L)
+    val mixed = Corpus.mixBySource(decon, "doc_id", weight)
+    // 6. pack: 512-token concat-and-chunk per source
+    val withTok = mixed
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+    Corpus.packSequences(withTok, "doc_id", "n_tokens", "source", 512L)
+      .groupBy($"source", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("pack_tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"pack_id")
+  }
+  val q97Sql: String = {
+    def cnt(words: Seq[String]) =
+      words.map(w => s"'$w'").mkString(
+        "CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN (",
+        ", ", "))) AS BIGINT)")
+    val en = TextOps.lexicons("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH RECURSIVE lab AS (SELECT doc_id, text, source,
+      |  CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) % 4 AS tier
+      |  FROM documents),
+      |train AS (SELECT * FROM lab WHERE tier != 3),
+      |sc AS (SELECT doc_id, text, source, tier,
+      |  ${cnt(TextOps.lexicons("en"))} AS s_en,
+      |  ${cnt(TextOps.lexicons("fr"))} AS s_fr,
+      |  ${cnt(TextOps.lexicons("es"))} AS s_es,
+      |  ${cnt(TextOps.lexicons("de"))} AS s_de
+      |FROM train),
+      |lang AS (SELECT doc_id, text, source, tier,
+      |  CASE
+      |    WHEN s_en > 0 AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de
+      |      THEN 'en'
+      |    WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+      |    WHEN s_es > 0 AND s_es >= s_de THEN 'es'
+      |    WHEN s_de > 0 THEN 'de'
+      |    ELSE 'und' END AS lang_pred
+      |FROM sc),
+      |q AS (SELECT doc_id, text, source, tier, lang_pred,
+      |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_dis,
+      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\v\\f\\r]')) AS DOUBLE)
+      |    AS n_punct,
+      |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ($en)))
+      |    AS DOUBLE) AS n_stop,
+      |  CAST(length(text) AS DOUBLE) AS n_len
+      |FROM lang),
+      |scored AS (SELECT doc_id, text, source, tier, lang_pred,
+      |  ROUND(LEAST(n_tok / 50.0, 1.0) * 0.25 +
+      |    (n_dis / GREATEST(n_tok, 1.0)) * 0.25 +
+      |    (1.0 - LEAST((n_punct / GREATEST(n_len, 1.0)) * 5.0, 1.0)) * 0.25 +
+      |    LEAST((n_stop / GREATEST(n_tok, 1.0)) * 5.0, 1.0) * 0.25, 6)
+      |    AS quality_score
+      |FROM q),
+      |kept AS (SELECT * FROM scored
+      |  WHERE lang_pred != 'und' AND quality_score >= 0.5),
+      |keep_ids AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+      |reps AS MATERIALIZED (SELECT k.doc_id, k.text, k.source, k.tier
+      |  FROM kept k JOIN keep_ids USING (doc_id)),
+      |mdocs AS MATERIALIZED (SELECT doc_id AS id,
+      |    list_distinct(CASE WHEN len(toks) < 3
+      |      THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(range(1, len(toks) - 1), i ->
+      |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shs
+      |  FROM (SELECT doc_id,
+      |      list_filter(string_split_regex(lower(text), '[ \\t\\n\\v\\f\\r]+'),
+      |        x -> x != '') AS toks
+      |    FROM reps)),
+      |base AS (SELECT id, t.sh AS sh,
+      |    CAST(('0x' || substr(md5(t.sh), 1, 15)) AS BIGINT) AS b
+      |  FROM mdocs, unnest(shs) AS t(sh)),
+      |h AS (SELECT id, t.i AS i,
+      |    CAST((CAST(b AS HUGEINT) * (2*t.i + 1) + (7919*t.i + 13))
+      |      % 2305843009213693951 AS BIGINT) AS hv
+      |  FROM base, unnest(range(0, 16)) AS t(i)),
+      |sig AS (SELECT id, i, MIN(hv) AS m FROM h GROUP BY id, i),
+      |bucket AS (SELECT id, CAST(i // 4 AS INTEGER) AS band,
+      |    md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bkt
+      |  FROM sig GROUP BY id, i // 4),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM bucket a JOIN bucket b
+      |    ON a.band = b.band AND a.bkt = b.bkt AND a.id < b.id),
+      |pairs AS MATERIALIZED (SELECT c.id_a, c.id_b
+      |  FROM cand c
+      |  JOIN mdocs x ON c.id_a = x.id
+      |  JOIN mdocs y ON c.id_b = y.id
+      |  WHERE CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(x.shs, y.shs))) AS DOUBLE)
+      |        >= 0.3),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM reps
+      |  UNION
+      |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
+      |keepers AS MATERIALIZED (SELECT rp.* FROM reps rp
+      |  JOIN (SELECT id, MIN(r) AS keep_id FROM reach GROUP BY id) cc
+      |    ON rp.doc_id = cc.id AND cc.keep_id = rp.doc_id),
+      |tsh AS (SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      range(1, greatest(len(tk) - 6, 1)),
+      |      i -> array_to_string(tk[i:i+7], ' ')))) AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM keepers)),
+      |esh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+      |      range(1, greatest(len(tk) - 6, 1)),
+      |      i -> array_to_string(tk[i:i+7], ' ')))) AS shingle
+      |  FROM (SELECT string_split(text, ' ') AS tk FROM lab WHERE tier = 3)),
+      |contaminated AS (SELECT DISTINCT t.doc_id
+      |  FROM tsh t JOIN esh e USING (shingle)),
+      |mixed AS (SELECT * FROM keepers
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |    AND ((doc_id % 1000000007) * 2654435761) % 100 <
+      |      CASE tier WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 25
+      |        ELSE 10 END),
+      |t AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM mixed),
+      |p AS (SELECT doc_id, source, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS prefix
+      |  FROM t)
+      |SELECT source, CAST(prefix // 512 AS BIGINT) AS pack_id,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM p GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
+  }
+
   /** q57 — dedup keeper assignment: connected components over a near-dup
     * pair graph; EVERY doc labeled with its component's canonical (min)
     * id — unpaired docs keep themselves. The edge set is the
@@ -873,7 +1050,8 @@ object LlmQueries {
     "q92_corpus_mix" -> (q92CorpusMix _),
     "q93_pack_sequences" -> (q93PackSequences _),
     "q94_decontaminate" -> (q94Decontaminate _),
-    "q95_repetition" -> (q95Repetition _))
+    "q95_repetition" -> (q95Repetition _),
+    "q97_corpus_pipeline" -> (q97CorpusPipeline _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Sql,
@@ -899,5 +1077,6 @@ object LlmQueries {
     "q92_corpus_mix" -> q92Sql,
     "q93_pack_sequences" -> q93Sql,
     "q94_decontaminate" -> q94Sql,
-    "q95_repetition" -> q95Sql)
+    "q95_repetition" -> q95Sql,
+    "q97_corpus_pipeline" -> q97Sql)
 }

@@ -220,6 +220,26 @@ class MlSpec extends AnyFunSuite {
     assert(IsolationForest.score(m2, Array(100.0, 50.0)) == outScore)
   }
 
+  test("md5 forest (q98 twin): deterministic, isolates the outlier, " +
+      "flags the contamination fraction") {
+    val inliers = (1 to 100).map(i =>
+      Array(10.0 + (i % 5) * 0.1, (i % 3) * 0.1)).toArray
+    val data = inliers :+ Array(100.0, 50.0)
+    val m = IsolationForest.fitMd5(data, nTrees = 5)
+    val outScore = IsolationForest.score(m, Array(100.0, 50.0))
+    assert(inliers.forall(x => IsolationForest.score(m, x) < outScore),
+      "outlier must score strictly above every inlier")
+    assert(IsolationForest.isAnomaly(m, Array(100.0, 50.0)))
+    // no RNG state: refitting is bit-identical (position-keyed md5 draws)
+    val m2 = IsolationForest.fitMd5(data, nTrees = 5)
+    assert(m2.threshold == m.threshold)
+    assert(data.forall(x =>
+      IsolationForest.score(m2, x) == IsolationForest.score(m, x)))
+    // contamination 0.05 on 101 points: threshold = 96th smallest score,
+    // so at most 5 points can score strictly above it
+    assert(data.count(x => IsolationForest.isAnomaly(m, x)) <= 5)
+  }
+
   test("isolation-forest ranking flags the same set as the z-gate") {
     import spark.implicits._
     // the spike fixture: the IF-ranked flag set must equal the z-ranked

@@ -122,6 +122,21 @@ object Ivf {
         lit(lid).as("list_id"))
     }: _*)).getField("list_id")
 
+  /** Tag every row of `df` with its nearest-centroid list id using an
+    * ALREADY FITTED centroid table — the deployment shape the
+    * `maxFitRows` guard points at: fit on a bounded sample
+    * ([[fitCentroids]]), then ONE map-only pass over the full corpus
+    * (no join, no shuffle — [[assignExpr]]). The centroid table is tiny
+    * (nlist rows) and is collected to drive the expression. */
+  def assignIndex(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val cents = centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("list_id", assignExpr(col("v"), cents))
+  }
+
   /** Build the index: rows tagged with their inverted-list id (one
     * map-only pass — [[assignExpr]]). */
   def buildIndex(df: DataFrame, idCol: String, vecCol: String,

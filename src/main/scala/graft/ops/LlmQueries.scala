@@ -278,6 +278,60 @@ object LlmQueries {
       |ORDER BY list_id, pos""".stripMargin
   }
 
+  /** q99 — the IVF DEPLOYMENT shape, oracle-checked end to end: fit the
+    * coarse quantizer on a bounded deterministic sample (vec_id % 10 = 0
+    * — what `spark.graft.ivf.maxFitRows` forces at corpus scale), then
+    * assign the FULL corpus in one map-only pass
+    * ([[graft.llm.Ivf.assignIndex]] — no join, no shuffle). q59 pins the
+    * Lloyd math on the full fixture; this pins the sample-fit → full-
+    * assign composition, so the scale contract itself is hash-gated:
+    * every vector's (vec_id, list_id) must match DuckDB replaying the
+    * sampled Lloyd iterations plus the final argmin. */
+  def q99IvfSampleFit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val sample = e.filter(pmod($"vec_id", lit(10)) === 0)
+    val cents = graft.llm.Ivf.fitCentroids(sample, "vec_id", "embedding",
+      nlist = 16)
+    graft.llm.Ivf.assignIndex(e, "vec_id", "embedding", cents)
+      .select($"id".as("vec_id"), $"list_id")
+      .orderBy($"vec_id")
+  }
+  val q99Sql: String = {
+    // q59's unrolled Lloyd, restricted to the deterministic sample
+    def iteration(prev: String, cur: String): String =
+      s"""a_$cur AS (SELECT p.id, p.v, c.list_id,
+         |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+         |      list_sum(list_transform(list_zip(p.v, c.c),
+         |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
+         |  FROM pts p, $prev c),
+         |$cur AS (SELECT list_id, list(m ORDER BY pos) AS c FROM (
+         |    SELECT a.list_id, t.pos AS pos,
+         |      CAST(SUM(CAST(a.v[t.pos] AS DECIMAL(28,14))) AS DOUBLE)
+         |        / COUNT(*) AS m
+         |    FROM a_$cur a, unnest(range(1, 65)) AS t(pos)
+         |    WHERE a.rn = 1
+         |    GROUP BY a.list_id, t.pos)
+         |  GROUP BY list_id)""".stripMargin
+    s"""WITH allpts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |pts AS (SELECT * FROM allpts WHERE id % 10 = 0),
+      |seeds AS (SELECT id, v FROM pts ORDER BY id LIMIT 16),
+      |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS list_id,
+      |    v AS c FROM seeds),
+      |${iteration("c0", "c1")},
+      |${iteration("c1", "c2")},
+      |${iteration("c2", "c3")},
+      |assign AS (SELECT p.id, c.list_id,
+      |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+      |      list_sum(list_transform(list_zip(p.v, c.c),
+      |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
+      |  FROM allpts p, c3 c)
+      |SELECT CAST(id AS BIGINT) AS vec_id,
+      |  CAST(list_id AS INTEGER) AS list_id
+      |FROM assign WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
   /** q56 — LSH-blocked embedding near-dup (the 100 TB path for q44's
     * brute baseline). The blocking hash is axis-aligned random-hyperplane
     * LSH (sign of 4 fixed coordinates → 16 buckets): same Charikar family
@@ -1051,7 +1105,8 @@ object LlmQueries {
     "q93_pack_sequences" -> (q93PackSequences _),
     "q94_decontaminate" -> (q94Decontaminate _),
     "q95_repetition" -> (q95Repetition _),
-    "q97_corpus_pipeline" -> (q97CorpusPipeline _))
+    "q97_corpus_pipeline" -> (q97CorpusPipeline _),
+    "q99_ivf_sample_fit" -> (q99IvfSampleFit _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Sql,
@@ -1078,5 +1133,6 @@ object LlmQueries {
     "q93_pack_sequences" -> q93Sql,
     "q94_decontaminate" -> q94Sql,
     "q95_repetition" -> q95Sql,
-    "q97_corpus_pipeline" -> q97Sql)
+    "q97_corpus_pipeline" -> q97Sql,
+    "q99_ivf_sample_fit" -> q99Sql)
 }

@@ -122,4 +122,28 @@ class PropertySpec extends AnyFunSuite {
         }
     })
   }
+
+  test("md5 forest: scores in (0,1], refit bit-identical, flagged count " +
+      "bounded by contamination, over arbitrary matrices") {
+    import graft.ml.IsolationForest
+    val matGen = for {
+      n <- Gen.chooseNum(2, 40)
+      d <- Gen.chooseNum(1, 4)
+      rows <- Gen.listOfN(n,
+        Gen.listOfN(d, Gen.chooseNum(-100.0, 100.0)).map(_.toArray))
+    } yield rows.toArray
+    check(Prop.forAll(matGen) { data =>
+      val m1 = IsolationForest.fitMd5(data, nTrees = 3)
+      val m2 = IsolationForest.fitMd5(data, nTrees = 3)
+      val scores = data.map(x => IsolationForest.score(m1, x))
+      // paper eq. 2 range; position-keyed draws make refits bit-equal;
+      // threshold = (1-0.05)-quantile bounds the strictly-above count
+      scores.forall(s => s > 0.0 && s <= 1.0) &&
+        m1.threshold == m2.threshold &&
+        data.indices.forall(i =>
+          IsolationForest.score(m2, data(i)) == scores(i)) &&
+        scores.count(_ > m1.threshold) <=
+          math.max(1, math.ceil(0.05 * data.length).toInt)
+    })
+  }
 }

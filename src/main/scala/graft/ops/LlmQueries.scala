@@ -286,7 +286,10 @@ object LlmQueries {
     * Lloyd math on the full fixture; this pins the sample-fit → full-
     * assign composition, so the scale contract itself is hash-gated:
     * every vector's (vec_id, list_id) must match DuckDB replaying the
-    * sampled Lloyd iterations plus the final argmin. */
+    * sampled Lloyd iterations plus the final argmin. (Sample parity
+    * assumes non-negative ids — Spark `pmod` vs the oracle's `%`, the
+    * same documented convention as [[Corpus.sampleKey]]; vec_ids are
+    * non-negative by construction.) */
   def q99IvfSampleFit(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = embeddings(s, d)

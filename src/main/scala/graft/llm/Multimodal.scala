@@ -530,7 +530,9 @@ object Multimodal {
   }
 
   /** STUB resize: truncate/pad payload to `size` bytes (stands in for a
-    * real resample; keeps the binary-in/binary-out contract). */
+    * real resample; keeps the binary-in/binary-out contract). Remains
+    * only as the generic seam for codec-library formats — the image kind
+    * has the REAL path, [[resizeDecoded]]. */
   def resizeStub(df: DataFrame, size: Int,
       payloadCol: String = "payload"): DataFrame = {
     val f = udf { (bytes: Array[Byte]) =>
@@ -538,6 +540,62 @@ object Multimodal {
       if (bytes != null)
         System.arraycopy(bytes, 0, out, 0, math.min(bytes.length, size))
       out
+    }
+    df.withColumn("resized", f(col(payloadCol)))
+  }
+
+  /** REAL nearest-neighbor resize for a 24-bit BMP payload: decode,
+    * resample on the top-down pixel grid — source pixel for output
+    * (x, y) is (x·w/W, y·h/H) with integer floor, the textbook NN rule —
+    * and re-encode. Both codec directions are exercised, so a roundtrip
+    * through [[bmpDecode]] pins encode AND resample (q100's oracle does
+    * exactly that). */
+  def bmpResize(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    require(outW > 0 && outH > 0, s"bmp resize to ${outW}x$outH")
+    val (w, h, px) = bmpDecode(bytes)
+    val out = new Array[Byte](outW * outH * 3)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * h / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * w / outW).toInt
+        var c = 0
+        while (c < 3) {
+          // px is top-down (bmpDecode's contract) but bmpEncode expects
+          // FILE row order (row 0 = bottom image row) — write flipped,
+          // so a decode of the result returns the top-down resample
+          out(((outH - 1 - y) * outW + x) * 3 + c) =
+            px((sy * w + sx) * 3 + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    bmpEncode(out, outW, outH)
+  }
+
+  /** [[resizeStub]] with the real image path plugged in (the same move
+    * [[frameSampleDecoded]] makes for video): BMP payloads are decoded,
+    * nearest-neighbor resampled to `outW`×`outH` and re-encoded as a
+    * genuine BMP; non-BMP payloads (and BMP-magic payloads that fail the
+    * parse) keep the stub's truncate/pad semantics over `outW·outH·3`
+    * bytes. Never-throwing best-effort, like the frame sampler. */
+  def resizeDecoded(df: DataFrame, outW: Int, outH: Int,
+      payloadCol: String = "payload"): DataFrame = {
+    val size = outW * outH * 3
+    val f = udf { (bytes: Array[Byte]) =>
+      def stub: Array[Byte] = {
+        val out = new Array[Byte](size)
+        if (bytes != null)
+          System.arraycopy(bytes, 0, out, 0, math.min(bytes.length, size))
+        out
+      }
+      if (bytes != null && bytes.length >= 2 &&
+          bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+        scala.util.Try(bmpResize(bytes, outW, outH)).getOrElse(stub)
+      else stub
     }
     df.withColumn("resized", f(col(payloadCol)))
   }

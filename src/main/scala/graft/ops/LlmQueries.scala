@@ -1049,6 +1049,48 @@ object LlmQueries {
       |      ch -> unicode(ch) // 16 = b)))) AS VARCHAR) AS hist_json
       |FROM px ORDER BY media_id""".stripMargin
 
+  /** q100 — REAL image resize (closing the resize stub for the image
+    * kind): BMP rows are decoded, nearest-neighbor resampled 5×4 → 3×2
+    * (source pixel (x·w/W, y·h/H), integer floor) and re-encoded; the
+    * query then decodes the RESIZED payload again, so the oracle pins
+    * resample + encode + decode in one roundtrip. DuckDB computes the
+    * expected resized pixels straight from the source text: the top-down
+    * 5×4 pixel string is q67's row-reversal substring concat, and the
+    * 3×2 output selects the six 3-byte pixels at NN offsets
+    * (sx∈{0,1,3}, sy∈{0,2}). A resampler that rounds instead of floors,
+    * mixes rows, or re-encodes with a wrong stride hash-mismatches.
+    * Non-image payloads keep stub semantics and are excluded here (they
+    * carry no geometry to resize). */
+  def q100BmpResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.mediaTableBmp(s, d)
+      .filter($"meta.kind" === "image" && $"meta.n_bytes" >= 60)
+    val resized = Multimodal.resizeDecoded(media, 3, 2)
+      .withColumn("payload", $"resized")
+    Multimodal.decodeBmpFeatures(resized)
+      .select($"media_id", $"width", $"height",
+        md5($"pixels").as("pixel_md5"))
+      .orderBy($"media_id")
+  }
+  val q100Sql: String = {
+    // NN offsets into the top-down 5×4 pixel string for a 3×2 output:
+    // (sy·5 + sx)·3 + 1 for sy = y·4/2 ∈ {0,2}, sx = x·5/3 ∈ {0,1,3}
+    val offs = for {
+      y <- 0 until 2; x <- 0 until 3
+      sy = y * 4 / 2; sx = x * 5 / 3
+    } yield (sy * 5 + sx) * 3 + 1
+    val rpix = offs.map(o => s"substr(pix, $o, 3)").mkString(" || ")
+    s"""WITH m AS (SELECT doc_id AS media_id, text FROM documents
+      |  WHERE CAST(doc_id % 3 AS INTEGER) = 0 AND length(text) >= 60),
+      |px AS (SELECT media_id,
+      |    substr(text, 46, 15) || substr(text, 31, 15) ||
+      |    substr(text, 16, 15) || substr(text, 1, 15) AS pix
+      |  FROM m)
+      |SELECT media_id, 3 AS width, 2 AS height,
+      |  md5($rpix) AS pixel_md5
+      |FROM px ORDER BY media_id""".stripMargin
+  }
+
   /** q88 — REAL media decode for the audio kind (companion to q67's BMP
     * path): audio rows carry genuine RIFF/WAVE payloads
     * ([[Multimodal.mediaTableWav]] — PCM16LE mono, a LIST chunk between
@@ -1109,7 +1151,8 @@ object LlmQueries {
     "q94_decontaminate" -> (q94Decontaminate _),
     "q95_repetition" -> (q95Repetition _),
     "q97_corpus_pipeline" -> (q97CorpusPipeline _),
-    "q99_ivf_sample_fit" -> (q99IvfSampleFit _))
+    "q99_ivf_sample_fit" -> (q99IvfSampleFit _),
+    "q100_bmp_resize" -> (q100BmpResize _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Sql,
@@ -1137,5 +1180,6 @@ object LlmQueries {
     "q94_decontaminate" -> q94Sql,
     "q95_repetition" -> q95Sql,
     "q97_corpus_pipeline" -> q97Sql,
-    "q99_ivf_sample_fit" -> q99Sql)
+    "q99_ivf_sample_fit" -> q99Sql,
+    "q100_bmp_resize" -> q100Sql)
 }

@@ -337,6 +337,31 @@ class LlmSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("bad chunk length"))
   }
 
+  test("bmp resize: nearest-neighbor roundtrip keeps orientation and " +
+      "picks floor-rule source pixels") {
+    // 5x4 source whose pixel (x,y) encodes its own coordinates: decode
+    // of the resized BMP must yield exactly the NN-selected pixels in
+    // top-down order (the first cut failed q100's oracle by writing the
+    // resample top-down into bmpEncode's bottom-up content — this pins
+    // the orientation contract at the API level too)
+    val src = Array.tabulate[Byte](5 * 4 * 3) { i =>
+      val p = i / 3; (10 * (p / 5) + (p % 5)).toByte // 10*y + x, top-down
+    }
+    // bmpEncode wants bottom-up rows: reverse the 15-byte rows
+    val bottomUp = (3 to 0 by -1).flatMap(r =>
+      src.slice(r * 15, (r + 1) * 15)).toArray
+    val bmp = Multimodal.bmpEncode(bottomUp, 5, 4)
+    val (w, h, px) = Multimodal.bmpDecode(Multimodal.bmpResize(bmp, 3, 2))
+    assert((w, h) == (3, 2))
+    // sx = x*5/3 in {0,1,3}; sy = y*4/2 in {0,2}
+    val expected = for (y <- Seq(0, 2); x <- Seq(0, 1, 3); _ <- 0 until 3)
+      yield (10 * y + x).toByte
+    assert(px.toSeq == expected)
+    // upscale hits each source pixel at least once, never out of range
+    val (uw, uh, upx) = Multimodal.bmpDecode(Multimodal.bmpResize(bmp, 10, 8))
+    assert((uw, uh) == (10, 8) && upx.length == 10 * 8 * 3)
+  }
+
   test("avi encode rejects oversized geometry loudly instead of " +
       "truncating the header") {
     // rcFrame is 16-bit: width past Short.MaxValue must throw, not wrap

@@ -256,7 +256,87 @@ object StreamQueries {
     res
   }
 
+  /** q101 — streaming exact dedup over REAL micro-batches
+    * ([[StreamOps.streamingExactDedup]]): the corpus ingest twin of q40.
+    * The documents table is split into four ascending doc_id-range
+    * parquet files consumed one per micro-batch (the q86 harness), so
+    * dedup state genuinely carries across batch boundaries — a content
+    * seen in batch 1 suppresses its copies in batches 2–4. Because the
+    * splits are ascending in doc_id, "first batch containing the hash,
+    * min id within it" equals the global min doc_id per content, so
+    * [[LlmQueries]] q40's exact-dedup aggregation is the exact oracle
+    * (minus the dup_count column — an append-mode stream emits before
+    * later copies arrive). */
+  def q101StreamDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val hashed = Tables.documents(s, d)
+      .select($"doc_id", md5($"text").as("content_hash"))
+    val tiled = hashed.withColumn("tile",
+      ntile(4).over(Window.orderBy($"doc_id")))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_q101_in")
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_q101_stage")
+    val sinkName = "graft_stream_dedup_" +
+      streamDir.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    try {
+      val stage = stageDir.resolve("t")
+      tiled.coalesce(1).write.partitionBy("tile").parquet(stage.toString)
+      for (k <- 1 to 4) {
+        val tileDir = stage.resolve(s"tile=$k")
+        require(java.nio.file.Files.isDirectory(tileDir),
+          s"q101: needs >= 4 documents (tile $k empty)")
+        val part = scala.util.Using.resource(
+            java.nio.file.Files.list(tileDir)) { files =>
+          files.iterator().asScala
+            .find(_.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"q101: no parquet written for tile $k"))
+        }
+        val dest = streamDir.resolve(f"batch_$k%02d.parquet")
+        java.nio.file.Files.move(part, dest)
+        require(dest.toFile.setLastModified(1600000000000L + k * 60000L),
+          s"q101: cannot set mtime on $dest")
+      }
+      val schema = new StructType()
+        .add("doc_id", LongType).add("content_hash", StringType)
+      val pairs = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+        .select($"content_hash".as("_1"), $"doc_id".as("_2"))
+        .as[(String, Long)]
+      val out = StreamOps.streamingExactDedup(pairs)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = out.toDF().writeStream
+          .outputMode("append")
+          .format("memory").queryName(sinkName)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      for (dir <- Seq(streamDir, stageDir)) {
+        scala.util.Using.resource(java.nio.file.Files.walk(dir)) { w =>
+          w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+    }
+    val res = s.table(sinkName)
+      .select($"_1".as("content_hash"), $"_2".as("keep_id"))
+      .orderBy($"keep_id")
+      .localCheckpoint()
+    s.catalog.dropTempView(sinkName)
+    res
+  }
+  val q101Sql: String =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_stream_dedup" -> (q101StreamDedup _),
     "q60_stream_volume" -> (q60StreamVolume _),
     "q64_sliding_window" -> (q64SlidingWindow _),
     "q61_stream_semantic" -> (q61StreamSemantic _),
@@ -265,6 +345,7 @@ object StreamQueries {
     "q86_stream_fold_sql" -> (q86StreamFoldSql _))
 
   val oracleSql: Map[String, String] = Map(
+    "q101_stream_dedup" -> q101Sql,
     "q60_stream_volume" -> q60Sql,
     "q64_sliding_window" -> q64Sql,
     "q62_session_window" -> q62Sql,

@@ -109,6 +109,31 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup — the ingest twin of [[graft.llm.Dedup.exact]]
+    * for a corpus arriving as a stream: keyed state per content hash;
+    * each DISTINCT content emits exactly one (hash, id) row, in the
+    * micro-batch where it first arrives, with id = the minimum among
+    * that batch's copies (deterministic under any partitioning — the
+    * group iterator sees every same-batch copy). Later arrivals are
+    * absorbed silently. 100 TB shape: state is one boolean per distinct
+    * content hash, sharded by the keyed state store across executors;
+    * the only exchange is the groupByKey hash shuffle. */
+  def streamingExactDedup(rows: Dataset[(String, Long)])
+      : Dataset[(String, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (hash: String, it: Iterator[(String, Long)],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single((hash, it.map(_._2).min))
+          }
+      }
+  }
+
   /** §3.1 as a streaming pipeline: enrichment in foreachBatch with an
     * idempotent (anti-join) sink — the A5 `ON CONFLICT DO NOTHING` analog.
     * Runs with AvailableNow so callers can await completion. */

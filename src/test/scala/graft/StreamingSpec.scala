@@ -55,6 +55,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(3L) == "sem_grp_1", s"state not carried: $got")
   }
 
+  test("streaming exact dedup suppresses later-batch copies and emits " +
+      "the batch-min id once per content") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val out = StreamOps.streamingExactDedup(input.toDS())
+    val q = out.toDF().writeStream
+      .outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .start()
+    // batch 1: content "a" arrives twice (ids 7, 3) and "b" once
+    input.addData(("a", 7L), ("a", 3L), ("b", 10L))
+    q.processAllAvailable()
+    // batch 2: "a" again (must be suppressed by state), "c" new
+    input.addData(("a", 1L), ("c", 20L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_stream").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.catalog.dropTempView("dedup_stream")
+    // exactly one row per content; "a" keeps its FIRST-batch min (3, not
+    // the globally smaller 1 that arrived late — first-arrival semantics)
+    assert(got == Map("a" -> 3L, "b" -> 10L, "c" -> 20L), got.toString)
+  }
+
   test("stateful semantic grouping with pluggable distance (q86's sqEuclid) " +
       "carries centroids across micro-batches") {
     import spark.implicits._

@@ -201,9 +201,17 @@ object Multimodal {
     * between `fmt ` and `data` ON PURPOSE, so a decoder that hardcodes
     * the 44-byte canonical layout instead of walking chunks reads
     * garbage and fails the differential oracle (q88). */
-  def wavEncode(content: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+  def wavEncode(content: Array[Byte], sampleRate: Int = 8000): Array[Byte] =
+    wavEncodeSamples(
+      content.map(b => (((b & 0xFF) - 128) * 256).toShort), sampleRate)
+
+  /** [[wavEncode]] at the sample level (PCM16LE mono, same container
+    * byte-for-byte): the seam ops that transform decoded samples
+    * ([[wavDecimate]]) re-encode through. */
+  def wavEncodeSamples(samples: Array[Short],
+      sampleRate: Int): Array[Byte] = {
     val listPayload = "INFOgraft-wav-fixture.".getBytes("US-ASCII") // 22B even
-    val dataLen = content.length * 2
+    val dataLen = samples.length * 2
     val riffLen = 4 + (8 + 16) + (8 + listPayload.length) + (8 + dataLen)
     val out = java.nio.ByteBuffer.allocate(8 + riffLen)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -219,8 +227,21 @@ object Multimodal {
     out.put("LIST".getBytes("US-ASCII")).putInt(listPayload.length)
       .put(listPayload)
     out.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    content.foreach(b => out.putShort((((b & 0xFF) - 128) * 256).toShort))
+    samples.foreach(out.putShort(_))
     out.array()
+  }
+
+  /** REAL audio downsample for a PCM16 WAV payload: decode, keep every
+    * k-th sample (plain decimation — the deterministic baseline;
+    * anti-aliasing filters are a DSP-library concern, the documented
+    * seam), re-encode at rate/k. The q102 oracle roundtrips it: decode
+    * of the decimated payload must yield exactly the strided samples. */
+  def wavDecimate(bytes: Array[Byte], k: Int): Array[Byte] = {
+    require(k > 0, s"wav: decimation factor must be positive, got $k")
+    val (rate, ss) = wavDecode(bytes)
+    require(rate % k == 0,
+      s"wav: rate $rate not divisible by decimation factor $k")
+    wavEncodeSamples(Array.range(0, ss.length, k).map(ss(_)), rate / k)
   }
 
   /** Decode a PCM16LE mono RIFF/WAVE payload by genuinely walking the

@@ -1121,6 +1121,36 @@ object LlmQueries {
       |  CAST(MIN(v) AS INTEGER) AS amp_min
       |FROM samp GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** q102 — REAL audio downsample (the audio analog of q100's image
+    * resize): WAV rows are decimated 8 kHz → 2 kHz (every 4th sample,
+    * [[Multimodal.wavDecimate]] — plain decimation as the deterministic
+    * baseline) and the query decodes the RESULT again, pinning decode +
+    * stride selection + re-encode in one roundtrip. The oracle computes
+    * the expected amplitude features straight from the source text at
+    * stride-4 character positions (q88's sample↔text math over
+    * range(1, 41, 4)) — a decimator off by one, striding bytes instead
+    * of samples, or re-encoding a wrong header rate hash-mismatches. */
+  def q102WavDecimate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.mediaTableWav(s, d)
+      .filter($"meta.kind" === "audio" && $"meta.n_bytes" >= 40)
+    val dec = udf((b: Array[Byte]) => Multimodal.wavDecimate(b, 4))
+    Multimodal.decodeWavFeatures(
+        media.withColumn("payload", dec($"payload")))
+      .orderBy($"media_id")
+  }
+  val q102Sql: String =
+    """WITH audio AS (SELECT doc_id, text FROM documents
+      |  WHERE CAST(doc_id % 3 AS INTEGER) = 1 AND strlen(text) >= 40),
+      |samp AS (SELECT doc_id,
+      |    (unicode(substr(text, CAST(i AS INTEGER), 1)) - 128) * 256 AS v
+      |  FROM audio, unnest(range(1, 41, 4)) AS t(i))
+      |SELECT doc_id AS media_id, 2000 AS sample_rate, 10 AS n_samples,
+      |  CAST(SUM(v) AS BIGINT) AS amp_sum,
+      |  CAST(MAX(v) AS INTEGER) AS amp_max,
+      |  CAST(MIN(v) AS INTEGER) AS amp_min
+      |FROM samp GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> (q40DedupExact _),
     "q41_jaccard_neardup" -> (q41JaccardNearDup _),
@@ -1152,7 +1182,8 @@ object LlmQueries {
     "q95_repetition" -> (q95Repetition _),
     "q97_corpus_pipeline" -> (q97CorpusPipeline _),
     "q99_ivf_sample_fit" -> (q99IvfSampleFit _),
-    "q100_bmp_resize" -> (q100BmpResize _))
+    "q100_bmp_resize" -> (q100BmpResize _),
+    "q102_wav_decimate" -> (q102WavDecimate _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Sql,
@@ -1181,5 +1212,6 @@ object LlmQueries {
     "q95_repetition" -> q95Sql,
     "q97_corpus_pipeline" -> q97Sql,
     "q99_ivf_sample_fit" -> q99Sql,
-    "q100_bmp_resize" -> q100Sql)
+    "q100_bmp_resize" -> q100Sql,
+    "q102_wav_decimate" -> q102Sql)
 }

@@ -337,6 +337,21 @@ class LlmSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("bad chunk length"))
   }
 
+  test("wav decimate: strided samples, divided rate, loud on bad factor") {
+    val content = Array.tabulate[Byte](40)(i => (i * 3).toByte)
+    val wav = Multimodal.wavEncode(content, 8000)
+    val (rate, ss) = Multimodal.wavDecode(Multimodal.wavDecimate(wav, 4))
+    assert(rate == 2000 && ss.length == 10)
+    val (_, orig) = Multimodal.wavDecode(wav)
+    assert(ss.toSeq == (0 until 40 by 4).map(orig(_)))
+    // k=1 is identity; a factor that doesn't divide the rate is refused
+    assert(Multimodal.wavDecode(Multimodal.wavDecimate(wav, 1))
+      ._2.toSeq == orig.toSeq)
+    val e = intercept[IllegalArgumentException](
+      Multimodal.wavDecimate(wav, 3))
+    assert(e.getMessage.contains("not divisible"))
+  }
+
   test("bmp resize: nearest-neighbor roundtrip keeps orientation and " +
       "picks floor-rule source pixels") {
     // 5x4 source whose pixel (x,y) encodes its own coordinates: decode

@@ -508,6 +508,23 @@ object Multimodal {
     (width, height, frames)
   }
 
+  /** REAL temporal downsample for an AVI payload (the video analog of
+    * [[bmpResize]]/[[wavDecimate]]): decode, keep every k-th frame, and
+    * re-encode — decoded frames are top-down, so each kept frame's rows
+    * are re-flipped into the encoder's bottom-up per-frame content (the
+    * orientation contract q100 pinned for stills). The q103 oracle
+    * roundtrips the result through [[aviDecode]]. */
+  def aviFrameDecimate(bytes: Array[Byte], k: Int): Array[Byte] = {
+    require(k > 0, s"avi: decimation factor must be positive, got $k")
+    val (w, h, frames) = aviDecode(bytes)
+    val kept = Array.range(0, frames.length, k).map(frames(_))
+    val content = new Array[Byte](kept.length * w * h * 3)
+    for ((px, f) <- kept.zipWithIndex; r <- 0 until h)
+      System.arraycopy(px, r * w * 3,
+        content, f * w * h * 3 + (h - 1 - r) * w * 3, w * 3)
+    aviEncode(content, w, h, kept.length)
+  }
+
   /** [[mediaTable]] with REAL payloads for the video kind: docs mapping
     * to kind=video (doc_id % 3 == 2) with ≥ width*height*3*nFrames
     * payload bytes become genuine uncompressed AVIs whose frame pixels

@@ -1151,6 +1151,33 @@ object LlmQueries {
       |  CAST(MIN(v) AS INTEGER) AS amp_min
       |FROM samp GROUP BY doc_id ORDER BY media_id""".stripMargin
 
+  /** q103 — REAL video temporal downsample (closing the transform triad
+    * with q100's resize and q102's decimation): AVI rows keep every 2nd
+    * frame ([[Multimodal.aviFrameDecimate]] — the 2-frame fixture keeps
+    * frame 0 only) and the query decodes the RESULT, pinning frame
+    * selection + row re-flip + re-encode in one roundtrip. The oracle is
+    * q90's substring math restricted to frame 0: a decimator that keeps
+    * the wrong frame, forgets the bottom-up re-flip, or corrupts the
+    * rebuilt chunk tree hash-mismatches. */
+  def q103AviDecimate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.mediaTableAvi(s, d)
+      .filter($"meta.kind" === "video" && $"meta.n_bytes" >= 60)
+    val dec = udf((b: Array[Byte]) => Multimodal.aviFrameDecimate(b, 2))
+    Multimodal.decodeAviFrames(
+        media.withColumn("payload", dec($"payload")))
+      .select($"media_id", $"frame_id", $"width", $"height",
+        md5($"pixels").as("pixel_md5"))
+      .orderBy($"media_id", $"frame_id")
+  }
+  val q103Sql: String =
+    """SELECT doc_id AS media_id, CAST(0 AS BIGINT) AS frame_id,
+      |  5 AS width, 2 AS height,
+      |  md5(substr(text, 16, 15) || substr(text, 1, 15)) AS pixel_md5
+      |FROM documents
+      |WHERE CAST(doc_id % 3 AS INTEGER) = 2 AND length(text) >= 60
+      |ORDER BY media_id, frame_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> (q40DedupExact _),
     "q41_jaccard_neardup" -> (q41JaccardNearDup _),
@@ -1183,7 +1210,8 @@ object LlmQueries {
     "q97_corpus_pipeline" -> (q97CorpusPipeline _),
     "q99_ivf_sample_fit" -> (q99IvfSampleFit _),
     "q100_bmp_resize" -> (q100BmpResize _),
-    "q102_wav_decimate" -> (q102WavDecimate _))
+    "q102_wav_decimate" -> (q102WavDecimate _),
+    "q103_avi_decimate" -> (q103AviDecimate _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Sql,
@@ -1213,5 +1241,6 @@ object LlmQueries {
     "q97_corpus_pipeline" -> q97Sql,
     "q99_ivf_sample_fit" -> q99Sql,
     "q100_bmp_resize" -> q100Sql,
-    "q102_wav_decimate" -> q102Sql)
+    "q102_wav_decimate" -> q102Sql,
+    "q103_avi_decimate" -> q103Sql)
 }

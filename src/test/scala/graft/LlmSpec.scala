@@ -337,6 +337,21 @@ class LlmSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("bad chunk length"))
   }
 
+  test("avi frame decimate: keeps strided frames with orientation intact") {
+    val content = Array.tabulate[Byte](5 * 2 * 3 * 4)(i => (i + 1).toByte)
+    val avi = Multimodal.aviEncode(content, 5, 2, 4)
+    val (_, _, orig) = Multimodal.aviDecode(avi)
+    val (w, h, kept) = Multimodal.aviDecode(
+      Multimodal.aviFrameDecimate(avi, 2))
+    assert((w, h) == (5, 2) && kept.length == 2)
+    // frames 0 and 2 survive, pixel-for-pixel (re-flip roundtrips)
+    assert(kept(0).toSeq == orig(0).toSeq && kept(1).toSeq == orig(2).toSeq)
+    // k=1 is identity
+    val (_, _, all) = Multimodal.aviDecode(Multimodal.aviFrameDecimate(avi, 1))
+    assert(all.length == 4 && all.zip(orig).forall {
+      case (a, b) => a.sameElements(b) })
+  }
+
   test("wav decimate: strided samples, divided rate, loud on bad factor") {
     val content = Array.tabulate[Byte](40)(i => (i * 3).toByte)
     val wav = Multimodal.wavEncode(content, 8000)

@@ -42,9 +42,12 @@ object Bench {
     // (single-pass numbers carry scheduler noise); -1 only if every pass
     // failed. Regression adjudication runs with PASSES=3 — min-of-3
     // without code edits.
-    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
-      .map(_.toInt).getOrElse(2)
-    require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES") match {
+      case None => 2
+      case Some(raw) => raw.trim.toIntOption.filter(_ >= 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_BENCH_PASSES must be a positive integer, got '$raw'"))
+    }
     val allPasses = (1 to passes).map(_ => timeAll())
     val results = allPasses.head.keys.map { k =>
       val ok = allPasses.map(_(k)).filter(_ >= 0)
@@ -59,23 +62,25 @@ object Bench {
     // the whole JSON object fits inside the captured tail.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "bench_detail.json")
+    // detail path AND sf dir are user-controlled env input interpolated
+    // into JSON — escape both so a quote/backslash can't break the parse
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+    val detailJson = esc(detailPath)
+    val sfJson = esc(sfDir)
     val fullQs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfJson"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (fullJson + "\n").getBytes("UTF-8"))
     // NonFatal only: an unwritable detail path must not kill the bench
     // numbers below, but an OOM/VM error must not be swallowed either
     catch { case scala.util.control.NonFatal(_) => () }
-    // the detail path is user-controlled env input interpolated into the
-    // stdout JSON — escape it so a quote/backslash can't break the parse
-    val detailJson = detailPath.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c => c.toString
-    }
     // "q57_dedup_components" -> "q57"; ids are unique by construction, but
     // fall back to the full name on any collision rather than drop data
     val shortKey: String => String = n => n.takeWhile(_ != '_')
@@ -88,7 +93,7 @@ object Bench {
       val key = if (collided(k)) k else shortKey(k)
       s"\"" + key + "\":" + fmt(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"detail":"$detailJson","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"detail":"$detailJson","sf":"$sfJson"}""")
     spark.stop()
   }
 }

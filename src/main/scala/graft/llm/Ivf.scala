@@ -63,50 +63,53 @@ object Ivf {
     graft.functions.VectorExprs.register(spark)
     val pts = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v")).cache()
-    // enforce the sample-fit contract before paying any Lloyd shuffle;
-    // limit(max+1) keeps even this guard's scan bounded (the DenStream
-    // convention — never count the full input just to reject it)
-    val maxFit = spark.conf.get(FitMaxRowsKey, FitMaxRowsDefault.toString).toLong
-    val probe = math.min(maxFit + 1, Int.MaxValue.toLong).toInt
-    if (pts.limit(probe).count() > maxFit)
-      throw new IllegalStateException(
-        s"Ivf.fitCentroids: fit input exceeds $FitMaxRowsKey=$maxFit rows; " +
-          "the Lloyd loop is bounded to sample-sized inputs — fit on a " +
-          "deterministic sample and assign the full corpus afterwards, " +
-          "or raise the conf deliberately")
-    // seeds = first nlist vectors by id, list_id in id order (the
-    // collected twin of the old row_number-over-id-window formulation)
-    var cents: Seq[(Int, Seq[Double])] = pts.orderBy("id").limit(nlist)
-      .collect().toSeq.zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](1)) }
-    var i = 0
-    while (i < iters) {
-      val updated = pts
-        .withColumn("list_id", assignExpr(col("v"), cents))
-        .select(col("list_id"), posexplode(col("v")))
-        .groupBy(col("list_id"), col("pos"))
-        // decimal sum → mean: order-independent, so centroids are
-        // bit-reproducible across partitionings (double avg() is not —
-        // partial-aggregation order would leak into the last ulps and
-        // Lloyd iterations would amplify the divergence). Cast to double
-        // BEFORE the division (the repo's davg convention): exact decimal
-        // sum, then one IEEE division — the same two steps DuckDB's
-        // CAST(SUM(DECIMAL) AS DOUBLE)/COUNT performs, so the oracle
-        // (q59) reproduces the centroids bit for bit
-        .agg((sum(col("col").cast("decimal(28,14)")).cast("double") /
-          count(lit(1))).as("m"))
-        .collect() // nlist×dim rows — lineage cut, not a data collect
-        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-      // per-list array assembly happens here on the driver — same values
-      // and same pos order the old groupBy(list) + array_sort(collect_
-      // list) round produced, without its extra shuffle
-      cents = updated.groupBy(_._1).toSeq
-        .map { case (lid, rows) => (lid, rows.sortBy(_._2).map(_._3).toSeq) }
-        .sortBy(_._1)
-      i += 1
-    }
-    pts.unpersist()
-    cents
+    // try/finally: the guard's throw is this feature's DESIGNED failure
+    // mode and must not leak the cached (possibly >maxFitRows) partitions
+    try {
+      // enforce the sample-fit contract before paying any Lloyd shuffle;
+      // limit(max+1) keeps even this guard's scan bounded (the DenStream
+      // convention — never count the full input just to reject it)
+      val maxFit = spark.conf.get(FitMaxRowsKey, FitMaxRowsDefault.toString).toLong
+      val probe = math.min(maxFit + 1, Int.MaxValue.toLong).toInt
+      if (pts.limit(probe).count() > maxFit)
+        throw new IllegalStateException(
+          s"Ivf.fitCentroids: fit input exceeds $FitMaxRowsKey=$maxFit rows; " +
+            "the Lloyd loop is bounded to sample-sized inputs — fit on a " +
+            "deterministic sample and assign the full corpus afterwards, " +
+            "or raise the conf deliberately")
+      // seeds = first nlist vectors by id, list_id in id order (the
+      // collected twin of the old row_number-over-id-window formulation)
+      var cents: Seq[(Int, Seq[Double])] = pts.orderBy("id").limit(nlist)
+        .collect().toSeq.zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1)) }
+      var i = 0
+      while (i < iters && cents.nonEmpty) {
+        val updated = pts
+          .withColumn("list_id", assignExpr(col("v"), cents))
+          .select(col("list_id"), posexplode(col("v")))
+          .groupBy(col("list_id"), col("pos"))
+          // decimal sum → mean: order-independent, so centroids are
+          // bit-reproducible across partitionings (double avg() is not —
+          // partial-aggregation order would leak into the last ulps and
+          // Lloyd iterations would amplify the divergence). Cast to double
+          // BEFORE the division (the repo's davg convention): exact decimal
+          // sum, then one IEEE division — the same two steps DuckDB's
+          // CAST(SUM(DECIMAL) AS DOUBLE)/COUNT performs, so the oracle
+          // (q59) reproduces the centroids bit for bit
+          .agg((sum(col("col").cast("decimal(28,14)")).cast("double") /
+            count(lit(1))).as("m"))
+          .collect() // nlist×dim rows — lineage cut, not a data collect
+          .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        // per-list array assembly happens here on the driver — same values
+        // and same pos order the old groupBy(list) + array_sort(collect_
+        // list) round produced, without its extra shuffle
+        cents = updated.groupBy(_._1).toSeq
+          .map { case (lid, rows) => (lid, rows.sortBy(_._2).map(_._3).toSeq) }
+          .sortBy(_._1)
+        i += 1
+      }
+      cents
+    } finally pts.unpersist()
   }
 
   /** Nearest-centroid argmin as ONE per-row codegen expression over the
@@ -115,9 +118,14 @@ object Ivf {
     * ties break to the smaller list_id EXACTLY like the
     * `min_by(list_id, struct(d, list_id))` aggregate it replaces, with
     * the same `Distance.sqEuclidean` doubles. No join, no shuffle: at
-    * 100 TB the assign is a map-only pass over the corpus. */
+    * 100 TB the assign is a map-only pass over the corpus. An empty
+    * centroid list yields null list_ids (an empty `array()` literal
+    * would not even analyze) — callers with an empty fit keep the old
+    * crossJoin path's empty-in → empty-out behavior via [[assignIndex]]/
+    * [[buildIndex]]'s limit(0). */
   private def assignExpr(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
-    array_min(array(cents.map { case (lid, c) =>
+    if (cents.isEmpty) lit(null).cast("int")
+    else array_min(array(cents.map { case (lid, c) =>
       struct(Distance.sqEuclidean(v, typedLit(c)).as("d"),
         lit(lid).as("list_id"))
     }: _*)).getField("list_id")
@@ -132,9 +140,11 @@ object Ivf {
       centroids: DataFrame): DataFrame = {
     val cents = centroids.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
-    df.select(col(idCol).as("id"),
+    val tagged = df.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("list_id", assignExpr(col("v"), cents))
+    // no centroids (empty fit) → empty index, the old crossJoin behavior
+    if (cents.isEmpty) tagged.limit(0) else tagged
   }
 
   /** Build the index: rows tagged with their inverted-list id (one
@@ -147,7 +157,8 @@ object Ivf {
     val index = df.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("list_id", assignExpr(col("v"), cents))
-    (index, cents.toDF("list_id", "c"))
+    (if (cents.isEmpty) index.limit(0) else index,
+      cents.toDF("list_id", "c"))
   }
 
   /** Approximate top-k: probe the nprobe nearest lists per query. */

@@ -556,7 +556,13 @@ object LlmQueries {
     * pair space is band-bucket-local, the eval shingle broadcast keeps
     * the train side shuffle-free, mixing is scan-local arithmetic, and
     * packing windows per shard. */
-  def q97CorpusPipeline(s: SparkSession, d: String): DataFrame = {
+  /** q97's intermediate stages, exposed so `tools.ProfileQ97` times the
+    * EXACT plans the query runs (a hand-copied profiler would silently
+    * drift from the pipeline it claims to attribute). */
+  final case class CorpusStages(clean: DataFrame, reps: DataFrame,
+      pairs: DataFrame, keepers: DataFrame, decon: DataFrame)
+
+  def q97Stages(s: SparkSession, d: String): CorpusStages = {
     import s.implicits._
     val tier = regexp_extract($"source", "src([0-9]+)", 1).cast("long") % 4
     val lab = documents(s, d).withColumn("tier", tier)
@@ -586,10 +592,16 @@ object LlmQueries {
     val contaminated = Corpus.decontaminate(keepers, evalDocs,
       "doc_id", "text", 8).select($"doc_id")
     val decon = keepers.join(contaminated, Seq("doc_id"), "left_anti")
+    CorpusStages(clean, reps, pairs, keepers, decon)
+  }
+
+  def q97CorpusPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val st = q97Stages(s, d)
     // 5. mix: q92's tier weights
     val weight = when($"tier" === 0, 100L).when($"tier" === 1, 50L)
       .when($"tier" === 2, 25L).otherwise(10L)
-    val mixed = Corpus.mixBySource(decon, "doc_id", weight)
+    val mixed = Corpus.mixBySource(st.decon, "doc_id", weight)
     // 6. pack: 512-token concat-and-chunk per source
     val withTok = mixed
       .withColumn("n_tokens", size(split($"text", " ")).cast("long"))

@@ -165,77 +165,58 @@ object StreamQueries {
       |SELECT ws AS window_start_us, event_type, COUNT(*) AS cnt
       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** q86 — oracle-checked STREAMING stateful semantic grouping: q61's
-    * exact machinery ([[StreamOps.statefulSemanticGroupsWith]] —
-    * `flatMapGroupsWithState`, centroid state in the state store,
-    * in-batch id sort) run over q68's oracle-expressible geometry (dense
-    * md5 integer vectors, squared Euclidean, threshold 100). The input is
-    * split into FOUR ascending doc_id-range parquet files consumed one
-    * per micro-batch (`maxFilesPerTrigger=1`, mtime-ordered), so centroid
-    * state genuinely carries across batch boundaries — founders from
-    * batch 1 absorb members in batches 2-4 — while global id order is
-    * preserved, making the single-fold recursive CTE (q68Sql) the exact
-    * answer. This pins the streaming state path the way q68 pins the
-    * batch fold; q61 keeps the production murmur + Minkowski stream
-    * (rows-only). */
-  def q86StreamFoldSql(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** Shared q86/q101 micro-batch harness: writes `df` as FOUR single-file
+    * parquet splits in ascending `idCol` ranges with backdated, strictly
+    * ascending mtimes, streams them back one file per micro-batch
+    * (`maxFilesPerTrigger=1`, mtime-ordered) through `run` — which builds
+    * the stateful query over the streaming source and writes it to the
+    * supplied (unique) memory sink name — then deletes the split files.
+    * Shuffle partitions are pinned to 4 around the stream (one state
+    * store per shuffle partition per batch; same restore discipline as
+    * q63). Returns the sink name; the CALLER reads the table,
+    * localCheckpoints the result off the sink's lineage, and drops the
+    * temp view. */
+  private def fourBatchHarness(s: SparkSession, df: DataFrame,
+      idCol: String, schema: org.apache.spark.sql.types.StructType,
+      tag: String)(run: (DataFrame, String) => Unit): String = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
-    val dense = graft.ml.Embed.denseSqlVectors(
-        Tables.documents(s, d), "doc_id", "text", dim = 16)
-      .select($"doc_id", $"vec".cast("array<float>").as("vec"))
-    val tiled = dense.withColumn("tile",
-      ntile(4).over(Window.orderBy($"doc_id")))
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_q86_in")
-    val stageDir = java.nio.file.Files.createTempDirectory("graft_q86_stage")
+    val tiled = df.withColumn("tile",
+      ntile(4).over(Window.orderBy(col(idCol))))
+    val streamDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_in")
+    val stageDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_stage")
     // memory-sink name derived from the (unique) temp dir: two concurrent
     // invocations in one SparkSession must not collide on a fixed name
-    val sinkName = "graft_stream_fold_" +
+    val sinkName = s"graft_stream_${tag}_" +
       streamDir.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
     try {
       // one job writes all four splits (partitionBy drops the tile column
-      // from the files, keeping the stream schema (doc_id, vec))
+      // from the files, keeping the stream schema)
       val stage = stageDir.resolve("t")
       tiled.coalesce(1).write.partitionBy("tile").parquet(stage.toString)
       for (k <- 1 to 4) {
         val tileDir = stage.resolve(s"tile=$k")
         require(java.nio.file.Files.isDirectory(tileDir),
-          s"q86: needs >= 4 documents (tile $k empty)")
+          s"$tag: needs >= 4 rows (tile $k empty)")
         val part = scala.util.Using.resource(
             java.nio.file.Files.list(tileDir)) { files =>
           files.iterator().asScala
             .find(_.toString.endsWith(".parquet"))
-            .getOrElse(sys.error(s"q86: no parquet written for tile $k"))
+            .getOrElse(sys.error(s"$tag: no parquet written for tile $k"))
         }
         val dest = streamDir.resolve(f"batch_$k%02d.parquet")
         java.nio.file.Files.move(part, dest)
         // backdated, strictly ascending mtimes pin the file-source order
         require(dest.toFile.setLastModified(1600000000000L + k * 60000L),
-          s"q86: cannot set mtime on $dest")
+          s"$tag: cannot set mtime on $dest")
       }
-      val schema = new StructType()
-        .add("doc_id", LongType).add("vec", ArrayType(FloatType))
-      val pairs = s.readStream.schema(schema)
+      val source = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(streamDir.toString)
-        .select($"doc_id".as("_1"), $"vec".as("_2"))
-        .as[(Long, Array[Float])]
-      val out = StreamOps.statefulSemanticGroupsWith(pairs,
-        threshold = 100.0, graft.ml.Distance.sqEuclideanS)
-      // one state store per shuffle partition per batch — pin small at
-      // test scale (same rationale and restore discipline as q63 above)
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = out.toDF().writeStream
-          .outputMode("update")
-          .format("memory").queryName(sinkName)
-          .start()
-        q.processAllAvailable()
-        q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      try run(source, sinkName)
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
     } finally {
       // the memory table holds the result; the split files are dead weight
       // (bench/stress loops would otherwise accumulate dataset copies)
@@ -245,6 +226,43 @@ object StreamQueries {
             .forEach(p => java.nio.file.Files.deleteIfExists(p))
         }
       }
+    }
+    sinkName
+  }
+
+  /** q86 — oracle-checked STREAMING stateful semantic grouping: q61's
+    * exact machinery ([[StreamOps.statefulSemanticGroupsWith]] —
+    * `flatMapGroupsWithState`, centroid state in the state store,
+    * in-batch id sort) run over q68's oracle-expressible geometry (dense
+    * md5 integer vectors, squared Euclidean, threshold 100). The input is
+    * split into FOUR ascending doc_id-range parquet files consumed one
+    * per micro-batch ([[fourBatchHarness]]), so centroid state genuinely
+    * carries across batch boundaries — founders from batch 1 absorb
+    * members in batches 2-4 — while global id order is preserved, making
+    * the single-fold recursive CTE (q68Sql) the exact answer. This pins
+    * the streaming state path the way q68 pins the batch fold; q61 keeps
+    * the production murmur + Minkowski stream (rows-only). */
+  def q86StreamFoldSql(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val dense = graft.ml.Embed.denseSqlVectors(
+        Tables.documents(s, d), "doc_id", "text", dim = 16)
+      .select($"doc_id", $"vec".cast("array<float>").as("vec"))
+    val schema = new StructType()
+      .add("doc_id", LongType).add("vec", ArrayType(FloatType))
+    val sinkName = fourBatchHarness(s, dense, "doc_id", schema, "fold") {
+      (source, sink) =>
+        val pairs = source
+          .select($"doc_id".as("_1"), $"vec".as("_2"))
+          .as[(Long, Array[Float])]
+        val out = StreamOps.statefulSemanticGroupsWith(pairs,
+          threshold = 100.0, graft.ml.Distance.sqEuclideanS)
+        val q = out.toDF().writeStream
+          .outputMode("update")
+          .format("memory").queryName(sink)
+          .start()
+        q.processAllAvailable()
+        q.stop()
     }
     // cut lineage off the memory sink, then drop it — unique sink names
     // would otherwise accumulate one in-memory table per invocation
@@ -269,60 +287,23 @@ object StreamQueries {
     * later copies arrive). */
   def q101StreamDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
-    import scala.jdk.CollectionConverters._
     val hashed = Tables.documents(s, d)
       .select($"doc_id", md5($"text").as("content_hash"))
-    val tiled = hashed.withColumn("tile",
-      ntile(4).over(Window.orderBy($"doc_id")))
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_q101_in")
-    val stageDir = java.nio.file.Files.createTempDirectory("graft_q101_stage")
-    val sinkName = "graft_stream_dedup_" +
-      streamDir.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
-    try {
-      val stage = stageDir.resolve("t")
-      tiled.coalesce(1).write.partitionBy("tile").parquet(stage.toString)
-      for (k <- 1 to 4) {
-        val tileDir = stage.resolve(s"tile=$k")
-        require(java.nio.file.Files.isDirectory(tileDir),
-          s"q101: needs >= 4 documents (tile $k empty)")
-        val part = scala.util.Using.resource(
-            java.nio.file.Files.list(tileDir)) { files =>
-          files.iterator().asScala
-            .find(_.toString.endsWith(".parquet"))
-            .getOrElse(sys.error(s"q101: no parquet written for tile $k"))
-        }
-        val dest = streamDir.resolve(f"batch_$k%02d.parquet")
-        java.nio.file.Files.move(part, dest)
-        require(dest.toFile.setLastModified(1600000000000L + k * 60000L),
-          s"q101: cannot set mtime on $dest")
-      }
-      val schema = new StructType()
-        .add("doc_id", LongType).add("content_hash", StringType)
-      val pairs = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(streamDir.toString)
-        .select($"content_hash".as("_1"), $"doc_id".as("_2"))
-        .as[(String, Long)]
-      val out = StreamOps.streamingExactDedup(pairs)
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+    val schema = new StructType()
+      .add("doc_id", LongType).add("content_hash", StringType)
+    val sinkName = fourBatchHarness(s, hashed, "doc_id", schema, "dedup") {
+      (source, sink) =>
+        val pairs = source
+          .select($"content_hash".as("_1"), $"doc_id".as("_2"))
+          .as[(String, Long)]
+        val out = StreamOps.streamingExactDedup(pairs)
         val q = out.toDF().writeStream
           .outputMode("append")
-          .format("memory").queryName(sinkName)
+          .format("memory").queryName(sink)
           .start()
         q.processAllAvailable()
         q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    } finally {
-      for (dir <- Seq(streamDir, stageDir)) {
-        scala.util.Using.resource(java.nio.file.Files.walk(dir)) { w =>
-          w.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        }
-      }
     }
     val res = s.table(sinkName)
       .select($"_1".as("content_hash"), $"_2".as("keep_id"))

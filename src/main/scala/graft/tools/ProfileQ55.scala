@@ -38,7 +38,10 @@ object ProfileQ55 {
         graft.llm.Ivf.fitCentroids(e, "vec_id", "embedding", nlist = 16)
       }
       time("centroids collect")(centroids.collect())
-      val (index, cents) = time("buildIndex (plan only)") {
+      // buildIndex is EAGER since the one-shuffle rewrite (seeds collect,
+      // guard count, 3 Lloyd jobs run inside it); only the assign tag is
+      // deferred to the count below
+      val (index, cents) = time("buildIndex (fit, eager)") {
         graft.llm.Ivf.buildIndex(e, "vec_id", "embedding", nlist = 16)
       }
       time("index count")(index.count())

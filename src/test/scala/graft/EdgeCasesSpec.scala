@@ -148,6 +148,19 @@ class EdgeCasesSpec extends AnyFunSuite {
     } finally spark.conf.unset(Ivf.FitMaxRowsKey)
   }
 
+  test("Ivf on empty input: empty centroids, empty index, no throw") {
+    import graft.llm.Ivf
+    val empty = emptyDf("id BIGINT, vec ARRAY<DOUBLE>")
+    assert(Ivf.fitCentroids(empty, "id", "vec", nlist = 2).isEmpty)
+    val (index, cents) = Ivf.buildIndex(empty, "id", "vec", nlist = 2)
+    assert(index.isEmpty && cents.isEmpty)
+    // a non-empty corpus against an empty (failed/filtered) fit also
+    // degrades to an empty index rather than an analysis error
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0, 2.0))).toDF("id", "vec")
+    assert(Ivf.assignIndex(df, "id", "vec", cents).isEmpty)
+  }
+
   test("quality metrics on single-class / single-cluster degenerate input") {
     import spark.implicits._
     // all rows one class AND one cluster: H(C)=H(K)=0 -> convention 1.0/1.0

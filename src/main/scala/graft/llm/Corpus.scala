@@ -122,6 +122,34 @@ object Corpus {
         max(col("cnt")).as("top_2gram_count"))
   }
 
+  /** Long-document chunking — the missing half of [[packSequences]]: a
+    * real pretraining pipeline first SPLITS documents longer than the
+    * sequence budget into consecutive `budget`-token chunks, then packs
+    * the pieces. One row per chunk with its 0-based `chunk_id`, its
+    * token count (= budget except the tail) and the chunk text. Pure
+    * builtins (`sequence` → `transform` → `slice` → `posexplode`), so
+    * the whole fan-out stays in codegen and pushes no shuffle — at
+    * 100 TB this is a map-only pass like [[mixBySource]]. A text with
+    * fewer tokens than the budget yields exactly one chunk (itself);
+    * the whitespace-token convention matches [[kGrams]]/q93. */
+  def chunkLongDocuments(df: DataFrame, idCol: String, textCol: String,
+      budget: Int): DataFrame = {
+    require(budget > 0, s"chunk budget must be positive, got $budget")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    // integer ceil(n/budget) via exact double division (n ≤ 2^31, so the
+    // quotient is exact well past any real document length)
+    val nchunks = ((n + lit(budget - 1)) / lit(budget)).cast("int")
+    df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), nchunks - 1), i => struct(
+          least(n - i * budget, lit(budget)).as("chunk_tokens"),
+          array_join(slice(toks, i * budget + 1, lit(budget)), " ")
+            .as("chunk_text")))))
+      .select(col(idCol), col("pos").as("chunk_id"),
+        col("col.chunk_tokens").as("chunk_tokens"),
+        col("col.chunk_text").as("chunk_text"))
+  }
+
   /** Concat-and-chunk sequence packing: conceptually concatenate the
     * shard's documents in id order and cut every `budget` tokens; a
     * document's pack is where its first token lands —

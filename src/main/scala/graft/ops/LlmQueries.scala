@@ -729,6 +729,28 @@ object LlmQueries {
       |FROM p GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
   }
 
+  /** q104 — long-document chunking ([[Corpus.chunkLongDocuments]]):
+    * every document split into consecutive 64-token chunks, one row per
+    * chunk with its token count and content hash. The pre-packing step
+    * q93 assumes has already happened; map-only fan-out, no shuffle
+    * before the ORDER BY. Oracle: DuckDB rebuilds each chunk by list
+    * slicing the whitespace tokens. */
+  def q104ChunkDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Corpus.chunkLongDocuments(documents(s, d), "doc_id", "text", 64)
+      .select($"doc_id", $"chunk_id", $"chunk_tokens",
+        md5($"chunk_text").as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+  val q104Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |  FROM documents)
+      |SELECT doc_id, CAST(c.i AS INTEGER) AS chunk_id,
+      |  CAST(LEAST(len(tk) - c.i * 64, 64) AS INTEGER) AS chunk_tokens,
+      |  md5(array_to_string(tk[c.i*64+1 : c.i*64+64], ' ')) AS chunk_md5
+      |FROM t, unnest(range(0, (len(tk) + 63) // 64)) AS c(i)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   /** q57 — dedup keeper assignment: connected components over a near-dup
     * pair graph; EVERY doc labeled with its component's canonical (min)
     * id — unpaired docs keep themselves. The edge set is the
@@ -1223,7 +1245,8 @@ object LlmQueries {
     "q99_ivf_sample_fit" -> (q99IvfSampleFit _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
-    "q103_avi_decimate" -> (q103AviDecimate _))
+    "q103_avi_decimate" -> (q103AviDecimate _),
+    "q104_chunk_docs" -> (q104ChunkDocs _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Sql,
@@ -1254,5 +1277,6 @@ object LlmQueries {
     "q99_ivf_sample_fit" -> q99Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
-    "q103_avi_decimate" -> q103Sql)
+    "q103_avi_decimate" -> q103Sql,
+    "q104_chunk_docs" -> q104Sql)
 }

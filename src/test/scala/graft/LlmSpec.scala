@@ -191,6 +191,24 @@ class LlmSpec extends AnyFunSuite {
     assert(packs == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("long-document chunking: exact budget boundaries, short docs are " +
+      "one chunk, pieces reassemble to the original") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    // 10 tokens, budget 4 -> chunks of 4/4/2; 3 tokens -> one chunk
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c")).toDF("id", "text")
+    val chunks = Corpus.chunkLongDocuments(docs, "id", "text", 4)
+      .orderBy($"id", $"chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(chunks.count(_._1 == 1L) == 3 && chunks.count(_._1 == 2L) == 1)
+    assert(chunks.filter(_._1 == 1L).map(_._3).toSeq == Seq(4, 4, 2))
+    // lossless: joining the chunks back yields the original token stream
+    assert(chunks.filter(_._1 == 1L).map(_._4).mkString(" ") ==
+      (1 to 10).map(i => s"t$i").mkString(" "))
+    assert(chunks.find(_._1 == 2L).get._4 == "a b c")
+  }
+
   test("decontamination flags train docs sharing an 8-gram with the " +
       "eval set; short texts produce no shingles") {
     import spark.implicits._

@@ -63,10 +63,16 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "bench_detail.json")
     // detail path AND sf dir are user-controlled env input interpolated
-    // into JSON — escape both so a quote/backslash can't break the parse
+    // into JSON — escape quotes, backslashes AND control chars (a raw
+    // newline/tab inside a JSON string is just as fatal to the driver's
+    // tail parse; same escape set as Verify's oracle_sql writer)
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
     val detailJson = esc(detailPath)

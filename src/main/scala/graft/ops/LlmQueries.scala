@@ -540,22 +540,6 @@ object LlmQueries {
       |  CAST(MAX(cnt) AS BIGINT) AS top_2gram_count
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** q97 — the corpus-prep CAPSTONE: the full LLM-training-data pipeline
-    * as ONE oracle-checked query, the q89 move applied to the corpus
-    * side. Stages, each individually oracle-green elsewhere, composed
-    * end-to-end: q58's clean gates (language-ID + quality ≥ 0.5) →
-    * exact-dedup representatives (min doc_id per content) → minhash-LSH
-    * near-dup pairs over the representatives (q52's SQL-derivable
-    * machinery) → connected-component keepers (q57's closure; keeper =
-    * component min) → eval-set 8-gram decontamination (q94's tier rule:
-    * tier 3 plays the held-out eval set, so train = tiers 0–2) → q92's
-    * weighted mixing → q93's 512-token sequence packing. Output is the
-    * packed-corpus report per (source, pack). What a user hits at 100 TB
-    * is exactly the inter-stage plan boundaries this composition
-    * exercises: representatives collapse before any pairwise work, the
-    * pair space is band-bucket-local, the eval shingle broadcast keeps
-    * the train side shuffle-free, mixing is scan-local arithmetic, and
-    * packing windows per shard. */
   /** q97's intermediate stages, exposed so `tools.ProfileQ97` times the
     * EXACT plans the query runs (a hand-copied profiler would silently
     * drift from the pipeline it claims to attribute). */
@@ -595,6 +579,23 @@ object LlmQueries {
     CorpusStages(clean, reps, pairs, keepers, decon)
   }
 
+  /** q97 — the corpus-prep CAPSTONE: the full LLM-training-data pipeline
+    * as ONE oracle-checked query, the q89 move applied to the corpus
+    * side. Stages, each individually oracle-green elsewhere, composed
+    * end-to-end ([[q97Stages]]): q58's clean gates (language-ID +
+    * quality ≥ 0.5) → exact-dedup representatives (min doc_id per
+    * content) → minhash-LSH near-dup pairs over the representatives
+    * (q52's SQL-derivable machinery) → connected-component keepers
+    * (q57's closure; keeper = component min) → eval-set 8-gram
+    * decontamination (q94's tier rule: tier 3 plays the held-out eval
+    * set, so train = tiers 0–2) → q92's weighted mixing → q93's
+    * 512-token sequence packing. Output is the packed-corpus report per
+    * (source, pack). What a user hits at 100 TB is exactly the
+    * inter-stage plan boundaries this composition exercises:
+    * representatives collapse before any pairwise work, the pair space
+    * is band-bucket-local, the eval shingle broadcast keeps the train
+    * side shuffle-free, mixing is scan-local arithmetic, and packing
+    * windows per shard. */
   def q97CorpusPipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val st = q97Stages(s, d)

@@ -173,12 +173,15 @@ object StreamQueries {
     * supplied (unique) memory sink name — then deletes the split files.
     * Shuffle partitions are pinned to 4 around the stream (one state
     * store per shuffle partition per batch; same restore discipline as
-    * q63). Returns the sink name; the CALLER reads the table,
-    * localCheckpoints the result off the sink's lineage, and drops the
-    * temp view. */
+    * q63). After the stream completes, the sink table is passed through
+    * `finish`, localCheckpointed off the sink's lineage, and the temp
+    * view is dropped HERE — a caller can't forget the cleanup that keeps
+    * bench/stress loops from accumulating one in-memory table per
+    * invocation. */
   private def fourBatchHarness(s: SparkSession, df: DataFrame,
       idCol: String, schema: org.apache.spark.sql.types.StructType,
-      tag: String)(run: (DataFrame, String) => Unit): String = {
+      tag: String)(run: (DataFrame, String) => Unit)(
+      finish: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import scala.jdk.CollectionConverters._
     val tiled = df.withColumn("tile",
@@ -227,7 +230,9 @@ object StreamQueries {
         }
       }
     }
-    sinkName
+    val res = finish(s.table(sinkName)).localCheckpoint()
+    s.catalog.dropTempView(sinkName)
+    res
   }
 
   /** q86 — oracle-checked STREAMING stateful semantic grouping: q61's
@@ -250,7 +255,7 @@ object StreamQueries {
       .select($"doc_id", $"vec".cast("array<float>").as("vec"))
     val schema = new StructType()
       .add("doc_id", LongType).add("vec", ArrayType(FloatType))
-    val sinkName = fourBatchHarness(s, dense, "doc_id", schema, "fold") {
+    fourBatchHarness(s, dense, "doc_id", schema, "fold") {
       (source, sink) =>
         val pairs = source
           .select($"doc_id".as("_1"), $"vec".as("_2"))
@@ -263,15 +268,10 @@ object StreamQueries {
           .start()
         q.processAllAvailable()
         q.stop()
+    } { sinkDf =>
+      sinkDf.select($"log_id".as("doc_id"), $"semantic_group".as("grp"))
+        .orderBy($"doc_id")
     }
-    // cut lineage off the memory sink, then drop it — unique sink names
-    // would otherwise accumulate one in-memory table per invocation
-    val res = s.table(sinkName)
-      .select($"log_id".as("doc_id"), $"semantic_group".as("grp"))
-      .orderBy($"doc_id")
-      .localCheckpoint()
-    s.catalog.dropTempView(sinkName)
-    res
   }
 
   /** q101 — streaming exact dedup over REAL micro-batches
@@ -292,7 +292,7 @@ object StreamQueries {
       .select($"doc_id", md5($"text").as("content_hash"))
     val schema = new StructType()
       .add("doc_id", LongType).add("content_hash", StringType)
-    val sinkName = fourBatchHarness(s, hashed, "doc_id", schema, "dedup") {
+    fourBatchHarness(s, hashed, "doc_id", schema, "dedup") {
       (source, sink) =>
         val pairs = source
           .select($"content_hash".as("_1"), $"doc_id".as("_2"))
@@ -304,13 +304,10 @@ object StreamQueries {
           .start()
         q.processAllAvailable()
         q.stop()
+    } { sinkDf =>
+      sinkDf.select($"_1".as("content_hash"), $"_2".as("keep_id"))
+        .orderBy($"keep_id")
     }
-    val res = s.table(sinkName)
-      .select($"_1".as("content_hash"), $"_2".as("keep_id"))
-      .orderBy($"keep_id")
-      .localCheckpoint()
-    s.catalog.dropTempView(sinkName)
-    res
   }
   val q101Sql: String =
     """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id

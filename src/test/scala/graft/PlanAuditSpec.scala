@@ -95,4 +95,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!scanLine.contains("lang") && !scanLine.contains("source"),
       s"documents scan reads unprojected columns: $scanLine")
   }
+
+  test("map-only corpus fan-outs shuffle only for their output ordering") {
+    // q104 (long-doc chunking) advertises a map-only scan+explode: the
+    // ONLY Exchange in its plan must be the final ORDER BY's range
+    // partitioning — a second one would mean the fan-out itself started
+    // shuffling (the property that makes it safe at 100 TB)
+    val plan = SparkEntry.queries("q104_chunk_docs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"q104 has $exchanges exchanges:\n$plan")
+  }
 }

@@ -34,6 +34,17 @@ object Ivf {
   val FitMaxRowsKey = "spark.graft.ivf.maxFitRows"
   val FitMaxRowsDefault = 10000000L
 
+  /** Above this many centroids the unrolled [[assignExpr]] (one struct
+    * expression per list) would bloat the plan and risk Janino's 64 KB
+    * method limit — production IVF runs thousands of lists. Past the
+    * bound the argmin switches to [[assignExprPacked]]: the SAME map-only
+    * per-row scan, but the centroid table travels as ONE array literal
+    * (data, not unrolled code) folded with an `aggregate` HOF, so plan
+    * size stays O(1) in nlist. Conf-tunable only so the parity spec can
+    * force the packed path at test-sized nlist. */
+  val InlineMaxNlistKey = "spark.graft.ivf.maxInlineNlist"
+  val InlineMaxNlistDefault = 256
+
   /** Deterministic k-means: returns (listId, centroid) table. The
     * centroid set is tiny (nlist × dim) and lives on the DRIVER between
     * iterations — this truncates the lineage (an un-materialized loop
@@ -68,9 +79,16 @@ object Ivf {
     try {
       // enforce the sample-fit contract before paying any Lloyd shuffle;
       // limit(max+1) keeps even this guard's scan bounded (the DenStream
-      // convention — never count the full input just to reject it)
-      val maxFit = spark.conf.get(FitMaxRowsKey, FitMaxRowsDefault.toString).toLong
-      val probe = math.min(maxFit + 1, Int.MaxValue.toLong).toInt
+      // convention — never count the full input just to reject it).
+      // Validate the conf like Bench validates its env vars: a typo must
+      // fail with the knob's name, not a bare NumberFormatException, and
+      // maxFit=Long.MaxValue must clamp instead of overflowing maxFit+1
+      // into a negative limit()
+      val rawMax = spark.conf.get(FitMaxRowsKey, FitMaxRowsDefault.toString)
+      val maxFit = rawMax.trim.toLongOption.filter(_ >= 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"$FitMaxRowsKey must be a non-negative integer, got '$rawMax'"))
+      val probe = (math.min(maxFit, Int.MaxValue.toLong - 1) + 1).toInt
       if (pts.limit(probe).count() > maxFit)
         throw new IllegalStateException(
           s"Ivf.fitCentroids: fit input exceeds $FitMaxRowsKey=$maxFit rows; " +
@@ -85,7 +103,7 @@ object Ivf {
       var i = 0
       while (i < iters && cents.nonEmpty) {
         val updated = pts
-          .withColumn("list_id", assignExpr(col("v"), cents))
+          .withColumn("list_id", argminExpr(spark, col("v"), cents))
           .select(col("list_id"), posexplode(col("v")))
           .groupBy(col("list_id"), col("pos"))
           // decimal sum → mean: order-independent, so centroids are
@@ -130,6 +148,42 @@ object Ivf {
         lit(lid).as("list_id"))
     }: _*)).getField("list_id")
 
+  /** [[assignExpr]]'s large-nlist twin: the SAME per-row map-only argmin
+    * and the SAME tie-break (the ascending-list_id scan keeps the FIRST
+    * minimal distance, which is exactly what `array_min` over
+    * (d, list_id) structs picks), but the centroid table travels as ONE
+    * `typedLit` array-of-structs VALUE folded with an `aggregate` HOF —
+    * plan/codegen size is O(1) in nlist instead of one unrolled struct
+    * expression per list. Still no join, no shuffle at any nlist. */
+  private def assignExprPacked(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    if (cents.isEmpty) lit(null).cast("int")
+    else aggregate(
+      typedLit(cents.sortBy(_._1)),
+      struct(lit(Double.PositiveInfinity).as("d"),
+        lit(null).cast("int").as("list_id")),
+      (acc, c) => {
+        val d = Distance.sqEuclidean(v, c.getField("_2"))
+        when(d < acc.getField("d"),
+          struct(d.as("d"), c.getField("_1").as("list_id")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("list_id"))
+
+  /** Dispatch between the unrolled argmin (fastest: straight-line fused
+    * codegen, right for the fitted nlist≈16..256 range) and the packed
+    * fold (bounded plan size, right for production thousands-of-lists
+    * IVF). The conf exists so the parity spec can force the packed path
+    * at test-sized nlist; both paths are map-only. */
+  private def argminExpr(spark: org.apache.spark.sql.SparkSession,
+      v: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    val rawN = spark.conf.get(InlineMaxNlistKey, InlineMaxNlistDefault.toString)
+    val maxInline = rawN.trim.toIntOption.filter(_ >= 0).getOrElse(
+      throw new IllegalArgumentException(
+        s"$InlineMaxNlistKey must be a non-negative integer, got '$rawN'"))
+    if (cents.size <= maxInline) assignExpr(v, cents)
+    else assignExprPacked(v, cents)
+  }
+
   /** Tag every row of `df` with its nearest-centroid list id using an
     * ALREADY FITTED centroid table — the deployment shape the
     * `maxFitRows` guard points at: fit on a bounded sample
@@ -138,11 +192,15 @@ object Ivf {
     * (nlist rows) and is collected to drive the expression. */
   def assignIndex(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
+    // df-taking library entry point: must self-register (VectorExprs
+    // convention) — a fresh session that never ran fitCentroids would
+    // otherwise fail call_function("graft_sq_euclidean") resolution
+    graft.functions.VectorExprs.register(df.sparkSession)
     val cents = centroids.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
     val tagged = df.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
-      .withColumn("list_id", assignExpr(col("v"), cents))
+      .withColumn("list_id", argminExpr(df.sparkSession, col("v"), cents))
     // no centroids (empty fit) → empty index, the old crossJoin behavior
     if (cents.isEmpty) tagged.limit(0) else tagged
   }
@@ -156,7 +214,7 @@ object Ivf {
     val cents = fitCentroidsLocal(df, idCol, vecCol, nlist, iters = 3)
     val index = df.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
-      .withColumn("list_id", assignExpr(col("v"), cents))
+      .withColumn("list_id", argminExpr(spark, col("v"), cents))
     (if (cents.isEmpty) index.limit(0) else index,
       cents.toDF("list_id", "c"))
   }

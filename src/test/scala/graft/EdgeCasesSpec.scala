@@ -145,7 +145,55 @@ class EdgeCasesSpec extends AnyFunSuite {
       // within the bound the same input still fits normally
       spark.conf.set(Ivf.FitMaxRowsKey, "10")
       assert(Ivf.fitCentroids(df, "id", "vec", nlist = 2).count() == 2)
+      // a typo'd conf value names the knob instead of throwing a bare
+      // NumberFormatException deep inside the fit
+      spark.conf.set(Ivf.FitMaxRowsKey, "ten")
+      val bad = intercept[IllegalArgumentException] {
+        Ivf.fitCentroids(df, "id", "vec", nlist = 2).collect()
+      }
+      assert(bad.getMessage.contains(Ivf.FitMaxRowsKey)
+        && bad.getMessage.contains("ten"))
+      // Long.MaxValue must clamp, not overflow maxFit+1 into limit(<0)
+      spark.conf.set(Ivf.FitMaxRowsKey, Long.MaxValue.toString)
+      assert(Ivf.fitCentroids(df, "id", "vec", nlist = 2).count() == 2)
     } finally spark.conf.unset(Ivf.FitMaxRowsKey)
+  }
+
+  test("Ivf packed argmin (large-nlist path) matches the unrolled expression") {
+    import spark.implicits._
+    import graft.llm.Ivf
+    val df = (1L to 40L)
+      .map(i => (i, Array(math.sin(i.toDouble) * 10, (i % 7).toDouble)))
+      .toDF("id", "vec")
+    val cents = Ivf.fitCentroids(df, "id", "vec", nlist = 5)
+    val inline = Ivf.assignIndex(df, "id", "vec", cents)
+      .select("id", "list_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy(_._1).toSeq
+    // force the packed aggregate-HOF path (production thousands-of-lists
+    // shape) at test-sized nlist and demand identical assignments —
+    // including identical (distance, list_id) tie-breaks
+    spark.conf.set(Ivf.InlineMaxNlistKey, "0")
+    try {
+      val packed = Ivf.assignIndex(df, "id", "vec", cents)
+        .select("id", "list_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+        .sortBy(_._1).toSeq
+      assert(packed == inline)
+      // conf validation mirrors maxFitRows
+      spark.conf.set(Ivf.InlineMaxNlistKey, "many")
+      val bad = intercept[IllegalArgumentException] {
+        Ivf.assignIndex(df, "id", "vec", cents).collect()
+      }
+      assert(bad.getMessage.contains(Ivf.InlineMaxNlistKey))
+    } finally spark.conf.unset(Ivf.InlineMaxNlistKey)
+  }
+
+  test("q98 driver-fit guard points at the q26 aggregation") {
+    graft.ops.MlQueries.requireDriverFitScale(100000) // at the bound: fine
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.MlQueries.requireDriverFitScale(100001)
+    }
+    assert(e.getMessage.contains("q26_volume_features")
+      && e.getMessage.contains("VolumeAnomaly.features"))
   }
 
   test("Ivf on empty input: empty centroids, empty index, no throw") {

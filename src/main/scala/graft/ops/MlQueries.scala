@@ -438,6 +438,19 @@ object MlQueries {
       .orderBy($"id")
   }
 
+  /** q98's driver-fit bound, factored out so EdgeCasesSpec can assert
+    * the guard text without materializing 100k+ clusters. The message
+    * names the upstream aggregation because the fix lives THERE: the fit
+    * input is already per-cluster (q26), so exceeding the bound means
+    * the clustering is too fine, not that this limit should be raised. */
+  private[graft] def requireDriverFitScale(n: Int): Unit =
+    require(n <= 100000,
+      s"q98 fit input has $n rows — per-cluster matrices only. The fit " +
+        "input is q26_volume_features (VolumeAnomaly.features over " +
+        "hourly counts), one row per cluster; >100k clusters means that " +
+        "aggregation is too fine for a driver-fit forest — group to " +
+        "coarser clusters there rather than raising this bound")
+
   /** q98 — isolation-forest twin for q37 (reference J4,
     * volume_analyzer.py:19-24): pins the MODEL, not q37's ambiguous
     * flag set. A 5-tree [[graft.ml.IsolationForest.fitMd5]] forest is
@@ -465,8 +478,7 @@ object MlQueries {
         round($"z_dev", 4).as("f4"))
       .orderBy($"cluster_id")
     val rows = f.collect() // per-cluster matrix — driver-scale by contract
-    require(rows.length <= 100000,
-      s"q98 fit input has ${rows.length} rows — per-cluster matrices only")
+    requireDriverFitScale(rows.length)
     val data = rows.map(r =>
       Array(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
     val model = graft.ml.IsolationForest.fitMd5(data, nTrees = 5)

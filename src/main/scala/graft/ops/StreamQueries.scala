@@ -230,9 +230,11 @@ object StreamQueries {
         }
       }
     }
-    val res = finish(s.table(sinkName)).localCheckpoint()
-    s.catalog.dropTempView(sinkName)
-    res
+    // finish/localCheckpoint can throw (caller's projection); the unique
+    // in-memory sink table must be dropped regardless — leaking it is
+    // exactly the per-invocation accumulation this harness owns
+    try finish(s.table(sinkName)).localCheckpoint()
+    finally s.catalog.dropTempView(sinkName)
   }
 
   /** q86 — oracle-checked STREAMING stateful semantic grouping: q61's

@@ -131,7 +131,11 @@ object Corpus {
     * the whole fan-out stays in codegen and pushes no shuffle — at
     * 100 TB this is a map-only pass like [[mixBySource]]. A text with
     * fewer tokens than the budget yields exactly one chunk (itself);
-    * the whitespace-token convention matches [[kGrams]]/q93. */
+    * the whitespace-token convention matches [[kGrams]]/q93. Every
+    * column except `textCol` is carried through to the chunk rows (a
+    * pipeline needs the shard/label columns downstream — q105 packs by
+    * `source`); callers must not already have `chunk_id`/`chunk_tokens`/
+    * `chunk_text` columns. */
   def chunkLongDocuments(df: DataFrame, idCol: String, textCol: String,
       budget: Int): DataFrame = {
     require(budget > 0, s"chunk budget must be positive, got $budget")
@@ -140,14 +144,15 @@ object Corpus {
     // integer ceil(n/budget) via exact double division (n ≤ 2^31, so the
     // quotient is exact well past any real document length)
     val nchunks = ((n + lit(budget - 1)) / lit(budget)).cast("int")
-    df.select(col(idCol), posexplode(
+    val carried = df.columns.filterNot(_ == textCol).map(col).toSeq
+    df.select(carried :+ posexplode(
         transform(sequence(lit(0), nchunks - 1), i => struct(
           least(n - i * budget, lit(budget)).as("chunk_tokens"),
           array_join(slice(toks, i * budget + 1, lit(budget)), " ")
-            .as("chunk_text")))))
-      .select(col(idCol), col("pos").as("chunk_id"),
+            .as("chunk_text")))): _*)
+      .select(carried ++ Seq(col("pos").as("chunk_id"),
         col("col.chunk_tokens").as("chunk_tokens"),
-        col("col.chunk_text").as("chunk_text"))
+        col("col.chunk_text").as("chunk_text")): _*)
   }
 
   /** Concat-and-chunk sequence packing: conceptually concatenate the

@@ -614,7 +614,13 @@ object LlmQueries {
         max($"doc_id").as("last_doc"))
       .orderBy($"source", $"pack_id")
   }
-  val q97Sql: String = {
+  /** The q97/q105 shared oracle prefix: the WITH RECURSIVE chain from
+    * raw documents through clean → representatives → minhash pairs →
+    * component keepers → decontamination → weighted mix, ending at the
+    * `mixed` CTE. q97 packs whole documents on top of it; q105 chunks
+    * first and packs the chunks — ONE prefix text guarantees the two
+    * oracles can never drift apart on the shared stages. */
+  private val q97SqlPrefix: String = {
     def cnt(words: Seq[String]) =
       words.map(w => s"'$w'").mkString(
         "CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN (",
@@ -714,7 +720,11 @@ object LlmQueries {
       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
       |    AND ((doc_id % 1000000007) * 2654435761) % 100 <
       |      CASE tier WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 25
-      |        ELSE 10 END),
+      |        ELSE 10 END)""".stripMargin
+  }
+
+  val q97Sql: String = q97SqlPrefix +
+    """,
       |t AS (SELECT doc_id, source,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |  FROM mixed),
@@ -728,7 +738,62 @@ object LlmQueries {
       |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM p GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
+
+  /** q105 — the EXTENDED corpus-prep capstone: q97 with the step a real
+    * pretraining pipeline runs between decontamination and packing —
+    * long-document chunking ([[Corpus.chunkLongDocuments]], q104's
+    * operator). The mixed corpus is split into consecutive 64-token
+    * chunks and the CHUNKS are packed into 512-token sequences per
+    * source (`floor(prefix/512)` over the (doc_id, chunk_id)-ordered
+    * running sum — the composite struct id satisfies
+    * [[Corpus.packSequences]]'s unique-id precondition within a shard).
+    * Reference analog: the end-to-end composition of
+    * `run_training_batch.py:87-191`. The plan seam this pins is the
+    * chunk→pack boundary: the fan-out is codegen-only, so the ONLY
+    * exchange between the mixed corpus and the packing window is the
+    * window's own hash partition by source (PlanAuditSpec). Oracle:
+    * the q97 prefix verbatim + DuckDB list-slice chunking + the same
+    * windowed prefix sum over (doc_id, chunk_id). */
+  def q105ChunkedCapstone(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val st = q97Stages(s, d)
+    val weight = when($"tier" === 0, 100L).when($"tier" === 1, 50L)
+      .when($"tier" === 2, 25L).otherwise(10L)
+    val mixed = Corpus.mixBySource(st.decon, "doc_id", weight)
+    val chunks = Corpus.chunkLongDocuments(
+      mixed.select($"doc_id", $"text", $"source"), "doc_id", "text", 64)
+    // chunk ids are unique only within a document; packSequences orders
+    // by ONE column, so the (doc_id, chunk_id) struct is the composite
+    // sort key (struct ordering = lexicographic, exactly the oracle's
+    // ORDER BY doc_id, chunk_id)
+    val packed = Corpus.packSequences(
+      chunks.withColumn("cid", struct($"doc_id", $"chunk_id")),
+      "cid", "chunk_tokens", "source", 512L)
+    packed.groupBy($"source", $"pack_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum($"chunk_tokens").as("pack_tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"pack_id")
   }
+  val q105Sql: String = q97SqlPrefix +
+    """,
+      |ch AS (SELECT doc_id, source, CAST(c.i AS INTEGER) AS chunk_id,
+      |    CAST(LEAST(len(tk) - c.i * 64, 64) AS BIGINT) AS chunk_tokens
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS tk
+      |    FROM mixed) m,
+      |    unnest(range(0, (len(tk) + 63) // 64)) AS c(i)),
+      |p AS (SELECT doc_id, source, chunk_id, chunk_tokens,
+      |    COALESCE(SUM(chunk_tokens) OVER (PARTITION BY source
+      |      ORDER BY doc_id, chunk_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS prefix
+      |  FROM ch)
+      |SELECT source, CAST(prefix // 512 AS BIGINT) AS pack_id,
+      |  COUNT(*) AS n_chunks,
+      |  CAST(SUM(chunk_tokens) AS BIGINT) AS pack_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM p GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
 
   /** q104 — long-document chunking ([[Corpus.chunkLongDocuments]]):
     * every document split into consecutive 64-token chunks, one row per
@@ -1247,7 +1312,8 @@ object LlmQueries {
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
-    "q104_chunk_docs" -> (q104ChunkDocs _))
+    "q104_chunk_docs" -> (q104ChunkDocs _),
+    "q105_chunked_capstone" -> (q105ChunkedCapstone _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Sql,
@@ -1279,5 +1345,6 @@ object LlmQueries {
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,
-    "q104_chunk_docs" -> q104Sql)
+    "q104_chunk_docs" -> q104Sql,
+    "q105_chunked_capstone" -> q105Sql)
 }

@@ -96,6 +96,44 @@ class PlanAuditSpec extends AnyFunSuite {
       s"documents scan reads unprojected columns: $scanLine")
   }
 
+  test("chunk→pack boundary: the fan-out stays map-only into the window") {
+    // the q105 seam: chunkLongDocuments' posexplode must flow into
+    // packSequences' per-shard window with EXACTLY one exchange — the
+    // window's own hash partition by shard. A second exchange would mean
+    // the chunk fan-out itself started shuffling, which at 100 TB turns
+    // a map-only pass into a corpus-wide reshuffle of the chunk rows.
+    import org.apache.spark.sql.functions._
+    val docs = graft.ops.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+    val chunks = graft.llm.Corpus.chunkLongDocuments(
+      docs, "doc_id", "text", 64)
+    val packed = graft.llm.Corpus.packSequences(
+      chunks.withColumn("cid", struct(col("doc_id"), col("chunk_id"))),
+      "cid", "chunk_tokens", "source", 512L)
+    val plan = packed.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"chunk→pack has $exchanges exchanges:\n$plan")
+  }
+
+  test("capstones scan documents exactly once past the rep checkpoint") {
+    // q97/q105 rest on ONE localCheckpoint of the representatives table
+    // (LlmQueries.q97Stages): every post-checkpoint stage (pairs,
+    // keepers, decontamination, mix, pack) must reuse it. The only
+    // legitimate documents scan in the FINAL plan is the eval side of
+    // decontamination (tier 3 never enters reps). A refactor that loses
+    // the checkpoint re-derives reps per consumer and the scan count
+    // multiplies — silently doubling the dominant cost of the pipeline.
+    for (name <- Seq("q97_corpus_pipeline", "q105_chunked_capstone")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      val docScans = plan.linesIterator.count(l =>
+        l.contains("Scan parquet") && l.contains("documents"))
+      assert(docScans == 1,
+        s"$name scans documents $docScans times (expect 1 — the eval " +
+          s"side of decontamination):\n$plan")
+    }
+  }
+
   test("map-only corpus fan-outs shuffle only for their output ordering") {
     // q104 (long-doc chunking) advertises a map-only scan+explode: the
     // ONLY Exchange in its plan must be the final ORDER BY's range

@@ -229,9 +229,101 @@ object Dedup {
     * hash cost for END-TO-END DuckDB verifiability of the banding
     * machinery itself. Same two-phase plan: narrow bucket self-join for
     * candidates, shingle arrays joined back only for survivors. */
+  private val P = 2305843009213693951L // 2^61 - 1 (Mersenne)
+
+  /** (a·base + c) mod p computed entirely in codegen'd long arithmetic
+    * (no BigDecimal in the per-shingle hot loop): base < 2^60 splits as
+    * hi·2^30 + lo, and ×2^30 mod the MERSENNE p folds as
+    * (x<<30 & p) + (x >>> 31) — partially reduced (< p + 2^36), so one
+    * conditional subtract finishes. Congruent to the DuckDB oracle's
+    * HUGEINT (a·base + c) % p exactly; the q52 oracle hash-checks it.
+    * Shared by the batch signature path ([[minHashNearDupsSql]]) and the
+    * per-row streaming one ([[bandBucketKeysSql]]). */
+  private def hmodExpr(b: Column, a: Int, c: Int): Column = {
+    val hi = shiftright(b, 30)                        // < 2^30
+    val lo = b.bitwiseAND(lit((1L << 30) - 1))
+    val t = hi * lit(a.toLong)                        // < 2^35
+    val folded = shiftleft(t, 30).bitwiseAND(lit(P)) +
+      shiftright(t, 31)
+    val h0 = folded + lo * lit(a.toLong) + lit(c.toLong)
+    when(h0 >= P, h0 - P).otherwise(h0)
+  }
+
+  /** The q52 band-bucket keys as ONE per-row codegen expression: an
+    * array of 4 md5 bucket strings (band = array position). Same
+    * shingles (3-token windows, lowercase, whitespace class, distinct,
+    * short texts → the whole text), same md5-derived base, same 16
+    * universal hashes and 4×4 banding as [[minHashNearDupsSql]] — but
+    * computed per row in ONE JIT-compiled scalar pass
+    * ([[md5BandBuckets]]) so a STREAM can tag documents with their
+    * buckets map-only: no shuffle, no streaming aggregation, state
+    * stays in the keyed store downstream
+    * ([[graft.streaming.StreamOps.streamingNearDupFlags]]).
+    *
+    * Why a Scala function and not builtin column expressions: lambda
+    * variables are excluded from Spark's subexpression elimination AND
+    * higher-order functions never enter codegen, so 16 tidy
+    * `array_min(transform(…))` minima each re-evaluated the whole
+    * tokenize → shingle → distinct → md5 subtree (179 s at sf0.1,
+    * ProfileQ106); even folded into one `aggregate` HOF the interpreted
+    * per-element eval cost 15 s. Hash crunching is exactly the
+    * byte-level work the repo's UDF rule reserves UDFs for (the batch
+    * q52 path already computes shingles via the [[shingleSet]] UDF);
+    * the scalar pass is ~40× the interpreted fold. Parity with the
+    * DuckDB oracle is by construction: same [[shingleSet]] shingles,
+    * base = first 15 md5 hex chars as a long (≡ CAST('0x'||substr(md5,
+    * 1,15) AS BIGINT)), the EXACT [[hmodExpr]] fold arithmetic ported
+    * to longs, bucket = md5 of the comma-joined minima — q106
+    * hash-checks the whole chain end to end. */
+  def bandBucketKeysSql(text: Column): Column = {
+    val f = udf((t: String) => md5BandBuckets(t))
+    f(text)
+  }
+
+  /** Plain-Scala twin of the q52 signature machinery (see
+    * [[bandBucketKeysSql]]): 4 band-bucket md5 keys for one text. */
+  def md5BandBuckets(text: String): Array[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String = {
+      md.reset()
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new java.lang.StringBuilder(32)
+      var i = 0
+      while (i < d.length) {
+        sb.append(Character.forDigit((d(i) >> 4) & 0xF, 16))
+        sb.append(Character.forDigit(d(i) & 0xF, 16))
+        i += 1
+      }
+      sb.toString
+    }
+    // (a·b + c) mod P — the hmodExpr fold verbatim in long arithmetic
+    // (b < 2^60 is non-negative, so >> ≡ >>> and the congruence proof
+    // carries over unchanged)
+    def hmod(b: Long, a: Long, c: Long): Long = {
+      val hi = b >> 30
+      val lo = b & ((1L << 30) - 1)
+      val t = hi * a
+      val folded = ((t << 30) & P) + (t >> 31)
+      val h0 = folded + lo * a + c
+      if (h0 >= P) h0 - P else h0
+    }
+    val minima = Array.fill(16)(Long.MaxValue)
+    shingleSet(text, 3).foreach { sh =>
+      val b = java.lang.Long.parseLong(md5hex(sh).substring(0, 15), 16)
+      var i = 0
+      while (i < 16) {
+        val h = hmod(b, 2 * i + 1, 7919 * i + 13)
+        if (h < minima(i)) minima(i) = h
+        i += 1
+      }
+    }
+    Array.tabulate(4) { bnd =>
+      md5hex((4 * bnd until 4 * bnd + 4).map(minima(_)).mkString(","))
+    }
+  }
+
   def minHashNearDupsSql(df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val P = 2305843009213693951L // 2^61 - 1 (Mersenne)
     val sh = udf((t: String) => shingleSet(t, 3))
     // exact-dedup-first like every signature path (identical texts share
     // identical signatures — band buckets otherwise grow with duplicate
@@ -244,26 +336,11 @@ object Dedup {
     val base = docs.select(col("id"), explode(col("shs")).as("sh"))
       .withColumn("b",
         conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"))
-    // (a·base + c) mod p computed entirely in codegen'd long arithmetic
-    // (no BigDecimal in the per-shingle hot loop): base < 2^60 splits as
-    // hi·2^30 + lo, and ×2^30 mod the MERSENNE p folds as
-    // (x<<30 & p) + (x >>> 31) — partially reduced (< p + 2^36), so one
-    // conditional subtract finishes. Congruent to the DuckDB oracle's
-    // HUGEINT (a·base + c) % p exactly; the oracle hash-checks it.
-    def hmod(a: Int, c: Int): Column = {
-      val hi = shiftright(col("b"), 30)                 // < 2^30
-      val lo = col("b").bitwiseAND(lit((1L << 30) - 1))
-      val t = hi * lit(a.toLong)                        // < 2^35
-      val folded = shiftleft(t, 30).bitwiseAND(lit(P)) +
-        shiftright(t, 31)
-      val h0 = folded + lo * lit(a.toLong) + lit(c.toLong)
-      when(h0 >= P, h0 - P).otherwise(h0)
-    }
     // 16 parallel min-aggregates over per-shingle hash values: one
     // map-side-combining groupBy of the shingle rows, no k-way explode
     // (exploding would shuffle k× the rows for the same minima)
     val withH = base.select(col("id") +: (0 until 16).map(i =>
-      hmod(2 * i + 1, 7919 * i + 13).as(s"h$i")): _*)
+      hmodExpr(col("b"), 2 * i + 1, 7919 * i + 13).as(s"h$i")): _*)
     val sig = withH.groupBy(col("id"))
       .agg(min(col("h0")).as("m0"),
         (1 until 16).map(i => min(col(s"h$i")).as(s"m$i")): _*)

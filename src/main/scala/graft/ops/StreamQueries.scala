@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.llm.Dedup
 import graft.streaming.StreamOps
 
 /** Streaming surface exposed through the driver contract: each query runs
@@ -315,8 +316,85 @@ object StreamQueries {
     """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  /** q106 — STREAMING near-dup dedup over real micro-batches: the
+    * signature-path ingest variant the round-6 verdict called the
+    * biggest remaining gap (q101 covers streaming EXACT dedup; minhash/
+    * simhash had batch afterpasses only). Each arriving document is
+    * tagged map-only with its 4 q52 band buckets
+    * ([[graft.llm.Dedup.bandBucketKeysSql]] — per-row codegen, no
+    * streaming aggregation), fans out to (bucket, id) rows, and a
+    * bucket-keyed state store emits per-bucket first-seen flags across
+    * FOUR ascending doc_id-range micro-batches
+    * ([[graft.streaming.StreamOps.streamingNearDupFlags]]); the sink
+    * side keeps documents none of whose buckets were seen before —
+    * online greedy LSH dedup, exactly what an ingest pipeline does.
+    * Because EVERY document registers its buckets (kept or not), the
+    * result is independent of the batch split given global id order,
+    * so the oracle is the plain batch self-join: keep d iff NO earlier
+    * document shares a band bucket with d. Exact duplicates share all
+    * four buckets, so streaming exact dedup (q101) is subsumed;
+    * near-dups collide on ≥1 bucket with the q52-estimated probability.
+    * The arithmetic is q52's md5-base + 16 universal hashes + 4×4
+    * banding verbatim (same hmodExpr), already oracle-pinned there. */
+  def q106StreamNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+    fourBatchHarness(s, docs, "doc_id", schema, "neardup") {
+      (source, sink) =>
+        val buckets = source
+          .select($"doc_id", posexplode(Dedup.bandBucketKeysSql($"text")))
+          // bucket key carries the band index: same md5 in different
+          // bands must stay distinct state entries (q52's banding)
+          .select(concat($"pos".cast("string"), lit(":"), $"col").as("_1"),
+            $"doc_id".as("_2"))
+          .as[(String, Long)]
+        val out = StreamOps.streamingNearDupFlags(buckets)
+        val q = out.toDF().writeStream
+          .outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+    } { sinkDf =>
+      sinkDf.groupBy($"_1")
+        .agg(max($"_2").as("seen"))
+        .filter(!$"seen")
+        .select($"_1".as("doc_id"))
+        .orderBy($"doc_id")
+    }
+  }
+  val q106Sql: String =
+    """WITH mdocs AS (SELECT doc_id AS id,
+      |    list_distinct(CASE WHEN len(toks) < 3
+      |      THEN [array_to_string(toks, ' ')]
+      |      ELSE list_transform(range(1, len(toks) - 1), i ->
+      |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shs
+      |  FROM (SELECT doc_id,
+      |      list_filter(string_split_regex(lower(text), '[ \t\n\v\f\r]+'),
+      |        x -> x != '') AS toks
+      |    FROM documents)),
+      |base AS (SELECT id, t.sh AS sh,
+      |    CAST(('0x' || substr(md5(t.sh), 1, 15)) AS BIGINT) AS b
+      |  FROM mdocs, unnest(shs) AS t(sh)),
+      |h AS (SELECT id, t.i AS i,
+      |    CAST((CAST(b AS HUGEINT) * (2*t.i + 1) + (7919*t.i + 13))
+      |      % 2305843009213693951 AS BIGINT) AS hv
+      |  FROM base, unnest(range(0, 16)) AS t(i)),
+      |sig AS (SELECT id, i, MIN(hv) AS m FROM h GROUP BY id, i),
+      |bucket AS MATERIALIZED (SELECT id, CAST(i // 4 AS INTEGER) AS band,
+      |    md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bkt
+      |  FROM sig GROUP BY id, i // 4),
+      |coll AS (SELECT DISTINCT b2.id FROM bucket b2 JOIN bucket a
+      |  ON a.band = b2.band AND a.bkt = b2.bkt AND a.id < b2.id)
+      |SELECT DISTINCT id AS doc_id FROM bucket
+      |WHERE id NOT IN (SELECT id FROM coll) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_stream_dedup" -> (q101StreamDedup _),
+    "q106_stream_neardup" -> (q106StreamNearDup _),
     "q60_stream_volume" -> (q60StreamVolume _),
     "q64_sliding_window" -> (q64SlidingWindow _),
     "q61_stream_semantic" -> (q61StreamSemantic _),
@@ -326,6 +404,7 @@ object StreamQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q101_stream_dedup" -> q101Sql,
+    "q106_stream_neardup" -> q106Sql,
     "q60_stream_volume" -> q60Sql,
     "q64_sliding_window" -> q64Sql,
     "q62_session_window" -> q62Sql,

@@ -134,6 +134,43 @@ object StreamOps {
       }
   }
 
+  /** Streaming near-dup dedup, phase 1 — minhash-band keyed state: input
+    * rows are (bucketKey, docId) — each document fans out to its 4 LSH
+    * band buckets ([[graft.llm.Dedup.bandBucketKeysSql]], a map-only
+    * per-row expression) — and the state store holds one boolean per
+    * DISTINCT band bucket ever seen. For every input row the operator
+    * emits (docId, seen): whether that bucket was already registered by
+    * an earlier document — earlier batch via state, or same batch with a
+    * smaller id via the sorted group iterator. EVERY document registers
+    * its buckets, kept or not, which is what makes the semantics
+    * batch-boundary-free: a document's fate depends only on documents
+    * before it in global id order, so the 4-batch streaming run equals
+    * the one-shot batch query ("kept iff no earlier doc shares a
+    * bucket") — a plain self-join in SQL, the oracle of q106. The
+    * per-document AND over its 4 flags is sink-side ([[graft.ops
+    * .StreamQueries]] q106's finish): a second keyed-state pass over
+    * docId inside the same streaming query would chain two
+    * flatMapGroupsWithState operators, which append mode does not
+    * support. 100 TB shape: state is one boolean per distinct bucket
+    * (≤4 per distinct content), sharded across executors by the keyed
+    * store; the only exchange is the groupByKey hash shuffle. */
+  def streamingNearDupFlags(rows: Dataset[(String, Long)])
+      : Dataset[(Long, Boolean)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[(String, Long)],
+         state: GroupState[Boolean]) =>
+          val ids = it.map(_._2).toArray.sorted
+          val seenBefore = state.exists
+          state.update(true)
+          ids.iterator.zipWithIndex.map { case (id, k) =>
+            (id, seenBefore || k > 0)
+          }
+      }
+  }
+
   /** §3.1 as a streaming pipeline: enrichment in foreachBatch with an
     * idempotent (anti-join) sink — the A5 `ON CONFLICT DO NOTHING` analog.
     * Runs with AvailableNow so callers can await completion. */

@@ -109,6 +109,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(4L) == "sem_grp_4", s"strict-< boundary broken: $got")
   }
 
+  test("streaming near-dup dedup suppresses later-batch bucket collisions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val buckets = input.toDS().toDF("doc_id", "text")
+      .select($"doc_id", posexplode(
+        graft.llm.Dedup.bandBucketKeysSql($"text")))
+      .select(concat($"pos".cast("string"), lit(":"), $"col").as("_1"),
+        $"doc_id".as("_2"))
+      .as[(String, Long)]
+    val out = StreamOps.streamingNearDupFlags(buckets)
+    val q = out.toDF().writeStream
+      .outputMode("append")
+      .format("memory").queryName("neardup_stream")
+      .start()
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    // batch 1: doc 3 and its same-batch exact copy doc 7 (all four
+    // buckets collide; smaller id wins), doc 5 distinct
+    input.addData((3L, base), (7L, base),
+      (5L, "completely different content with no shared shingles here"))
+    q.processAllAvailable()
+    // batch 2: doc 11 replays doc 3's content — every bucket is in
+    // STATE from batch 1, so it must be suppressed across the batch
+    // boundary; doc 13 is new and must survive
+    input.addData((11L, base),
+      (13L, "yet another unrelated document about streaming state stores"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("neardup_stream")
+      .groupBy($"_1").agg(max($"_2").as("seen"))
+      .filter(!$"seen").select($"_1").as[Long].collect().toSet
+    spark.catalog.dropTempView("neardup_stream")
+    assert(kept == Set(3L, 5L, 13L), s"kept=$kept")
+  }
+
   test("streaming dropDuplicates suppresses replayed events (I2 dedup)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

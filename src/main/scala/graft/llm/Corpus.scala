@@ -53,9 +53,13 @@ object Corpus {
     * builtins only (sequence → slice → array_join), so the whole
     * expression stays inside codegen; no UDF. Texts with fewer than k
     * tokens produce no k-grams. (Spark's `sequence(1, n)` counts DOWN
-    * when n < 1, so the short-text case must be guarded, not clamped.) */
-  def kGrams(textCol: Column, k: Int): Column = {
-    val toks = split(textCol, " ")
+    * when n < 1, so the short-text case must be guarded, not clamped.)
+    * `tok` selects the tokenizer: the single-space default is the
+    * historical oracle contract; pass [[TextOps.regexTokens]] for
+    * unicode-whitespace corpora (q107). */
+  def kGrams(textCol: Column, k: Int,
+      tok: Column => Column = TextOps.tokens): Column = {
+    val toks = tok(textCol)
     val n = size(toks)
     when(n >= k,
       transform(sequence(lit(1), n - (k - 1)),
@@ -64,8 +68,9 @@ object Corpus {
   }
 
   /** Distinct word k-gram shingles ([[kGrams]] deduplicated). */
-  def shingles(textCol: Column, k: Int): Column =
-    array_distinct(kGrams(textCol, k))
+  def shingles(textCol: Column, k: Int,
+      tok: Column => Column = TextOps.tokens): Column =
+    array_distinct(kGrams(textCol, k, tok))
 
   /** Eval-set decontamination: flag every train document sharing at
     * least one word k-gram with the eval corpus (the standard
@@ -79,9 +84,10 @@ object Corpus {
     * `evalDf` — that calls for the jaccard/minhash pair machinery
     * instead. */
   def decontaminate(trainDf: DataFrame, evalDf: DataFrame, idCol: String,
-      textCol: String, k: Int = 8): DataFrame = {
+      textCol: String, k: Int = 8,
+      tok: Column => Column = TextOps.tokens): DataFrame = {
     val tSh = trainDf.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), k)).as("shingle"))
+      explode(shingles(col(textCol), k, tok)).as("shingle"))
     // collapse the eval side to one row per DISTINCT shingle before the
     // broadcast (keeping the min doc as the representative): duplicate
     // eval docs then cost nothing, the broadcast is bounded by distinct
@@ -89,7 +95,7 @@ object Corpus {
     // the result is identical because n_shared counts train-side
     // distinct shingles and min(eval_doc) = min of per-shingle mins
     val eSh = evalDf.select(col(idCol).as("eval_doc"),
-        explode(shingles(col(textCol), k)).as("shingle"))
+        explode(shingles(col(textCol), k, tok)).as("shingle"))
       .groupBy(col("shingle"))
       .agg(min(col("eval_doc")).as("eval_doc"))
     tSh.join(broadcast(eSh), "shingle")
@@ -137,16 +143,23 @@ object Corpus {
     * `source`); callers must not already have `chunk_id`/`chunk_tokens`/
     * `chunk_text` columns. */
   def chunkLongDocuments(df: DataFrame, idCol: String, textCol: String,
-      budget: Int): DataFrame = {
+      budget: Int, tok: Column => Column = TextOps.tokens): DataFrame = {
     require(budget > 0, s"chunk budget must be positive, got $budget")
-    val toks = split(col(textCol), " ")
+    val toks = tok(col(textCol))
     val n = size(toks)
     // integer ceil(n/budget) via exact double division (n ≤ 2^31, so the
     // quotient is exact well past any real document length)
     val nchunks = ((n + lit(budget - 1)) / lit(budget)).cast("int")
     val carried = df.columns.filterNot(_ == textCol).map(col).toSeq
+    // a FILTERING tokenizer (regexTokens) can yield zero tokens, where
+    // sequence(0, -1) would count DOWN — guard to zero chunks (the
+    // single-space default always has ≥1 token, so q104's one-chunk
+    // floor for short texts is unchanged)
+    val chunkIdx = when(n === 0,
+        array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nchunks - 1))
     df.select(carried :+ posexplode(
-        transform(sequence(lit(0), nchunks - 1), i => struct(
+        transform(chunkIdx, i => struct(
           least(n - i * budget, lit(budget)).as("chunk_tokens"),
           array_join(slice(toks, i * budget + 1, lit(budget)), " ")
             .as("chunk_text")))): _*)

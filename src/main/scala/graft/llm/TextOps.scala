@@ -34,10 +34,26 @@ object TextOps {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Unicode-whitespace-aware tokenizer: splits on RUNS of every
+    * [[WsChars]] kind and drops empty tokens — the robust option for
+    * real corpora where tabs/newlines/double spaces otherwise glue
+    * punctuation into tokens and silently skew token budgets and
+    * k-gram decontamination. Threaded as the optional `tok` parameter
+    * of the token operators ([[graft.llm.Corpus.kGrams]]/`shingles`/
+    * `decontaminate`/`chunkLongDocuments`, [[withTokenCounts]]);
+    * [[tokens]] (single-space split, empties kept) stays the default —
+    * the historical oracle contract of q93/q94/q95/q97/q104. DuckDB
+    * twin: `list_filter(string_split_regex(text, '[ \t\n\v\f\r]+'),
+    * x -> x != '')` (q107 hash-checks the pairing; Embed
+    * .denseSqlVectors/q65 established it). */
+  def regexTokens(text: Column): Column =
+    filter(split(text, WsClass), t => t =!= "")
+
   /** Whitespace token count + BPE-ish subword count (letter runs, digit
     * runs, single punctuation — the GPT-2 pre-tokenizer shape). */
-  def withTokenCounts(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("n_tokens", size(tokens(col(textCol))))
+  def withTokenCounts(df: DataFrame, textCol: String,
+      tok: Column => Column = tokens): DataFrame =
+    df.withColumn("n_tokens", size(tok(col(textCol))))
       .withColumn("n_bpe_pieces",
         size(regexp_extract_all(col(textCol),
           lit(s"[A-Za-z]+|[0-9]|$PunctClass"), lit(0))))

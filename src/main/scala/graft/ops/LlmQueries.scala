@@ -795,6 +795,71 @@ object LlmQueries {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM p GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
 
+  /** q107 — regex/unicode tokenization threaded through decontamination
+    * AND chunking (round-6 verdict gap 3: every token operator split on
+    * single spaces, so tabs/newlines/double spaces glued tokens and
+    * silently skewed token budgets and 8-gram decon). The fixture texts
+    * are single-space, so the query first roughens them DETERMINISTICALLY
+    * (two nested non-regex `replace`s injecting newline/tab/double-space
+    * — identical left-to-right replace-all semantics in both engines);
+    * with the whitespace default the downstream results would differ, so
+    * the oracle genuinely pins the [[graft.llm.TextOps.regexTokens]]
+    * path: q94's tier rule (tier 3 = eval), 8-gram decontamination over
+    * regex tokens, survivors chunked at 64 regex tokens per q104's
+    * shape. Chunk text is re-joined with single spaces on both sides. */
+  def q107RegexTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rough = documents(s, d).select($"doc_id", $"source",
+      replace(replace($"text", lit(" the "), lit("\nthe  ")),
+        lit(" a "), lit("\ta ")).as("wtext"))
+    val tier = regexp_extract($"source", "src([0-9]+)", 1).cast("long") % 4
+    val lab = rough.withColumn("tier", tier)
+    val train = lab.filter($"tier" =!= 3)
+    val eval = lab.filter($"tier" === 3)
+    val contaminated = Corpus.decontaminate(train, eval, "doc_id", "wtext",
+      8, TextOps.regexTokens).select($"doc_id")
+    val keep = train.join(contaminated, Seq("doc_id"), "left_anti")
+    Corpus.chunkLongDocuments(keep.select($"doc_id", $"wtext"),
+        "doc_id", "wtext", 64, TextOps.regexTokens)
+      .select($"doc_id", $"chunk_id", $"chunk_tokens",
+        md5($"chunk_text").as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+  val q107Sql: String =
+    """WITH wd AS (SELECT doc_id, source,
+      |    replace(replace(text, ' the ', chr(10) || 'the  '),
+      |      ' a ', chr(9) || 'a ') AS wtext
+      |  FROM documents),
+      |lab AS (SELECT doc_id, wtext,
+      |    CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) % 4
+      |      AS tier
+      |  FROM wd),
+      |tr AS (SELECT doc_id,
+      |    list_filter(string_split_regex(wtext, '[ \t\n\v\f\r]+'),
+      |      x -> x != '') AS tk
+      |  FROM lab WHERE tier != 3),
+      |ev AS (SELECT
+      |    list_filter(string_split_regex(wtext, '[ \t\n\v\f\r]+'),
+      |      x -> x != '') AS tk
+      |  FROM lab WHERE tier = 3),
+      |tsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |      range(1, greatest(len(tk) - 6, 1)),
+      |      i -> array_to_string(tk[i:i+7], ' ')))) AS shingle
+      |  FROM tr),
+      |esh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+      |      range(1, greatest(len(tk) - 6, 1)),
+      |      i -> array_to_string(tk[i:i+7], ' ')))) AS shingle
+      |  FROM ev),
+      |contaminated AS (SELECT DISTINCT t.doc_id
+      |  FROM tsh t JOIN esh e USING (shingle)),
+      |keep AS (SELECT doc_id, tk FROM tr
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+      |SELECT doc_id, CAST(c.i AS INTEGER) AS chunk_id,
+      |  CAST(LEAST(len(tk) - c.i * 64, 64) AS INTEGER) AS chunk_tokens,
+      |  md5(array_to_string(tk[c.i*64+1 : c.i*64+64], ' ')) AS chunk_md5
+      |FROM keep, unnest(range(0, (len(tk) + 63) // 64)) AS c(i)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   /** q104 — long-document chunking ([[Corpus.chunkLongDocuments]]):
     * every document split into consecutive 64-token chunks, one row per
     * chunk with its token count and content hash. The pre-packing step
@@ -1313,7 +1378,8 @@ object LlmQueries {
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
     "q104_chunk_docs" -> (q104ChunkDocs _),
-    "q105_chunked_capstone" -> (q105ChunkedCapstone _))
+    "q105_chunked_capstone" -> (q105ChunkedCapstone _),
+    "q107_regex_tokens" -> (q107RegexTokens _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" -> q40Sql,
@@ -1346,5 +1412,6 @@ object LlmQueries {
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,
     "q104_chunk_docs" -> q104Sql,
-    "q105_chunked_capstone" -> q105Sql)
+    "q105_chunked_capstone" -> q105Sql,
+    "q107_regex_tokens" -> q107Sql)
 }

@@ -9,6 +9,31 @@ class LlmSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("regex tokenizer: filtering semantics + zero-token chunk guard") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    val df = Seq((1L, "a\t b\nc   d"), (2L, " \t\n ")).toDF("doc_id", "text")
+    // regexTokens collapses whitespace runs and drops empties — the
+    // space-split default would see glued/empty tokens here
+    val n = df.orderBy($"doc_id")
+      .select(size(TextOps.regexTokens($"text"))).collect().map(_.getInt(0))
+    assert(n.toSeq == Seq(4, 0))
+    val chunks = Corpus.chunkLongDocuments(
+      df, "doc_id", "text", 3, TextOps.regexTokens)
+    val byDoc = chunks.groupBy($"doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 4 tokens at budget 3 → 2 chunks; the all-whitespace doc has ZERO
+    // tokens and must yield zero chunks (sequence would count down)
+    assert(byDoc == Map(1L -> 2L), byDoc.toString)
+    val t = chunks.filter($"doc_id" === 1 && $"chunk_id" === 0)
+      .select($"chunk_text").head.getString(0)
+    assert(t == "a b c") // chunk text re-joined with single spaces
+    // the tok param reaches the k-gram/decon path too
+    val g = df.filter($"doc_id" === 1)
+      .select(Corpus.kGrams($"text", 2, TextOps.regexTokens)).head.getSeq[String](0)
+    assert(g == Seq("a b", "b c", "c d"), g.toString)
+  }
+
   test("exact dedup collapses planted duplicates to min id") {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))

@@ -35,6 +35,28 @@ object ProfileQ106 {
     time("full q106 (streaming)") {
       graft.ops.StreamQueries.q106StreamNearDup(spark, sfDir).count()
     }
+    // the documented scale path for duplicated corpora: exact dedup
+    // first (q101's job — its state is one bool per distinct content),
+    // near-dup over the representatives. Emulated here with a batch
+    // rep table so the q106 stage's distinct-bounded cost is measurable
+    // on the stress sets.
+    val dedupDir = java.nio.file.Files.createTempDirectory("graft_q106_reps")
+    try {
+      docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("text"))
+        .write.mode("overwrite")
+        .parquet(dedupDir.resolve("documents.parquet").toString)
+      time("q106 after exact dedup") {
+        graft.ops.StreamQueries.q106StreamNearDup(spark,
+          dedupDir.toString).count()
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(dedupDir)) { w =>
+        w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
     spark.stop()
   }
 }

@@ -193,49 +193,54 @@ object StreamQueries {
     // invocations in one SparkSession must not collide on a fixed name
     val sinkName = s"graft_stream_${tag}_" +
       streamDir.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
+    // the unique in-memory sink table must be dropped no matter WHERE
+    // the failure happens — a throwing run() (the stream may already
+    // have registered the sink) or a throwing finish projection /
+    // checkpoint — leaking it is exactly the per-invocation
+    // accumulation this harness owns (dropTempView on a never-created
+    // view is a harmless false return)
     try {
-      // one job writes all four splits (partitionBy drops the tile column
-      // from the files, keeping the stream schema)
-      val stage = stageDir.resolve("t")
-      tiled.coalesce(1).write.partitionBy("tile").parquet(stage.toString)
-      for (k <- 1 to 4) {
-        val tileDir = stage.resolve(s"tile=$k")
-        require(java.nio.file.Files.isDirectory(tileDir),
-          s"$tag: needs >= 4 rows (tile $k empty)")
-        val part = scala.util.Using.resource(
-            java.nio.file.Files.list(tileDir)) { files =>
-          files.iterator().asScala
-            .find(_.toString.endsWith(".parquet"))
-            .getOrElse(sys.error(s"$tag: no parquet written for tile $k"))
+      try {
+        // one job writes all four splits (partitionBy drops the tile
+        // column from the files, keeping the stream schema)
+        val stage = stageDir.resolve("t")
+        tiled.coalesce(1).write.partitionBy("tile").parquet(stage.toString)
+        for (k <- 1 to 4) {
+          val tileDir = stage.resolve(s"tile=$k")
+          require(java.nio.file.Files.isDirectory(tileDir),
+            s"$tag: needs >= 4 rows (tile $k empty)")
+          val part = scala.util.Using.resource(
+              java.nio.file.Files.list(tileDir)) { files =>
+            files.iterator().asScala
+              .find(_.toString.endsWith(".parquet"))
+              .getOrElse(sys.error(s"$tag: no parquet written for tile $k"))
+          }
+          val dest = streamDir.resolve(f"batch_$k%02d.parquet")
+          java.nio.file.Files.move(part, dest)
+          // backdated, strictly ascending mtimes pin the file-source order
+          require(dest.toFile.setLastModified(1600000000000L + k * 60000L),
+            s"$tag: cannot set mtime on $dest")
         }
-        val dest = streamDir.resolve(f"batch_$k%02d.parquet")
-        java.nio.file.Files.move(part, dest)
-        // backdated, strictly ascending mtimes pin the file-source order
-        require(dest.toFile.setLastModified(1600000000000L + k * 60000L),
-          s"$tag: cannot set mtime on $dest")
-      }
-      val source = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(streamDir.toString)
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try run(source, sinkName)
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    } finally {
-      // the memory table holds the result; the split files are dead weight
-      // (bench/stress loops would otherwise accumulate dataset copies)
-      for (dir <- Seq(streamDir, stageDir)) {
-        scala.util.Using.resource(java.nio.file.Files.walk(dir)) { w =>
-          w.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        val source = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(streamDir.toString)
+        val prev = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        try run(source, sinkName)
+        finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      } finally {
+        // the memory table holds the result; the split files are dead
+        // weight (bench/stress loops would otherwise accumulate dataset
+        // copies)
+        for (dir <- Seq(streamDir, stageDir)) {
+          scala.util.Using.resource(java.nio.file.Files.walk(dir)) { w =>
+            w.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }
         }
       }
-    }
-    // finish/localCheckpoint can throw (caller's projection); the unique
-    // in-memory sink table must be dropped regardless — leaking it is
-    // exactly the per-invocation accumulation this harness owns
-    try finish(s.table(sinkName)).localCheckpoint()
-    finally s.catalog.dropTempView(sinkName)
+      finish(s.table(sinkName)).localCheckpoint()
+    } finally s.catalog.dropTempView(sinkName)
   }
 
   /** q86 — oracle-checked STREAMING stateful semantic grouping: q61's

@@ -140,11 +140,20 @@ object Corpus {
     * the whitespace-token convention matches [[kGrams]]/q93. Every
     * column except `textCol` is carried through to the chunk rows (a
     * pipeline needs the shard/label columns downstream — q105 packs by
-    * `source`); callers must not already have `chunk_id`/`chunk_tokens`/
-    * `chunk_text` columns. */
+    * `source`); input columns must not collide with the outputs
+    * (`chunk_id`/`chunk_tokens`/`chunk_text`) nor with posexplode's
+    * intermediates (`pos`/`col`) — enforced loudly rather than left to
+    * a confusing ambiguous-reference AnalysisException. */
   def chunkLongDocuments(df: DataFrame, idCol: String, textCol: String,
       budget: Int, tok: Column => Column = TextOps.tokens): DataFrame = {
     require(budget > 0, s"chunk budget must be positive, got $budget")
+    val reserved = Set("pos", "col", "chunk_id", "chunk_tokens",
+      "chunk_text")
+    val clash = df.columns.filter(c => c != textCol && reserved(c))
+    require(clash.isEmpty,
+      s"chunkLongDocuments: input column(s) ${clash.mkString(", ")} " +
+        "collide with the chunk outputs/intermediates " +
+        s"(${reserved.mkString(", ")}) — rename before chunking")
     val toks = tok(col(textCol))
     val n = size(toks)
     // integer ceil(n/budget) via exact double division (n ≤ 2^31, so the

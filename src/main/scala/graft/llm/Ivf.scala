@@ -163,7 +163,12 @@ object Ivf {
         lit(null).cast("int").as("list_id")),
       (acc, c) => {
         val d = Distance.sqEuclidean(v, c.getField("_2"))
-        when(d < acc.getField("d"),
+        // the isNull arm makes the FIRST candidate stick even when its
+        // distance is NaN (NaN < anything is false in Spark, so the
+        // strict compare alone would never seat it) — matching
+        // array_min, which ranks NaN ties by list_id and lets any
+        // finite distance beat NaN (probe-verified orderings)
+        when(acc.getField("list_id").isNull || d < acc.getField("d"),
           struct(d.as("d"), c.getField("_1").as("list_id")))
           .otherwise(acc)
       },
@@ -180,8 +185,17 @@ object Ivf {
     val maxInline = rawN.trim.toIntOption.filter(_ >= 0).getOrElse(
       throw new IllegalArgumentException(
         s"$InlineMaxNlistKey must be a non-negative integer, got '$rawN'"))
-    if (cents.size <= maxInline) assignExpr(v, cents)
-    else assignExprPacked(v, cents)
+    val chosen = if (cents.size <= maxInline) assignExpr(v, cents)
+      else assignExprPacked(v, cents)
+    // a NULL vector must assign a NULL list, identically on BOTH paths:
+    // unguarded, the unrolled array_min's nulls-first struct ordering
+    // would assign list 0 while the packed fold's null-propagating `<`
+    // would assign null — the dispatch threshold must never change
+    // results. (NaN-element vectors DO agree without a guard: both
+    // paths seat the smallest-list NaN candidate and let any finite
+    // distance beat it — see assignExprPacked's merge comment.)
+    if (cents.isEmpty) chosen
+    else when(v.isNotNull, chosen)
   }
 
   /** Tag every row of `df` with its nearest-centroid list id using an

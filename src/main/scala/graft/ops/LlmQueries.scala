@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.llm.{Corpus, Dedup, Multimodal, SimSearch, TextOps}
@@ -430,12 +430,17 @@ object LlmQueries {
     * scan-local arithmetic, zero shuffles before the report aggregate,
     * identical row selection in any engine. Reports the mixed corpus
     * per source. */
+  /** The tier → mix-weight rule (100/50/25/10) shared by q92 and both
+    * capstones — ONE Spark-side definition mirroring the shared
+    * q97SqlPrefix, so the mixing stages cannot drift apart. */
+  private def tierWeight(tier: Column): Column =
+    when(tier === 0, 100L).when(tier === 1, 50L)
+      .when(tier === 2, 25L).otherwise(10L)
+
   def q92CorpusMix(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val tier = regexp_extract($"source", "src([0-9]+)", 1).cast("long") % 4
-    val weight = when(tier === 0, 100L).when(tier === 1, 50L)
-      .when(tier === 2, 25L).otherwise(10L)
-    Corpus.mixBySource(documents(s, d), "doc_id", weight)
+    Corpus.mixBySource(documents(s, d), "doc_id", tierWeight(tier))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split($"text", " ")).cast("long")).as("total_tokens"))
@@ -600,9 +605,8 @@ object LlmQueries {
     import s.implicits._
     val st = q97Stages(s, d)
     // 5. mix: q92's tier weights
-    val weight = when($"tier" === 0, 100L).when($"tier" === 1, 50L)
-      .when($"tier" === 2, 25L).otherwise(10L)
-    val mixed = Corpus.mixBySource(st.decon, "doc_id", weight)
+    val mixed = Corpus.mixBySource(st.decon, "doc_id",
+      tierWeight(col("tier")))
     // 6. pack: 512-token concat-and-chunk per source
     val withTok = mixed
       .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
@@ -757,9 +761,8 @@ object LlmQueries {
   def q105ChunkedCapstone(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val st = q97Stages(s, d)
-    val weight = when($"tier" === 0, 100L).when($"tier" === 1, 50L)
-      .when($"tier" === 2, 25L).otherwise(10L)
-    val mixed = Corpus.mixBySource(st.decon, "doc_id", weight)
+    val mixed = Corpus.mixBySource(st.decon, "doc_id",
+      tierWeight(col("tier")))
     val chunks = Corpus.chunkLongDocuments(
       mixed.select($"doc_id", $"text", $"source"), "doc_id", "text", 64)
     // chunk ids are unique only within a document; packSequences orders

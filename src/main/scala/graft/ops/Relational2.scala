@@ -61,13 +61,7 @@ object Relational2 {
     // a shutdown hook bounds the /tmp accumulation across repeated runs
     val stagingPath = java.nio.file.Files
       .createTempDirectory("graft_csv_stage")
-    sys.addShutdownHook {
-      import java.nio.file.Files
-      if (Files.exists(stagingPath))
-        Files.walk(stagingPath)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => Files.deleteIfExists(f))
-    }
+    sys.addShutdownHook(graft.util.Fs.deleteRecursively(stagingPath))
     val staging = stagingPath.toString
     events(s, d)
       .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id",
@@ -310,13 +304,7 @@ object Relational2 {
     import s.implicits._
     val stagingPath = java.nio.file.Files
       .createTempDirectory("graft_json_stage")
-    sys.addShutdownHook {
-      import java.nio.file.Files
-      if (Files.exists(stagingPath))
-        Files.walk(stagingPath)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => Files.deleteIfExists(f))
-    }
+    sys.addShutdownHook(graft.util.Fs.deleteRecursively(stagingPath))
     events(s, d)
       .select($"event_id", $"user_id", $"event_type", $"value")
       .write.mode("overwrite").json(stagingPath.toString)

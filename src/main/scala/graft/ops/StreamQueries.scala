@@ -232,12 +232,7 @@ object StreamQueries {
         // the memory table holds the result; the split files are dead
         // weight (bench/stress loops would otherwise accumulate dataset
         // copies)
-        for (dir <- Seq(streamDir, stageDir)) {
-          scala.util.Using.resource(java.nio.file.Files.walk(dir)) { w =>
-            w.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          }
-        }
+        Seq(streamDir, stageDir).foreach(graft.util.Fs.deleteRecursively)
       }
       finish(s.table(sinkName)).localCheckpoint()
     } finally s.catalog.dropTempView(sinkName)

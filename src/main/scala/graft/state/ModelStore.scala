@@ -17,10 +17,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ModelStore {
 
-  private def rm(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+  private def rm(p: Path): Unit = graft.util.Fs.deleteRecursively(p)
 
   /** Write `df` to the staging area of `root`. */
   def stage(df: DataFrame, root: String, name: String): Unit =

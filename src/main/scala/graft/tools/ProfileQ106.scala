@@ -50,13 +50,7 @@ object ProfileQ106 {
         graft.ops.StreamQueries.q106StreamNearDup(spark,
           dedupDir.toString).count()
       }
-    } finally {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(dedupDir)) { w =>
-        w.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-    }
+    } finally graft.util.Fs.deleteRecursively(dedupDir)
     spark.stop()
   }
 }

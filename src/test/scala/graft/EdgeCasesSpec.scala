@@ -162,21 +162,32 @@ class EdgeCasesSpec extends AnyFunSuite {
   test("Ivf packed argmin (large-nlist path) matches the unrolled expression") {
     import spark.implicits._
     import graft.llm.Ivf
-    val df = (1L to 40L)
-      .map(i => (i, Array(math.sin(i.toDouble) * 10, (i % 7).toDouble)))
+    val df = ((1L to 40L)
+      .map(i => (i, Array(math.sin(i.toDouble) * 10, (i % 7).toDouble))) ++
+      // degenerate rows must assign IDENTICALLY across the dispatch
+      // bound: null vector → null list on both paths; NaN elements →
+      // both paths seat the smallest-list NaN candidate
+      Seq((98L, null.asInstanceOf[Array[Double]]),
+        (99L, Array(Double.NaN, 1.0))))
       .toDF("id", "vec")
-    val cents = Ivf.fitCentroids(df, "id", "vec", nlist = 5)
-    val inline = Ivf.assignIndex(df, "id", "vec", cents)
-      .select("id", "list_id").collect().map(r => (r.getLong(0), r.getInt(1)))
-      .sortBy(_._1).toSeq
+    // fit on the clean rows only (a real fit sample is pre-filtered);
+    // the degenerate rows exercise the ASSIGN paths below
+    val cents = Ivf.fitCentroids(df.filter($"id" <= 40L), "id", "vec",
+      nlist = 5)
+    def assigned(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "list_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+        .sortBy(_._1).toSeq
+    val inline = assigned(Ivf.assignIndex(df, "id", "vec", cents))
+    assert(inline.find(_._1 == 98L).exists(_._2 == -1),
+      "null vector must assign a null list")
     // force the packed aggregate-HOF path (production thousands-of-lists
     // shape) at test-sized nlist and demand identical assignments —
-    // including identical (distance, list_id) tie-breaks
+    // including identical (distance, list_id) tie-breaks and the
+    // null/NaN degenerates
     spark.conf.set(Ivf.InlineMaxNlistKey, "0")
     try {
-      val packed = Ivf.assignIndex(df, "id", "vec", cents)
-        .select("id", "list_id").collect().map(r => (r.getLong(0), r.getInt(1)))
-        .sortBy(_._1).toSeq
+      val packed = assigned(Ivf.assignIndex(df, "id", "vec", cents))
       assert(packed == inline)
       // conf validation mirrors maxFitRows
       spark.conf.set(Ivf.InlineMaxNlistKey, "many")

@@ -812,11 +812,16 @@ object LlmQueries {
     * shape. Chunk text is re-joined with single spaces on both sides. */
   def q107RegexTokens(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rough = documents(s, d).select($"doc_id", $"source",
-      replace(replace($"text", lit(" the "), lit("\nthe  ")),
-        lit(" a "), lit("\ta ")).as("wtext"))
     val tier = regexp_extract($"source", "src([0-9]+)", 1).cast("long") % 4
-    val lab = rough.withColumn("tier", tier)
+    // lazy checkpoint (the q97Stages move): train shingles, the eval
+    // shingle set AND the keep anti-join all consume the roughened
+    // frame — materialize documents + the replace ONCE instead of
+    // scanning the corpus three times (ProfileQ107: 3 scans → 1)
+    val lab = documents(s, d).select($"doc_id",
+        replace(replace($"text", lit(" the "), lit("\nthe  ")),
+          lit(" a "), lit("\ta ")).as("wtext"),
+        tier.as("tier"))
+      .localCheckpoint(false)
     val train = lab.filter($"tier" =!= 3)
     val eval = lab.filter($"tier" === 3)
     val contaminated = Corpus.decontaminate(train, eval, "doc_id", "wtext",

@@ -280,22 +280,34 @@ object Dedup {
     f(text)
   }
 
+  /** [[bandBucketKeysSql]]'s SimHash sibling ([[simHashBandKeys]]) — the
+    * q53 signature as per-row state keys, completing the streaming
+    * ingest story for BOTH signature families. */
+  def simHashBandKeysSql(text: Column): Column = {
+    val f = udf((t: String) => simHashBandKeys(t))
+    f(text)
+  }
+
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xF, 16))
+      sb.append(Character.forDigit(d(i) & 0xF, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Plain-Scala twin of the q52 signature machinery (see
-    * [[bandBucketKeysSql]]): 4 band-bucket md5 keys for one text. */
+    * [[bandBucketKeysSql]]): the 4 band-bucket keys for one text,
+    * band-prefixed ("0:<md5>") so a key is self-contained state-store
+    * material — the same md5 in different bands must stay distinct
+    * entries. */
   def md5BandBuckets(text: String): Array[String] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    def md5hex(s: String): String = {
-      md.reset()
-      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val sb = new java.lang.StringBuilder(32)
-      var i = 0
-      while (i < d.length) {
-        sb.append(Character.forDigit((d(i) >> 4) & 0xF, 16))
-        sb.append(Character.forDigit(d(i) & 0xF, 16))
-        i += 1
-      }
-      sb.toString
-    }
     // (a·b + c) mod P — the hmodExpr fold verbatim in long arithmetic
     // (b < 2^60 is non-negative, so >> ≡ >>> and the congruence proof
     // carries over unchanged)
@@ -309,7 +321,7 @@ object Dedup {
     }
     val minima = Array.fill(16)(Long.MaxValue)
     shingleSet(text, 3).foreach { sh =>
-      val b = java.lang.Long.parseLong(md5hex(sh).substring(0, 15), 16)
+      val b = java.lang.Long.parseLong(md5Hex(md, sh).substring(0, 15), 16)
       var i = 0
       while (i < 16) {
         val h = hmod(b, 2 * i + 1, 7919 * i + 13)
@@ -318,7 +330,44 @@ object Dedup {
       }
     }
     Array.tabulate(4) { bnd =>
-      md5hex((4 * bnd until 4 * bnd + 4).map(minima(_)).mkString(","))
+      s"$bnd:" + md5Hex(md,
+        (4 * bnd until 4 * bnd + 4).map(minima(_)).mkString(","))
+    }
+  }
+
+  /** Plain-Scala twin of the q53 simhash banding: the 4 16-bit band keys
+    * for one text ("band:value"), or NO keys for a token-free text —
+    * matching the batch path, where a doc with no tokens contributes no
+    * vote rows and so never reaches the band table (an all-zero band
+    * would instead collide every empty doc into one near-dup group).
+    * Same md5 bit source as q53: b1 = hex[1..15], b2 = hex[16..30],
+    * bit i from b1 below 60 and b2 above, votes over token REPEATS,
+    * band value = the 16 vote signs packed little-endian. */
+  def simHashBandKeys(text: String): Array[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](64)
+    var any = false
+    text.toLowerCase.split(WsClass).filter(_.nonEmpty).foreach { t =>
+      any = true
+      val hex = md5Hex(md, t)
+      val b1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val b2 = java.lang.Long.parseLong(hex.substring(15, 30), 16)
+      var i = 0
+      while (i < 64) {
+        val bit = if (i < 60) (b1 >> i) & 1L else (b2 >> (i - 60)) & 1L
+        votes(i) += (if (bit == 1L) 1 else -1)
+        i += 1
+      }
+    }
+    if (!any) Array.empty
+    else Array.tabulate(4) { b =>
+      var v = 0L
+      var j = 0
+      while (j < 16) {
+        if (votes(16 * b + j) > 0) v |= (1L << j)
+        j += 1
+      }
+      s"$b:$v"
     }
   }
 

@@ -336,20 +336,27 @@ object StreamQueries {
     * near-dups collide on ≥1 bucket with the q52-estimated probability.
     * The arithmetic is q52's md5-base + 16 universal hashes + 4×4
     * banding verbatim (same hmodExpr), already oracle-pinned there. */
-  def q106StreamNearDup(s: SparkSession, d: String): DataFrame = {
+  /** Shared q106/q108 runner: stream the documents table through the
+    * 4-batch harness, fan each doc out to its signature-derived state
+    * keys (`keysOf` — band-prefixed, self-contained), pass the
+    * (key, id) rows through the bucket-keyed first-seen state
+    * ([[StreamOps.streamingNearDupFlags]]) and keep the docs NONE of
+    * whose keys were seen before. A doc with no keys (token-free text
+    * under a signature that drops it) never reaches the sink and is
+    * absent from the output — matching the batch oracles, where such a
+    * doc never enters the band table. */
+  private def streamKeepUnseen(s: SparkSession, d: String, tag: String,
+      keysOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types._
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
     val schema = new StructType()
       .add("doc_id", LongType).add("text", StringType)
-    fourBatchHarness(s, docs, "doc_id", schema, "neardup") {
+    fourBatchHarness(s, docs, "doc_id", schema, tag) {
       (source, sink) =>
         val buckets = source
-          .select($"doc_id", posexplode(Dedup.bandBucketKeysSql($"text")))
-          // bucket key carries the band index: same md5 in different
-          // bands must stay distinct state entries (q52's banding)
-          .select(concat($"pos".cast("string"), lit(":"), $"col").as("_1"),
-            $"doc_id".as("_2"))
+          .select(explode(keysOf($"text")).as("_1"), $"doc_id".as("_2"))
           .as[(String, Long)]
         val out = StreamOps.streamingNearDupFlags(buckets)
         val q = out.toDF().writeStream
@@ -366,6 +373,9 @@ object StreamQueries {
         .orderBy($"doc_id")
     }
   }
+
+  def q106StreamNearDup(s: SparkSession, d: String): DataFrame =
+    streamKeepUnseen(s, d, "neardup", Dedup.bandBucketKeysSql)
   val q106Sql: String =
     """WITH mdocs AS (SELECT doc_id AS id,
       |    list_distinct(CASE WHEN len(toks) < 3
@@ -392,9 +402,46 @@ object StreamQueries {
       |SELECT DISTINCT id AS doc_id FROM bucket
       |WHERE id NOT IN (SELECT id FROM coll) ORDER BY doc_id""".stripMargin
 
+  /** q108 — STREAMING SimHash near-dup dedup: q106's machinery
+    * ([[streamKeepUnseen]] + the bucket-keyed first-seen state) with the
+    * OTHER signature family's keys — q53's md5-derived 64-bit simhash
+    * split into 4 16-bit bands ([[graft.llm.Dedup.simHashBandKeys]]),
+    * the standard Hamming-radius banding (two docs within Hamming ≤ 3
+    * of each other share at least one intact band). Same batch-split-
+    * free argument as q106: every doc registers its bands, so the
+    * oracle is the plain self-join "keep d iff no earlier doc shares a
+    * simhash band". Together q101/q106/q108 give ingest-time exact,
+    * minhash and simhash dedup — the full signature surface the batch
+    * side ships (q40/q52/q53). */
+  def q108StreamSimhash(s: SparkSession, d: String): DataFrame =
+    streamKeepUnseen(s, d, "simdedup", Dedup.simHashBandKeysSql)
+  val q108Sql: String =
+    """WITH toks AS (SELECT doc_id AS id, t.tok AS tok,
+      |    CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS b1,
+      |    CAST(('0x' || substr(md5(t.tok), 16, 15)) AS BIGINT) AS b2
+      |  FROM documents,
+      |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\v\f\r]+'),
+      |      x -> x != '')) AS t(tok)),
+      |votes AS (SELECT id, u.i AS i,
+      |    SUM(CASE WHEN (CASE WHEN u.i < 60 THEN (b1 >> u.i) & 1
+      |                        ELSE (b2 >> (u.i - 60)) & 1 END) = 1
+      |        THEN 1 ELSE -1 END) AS v
+      |  FROM toks, unnest(range(0, 64)) AS u(i)
+      |  GROUP BY id, u.i),
+      |sig AS (SELECT id, CAST(i // 16 AS INTEGER) AS band,
+      |    CAST(SUM(CASE WHEN v > 0
+      |      THEN CAST(1 AS BIGINT) << CAST(i % 16 AS INTEGER)
+      |      ELSE 0 END) AS BIGINT) AS bkt
+      |  FROM votes GROUP BY id, i // 16),
+      |coll AS (SELECT DISTINCT b2.id FROM sig b2 JOIN sig a
+      |  ON a.band = b2.band AND a.bkt = b2.bkt AND a.id < b2.id)
+      |SELECT DISTINCT id AS doc_id FROM sig
+      |WHERE id NOT IN (SELECT id FROM coll) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_stream_dedup" -> (q101StreamDedup _),
     "q106_stream_neardup" -> (q106StreamNearDup _),
+    "q108_stream_simhash" -> (q108StreamSimhash _),
     "q60_stream_volume" -> (q60StreamVolume _),
     "q64_sliding_window" -> (q64SlidingWindow _),
     "q61_stream_semantic" -> (q61StreamSemantic _),
@@ -405,6 +452,7 @@ object StreamQueries {
   val oracleSql: Map[String, String] = Map(
     "q101_stream_dedup" -> q101Sql,
     "q106_stream_neardup" -> q106Sql,
+    "q108_stream_simhash" -> q108Sql,
     "q60_stream_volume" -> q60Sql,
     "q64_sliding_window" -> q64Sql,
     "q62_session_window" -> q62Sql,

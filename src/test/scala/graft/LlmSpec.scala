@@ -34,6 +34,20 @@ class LlmSpec extends AnyFunSuite {
     assert(g == Seq("a b", "b c", "c d"), g.toString)
   }
 
+  test("signature band keys: token-free text yields NO simhash keys") {
+    // a doc with no tokens contributes no vote rows in the batch path
+    // and so never reaches the band table; the streaming twin must drop
+    // it too (an all-zero band would collide every empty doc into one
+    // near-dup group)
+    assert(Dedup.simHashBandKeys(" \t\n ").isEmpty)
+    assert(Dedup.simHashBandKeys("hello world").length == 4)
+    assert(Dedup.simHashBandKeys("hello world").forall(_.contains(":")))
+    // minhash keys: the empty-token text still signs (whole-text
+    // shingle convention), 4 band-prefixed keys
+    assert(Dedup.md5BandBuckets("hello world").length == 4)
+    assert(Dedup.md5BandBuckets("x").forall(k => k(1) == ':'))
+  }
+
   test("exact dedup collapses planted duplicates to min id") {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))

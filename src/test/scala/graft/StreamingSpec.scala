@@ -115,9 +115,8 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, String)]
     val buckets = input.toDS().toDF("doc_id", "text")
-      .select($"doc_id", posexplode(
-        graft.llm.Dedup.bandBucketKeysSql($"text")))
-      .select(concat($"pos".cast("string"), lit(":"), $"col").as("_1"),
+      .select(explode(
+          graft.llm.Dedup.bandBucketKeysSql($"text")).as("_1"),
         $"doc_id".as("_2"))
       .as[(String, Long)]
     val out = StreamOps.streamingNearDupFlags(buckets)

@@ -288,6 +288,30 @@ object Dedup {
     f(text)
   }
 
+  /** The EMBEDDING modality's band keys — random-hyperplane sign LSH
+    * (Charikar's SimHash over real vectors) specialized to coordinate
+    * hyperplanes so the bucket is SQL-derivable in any engine (q91's
+    * 4-bit sign bucket, widened and banded): band j = the sign pattern
+    * of coordinates [j*width, (j+1)*width) packed into an int, key =
+    * "j:bits". Two vectors share a band iff ALL `width` signs in that
+    * band agree — near-identical embeddings agree on almost every
+    * coordinate sign, so they collide on ≥1 band with the standard
+    * (1-(1-p^r)^b) banding probability. Unlike the text signatures
+    * (md5 crunching → UDF by the measured rule), this is a pure
+    * when/element_at expression chain — codegen-friendly, map-only,
+    * no lambda. Requires dim ≥ bands*width. */
+  def embeddingSignBandKeysSql(vec: Column, bands: Int = 6,
+      width: Int = 10): Column = {
+    val keys = (0 until bands).map { j =>
+      val bits = (0 until width).map(i =>
+          when(element_at(vec, j * width + i + 1) > lit(0d), lit(1 << i))
+            .otherwise(lit(0)))
+        .reduce(_ + _)
+      concat(lit(s"$j:"), bits.cast("string"))
+    }
+    array(keys: _*)
+  }
+
   private def md5Hex(md: java.security.MessageDigest, s: String): String = {
     md.reset()
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

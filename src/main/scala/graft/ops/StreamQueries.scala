@@ -353,10 +353,24 @@ object StreamQueries {
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
     val schema = new StructType()
       .add("doc_id", LongType).add("text", StringType)
-    fourBatchHarness(s, docs, "doc_id", schema, tag) {
+    streamKeepUnseenFrame(s, docs, "doc_id", "text", schema, tag, keysOf)
+  }
+
+  /** The modality-generic core of [[streamKeepUnseen]]: any frame with a
+    * long id column and a value column the `keysOf` expression maps to
+    * an array of state keys (q106 text→minhash buckets, q108
+    * text→simhash bands, q109 embedding→sign-LSH bands). */
+  private def streamKeepUnseenFrame(s: SparkSession, frame: DataFrame,
+      idCol: String, valCol: String,
+      schema: org.apache.spark.sql.types.StructType, tag: String,
+      keysOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    import s.implicits._
+    fourBatchHarness(s, frame, idCol, schema, tag) {
       (source, sink) =>
         val buckets = source
-          .select(explode(keysOf($"text")).as("_1"), $"doc_id".as("_2"))
+          .select(explode(keysOf(col(valCol))).as("_1"),
+            col(idCol).as("_2"))
           .as[(String, Long)]
         val out = StreamOps.streamingNearDupFlags(buckets)
         val q = out.toDF().writeStream
@@ -369,8 +383,8 @@ object StreamQueries {
       sinkDf.groupBy($"_1")
         .agg(max($"_2").as("seen"))
         .filter(!$"seen")
-        .select($"_1".as("doc_id"))
-        .orderBy($"doc_id")
+        .select($"_1".as(idCol))
+        .orderBy(col(idCol))
     }
   }
 
@@ -438,10 +452,50 @@ object StreamQueries {
       |SELECT DISTINCT id AS doc_id FROM sig
       |WHERE id NOT IN (SELECT id FROM coll) ORDER BY doc_id""".stripMargin
 
+  /** q109 — STREAMING embedding near-dup dedup: the fourth and last
+    * ingest twin. q101/q106/q108 cover the exact/minhash/simhash
+    * signatures over TEXT; an embedding-indexed corpus arriving as a
+    * stream needs the same online greedy dedup over VECTORS. Keys are
+    * [[graft.llm.Dedup.embeddingSignBandKeysSql]] — 6 sign-LSH bands of
+    * 10 coordinates each (Charikar hyperplane LSH specialized to
+    * coordinate hyperplanes so DuckDB can replay the bucket exactly);
+    * the state operator and 4-batch harness are q106's verbatim
+    * ([[streamKeepUnseenFrame]] over the embeddings table). Same
+    * batch-split-free argument: every vector registers its bands, so
+    * "kept iff no earlier vec_id shares a sign band" is a plain batch
+    * self-join — the oracle below. Unlike the text paths the key
+    * derivation is pure codegen (when/element_at chains, no UDF, no
+    * lambda), so the per-row cost at ingest is a scan-local expression. */
+  def q109StreamEmbDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val schema = new StructType()
+      .add("vec_id", LongType)
+      .add("embedding", ArrayType(FloatType))
+    streamKeepUnseenFrame(s, emb, "vec_id", "embedding", schema,
+      "embdedup",
+      v => Dedup.embeddingSignBandKeysSql(v.cast("array<double>")))
+  }
+  val q109Sql: String =
+    """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |bits AS (SELECT id, t.j AS band, u.i AS i,
+      |    CASE WHEN v[10*t.j + u.i + 1] > 0 THEN (1 << u.i) ELSE 0 END
+      |      AS bit
+      |  FROM v, unnest(range(0, 6)) AS t(j),
+      |    unnest(range(0, 10)) AS u(i)),
+      |b AS (SELECT id, band, SUM(bit) AS bkt FROM bits GROUP BY id, band),
+      |coll AS (SELECT DISTINCT b2.id FROM b b2 JOIN b a
+      |  ON a.band = b2.band AND a.bkt = b2.bkt AND a.id < b2.id)
+      |SELECT id AS vec_id FROM v WHERE id NOT IN (SELECT id FROM coll)
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_stream_dedup" -> (q101StreamDedup _),
     "q106_stream_neardup" -> (q106StreamNearDup _),
     "q108_stream_simhash" -> (q108StreamSimhash _),
+    "q109_stream_embdedup" -> (q109StreamEmbDedup _),
     "q60_stream_volume" -> (q60StreamVolume _),
     "q64_sliding_window" -> (q64SlidingWindow _),
     "q61_stream_semantic" -> (q61StreamSemantic _),
@@ -453,6 +507,7 @@ object StreamQueries {
     "q101_stream_dedup" -> q101Sql,
     "q106_stream_neardup" -> q106Sql,
     "q108_stream_simhash" -> q108Sql,
+    "q109_stream_embdedup" -> q109Sql,
     "q60_stream_volume" -> q60Sql,
     "q64_sliding_window" -> q64Sql,
     "q62_session_window" -> q62Sql,

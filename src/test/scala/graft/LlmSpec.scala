@@ -48,6 +48,20 @@ class LlmSpec extends AnyFunSuite {
     assert(Dedup.md5BandBuckets("x").forall(k => k(1) == ':'))
   }
 
+  test("embedding sign-band keys: bit packing and zero-sign boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // band 0 = coords 1-3 (signs +,+,+ → bits 1+2+4), band 1 = coords
+    // 4-6 (signs -,0,+ → only bit 4): zero is NOT positive, matching
+    // the oracle's `> 0` on both engines
+    val df = Seq((1L, Seq(0.5, 2.0, 1e-9, -3.0, 0.0, 7.0)))
+      .toDF("id", "v")
+    val keys = df.select(
+        Dedup.embeddingSignBandKeysSql(col("v"), bands = 2, width = 3))
+      .head.getSeq[String](0)
+    assert(keys == Seq("0:7", "1:4"), keys.toString)
+  }
+
   test("exact dedup collapses planted duplicates to min id") {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))

@@ -144,6 +144,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(3L, 5L, 13L), s"kept=$kept")
   }
 
+  test("streaming embedding dedup suppresses sign-band collisions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Double])]
+    val buckets = input.toDS().toDF("vec_id", "embedding")
+      .select(explode(graft.llm.Dedup.embeddingSignBandKeysSql(
+          $"embedding", bands = 2, width = 3)).as("_1"),
+        $"vec_id".as("_2"))
+      .as[(String, Long)]
+    val out = StreamOps.streamingNearDupFlags(buckets)
+    val q = out.toDF().writeStream
+      .outputMode("append")
+      .format("memory").queryName("embdedup_stream")
+      .start()
+    // batch 1: vec 2 distinct; vec 4 will be replayed-sign in batch 2
+    input.addData((2L, Seq(1.0, -1.0, 1.0, -1.0, -1.0, -1.0)),
+      (4L, Seq(1.0, 1.0, 1.0, 1.0, 1.0, 1.0)))
+    q.processAllAvailable()
+    // batch 2: vec 9's band 0 signs (+,+,+) match vec 4's band 0 from
+    // STATE even though band 1 differs — one shared band suppresses;
+    // vec 11 shares no band with anything and survives
+    input.addData((9L, Seq(2.0, 3.0, 0.5, -1.0, 1.0, -1.0)),
+      (11L, Seq(-1.0, -1.0, -1.0, -1.0, 1.0, 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("embdedup_stream")
+      .groupBy($"_1").agg(max($"_2").as("seen"))
+      .filter(!$"seen").select($"_1").as[Long].collect().toSet
+    spark.catalog.dropTempView("embdedup_stream")
+    assert(kept == Set(2L, 4L, 11L), s"kept=$kept")
+  }
+
   test("streaming dropDuplicates suppresses replayed events (I2 dedup)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

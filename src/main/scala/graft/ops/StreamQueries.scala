@@ -491,8 +491,56 @@ object StreamQueries {
       |SELECT id AS vec_id FROM v WHERE id NOT IN (SELECT id FROM coll)
       |ORDER BY vec_id""".stripMargin
 
+  /** q110 — STREAMING eval-set decontamination: the STREAM-STATIC
+    * broadcast join pattern, the one Structured Streaming join shape the
+    * suite didn't yet pin (q63 is stream-stream, q101/q106/q108/q109 are
+    * stateful). At ingest, each arriving train document explodes to its
+    * word-8-gram shingles and probes a STATIC distinct-eval-shingle
+    * table ([[graft.llm.Corpus.decontaminate]]'s exact geometry: the
+    * eval side is collapsed to one row per distinct shingle, so the
+    * broadcast is bounded by distinct eval content and the arriving
+    * corpus never shuffles — map-only from source to sink). The join is
+    * stateless, so the streaming result equals the batch decontamination
+    * regardless of batch splits and q94's SQL is the exact oracle; the
+    * final per-doc rollup is a batch projection over the sink (an
+    * append-mode stream can't aggregate without a watermark, and the
+    * ingest DECISION — contaminated or not — is per hit row anyway). */
+  def q110StreamDecon(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val tier = regexp_extract($"source", "src([0-9]+)", 1).cast("long") % 4
+    val lab = Tables.documents(s, d).withColumn("is_eval", tier === 3)
+    val train = lab.filter(!$"is_eval").select($"doc_id", $"text")
+    val evalShingles = lab.filter($"is_eval")
+      .select($"doc_id".as("eval_doc"),
+        explode(graft.llm.Corpus.shingles($"text", 8)).as("shingle"))
+      .groupBy($"shingle")
+      .agg(min($"eval_doc").as("eval_doc"))
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+    fourBatchHarness(s, train, "doc_id", schema, "decon") {
+      (source, sink) =>
+        val hits = source
+          .select($"doc_id",
+            explode(graft.llm.Corpus.shingles($"text", 8)).as("shingle"))
+          .join(broadcast(evalShingles), "shingle")
+        val q = hits.writeStream
+          .outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+    } { sinkDf =>
+      sinkDf.groupBy($"doc_id")
+        .agg(countDistinct($"shingle").as("n_shared"),
+          min($"eval_doc").as("first_eval_doc"))
+        .orderBy($"doc_id")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_stream_dedup" -> (q101StreamDedup _),
+    "q110_stream_decon" -> (q110StreamDecon _),
     "q106_stream_neardup" -> (q106StreamNearDup _),
     "q108_stream_simhash" -> (q108StreamSimhash _),
     "q109_stream_embdedup" -> (q109StreamEmbDedup _),
@@ -505,6 +553,8 @@ object StreamQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q101_stream_dedup" -> q101Sql,
+    // stateless stream-static join => identical to batch decontamination
+    "q110_stream_decon" -> LlmQueries.q94Sql,
     "q106_stream_neardup" -> q106Sql,
     "q108_stream_simhash" -> q108Sql,
     "q109_stream_embdedup" -> q109Sql,

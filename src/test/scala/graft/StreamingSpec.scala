@@ -144,6 +144,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(3L, 5L, 13L), s"kept=$kept")
   }
 
+  test("stream-static decon joins arriving docs against the static " +
+      "shingle set in every batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evalSh = Seq(("a b c d e f g h", 100L), ("p q r s t u v w", 101L))
+      .toDF("text", "eval_doc")
+      .select(explode(graft.llm.Corpus.shingles($"text", 8)).as("shingle"),
+        $"eval_doc")
+    val input = MemoryStream[(Long, String)]
+    val hits = input.toDS().toDF("doc_id", "text")
+      .select($"doc_id",
+        explode(graft.llm.Corpus.shingles($"text", 8)).as("shingle"))
+      .join(broadcast(evalSh), "shingle")
+    val q = hits.writeStream
+      .outputMode("append")
+      .format("memory").queryName("decon_stream")
+      .start()
+    // batch 1: doc 1 contaminated (contains eval 100's 8-gram), doc 2 clean
+    input.addData((1L, "x a b c d e f g h y"), (2L, "clean words only here"))
+    q.processAllAvailable()
+    // batch 2: the static side must still be joined — doc 3 hits eval 101
+    input.addData((3L, "p q r s t u v w tail"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("decon_stream")
+      .select($"doc_id", $"eval_doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.dropTempView("decon_stream")
+    assert(got == Set((1L, 100L), (3L, 101L)), got.toString)
+  }
+
   test("streaming embedding dedup suppresses sign-band collisions") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -180,6 +180,43 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** Integer dot product over two int arrays (int8-quantized vectors), long
+  * accumulator — the hot inner loop of quantized similarity search. Exact
+  * by construction (no float accumulation), so the oracle can replay it
+  * with any summation order. */
+case class ArrayDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      dot += x.getInt(i).toLong * y.getInt(i)
+      i += 1
+    }
+    dot
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |long $dot = 0L;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $dot += (long) $a.getInt($i) * $b.getInt($i);
+        |}
+        |${ev.value} = $dot;
+      """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
 object VectorExprs {
 
   /** Idempotent per-session registration of the vector expressions. */
@@ -194,6 +231,8 @@ object VectorExprs {
       exprs => ArrayMinkowski(exprs(0), exprs(1), 1.5), "built-in")
     reg.createOrReplaceTempFunction("graft_sorted_intersect_size",
       exprs => SortedIntersectSize(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot_long",
+      exprs => ArrayDotLong(exprs(0), exprs(1)), "built-in")
   }
 
   def cosine(a: Column, b: Column): Column =
@@ -214,4 +253,8 @@ object VectorExprs {
   /** Requires both operands pre-sorted (array_sort). */
   def sortedIntersectSize(a: Column, b: Column): Column =
     call_function("graft_sorted_intersect_size", a, b)
+
+  /** Exact integer dot over int arrays (quantized-vector hot loop). */
+  def dotLong(a: Column, b: Column): Column =
+    call_function("graft_dot_long", a, b)
 }

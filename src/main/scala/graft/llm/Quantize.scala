@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar (int8) embedding quantization — the memory-bandwidth lever for
+  * corpus-scale similarity search: a 64-dim float32 embedding is 256
+  * bytes, its int8 code is 64, so a scan-bound brute/IVF pass moves 4×
+  * less data (8× vs float64) for a small, bounded ranking error. The
+  * classic IVF-SQ pairing: coarse lists from [[Ivf]], int8 codes inside
+  * each list, exact integer dot products for ranking.
+  *
+  * Reference behavior anchor: the reference ranks by cosine over raw
+  * embeddings (`semantic_search.py` brute path, q22 here); quantized
+  * search approximates exactly that ranking at a fraction of the scan
+  * bandwidth, which is the 100 TB deployment shape.
+  *
+  * Design for determinism (the oracle replays every step bit-for-bit):
+  *  - symmetric per-vector quantization `q_i = floor(127·x_i/m + 0.5)`
+  *    with `m = max_i |x_i|` — the multiply/divide/add/floor sequence is
+  *    fixed IEEE ops on doubles, identical in any engine, and the result
+  *    is guaranteed in [-127, 127] (no clamp needed: |127·x/m| ≤ 127 up
+  *    to half an ulp, absorbed by the +0.5 rounding window);
+  *  - integer dot products and integer squared norms are exact in any
+  *    summation order (|dot| ≤ dim·127² ≪ 2⁵³), so the only float steps
+  *    in quantized cosine are one sqrt·sqrt·divide chain — again a fixed
+  *    IEEE sequence.
+  *
+  * Scale shape: quantization is a scan-local projection (two narrow
+  * stages so the max-abs is computed ONCE per vector, not re-evaluated
+  * per element inside the quantize lambda — Catalyst does no CSE across
+  * lambda boundaries); search is the same broadcast-small-queries ×
+  * candidate-scan plan as the float brute path, with the inner loop a
+  * fused whole-stage-codegen integer dot
+  * ([[graft.functions.VectorExprs.dotLong]]).
+  */
+object Quantize {
+
+  /** Adds `qCol` (array<int> int8 codes) and `normCol` (long Σq²) for
+    * `vecCol`. Zero vectors quantize to all-zero codes with norm 0 —
+    * callers ranking by cosine must filter `normCol > 0` (as
+    * [[graft.ops.LlmQueries]] q111 does) to keep 0/0 out of the plan. */
+  def withInt8(df: DataFrame, vecCol: String, qCol: String = "qvec",
+      normCol: String = "qnorm"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    // stage 1 binds the per-vector max-abs; stage 2's lambda references
+    // the bound column (cheap) instead of the array_max subtree (which a
+    // lambda body would re-evaluate per element)
+    df.withColumn("_qmax", array_max(transform(v, x => abs(x))))
+      .withColumn(qCol,
+        when(col("_qmax") === lit(0d),
+          transform(v, _ => lit(0)))
+          .otherwise(transform(v, x =>
+            floor(lit(127d) * x / col("_qmax") + lit(0.5d)).cast("int"))))
+      .withColumn(normCol,
+        aggregate(col(qCol), lit(0L),
+          (acc, x) => acc + x.cast("long") * x.cast("long")))
+      .drop("_qmax")
+  }
+
+  /** Quantized cosine from int8 codes and precomputed norms: one exact
+    * integer dot, then the fixed sqrt·sqrt·divide chain. */
+  def cosQ(aVec: Column, aNorm: Column, bVec: Column,
+      bNorm: Column): Column =
+    graft.functions.VectorExprs.dotLong(aVec, bVec).cast("double") /
+      (sqrt(aNorm.cast("double")) * sqrt(bNorm.cast("double")))
+}

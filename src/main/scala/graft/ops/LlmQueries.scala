@@ -335,6 +335,72 @@ object LlmQueries {
       |FROM assign WHERE rn = 1 ORDER BY vec_id""".stripMargin
   }
 
+  /** q111 — int8-QUANTIZED cosine top-k ([[graft.llm.Quantize]]): the
+    * memory-bandwidth deployment shape for corpus-scale similarity
+    * search. Every embedding is symmetric-quantized to int8 codes plus a
+    * long squared norm in one scan-local projection; ranking is the
+    * exact integer dot product (fused whole-stage-codegen loop,
+    * [[graft.functions.VectorExprs.dotLong]]) over 4× less data than the
+    * float32 scan — the classic IVF-SQ pairing's fine-ranking half
+    * (coarse lists = q99). Same query/candidate/top-5 shape as the q22
+    * float brute baseline, so the two are directly comparable. The
+    * oracle replays quantization, integer dot, and the one fixed
+    * sqrt·sqrt·divide chain bit-for-bit (integer sums are
+    * order-independent; the float steps are fixed IEEE sequences). */
+  def q111QuantizedKnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExprs.register(s)
+    val e = graft.llm.Quantize.withInt8(embeddings(s, d), "embedding")
+      .filter($"qnorm" > 0)
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"qvec".as("qq"), $"qnorm".as("qqn"))
+    val c = e.select($"vec_id".as("cid"), $"qvec".as("cq"),
+      $"qnorm".as("cqn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cos_q".desc, $"cid")
+    c.crossJoin(broadcast(q))
+      .filter($"cid" =!= $"qid")
+      .withColumn("dot_q",
+        graft.functions.VectorExprs.dotLong($"cq", $"qq"))
+      .withColumn("cos_q",
+        graft.llm.Quantize.cosQ($"cq", $"cqn", $"qq", $"qqn"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"qid", $"cid", $"dot_q", round($"cos_q", 6).as("cos_q"),
+        $"rn")
+      .orderBy($"qid", $"rn")
+  }
+  val q111Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) AS mx FROM v),
+      |qz AS (SELECT vec_id,
+      |    CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+      |         ELSE list_transform(v,
+      |           x -> CAST(floor(127 * x / mx + 0.5) AS INTEGER)) END AS q
+      |  FROM m),
+      |n AS (SELECT vec_id, q,
+      |    CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
+      |      AS BIGINT) AS qn
+      |  FROM qz),
+      |qs AS (SELECT vec_id AS qid, q AS qq, qn AS qqn FROM n
+      |  WHERE vec_id < 10 AND qn > 0),
+      |cs AS (SELECT vec_id AS cid, q AS cq, qn AS cqn FROM n WHERE qn > 0),
+      |p AS (SELECT qid, cid,
+      |    CAST(list_dot_product(CAST(cq AS DOUBLE[]), CAST(qq AS DOUBLE[]))
+      |      AS BIGINT) AS dot_q,
+      |    list_dot_product(CAST(cq AS DOUBLE[]), CAST(qq AS DOUBLE[]))
+      |      / (sqrt(CAST(cqn AS DOUBLE)) * sqrt(CAST(qqn AS DOUBLE)))
+      |      AS cos_q
+      |  FROM cs, qs WHERE cid != qid),
+      |r AS (SELECT qid, cid, dot_q, cos_q,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY cos_q DESC, cid) AS rn
+      |  FROM p)
+      |SELECT qid, cid, dot_q, ROUND(cos_q, 6) AS cos_q, rn FROM r
+      |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
   /** q56 — LSH-blocked embedding near-dup (the 100 TB path for q44's
     * brute baseline). The blocking hash is axis-aligned random-hyperplane
     * LSH (sign of 4 fixed coordinates → 16 buckets): same Charikar family
@@ -1382,6 +1448,7 @@ object LlmQueries {
     "q95_repetition" -> (q95Repetition _),
     "q97_corpus_pipeline" -> (q97CorpusPipeline _),
     "q99_ivf_sample_fit" -> (q99IvfSampleFit _),
+    "q111_quantized_knn" -> (q111QuantizedKnn _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -1416,6 +1483,7 @@ object LlmQueries {
     "q95_repetition" -> q95Sql,
     "q97_corpus_pipeline" -> q97Sql,
     "q99_ivf_sample_fit" -> q99Sql,
+    "q111_quantized_knn" -> q111Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

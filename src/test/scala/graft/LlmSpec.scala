@@ -62,6 +62,58 @@ class LlmSpec extends AnyFunSuite {
     assert(keys == Seq("0:7", "1:4"), keys.toString)
   }
 
+  test("int8 quantization: codes, norm, zero-vector and max boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+        (1L, Seq(1.0, -2.0, 0.5, 0.0)),
+        (2L, Seq(0.0, 0.0, 0.0, 0.0)))
+      .toDF("id", "v")
+    val q = graft.llm.Quantize.withInt8(df, "v")
+      .select(col("id"), col("qvec"), col("qnorm"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1), r.getLong(2))).toMap
+    // m=2: 1.0→floor(63.5+0.5)=64, -2.0→-127 (the max-abs coordinate
+    // hits ±127 exactly), 0.5→32, 0→0; norm = 64²+127²+32²
+    assert(q(1L) == (Seq(64, -127, 32, 0), 21249L), q(1L).toString)
+    // zero vector: all-zero codes, norm 0 (callers filter qnorm > 0)
+    assert(q(2L) == (Seq(0, 0, 0, 0), 0L), q(2L).toString)
+  }
+
+  test("graft_dot_long is the exact integer dot product") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.functions.VectorExprs.register(spark)
+    val df = Seq((Seq(64, -127, 32, 0), Seq(1, 2, 3, 4))).toDF("a", "b")
+    val got = df.select(
+        graft.functions.VectorExprs.dotLong(col("a"), col("b")))
+      .head.getLong(0)
+    assert(got == 64L - 254L + 96L, got.toString)
+  }
+
+  test("quantized cosine tracks float cosine within quantization error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = graft.llm.Quantize.withInt8(
+        graft.ops.Tables.embeddings(spark, sf), "embedding")
+      .filter($"qnorm" > 0)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"),
+        $"qvec", $"qnorm")
+    val a = e.filter($"vec_id" === 0).as("a")
+    val pairs = a.crossJoin(e.filter($"vec_id" > 0).limit(50).as("b"))
+      .select(
+        graft.ml.Distance.cosine(col("a.v"), col("b.v")).as("cf"),
+        graft.llm.Quantize.cosQ(col("a.qvec"), col("a.qnorm"),
+          col("b.qvec"), col("b.qnorm")).as("cq"))
+      .collect()
+    // int8 symmetric quantization at dim 64: per-pair cosine error is
+    // well under 0.02 in practice; 0.05 bounds it with margin
+    pairs.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.05,
+        s"float=${r.getDouble(0)} quant=${r.getDouble(1)}")
+    }
+  }
+
   test("exact dedup collapses planted duplicates to min id") {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))

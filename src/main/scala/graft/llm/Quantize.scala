@@ -26,10 +26,11 @@ import org.apache.spark.sql.functions._
   *    in quantized cosine are one sqrt·sqrt·divide chain — again a fixed
   *    IEEE sequence.
   *
-  * Scale shape: quantization is a scan-local projection (two narrow
-  * stages so the max-abs is computed ONCE per vector, not re-evaluated
-  * per element inside the quantize lambda — Catalyst does no CSE across
-  * lambda boundaries); search is the same broadcast-small-queries ×
+  * Scale shape: quantization is a scan-local projection — one fused
+  * whole-stage-codegen pass per vector
+  * ([[graft.functions.ArrayQuantizeInt8]]; the HOF formulation was three
+  * lambda passes outside codegen and measured ~10× slower at the ×100
+  * stress scale); search is the same broadcast-small-queries ×
   * candidate-scan plan as the float brute path, with the inner loop a
   * fused whole-stage-codegen integer dot
   * ([[graft.functions.VectorExprs.dotLong]]).
@@ -42,20 +43,17 @@ object Quantize {
     * [[graft.ops.LlmQueries]] q111 does) to keep 0/0 out of the plan. */
   def withInt8(df: DataFrame, vecCol: String, qCol: String = "qvec",
       normCol: String = "qnorm"): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    // stage 1 binds the per-vector max-abs; stage 2's lambda references
-    // the bound column (cheap) instead of the array_max subtree (which a
-    // lambda body would re-evaluate per element)
-    df.withColumn("_qmax", array_max(transform(v, x => abs(x))))
-      .withColumn(qCol,
-        when(col("_qmax") === lit(0d),
-          transform(v, _ => lit(0)))
-          .otherwise(transform(v, x =>
-            floor(lit(127d) * x / col("_qmax") + lit(0.5d)).cast("int"))))
-      .withColumn(normCol,
-        aggregate(col(qCol), lit(0L),
-          (acc, x) => acc + x.cast("long") * x.cast("long")))
-      .drop("_qmax")
+    graft.functions.VectorExprs.register(df.sparkSession)
+    // one fused codegen pass (max-abs + quantize + norm together,
+    // ArrayQuantizeInt8); the struct binds in its own projection so the
+    // two field extractions don't re-evaluate it (CollapseProject keeps
+    // non-cheap expressions materialized)
+    df.withColumn("_qz",
+        graft.functions.VectorExprs.quantizeInt8(
+          col(vecCol).cast("array<double>")))
+      .withColumn(qCol, col("_qz.q"))
+      .withColumn(normCol, col("_qz.n"))
+      .drop("_qz")
   }
 
   /** Quantized cosine from int8 codes and precomputed norms: one exact

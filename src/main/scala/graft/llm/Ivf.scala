@@ -251,13 +251,75 @@ object Ivf {
       .orderBy(col("cos_sim").desc, col("cid"))
     // probes is queries × nprobe — tiny next to the index; broadcasting
     // it keeps the candidate join map-only (the index side, the corpus,
-    // never shuffles: its list_id tag is itself a map-only expression)
-    index.withColumnRenamed("id", "cid")
+    // never shuffles: its list_id tag is itself a map-only expression).
+    // The index is materialized BEFORE the join: in deployment it is a
+    // stored table (built once, scanned by every query), and when the
+    // fit→assign→search composition runs as one plan the assign
+    // expression sits under the probe join, where it drops out of
+    // whole-stage codegen and is re-evaluated interpreted per candidate
+    // row — measured 52 s vs 0.4 s on the candidate scan at the ×100
+    // stress decade (ProfileQ112). One eager narrow checkpoint restores
+    // the stored-index shape.
+    index.select(col("id").as("cid"), col("v"), col("list_id"))
+      .localCheckpoint()
       .join(broadcast(probes), "list_id")
       .filter(col("cid") =!= col("qid"))
       .withColumn("cos_sim", round(Distance.cosine(col("v"), col("qv")), 6))
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), col("cos_sim"), col("rn"))
+  }
+
+  /** IVF-SQ: the full quantized deployment shape. Coarse probe as in
+    * [[knn]] (float query vector vs the nlist float centroids — the
+    * standard pairing keeps the tiny coarse quantizer full-precision),
+    * then in-list ranking by int8-QUANTIZED cosine: the index carries
+    * `qvec`/`qnorm` from [[Quantize.withInt8]] and the inner loop is the
+    * exact integer dot ([[graft.functions.VectorExprs.dotLong]]), so the
+    * list scan — the part that touches the corpus — moves int8 codes,
+    * not floats. Candidates with `qnorm = 0` (zero vectors) are dropped
+    * before ranking, as are zero-norm queries ([[Quantize.withInt8]]'s
+    * documented contract). Emits `(qid, cid, dot_q, cos_q, rn)`;
+    * `dot_q`/`cos_q` are engine-replayable exactly (integer sums + one
+    * fixed sqrt·sqrt·divide chain). */
+  def knnQuantized(queries: DataFrame, index: DataFrame,
+      centroids: DataFrame, qId: String, vecCol: String, k: Int,
+      nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    val q = Quantize.withInt8(
+        queries.select(col(qId).as("qid"),
+          col(vecCol).cast("array<double>").as("qv")),
+        "qv", qCol = "qq", normCol = "qqn")
+      .filter(col("qqn") > 0)
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("cd"), col("list_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cd", Distance.sqEuclidean(col("qv"), col("c")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qq"), col("qqn"), col("list_id"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_q").desc, col("cid"))
+    // materialize the narrow index before the join (same rationale and
+    // measurement as [[knn]]) — and narrow it to the QUANTIZED columns:
+    // the float vectors are dead weight in int8 ranking, which is the
+    // whole point of SQ (the stored per-row payload is codes + norm)
+    index.select(col("id").as("cid"), col("list_id"), col("qvec"),
+        col("qnorm"))
+      .filter(col("qnorm") > 0)
+      .localCheckpoint()
+      .join(broadcast(probes), "list_id")
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("dot_q",
+        graft.functions.VectorExprs.dotLong(col("qvec"), col("qq")))
+      // cos from the BOUND dot column — Quantize.cosQ would evaluate the
+      // dot expression a second time (no CSE into sibling columns)
+      .withColumn("cos_q", col("dot_q").cast("double") /
+        (sqrt(col("qnorm").cast("double")) * sqrt(col("qqn").cast("double"))))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("dot_q"), col("cos_q"),
+        col("rn"))
   }
 }

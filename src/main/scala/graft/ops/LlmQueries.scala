@@ -401,6 +401,99 @@ object LlmQueries {
       |SELECT qid, cid, dot_q, ROUND(cos_q, 6) AS cos_q, rn FROM r
       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
+  /** q112 — IVF-SQ END TO END, hash-gated: the full quantized ANN
+    * deployment shape composed from its two oracle-green halves. Coarse
+    * quantizer fit on the deterministic sample (q99's Lloyd), full
+    * corpus assigned map-only ([[graft.llm.Ivf.assignIndex]]), every
+    * vector int8-quantized in one codegen pass (q111's
+    * [[graft.llm.Quantize]]), then per query: probe the nprobe=4
+    * nearest lists (float query vs the 16 float centroids — the coarse
+    * quantizer stays full-precision) and rank ONLY the probed lists'
+    * candidates by exact-integer quantized cosine
+    * ([[graft.llm.Ivf.knnQuantized]]). The corpus-touching scan moves
+    * int8 codes; the oracle replays sample-Lloyd + assignment +
+    * quantization + probe + ranking bit-for-bit. */
+  def q112IvfSqKnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val sample = e.filter(pmod($"vec_id", lit(10)) === 0)
+    val cents = graft.llm.Ivf.fitCentroids(sample, "vec_id", "embedding",
+      nlist = 16)
+    val idx = graft.llm.Quantize.withInt8(
+      graft.llm.Ivf.assignIndex(e, "vec_id", "embedding", cents), "v")
+    graft.llm.Ivf.knnQuantized(e.filter($"vec_id" < 10), idx, cents,
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      .select($"qid", $"cid", $"dot_q", round($"cos_q", 6).as("cos_q"),
+        $"rn")
+      .orderBy($"qid", $"rn")
+  }
+  val q112Sql: String = {
+    def iteration(prev: String, cur: String): String =
+      s"""a_$cur AS (SELECT p.id, p.v, c.list_id,
+         |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+         |      list_sum(list_transform(list_zip(p.v, c.c),
+         |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
+         |  FROM pts p, $prev c),
+         |$cur AS (SELECT list_id, list(m ORDER BY pos) AS c FROM (
+         |    SELECT a.list_id, t.pos AS pos,
+         |      CAST(SUM(CAST(a.v[t.pos] AS DECIMAL(28,14))) AS DOUBLE)
+         |        / COUNT(*) AS m
+         |    FROM a_$cur a, unnest(range(1, 65)) AS t(pos)
+         |    WHERE a.rn = 1
+         |    GROUP BY a.list_id, t.pos)
+         |  GROUP BY list_id)""".stripMargin
+    s"""WITH allpts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |pts AS (SELECT * FROM allpts WHERE id % 10 = 0),
+      |seeds AS (SELECT id, v FROM pts ORDER BY id LIMIT 16),
+      |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS list_id,
+      |    v AS c FROM seeds),
+      |${iteration("c0", "c1")},
+      |${iteration("c1", "c2")},
+      |${iteration("c2", "c3")},
+      |c3m AS MATERIALIZED (SELECT * FROM c3),
+      |assign AS MATERIALIZED (SELECT id, list_id FROM (
+      |  SELECT p.id, c.list_id,
+      |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+      |      list_sum(list_transform(list_zip(p.v, c.c),
+      |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
+      |  FROM allpts p, c3m c) WHERE rn = 1),
+      |qz AS MATERIALIZED (SELECT id, q,
+      |    CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
+      |      AS BIGINT) AS qn
+      |  FROM (SELECT id,
+      |      CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+      |           ELSE list_transform(v,
+      |             x -> CAST(floor(127 * x / mx + 0.5) AS INTEGER)) END AS q
+      |    FROM (SELECT id, v,
+      |        list_max(list_transform(v, x -> abs(x))) AS mx
+      |      FROM allpts))),
+      |probes AS MATERIALIZED (SELECT qid, list_id FROM (
+      |  SELECT p.id AS qid, c.list_id,
+      |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+      |      list_sum(list_transform(list_zip(p.v, c.c),
+      |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS pr
+      |  FROM allpts p, c3m c
+      |  WHERE p.id < 10) WHERE pr <= 4),
+      |cand AS (SELECT pb.qid, a.id AS cid,
+      |    CAST(list_dot_product(CAST(cq.q AS DOUBLE[]),
+      |      CAST(qq.q AS DOUBLE[])) AS BIGINT) AS dot_q,
+      |    list_dot_product(CAST(cq.q AS DOUBLE[]), CAST(qq.q AS DOUBLE[]))
+      |      / (sqrt(CAST(cq.qn AS DOUBLE)) * sqrt(CAST(qq.qn AS DOUBLE)))
+      |      AS cos_q
+      |  FROM probes pb
+      |  JOIN assign a ON a.list_id = pb.list_id
+      |  JOIN qz cq ON cq.id = a.id AND cq.qn > 0
+      |  JOIN qz qq ON qq.id = pb.qid AND qq.qn > 0
+      |  WHERE a.id != pb.qid),
+      |r AS (SELECT qid, cid, dot_q, cos_q,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY cos_q DESC, cid) AS rn
+      |  FROM cand)
+      |SELECT qid, cid, dot_q, ROUND(cos_q, 6) AS cos_q, rn FROM r
+      |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
   /** q56 — LSH-blocked embedding near-dup (the 100 TB path for q44's
     * brute baseline). The blocking hash is axis-aligned random-hyperplane
     * LSH (sign of 4 fixed coordinates → 16 buckets): same Charikar family
@@ -1449,6 +1542,7 @@ object LlmQueries {
     "q97_corpus_pipeline" -> (q97CorpusPipeline _),
     "q99_ivf_sample_fit" -> (q99IvfSampleFit _),
     "q111_quantized_knn" -> (q111QuantizedKnn _),
+    "q112_ivfsq_knn" -> (q112IvfSqKnn _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -1484,6 +1578,7 @@ object LlmQueries {
     "q97_corpus_pipeline" -> q97Sql,
     "q99_ivf_sample_fit" -> q99Sql,
     "q111_quantized_knn" -> q111Sql,
+    "q112_ivfsq_knn" -> q112Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

@@ -27,6 +27,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q89_pipeline_fold_e2e", // scalar stats (q34's fully-pinned twin)
     "q44_embedding_neardup", // brute pair baseline (blocked variant = q42/q45)
     "q55_knn_ivf",           // centroid-table broadcast
+    "q111_quantized_knn",    // query-side broadcast kNN (q22's shape, int8)
+    "q112_ivfsq_knn",        // centroid-table broadcast (q55's shape, int8)
     "q78_vector_mix",        // reference-vector broadcast
     "q45_knn_lsh",           // stats-free, but plans via tiny bucket join
     "q37_anomaly_iforest",   // scalar stats (same gate as q27)

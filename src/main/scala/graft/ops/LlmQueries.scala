@@ -494,6 +494,104 @@ object LlmQueries {
       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
+  /** q113 — ANN recall@5, hash-gated: the EVAL harness for the
+    * approximate-search stack. Joins q112's IVF-SQ top-5 against q22's
+    * exact float-cosine top-5 (the ground truth) and emits per-query
+    * `n_matched`/`recall` — an ANN index without a recall measurement
+    * isn't deployable, and because both sides are deterministic the
+    * recall itself is hash-exact (integers plus one n/5.0 division).
+    * On this fixture at nprobe=4/16 with int8 codes, mean recall@5 is
+    * 0.74 — the number a user tunes nprobe/nlist against. */
+  def q113AnnRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val approx = q112IvfSqKnn(s, d).select($"qid", $"cid")
+    val exact = MlQueries.q22CosineKnn(s, d).select($"qid", $"cid")
+    val hits = exact.join(approx, Seq("qid", "cid"))
+      .groupBy($"qid").agg(count(lit(1)).as("n_matched"))
+    exact.select($"qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_matched"))
+      .withColumn("recall", $"n_matched".cast("double") / lit(5.0))
+      .orderBy($"qid")
+  }
+  val q113Sql: String = {
+    def iteration(prev: String, cur: String): String =
+      s"""a_$cur AS (SELECT p.id, p.v, c.list_id,
+         |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+         |      list_sum(list_transform(list_zip(p.v, c.c),
+         |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
+         |  FROM pts p, $prev c),
+         |$cur AS (SELECT list_id, list(m ORDER BY pos) AS c FROM (
+         |    SELECT a.list_id, t.pos AS pos,
+         |      CAST(SUM(CAST(a.v[t.pos] AS DECIMAL(28,14))) AS DOUBLE)
+         |        / COUNT(*) AS m
+         |    FROM a_$cur a, unnest(range(1, 65)) AS t(pos)
+         |    WHERE a.rn = 1
+         |    GROUP BY a.list_id, t.pos)
+         |  GROUP BY list_id)""".stripMargin
+    s"""WITH allpts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |pts AS (SELECT * FROM allpts WHERE id % 10 = 0),
+      |seeds AS (SELECT id, v FROM pts ORDER BY id LIMIT 16),
+      |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS list_id,
+      |    v AS c FROM seeds),
+      |${iteration("c0", "c1")},
+      |${iteration("c1", "c2")},
+      |${iteration("c2", "c3")},
+      |c3m AS MATERIALIZED (SELECT * FROM c3),
+      |assign AS MATERIALIZED (SELECT id, list_id FROM (
+      |  SELECT p.id, c.list_id,
+      |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+      |      list_sum(list_transform(list_zip(p.v, c.c),
+      |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
+      |  FROM allpts p, c3m c) WHERE rn = 1),
+      |qz AS MATERIALIZED (SELECT id, q,
+      |    CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
+      |      AS BIGINT) AS qn
+      |  FROM (SELECT id,
+      |      CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+      |           ELSE list_transform(v,
+      |             x -> CAST(floor(127 * x / mx + 0.5) AS INTEGER)) END AS q
+      |    FROM (SELECT id, v,
+      |        list_max(list_transform(v, x -> abs(x))) AS mx
+      |      FROM allpts))),
+      |probes AS MATERIALIZED (SELECT qid, list_id FROM (
+      |  SELECT p.id AS qid, c.list_id,
+      |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+      |      list_sum(list_transform(list_zip(p.v, c.c),
+      |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS pr
+      |  FROM allpts p, c3m c
+      |  WHERE p.id < 10) WHERE pr <= 4),
+      |cand AS (SELECT pb.qid, a.id AS cid,
+      |    list_dot_product(CAST(cq.q AS DOUBLE[]), CAST(qq.q AS DOUBLE[]))
+      |      / (sqrt(CAST(cq.qn AS DOUBLE)) * sqrt(CAST(qq.qn AS DOUBLE)))
+      |      AS cos_q
+      |  FROM probes pb
+      |  JOIN assign a ON a.list_id = pb.list_id
+      |  JOIN qz cq ON cq.id = a.id AND cq.qn > 0
+      |  JOIN qz qq ON qq.id = pb.qid AND qq.qn > 0
+      |  WHERE a.id != pb.qid),
+      |approx AS (SELECT qid, cid FROM (
+      |  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY cos_q DESC, cid) AS rn
+      |  FROM cand) WHERE rn <= 5),
+      |ep AS (SELECT q.id AS qid, c.id AS cid,
+      |    ROUND(list_cosine_similarity(c.v, q.v), 6) AS cos_sim
+      |  FROM allpts c, allpts q WHERE q.id < 10 AND c.id != q.id),
+      |exact AS (SELECT qid, cid FROM (
+      |  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY cos_sim DESC, cid) AS rn
+      |  FROM ep) WHERE rn <= 5),
+      |hits AS (SELECT e.qid, COUNT(*) AS n
+      |  FROM exact e JOIN approx a ON a.qid = e.qid AND a.cid = e.cid
+      |  GROUP BY e.qid)
+      |SELECT e.qid, COALESCE(h.n, 0) AS n_matched,
+      |  CAST(COALESCE(h.n, 0) AS DOUBLE) / 5.0 AS recall
+      |FROM (SELECT DISTINCT qid FROM exact) e
+      |LEFT JOIN hits h ON h.qid = e.qid
+      |ORDER BY e.qid""".stripMargin
+  }
+
   /** q56 — LSH-blocked embedding near-dup (the 100 TB path for q44's
     * brute baseline). The blocking hash is axis-aligned random-hyperplane
     * LSH (sign of 4 fixed coordinates → 16 buckets): same Charikar family
@@ -1543,6 +1641,7 @@ object LlmQueries {
     "q99_ivf_sample_fit" -> (q99IvfSampleFit _),
     "q111_quantized_knn" -> (q111QuantizedKnn _),
     "q112_ivfsq_knn" -> (q112IvfSqKnn _),
+    "q113_ann_recall" -> (q113AnnRecall _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -1579,6 +1678,7 @@ object LlmQueries {
     "q99_ivf_sample_fit" -> q99Sql,
     "q111_quantized_knn" -> q111Sql,
     "q112_ivfsq_knn" -> q112Sql,
+    "q113_ann_recall" -> q113Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

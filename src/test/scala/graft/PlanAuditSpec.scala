@@ -29,6 +29,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q55_knn_ivf",           // centroid-table broadcast
     "q111_quantized_knn",    // query-side broadcast kNN (q22's shape, int8)
     "q112_ivfsq_knn",        // centroid-table broadcast (q55's shape, int8)
+    "q113_ann_recall",       // composes q112 + the q22 exact baseline
     "q78_vector_mix",        // reference-vector broadcast
     "q45_knn_lsh",           // stats-free, but plans via tiny bucket join
     "q37_anomaly_iforest",   // scalar stats (same gate as q27)

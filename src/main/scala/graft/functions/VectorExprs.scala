@@ -225,7 +225,12 @@ case class ArrayDotLong(left: Expression, right: Expression)
   * lambda passes outside codegen — measured 10× slower at the ×100
   * stress scale; this is two tight primitive loops inside
   * whole-stage codegen. The op sequence `127*x/m + 0.5` is fixed IEEE
-  * double math, bit-identical in the DuckDB oracle replay. */
+  * double math, bit-identical in the DuckDB oracle replay.
+  *
+  * Contract: elements must be non-null and finite (primitive getDouble
+  * reads a null slot as 0.0 rather than propagating, and a NaN would
+  * cast to code 0 on the JVM but error/NULL in an oracle replay —
+  * embedding columns here are non-null finite by construction). */
 case class ArrayQuantizeInt8(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.StructType(
     Seq(org.apache.spark.sql.types.StructField("q",

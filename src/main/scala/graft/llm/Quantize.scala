@@ -57,7 +57,11 @@ object Quantize {
   }
 
   /** Quantized cosine from int8 codes and precomputed norms: one exact
-    * integer dot, then the fixed sqrt·sqrt·divide chain. */
+    * integer dot, then the fixed sqrt·sqrt·divide chain. If the caller
+    * also emits the raw dot as a sibling column, bind the dot first and
+    * divide the bound column instead (Catalyst does not CSE sibling
+    * columns, so this helper beside a `dotLong` column would evaluate
+    * the dot twice — the q111/q112 pattern). */
   def cosQ(aVec: Column, aNorm: Column, bVec: Column,
       bNorm: Column): Column =
     graft.functions.VectorExprs.dotLong(aVec, bVec).cast("double") /

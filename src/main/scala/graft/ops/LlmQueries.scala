@@ -362,8 +362,10 @@ object LlmQueries {
       .filter($"cid" =!= $"qid")
       .withColumn("dot_q",
         graft.functions.VectorExprs.dotLong($"cq", $"qq"))
-      .withColumn("cos_q",
-        graft.llm.Quantize.cosQ($"cq", $"cqn", $"qq", $"qqn"))
+      // cos from the BOUND dot column — Quantize.cosQ would evaluate
+      // the dot expression a second time (no CSE into sibling columns)
+      .withColumn("cos_q", $"dot_q".cast("double") /
+        (sqrt($"cqn".cast("double")) * sqrt($"qqn".cast("double"))))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 5)
       .select($"qid", $"cid", $"dot_q", round($"cos_q", 6).as("cos_q"),

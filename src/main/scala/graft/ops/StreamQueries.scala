@@ -511,11 +511,16 @@ object StreamQueries {
     val tier = regexp_extract($"source", "src([0-9]+)", 1).cast("long") % 4
     val lab = Tables.documents(s, d).withColumn("is_eval", tier === 3)
     val train = lab.filter(!$"is_eval").select($"doc_id", $"text")
+    // the static side of a stream-static join is re-planned (and its
+    // aggregation re-executed) every micro-batch; materialize it once —
+    // the static-dim-table deployment shape, and it is small by the
+    // distinct-eval-content bound that makes it broadcastable at all
     val evalShingles = lab.filter($"is_eval")
       .select($"doc_id".as("eval_doc"),
         explode(graft.llm.Corpus.shingles($"text", 8)).as("shingle"))
       .groupBy($"shingle")
       .agg(min($"eval_doc").as("eval_doc"))
+      .localCheckpoint()
     val schema = new StructType()
       .add("doc_id", LongType).add("text", StringType)
     fourBatchHarness(s, train, "doc_id", schema, "decon") {

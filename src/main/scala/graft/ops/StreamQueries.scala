@@ -543,12 +543,62 @@ object StreamQueries {
     }
   }
 
+  /** q114 — STREAMING IVF-SQ index ingest: the WRITE path of the
+    * quantized-ANN deployment pair (q112 is the read path). The coarse
+    * quantizer is fitted ONCE before the stream starts (q99's bounded
+    * sample-Lloyd — fit-once/serve-forever); then every arriving vector
+    * is list-assigned by the driver-resident argmin expression and
+    * int8-quantized in the SAME map-only streaming pass
+    * ([[graft.llm.Ivf.assignIndex]] → [[graft.llm.Quantize.withInt8]]):
+    * no join, no shuffle, no state store — the index IS the sink (the
+    * float vector is dropped before the sink, so what accumulates is
+    * exactly the stored SQ payload: id, list_id, codes, norm). Ingest
+    * cost is a scan-local expression per arriving vector, the shape
+    * that holds at any corpus rate — a 100 TB index build is this same
+    * pass writing list_id-partitioned files. Serving equivalence is the
+    * gate: `finish` runs the quantized probe-and-rank search (q112's
+    * [[graft.llm.Ivf.knnQuantized]]) over the ACCUMULATED sink — a
+    * streamed-in index must serve bit-identically to the batch-built
+    * one, so q112's SQL replay is the exact oracle. */
+  def q114StreamIvfIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val sample = e.filter(pmod($"vec_id", lit(10)) === 0)
+    val cents = graft.llm.Ivf.fitCentroids(sample, "vec_id", "embedding",
+      nlist = 16)
+    val schema = new StructType()
+      .add("vec_id", LongType)
+      .add("embedding", ArrayType(FloatType))
+    fourBatchHarness(s, e, "vec_id", schema, "ivfingest") {
+      (source, sink) =>
+        val indexed = graft.llm.Quantize.withInt8(
+            graft.llm.Ivf.assignIndex(source, "vec_id", "embedding", cents),
+            "v")
+          .drop("v")
+        val q = indexed.writeStream
+          .outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+    } { sinkDf =>
+      graft.llm.Ivf.knnQuantized(
+          Tables.embeddings(s, d).filter($"vec_id" < 10), sinkDf, cents,
+          "vec_id", "embedding", k = 5, nprobe = 4)
+        .select($"qid", $"cid", $"dot_q", round($"cos_q", 6).as("cos_q"),
+          $"rn")
+        .orderBy($"qid", $"rn")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_stream_dedup" -> (q101StreamDedup _),
     "q110_stream_decon" -> (q110StreamDecon _),
     "q106_stream_neardup" -> (q106StreamNearDup _),
     "q108_stream_simhash" -> (q108StreamSimhash _),
     "q109_stream_embdedup" -> (q109StreamEmbDedup _),
+    "q114_stream_ivf_ingest" -> (q114StreamIvfIngest _),
     "q60_stream_volume" -> (q60StreamVolume _),
     "q64_sliding_window" -> (q64SlidingWindow _),
     "q61_stream_semantic" -> (q61StreamSemantic _),
@@ -563,6 +613,9 @@ object StreamQueries {
     "q106_stream_neardup" -> q106Sql,
     "q108_stream_simhash" -> q108Sql,
     "q109_stream_embdedup" -> q109Sql,
+    // map-only ingest + deterministic search => the streamed index serves
+    // bit-identically to the batch-built one; q112's replay is the oracle
+    "q114_stream_ivf_ingest" -> LlmQueries.q112Sql,
     "q60_stream_volume" -> q60Sql,
     "q64_sliding_window" -> q64Sql,
     "q62_session_window" -> q62Sql,

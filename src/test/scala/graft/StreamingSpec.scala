@@ -301,4 +301,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(1L) == "[]" && got(2L) == "[]")
     assert(got(3L) == "[1]")
   }
+
+  test("streamed IVF-SQ index serves identically to the batch-built one") {
+    // q114's gate restated locally: ingesting the corpus through the
+    // 4-micro-batch map-only assign+quantize pass must yield an index
+    // whose quantized search is ROW-IDENTICAL to q112's batch build —
+    // i.e. the index content is independent of how it arrived
+    val streamed = graft.ops.StreamQueries
+      .q114StreamIvfIngest(spark, sf).collect().toSeq
+    val batch = graft.ops.LlmQueries
+      .q112IvfSqKnn(spark, sf).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }

@@ -284,7 +284,7 @@ object Ivf {
     * fixed sqrt·sqrt·divide chain). */
   def knnQuantized(queries: DataFrame, index: DataFrame,
       centroids: DataFrame, qId: String, vecCol: String, k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, materializeIndex: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
     graft.functions.VectorExprs.register(spark)
     val q = Quantize.withInt8(
@@ -304,11 +304,16 @@ object Ivf {
     // materialize the narrow index before the join (same rationale and
     // measurement as [[knn]]) — and narrow it to the QUANTIZED columns:
     // the float vectors are dead weight in int8 ranking, which is the
-    // whole point of SQ (the stored per-row payload is codes + norm)
-    index.select(col("id").as("cid"), col("list_id"), col("qvec"),
-        col("qnorm"))
+    // whole point of SQ (the stored per-row payload is codes + norm).
+    // materializeIndex=false is for an index ALREADY materialized as a
+    // stored table ([[loadIndex]]): a checkpoint there would read the
+    // whole store up front, defeating the dynamic partition pruning
+    // that makes the stored shape probe-local (q115 pins the pruned
+    // plan)
+    val narrow = index.select(col("id").as("cid"), col("list_id"),
+        col("qvec"), col("qnorm"))
       .filter(col("qnorm") > 0)
-      .localCheckpoint()
+    (if (materializeIndex) narrow.localCheckpoint() else narrow)
       .join(broadcast(probes), "list_id")
       .filter(col("cid") =!= col("qid"))
       .withColumn("dot_q",
@@ -321,5 +326,46 @@ object Ivf {
       .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), col("dot_q"), col("cos_q"),
         col("rn"))
+  }
+
+  /** Persist a fitted IVF-SQ pair (coarse centroid table + quantized
+    * list table) as versioned parquet under
+    * [[graft.state.ModelStore]]'s blue/green protocol. The two tables
+    * are staged under ONE name and published by ONE atomic rename —
+    * centroids from one build serving lists from another would
+    * mis-probe silently, so the pair must never tear. The list table is
+    * written partitioned by `list_id`: on disk the directory layout IS
+    * the inverted file, and a probe-time reader joining on `list_id`
+    * against a broadcast probe set reads only the probed list
+    * directories via dynamic partition pruning — the stored twin of the
+    * map-only assign (at 100 TB a search touches nprobe/nlist of the
+    * corpus files, not all of them). Expected index columns: `id`,
+    * `list_id`, `qvec`, `qnorm` ([[assignIndex]] → [[Quantize.withInt8]],
+    * float vector dropped — the stored payload is codes + norm). */
+  def saveIndex(index: DataFrame, centroids: DataFrame, root: String,
+      name: String = "ivfsq"): Unit = {
+    centroids.write.mode("overwrite")
+      .parquet(s"$root/_staging/$name/centroids")
+    index.select(col("id"), col("qvec"), col("qnorm"), col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$root/_staging/$name/lists")
+    graft.state.ModelStore.publish(root, name)
+  }
+
+  /** Load the production IVF-SQ pair saved by [[saveIndex]]; falls back
+    * to the backup PAIR if prod is missing (the pair-level twin of
+    * [[graft.state.ModelStore.load]]'s crash-window rule — falling back
+    * per-table could tear the pair). Returns (lists, centroids); the
+    * partition-derived `list_id` is cast back to int (partition-column
+    * inference widens it). */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+      name: String = "ivfsq"): (DataFrame, DataFrame) = {
+    val base =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(root, name)))
+        name
+      else s"${name}_backup"
+    (spark.read.parquet(s"$root/$base/lists")
+       .withColumn("list_id", col("list_id").cast("int")),
+      spark.read.parquet(s"$root/$base/centroids"))
   }
 }

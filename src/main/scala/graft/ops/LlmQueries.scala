@@ -594,6 +594,42 @@ object LlmQueries {
       |ORDER BY e.qid""".stripMargin
   }
 
+  /** q115 — STORED-index search, hash-gated: q112's IVF-SQ pair saved
+    * to versioned parquet ([[graft.llm.Ivf.saveIndex]] — blue/green
+    * pair-atomic publish, list table PARTITIONED BY `list_id` so the
+    * directory layout is the inverted file), loaded back
+    * ([[graft.llm.Ivf.loadIndex]]), and searched WITHOUT the in-memory
+    * checkpoint (`materializeIndex = false`): the probe join against
+    * the broadcast probe set prunes the scan to the probed list
+    * directories via dynamic partition pruning — at 100 TB a search
+    * READS nprobe/nlist of the corpus files, the on-disk twin of the
+    * map-only assign (PlanAuditSpec pins the pruned scan). Codes,
+    * norms, ids and list tags are integers and centroids are doubles,
+    * all exact through parquet, so the stored-index search must equal
+    * the batch build bit for bit: q112's SQL replay is the oracle. */
+  def q115StoredIndexKnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val sample = e.filter(pmod($"vec_id", lit(10)) === 0)
+    val cents = graft.llm.Ivf.fitCentroids(sample, "vec_id", "embedding",
+      nlist = 16)
+    val idx = graft.llm.Quantize.withInt8(
+        graft.llm.Ivf.assignIndex(e, "vec_id", "embedding", cents), "v")
+      .drop("v")
+    // unique per-invocation store root, shutdown-hook bounded (q72's
+    // staging convention)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfstore")
+    sys.addShutdownHook(graft.util.Fs.deleteRecursively(root))
+    graft.llm.Ivf.saveIndex(idx, cents, root.toString)
+    val (lists, storedCents) = graft.llm.Ivf.loadIndex(s, root.toString)
+    graft.llm.Ivf.knnQuantized(e.filter($"vec_id" < 10), lists,
+        storedCents, "vec_id", "embedding", k = 5, nprobe = 4,
+        materializeIndex = false)
+      .select($"qid", $"cid", $"dot_q", round($"cos_q", 6).as("cos_q"),
+        $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
   /** q56 — LSH-blocked embedding near-dup (the 100 TB path for q44's
     * brute baseline). The blocking hash is axis-aligned random-hyperplane
     * LSH (sign of 4 fixed coordinates → 16 buckets): same Charikar family
@@ -1644,6 +1680,7 @@ object LlmQueries {
     "q111_quantized_knn" -> (q111QuantizedKnn _),
     "q112_ivfsq_knn" -> (q112IvfSqKnn _),
     "q113_ann_recall" -> (q113AnnRecall _),
+    "q115_stored_index_knn" -> (q115StoredIndexKnn _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -1681,6 +1718,9 @@ object LlmQueries {
     "q111_quantized_knn" -> q111Sql,
     "q112_ivfsq_knn" -> q112Sql,
     "q113_ann_recall" -> q113Sql,
+    // integers + exact doubles through parquet => the stored-index search
+    // replays the batch build bit for bit; q112's SQL is the oracle
+    "q115_stored_index_knn" -> q112Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

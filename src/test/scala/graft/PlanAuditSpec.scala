@@ -30,6 +30,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q111_quantized_knn",    // query-side broadcast kNN (q22's shape, int8)
     "q112_ivfsq_knn",        // centroid-table broadcast (q55's shape, int8)
     "q113_ann_recall",       // composes q112 + the q22 exact baseline
+    "q115_stored_index_knn", // centroid-table broadcast (q112's shape, stored)
     "q78_vector_mix",        // reference-vector broadcast
     "q45_knn_lsh",           // stats-free, but plans via tiny bucket join
     "q37_anomaly_iforest",   // scalar stats (same gate as q27)
@@ -116,6 +117,18 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = packed.queryExecution.executedPlan.toString
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
     assert(exchanges == 1, s"chunk→pack has $exchanges exchanges:\n$plan")
+  }
+
+  test("stored-index search prunes the list scan dynamically (q115)") {
+    // q115's scale claim: the lists table is partitioned by list_id, so
+    // the probe join against the broadcast probe set must reach the scan
+    // as a dynamic partition pruning filter — a search READS nprobe/nlist
+    // of the stored files. Without the pruning subquery the stored shape
+    // silently degrades to a full-index scan per query batch.
+    val plan = graft.ops.LlmQueries.q115StoredIndexKnn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"q115 list scan carries no dynamic pruning filter:\n$plan")
   }
 
   test("capstones scan documents exactly once past the rep checkpoint") {

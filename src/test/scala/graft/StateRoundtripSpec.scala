@@ -69,4 +69,39 @@ class StateRoundtripSpec extends AnyFunSuite {
       .filter($"event_type" === "error").count()
     assert(read.count() == expected)
   }
+
+  test("IVF-SQ store: pair-atomic publish, backup fallback (A12/A13)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfrt").toString
+    val e = graft.ops.Tables.embeddings(spark, sf)
+    def build(df: org.apache.spark.sql.DataFrame) = {
+      val cents = graft.llm.Ivf.fitCentroids(df, "vec_id", "embedding",
+        nlist = 4)
+      (graft.llm.Quantize.withInt8(
+        graft.llm.Ivf.assignIndex(df, "vec_id", "embedding", cents), "v")
+        .drop("v"), cents)
+    }
+    def snap(lists: org.apache.spark.sql.DataFrame) = lists
+      .select($"id", $"list_id", $"qnorm").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    // v1 over the even half, v2 over everything: different content
+    val (idx1, c1) = build(e.filter($"vec_id" % 2 === 0))
+    graft.llm.Ivf.saveIndex(idx1, c1, root)
+    val v1 = snap(graft.llm.Ivf.loadIndex(spark, root)._1)
+    assert(v1 == snap(idx1))
+
+    val (idx2, c2) = build(e)
+    graft.llm.Ivf.saveIndex(idx2, c2, root)
+    val (lists2, cents2) = graft.llm.Ivf.loadIndex(spark, root)
+    assert(snap(lists2) == snap(idx2) && v1 != snap(lists2))
+    assert(cents2.collect().map(_.getInt(0)).sorted.sameElements(0 until 4))
+
+    // crash window: prod vanished mid-publish -> the PAIR falls back to
+    // backup (v1) together; per-table fallback could tear the pair
+    graft.util.Fs.deleteRecursively(java.nio.file.Paths.get(root, "ivfsq"))
+    val (listsB, centsB) = graft.llm.Ivf.loadIndex(spark, root)
+    assert(snap(listsB) == v1)
+    assert(centsB.count() == 4)
+  }
 }

@@ -328,6 +328,78 @@ object Ivf {
         col("rn"))
   }
 
+  /** Probe-list selection as ONE per-row codegen expression: the nprobe
+    * nearest coarse centroids for a query vector, ordered by
+    * (distance, list_id) — `array_sort` over the same (d, list_id)
+    * structs [[assignExpr]] argmins over, sliced to nprobe and projected
+    * to the list ids. Exactly the probe set [[knnQuantized]]'s
+    * crossJoin + `row_number` window selects (same
+    * `Distance.sqEuclidean` doubles, same tie-break — struct order
+    * compares d first, then list_id), but with NO shuffle: the window
+    * formulation repartitions the query batch by qid just to rank nlist
+    * centroid distances per query, which at a large serving batch is a
+    * wasted exchange. Scan-local like [[assignExpr]]; same small-nlist
+    * bound (one unrolled struct per list — fitted-range nlist, the
+    * serving path's coarse table). */
+  private def probeListsExpr(v: Column, cents: Seq[(Int, Seq[Double])],
+      nprobe: Int): Column =
+    slice(transform(array_sort(array(cents.map { case (lid, c) =>
+      struct(Distance.sqEuclidean(v, typedLit(c)).as("d"),
+        lit(lid).as("list_id"))
+    }: _*)), x => x.getField("list_id")), 1, nprobe)
+
+  /** The SERVING-optimized IVF-SQ search: [[knnQuantized]]'s exact
+    * semantics (bit-identical output — q112's oracle replays it) with
+    * both of its query-side shuffles designed out for large query
+    * batches:
+    *
+    *  - probe selection is the scan-local [[probeListsExpr]] (the
+    *    crossJoin + window formulation repartitions the query batch by
+    *    qid just to rank nlist distances);
+    *  - per-query top-k is the k-BOUNDED partial aggregation
+    *    [[graft.functions.TopKAgg]] instead of a `row_number` window:
+    *    candidates rank map-side and only k rows per query per
+    *    partition reach the merge, so the one remaining exchange moves
+    *    k·partitions rows per query, not |corpus|·nprobe/nlist.
+    *
+    * The index side stays a map-only scan (stored table or checkpoint,
+    * as in [[knnQuantized]]). At a 100 TB corpus with a million-query
+    * serving batch this is the plan you want: quantize + probe-select
+    * per query row, broadcast the probe rows, scan the probed lists,
+    * and ship only top-k rows to the final merge. */
+  def knnQuantizedServe(queries: DataFrame, index: DataFrame,
+      centroids: DataFrame, qId: String, vecCol: String, k: Int,
+      nprobe: Int, materializeIndex: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    val cents = centroids.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    val probes = Quantize.withInt8(
+        queries.select(col(qId).as("qid"),
+          col(vecCol).cast("array<double>").as("qv")),
+        "qv", qCol = "qq", normCol = "qqn")
+      .filter(col("qqn") > 0)
+      .select(col("qid"), col("qq"), col("qqn"),
+        explode(probeListsExpr(col("qv"), cents, nprobe)).as("list_id"))
+    val narrow = index.select(col("id").as("cid"), col("list_id"),
+        col("qvec"), col("qnorm"))
+      .filter(col("qnorm") > 0)
+    (if (materializeIndex) narrow.localCheckpoint() else narrow)
+      .join(broadcast(probes), "list_id")
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("dot_q",
+        graft.functions.VectorExprs.dotLong(col("qvec"), col("qq")))
+      .withColumn("cos_q", col("dot_q").cast("double") /
+        (sqrt(col("qnorm").cast("double")) * sqrt(col("qqn").cast("double"))))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topKByCos(k)(
+        col("cid"), col("dot_q"), col("cos_q")).as("top"))
+      .select(col("qid"), posexplode(col("top.items")))
+      .select(col("qid"), col("col.cid").as("cid"),
+        col("col.dot_q").as("dot_q"), col("col.cos_q").as("cos_q"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
   /** Persist a fitted IVF-SQ pair (coarse centroid table + quantized
     * list table) as versioned parquet under
     * [[graft.state.ModelStore]]'s blue/green protocol. The two tables

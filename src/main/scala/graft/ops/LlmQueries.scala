@@ -630,6 +630,40 @@ object LlmQueries {
       .orderBy($"qid", $"rn")
   }
 
+  /** q116 — SERVING-path IVF-SQ search, hash-gated: q115's stored index
+    * searched through [[graft.llm.Ivf.knnQuantizedServe]], which designs
+    * out both query-side shuffles of the window formulation — probe
+    * selection runs as a scan-local per-row expression (no
+    * crossJoin + row_number repartition of the query batch) and
+    * per-query top-k is the k-bounded PARTIAL aggregation
+    * [[graft.functions.TopKAgg]] (candidates rank map-side; only k rows
+    * per query per partition reach the merge, vs every candidate row
+    * shuffling to its query's partition under a window). Same
+    * arithmetic, same (cos_q DESC, cid) total order, so the output is
+    * bit-identical to q112/q115 and q112's SQL replay is the oracle.
+    * PlanAuditSpec pins the shape: no Window operator, a partial/final
+    * ObjectHashAggregate split, and the pruned stored scan. */
+  def q116ServeKnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val sample = e.filter(pmod($"vec_id", lit(10)) === 0)
+    val cents = graft.llm.Ivf.fitCentroids(sample, "vec_id", "embedding",
+      nlist = 16)
+    val idx = graft.llm.Quantize.withInt8(
+        graft.llm.Ivf.assignIndex(e, "vec_id", "embedding", cents), "v")
+      .drop("v")
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfserve")
+    sys.addShutdownHook(graft.util.Fs.deleteRecursively(root))
+    graft.llm.Ivf.saveIndex(idx, cents, root.toString)
+    val (lists, storedCents) = graft.llm.Ivf.loadIndex(s, root.toString)
+    graft.llm.Ivf.knnQuantizedServe(e.filter($"vec_id" < 10), lists,
+        storedCents, "vec_id", "embedding", k = 5, nprobe = 4,
+        materializeIndex = false)
+      .select($"qid", $"cid", $"dot_q", round($"cos_q", 6).as("cos_q"),
+        $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
   /** q56 — LSH-blocked embedding near-dup (the 100 TB path for q44's
     * brute baseline). The blocking hash is axis-aligned random-hyperplane
     * LSH (sign of 4 fixed coordinates → 16 buckets): same Charikar family
@@ -1681,6 +1715,7 @@ object LlmQueries {
     "q112_ivfsq_knn" -> (q112IvfSqKnn _),
     "q113_ann_recall" -> (q113AnnRecall _),
     "q115_stored_index_knn" -> (q115StoredIndexKnn _),
+    "q116_serve_knn" -> (q116ServeKnn _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -1721,6 +1756,9 @@ object LlmQueries {
     // integers + exact doubles through parquet => the stored-index search
     // replays the batch build bit for bit; q112's SQL is the oracle
     "q115_stored_index_knn" -> q112Sql,
+    // same arithmetic, same total order, partial-agg top-k instead of a
+    // window => still q112's replay
+    "q116_serve_knn" -> q112Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

@@ -600,4 +600,39 @@ class LlmSpec extends AnyFunSuite {
     val b2 = SimSearch.lshBucket(v, 8)
     assert(b1 == b2 && b1 >= 0 && b1 < 256)
   }
+
+  test("top-k aggregator: k bound, tie order, merge-order independence") {
+    import graft.functions.TopKAgg.{Cand, TopKList}
+    val agg = new graft.functions.TopKAgg.TopKByCos(3)
+    val cands = Seq(
+      Cand(5L, 10L, 0.9), Cand(2L, 11L, 0.9), // tie on cos -> cid asc
+      Cand(9L, 12L, 0.95), Cand(7L, 13L, 0.1), Cand(1L, 14L, 0.5))
+    // reduce in two different arrival orders, then cross-merge
+    def fold(xs: Seq[Cand]) = xs.foldLeft(agg.zero)(agg.reduce)
+    val a = fold(cands)
+    val b = fold(cands.reverse)
+    assert(a == b, "arrival order leaked into the buffer")
+    val expected = Seq(Cand(9L, 12L, 0.95), Cand(2L, 11L, 0.9),
+      Cand(5L, 10L, 0.9))
+    assert(a.items == expected)
+    // partial buffers merging must agree with the single fold
+    val (l, r) = cands.splitAt(2)
+    assert(agg.merge(fold(l), fold(r)) == a)
+    assert(agg.merge(fold(r), fold(l)) == a)
+    assert(agg.merge(agg.zero, a) == a && agg.merge(a, agg.zero) == a)
+    assert(a.items.length == 3, "k bound not enforced")
+    val _ = TopKList(Nil) // exercise the wrapper ctor
+  }
+
+  test("serving-path search is row-identical to the window formulation") {
+    // q116 (probe expression + partial top-k agg) vs q112 (crossJoin
+    // probe + row_number window): same arithmetic, same total order =>
+    // identical rows — the equality that lets q112's oracle gate q116
+    val serve = graft.ops.LlmQueries.q116ServeKnn(spark, sf)
+      .collect().toSeq
+    val window = graft.ops.LlmQueries.q112IvfSqKnn(spark, sf)
+      .collect().toSeq
+    assert(serve.nonEmpty)
+    assert(serve == window)
+  }
 }

@@ -131,6 +131,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q115 list scan carries no dynamic pruning filter:\n$plan")
   }
 
+  test("serving search ranks by partial aggregation, not a window (q116)") {
+    // q116's scale claim: per-query top-k is a k-bounded partial
+    // aggregate — candidates rank map-side and only k rows per query per
+    // partition cross the exchange. A Window operator in this plan means
+    // the formulation regressed to shuffling EVERY candidate row; a
+    // missing partial/final ObjectHashAggregate split means the
+    // aggregation lost its map-side half.
+    val plan = graft.ops.LlmQueries.q116ServeKnn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q116 plans a window rank:\n$plan")
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"q116 lost the partial/final aggregate split:\n$plan")
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"q116 stored scan carries no dynamic pruning filter:\n$plan")
+  }
+
   test("capstones scan documents exactly once past the rep checkpoint") {
     // q97/q105 rest on ONE localCheckpoint of the representatives table
     // (LlmQueries.q97Stages): every post-checkpoint stage (pairs,

@@ -27,14 +27,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw long ns (legacy conf) and rebuild a
-    * microsecond TimestampType column via exact integer division — the
-    * same truncation DuckDB applies in `CAST(ts AS TIMESTAMP)`. */
+  /** Normalize `events.ts` to a microsecond TimestampType column
+    * regardless of the fixture generation's physical type:
+    *   - parquet TIMESTAMP(NANOS) (older fixtures): Spark's vectorized
+    *     reader rejects it, so read as raw long ns (legacy conf) and
+    *     rebuild via exact integer division — the same truncation DuckDB
+    *     applies in `CAST(ts AS TIMESTAMP)`;
+    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) (current
+    *     fixtures): Spark infers TIMESTAMP_NTZ; re-type to TimestampType.
+    * Oracle parity is defined in UTC (every entry point pins the session
+    * timezone), so the NTZ→LTZ re-type is value-exact; pin it here too so
+    * an ad-hoc session can't drift. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

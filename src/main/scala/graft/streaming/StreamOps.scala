@@ -19,25 +19,27 @@ import graft.ml.{Centroids, DenStream, Embed}
   */
 object StreamOps {
 
-  /** Raw schema of the events fixture when read with nanosAsLong. */
+  /** Raw schema of the events fixture: ts is parquet
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ in Spark. */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // ns since epoch (parquet TIMESTAMP(NANOS))
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
   /** File-source stream over the events fixture with a proper event-time
-    * column (same ns→us truncation as the batch reader). */
+    * column (same UTC NTZ→LTZ re-type as the batch reader,
+    * [[graft.ops.Tables.events]]). */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.readStream
       .schema(eventsRawSchema)
       // file source needs a directory; glob-filter to the events table
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** I3 — tumbling event-time volume counts with a watermark (the

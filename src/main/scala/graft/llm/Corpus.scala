@@ -201,4 +201,65 @@ object Corpus {
       // integer DIV, not float division: exact for any 64-bit token sum
       .withColumn("pack_id", expr(s"prefix_tokens DIV $budget"))
   }
+
+  /** Leakage-safe train/val/test split: the split decision is keyed on
+    * the near-dup COMPONENT label (`keeperCol`, e.g. q57's `keep_id`),
+    * not the document id — so a whole equivalence class of near-duplicate
+    * documents lands in ONE split. Splitting by raw doc id silently
+    * leaks: a held-out eval document whose near-duplicate sits in train
+    * is memorized, not generalized to (the same hygiene argument as
+    * [[decontaminate]], applied to the corpus's own internal dups).
+    *
+    * The assignment is [[sampleKey]] arithmetic on the keeper id —
+    * deterministic, engine-reproducible (the q92 parity contract: keeper
+    * ids must be non-negative) and map-only: once component labels
+    * exist, the split adds ZERO shuffles and survives any partitioning,
+    * so at 100 TB it rides the dedup pass it already needs. Percentiles
+    * are of the HASH RANGE, not exact row fractions — per-split sizes
+    * concentrate tightly around trainPct/valPct by the usual
+    * multiplicative-hash uniformity, and the tradeoff buys stability:
+    * adding or removing documents never reassigns an unrelated
+    * component's split (no global count to perturb). */
+  def leakageSafeSplit(df: DataFrame, keeperCol: String,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"split percents must satisfy 0 < trainPct, 0 <= valPct, " +
+        s"trainPct + valPct <= 100; got train=$trainPct val=$valPct")
+    val key = sampleKey(col(keeperCol))
+    df.withColumn("split",
+      when(key < lit(trainPct), lit("train"))
+        .when(key < lit(trainPct + valPct), lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Deterministic training-shard assignment + within-shard order — the
+    * "global shuffle" a training run needs, realized the only way that
+    * scales: as `nShards` INDEPENDENT pseudo-random permutations.
+    * `shard` is the first 60 bits of md5(id) mod nShards; the order
+    * within a shard is the NEXT 60 md5 bits (`order_key`), tie-broken by
+    * the id itself, positions materialized by one row_number window per
+    * shard. Both halves of the digest are engine-reproducible (the
+    * q52/q53 md5 idiom), so the full permutation is hash-checkable in
+    * DuckDB — and re-runnable bit-identically for training restarts.
+    *
+    * Scale shape: ONE shuffle total (the per-shard window), parallel
+    * across shards — exactly the plan that writes a shuffled 100 TB
+    * corpus to nShards partitioned files; no global sort ever exists.
+    * Choose nShards ≥ cluster cores so no shard's window serializes the
+    * write. Ids must be unique (positions are a permutation of each
+    * shard iff the (order_key, id) sort key is unique; duplicate ids
+    * would also collide downstream — [[packSequences]]'s contract). */
+  def shardForTraining(df: DataFrame, idCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val hex = md5(col(idCol).cast("string"))
+    val shard = pmod(conv(substring(hex, 1, 15), 16, 10).cast("long"),
+      lit(nShards.toLong))
+    val orderKey = conv(substring(hex, 16, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("order_key"), col(idCol))
+    df.withColumn("shard", shard)
+      .withColumn("order_key", orderKey)
+      .withColumn("pos_in_shard", row_number().over(w) - 1)
+  }
 }

@@ -664,6 +664,78 @@ object LlmQueries {
       .orderBy($"qid", $"rn")
   }
 
+  /** q117 — LEAKAGE-SAFE train/val/test split, hash-gated end to end:
+    * q57's near-dup component labels (token-Jaccard pairs → connected
+    * components, keeper = component min) feed
+    * [[graft.llm.Corpus.leakageSafeSplit]], so every near-duplicate
+    * equivalence class lands in ONE split — the hygiene step a
+    * doc-id-keyed split silently violates (a test doc whose near-dup
+    * is in train is memorized, not held out; same argument as q94's
+    * eval decontamination, applied to the corpus's internal dups).
+    * The oracle replays the closure (q57's recursive CTE) and the
+    * multiplicative-hash split arithmetic (q92's parity contract).
+    * Scale: the split is map-only arithmetic on the component label —
+    * it adds zero shuffles to the dedup pass the corpus already runs. */
+  def q117LeakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 0.9)
+      .select($"id_a", $"id_b")
+    val labeled = Dedup.connectedComponents(pairs,
+      allIds = Some(docs.select($"doc_id")))
+    Corpus.leakageSafeSplit(labeled, "keep_id", trainPct = 90, valPct = 5)
+      .orderBy($"id")
+  }
+  val q117Sql: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, source,
+      |    list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)
+      |        >= 0.9),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
+      |labeled AS (SELECT id, MIN(r) AS keep_id FROM reach GROUP BY id)
+      |SELECT id, keep_id,
+      |  CASE WHEN (keep_id % 1000000007) * 2654435761 % 100 < 90
+      |         THEN 'train'
+      |       WHEN (keep_id % 1000000007) * 2654435761 % 100 < 95
+      |         THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM labeled ORDER BY id""".stripMargin
+
+  /** q118 — deterministic training-shard assignment
+    * ([[graft.llm.Corpus.shardForTraining]]): the reproducible "global
+    * shuffle" — shard = first 60 md5 bits of the id mod 8, within-shard
+    * order = the next 60 bits, positions from one row_number window per
+    * shard. The oracle replays both digest halves (the q52/q53 md5
+    * idiom) and the window, so the entire permutation is hash-checked.
+    * Scale: one shuffle, parallel across shards; no global sort. */
+  def q118TrainingShards(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Corpus.shardForTraining(documents(s, d).select($"doc_id", $"n_chars"),
+        "doc_id", nShards = 8)
+      .select($"doc_id", $"n_chars", $"shard", $"order_key",
+        $"pos_in_shard")
+      .orderBy($"shard", $"pos_in_shard")
+  }
+  val q118Sql: String =
+    """WITH h AS (SELECT doc_id, n_chars,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |    AS BIGINT) % 8 AS shard,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 16, 15))
+      |    AS BIGINT) AS order_key
+      |  FROM documents)
+      |SELECT doc_id, n_chars, shard, order_key,
+      |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY order_key, doc_id)
+      |    - 1 AS pos_in_shard
+      |FROM h ORDER BY shard, pos_in_shard""".stripMargin
+
   /** q56 — LSH-blocked embedding near-dup (the 100 TB path for q44's
     * brute baseline). The blocking hash is axis-aligned random-hyperplane
     * LSH (sign of 4 fixed coordinates → 16 buckets): same Charikar family
@@ -1716,6 +1788,8 @@ object LlmQueries {
     "q113_ann_recall" -> (q113AnnRecall _),
     "q115_stored_index_knn" -> (q115StoredIndexKnn _),
     "q116_serve_knn" -> (q116ServeKnn _),
+    "q117_leakage_safe_split" -> (q117LeakageSafeSplit _),
+    "q118_training_shards" -> (q118TrainingShards _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -1759,6 +1833,8 @@ object LlmQueries {
     // same arithmetic, same total order, partial-agg top-k instead of a
     // window => still q112's replay
     "q116_serve_knn" -> q112Sql,
+    "q117_leakage_safe_split" -> q117Sql,
+    "q118_training_shards" -> q118Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

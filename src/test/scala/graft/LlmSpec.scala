@@ -296,6 +296,56 @@ class LlmSpec extends AnyFunSuite {
     assert(packs == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("leakage-safe split keeps a keeper group together; shard order is " +
+      "a deterministic per-shard permutation") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    // three components: {1,2,3} keep 1, {10,11} keep 10, {42} keep 42 —
+    // every member must inherit its KEEPER's split, whatever that is
+    val labeled = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (11L, 10L), (42L, 42L)).toDF("id", "keep_id")
+    val split = Corpus.leakageSafeSplit(labeled, "keep_id", 60, 20)
+      .select($"keep_id", $"split").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(split.groupBy(_._1).forall(_._2.map(_._2).distinct.length == 1))
+    assert(split.map(_._2).forall(Set("train", "val", "test")))
+    // hash-range split: over many singleton components the fractions
+    // concentrate near the percents (exact values are pinned by q117)
+    val many = (0L until 1000L).map(i => (i, i)).toDF("id", "keep_id")
+    val frac = Corpus.leakageSafeSplit(many, "keep_id", 60, 20)
+      .groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(frac("train") > 500 && frac("train") < 700, frac.toString)
+    assert(frac("val") > 120 && frac("val") < 280, frac.toString)
+    intercept[IllegalArgumentException] {
+      Corpus.leakageSafeSplit(labeled, "keep_id", 90, 20)
+    }
+    // shards: every position range is exactly 0..count-1 (a permutation),
+    // assignment is deterministic, shard ids stay in range
+    val docs = (0L until 300L).map(i => Tuple1(i)).toDF("id")
+    val sh = Corpus.shardForTraining(docs, "id", 8)
+      .select($"id", $"shard", $"pos_in_shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(sh.map(_._2).forall(s => s >= 0 && s < 8))
+    sh.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0 until rows.length).toSeq)
+    }
+    val again = Corpus.shardForTraining(docs, "id", 8)
+      .select($"id", $"shard", $"pos_in_shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(sh.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // the within-shard order is hash order, not id order: at least one
+    // shard must NOT be sorted by id (id-sorted "shuffles" are the bug
+    // this operator exists to avoid)
+    assert(sh.groupBy(_._2).exists { case (_, rows) =>
+      val byPos = rows.sortBy(_._3).map(_._1).toSeq
+      byPos != byPos.sorted
+    })
+    intercept[IllegalArgumentException] {
+      Corpus.shardForTraining(docs, "id", 0)
+    }
+  }
+
   test("long-document chunking: exact budget boundaries, short docs are " +
       "one chunk, pieces reassemble to the original") {
     import spark.implicits._

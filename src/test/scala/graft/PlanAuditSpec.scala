@@ -177,4 +177,17 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 1, s"q104 has $exchanges exchanges:\n$plan")
   }
+
+  test("training shards shuffle once for the per-shard window (q118)") {
+    // q118's whole permutation must cost ONE hash exchange (the window's
+    // partitionBy(shard)) plus the output ORDER BY's range exchange —
+    // the shape that writes a shuffled 100 TB corpus as nShards
+    // independent files. A third exchange means the hash/position
+    // arithmetic started shuffling on its own.
+    val plan = SparkEntry.queries("q118_training_shards")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"q118 has $exchanges exchanges:\n$plan")
+    assert(plan.contains("Window"), s"q118 lost its window:\n$plan")
+  }
 }

@@ -232,6 +232,49 @@ object Corpus {
         .otherwise(lit("test")))
   }
 
+  /** Temperature-based source mixing — the multilingual/domain
+    * re-balancing step of a pretraining pipeline: sample source s at a
+    * rate ∝ its TEMPERED share `sqrt(n_s) / Σ sqrt(n_t)` (temperature
+    * T=2, the α=0.5 point of the standard `p_s^(1/T)` family), scaled to
+    * a `targetDocs` total. Flattening the distribution up-weights
+    * low-resource sources relative to proportional sampling — the reason
+    * multilingual corpora don't drown in their biggest language. Rates
+    * cap at 100%: this operator FILTERS (sub-samples); duplication-based
+    * up-sampling beyond 1× is a separate explode the caller applies to
+    * the capped sources if wanted.
+    *
+    * Engine-reproducible by construction, like [[sampleKey]]: sqrt is
+    * IEEE-correctly-rounded in every engine, the per-source weight is
+    * immediately floored to an integer (×1e6) so the cross-source SUM is
+    * integer arithmetic (order-independent — a double Σ sqrt would hash
+    * differently under reordered partial aggregation), and the rate is
+    * one fixed left-associated chain of IEEE ops. The row decision is
+    * then `sampleKey(id) < rate_s`.
+    *
+    * Scale shape: the weight table is one tiny per-source aggregate
+    * (map-side combined), re-attached by a broadcast join; the keep
+    * decision is scan-local arithmetic. No corpus-wide shuffle at any
+    * point. */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+      targetDocs: Long): DataFrame = {
+    require(targetDocs > 0, s"targetDocs must be positive, got $targetDocs")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+    val total = Window.partitionBy()
+    val rates = counts
+      .withColumn("wsum", sum(col("w")).over(total))
+      .withColumn("rate_pct",
+        least(lit(100.0),
+          lit(100.0) * lit(targetDocs) * col("w") / col("wsum") /
+            col("n_docs")))
+      .select(col(sourceCol), col("n_docs"), col("rate_pct"))
+    df.join(broadcast(rates), sourceCol)
+      .filter(sampleKey(col(idCol)) < col("rate_pct"))
+  }
+
   /** Deterministic training-shard assignment + within-shard order — the
     * "global shuffle" a training run needs, realized the only way that
     * scales: as `nShards` INDEPENDENT pseudo-random permutations.

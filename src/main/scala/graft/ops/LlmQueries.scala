@@ -736,6 +736,40 @@ object LlmQueries {
       |    - 1 AS pos_in_shard
       |FROM h ORDER BY shard, pos_in_shard""".stripMargin
 
+  /** q119 — temperature-based source mixing
+    * ([[graft.llm.Corpus.temperatureMix]]): sources sampled at the
+    * T=2-tempered share `sqrt(n_s)/Σ sqrt(n_t)` scaled to a 250-doc
+    * target — the multilingual re-balancing step (low-resource sources
+    * keep a larger fraction than proportional sampling would give).
+    * Emits per-source `(n_docs, n_kept)`. Hash-exact across engines
+    * because sqrt is IEEE-correctly-rounded, the weights are floored to
+    * integers before the cross-source sum, and the rate is one fixed
+    * left-associated IEEE chain (the q58 division precedent); the row
+    * decision is q92's sampleKey arithmetic. */
+  def q119TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kept = Corpus.temperatureMix(documents(s, d), "doc_id", "source",
+      targetDocs = 250L)
+    kept.groupBy($"source", $"n_docs")
+      .agg(count(lit(1)).as("n_kept"))
+      .select($"source", $"n_docs", $"n_kept")
+      .orderBy($"source")
+  }
+  val q119Sql: String =
+    """WITH c AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS w
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT source, n_docs, w, SUM(w) OVER () AS wsum FROM c),
+      |r AS (SELECT source, n_docs,
+      |    least(100.0, 100.0 * 250 * w / wsum / n_docs) AS rate_pct
+      |  FROM t)
+      |SELECT d.source, r.n_docs, COUNT(*) AS n_kept
+      |FROM documents d JOIN r ON d.source = r.source
+      |WHERE (d.doc_id % 1000000007) * 2654435761 % 100 < r.rate_pct
+      |GROUP BY d.source, r.n_docs
+      |ORDER BY d.source""".stripMargin
+
   /** q56 — LSH-blocked embedding near-dup (the 100 TB path for q44's
     * brute baseline). The blocking hash is axis-aligned random-hyperplane
     * LSH (sign of 4 fixed coordinates → 16 buckets): same Charikar family
@@ -1790,6 +1824,7 @@ object LlmQueries {
     "q116_serve_knn" -> (q116ServeKnn _),
     "q117_leakage_safe_split" -> (q117LeakageSafeSplit _),
     "q118_training_shards" -> (q118TrainingShards _),
+    "q119_temperature_mix" -> (q119TemperatureMix _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -1835,6 +1870,7 @@ object LlmQueries {
     "q116_serve_knn" -> q112Sql,
     "q117_leakage_safe_split" -> q117Sql,
     "q118_training_shards" -> q118Sql,
+    "q119_temperature_mix" -> q119Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

@@ -316,6 +316,54 @@ object StreamQueries {
     """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  /** q120 — STREAMING sequence packing over real micro-batches
+    * ([[StreamOps.streamingPackSequences]]): the ingest twin of q93 —
+    * documents get their training pack assigned AS THEY ARRIVE, from one
+    * long of keyed state per shard (the running token count). Ascending
+    * doc_id-range splits (the q86/q101 harness) make per-shard arrival
+    * order = id order, so the online prefix sums equal q93's batch
+    * window bit for bit and q93's SQL is the exact oracle. The sink
+    * holds per-doc assignments; the finish projection aggregates to
+    * q93's per-(source, pack) shape. With q101/q106/q108/q109 (dedup),
+    * q110 (decontamination) and q114 (index build), packing completes
+    * the streaming ingest story: a corpus can now be cleaned, deduped,
+    * decontaminated, packed and indexed in ONE pass over arriving
+    * data. */
+  def q120StreamPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+    val schema = new StructType()
+      .add("doc_id", LongType).add("source", StringType)
+      .add("n_tokens", LongType)
+    fourBatchHarness(s, docs, "doc_id", schema, "pack") {
+      (source, sink) =>
+        val rows = source
+          .select($"source".as("_1"), $"doc_id".as("_2"),
+            $"n_tokens".as("_3"))
+          .as[(String, Long, Long)]
+        val out = StreamOps.streamingPackSequences(rows, budget = 512L)
+        val q = out.toDF().writeStream
+          .outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+    } { sinkDf =>
+      // per-doc (shard, id, n_tokens, prefix, pack) → q93's per-pack shape
+      sinkDf.select($"_1".as("source"), $"_2".as("doc_id"),
+          $"_3".as("n_tokens"), $"_5".as("pack_id"))
+        .groupBy($"source", $"pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("pack_tokens"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+        .orderBy($"source", $"pack_id")
+    }
+  }
+
   /** q106 — STREAMING near-dup dedup over real micro-batches: the
     * signature-path ingest variant the round-6 verdict called the
     * biggest remaining gap (q101 covers streaming EXACT dedup; minhash/
@@ -599,6 +647,7 @@ object StreamQueries {
     "q108_stream_simhash" -> (q108StreamSimhash _),
     "q109_stream_embdedup" -> (q109StreamEmbDedup _),
     "q114_stream_ivf_ingest" -> (q114StreamIvfIngest _),
+    "q120_stream_pack" -> (q120StreamPack _),
     "q60_stream_volume" -> (q60StreamVolume _),
     "q64_sliding_window" -> (q64SlidingWindow _),
     "q61_stream_semantic" -> (q61StreamSemantic _),
@@ -616,6 +665,9 @@ object StreamQueries {
     // map-only ingest + deterministic search => the streamed index serves
     // bit-identically to the batch-built one; q112's replay is the oracle
     "q114_stream_ivf_ingest" -> LlmQueries.q112Sql,
+    // ascending id-range batches keep per-shard id order, so the online
+    // prefix sums equal the batch window's; q93's SQL is the exact oracle
+    "q120_stream_pack" -> LlmQueries.q93Sql,
     "q60_stream_volume" -> q60Sql,
     "q64_sliding_window" -> q64Sql,
     "q62_session_window" -> q62Sql,

@@ -173,6 +173,43 @@ object StreamOps {
       }
   }
 
+  /** Streaming sequence packing — the ingest twin of
+    * [[graft.llm.Corpus.packSequences]]: documents arriving as a stream
+    * are assigned their training pack ONLINE. Keyed state per shard is
+    * ONE long (the cumulative token count); each arriving doc reads the
+    * running prefix, advances it, and emits
+    * `(shard, id, prefix_tokens, pack_id = prefix DIV budget)`.
+    * In-batch rows are processed in id order (the group iterator is
+    * sorted in memory — a micro-batch's per-shard slice is bounded by
+    * the trigger, the same discipline as the centroid fold), so when
+    * arrival order is id order per shard — the q101/q106 ascending-split
+    * harness contract — the streamed assignment equals the batch
+    * window's exactly and q93's SQL is the oracle. 100 TB shape: state
+    * is 8 bytes per shard; the only exchange is the groupByKey hash
+    * shuffle, the same key the batch packer windows by. */
+  def streamingPackSequences(rows: Dataset[(String, Long, Long)],
+      budget: Long): Dataset[(String, Long, Long, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (shard: String, it: Iterator[(String, Long, Long)],
+         state: GroupState[Long]) =>
+          var prefix = state.getOption.getOrElse(0L)
+          val out = it.toArray.sortBy(_._2).map { case (_, id, n) =>
+            val p = prefix
+            prefix += n
+            // Long / is floor for the non-negative sums involved = DIV;
+            // n rides along so the sink needs no second pass to recover
+            // per-doc token counts
+            (shard, id, n, p, p / budget)
+          }
+          state.update(prefix)
+          out.iterator
+      }
+  }
+
   /** §3.1 as a streaming pipeline: enrichment in foreachBatch with an
     * idempotent (anti-join) sink — the A5 `ON CONFLICT DO NOTHING` analog.
     * Runs with AvailableNow so callers can await completion. */

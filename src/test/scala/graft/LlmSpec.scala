@@ -296,6 +296,36 @@ class LlmSpec extends AnyFunSuite {
     assert(packs == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("temperature mixing flattens the source distribution: low-resource " +
+      "keep-rates exceed high-resource ones and rates cap at 100%") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    // 900 docs of "big", 100 of "small": proportional sampling to 500
+    // would keep 50% of each; T=2 tempering must keep a LARGER fraction
+    // of small than of big
+    val docs = ((0L until 900L).map(i => (i, "big")) ++
+      (1000L until 1100L).map(i => (i, "small"))).toDF("id", "src")
+    val kept = Corpus.temperatureMix(docs, "id", "src", targetDocs = 500L)
+    val frac = kept.groupBy($"src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fracBig = frac("big") / 900.0
+    val fracSmall = frac("small") / 100.0
+    assert(fracSmall > fracBig,
+      s"small=$fracSmall big=$fracBig — tempering must favor small")
+    // total lands near the target (hash-range concentration)
+    val total = frac.values.sum
+    assert(total > 400 && total < 600, s"total=$total")
+    // a target beyond the corpus caps every rate at 100% = keep all
+    assert(Corpus.temperatureMix(docs, "id", "src", 100000L).count() == 1000)
+    // determinism
+    val again = Corpus.temperatureMix(docs, "id", "src", 500L)
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select($"id").collect().map(_.getLong(0)).toSet)
+    intercept[IllegalArgumentException] {
+      Corpus.temperatureMix(docs, "id", "src", 0L)
+    }
+  }
+
   test("leakage-safe split keeps a keeper group together; shard order is " +
       "a deterministic per-shard permutation") {
     import spark.implicits._

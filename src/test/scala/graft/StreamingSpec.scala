@@ -80,6 +80,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map("a" -> 3L, "b" -> 10L, "c" -> 20L), got.toString)
   }
 
+  test("streaming sequence packing carries the running token count " +
+      "across micro-batches and sorts within a batch by id") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val out = StreamOps.streamingPackSequences(input.toDS(), budget = 10L)
+    val q = out.toDF().writeStream
+      .outputMode("append")
+      .format("memory").queryName("pack_stream")
+      .start()
+    // batch 1 arrives OUT of id order: ids 2 (4 tokens) then 1 (3 tokens)
+    // — the operator must process 1 first (prefix 0) then 2 (prefix 3)
+    input.addData(("s", 2L, 4L), ("s", 1L, 3L))
+    q.processAllAvailable()
+    // batch 2: id 3 (5 tokens) must see prefix 7 from STATE → pack 0;
+    // id 4 (1 token) starts at 12 → pack 1; other shard starts at 0
+    input.addData(("s", 3L, 5L), ("s", 4L, 1L), ("t", 9L, 2L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("pack_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    spark.catalog.dropTempView("pack_stream")
+    assert(got == Map(
+      ("s", 1L) -> (0L, 0L), ("s", 2L) -> (3L, 0L),
+      ("s", 3L) -> (7L, 0L), ("s", 4L) -> (12L, 1L),
+      ("t", 9L) -> (0L, 0L)), got.toString)
+  }
+
   test("stateful semantic grouping with pluggable distance (q86's sqEuclid) " +
       "carries centroids across micro-batches") {
     import spark.implicits._

@@ -192,9 +192,22 @@ object Corpus {
     * packing by a non-unique key must add their own tiebreaker to the
     * id before calling. */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
-      shardCol: String, budget: Long): DataFrame = {
+      shardCol: String, budget: Long): DataFrame =
+    packSequencesBy(df, idCol, tokenCol, Seq(shardCol), budget)
+
+  /** [[packSequences]] with a COMPOSITE shard key. Keep the shard
+    * columns separate rather than concatenating them into one string:
+    * Catalyst can satisfy a downstream `groupBy(shardCols :+ pack)`
+    * from the window's `hashpartitioning(shardCols)` (partitioning on a
+    * subset of the grouping keys co-locates the groups), but it cannot
+    * see through `concat_ws` — a fused key costs the aggregation a
+    * second full-corpus exchange (measured: q121 at 11 exchanges vs
+    * q97's 10 before this overload existed). */
+  def packSequencesBy(df: DataFrame, idCol: String, tokenCol: String,
+      shardCols: Seq[String], budget: Long): DataFrame = {
     require(budget > 0, s"pack budget must be positive, got $budget")
-    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+    require(shardCols.nonEmpty, "packSequencesBy: at least one shard column")
+    val w = Window.partitionBy(shardCols.map(col): _*).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("prefix_tokens",
         coalesce(sum(col(tokenCol)).over(w), lit(0L)))
@@ -225,6 +238,9 @@ object Corpus {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"split percents must satisfy 0 < trainPct, 0 <= valPct, " +
         s"trainPct + valPct <= 100; got train=$trainPct val=$valPct")
+    require(!df.columns.contains("split"),
+      "leakageSafeSplit: input already has a 'split' column — rename it " +
+        "before splitting")
     val key = sampleKey(col(keeperCol))
     df.withColumn("split",
       when(key < lit(trainPct), lit("train"))
@@ -258,6 +274,10 @@ object Corpus {
   def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
       targetDocs: Long): DataFrame = {
     require(targetDocs > 0, s"targetDocs must be positive, got $targetDocs")
+    val mixClash = df.columns.filter(Set("n_docs", "rate_pct"))
+    require(mixClash.isEmpty,
+      s"temperatureMix: input column(s) ${mixClash.mkString(", ")} collide " +
+        "with the attached rate columns (n_docs, rate_pct) — rename first")
     val counts = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w",
@@ -295,6 +315,12 @@ object Corpus {
   def shardForTraining(df: DataFrame, idCol: String,
       nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    val shardClash =
+      df.columns.filter(Set("shard", "order_key", "pos_in_shard"))
+    require(shardClash.isEmpty,
+      s"shardForTraining: input column(s) ${shardClash.mkString(", ")} " +
+        "collide with the outputs (shard, order_key, pos_in_shard) — " +
+        "rename before sharding")
     val hex = md5(col(idCol).cast("string"))
     val shard = pmod(conv(substring(hex, 1, 15), 16, 10).cast("long"),
       lit(nShards.toLong))

@@ -736,6 +736,71 @@ object LlmQueries {
       |    - 1 AS pos_in_shard
       |FROM h ORDER BY shard, pos_in_shard""".stripMargin
 
+  /** q121 — the SPLIT-AWARE capstone: q97 with the held-out-set step a
+    * real pretraining pipeline runs before packing — the cleaned, deduped,
+    * decontaminated, mixed corpus is cut into train/val/test by
+    * [[graft.llm.Corpus.leakageSafeSplit]] and each split packs
+    * SEPARATELY (the packing window partitions by the composite
+    * (split, source) key — [[graft.llm.Corpus.packSequencesBy]]), so no
+    * 512-token sequence ever mixes held-out and training text. The keeper column fed to the
+    * split is the doc's own id: past the capstone's component-keeper
+    * stage every surviving doc IS its component's keeper (one survivor
+    * per near-dup class), so the component-keyed split of q117 reduces
+    * to id arithmetic here — the leakage-safety the standalone operator
+    * buys with a CC join, the capstone gets free from its dedup stage.
+    * Plan seam pinned: the split is scan-local arithmetic and the final
+    * aggregation reuses the window's hashpartitioning(split, source)
+    * (subset of the grouping keys) — adding the holdout step costs zero
+    * extra shuffles over q97 (PlanAuditSpec). Oracle:
+    * the q97 prefix verbatim + the split CASE + the same windowed
+    * prefix sum per (split, source). */
+  def q121SplitCapstone(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val st = q97Stages(s, d)
+    val mixed = Corpus.mixBySource(st.decon, "doc_id",
+      tierWeight(col("tier")))
+    val sp = Corpus.leakageSafeSplit(
+      mixed.withColumn("keep_id", $"doc_id"), "keep_id",
+      trainPct = 90, valPct = 5)
+    val withTok = sp
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+    Corpus.packSequencesBy(withTok, "doc_id", "n_tokens",
+        Seq("split", "source"), 512L)
+      .groupBy($"split", $"source", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("pack_tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy($"split", $"source", $"pack_id")
+  }
+  // lazy: q97SqlPrefix is declared further down the object and would
+  // still be null here at strict-init time (the oracle would serialize
+  // as "null,\nsp AS ..." and fail the DuckDB parse)
+  lazy val q121Sql: String = q97SqlPrefix +
+    """,
+      |sp AS (SELECT doc_id, text, source,
+      |  CASE WHEN (doc_id % 1000000007) * 2654435761 % 100 < 90
+      |         THEN 'train'
+      |       WHEN (doc_id % 1000000007) * 2654435761 % 100 < 95
+      |         THEN 'val'
+      |       ELSE 'test' END AS split
+      |  FROM mixed),
+      |t AS (SELECT doc_id, source, split,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM sp),
+      |p AS (SELECT doc_id, source, split, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY split, source
+      |      ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS prefix
+      |  FROM t)
+      |SELECT split, source, CAST(prefix // 512 AS BIGINT) AS pack_id,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM p GROUP BY split, source, pack_id
+      |ORDER BY split, source, pack_id""".stripMargin
+
   /** q119 — temperature-based source mixing
     * ([[graft.llm.Corpus.temperatureMix]]): sources sampled at the
     * T=2-tempered share `sqrt(n_s)/Σ sqrt(n_t)` scaled to a 250-doc
@@ -1825,6 +1890,7 @@ object LlmQueries {
     "q117_leakage_safe_split" -> (q117LeakageSafeSplit _),
     "q118_training_shards" -> (q118TrainingShards _),
     "q119_temperature_mix" -> (q119TemperatureMix _),
+    "q121_split_capstone" -> (q121SplitCapstone _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -1871,6 +1937,7 @@ object LlmQueries {
     "q117_leakage_safe_split" -> q117Sql,
     "q118_training_shards" -> q118Sql,
     "q119_temperature_mix" -> q119Sql,
+    "q121_split_capstone" -> q121Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

@@ -178,6 +178,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"q104 has $exchanges exchanges:\n$plan")
   }
 
+  test("the split-aware capstone adds zero exchanges over q97 (q121)") {
+    // leakageSafeSplit is scan-local arithmetic and the packing window
+    // just re-keys from source to split|source — q121's plan must have
+    // exactly as many exchanges as q97's, or the holdout step started
+    // shuffling on its own
+    def exchanges(name: String): Int =
+      SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+    val (base, split) =
+      (exchanges("q97_corpus_pipeline"), exchanges("q121_split_capstone"))
+    assert(split <= base, s"q121 has $split exchanges vs q97's $base")
+  }
+
   test("training shards shuffle once for the per-shard window (q118)") {
     // q118's whole permutation must cost ONE hash exchange (the window's
     // partitionBy(shard)) plus the output ORDER BY's range exchange —

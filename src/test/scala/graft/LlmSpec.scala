@@ -294,6 +294,15 @@ class LlmSpec extends AnyFunSuite {
       .select($"id", $"pack_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(packs == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+    // composite shard key: prefix sums are independent PER (a, b) pair,
+    // not per either column alone
+    val t2 = Seq((1L, "x", "u", 300L), (2L, "x", "v", 300L),
+      (3L, "x", "u", 300L)).toDF("id", "a", "b", "n_tokens")
+    val packs2 = Corpus.packSequencesBy(t2, "id", "n_tokens",
+        Seq("a", "b"), 512L)
+      .select($"id", $"prefix_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packs2 == Map(1L -> 0L, 2L -> 0L, 3L -> 300L), packs2.toString)
   }
 
   test("temperature mixing flattens the source distribution: low-resource " +

@@ -270,7 +270,11 @@ object Corpus {
     * Scale shape: the weight table is one tiny per-source aggregate
     * (map-side combined), re-attached by a broadcast join; the keep
     * decision is scan-local arithmetic. No corpus-wide shuffle at any
-    * point. */
+    * point. The global normalization (`Σ w`) runs as an empty-partition
+    * window over the weight table — one task over one row per source,
+    * the irreducible cost of any global normalization; if source
+    * cardinality ever approached row counts, the broadcast (not this
+    * window) would be the first thing to fall over. */
   def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
       targetDocs: Long): DataFrame = {
     require(targetDocs > 0, s"targetDocs must be positive, got $targetDocs")

@@ -264,8 +264,15 @@ object Corpus {
     * immediately floored to an integer (×1e6) so the cross-source SUM is
     * integer arithmetic (order-independent — a double Σ sqrt would hash
     * differently under reordered partial aggregation), and the rate is
-    * one fixed left-associated chain of IEEE ops. The row decision is
-    * then `sampleKey(id) < rate_s`.
+    * one fixed left-associated chain of IEEE DOUBLE ops (an oracle must
+    * write its literals as doubles — `100e0`, not `100.0`, which DuckDB
+    * parses as DECIMAL and computes exactly where Spark rounds). The row
+    * decision compares a FINE sampling key (the [[sampleKey]] hash mod
+    * 1e6, not mod 100) against `rate_s × 1e4`, so fractional keep-rates
+    * resolve to ~1e-4 % instead of quantizing to whole percents — a
+    * tempered rate of 0.3 % must keep ~0.3 %, not ceil it to 1 %.
+    * NULL sources form their OWN group (null-safe join), not silently
+    * dropped rows.
     *
     * Scale shape: the weight table is one tiny per-source aggregate
     * (map-side combined), re-attached by a broadcast join; the keep
@@ -278,10 +285,12 @@ object Corpus {
   def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
       targetDocs: Long): DataFrame = {
     require(targetDocs > 0, s"targetDocs must be positive, got $targetDocs")
-    val mixClash = df.columns.filter(Set("n_docs", "rate_pct"))
+    val mixClash =
+      df.columns.filter(Set("n_docs", "rate_pct", "__mix_src"))
     require(mixClash.isEmpty,
       s"temperatureMix: input column(s) ${mixClash.mkString(", ")} collide " +
-        "with the attached rate columns (n_docs, rate_pct) — rename first")
+        "with the attached rate columns (n_docs, rate_pct, __mix_src) — " +
+        "rename first")
     val counts = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w",
@@ -294,9 +303,17 @@ object Corpus {
         least(lit(100.0),
           lit(100.0) * lit(targetDocs) * col("w") / col("wsum") /
             col("n_docs")))
-      .select(col(sourceCol), col("n_docs"), col("rate_pct"))
-    df.join(broadcast(rates), sourceCol)
-      .filter(sampleKey(col(idCol)) < col("rate_pct"))
+      .select(col(sourceCol).as("__mix_src"), col("n_docs"),
+        col("rate_pct"))
+    // null-safe join: a NULL source is a legitimate group in `counts`
+    // and must sample at its own rate, not vanish through an inner
+    // equi-join that never matches NULL = NULL
+    val fineKey =
+      pmod(pmod(col(idCol), lit(MixModulus)) * lit(MixMultiplier),
+        lit(1000000L))
+    df.join(broadcast(rates), col(sourceCol) <=> col("__mix_src"))
+      .drop("__mix_src")
+      .filter(fineKey < col("rate_pct") * lit(10000.0))
   }
 
   /** Deterministic training-shard assignment + within-shard order — the

@@ -678,29 +678,14 @@ object LlmQueries {
     * it adds zero shuffles to the dedup pass the corpus already runs. */
   def q117LeakageSafeSplit(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = documents(s, d)
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 0.9)
-      .select($"id_a", $"id_b")
-    val labeled = Dedup.connectedComponents(pairs,
-      allIds = Some(docs.select($"doc_id")))
-    Corpus.leakageSafeSplit(labeled, "keep_id", trainPct = 90, valPct = 5)
+    Corpus.leakageSafeSplit(nearDupComponents(s, d), "keep_id",
+        trainPct = 90, valPct = 5)
       .orderBy($"id")
   }
-  val q117Sql: String =
-    """WITH RECURSIVE t AS (SELECT doc_id, source,
-      |    list_distinct(string_split(text, ' ')) AS toks FROM documents),
-      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-      |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE)
-      |        >= 0.9),
-      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-      |  UNION SELECT id_b, id_a FROM pairs),
-      |reach AS (
-      |  SELECT doc_id AS id, doc_id AS r FROM documents
-      |  UNION
-      |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
-      |labeled AS (SELECT id, MIN(r) AS keep_id FROM reach GROUP BY id)
+  // lazy: q57SqlPrefix (the shared closure chain — one text, no drift)
+  // is declared further down the object (the q121Sql precedent)
+  lazy val q117Sql: String = q57SqlPrefix +
+    """
       |SELECT id, keep_id,
       |  CASE WHEN (keep_id % 1000000007) * 2654435761 % 100 < 90
       |         THEN 'train'
@@ -809,8 +794,12 @@ object LlmQueries {
     * Emits per-source `(n_docs, n_kept)`. Hash-exact across engines
     * because sqrt is IEEE-correctly-rounded, the weights are floored to
     * integers before the cross-source sum, and the rate is one fixed
-    * left-associated IEEE chain (the q58 division precedent); the row
-    * decision is q92's sampleKey arithmetic. */
+    * left-associated IEEE DOUBLE chain (the q58 division precedent —
+    * note the oracle writes `100e0`/`1e4`, not `100.0`: DuckDB parses
+    * `100.0` as DECIMAL and would compute the product EXACTLY where
+    * Spark's double chain rounds, diverging for w beyond 2^53/25000);
+    * the row decision is q92's multiplicative hash at mod-1e6
+    * resolution so fractional rates don't quantize to whole percents. */
   def q119TemperatureMix(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val kept = Corpus.temperatureMix(documents(s, d), "doc_id", "source",
@@ -827,11 +816,12 @@ object LlmQueries {
       |  FROM documents GROUP BY source),
       |t AS (SELECT source, n_docs, w, SUM(w) OVER () AS wsum FROM c),
       |r AS (SELECT source, n_docs,
-      |    least(100.0, 100.0 * 250 * w / wsum / n_docs) AS rate_pct
+      |    least(100e0, 100e0 * 250 * w / wsum / n_docs) AS rate_pct
       |  FROM t)
       |SELECT d.source, r.n_docs, COUNT(*) AS n_kept
       |FROM documents d JOIN r ON d.source = r.source
-      |WHERE (d.doc_id % 1000000007) * 2654435761 % 100 < r.rate_pct
+      |WHERE (d.doc_id % 1000000007) * 2654435761 % 1000000
+      |      < r.rate_pct * 1e4
       |GROUP BY d.source, r.n_docs
       |ORDER BY d.source""".stripMargin
 
@@ -1398,16 +1388,23 @@ object LlmQueries {
     * recursive-CTE reachability closure; the minhash-pair variant of the
     * same [[Dedup.connectedComponents]] stays ScalaTest-gated (LlmSpec
     * exact graphs + q42's pair recall). */
-  def q57DedupComponents(s: SparkSession, d: String): DataFrame = {
+  /** The q57/q117 shared component machinery: token-Jaccard pairs →
+    * connected components over ALL docs (unpaired docs keep themselves).
+    * ONE body (and ONE oracle prefix below) so the two queries can never
+    * drift apart on what "near-dup component" means — the q97SqlPrefix
+    * convention applied to the q57 closure. */
+  private def nearDupComponents(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d)
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 0.9)
       .select($"id_a", $"id_b")
     Dedup.connectedComponents(pairs,
-        allIds = Some(docs.select($"doc_id")))
-      .orderBy($"id")
+      allIds = Some(docs.select($"doc_id")))
   }
-  val q57Sql: String =
+  /** The CTE chain from documents through the recursive closure to
+    * `labeled(id, keep_id)` — q57 selects it directly, q117 layers the
+    * split arithmetic on top. */
+  private val q57SqlPrefix: String =
     """WITH RECURSIVE t AS (SELECT doc_id, source,
       |    list_distinct(string_split(text, ' ')) AS toks FROM documents),
       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1420,8 +1417,16 @@ object LlmQueries {
       |reach AS (
       |  SELECT doc_id AS id, doc_id AS r FROM documents
       |  UNION
-      |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src)
-      |SELECT id, MIN(r) AS keep_id FROM reach GROUP BY id ORDER BY id""".stripMargin
+      |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
+      |labeled AS (SELECT id, MIN(r) AS keep_id FROM reach GROUP BY id)"""
+      .stripMargin
+
+  def q57DedupComponents(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    nearDupComponents(s, d).orderBy($"id")
+  }
+  val q57Sql: String = q57SqlPrefix +
+    "\nSELECT id, keep_id FROM labeled ORDER BY id"
 
   /** q58 — composed training-corpus cleaning pipeline, fully
     * SQL-expressible and oracle-checked end to end: language gate →

@@ -330,6 +330,18 @@ class LlmSpec extends AnyFunSuite {
     val again = Corpus.temperatureMix(docs, "id", "src", 500L)
       .select($"id").collect().map(_.getLong(0)).toSet
     assert(again == kept.select($"id").collect().map(_.getLong(0)).toSet)
+    // NULL sources are their own group, not silently dropped (the
+    // equi-join would never match NULL = NULL; the operator joins
+    // null-safely) — an over-corpus target keeps ALL of them
+    val withNull = (docs.toDF("id", "src") union
+      Seq((5000L, null.asInstanceOf[String])).toDF("id", "src"))
+    assert(Corpus.temperatureMix(withNull, "id", "src", 100000L)
+      .count() == 1001)
+    // fractional rates resolve below one percent: one source at ~0.25%
+    // target rate must keep SOME rows but far fewer than 1% would
+    val big = (0L until 100000L).map(i => (i, "only")).toDF("id", "src")
+    val tiny = Corpus.temperatureMix(big, "id", "src", 250L).count()
+    assert(tiny > 100 && tiny < 500, s"kept $tiny of 100000 at 0.25%")
     intercept[IllegalArgumentException] {
       Corpus.temperatureMix(docs, "id", "src", 0L)
     }

@@ -316,6 +316,34 @@ object Corpus {
       .filter(fineKey < col("rate_pct") * lit(10000.0))
   }
 
+  /** Deterministic stratified sampling: exactly `min(k, |group|)` rows
+    * per group, chosen by md5-hash order of the id (the
+    * [[shardForTraining]] idiom) — the fixed-size per-domain carve-out
+    * an eval set needs. Hash order, not id order: low ids are usually
+    * the OLDEST documents, and an eval set of the corpus's oldest rows
+    * is not a sample of it. Engine-reproducible and stable: a document's
+    * rank moves only when another document ENTERS its own group's top-k
+    * margin, never because an unrelated group grew. Adds `sample_rank`
+    * (1-based).
+    *
+    * Scale shape: one shuffle (the per-group window); output is
+    * k-bounded per group. For k ≪ group size on very large groups, the
+    * sort is the cost — a TopK partial aggregation
+    * ([[graft.functions.TopKAgg]]) is the serving-path alternative; the
+    * window form is the oracle-exact reference. */
+  def stratifiedSample(df: DataFrame, idCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    require(!df.columns.contains("sample_rank"),
+      "stratifiedSample: input already has a 'sample_rank' column — " +
+        "rename it before sampling")
+    val hk = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col(groupCol)).orderBy(hk, col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Deterministic training-shard assignment + within-shard order — the
     * "global shuffle" a training run needs, realized the only way that
     * scales: as `nShards` INDEPENDENT pseudo-random permutations.

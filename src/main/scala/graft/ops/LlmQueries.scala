@@ -786,6 +786,30 @@ object LlmQueries {
       |FROM p GROUP BY split, source, pack_id
       |ORDER BY split, source, pack_id""".stripMargin
 
+  /** q122 — deterministic stratified sampling
+    * ([[graft.llm.Corpus.stratifiedSample]]): exactly 5 docs per source
+    * in md5-hash order — the fixed-size per-domain eval carve-out
+    * (hash order, not id order: the oldest rows are not a sample).
+    * Oracle replays the digest-ranked window verbatim. */
+  def q122StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Corpus.stratifiedSample(documents(s, d).select($"doc_id", $"source"),
+        "doc_id", "source", k = 5)
+      .select($"source", $"doc_id", $"sample_rank")
+      .orderBy($"source", $"sample_rank")
+  }
+  val q122Sql: String =
+    """WITH h AS (SELECT doc_id, source,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS hk
+      |  FROM documents),
+      |r AS (SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id)
+      |      AS sample_rank
+      |  FROM h)
+      |SELECT source, doc_id, sample_rank FROM r WHERE sample_rank <= 5
+      |ORDER BY source, sample_rank""".stripMargin
+
   /** q119 — temperature-based source mixing
     * ([[graft.llm.Corpus.temperatureMix]]): sources sampled at the
     * T=2-tempered share `sqrt(n_s)/Σ sqrt(n_t)` scaled to a 250-doc
@@ -1896,6 +1920,7 @@ object LlmQueries {
     "q118_training_shards" -> (q118TrainingShards _),
     "q119_temperature_mix" -> (q119TemperatureMix _),
     "q121_split_capstone" -> (q121SplitCapstone _),
+    "q122_stratified_sample" -> (q122StratifiedSample _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -1943,6 +1968,7 @@ object LlmQueries {
     "q118_training_shards" -> q118Sql,
     "q119_temperature_mix" -> q119Sql,
     "q121_split_capstone" -> q121Sql,
+    "q122_stratified_sample" -> q122Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

@@ -347,6 +347,30 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample takes min(k, group size) per group in hash " +
+      "order, deterministically") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    val docs = ((0L until 100L).map(i => (i, "big")) ++
+      (200L until 203L).map(i => (i, "small"))).toDF("id", "src")
+    val sampled = Corpus.stratifiedSample(docs, "id", "src", 5)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    val bySrc = sampled.groupBy(_._1)
+    assert(bySrc("big").length == 5 && bySrc("small").length == 3)
+    // ranks are 1..n within each group
+    assert(bySrc("big").map(_._3).sorted.toSeq == (1 to 5))
+    // hash order, not id order: the big group's sample must not be 0..4
+    assert(bySrc("big").map(_._2).sorted.toSeq != (0L until 5L).toSeq)
+    // deterministic
+    val again = Corpus.stratifiedSample(docs, "id", "src", 5)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    assert(sampled.sortBy(x => (x._1, x._3)).toSeq ==
+      again.sortBy(x => (x._1, x._3)).toSeq)
+    intercept[IllegalArgumentException] {
+      Corpus.stratifiedSample(docs, "id", "src", 0)
+    }
+  }
+
   test("leakage-safe split keeps a keeper group together; shard order is " +
       "a deterministic per-shard permutation") {
     import spark.implicits._

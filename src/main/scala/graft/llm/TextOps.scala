@@ -105,6 +105,27 @@ object TextOps {
 
   /** Stable document fingerprint: md5 of whitespace-normalized lowercase
     * text (SQL-expressible; the oracle mirrors it). */
+  /** Conservative shared-syntax email pattern: character classes, `+`,
+    * `{2,}` only — constructs Java regex (Spark) and RE2 (DuckDB)
+    * evaluate identically, so redaction is oracle-checkable. Anything
+    * fancier (lookaround, backrefs) is Java-only and would silently
+    * diverge. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** URL pattern restricted to an explicit charset (no lazy
+    * quantifiers, no \\S) for the same cross-engine reason. */
+  val UrlRe = "https?://[A-Za-z0-9./_-]+"
+
+  /** PII scrubbing — the standard pretraining cleaning stage the
+    * quality gates don't cover: replace emails then URLs with stable
+    * placeholder tokens. Emails first: a URL userinfo part could
+    * otherwise leave a dangling match. Pure `regexp_replace`, so the
+    * whole scrub is one codegen projection — map-only at any scale. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      UrlRe, "<URL>")
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), WsClass, " "))
 

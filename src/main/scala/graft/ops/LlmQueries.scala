@@ -810,6 +810,50 @@ object LlmQueries {
       |SELECT source, doc_id, sample_rank FROM r WHERE sample_rank <= 5
       |ORDER BY source, sample_rank""".stripMargin
 
+  /** q123 — PII redaction ([[graft.llm.TextOps.redactPii]]): emails and
+    * URLs scrubbed to placeholder tokens, the cleaning stage the quality
+    * gates don't cover. The fixture corpus contains no PII, so the query
+    * SPIKES it deterministically (the q107 roughening move): every third
+    * doc gains an email and a URL derived from doc_id arithmetic —
+    * identical text in both engines — and the oracle replays spike,
+    * redaction and counts verbatim. The patterns are deliberately
+    * shared-syntax (character classes only) so Java regex and RE2 agree;
+    * the scrub itself is one codegen projection, map-only at 100 TB. */
+  def q123RedactPii(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spiked = documents(s, d)
+      .filter(pmod($"doc_id", lit(3)) === 0)
+      .withColumn("spiked_text", concat($"text",
+        lit(" contact user"), pmod($"doc_id", lit(50)).cast("string"),
+        lit("@example.com via http://host"),
+        pmod($"doc_id", lit(20)).cast("string"),
+        lit(".example/path now")))
+    spiked.select($"doc_id",
+        regexp_count($"spiked_text", lit(TextOps.EmailRe)).as("n_emails"),
+        regexp_count($"spiked_text", lit(TextOps.UrlRe)).as("n_urls"),
+        TextOps.redactPii($"spiked_text").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+  val q123Sql: String =
+    """WITH s AS (SELECT doc_id, text ||
+      |    ' contact user' || CAST(doc_id % 50 AS VARCHAR) ||
+      |    '@example.com via http://host' ||
+      |    CAST(doc_id % 20 AS VARCHAR) ||
+      |    '.example/path now' AS spiked_text
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(spiked_text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(spiked_text,
+      |    'https?://[A-Za-z0-9./_-]+')) AS INTEGER) AS n_urls,
+      |  regexp_replace(
+      |    regexp_replace(spiked_text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |      '<EMAIL>', 'g'),
+      |    'https?://[A-Za-z0-9./_-]+', '<URL>', 'g') AS clean_text
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** q119 — temperature-based source mixing
     * ([[graft.llm.Corpus.temperatureMix]]): sources sampled at the
     * T=2-tempered share `sqrt(n_s)/Σ sqrt(n_t)` scaled to a 250-doc
@@ -1921,6 +1965,7 @@ object LlmQueries {
     "q119_temperature_mix" -> (q119TemperatureMix _),
     "q121_split_capstone" -> (q121SplitCapstone _),
     "q122_stratified_sample" -> (q122StratifiedSample _),
+    "q123_redact_pii" -> (q123RedactPii _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -1969,6 +2014,7 @@ object LlmQueries {
     "q119_temperature_mix" -> q119Sql,
     "q121_split_capstone" -> q121Sql,
     "q122_stratified_sample" -> q122Sql,
+    "q123_redact_pii" -> q123Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

@@ -347,6 +347,25 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("pii redaction scrubs emails then urls and leaves clean text " +
+      "untouched") {
+    import spark.implicits._
+    val got = Seq(
+      (1L, "mail a.b+c@ex-1.org now"),
+      (2L, "see https://ex.org/a_b-c.html and http://x.io/p"),
+      (3L, "both bob@ex.org at http://ex.org/u"),
+      (4L, "clean text no pii"),
+      (5L, "not@tld or http:// alone")) // no TLD / empty host: no match
+      .toDF("id", "t")
+      .select($"id", graft.llm.TextOps.redactPii($"t").as("c"))
+      .orderBy($"id").collect().map(_.getString(1))
+    assert(got(0) == "mail <EMAIL> now")
+    assert(got(1) == "see <URL> and <URL>")
+    assert(got(2) == "both <EMAIL> at <URL>")
+    assert(got(3) == "clean text no pii")
+    assert(got(4) == "not@tld or http:// alone")
+  }
+
   test("stratified sample takes min(k, group size) per group in hash " +
       "order, deterministically") {
     import spark.implicits._

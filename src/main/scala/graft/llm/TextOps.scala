@@ -126,6 +126,19 @@ object TextOps {
       regexp_replace(text, EmailRe, "<EMAIL>"),
       UrlRe, "<URL>")
 
+  /** C4-style line filtering (Raffel et al. 2020 §2.2): drop lines with
+    * fewer than `minWords` whitespace words, rejoin the survivors — the
+    * boilerplate gate (nav menus, cookie banners, footers are short
+    * lines). Pure builtins (`split` → `filter` HOF → `array_join`), one
+    * codegen projection, map-only at any scale. A text whose every line
+    * fails becomes the empty string — callers gate on that downstream
+    * (the q58 clean-stage convention). */
+  def c4LineFilter(text: Column, minWords: Int = 3): Column =
+    array_join(
+      filter(split(text, "\n"),
+        l => size(split(l, " ")) >= minWords),
+      "\n")
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), WsClass, " "))
 

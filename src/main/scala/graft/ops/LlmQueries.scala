@@ -854,6 +854,41 @@ object LlmQueries {
       |    'https?://[A-Za-z0-9./_-]+', '<URL>', 'g') AS clean_text
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** q124 — C4-style line filtering ([[graft.llm.TextOps.c4LineFilter]]):
+    * drop boilerplate lines (< 3 words), rejoin the survivors — Raffel
+    * et al. 2020 §2.2, the cleaning stage before any quality scoring.
+    * Fixture texts are single-line, so the query builds a 3-line text
+    * deterministically (first 60 chars | a 2-word "menu home" line |
+    * the rest — same `substr`/concat semantics both engines, the q123
+    * spiking move); the oracle replays construction, per-line word
+    * gate and rejoin verbatim. One codegen projection, map-only. */
+  def q124LineFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spiked = concat(substring($"text", 1, 60), lit("\nmenu home\n"),
+      substring($"text", 61, 1000000))
+    val lines = split(spiked, "\n")
+    documents(s, d)
+      .select($"doc_id",
+        size(lines).as("n_lines"),
+        size(filter(lines, l => size(split(l, " ")) >= 3)).as("n_kept"),
+        TextOps.c4LineFilter(spiked).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+  val q124Sql: String =
+    """WITH s AS (SELECT doc_id,
+      |    substr(text, 1, 60) || chr(10) || 'menu home' || chr(10) ||
+      |      substr(text, 61, 1000000) AS sp
+      |  FROM documents),
+      |l AS (SELECT doc_id, string_split(sp, chr(10)) AS ls FROM s)
+      |SELECT doc_id,
+      |  CAST(len(ls) AS INTEGER) AS n_lines,
+      |  CAST(len(list_filter(ls, x -> len(string_split(x, ' ')) >= 3))
+      |    AS INTEGER) AS n_kept,
+      |  array_to_string(
+      |    list_filter(ls, x -> len(string_split(x, ' ')) >= 3), chr(10))
+      |    AS clean_text
+      |FROM l ORDER BY doc_id""".stripMargin
+
   /** q119 — temperature-based source mixing
     * ([[graft.llm.Corpus.temperatureMix]]): sources sampled at the
     * T=2-tempered share `sqrt(n_s)/Σ sqrt(n_t)` scaled to a 250-doc
@@ -1966,6 +2001,7 @@ object LlmQueries {
     "q121_split_capstone" -> (q121SplitCapstone _),
     "q122_stratified_sample" -> (q122StratifiedSample _),
     "q123_redact_pii" -> (q123RedactPii _),
+    "q124_line_filter" -> (q124LineFilter _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -2015,6 +2051,7 @@ object LlmQueries {
     "q121_split_capstone" -> q121Sql,
     "q122_stratified_sample" -> q122Sql,
     "q123_redact_pii" -> q123Sql,
+    "q124_line_filter" -> q124Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

@@ -17,6 +17,24 @@ import graft.ops.AsOfJoin
 class EdgeCasesSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("bench metric line stays inside the driver's 2000-char tail window") {
+    // The driver captures only the LAST ~2000 chars of Bench stdout and
+    // the sbt [success] footer eats ~130 of them; a metric line past
+    // ~1850 chars silently truncates the round's per-query signal.
+    // Per-query: "key":XX.XXX, = short key + 10 (two-digit seconds is
+    // the realistic per-query ceiling at sf0.1; the round-7 actual line
+    // was 1575 chars at 119 queries, matching this estimate's slack);
+    // fixed skeleton + detail/sf suffix + sbt "[info] " prefix ≈ 140.
+    val shortKey: String => String = n => n.takeWhile(_ != '_')
+    // .toSeq first: mapping a key SET to lengths would dedup them and
+    // collapse the sum to a handful of distinct ints
+    val est = 140 + SparkEntry.queries.keys.toSeq
+      .map(k => shortKey(k).length + 10).sum
+    assert(est <= 1850,
+      s"estimated Bench line $est chars — the driver tail window will " +
+        "truncate it; shorten query keys or split reporting")
+  }
+
   private def emptyDf(schema: String) = {
     import org.apache.spark.sql.Row
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row],

@@ -347,6 +347,21 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("c4 line filter drops short lines, keeps order, empties out " +
+      "all-boilerplate docs") {
+    import spark.implicits._
+    val got = Seq(
+      (1L, "a long enough line here\nmenu\nanother good long line\nok go"),
+      (2L, "home\nabout\ncontact us"),
+      (3L, "one single sufficiently long line"))
+      .toDF("id", "t")
+      .select($"id", graft.llm.TextOps.c4LineFilter($"t").as("c"))
+      .orderBy($"id").collect().map(_.getString(1))
+    assert(got(0) == "a long enough line here\nanother good long line")
+    assert(got(1) == "") // every line < 3 words -> empty, caller gates
+    assert(got(2) == "one single sufficiently long line")
+  }
+
   test("pii redaction scrubs emails then urls and leaves clean text " +
       "untouched") {
     import spark.implicits._

@@ -156,7 +156,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // decontamination (tier 3 never enters reps). A refactor that loses
     // the checkpoint re-derives reps per consumer and the scan count
     // multiplies — silently doubling the dominant cost of the pipeline.
-    for (name <- Seq("q97_corpus_pipeline", "q105_chunked_capstone")) {
+    for (name <- Seq("q97_corpus_pipeline", "q105_chunked_capstone",
+        "q121_split_capstone")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       val docScans = plan.linesIterator.count(l =>

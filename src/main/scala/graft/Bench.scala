@@ -1,6 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** "q57_dedup_components" -> "q57" — the stdout metric-line key.
+    * Object-level (not local to main) so EdgeCasesSpec's tail-budget
+    * tripwire estimates the line from the SAME rule the emitter uses —
+    * a format change here re-calibrates the test automatically. */
+  val shortKey: String => String = n => n.takeWhile(_ != '_')
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -89,9 +95,8 @@ object Bench {
     // NonFatal only: an unwritable detail path must not kill the bench
     // numbers below, but an OOM/VM error must not be swallowed either
     catch { case scala.util.control.NonFatal(_) => () }
-    // "q57_dedup_components" -> "q57"; ids are unique by construction, but
-    // fall back to the full name on any collision rather than drop data
-    val shortKey: String => String = n => n.takeWhile(_ != '_')
+    // ids are unique by construction, but fall back to the full name on
+    // any collision rather than drop data
     val collided = results.keys.groupBy(shortKey).collect {
       case (_, vs) if vs.size > 1 => vs
     }.flatten.toSet

@@ -316,6 +316,20 @@ object Corpus {
       .filter(fineKey < col("rate_pct") * lit(10000.0))
   }
 
+  /** The 60-bit md5 digest key both deterministic-order operators hash
+    * with: `half = 0` takes hex chars 1-15 of md5(id-as-string), `half
+    * = 1` the next 15 — each an exact 60-bit integer, reproduced in
+    * DuckDB as `CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1|16,
+    * 15)) AS BIGINT)`. ONE definition so the Spark side and every
+    * oracle twin stay bit-identical ([[shardForTraining]],
+    * [[stratifiedSample]]; Dedup's shingle/token hashing has its own
+    * older copies tied to their oracles). */
+  def digestKey60(id: Column, half: Int): Column = {
+    require(half == 0 || half == 1, s"half must be 0 or 1, got $half")
+    conv(substring(md5(id.cast("string")), 1 + 15 * half, 15), 16, 10)
+      .cast("long")
+  }
+
   /** Deterministic stratified sampling: exactly `min(k, |group|)` rows
     * per group, chosen by md5-hash order of the id (the
     * [[shardForTraining]] idiom) — the fixed-size per-domain carve-out
@@ -337,9 +351,13 @@ object Corpus {
     require(!df.columns.contains("sample_rank"),
       "stratifiedSample: input already has a 'sample_rank' column — " +
         "rename it before sampling")
-    val hk = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
-    val w = Window.partitionBy(col(groupCol)).orderBy(hk, col(idCol))
+    val hk = digestKey60(col(idCol), 0)
+    // NULLS LAST explicitly: a NULL id hashes to a NULL key, and Spark
+    // defaults NULLs FIRST where DuckDB (and SQL oracles generally)
+    // default them LAST — without this a NULL id would be sampled by
+    // one engine and not the other
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hk.asc_nulls_last, col(idCol).asc_nulls_last)
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }
@@ -370,10 +388,8 @@ object Corpus {
       s"shardForTraining: input column(s) ${shardClash.mkString(", ")} " +
         "collide with the outputs (shard, order_key, pos_in_shard) — " +
         "rename before sharding")
-    val hex = md5(col(idCol).cast("string"))
-    val shard = pmod(conv(substring(hex, 1, 15), 16, 10).cast("long"),
-      lit(nShards.toLong))
-    val orderKey = conv(substring(hex, 16, 15), 16, 10).cast("long")
+    val shard = pmod(digestKey60(col(idCol), 0), lit(nShards.toLong))
+    val orderKey = digestKey60(col(idCol), 1)
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("order_key"), col(idCol))
     df.withColumn("shard", shard)

@@ -105,6 +105,9 @@ object TextOps {
 
   /** Stable document fingerprint: md5 of whitespace-normalized lowercase
     * text (SQL-expressible; the oracle mirrors it). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), WsClass, " "))
+
   /** Conservative shared-syntax email pattern: character classes, `+`,
     * `{2,}` only — constructs Java regex (Spark) and RE2 (DuckDB)
     * evaluate identically, so redaction is oracle-checkable. Anything
@@ -113,8 +116,12 @@ object TextOps {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
   /** URL pattern restricted to an explicit charset (no lazy
-    * quantifiers, no \\S) for the same cross-engine reason. */
-  val UrlRe = "https?://[A-Za-z0-9./_-]+"
+    * quantifiers, no \\S) for the same cross-engine reason. The class
+    * includes the query/fragment/port characters `? = & % : # ~ + !`
+    * — all literal inside a character class in BOTH engines — so
+    * `...?token=secret` or `:8080/x` tails are scrubbed with the URL
+    * rather than left dangling after the placeholder. */
+  val UrlRe = "https?://[A-Za-z0-9./_?=&%:#~+!-]+"
 
   /** PII scrubbing — the standard pretraining cleaning stage the
     * quality gates don't cover: replace emails then URLs with stable
@@ -127,20 +134,20 @@ object TextOps {
       UrlRe, "<URL>")
 
   /** C4-style line filtering (Raffel et al. 2020 §2.2): drop lines with
-    * fewer than `minWords` whitespace words, rejoin the survivors — the
-    * boilerplate gate (nav menus, cookie banners, footers are short
-    * lines). Pure builtins (`split` → `filter` HOF → `array_join`), one
-    * codegen projection, map-only at any scale. A text whose every line
-    * fails becomes the empty string — callers gate on that downstream
-    * (the q58 clean-stage convention). */
+    * fewer than `minWords` whitespace WORDS — counted with
+    * [[regexTokens]], so runs of spaces/tabs don't inflate the count
+    * (an all-whitespace line is 0 words, a tab-separated sentence
+    * counts every word) — and rejoin the survivors: the boilerplate
+    * gate (nav menus, cookie banners, footers are short lines). Pure
+    * builtins (`split` → `filter` HOF → `array_join`), one codegen
+    * projection, map-only at any scale. A text whose every line fails
+    * becomes the empty string — callers gate on that downstream (the
+    * q58 clean-stage convention). */
   def c4LineFilter(text: Column, minWords: Int = 3): Column =
     array_join(
       filter(split(text, "\n"),
-        l => size(split(l, " ")) >= minWords),
+        l => size(regexTokens(l)) >= minWords),
       "\n")
-
-  def fingerprint(text: Column): Column =
-    md5(regexp_replace(trim(lower(text)), WsClass, " "))
 
   /** Winnowing fingerprint set (Schleimer et al. 2003): k-gram rolling
     * hashes, minimum per sliding window — robust to local edits. */

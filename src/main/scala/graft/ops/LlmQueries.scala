@@ -834,8 +834,11 @@ object LlmQueries {
         TextOps.redactPii($"spiked_text").as("clean_text"))
       .orderBy($"doc_id")
   }
+  // the regex patterns interpolate from TextOps so the Spark scrub and
+  // its oracle can never drift (EmailRe's Scala "\\." lands as the
+  // single-backslash DuckDB literal it must be)
   val q123Sql: String =
-    """WITH s AS (SELECT doc_id, text ||
+    s"""WITH s AS (SELECT doc_id, text ||
       |    ' contact user' || CAST(doc_id % 50 AS VARCHAR) ||
       |    '@example.com via http://host' ||
       |    CAST(doc_id % 20 AS VARCHAR) ||
@@ -843,15 +846,13 @@ object LlmQueries {
       |  FROM documents WHERE doc_id % 3 = 0)
       |SELECT doc_id,
       |  CAST(len(regexp_extract_all(spiked_text,
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
-      |    AS n_emails,
+      |    '${TextOps.EmailRe}')) AS INTEGER) AS n_emails,
       |  CAST(len(regexp_extract_all(spiked_text,
-      |    'https?://[A-Za-z0-9./_-]+')) AS INTEGER) AS n_urls,
+      |    '${TextOps.UrlRe}')) AS INTEGER) AS n_urls,
       |  regexp_replace(
       |    regexp_replace(spiked_text,
-      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-      |      '<EMAIL>', 'g'),
-      |    'https?://[A-Za-z0-9./_-]+', '<URL>', 'g') AS clean_text
+      |      '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+      |    '${TextOps.UrlRe}', '<URL>', 'g') AS clean_text
       |FROM s ORDER BY doc_id""".stripMargin
 
   /** q124 — C4-style line filtering ([[graft.llm.TextOps.c4LineFilter]]):
@@ -870,10 +871,13 @@ object LlmQueries {
     documents(s, d)
       .select($"doc_id",
         size(lines).as("n_lines"),
-        size(filter(lines, l => size(split(l, " ")) >= 3)).as("n_kept"),
+        size(filter(lines, l => size(TextOps.regexTokens(l)) >= 3))
+          .as("n_kept"),
         TextOps.c4LineFilter(spiked).as("clean_text"))
       .orderBy($"doc_id")
   }
+  // words counted like TextOps.regexTokens (split on the whitespace
+  // class, drop empties) — the q107 string_split_regex twin
   val q124Sql: String =
     """WITH s AS (SELECT doc_id,
       |    substr(text, 1, 60) || chr(10) || 'menu home' || chr(10) ||
@@ -882,11 +886,13 @@ object LlmQueries {
       |l AS (SELECT doc_id, string_split(sp, chr(10)) AS ls FROM s)
       |SELECT doc_id,
       |  CAST(len(ls) AS INTEGER) AS n_lines,
-      |  CAST(len(list_filter(ls, x -> len(string_split(x, ' ')) >= 3))
-      |    AS INTEGER) AS n_kept,
+      |  CAST(len(list_filter(ls, x ->
+      |    len(list_filter(string_split_regex(x, '[ \t\n\v\f\r]+'),
+      |      y -> y != '')) >= 3)) AS INTEGER) AS n_kept,
       |  array_to_string(
-      |    list_filter(ls, x -> len(string_split(x, ' ')) >= 3), chr(10))
-      |    AS clean_text
+      |    list_filter(ls, x ->
+      |      len(list_filter(string_split_regex(x, '[ \t\n\v\f\r]+'),
+      |        y -> y != '')) >= 3), chr(10)) AS clean_text
       |FROM l ORDER BY doc_id""".stripMargin
 
   /** q119 — temperature-based source mixing

@@ -25,11 +25,12 @@ class EdgeCasesSpec extends AnyFunSuite {
     // the realistic per-query ceiling at sf0.1; the round-7 actual line
     // was 1575 chars at 119 queries, matching this estimate's slack);
     // fixed skeleton + detail/sf suffix + sbt "[info] " prefix ≈ 140.
-    val shortKey: String => String = n => n.takeWhile(_ != '_')
+    // Bench.shortKey is the emitter's own rule — shared, not copied, so
+    // a format change re-calibrates this estimate.
     // .toSeq first: mapping a key SET to lengths would dedup them and
     // collapse the sum to a handful of distinct ints
     val est = 140 + SparkEntry.queries.keys.toSeq
-      .map(k => shortKey(k).length + 10).sum
+      .map(k => Bench.shortKey(k).length + 10).sum
     assert(est <= 1850,
       s"estimated Bench line $est chars — the driver tail window will " +
         "truncate it; shorten query keys or split reporting")

@@ -353,13 +353,17 @@ class LlmSpec extends AnyFunSuite {
     val got = Seq(
       (1L, "a long enough line here\nmenu\nanother good long line\nok go"),
       (2L, "home\nabout\ncontact us"),
-      (3L, "one single sufficiently long line"))
+      (3L, "one single sufficiently long line"),
+      (4L, "      \nreal tab\tseparated words\n \t "))
       .toDF("id", "t")
       .select($"id", graft.llm.TextOps.c4LineFilter($"t").as("c"))
       .orderBy($"id").collect().map(_.getString(1))
     assert(got(0) == "a long enough line here\nanother good long line")
     assert(got(1) == "") // every line < 3 words -> empty, caller gates
     assert(got(2) == "one single sufficiently long line")
+    // WORDS, not space-split tokens: whitespace-only lines are 0 words
+    // (dropped), tab-separated words all count (kept)
+    assert(got(3) == "real tab\tseparated words")
   }
 
   test("pii redaction scrubs emails then urls and leaves clean text " +
@@ -370,7 +374,8 @@ class LlmSpec extends AnyFunSuite {
       (2L, "see https://ex.org/a_b-c.html and http://x.io/p"),
       (3L, "both bob@ex.org at http://ex.org/u"),
       (4L, "clean text no pii"),
-      (5L, "not@tld or http:// alone")) // no TLD / empty host: no match
+      (5L, "not@tld or http:// alone"), // no TLD / empty host: no match
+      (6L, "go https://ex.org:8080/reset?token=a1b2&u=x#f now"))
       .toDF("id", "t")
       .select($"id", graft.llm.TextOps.redactPii($"t").as("c"))
       .orderBy($"id").collect().map(_.getString(1))
@@ -379,6 +384,9 @@ class LlmSpec extends AnyFunSuite {
     assert(got(2) == "both <EMAIL> at <URL>")
     assert(got(3) == "clean text no pii")
     assert(got(4) == "not@tld or http:// alone")
+    // ports, query strings and fragments scrub WITH the url — a secret
+    // token must not survive as a dangling tail after the placeholder
+    assert(got(5) == "go <URL> now")
   }
 
   test("stratified sample takes min(k, group size) per group in hash " +

@@ -102,11 +102,30 @@ object Bench {
     }.flatten.toSet
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
+    // Tail budget (round-7 verdict item 7): the driver keeps only ~2000
+    // trailing stdout chars, and past ~120 queries the full per-query
+    // map outgrows that window — so the stdout line carries the SLOWEST
+    // `stdoutTopK` queries plus every FAILED one (-1 must never be
+    // invisible), with "qn" (total count) and "qcut" (the smallest
+    // reported time) bounding everything omitted: a query absent from
+    // the map is known to cost < qcut in this run, and any regression
+    // big enough to matter lifts the query into the map by definition.
+    // The full-precision full-name map is in bench_detail.json (written
+    // above, committed with the repo).
+    val stdoutTopK = 30
+    val slowest = results.toSeq.sortBy(-_._2).take(stdoutTopK)
+      .map(_._1).toSet
+    val shown = results.filter { case (k, v) => v < 0 || slowest(k) }
+    val qcut =
+      shown.values.filter(_ >= 0) match {
+        case vs if vs.nonEmpty => fmt(vs.min)
+        case _ => fmt(0.0)
+      }
+    val qs = shown.toSeq.sortBy(_._1).map { case (k, v) =>
       val key = if (collided(k)) k else shortKey(k)
       s"\"" + key + "\":" + fmt(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"detail":"$detailJson","sf":"$sfJson"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qn":${results.size},"qcut":$qcut,"queries":$qs,"detail":"$detailJson","sf":"$sfJson"}""")
     spark.stop()
   }
 }

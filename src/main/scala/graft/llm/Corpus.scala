@@ -285,35 +285,100 @@ object Corpus {
   def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
       targetDocs: Long): DataFrame = {
     require(targetDocs > 0, s"targetDocs must be positive, got $targetDocs")
-    val mixClash =
-      df.columns.filter(Set("n_docs", "rate_pct", "__mix_src"))
-    require(mixClash.isEmpty,
-      s"temperatureMix: input column(s) ${mixClash.mkString(", ")} collide " +
-        "with the attached rate columns (n_docs, rate_pct, __mix_src) — " +
+    checkMixClash(df, "temperatureMix", Set("n_docs", "rate_pct", "__mix_src"))
+    // null-safe join: a NULL source is a legitimate group in `counts`
+    // and must sample at its own rate, not vanish through an inner
+    // equi-join that never matches NULL = NULL
+    df.join(broadcast(temperedRates(df, sourceCol, targetDocs, 100.0)),
+        col(sourceCol) <=> col("__mix_src"))
+      .drop("__mix_src")
+      .filter(fineSampleKey(col(idCol)) < col("rate_pct") * lit(10000.0))
+  }
+
+  /** Temperature mixing WITH up-sampling — the T<1 regime
+    * [[temperatureMix]]'s 100 % cap silently degrades out of: when the
+    * tempered rate for a low-resource source exceeds 100 %, the source
+    * is REPEATED — `floor(rate/100)` full copies of every row (epochs)
+    * plus one extra copy for the rows the fractional tail selects under
+    * the exact [[sampleKey]] rule [[temperatureMix]] already uses.
+    * Rates cap at `maxEpochs × 100 %` (the standard few-epoch bound:
+    * repeating a tiny source dozens of times memorizes it, so the cap
+    * is a named knob, not an accident of arithmetic). Output = input
+    * columns + `n_docs`, `rate_pct`, `epoch` (0-based copy index) —
+    * (id, epoch) is the output key; downstream packing/sharding must
+    * key on both (or a derived unique id), since ids now repeat.
+    *
+    * Engine-reproducible exactly as [[temperatureMix]]: same integer
+    * weight sum, same fixed left-associated IEEE DOUBLE rate chain with
+    * the cap as `least(maxEpochs·100e0, …)`, and the split into
+    * `full = floor(rate/100e0)` copies + fractional tail
+    * `rate − full·100e0` is more fixed IEEE arithmetic — an oracle
+    * replays row multiplicities bit-for-bit (`unnest(range(0, n))` ↔
+    * `explode(sequence(0, n−1))`).
+    *
+    * Scale shape: [[temperatureMix]]'s broadcast-rates + scan-local
+    * arithmetic, plus a scan-local `explode` whose fan-out is bounded
+    * by `maxEpochs` — no shuffle is added; the repeats materialize in
+    * whatever sink follows, which is the point (a training corpus is
+    * written once with the repeats in place). */
+  def temperatureMixEpochs(df: DataFrame, idCol: String,
+      sourceCol: String, targetDocs: Long, maxEpochs: Int): DataFrame = {
+    require(targetDocs > 0, s"targetDocs must be positive, got $targetDocs")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    checkMixClash(df, "temperatureMixEpochs",
+      Set("n_docs", "rate_pct", "__mix_src", "n_copies", "epoch"))
+    val joined = df.join(
+        broadcast(temperedRates(df, sourceCol, targetDocs,
+          100.0 * maxEpochs)),
+        col(sourceCol) <=> col("__mix_src"))
+      .drop("__mix_src")
+    // full epochs are guaranteed copies; the fractional remainder keeps
+    // one MORE copy for exactly the rows the plain-mix hash rule keeps
+    // at that fractional rate (so maxEpochs=1 reproduces temperatureMix
+    // row-for-row, epoch ≡ 0)
+    val full = floor(col("rate_pct") / lit(100.0)).cast("long")
+    val frac = col("rate_pct") - full.cast("double") * lit(100.0)
+    val copies = full +
+      when(fineSampleKey(col(idCol)) < frac * lit(10000.0), lit(1L))
+        .otherwise(lit(0L))
+    joined.withColumn("n_copies", copies)
+      .filter(col("n_copies") > 0) // sequence(0,-1) would count DOWN
+      .withColumn("epoch", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("n_copies")
+  }
+
+  /** [[sampleKey]] at mod-1e6 resolution (the fractional-rate variant
+    * both temperature mixers compare against `rate × 1e4`). */
+  private def fineSampleKey(id: Column): Column =
+    pmod(pmod(id, lit(MixModulus)) * lit(MixMultiplier), lit(1000000L))
+
+  private def checkMixClash(df: DataFrame, op: String,
+      reserved: Set[String]): Unit = {
+    val clash = df.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"$op: input column(s) ${clash.mkString(", ")} collide with the " +
+        "attached rate columns (" + reserved.mkString(", ") + ") — " +
         "rename first")
+  }
+
+  /** Per-source tempered keep-rates `(__mix_src, n_docs, rate_pct)` —
+    * the shared weight table of [[temperatureMix]] (cap 100) and
+    * [[temperatureMixEpochs]] (cap maxEpochs·100). */
+  private def temperedRates(df: DataFrame, sourceCol: String,
+      targetDocs: Long, capPct: Double): DataFrame = {
     val counts = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w",
         floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0) + lit(0.5))
           .cast("long"))
-    val total = Window.partitionBy()
-    val rates = counts
-      .withColumn("wsum", sum(col("w")).over(total))
+    counts
+      .withColumn("wsum", sum(col("w")).over(Window.partitionBy()))
       .withColumn("rate_pct",
-        least(lit(100.0),
+        least(lit(capPct),
           lit(100.0) * lit(targetDocs) * col("w") / col("wsum") /
             col("n_docs")))
       .select(col(sourceCol).as("__mix_src"), col("n_docs"),
         col("rate_pct"))
-    // null-safe join: a NULL source is a legitimate group in `counts`
-    // and must sample at its own rate, not vanish through an inner
-    // equi-join that never matches NULL = NULL
-    val fineKey =
-      pmod(pmod(col(idCol), lit(MixModulus)) * lit(MixMultiplier),
-        lit(1000000L))
-    df.join(broadcast(rates), col(sourceCol) <=> col("__mix_src"))
-      .drop("__mix_src")
-      .filter(fineKey < col("rate_pct") * lit(10000.0))
   }
 
   /** The 60-bit md5 digest key both deterministic-order operators hash

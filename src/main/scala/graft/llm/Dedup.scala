@@ -830,4 +830,106 @@ object Dedup {
       .join(labels.withColumnRenamed("id", "rep"), "rep")
       .select(col("id"), col("keep_id"))
   }
+
+  /** SUBSTRING-level dedup, stage 1: maximal duplicate token spans. The
+    * gap both whole-document dedup families share: a repeated PASSAGE
+    * inside otherwise-distinct documents (boilerplate headers, license
+    * blocks, navigation chrome) passes exact hash AND near-dup
+    * signatures. The public fix family is suffix-array / k-gram
+    * frequency dedup; this is the deterministic k-gram variant: a token
+    * k-gram occurring in ≥ `minDocs` DISTINCT documents is duplicate
+    * mass, and maximal runs of duplicate k-gram start positions merge
+    * into spans (two flagged grams at starts s, s' chain iff
+    * s' ≤ s + k — their token coverage overlaps or touches).
+    *
+    * Emits one row per maximal span: `(doc_id, span_start, span_end,
+    * span_tokens, n_dup_grams)`, token positions 1-based inclusive.
+    * Fully relational (explode → count → join → islands window), so a
+    * SQL oracle replays it exactly.
+    *
+    * Scale shape: one shuffle aggregates (gram → doc-frequency) with
+    * map-side partial aggregation on the (doc, gram) distinct pass; the
+    * duplicate-gram set — bounded by CONTENT THAT ACTUALLY REPEATS, a
+    * tiny fraction of a deduplicated corpus — broadcasts back onto the
+    * scan-local gram stream; the island merge windows per document
+    * (parallel across docs, never global). At 100 TB the gram string
+    * shuffle key becomes its 60-bit md5 half ([[graft.llm.Corpus
+    * .digestKey60]] idiom) — same semantics modulo negligible collision
+    * mass; the raw-string key here is what the oracle pins. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int = 2,
+      tok: Column => Column = TextOps.tokens): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minDocs >= 2,
+      s"minDocs must be >= 2 (a 1-doc 'duplicate' is every gram), " +
+        s"got $minDocs")
+    val grams = df.select(col(idCol).as("doc_id"),
+        posexplode(Corpus.kGrams(col(textCol), k, tok))
+          .as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+    // doc-frequency over DISTINCT (doc, gram): a gram repeated inside
+    // one doc is intra-doc repetition (repetitionStats' business), not
+    // cross-doc duplicate mass
+    val dupGrams = grams.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") >= minDocs)
+      .select(col("gram"))
+    val flagged = grams.join(broadcast(dupGrams), "gram")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    flagged
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1).over(byDoc) + lit(k), 1)
+          .when(lag(col("pos"), 1).over(byDoc).isNull, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k) - 1).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_dup_grams"))
+  }
+
+  /** SUBSTRING-level dedup, stage 2: REMOVE the duplicate spans. Every
+    * token position covered by a [[duplicateSpans]] span is dropped and
+    * the survivors re-join with single spaces — the drop/flag action
+    * suffix-array pipelines apply to duplicate passages. Emits
+    * `(doc_id, clean_text, n_tokens, n_kept)`; documents with no
+    * duplicate spans pass through whole, documents that are ENTIRELY
+    * duplicate mass come out as the empty string (n_kept = 0), and
+    * documents with fewer than k tokens are never flagged (no k-gram
+    * exists to be duplicated).
+    *
+    * Shape: [[duplicateSpans]] → explode spans to covered positions →
+    * anti-join the per-token stream → ordered re-assembly per doc (one
+    * window-free sort inside a per-doc aggregation: collect the
+    * (pos, token) structs and sort the bounded per-doc array). All
+    * relational + per-doc-bounded array ops, so the oracle replays it;
+    * the span explode fan-out is bounded by actual duplicate mass. */
+  def stripDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int = 2,
+      tok: Column => Column = TextOps.tokens): DataFrame = {
+    val covered = duplicateSpans(df, idCol, textCol, k, minDocs, tok)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(tok(col(textCol))).as(Seq("pos0", "tokn")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tokn"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"),
+            col("tokn")))), s => s.getField("tokn")), " ")
+          .as("clean_text"))
+    df.select(col(idCol).as("doc_id"),
+        size(tok(col(textCol))).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

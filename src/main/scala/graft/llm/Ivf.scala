@@ -400,6 +400,59 @@ object Ivf {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** IVF-SQ search with a FLOAT RE-RANK refinement stage — the standard
+    * recall recovery for quantized indexes (FAISS's `IndexRefineFlat`
+    * shape, public): retrieve the top-`m` candidates per query by
+    * quantized score ([[knnQuantizedServe]] — scan-local probes,
+    * k-bounded partial top-m), then re-rank ONLY those m with exact
+    * float cosine against a flat vector store and emit the top-`k`.
+    * Int8 ranking error is confined to the top-m boundary: any true
+    * neighbor the quantized scan ranks within m comes back in exact
+    * order, so recall approaches the probe-limited ceiling for bounded
+    * extra work (m float fetches per query instead of a full-corpus
+    * float scan). The residual loss is probe misses (true neighbor in
+    * an unprobed list) — that knob is `nprobe`, not `m`.
+    *
+    * `vectors` is the flat float store (`vId`, `vVec`) — in deployment
+    * the corpus table the index was built from; the quantized list
+    * table stays the only corpus-wide scan, and the re-rank fetch is a
+    * broadcast-candidates join against the flat store (map-only on the
+    * store side, fan-in bounded by |queries|·m).
+    *
+    * Determinism: stage 1 is bit-identical to q112's oracle-replayed
+    * semantics (total order at the m boundary: cos_q DESC, cid); stage
+    * 2 ranks by ROUND(cosine, 6) DESC, cid — the q22 idiom — via the
+    * same k-bounded [[graft.functions.TopKAgg]] merge (total order ⇒
+    * partition-independent). Emits `(qid, cid, dot_q, cos_sim, rn)`. */
+  def knnQuantizedRerank(queries: DataFrame, index: DataFrame,
+      centroids: DataFrame, vectors: DataFrame, vId: String,
+      vVec: String, qId: String, vecCol: String, k: Int, nprobe: Int,
+      m: Int, materializeIndex: Boolean = true): DataFrame = {
+    require(m >= k, s"re-rank pool m=$m must be >= k=$k")
+    val cand = knnQuantizedServe(queries, index, centroids, qId, vecCol,
+        m, nprobe, materializeIndex)
+      .select(col("qid"), col("cid"), col("dot_q"))
+    val q = queries.select(col(qId).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    // flat store scans map-only against the broadcast (qid, cid) pool;
+    // query vectors re-attach AFTER the store join so the broadcast
+    // candidate rows stay narrow (no qv duplicated m times)
+    vectors.select(col(vId).as("cid"),
+        col(vVec).cast("array<double>").as("cv"))
+      .join(broadcast(cand), "cid")
+      .join(broadcast(q), "qid")
+      .withColumn("cos_sim",
+        round(Distance.cosine(col("cv"), col("qv")), 6))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topKByCos(k)(
+        col("cid"), col("dot_q"), col("cos_sim")).as("top"))
+      .select(col("qid"), posexplode(col("top.items")))
+      .select(col("qid"), col("col.cid").as("cid"),
+        col("col.dot_q").as("dot_q"),
+        col("col.cos_q").as("cos_sim"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
   /** Persist a fitted IVF-SQ pair (coarse centroid table + quantized
     * list table) as versioned parquet under
     * [[graft.state.ModelStore]]'s blue/green protocol. The two tables

@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * classic IVF-SQ pairing: coarse lists from [[Ivf]], int8 codes inside
   * each list, exact integer dot products for ranking.
   *
-  * Reference behavior anchor: the reference ranks by cosine over raw
-  * embeddings (`semantic_search.py` brute path, q22 here); quantized
-  * search approximates exactly that ranking at a fraction of the scan
+  * Reference behavior anchor: the reference's vector path ranks by
+  * Minkowski distance over raw float embeddings
+  * (`src/ml/vector_engine.py:30-44`, nearest-centroid); the cosine kNN
+  * it approximates is this repo's own q22 extension of that path.
+  * Quantized search reproduces that ranking at a fraction of the scan
   * bandwidth, which is the 100 TB deployment shape.
   *
   * Design for determinism (the oracle replays every step bit-for-bit):

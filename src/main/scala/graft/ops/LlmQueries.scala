@@ -895,6 +895,268 @@ object LlmQueries {
       |        y -> y != '')) >= 3), chr(10)) AS clean_text
       |FROM l ORDER BY doc_id""".stripMargin
 
+  /** q125 — temperature mixing WITH up-sampling
+    * ([[graft.llm.Corpus.temperatureMixEpochs]]): the T<1 regime q119's
+    * 100 % cap degrades out of (round-7 verdict, "What's missing" 1).
+    * Target = 3× the corpus, cap 3 epochs: low-resource sources repeat
+    * (full `floor(rate/100)` copies + the hash-selected fractional
+    * tail), the biggest sources stay below 300 %. The oracle replays
+    * the repeat arithmetic row-for-row (`unnest(range(0, n_copies))` ↔
+    * `explode(sequence())`); `sum_ids` pins WHICH rows got the
+    * fractional extra copy, `max_epoch` pins the epoch cap. */
+  def q125TemperatureUpsample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val target = docs.count() * 3
+    Corpus.temperatureMixEpochs(docs, "doc_id", "source",
+        targetDocs = target, maxEpochs = 3)
+      .groupBy($"source", $"n_docs")
+      .agg(count(lit(1)).as("n_out"), max($"epoch").as("max_epoch"),
+        sum($"doc_id").as("sum_ids"))
+      .orderBy($"source")
+  }
+  val q125Sql: String =
+    """WITH c AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS w
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT source, n_docs, w, SUM(w) OVER () AS wsum FROM c),
+      |tgt AS (SELECT 3 * COUNT(*) AS target FROM documents),
+      |r AS (SELECT source, n_docs,
+      |    least(300e0, 100e0 * target * w / wsum / n_docs) AS rate_pct
+      |  FROM t, tgt),
+      |k AS (SELECT d.doc_id, d.source, r.n_docs,
+      |    CAST(floor(r.rate_pct / 100e0) AS BIGINT) +
+      |    CASE WHEN (d.doc_id % 1000000007) * 2654435761 % 1000000
+      |        < (r.rate_pct - floor(r.rate_pct / 100e0) * 100e0) * 1e4
+      |      THEN 1 ELSE 0 END AS n_copies
+      |  FROM documents d
+      |  JOIN r ON d.source IS NOT DISTINCT FROM r.source),
+      |e AS (SELECT doc_id, source, n_docs, u.epoch
+      |  FROM k, unnest(range(0, n_copies)) AS u(epoch))
+      |SELECT source, n_docs, COUNT(*) AS n_out, MAX(epoch) AS max_epoch,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      |FROM e GROUP BY source, n_docs ORDER BY source""".stripMargin
+
+  /** Shared CTE prefix of q126/q127: q112's IVF-SQ build (sample-Lloyd
+    * nlist=16, map-only assign, int8 quantization) with the probe set
+    * widened to nprobe=12 and the quantized candidate ranking kept as
+    * `r` — the re-rank pool feed. Declared BEFORE the vals that splice
+    * it (strict-val init order: a later-declared prefix would
+    * concatenate as "null"). */
+  private val q126Prefix: String = {
+    def iteration(prev: String, cur: String): String =
+      s"""a_$cur AS (SELECT p.id, p.v, c.list_id,
+         |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+         |      list_sum(list_transform(list_zip(p.v, c.c),
+         |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
+         |  FROM pts p, $prev c),
+         |$cur AS (SELECT list_id, list(m ORDER BY pos) AS c FROM (
+         |    SELECT a.list_id, t.pos AS pos,
+         |      CAST(SUM(CAST(a.v[t.pos] AS DECIMAL(28,14))) AS DOUBLE)
+         |        / COUNT(*) AS m
+         |    FROM a_$cur a, unnest(range(1, 65)) AS t(pos)
+         |    WHERE a.rn = 1
+         |    GROUP BY a.list_id, t.pos)
+         |  GROUP BY list_id)""".stripMargin
+    s"""WITH allpts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |pts AS (SELECT * FROM allpts WHERE id % 10 = 0),
+      |seeds AS (SELECT id, v FROM pts ORDER BY id LIMIT 16),
+      |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS list_id,
+      |    v AS c FROM seeds),
+      |${iteration("c0", "c1")},
+      |${iteration("c1", "c2")},
+      |${iteration("c2", "c3")},
+      |c3m AS MATERIALIZED (SELECT * FROM c3),
+      |assign AS MATERIALIZED (SELECT id, list_id FROM (
+      |  SELECT p.id, c.list_id,
+      |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+      |      list_sum(list_transform(list_zip(p.v, c.c),
+      |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
+      |  FROM allpts p, c3m c) WHERE rn = 1),
+      |qz AS MATERIALIZED (SELECT id, q,
+      |    CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
+      |      AS BIGINT) AS qn
+      |  FROM (SELECT id,
+      |      CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+      |           ELSE list_transform(v,
+      |             x -> CAST(floor(127 * x / mx + 0.5) AS INTEGER)) END AS q
+      |    FROM (SELECT id, v,
+      |        list_max(list_transform(v, x -> abs(x))) AS mx
+      |      FROM allpts))),
+      |probes AS MATERIALIZED (SELECT qid, list_id FROM (
+      |  SELECT p.id AS qid, c.list_id,
+      |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+      |      list_sum(list_transform(list_zip(p.v, c.c),
+      |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS pr
+      |  FROM allpts p, c3m c
+      |  WHERE p.id < 10) WHERE pr <= 12),
+      |cand AS (SELECT pb.qid, a.id AS cid,
+      |    CAST(list_dot_product(CAST(cq.q AS DOUBLE[]),
+      |      CAST(qq.q AS DOUBLE[])) AS BIGINT) AS dot_q,
+      |    list_dot_product(CAST(cq.q AS DOUBLE[]), CAST(qq.q AS DOUBLE[]))
+      |      / (sqrt(CAST(cq.qn AS DOUBLE)) * sqrt(CAST(qq.qn AS DOUBLE)))
+      |      AS cos_q
+      |  FROM probes pb
+      |  JOIN assign a ON a.list_id = pb.list_id
+      |  JOIN qz cq ON cq.id = a.id AND cq.qn > 0
+      |  JOIN qz qq ON qq.id = pb.qid AND qq.qn > 0
+      |  WHERE a.id != pb.qid),
+      |r AS (SELECT qid, cid, dot_q, cos_q,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY cos_q DESC, cid) AS rn
+      |  FROM cand),
+      |topm AS (SELECT qid, cid, dot_q FROM r WHERE rn <= 50),
+      |rr AS (SELECT t.qid, t.cid, t.dot_q,
+      |    ROUND(list_cosine_similarity(cv.v, qv.v), 6) AS cos_sim
+      |  FROM topm t
+      |  JOIN allpts cv ON cv.id = t.cid
+      |  JOIN allpts qv ON qv.id = t.qid),
+      |rr2 AS (SELECT qid, cid, dot_q, cos_sim,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY cos_sim DESC, cid) AS rn
+      |  FROM rr)""".stripMargin
+  }
+
+  /** q126 — IVF-SQ search with the FLOAT RE-RANK refinement stage
+    * ([[graft.llm.Ivf.knnQuantizedRerank]], round-7 verdict item 2):
+    * q112's build (nlist=16, int8 codes), nprobe=12 probes, top-m=50 by
+    * quantized score via the serve path's k-bounded partial
+    * aggregation, then the 50 candidates re-ranked with exact float
+    * cosine from the flat store (the q22 ROUND-6 idiom). Measured on
+    * this fixture (BASELINE.md round 8): the re-rank closes exactly the
+    * int8 gap — recall@5 0.98 → 1.00 at nprobe=12 — while at low
+    * nprobe the loss is all probe misses, which no re-rank can recover
+    * (the eval harness q127 is what makes that attribution visible). */
+  def q126RerankKnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val sample = e.filter(pmod($"vec_id", lit(10)) === 0)
+    val cents = graft.llm.Ivf.fitCentroids(sample, "vec_id", "embedding",
+      nlist = 16)
+    val idx = graft.llm.Quantize.withInt8(
+      graft.llm.Ivf.assignIndex(e, "vec_id", "embedding", cents), "v")
+    graft.llm.Ivf.knnQuantizedRerank(e.filter($"vec_id" < 10), idx,
+        cents, e, "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nprobe = 12, m = 50)
+      .select($"qid", $"cid", $"dot_q", $"cos_sim", $"rn")
+      .orderBy($"qid", $"rn")
+  }
+  val q126Sql: String = q126Prefix +
+    """
+      |SELECT qid, cid, dot_q, cos_sim, rn FROM rr2
+      |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  /** q127 — recall@5 of the RE-RANKED search (q126) vs the exact float
+    * top-5 (q22), the q113 harness pointed at the refined pipeline. At
+    * (nprobe=12, m=50) every query hits 1.0 — vs 0.98 for the same
+    * probes without re-rank and 0.74 at q112/q113's nprobe=4 — so the
+    * hash gate pins both the eval machinery and the documented
+    * operating point. */
+  def q127RerankRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val approx = q126RerankKnn(s, d).select($"qid", $"cid")
+    val exact = MlQueries.q22CosineKnn(s, d).select($"qid", $"cid")
+    val hits = exact.join(approx, Seq("qid", "cid"))
+      .groupBy($"qid").agg(count(lit(1)).as("n_matched"))
+    exact.select($"qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_matched"))
+      .withColumn("recall", $"n_matched".cast("double") / lit(5.0))
+      .orderBy($"qid")
+  }
+  val q127Sql: String = q126Prefix +
+    """,
+      |approx AS (SELECT qid, cid FROM rr2 WHERE rn <= 5),
+      |exq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id < 10),
+      |exc AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      |  FROM embeddings),
+      |exp_ AS (SELECT qid, cid,
+      |    ROUND(list_cosine_similarity(cv, qv), 6) AS cos_sim
+      |  FROM exc, exq WHERE cid != qid),
+      |exr AS (SELECT qid, cid FROM (
+      |  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY cos_sim DESC, cid) AS rn
+      |  FROM exp_) WHERE rn <= 5)
+      |SELECT e.qid, COUNT(a.cid) AS n_matched,
+      |  COUNT(a.cid) / 5e0 AS recall
+      |FROM exr e LEFT JOIN approx a ON a.qid = e.qid AND a.cid = e.cid
+      |GROUP BY e.qid ORDER BY e.qid""".stripMargin
+
+  /** q128 — substring-level dedup, stage 1
+    * ([[graft.llm.Dedup.duplicateSpans]], round-7 verdict item 4): the
+    * duplicate-PASSAGE detector whole-document dedup misses. 8-token
+    * grams occurring in ≥2 distinct documents are duplicate mass;
+    * maximal runs merge into token spans. Exact-duplicate documents
+    * surface as one full-document span; shared boilerplate surfaces as
+    * interior spans — both pinned by the hash gate. */
+  def q128DupSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.duplicateSpans(documents(s, d), "doc_id", "text",
+        k = 8, minDocs = 2)
+      .orderBy($"doc_id", $"span_start")
+  }
+  /** Shared gram/flag/island CTEs of q128/q129 (k=8, minDocs=2). */
+  private val q128Prefix: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |  FROM documents),
+      |g AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+      |    array_to_string(tk[u.i:u.i+7], ' ') AS gram
+      |  FROM tk, unnest(range(1, greatest(len(tk) - 6, 1))) AS u(i)),
+      |dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+      |  GROUP BY gram HAVING COUNT(*) >= 2),
+      |f AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+      |w AS (SELECT doc_id, pos,
+      |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      |           IS NULL
+      |         OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      |           + 8
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM f),
+      |isl AS (SELECT doc_id, pos,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM w)""".stripMargin
+  val q128Sql: String = q128Prefix +
+    """
+      |SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+      |  CAST(MAX(pos) + 7 AS INTEGER) AS span_end,
+      |  CAST(MAX(pos) + 7 - MIN(pos) + 1 AS INTEGER) AS span_tokens,
+      |  COUNT(*) AS n_dup_grams
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
+  /** q129 — substring-level dedup, stage 2
+    * ([[graft.llm.Dedup.stripDuplicateSpans]]): drop every token the
+    * q128 spans cover and re-join the survivors — exact-duplicate
+    * documents come out empty (n_kept=0), clean documents pass through
+    * whole, and partial overlaps lose exactly the shared passage. */
+  def q129StripSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Dedup.stripDuplicateSpans(documents(s, d), "doc_id", "text",
+        k = 8, minDocs = 2)
+      .orderBy($"doc_id")
+  }
+  val q129Sql: String = q128Prefix +
+    """,
+      |sp AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+      |  FROM isl GROUP BY doc_id, island),
+      |cov AS (SELECT doc_id, u.p AS pos
+      |  FROM sp, unnest(range(s, e + 1)) AS u(p)),
+      |tok AS (SELECT doc_id, u.i AS pos, tk[u.i] AS t
+      |  FROM tk, unnest(range(1, len(tk) + 1)) AS u(i)),
+      |kept AS (SELECT t.doc_id, COUNT(*) AS n_kept,
+      |    array_to_string(list(t.t ORDER BY t.pos), ' ') AS clean_text
+      |  FROM tok t
+      |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+      |  WHERE c.pos IS NULL GROUP BY t.doc_id)
+      |SELECT d.doc_id, COALESCE(k.clean_text, '') AS clean_text,
+      |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |  COALESCE(k.n_kept, 0) AS n_kept
+      |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** q119 — temperature-based source mixing
     * ([[graft.llm.Corpus.temperatureMix]]): sources sampled at the
     * T=2-tempered share `sqrt(n_s)/Σ sqrt(n_t)` scaled to a 250-doc
@@ -928,7 +1190,7 @@ object LlmQueries {
       |    least(100e0, 100e0 * 250 * w / wsum / n_docs) AS rate_pct
       |  FROM t)
       |SELECT d.source, r.n_docs, COUNT(*) AS n_kept
-      |FROM documents d JOIN r ON d.source = r.source
+      |FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source
       |WHERE (d.doc_id % 1000000007) * 2654435761 % 1000000
       |      < r.rate_pct * 1e4
       |GROUP BY d.source, r.n_docs
@@ -2008,6 +2270,11 @@ object LlmQueries {
     "q122_stratified_sample" -> (q122StratifiedSample _),
     "q123_redact_pii" -> (q123RedactPii _),
     "q124_line_filter" -> (q124LineFilter _),
+    "q125_temp_upsample" -> (q125TemperatureUpsample _),
+    "q126_rerank_knn" -> (q126RerankKnn _),
+    "q127_rerank_recall" -> (q127RerankRecall _),
+    "q128_dup_spans" -> (q128DupSpans _),
+    "q129_strip_spans" -> (q129StripSpans _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -2058,6 +2325,11 @@ object LlmQueries {
     "q122_stratified_sample" -> q122Sql,
     "q123_redact_pii" -> q123Sql,
     "q124_line_filter" -> q124Sql,
+    "q125_temp_upsample" -> q125Sql,
+    "q126_rerank_knn" -> q126Sql,
+    "q127_rerank_recall" -> q127Sql,
+    "q128_dup_spans" -> q128Sql,
+    "q129_strip_spans" -> q129Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

@@ -21,19 +21,21 @@ class EdgeCasesSpec extends AnyFunSuite {
     // The driver captures only the LAST ~2000 chars of Bench stdout and
     // the sbt [success] footer eats ~130 of them; a metric line past
     // ~1850 chars silently truncates the round's per-query signal.
-    // Per-query: "key":XX.XXX, = short key + 10 (two-digit seconds is
-    // the realistic per-query ceiling at sf0.1; the round-7 actual line
-    // was 1575 chars at 119 queries, matching this estimate's slack);
-    // fixed skeleton + detail/sf suffix + sbt "[info] " prefix ≈ 140.
-    // Bench.shortKey is the emitter's own rule — shared, not copied, so
-    // a format change re-calibrates this estimate.
-    // .toSeq first: mapping a key SET to lengths would dedup them and
-    // collapse the sum to a handful of distinct ints
-    val est = 140 + SparkEntry.queries.keys.toSeq
-      .map(k => Bench.shortKey(k).length + 10).sum
+    // Since round 8 the stdout map is capped at the 30 slowest queries
+    // (+ failures; the full map lives in bench_detail.json), so the
+    // line is bounded by the CAP, not the query count: 30 × (longest
+    // short key + 10 for ":XX.XXX,") + skeleton/qn/qcut/detail/sf +
+    // sbt "[info] " prefix ≈ 170. Bench.shortKey is the emitter's own
+    // rule — shared, not copied, so a format change re-calibrates this
+    // estimate. Registration headroom is structural now (the next 40+
+    // queries are "qNNN" 4-char keys, already the bound below), but
+    // assert it explicitly per the round-7 verdict's done-criterion.
+    val maxKey = math.max(5, SparkEntry.queries.keys.toSeq
+      .map(k => Bench.shortKey(k).length).max)
+    val est = 170 + 30 * (maxKey + 10)
     assert(est <= 1850,
       s"estimated Bench line $est chars — the driver tail window will " +
-        "truncate it; shorten query keys or split reporting")
+        "truncate it; shrink Bench's stdout top-k cap")
   }
 
   private def emptyDf(schema: String) = {

@@ -802,4 +802,80 @@ class LlmSpec extends AnyFunSuite {
     assert(serve.nonEmpty)
     assert(serve == window)
   }
+
+  test("temperatureMixEpochs: epoch cap, fractional tail, 1-epoch ≡ mix") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    // big (200 docs, rate < 100 %), mid (40 docs, rate ≈ 209 % → 2 full
+    // epochs + fractional tail), tiny (5 docs, uncapped rate ≈ 591 % →
+    // capped at maxEpochs·100 = 300 %): all three regimes in one corpus
+    val df = ((1L to 200L).map(i => (i, "big")) ++
+      (1001L to 1005L).map(i => (i, "tiny")) ++
+      (2001L to 2040L).map(i => (i, "mid"))).toDF("doc_id", "source")
+    val out = Corpus.temperatureMixEpochs(df, "doc_id", "source",
+      targetDocs = 300L, maxEpochs = 3).cache()
+    // epoch cap holds globally
+    assert(out.agg(max($"epoch")).head.getLong(0) <= 2L)
+    // capped source: EVERY row exactly maxEpochs times (frac = 0)
+    val tiny = out.filter($"source" === "tiny")
+      .groupBy($"doc_id").count().collect().map(_.getLong(1))
+    assert(tiny.length == 5 && tiny.forall(_ == 3L))
+    // sub-100% source: never more than one copy
+    assert(out.filter($"source" === "big")
+      .agg(max($"epoch")).head.getLong(0) == 0L)
+    // fractional regime: 2 or 3 copies per kept row, both guaranteed
+    // full epochs present
+    val mid = out.filter($"source" === "mid")
+      .groupBy($"doc_id").count().collect().map(_.getLong(1))
+    assert(mid.length == 40 && mid.forall(c => c == 2L || c == 3L))
+    // determinism: bit-identical on re-run
+    val again = Corpus.temperatureMixEpochs(df, "doc_id", "source",
+      targetDocs = 300L, maxEpochs = 3)
+      .select($"doc_id", $"epoch").collect().toSet
+    assert(again == out.select($"doc_id", $"epoch").collect().toSet)
+    // maxEpochs = 1 degrades to temperatureMix row-for-row, epoch ≡ 0
+    val one = Corpus.temperatureMixEpochs(df, "doc_id", "source",
+      targetDocs = 100L, maxEpochs = 1)
+    val plain = Corpus.temperatureMix(df, "doc_id", "source", 100L)
+    assert(one.select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      plain.select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(one.agg(max($"epoch")).head.getLong(0) == 0L)
+    out.unpersist()
+  }
+
+  test("duplicateSpans: doc-start/doc-end spans, overlap merge, short docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A B C D x1 y1 z1"),   // shared 4-gram at doc START
+      (2L, "A B C D x2 y2 z2"),
+      (3L, "p1 q1 r1 E F G H"),   // shared 4-gram at doc END
+      (4L, "p2 q2 r2 E F G H"),
+      (5L, "m1 m2 V W X Y Z n1"), // 5 shared tokens = 2 OVERLAPPING
+      (6L, "V W X Y Z k1 k2 k3"), //   grams → ONE merged span
+      (7L, "short text"),         // < k tokens: no grams, no spans
+      (8L, "D1 D2 D3 D4 D5"),     // exact duplicates: whole-doc span
+      (9L, "D1 D2 D3 D4 D5")
+    ).toDF("doc_id", "text")
+    val spans = graft.llm.Dedup
+      .duplicateSpans(df, "doc_id", "text", k = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))).toMap
+    assert(spans(1L) == ((1, 4, 4, 1L)), spans.toString) // start of doc
+    assert(spans(3L) == ((4, 7, 4, 1L)))                 // end of doc
+    assert(spans(5L) == ((3, 7, 5, 2L)))                 // merged overlap
+    assert(spans(6L) == ((1, 5, 5, 2L)))
+    assert(spans(8L) == ((1, 5, 5, 2L)))                 // whole doc
+    assert(!spans.contains(7L))                          // too short
+    assert(spans.size == 8)                              // one span each
+    val strip = graft.llm.Dedup
+      .stripDuplicateSpans(df, "doc_id", "text", k = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(strip(1L) == (("x1 y1 z1", 7L, 3L)))
+    assert(strip(3L) == (("p1 q1 r1", 7L, 3L)))
+    assert(strip(5L) == (("m1 m2 n1", 8L, 3L)))
+    assert(strip(7L) == (("short text", 2L, 2L))) // untouched passthrough
+    assert(strip(8L) == (("", 5L, 0L)))           // fully duplicate mass
+    assert(strip.size == 9)                       // every doc present
+  }
 }

@@ -461,4 +461,42 @@ object Corpus {
       .withColumn("order_key", orderKey)
       .withColumn("pos_in_shard", row_number().over(w) - 1)
   }
+
+  /** Multi-epoch deterministic reshuffle — [[shardForTraining]] with the
+    * epoch folded into the digest: training loops want a DIFFERENT
+    * global order every epoch (re-reading one fixed order correlates
+    * gradient noise across epochs) but still a REPRODUCIBLE one (resume
+    * from a step counter, re-run a divergence). Hashing `"epoch:id"`
+    * instead of `id` gives an independent permutation per epoch from
+    * pure arithmetic — no RNG state to checkpoint, no shuffle-buffer
+    * approximation, and any (epoch, shard) slice regenerates alone,
+    * which is exactly what a resuming trainer asks for.
+    *
+    * Emits one row per (epoch, input row): `epoch`, `shard`,
+    * `order_key`, `pos_in_shard`. The epoch fan-out is a map-side
+    * `explode(sequence(...))` (epochs is small); the only shuffle is
+    * the per-(epoch, shard) position window, same count as running
+    * [[shardForTraining]] once per epoch but in one job. The `":"`
+    * separator keeps the key space prefix-free (epoch 1 of id 23 can
+    * never collide with epoch 12 of id 3). */
+  def epochShuffle(df: DataFrame, idCol: String, nShards: Int,
+      epochs: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(epochs > 0, s"epochs must be positive, got $epochs")
+    val clash =
+      df.columns.filter(Set("epoch", "shard", "order_key", "pos_in_shard"))
+    require(clash.isEmpty,
+      s"epochShuffle: input column(s) ${clash.mkString(", ")} collide " +
+        "with the outputs (epoch, shard, order_key, pos_in_shard) — " +
+        "rename before shuffling")
+    val key = concat(col("epoch").cast("string"), lit(":"),
+      col(idCol).cast("string"))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("order_key"), col(idCol))
+    df.withColumn("epoch",
+        explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("shard", pmod(digestKey60(key, 0), lit(nShards.toLong)))
+      .withColumn("order_key", digestKey60(key, 1))
+      .withColumn("pos_in_shard", row_number().over(w) - 1)
+  }
 }

@@ -477,6 +477,49 @@ object Ivf {
     graft.state.ModelStore.publish(root, name)
   }
 
+  /** Compact DELTA rows into the stored index and republish — the
+    * maintenance step that closes the deployment loop build
+    * ([[saveIndex]]) → streaming ingest (q114's map-only
+    * assign+quantize) → serve ([[knnQuantizedServe]]): a streaming
+    * writer appends one small file per micro-batch per list, and a
+    * year of micro-batches turns every probe into a small-file
+    * metadata storm even though dynamic pruning still skips the
+    * unprobed DIRECTORIES. Compaction is one union + one hash
+    * repartition on `list_id` — each inverted list then lands wholly
+    * in one task, so the partitioned write emits ONE file per list
+    * directory (CompactionSpec pins that property) — republished via
+    * [[saveIndex]]'s blue/green pair-atomic rename, so readers never
+    * see a torn index and in-flight searches keep the old version
+    * until their next load.
+    *
+    * The delta must be in the stored layout (`id`,`qvec`,`qnorm`,
+    * `list_id`) and assigned under the SAME centroids as the base —
+    * rows routed by a different centroid fit would silently mis-probe,
+    * so list ids outside the stored centroid table fail loudly here
+    * (one count over the delta, which is micro-batch-scale by
+    * construction). Values are untouched: a search over the compacted
+    * index is bit-identical to one over base+delta, which q130 pins
+    * against the one-shot q112 build oracle. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+      delta: DataFrame, name: String = "ivfsq"): Unit = {
+    val (lists, cents) = loadIndex(spark, root, name)
+    val nlist = cents.count() // driver-bounded: nlist rows
+    val cols = Seq("id", "qvec", "qnorm", "list_id")
+    val missing = cols.filterNot(delta.columns.contains)
+    require(missing.isEmpty,
+      s"compactIndex: delta is missing column(s) ${missing.mkString(", ")}" +
+        " — expected the stored layout (id, qvec, qnorm, list_id)")
+    val badLists = delta
+      .filter(col("list_id") < 0 || col("list_id") >= nlist).limit(1).count()
+    require(badLists == 0,
+      s"compactIndex: delta carries list ids outside [0, $nlist) — it was " +
+        "assigned under different centroids than the stored index")
+    val merged = lists.select(cols.map(col): _*)
+      .unionByName(delta.select(cols.map(col): _*))
+      .repartition(col("list_id"))
+    saveIndex(merged, cents, root, name)
+  }
+
   /** Load the production IVF-SQ pair saved by [[saveIndex]]; falls back
     * to the backup PAIR if prod is missing (the pair-level twin of
     * [[graft.state.ModelStore.load]]'s crash-window rule — falling back

@@ -149,6 +149,80 @@ object TextOps {
         l => size(regexTokens(l)) >= minWords),
       "\n")
 
+  /** Corpus-frequency token-rarity profile — the unigram-LM quality
+    * proxy of the CCNet/Wenzek et al. 2020 perplexity-filter family,
+    * kept INTEGER-exact so the gate is a hash match, not a float
+    * tolerance: build the corpus vocabulary (global occurrence count
+    * per whitespace token, kept where count ≥ `minCount`), then per
+    * document emit `n_tokens`, `n_oov` (occurrences of below-threshold
+    * tokens — gibberish, encoding damage and boilerplate junk
+    * concentrate here), `sum_freq` (Σ occurrences × that token's
+    * corpus count — divide by n_tokens for mean familiarity; low means
+    * rare-heavy) and `min_freq` (the rarest in-vocab token, 0 if every
+    * token is OOV). The caller ranks/filters on the ratios; keeping
+    * the outputs as counts is what lets DuckDB replay them bit-for-bit.
+    *
+    * Scale shape: ONE corpus scan. Tokens collapse to per-(doc, token)
+    * occurrence counts FIRST — partial aggregation eats the per-doc
+    * repeats of "the" map-side — and that distinct-bounded frame
+    * ([[https://en.wikipedia.org/wiki/Heaps%27_law Heaps' law]]: it
+    * grows far slower than the corpus) is localCheckpointed once and
+    * feeds BOTH the vocabulary aggregate and the join back, so the
+    * frequency join's build side is vocabulary-sized and its probe
+    * side carries no within-doc duplicate keys: the classic hot-key
+    * skew of a per-occurrence token join ("the" at 100 TB) is designed
+    * out before the shuffle instead of salted after it. */
+  def tokenRarity(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val docTok = df
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("occ"))
+      .localCheckpoint(false)
+    val vocab = docTok.groupBy(col("token"))
+      .agg(sum(col("occ")).as("freq"))
+      .filter(col("freq") >= minCount)
+    docTok.join(vocab, Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_tokens"),
+        sum(when(col("freq").isNull, col("occ")).otherwise(lit(0L)))
+          .as("n_oov"),
+        coalesce(sum(col("occ") * col("freq")), lit(0L)).as("sum_freq"),
+        coalesce(min(col("freq")), lit(0L)).as("min_freq"))
+  }
+
+  /** BPE vocabulary-induction statistics: the adjacent-pair frequency
+    * table the FIRST merge step of byte-pair encoding (Sennrich et al.
+    * 2016) ranks on — over lowercase letter-run pieces (the same piece
+    * shape [[withTokenCounts]]'s `n_bpe_pieces` counts), every
+    * adjacent character pair weighted by how often its piece occurs in
+    * the corpus. A tokenizer team runs exactly this query to inspect
+    * candidate merges / vocabulary fit on a new corpus.
+    *
+    * Scale shape: pieces collapse to (piece, count) FIRST — the pair
+    * explosion then runs over the Heaps-bounded distinct-piece table,
+    * not the corpus, and the final pair aggregate is over ≤ |vocab| ×
+    * piece-length rows. Top-k is deterministic: (count DESC, pair). */
+  def bpePairCounts(df: DataFrame, textCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val pieces = df.select(
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z]+"), lit(0))).as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("n"))
+      .filter(length(col("piece")) >= 2)
+    pieces
+      .select(explode(transform(
+          sequence(lit(1), length(col("piece")) - 1),
+          i => col("piece").substr(i, lit(2)))).as("pair"),
+        col("n"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** Winnowing fingerprint set (Schleimer et al. 2003): k-gram rolling
     * hashes, minimum per sliding window — robust to local edits. */
   def winnow(text: String, k: Int = 5, window: Int = 4): Array[Int] = {

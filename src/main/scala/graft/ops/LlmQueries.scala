@@ -1157,6 +1157,118 @@ object LlmQueries {
       |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q130 — IVF-SQ index COMPACTION ([[graft.llm.Ivf.compactIndex]]):
+    * the maintenance step that closes the ANN deployment loop — build
+    * (q112/q115) → streaming ingest (q114) → compact → serve (q116).
+    * Half the corpus is built and published as the base index, the
+    * other half arrives as a delta in the stored layout (assigned +
+    * quantized under the SAME centroids, exactly what q114's streaming
+    * ingest emits per micro-batch), compaction merges and republishes
+    * pair-atomically (one file per list directory afterwards —
+    * CompactionSpec pins that), and the served result over the
+    * compacted index must be BIT-IDENTICAL to the one-shot q112 build
+    * over the full corpus: q112's SQL replay is the oracle. Values
+    * never change in compaction; only file layout does — which is why
+    * the hash gate is exactly the right instrument here. */
+  def q130IvfCompaction(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val sample = e.filter(pmod($"vec_id", lit(10)) === 0)
+    val cents = graft.llm.Ivf.fitCentroids(sample, "vec_id", "embedding",
+      nlist = 16)
+    def stored(part: DataFrame): DataFrame =
+      graft.llm.Quantize.withInt8(
+          graft.llm.Ivf.assignIndex(part, "vec_id", "embedding", cents),
+          "v")
+        .drop("v")
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfcompact")
+    sys.addShutdownHook(graft.util.Fs.deleteRecursively(root))
+    graft.llm.Ivf.saveIndex(stored(e.filter(pmod($"vec_id", lit(2)) === 0)),
+      cents, root.toString)
+    graft.llm.Ivf.compactIndex(s, root.toString,
+      stored(e.filter(pmod($"vec_id", lit(2)) === 1)))
+    val (lists, storedCents) = graft.llm.Ivf.loadIndex(s, root.toString)
+    graft.llm.Ivf.knnQuantizedServe(e.filter($"vec_id" < 10), lists,
+        storedCents, "vec_id", "embedding", k = 5, nprobe = 4,
+        materializeIndex = false)
+      .select($"qid", $"cid", $"dot_q", round($"cos_q", 6).as("cos_q"),
+        $"rn")
+      .orderBy($"qid", $"rn")
+  }
+
+  /** q131 — corpus-frequency token-rarity profile
+    * ([[graft.llm.TextOps.tokenRarity]]): the unigram-LM quality proxy
+    * (the CCNet perplexity-filter family) as integer counts, minCount=5.
+    * Gibberish and encoding damage surface as OOV mass; rare-heavy docs
+    * rank low on sum_freq/n_tokens. The oracle replays vocabulary build
+    * + frequency join + per-doc sums exactly — all counts. */
+  def q131TokenRarity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextOps.tokenRarity(documents(s, d), "doc_id", "text", minCount = 5L)
+      .orderBy($"doc_id")
+  }
+  val q131Sql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |dt AS (SELECT doc_id, token, COUNT(*) AS occ FROM t GROUP BY 1, 2),
+      |v AS (SELECT token, CAST(SUM(occ) AS BIGINT) AS freq FROM dt
+      |  GROUP BY token HAVING SUM(occ) >= 5)
+      |SELECT dt.doc_id,
+      |  CAST(SUM(dt.occ) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.freq IS NULL THEN dt.occ ELSE 0 END)
+      |    AS BIGINT) AS n_oov,
+      |  CAST(COALESCE(SUM(dt.occ * v.freq), 0) AS BIGINT) AS sum_freq,
+      |  CAST(COALESCE(MIN(v.freq), 0) AS BIGINT) AS min_freq
+      |FROM dt LEFT JOIN v USING (token)
+      |GROUP BY dt.doc_id ORDER BY dt.doc_id""".stripMargin
+
+  /** q132 — BPE vocabulary-induction pair counts
+    * ([[graft.llm.TextOps.bpePairCounts]]): the adjacent-pair frequency
+    * table byte-pair encoding's first merge ranks on, over lowercase
+    * letter-run pieces, top 20 by (count DESC, pair). Integer counts,
+    * deterministic tie-break — hash-exact. */
+  def q132BpeMerges(s: SparkSession, d: String): DataFrame =
+    TextOps.bpePairCounts(documents(s, d), "text", topK = 20)
+  val q132Sql: String =
+    """WITH p AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+      |    AS piece
+      |  FROM documents),
+      |pc AS (SELECT piece, COUNT(*) AS n FROM p GROUP BY piece),
+      |pc2 AS (SELECT piece, n FROM pc WHERE len(piece) >= 2),
+      |pr AS (SELECT substr(piece, CAST(u.i AS INTEGER), 2) AS pair, n
+      |  FROM pc2, unnest(range(1, len(piece))) AS u(i))
+      |SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt
+      |FROM pr GROUP BY pair
+      |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
+  /** q133 — multi-epoch deterministic reshuffle
+    * ([[graft.llm.Corpus.epochShuffle]]): q118's md5 shard/order
+    * arithmetic with the epoch folded into the digest, so every epoch
+    * gets an INDEPENDENT reproducible permutation (2 epochs × 4 shards
+    * here). The oracle replays the `"epoch:id"` digest split
+    * bit-for-bit; the hash gate pins that epoch 0 restricted to its
+    * rows IS q118's single-epoch order family and that epoch 1 differs
+    * only through the digest, never through RNG state. */
+  def q133EpochShuffle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Corpus.epochShuffle(documents(s, d).select($"doc_id"), "doc_id",
+        nShards = 4, epochs = 2)
+      .orderBy($"epoch", $"shard", $"pos_in_shard")
+  }
+  val q133Sql: String =
+    """WITH e AS (SELECT doc_id, u.epoch
+      |  FROM documents, unnest(range(0, 2)) AS u(epoch)),
+      |h AS (SELECT doc_id, epoch,
+      |    CAST(('0x' || substr(md5(CAST(epoch AS VARCHAR) || ':' ||
+      |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 AS shard,
+      |    CAST(('0x' || substr(md5(CAST(epoch AS VARCHAR) || ':' ||
+      |      CAST(doc_id AS VARCHAR)), 16, 15)) AS BIGINT) AS order_key
+      |  FROM e)
+      |SELECT doc_id, epoch, shard, order_key,
+      |  ROW_NUMBER() OVER (PARTITION BY epoch, shard
+      |    ORDER BY order_key, doc_id) - 1 AS pos_in_shard
+      |FROM h ORDER BY epoch, shard, pos_in_shard""".stripMargin
+
   /** q119 — temperature-based source mixing
     * ([[graft.llm.Corpus.temperatureMix]]): sources sampled at the
     * T=2-tempered share `sqrt(n_s)/Σ sqrt(n_t)` scaled to a 250-doc
@@ -2275,6 +2387,10 @@ object LlmQueries {
     "q127_rerank_recall" -> (q127RerankRecall _),
     "q128_dup_spans" -> (q128DupSpans _),
     "q129_strip_spans" -> (q129StripSpans _),
+    "q130_ivf_compaction" -> (q130IvfCompaction _),
+    "q131_token_rarity" -> (q131TokenRarity _),
+    "q132_bpe_merges" -> (q132BpeMerges _),
+    "q133_epoch_shuffle" -> (q133EpochShuffle _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -2330,6 +2446,12 @@ object LlmQueries {
     "q127_rerank_recall" -> q127Sql,
     "q128_dup_spans" -> q128Sql,
     "q129_strip_spans" -> q129Sql,
+    // compaction never changes values, only file layout => the served
+    // result over the compacted index replays the one-shot q112 build
+    "q130_ivf_compaction" -> q112Sql,
+    "q131_token_rarity" -> q131Sql,
+    "q132_bpe_merges" -> q132Sql,
+    "q133_epoch_shuffle" -> q133Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Ivf, Quantize}
+
+/** Compaction contract (q130): a streaming-ingested delta merges into the
+  * stored IVF-SQ pair atomically, after which each inverted list is ONE
+  * parquet file — the small-file property a year of micro-batch appends
+  * erodes — values are untouched (a served search equals the in-memory
+  * search over base+delta), and a mis-assigned or malformed delta fails
+  * loudly BEFORE any write instead of silently mis-probing. */
+class CompactionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def embeddings: DataFrame =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("compaction: one file per list dir, served values identical, " +
+      "torn deltas fail loudly without touching the stored pair") {
+    import spark.implicits._
+    val e = embeddings
+    val cents = Ivf.fitCentroids(e.filter(pmod($"vec_id", lit(10)) === 0),
+      "vec_id", "embedding", nlist = 4)
+    def stored(part: DataFrame): DataFrame =
+      Quantize.withInt8(
+        Ivf.assignIndex(part, "vec_id", "embedding", cents), "v").drop("v")
+    val root = java.nio.file.Files.createTempDirectory("graft-compact")
+    try {
+      Ivf.saveIndex(stored(e.filter(pmod($"vec_id", lit(2)) === 0)),
+        cents, root.toString)
+      Ivf.compactIndex(spark, root.toString,
+        stored(e.filter(pmod($"vec_id", lit(2)) === 1)))
+
+      // one data file per list directory: the repartition(list_id) puts
+      // each list wholly in one task, so the partitioned write emits a
+      // single file where the append path leaves one per micro-batch
+      val listDirs = new java.io.File(s"$root/ivfsq/lists").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+      assert(listDirs.nonEmpty)
+      listDirs.foreach { d =>
+        val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1,
+          s"${d.getName}: ${files.length} data files after compaction")
+      }
+
+      // values: the compacted store serves bit-identically to the
+      // in-memory search over the full corpus (q130's oracle pins the
+      // same property against DuckDB at fixture scale)
+      val (lists, storedCents) = Ivf.loadIndex(spark, root.toString)
+      assert(lists.count() == e.count())
+      val queries = e.filter($"vec_id" < 5)
+      val served = Ivf.knnQuantizedServe(queries, lists, storedCents,
+          "vec_id", "embedding", k = 3, nprobe = 2,
+          materializeIndex = false)
+        .select($"qid", $"cid", $"dot_q", $"rn")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val direct = Ivf.knnQuantized(queries, stored(e), cents,
+          "vec_id", "embedding", k = 3, nprobe = 2)
+        .select($"qid", $"cid", $"dot_q", $"rn")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(served.nonEmpty)
+      assert(served.toSeq == direct.toSeq)
+
+      // a delta assigned under DIFFERENT centroids (list ids out of
+      // range) and a delta missing a stored-layout column both fail
+      // loudly — and leave the published pair untouched
+      val delta = stored(e.limit(4))
+      intercept[IllegalArgumentException] {
+        Ivf.compactIndex(spark, root.toString,
+          delta.withColumn("list_id", lit(99)))
+      }
+      intercept[IllegalArgumentException] {
+        Ivf.compactIndex(spark, root.toString, delta.drop("qnorm"))
+      }
+      val (after, _) = Ivf.loadIndex(spark, root.toString)
+      assert(after.count() == e.count())
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+}

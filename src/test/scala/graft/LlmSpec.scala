@@ -878,4 +878,82 @@ class LlmSpec extends AnyFunSuite {
     assert(strip(8L) == (("", 5L, 0L)))           // fully duplicate mass
     assert(strip.size == 9)                       // every doc present
   }
+
+  test("tokenRarity: vocab threshold, OOV mass, in-vocab sums, all-OOV doc") {
+    import spark.implicits._
+    // "a" occurs 4x (in-vocab at minCount 3), "b" 3x (in-vocab),
+    // "zz"/"qq"/"xx" once each (OOV)
+    val df = Seq(
+      (1L, "a a b zz"),   // 4 tokens, 1 oov, sum 4+4+3, min 3
+      (2L, "a b qq"),     // 3 tokens, 1 oov
+      (3L, "a b"),        // all in-vocab
+      (4L, "xx")          // ALL OOV: sums coalesce to 0, not NULL
+    ).toDF("doc_id", "text")
+    val got = TextOps.tokenRarity(df, "doc_id", "text", minCount = 3L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == ((4L, 1L, 11L, 3L)), got.toString)
+    assert(got(2L) == ((3L, 1L, 7L, 3L)))
+    assert(got(3L) == ((2L, 0L, 7L, 3L)))
+    assert(got(4L) == ((1L, 1L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      TextOps.tokenRarity(df, "doc_id", "text", minCount = 0L)
+    }
+  }
+
+  test("bpePairCounts: piece-weighted pairs, tie order, 1-char pieces out") {
+    import spark.implicits._
+    // "ab" appears as a piece 3x (via 'ab', 'AB!', 'ab') and inside
+    // "abc"; single-char piece "x" contributes no pairs
+    val df = Seq((1L, "ab AB! x abc"), (2L, "ab bc")).toDF("id", "text")
+    val got = TextOps.bpePairCounts(df, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // pairs: ab ← 3 ("ab"×3) + 1 ("abc") = 4; bc ← 1 ("abc") + 1 ("bc")
+    assert(got.head == (("ab", 4L)), got.toSeq.toString)
+    assert(got.toSeq == Seq(("ab", 4L), ("bc", 2L)))
+    // deterministic tie-break: equal counts order by pair string
+    val ties = Seq((1L, "de fg")).toDF("id", "text")
+    val t = TextOps.bpePairCounts(ties, "text", topK = 10)
+      .collect().map(_.getString(0))
+    assert(t.toSeq == Seq("de", "fg"))
+  }
+
+  test("epochShuffle: per-epoch permutations differ, positions dense, " +
+      "epoch 0 independent of epochs requested") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    val df = (0L until 40L).toDF("id")
+    val out = Corpus.epochShuffle(df, "id", nShards = 4, epochs = 3)
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(0), r.getInt(4)))
+    // every epoch is a full permutation of the 40 ids
+    (0 until 3).foreach { ep =>
+      val rows = out.filter(_._1 == ep)
+      assert(rows.length == 40)
+      assert(rows.map(_._3).toSet == (0L until 40L).toSet)
+      // positions dense per (epoch, shard): 0..n-1
+      rows.groupBy(_._2).foreach { case (_, g) =>
+        assert(g.map(_._4).sorted.toSeq == (0 until g.length).toSeq)
+      }
+    }
+    // different epochs yield DIFFERENT shard assignments for some ids
+    // (independent digests — a fixed permutation re-read would not)
+    val byEpoch = out.groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(r => (r._2, r._4)).toSeq).toMap
+    assert(byEpoch(0) != byEpoch(1))
+    assert(byEpoch(1) != byEpoch(2))
+    // epoch e's order is a pure function of (e, id): asking for more
+    // epochs must not move earlier ones (a resuming trainer relies on it)
+    val out2 = Corpus.epochShuffle(df, "id", nShards = 4, epochs = 1)
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(0), r.getInt(4)))
+      .filter(_._1 == 0).sortBy(_._3).map(r => (r._1, r._2, r._4)).toSeq
+    val ep0 = out.filter(_._1 == 0).sortBy(_._3)
+      .map(r => (r._1, r._2, r._4)).toSeq
+    assert(out2 == ep0)
+    // output-column clash fails loudly
+    intercept[IllegalArgumentException] {
+      Corpus.epochShuffle(df.withColumn("epoch", lit(1)), "id", 4, 2)
+    }
+  }
 }

@@ -30,6 +30,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q111_quantized_knn",    // query-side broadcast kNN (q22's shape, int8)
     "q112_ivfsq_knn",        // centroid-table broadcast (q55's shape, int8)
     "q113_ann_recall",       // composes q112 + the q22 exact baseline
+    "q127_rerank_recall",    // composes q126 + the q22 exact baseline
     "q115_stored_index_knn", // centroid-table broadcast (q112's shape, stored)
     "q78_vector_mix",        // reference-vector broadcast
     "q45_knn_lsh",           // stats-free, but plans via tiny bucket join

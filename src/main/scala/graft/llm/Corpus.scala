@@ -85,9 +85,23 @@ object Corpus {
     * instead. */
   def decontaminate(trainDf: DataFrame, evalDf: DataFrame, idCol: String,
       textCol: String, k: Int = 8,
-      tok: Column => Column = TextOps.tokens): DataFrame = {
+      tok: Column => Column = TextOps.tokens): DataFrame =
+    decontaminateBy(trainDf, evalDf, idCol, textCol,
+      shingles(_, k, tok))
+
+  /** [[decontaminate]] with the shingle derivation injected — the seam
+    * that lets a caller swap the builtin HOF chain for a scalar pass
+    * (q107's regex path: one JIT-compiled
+    * [[TextOps.regexShingleSet]] UDF per row instead of interpreted
+    * per-element lambda eval — the q106 measured rule). `shingler`
+    * maps the text column to its array of distinct k-gram shingles;
+    * join/broadcast/aggregation semantics are identical whichever
+    * derivation feeds them. */
+  def decontaminateBy(trainDf: DataFrame, evalDf: DataFrame,
+      idCol: String, textCol: String,
+      shingler: Column => Column): DataFrame = {
     val tSh = trainDf.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), k, tok)).as("shingle"))
+      explode(shingler(col(textCol))).as("shingle"))
     // collapse the eval side to one row per DISTINCT shingle before the
     // broadcast (keeping the min doc as the representative): duplicate
     // eval docs then cost nothing, the broadcast is bounded by distinct
@@ -95,7 +109,7 @@ object Corpus {
     // the result is identical because n_shared counts train-side
     // distinct shingles and min(eval_doc) = min of per-shingle mins
     val eSh = evalDf.select(col(idCol).as("eval_doc"),
-        explode(shingles(col(textCol), k, tok)).as("shingle"))
+        explode(shingler(col(textCol))).as("shingle"))
       .groupBy(col("shingle"))
       .agg(min(col("eval_doc")).as("eval_doc"))
     tSh.join(broadcast(eSh), "shingle")

@@ -149,6 +149,26 @@ object TextOps {
         l => size(regexTokens(l)) >= minWords),
       "\n")
 
+  /** Plain-Scala twin of `Corpus.shingles(·, k, regexTokens)` — the
+    * SCALAR PASS for k-gram derivation over regex tokens (the q106
+    * lesson applied to shingling: lambda-bearing HOF chains are
+    * excluded from whole-stage codegen AND subexpression elimination,
+    * so tokenize→slice→join→distinct re-evaluates per element
+    * interpreted; one JIT-compiled function per row replaces all of
+    * it). Parity by construction: Scala `split` keeps leading empties
+    * exactly like Spark's `split` with the same [[WsClass]] pattern
+    * (both drop to nothing under the nonEmpty filter), `sliding(k).
+    * mkString(" ")` ≡ `array_join(slice(toks, i, k), " ")`, and
+    * `.distinct` preserves first-occurrence order like
+    * `array_distinct`. Texts with fewer than k tokens yield NO
+    * shingles (the kGrams guard), matching the Column path and the
+    * DuckDB `greatest(len(tk) - (k-2), 1)` twin. */
+  def regexShingleSet(text: String, k: Int): Array[String] = {
+    val toks = text.split(WsClass).filter(_.nonEmpty)
+    if (toks.length < k) Array.empty
+    else toks.sliding(k).map(_.mkString(" ")).toArray.distinct
+  }
+
   /** Corpus-frequency token-rarity profile — the unigram-LM quality
     * proxy of the CCNet/Wenzek et al. 2020 perplexity-filter family,
     * kept INTEGER-exact so the gate is a hash match, not a float

@@ -879,6 +879,30 @@ class LlmSpec extends AnyFunSuite {
     assert(strip.size == 9)                       // every doc present
   }
 
+  test("regexShingleSet ≡ the Column shingle path on boundary inputs") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    // leading/trailing/mixed whitespace, repeated grams, exactly-k,
+    // k-1 (no shingles), empty, all-whitespace
+    val texts = Seq(
+      "  a\tb c d e",       // leading ws run → leading empty filtered
+      "a b c d\n",          // trailing ws
+      "x y z w x y z w x y z w", // repeated grams → distinct collapses
+      "p q r s",            // exactly k tokens → one shingle
+      "p q r",              // k-1 → none
+      "", " \t\n ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val k = 4
+    val colPath = df.orderBy($"id")
+      .select(Corpus.shingles($"text", k, TextOps.regexTokens))
+      .collect().map(_.getSeq[String](0).toSeq)
+    val scalar = texts.map(TextOps.regexShingleSet(_, k).toSeq)
+    assert(colPath.toSeq == scalar, s"$colPath vs $scalar")
+    assert(scalar(3) == Seq("p q r s"))
+    assert(scalar(4).isEmpty && scalar(5).isEmpty && scalar(6).isEmpty)
+  }
+
   test("tokenRarity: vocab threshold, OOV mass, in-vocab sums, all-OOV doc") {
     import spark.implicits._
     // "a" occurs 4x (in-vocab at minCount 3), "b" 3x (in-vocab),

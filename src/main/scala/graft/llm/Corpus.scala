@@ -513,4 +513,33 @@ object Corpus {
       .withColumn("order_key", digestKey60(key, 1))
       .withColumn("pos_in_shard", row_number().over(w) - 1)
   }
+
+  /** Curriculum-ordered sharding — [[shardForTraining]] with the
+    * within-shard order keyed by a DIFFICULTY column first (ascending,
+    * NULLS LAST — the q122 cross-engine rule), hash second: every
+    * shard reads easy→hard (curriculum learning's standard schedule,
+    * Bengio et al. 2009) while shard MEMBERSHIP stays the unbiased
+    * md5 split — so each worker sees the same difficulty ramp over an
+    * i.i.d. slice of the corpus, rather than worker 0 getting all the
+    * easy documents (which is what sorting globally THEN sharding
+    * contiguously would do). The hash tiebreaker keeps equal-difficulty
+    * runs shuffled instead of id-ordered (oldest-first). Same shuffle
+    * count as [[shardForTraining]]: one per-shard window. */
+  def curriculumShards(df: DataFrame, idCol: String,
+      difficultyCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val clash =
+      df.columns.filter(Set("shard", "order_key", "pos_in_shard"))
+    require(clash.isEmpty,
+      s"curriculumShards: input column(s) ${clash.mkString(", ")} " +
+        "collide with the outputs (shard, order_key, pos_in_shard) — " +
+        "rename before sharding")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col(difficultyCol).asc_nulls_last, col("order_key"),
+        col(idCol))
+    df.withColumn("shard",
+        pmod(digestKey60(col(idCol), 0), lit(nShards.toLong)))
+      .withColumn("order_key", digestKey60(col(idCol), 1))
+      .withColumn("pos_in_shard", row_number().over(w) - 1)
+  }
 }

@@ -205,15 +205,19 @@ object Ivf {
     * (no join, no shuffle — [[assignExpr]]). The centroid table is tiny
     * (nlist rows) and is collected to drive the expression. */
   def assignIndex(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame = {
+      centroids: DataFrame, carryCols: Seq[String] = Nil): DataFrame = {
     // df-taking library entry point: must self-register (VectorExprs
     // convention) — a fresh session that never ran fitCentroids would
     // otherwise fail call_function("graft_sq_euclidean") resolution
     graft.functions.VectorExprs.register(df.sparkSession)
     val cents = centroids.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
-    val tagged = df.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("v"))
+    // carryCols ride the assign pass so filterable attributes land in
+    // the index WITHOUT a join-back (at corpus scale an id join just to
+    // re-attach a label the row already had is a full shuffle)
+    val tagged = df.select(col(idCol).as("id") +:
+          col(vecCol).cast("array<double>").as("v") +:
+          carryCols.map(col): _*)
       .withColumn("list_id", argminExpr(df.sparkSession, col("v"), cents))
     // no centroids (empty fit) → empty index, the old crossJoin behavior
     if (cents.isEmpty) tagged.limit(0) else tagged
@@ -468,10 +472,15 @@ object Ivf {
     * `list_id`, `qvec`, `qnorm` ([[assignIndex]] → [[Quantize.withInt8]],
     * float vector dropped — the stored payload is codes + norm). */
   def saveIndex(index: DataFrame, centroids: DataFrame, root: String,
-      name: String = "ivfsq"): Unit = {
+      name: String = "ivfsq", extraCols: Seq[String] = Nil): Unit = {
     centroids.write.mode("overwrite")
       .parquet(s"$root/_staging/$name/centroids")
-    index.select(col("id"), col("qvec"), col("qnorm"), col("list_id"))
+    // extraCols: filterable attribute payload stored NEXT TO the codes
+    // (the filtered-search deployment shape, q134): a metadata
+    // predicate then evaluates scan-local on the probed list files —
+    // no side lookup, no join — and parquet pushes it down
+    index.select(Seq("id", "qvec", "qnorm").++(extraCols).:+("list_id")
+        .map(col): _*)
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$root/_staging/$name/lists")
     graft.state.ModelStore.publish(root, name)

@@ -1269,6 +1269,83 @@ object LlmQueries {
       |    ORDER BY order_key, doc_id) - 1 AS pos_in_shard
       |FROM h ORDER BY epoch, shard, pos_in_shard""".stripMargin
 
+  /** q134 — FILTERED ANN search: metadata predicate + vector search in
+    * one pass (the "filtered vector search" serving feature every
+    * production ANN system grows). The stored list table carries the
+    * filterable attribute NEXT TO the codes ([[graft.llm.Ivf.saveIndex]]
+    * `extraCols` — attribute payload, no side lookup), so the predicate
+    * evaluates SCAN-LOCAL on the probed list files: the executed plan
+    * stacks parquet pushdown of `label = 1` on top of the probe join's
+    * dynamic partition pruning (PlanAuditSpec pins both). Semantics:
+    * exact q112 arithmetic restricted to label-1 candidates — the
+    * oracle is q112's replay with the candidate set filtered, anchored
+    * by string surgery so drift in q112Sql fails loudly at class init.
+    * At 100 TB: a filtered search reads nprobe/nlist of the corpus
+    * files AND row-group-skips within them on the attribute — no join,
+    * no second index. */
+  def q134FilteredKnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val sample = e.filter(pmod($"vec_id", lit(10)) === 0)
+    val cents = graft.llm.Ivf.fitCentroids(sample, "vec_id", "embedding",
+      nlist = 16)
+    val idx = graft.llm.Quantize.withInt8(
+        graft.llm.Ivf.assignIndex(e, "vec_id", "embedding", cents,
+          carryCols = Seq("label")), "v")
+      .drop("v")
+    val root = java.nio.file.Files.createTempDirectory("graft_ivffilter")
+    sys.addShutdownHook(graft.util.Fs.deleteRecursively(root))
+    graft.llm.Ivf.saveIndex(idx, cents, root.toString,
+      extraCols = Seq("label"))
+    val (lists, storedCents) = graft.llm.Ivf.loadIndex(s, root.toString)
+    graft.llm.Ivf.knnQuantizedServe(e.filter($"vec_id" < 10),
+        lists.filter($"label" === 1), storedCents, "vec_id", "embedding",
+        k = 5, nprobe = 4, materializeIndex = false)
+      .select($"qid", $"cid", $"dot_q", round($"cos_q", 6).as("cos_q"),
+        $"rn")
+      .orderBy($"qid", $"rn")
+  }
+  val q134Sql: String = {
+    // q112's replay with the candidate set restricted to label = 1 —
+    // derived by anchored surgery so the two texts can never drift
+    // apart silently
+    val anchor = "WHERE a.id != pb.qid),"
+    require(q112Sql.contains(anchor),
+      "q134Sql: the q112Sql candidate anchor drifted — update q134Sql")
+    q112Sql.replace(anchor,
+      """WHERE a.id != pb.qid
+        |    AND a.id IN (SELECT vec_id FROM embeddings WHERE label = 1)),"""
+        .stripMargin)
+  }
+
+  /** q135 — curriculum-ordered training shards
+    * ([[graft.llm.Corpus.curriculumShards]]): shard membership stays
+    * the unbiased md5 split (q118), but within each shard documents
+    * read easy→hard by token count with the second digest half breaking
+    * ties — every worker gets the same difficulty ramp over an i.i.d.
+    * slice, which a global sort + contiguous sharding would NOT give
+    * (worker 0 would get all the easy docs). Integer difficulty, both
+    * digest halves and the window replayed — hash-exact. */
+  def q135CurriculumShards(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id",
+      size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+    Corpus.curriculumShards(docs, "doc_id", "n_tokens", nShards = 4)
+      .orderBy($"shard", $"pos_in_shard")
+  }
+  val q135Sql: String =
+    """WITH h AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 4 AS shard,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 16, 15))
+      |      AS BIGINT) AS order_key
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, shard, order_key,
+      |  ROW_NUMBER() OVER (PARTITION BY shard
+      |    ORDER BY n_tokens, order_key, doc_id) - 1 AS pos_in_shard
+      |FROM h ORDER BY shard, pos_in_shard""".stripMargin
+
   /** q119 — temperature-based source mixing
     * ([[graft.llm.Corpus.temperatureMix]]): sources sampled at the
     * T=2-tempered share `sqrt(n_s)/Σ sqrt(n_t)` scaled to a 250-doc
@@ -2398,6 +2475,8 @@ object LlmQueries {
     "q131_token_rarity" -> (q131TokenRarity _),
     "q132_bpe_merges" -> (q132BpeMerges _),
     "q133_epoch_shuffle" -> (q133EpochShuffle _),
+    "q134_filtered_knn" -> (q134FilteredKnn _),
+    "q135_curriculum_shards" -> (q135CurriculumShards _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -2459,6 +2538,8 @@ object LlmQueries {
     "q131_token_rarity" -> q131Sql,
     "q132_bpe_merges" -> q132Sql,
     "q133_epoch_shuffle" -> q133Sql,
+    "q134_filtered_knn" -> q134Sql,
+    "q135_curriculum_shards" -> q135Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

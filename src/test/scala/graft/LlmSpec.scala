@@ -879,6 +879,40 @@ class LlmSpec extends AnyFunSuite {
     assert(strip.size == 9)                       // every doc present
   }
 
+  test("curriculumShards: easy-to-hard within every shard, membership " +
+      "identical to shardForTraining, ties hash-broken not id-ordered") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    val df = (0L until 60L).map(i => (i, (i * 7) % 5)) // difficulty 0-4
+      .toDF("id", "diff")
+    val cur = Corpus.curriculumShards(df, "id", "diff", nShards = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(4)))
+    // within each shard, difficulty is non-decreasing along positions
+    cur.groupBy(_._3).foreach { case (_, g) =>
+      val byPos = g.sortBy(_._4).map(_._2)
+      assert(byPos.zip(byPos.tail).forall { case (a, b) => a <= b })
+    }
+    // shard membership is EXACTLY shardForTraining's split (curriculum
+    // must not bias which worker sees which documents)
+    val plain = Corpus.shardForTraining(df, "id", nShards = 3)
+      .select($"id", $"shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cur.map(r => r._1 -> r._3).toMap == plain)
+    // equal-difficulty runs are hash-ordered, not id-ordered: at 12
+    // docs per (shard≈20, diff) bucket the chance every bucket happens
+    // to be id-sorted is nil
+    val idOrderedEverywhere = cur.groupBy(r => (r._3, r._2)).forall {
+      case (_, g) => g.sortBy(_._4).map(_._1).toSeq ==
+        g.map(_._1).sorted.toSeq
+    }
+    assert(!idOrderedEverywhere)
+    intercept[IllegalArgumentException] {
+      Corpus.curriculumShards(df.withColumn("shard", lit(1)), "id",
+        "diff", 3)
+    }
+  }
+
   test("regexShingleSet ≡ the Column shingle path on boundary inputs") {
     import spark.implicits._
     import graft.llm.Corpus

@@ -149,6 +149,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q116 stored scan carries no dynamic pruning filter:\n$plan")
   }
 
+  test("filtered search stacks attribute pushdown on dynamic pruning (q134)") {
+    // q134's scale claim: the metadata predicate evaluates SCAN-LOCAL on
+    // the probed list files — label is stored NEXT TO the codes
+    // (saveIndex extraCols) and must reach the parquet scan as a pushed
+    // filter, while the probe join still prunes whole list directories
+    // dynamically. Losing the pushdown means every probed row is decoded
+    // just to be thrown away; losing the pruning means a full-index scan.
+    val plan = graft.ops.LlmQueries.q134FilteredKnn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"q134 stored scan carries no dynamic pruning filter:\n$plan")
+    val listScan = plan.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("lists"))
+      .mkString("\n")
+    assert(listScan.contains("PushedFilters") &&
+      listScan.contains("EqualTo(label,1)"),
+      s"q134 label predicate not pushed to the stored list scan:\n$plan")
+    assert(!plan.contains("Window"), s"q134 plans a window rank:\n$plan")
+  }
+
   test("capstones scan documents exactly once past the rep checkpoint") {
     // q97/q105 rest on ONE localCheckpoint of the representatives table
     // (LlmQueries.q97Stages): every post-checkpoint stage (pairs,

@@ -1346,6 +1346,130 @@ object LlmQueries {
       |    ORDER BY n_tokens, order_key, doc_id) - 1 AS pos_in_shard
       |FROM h ORDER BY shard, pos_in_shard""".stripMargin
 
+  /** q136 — the RETRIEVAL capstone: the RAG-style indexing pipeline END
+    * TO END in one hash gate — documents chunked at 64 tokens (q104),
+    * every chunk embedded with the md5 exact-integer hashing embedder at
+    * dim 64 (q65's geometry, unnormalized so coordinates stay exact),
+    * IVF-SQ built over the CHUNK vectors (q112's sample-Lloyd nlist=8 +
+    * map-only assign + int8 quantization), and the first ten documents'
+    * chunks served as queries through the shuffle-free serving path
+    * (q116's scan-local probes + k-bounded partial top-k, nprobe=2,
+    * k=3). What q97 is to the corpus-prep story this is to the
+    * retrieval story: every stage individually oracle-green elsewhere,
+    * composed so the INTER-STAGE seams (chunk fan-out → embed
+    * aggregation → index build → serve) are what the hash pins.
+    * Chunk ids flatten to `doc_id·1000 + chunk_id` (fixture docs are
+    * ≪ 64000 tokens, so < 1000 chunks; a collision would hash-fail the
+    * oracle loudly). The oracle replays all four stages in one SQL
+    * chain — chunk slicing, bucket sums, Lloyd, quantization, probe,
+    * ranking — bit for bit. */
+  def q136RetrievalCapstone(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chunks = Corpus.chunkLongDocuments(
+        documents(s, d).select($"doc_id", $"text"),
+        "doc_id", "text", 64)
+      .select(($"doc_id" * 1000 + $"chunk_id").as("cid"), $"chunk_text")
+    val emb = graft.ml.Embed.denseSqlVectors(chunks, "cid", "chunk_text",
+        dim = 64)
+      .localCheckpoint(false) // sample fit, full assign AND queries reuse it
+    val sample = emb.filter(pmod($"cid", lit(10)) === 0)
+    val cents = graft.llm.Ivf.fitCentroids(sample, "cid", "vec", nlist = 8)
+    val idx = graft.llm.Quantize.withInt8(
+      graft.llm.Ivf.assignIndex(emb, "cid", "vec", cents), "v")
+    graft.llm.Ivf.knnQuantizedServe(emb.filter($"cid" < 10000), idx,
+        cents, "cid", "vec", k = 3, nprobe = 2)
+      .select($"qid", $"cid", $"dot_q", round($"cos_q", 6).as("cos_q"),
+        $"rn")
+      .orderBy($"qid", $"rn")
+  }
+  val q136Sql: String = {
+    // literal regex class for the s-interpolated SQL below (an
+    // s-string processes escapes, so \v must come in pre-built)
+    val wsClass = """[ \t\n\v\f\r]+"""
+    def iteration(prev: String, cur: String): String =
+      s"""a_$cur AS (SELECT p.id, p.v, c.list_id,
+         |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+         |      list_sum(list_transform(list_zip(p.v, c.c),
+         |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
+         |  FROM pts p, $prev c),
+         |$cur AS (SELECT list_id, list(m ORDER BY pos) AS c FROM (
+         |    SELECT a.list_id, t.pos AS pos,
+         |      CAST(SUM(CAST(a.v[t.pos] AS DECIMAL(28,14))) AS DOUBLE)
+         |        / COUNT(*) AS m
+         |    FROM a_$cur a, unnest(range(1, 65)) AS t(pos)
+         |    WHERE a.rn = 1
+         |    GROUP BY a.list_id, t.pos)
+         |  GROUP BY list_id)""".stripMargin
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |  FROM documents),
+      |ch AS (SELECT doc_id * 1000 + CAST(c.i AS BIGINT) AS cid,
+      |    array_to_string(tk[c.i*64+1 : c.i*64+64], ' ') AS chunk_text
+      |  FROM tk, unnest(range(0, (len(tk) + 63) // 64)) AS c(i)),
+      |toks AS (SELECT cid, t.tok AS tok,
+      |    CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS b
+      |  FROM ch,
+      |    unnest(list_filter(
+      |      string_split_regex(lower(chunk_text), '$wsClass'),
+      |      x -> x != '')) AS t(tok)),
+      |sums AS (SELECT cid, CAST(b % 64 AS INTEGER) AS pos,
+      |    SUM(CASE WHEN (b >> 8) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS s
+      |  FROM toks GROUP BY cid, CAST(b % 64 AS INTEGER)),
+      |allpts AS (SELECT g.cid AS id,
+      |    list(COALESCE(su.s, 0.0) ORDER BY g.pos) AS v
+      |  FROM (SELECT ch.cid, t.pos
+      |      FROM ch, unnest(range(0, 64)) AS t(pos)) g
+      |  LEFT JOIN sums su ON su.cid = g.cid AND su.pos = g.pos
+      |  GROUP BY g.cid),
+      |pts AS (SELECT * FROM allpts WHERE id % 10 = 0),
+      |seeds AS (SELECT id, v FROM pts ORDER BY id LIMIT 8),
+      |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS list_id,
+      |    v AS c FROM seeds),
+      |${iteration("c0", "c1")},
+      |${iteration("c1", "c2")},
+      |${iteration("c2", "c3")},
+      |c3m AS MATERIALIZED (SELECT * FROM c3),
+      |assign AS MATERIALIZED (SELECT id, list_id FROM (
+      |  SELECT p.id, c.list_id,
+      |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+      |      list_sum(list_transform(list_zip(p.v, c.c),
+      |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
+      |  FROM allpts p, c3m c) WHERE rn = 1),
+      |qz AS MATERIALIZED (SELECT id, q,
+      |    CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
+      |      AS BIGINT) AS qn
+      |  FROM (SELECT id,
+      |      CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+      |           ELSE list_transform(v,
+      |             x -> CAST(floor(127 * x / mx + 0.5) AS INTEGER)) END AS q
+      |    FROM (SELECT id, v,
+      |        list_max(list_transform(v, x -> abs(x))) AS mx
+      |      FROM allpts))),
+      |probes AS MATERIALIZED (SELECT qid, list_id FROM (
+      |  SELECT p.id AS qid, c.list_id,
+      |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+      |      list_sum(list_transform(list_zip(p.v, c.c),
+      |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS pr
+      |  FROM allpts p, c3m c
+      |  WHERE p.id < 10000) WHERE pr <= 2),
+      |cand AS (SELECT pb.qid, a.id AS cid,
+      |    CAST(list_dot_product(CAST(cq.q AS DOUBLE[]),
+      |      CAST(qq.q AS DOUBLE[])) AS BIGINT) AS dot_q,
+      |    list_dot_product(CAST(cq.q AS DOUBLE[]), CAST(qq.q AS DOUBLE[]))
+      |      / (sqrt(CAST(cq.qn AS DOUBLE)) * sqrt(CAST(qq.qn AS DOUBLE)))
+      |      AS cos_q
+      |  FROM probes pb
+      |  JOIN assign a ON a.list_id = pb.list_id
+      |  JOIN qz cq ON cq.id = a.id AND cq.qn > 0
+      |  JOIN qz qq ON qq.id = pb.qid AND qq.qn > 0
+      |  WHERE a.id != pb.qid),
+      |r AS (SELECT qid, cid, dot_q, cos_q,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY cos_q DESC, cid) AS rn
+      |  FROM cand)
+      |SELECT qid, cid, dot_q, ROUND(cos_q, 6) AS cos_q, rn FROM r
+      |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
+
   /** q119 — temperature-based source mixing
     * ([[graft.llm.Corpus.temperatureMix]]): sources sampled at the
     * T=2-tempered share `sqrt(n_s)/Σ sqrt(n_t)` scaled to a 250-doc
@@ -2477,6 +2601,7 @@ object LlmQueries {
     "q133_epoch_shuffle" -> (q133EpochShuffle _),
     "q134_filtered_knn" -> (q134FilteredKnn _),
     "q135_curriculum_shards" -> (q135CurriculumShards _),
+    "q136_retrieval_capstone" -> (q136RetrievalCapstone _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -2540,6 +2665,7 @@ object LlmQueries {
     "q133_epoch_shuffle" -> q133Sql,
     "q134_filtered_knn" -> q134Sql,
     "q135_curriculum_shards" -> q135Sql,
+    "q136_retrieval_capstone" -> q136Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

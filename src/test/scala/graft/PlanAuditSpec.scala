@@ -187,6 +187,19 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$name scans documents $docScans times (expect 1 — the eval " +
           s"side of decontamination):\n$plan")
     }
+    // the retrieval capstone's twin property: the chunk-embed table is
+    // localCheckpointed ONCE and sample-fit, full assign AND the query
+    // batch all reuse it — the final serve plan must contain ZERO
+    // documents scans (losing the checkpoint re-chunks and re-embeds
+    // the corpus once per consumer: 3× the dominant cost)
+    val q136Plan = SparkEntry
+      .queries("q136_retrieval_capstone")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val q136DocScans = q136Plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("documents"))
+    assert(q136DocScans == 0,
+      s"q136 re-derives the chunk embeddings ($q136DocScans documents " +
+        s"scans in the serve plan; expect 0 past the checkpoint):\n$q136Plan")
   }
 
   test("map-only corpus fan-outs shuffle only for their output ordering") {

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Corpus, Dedup, Multimodal, SimSearch, TextOps}
+import graft.llm.{Corpus, Dedup, Keyword, Multimodal, SimSearch, TextOps}
 import Tables._
 
 /** LLM-training-data operator surface: dedup, similarity search, text
@@ -1470,6 +1470,153 @@ object LlmQueries {
       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
   }
 
+  /** q137 — keyword (inverted-index) retrieval
+    * ([[graft.llm.Keyword.postings]]/[[graft.llm.Keyword.search]]): the
+    * lexical half of hybrid search. Postings are the NORMALIZED
+    * (token, doc, tf) table — never per-token arrays (a "the" posting
+    * array would be corpus-sized; same argument as the IVF list table).
+    * The query is self-derived for determinism: the corpus's 5th and
+    * 6th most-frequent tokens (skipping the top stop-word band), AND
+    * semantics. Integer outputs (match count, summed tf) make the
+    * whole path hash-exact. */
+  def q137KeywordSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val posts = Keyword.postings(documents(s, d), "doc_id", "text")
+      .localCheckpoint(false) // term selection AND the probe reuse it
+    // vocabulary-bounded global rank (the one-task sort is over
+    // DISTINCT tokens, not the corpus)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"df_count".desc, $"token")
+    val terms = posts.select($"token", $"df_count").distinct()
+      .withColumn("r", row_number().over(w))
+      .filter($"r".between(5, 6)).select($"token")
+    Keyword.search(posts, terms, minMatch = 2)
+      .orderBy($"doc_id")
+  }
+  val q137Sql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text),
+      |      '[ \t\n\v\f\r]+'), x -> x != '')) AS token
+      |  FROM documents),
+      |p AS (SELECT token, doc_id, COUNT(*) AS tf
+      |  FROM tok GROUP BY token, doc_id),
+      |d AS (SELECT token, COUNT(*) AS df_count FROM p GROUP BY token),
+      |t AS (SELECT token FROM d
+      |  ORDER BY df_count DESC, token LIMIT 2 OFFSET 4)
+      |SELECT doc_id, COUNT(DISTINCT p.token) AS n_matched,
+      |  CAST(SUM(tf) AS BIGINT) AS sum_tf
+      |FROM p JOIN t USING (token)
+      |GROUP BY doc_id HAVING COUNT(DISTINCT p.token) >= 2
+      |ORDER BY doc_id""".stripMargin
+
+  /** q138 — HYBRID retrieval with integer reciprocal-rank fusion
+    * ([[graft.llm.Keyword.rrf]]): the serving shape RAG actually runs —
+    * a lexical candidate list and a vector candidate list, fused. The
+    * query is the corpus's own first document: its two RAREST tokens
+    * (min document frequency — the discriminative terms) drive an OR
+    * keyword search ranked by (match count, summed tf); its dim-64
+    * hash embedding drives a brute int8-quantized cosine scan ranked
+    * the q111 way, with the global top-20 taken by the k-bounded
+    * partial aggregation (no corpus-wide window). RRF contributions
+    * are `1000000 DIV (60 + rank)` — exact longs, so the fused score
+    * hash-matches without a float tolerance. Both lists exclude the
+    * query doc itself. */
+  def q138HybridRrf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"text")
+    val qid = docs.agg(min($"doc_id")).head.getLong(0)
+    val posts = Keyword.postings(docs, "doc_id", "text")
+      .localCheckpoint(false) // query-term derivation AND probe reuse it
+    val qTerms = posts.filter($"doc_id" === qid)
+      .select($"token", $"df_count")
+      .orderBy($"df_count".asc, $"token").limit(2).select($"token")
+    val kwWin = org.apache.spark.sql.expressions.Window
+      .orderBy($"n_matched".desc, $"sum_tf".desc, $"doc_id")
+    val kw = Keyword.search(posts, qTerms, minMatch = 1)
+      .filter($"doc_id" =!= qid)
+      .withColumn("rn", row_number().over(kwWin))
+      .filter($"rn" <= 20).select($"doc_id", $"rn")
+    val emb = graft.ml.Embed.denseSqlVectors(docs, "doc_id", "text", 64)
+    val qz = graft.llm.Quantize.withInt8(
+      emb.select($"doc_id".as("id"),
+        $"vec".cast("array<double>").as("v")), "v")
+    val qrow = qz.filter($"id" === qid && $"qnorm" > 0)
+      .select($"qvec".as("qq"), $"qnorm".as("qqn"))
+    val vec = qz.filter($"id" =!= qid && $"qnorm" > 0)
+      .crossJoin(broadcast(qrow)) // 1-row query side (q78's shape)
+      .withColumn("dot_q",
+        graft.functions.VectorExprs.dotLong($"qvec", $"qq"))
+      .withColumn("cos_q", $"dot_q".cast("double") /
+        (sqrt($"qnorm".cast("double")) * sqrt($"qqn".cast("double"))))
+      .agg(graft.functions.TopKAgg.topKByCos(20)(
+        $"id", $"dot_q", $"cos_q").as("top"))
+      .select(posexplode($"top.items"))
+      .select($"col.cid".as("doc_id"), ($"pos" + 1).cast("int").as("rn"))
+    Keyword.rrf(kw, vec)
+      .orderBy($"score".desc, $"doc_id").limit(10)
+      .select($"doc_id", $"rank_a", $"rank_b", $"score")
+  }
+  val q138Sql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text),
+      |      '[ \t\n\v\f\r]+'), x -> x != '')) AS token
+      |  FROM documents),
+      |p AS (SELECT token, doc_id, COUNT(*) AS tf
+      |  FROM tok GROUP BY token, doc_id),
+      |d AS (SELECT token, COUNT(*) AS df_count FROM p GROUP BY token),
+      |q0 AS (SELECT MIN(doc_id) AS qid FROM documents),
+      |qt AS (SELECT p.token FROM p JOIN d USING (token), q0
+      |  WHERE p.doc_id = q0.qid
+      |  ORDER BY d.df_count ASC, p.token LIMIT 2),
+      |kw AS (SELECT doc_id, COUNT(DISTINCT p.token) AS n_matched,
+      |    CAST(SUM(tf) AS BIGINT) AS sum_tf
+      |  FROM p JOIN qt USING (token), q0
+      |  WHERE doc_id != q0.qid GROUP BY doc_id),
+      |kr AS (SELECT doc_id, rn FROM (
+      |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_matched DESC,
+      |      sum_tf DESC, doc_id) AS rn
+      |  FROM kw) WHERE rn <= 20),
+      |etok AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS b
+      |  FROM tok),
+      |sums AS (SELECT doc_id, CAST(b % 64 AS INTEGER) AS pos,
+      |    SUM(CASE WHEN (b >> 8) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS s
+      |  FROM etok GROUP BY doc_id, CAST(b % 64 AS INTEGER)),
+      |dense AS (SELECT g.doc_id AS id,
+      |    list(COALESCE(su.s, 0.0) ORDER BY g.pos) AS v
+      |  FROM (SELECT dd.doc_id, t.pos
+      |      FROM documents dd, unnest(range(0, 64)) AS t(pos)) g
+      |  LEFT JOIN sums su ON su.doc_id = g.doc_id AND su.pos = g.pos
+      |  GROUP BY g.doc_id),
+      |qz AS (SELECT id, q,
+      |    CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
+      |      AS BIGINT) AS qn
+      |  FROM (SELECT id,
+      |      CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+      |           ELSE list_transform(v,
+      |             x -> CAST(floor(127 * x / mx + 0.5) AS INTEGER)) END AS q
+      |    FROM (SELECT id, v,
+      |        list_max(list_transform(v, x -> abs(x))) AS mx
+      |      FROM dense))),
+      |vcand AS (SELECT c.id AS doc_id,
+      |    list_dot_product(CAST(c.q AS DOUBLE[]), CAST(qq.q AS DOUBLE[]))
+      |      / (sqrt(CAST(c.qn AS DOUBLE)) * sqrt(CAST(qq.qn AS DOUBLE)))
+      |      AS cos_q
+      |  FROM qz c, qz qq, q0
+      |  WHERE qq.id = q0.qid AND qq.qn > 0
+      |    AND c.id != q0.qid AND c.qn > 0),
+      |vr AS (SELECT doc_id, rn FROM (
+      |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_q DESC, doc_id)
+      |      AS rn
+      |  FROM vcand) WHERE rn <= 20),
+      |fused AS (SELECT COALESCE(kr.doc_id, vr.doc_id) AS doc_id,
+      |    kr.rn AS rank_a, vr.rn AS rank_b,
+      |    COALESCE(1000000 // (60 + kr.rn), 0) +
+      |      COALESCE(1000000 // (60 + vr.rn), 0) AS score
+      |  FROM kr FULL OUTER JOIN vr ON kr.doc_id = vr.doc_id)
+      |SELECT doc_id, rank_a, rank_b, CAST(score AS BIGINT) AS score
+      |FROM fused ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   /** q119 — temperature-based source mixing
     * ([[graft.llm.Corpus.temperatureMix]]): sources sampled at the
     * T=2-tempered share `sqrt(n_s)/Σ sqrt(n_t)` scaled to a 250-doc
@@ -2602,6 +2749,8 @@ object LlmQueries {
     "q134_filtered_knn" -> (q134FilteredKnn _),
     "q135_curriculum_shards" -> (q135CurriculumShards _),
     "q136_retrieval_capstone" -> (q136RetrievalCapstone _),
+    "q137_keyword_search" -> (q137KeywordSearch _),
+    "q138_hybrid_rrf" -> (q138HybridRrf _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -2666,6 +2815,8 @@ object LlmQueries {
     "q134_filtered_knn" -> q134Sql,
     "q135_curriculum_shards" -> q135Sql,
     "q136_retrieval_capstone" -> q136Sql,
+    "q137_keyword_search" -> q137Sql,
+    "q138_hybrid_rrf" -> q138Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

@@ -913,6 +913,44 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("keyword retrieval: postings tf/df, AND vs OR search, integer RRF " +
+      "with one-sided hits") {
+    import spark.implicits._
+    import graft.llm.Keyword
+    val df = Seq(
+      (1L, "alpha beta beta gamma"),
+      (2L, "alpha gamma"),
+      (3L, "beta delta"),
+      (4L, "ALPHA\talpha")  // lowercased + regex-tokenized
+    ).toDF("doc_id", "text")
+    val p = Keyword.postings(df, "doc_id", "text")
+    val rows = p.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // tf counts repeats; df counts DISTINCT docs
+    assert(rows.contains(("beta", 1L, 2L, 2L)))  // 2 occurrences in doc 1
+    assert(rows.contains(("alpha", 4L, 2L, 3L))) // case-folded, df=3
+    assert(rows.filter(_._1 == "alpha").forall(_._4 == 3L))
+    val terms = Seq("alpha", "beta").toDF("token")
+    // AND: only doc 1 has both
+    val and = Keyword.search(p, terms, minMatch = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(and.toSeq == Seq((1L, 2L, 3L)), and.toSeq.toString)
+    // OR: every doc with either term; doc 2 matches alpha only
+    val or = Keyword.search(p, terms, minMatch = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(or == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    // integer RRF: rank 1 → 1000000 DIV 61 = 16393; a doc on one list
+    // only scores that side; full-outer keeps both sides' exclusives
+    val a = Seq((10L, 1), (11L, 2)).toDF("doc_id", "rn")
+    val b = Seq((11L, 1), (12L, 2)).toDF("doc_id", "rn")
+    val fused = Keyword.rrf(a, b).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(fused == Map(
+      10L -> 1000000L / 61,
+      11L -> (1000000L / 62 + 1000000L / 61),
+      12L -> 1000000L / 62), fused.toString)
+  }
+
   test("regexShingleSet ≡ the Column shingle path on boundary inputs") {
     import spark.implicits._
     import graft.llm.Corpus

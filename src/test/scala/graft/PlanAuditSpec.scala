@@ -33,6 +33,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q127_rerank_recall",    // composes q126 + the q22 exact baseline
     "q115_stored_index_knn", // centroid-table broadcast (q112's shape, stored)
     "q78_vector_mix",        // reference-vector broadcast
+    "q138_hybrid_rrf",       // 1-row query-vector broadcast (q78's shape)
     "q45_knn_lsh",           // stats-free, but plans via tiny bucket join
     "q37_anomaly_iforest",   // scalar stats (same gate as q27)
     "q38_silhouette_simplified", // k-row centroid-table broadcast

@@ -115,7 +115,17 @@ object Bench {
     val stdoutTopK = 30
     val slowest = results.toSeq.sortBy(-_._2).take(stdoutTopK)
       .map(_._1).toSet
-    val shown = results.filter { case (k, v) => v < 0 || slowest(k) }
+    // failures are force-included but ALSO capped: a systemic failure
+    // (bad fixture path, broken session) marks ~every query -1, and an
+    // uncapped failure list would overflow the same 2000-char window
+    // the success cap protects — truncating the very signal it exists
+    // to surface. "qfail" carries the TOTAL failure count, so omitted
+    // failures are never invisible; the full list is in the detail file.
+    val failed = results.filter(_._2 < 0).keys.toSeq.sorted
+    val failShown = failed.take(stdoutTopK).toSet
+    val shown = results.filter { case (k, v) =>
+      (v < 0 && failShown(k)) || (v >= 0 && slowest(k))
+    }
     val qcut =
       shown.values.filter(_ >= 0) match {
         case vs if vs.nonEmpty => fmt(vs.min)
@@ -125,7 +135,8 @@ object Bench {
       val key = if (collided(k)) k else shortKey(k)
       s"\"" + key + "\":" + fmt(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qn":${results.size},"qcut":$qcut,"queries":$qs,"detail":"$detailJson","sf":"$sfJson"}""")
+    val failField = if (failed.nonEmpty) s""","qfail":${failed.size}""" else ""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qn":${results.size}$failField,"qcut":$qcut,"queries":$qs,"detail":"$detailJson","sf":"$sfJson"}""")
     spark.stop()
   }
 }

@@ -215,6 +215,10 @@ object Ivf {
     // carryCols ride the assign pass so filterable attributes land in
     // the index WITHOUT a join-back (at corpus scale an id join just to
     // re-attach a label the row already had is a full shuffle)
+    val carryClash = carryCols.filter(Set("id", "v", "list_id"))
+    require(carryClash.isEmpty,
+      s"assignIndex: carryCols ${carryClash.mkString(", ")} collide with " +
+        "the index layout (id, v, list_id) — rename before carrying")
     val tagged = df.select(col(idCol).as("id") +:
           col(vecCol).cast("array<double>").as("v") +:
           carryCols.map(col): _*)
@@ -473,6 +477,10 @@ object Ivf {
     * float vector dropped — the stored payload is codes + norm). */
   def saveIndex(index: DataFrame, centroids: DataFrame, root: String,
       name: String = "ivfsq", extraCols: Seq[String] = Nil): Unit = {
+    val extraClash = extraCols.filter(Set("id", "qvec", "qnorm", "list_id"))
+    require(extraClash.isEmpty,
+      s"saveIndex: extraCols ${extraClash.mkString(", ")} collide with " +
+        "the stored layout (id, qvec, qnorm, list_id)")
     centroids.write.mode("overwrite")
       .parquet(s"$root/_staging/$name/centroids")
     // extraCols: filterable attribute payload stored NEXT TO the codes
@@ -513,20 +521,31 @@ object Ivf {
       delta: DataFrame, name: String = "ivfsq"): Unit = {
     val (lists, cents) = loadIndex(spark, root, name)
     val nlist = cents.count() // driver-bounded: nlist rows
-    val cols = Seq("id", "qvec", "qnorm", "list_id")
+    // the STORED schema is the contract: a filtered-search index built
+    // with saveIndex extraCols (q134's attribute payload) must survive
+    // compaction with its extras intact — compacting down to the base
+    // layout would silently destroy stored columns
+    val cols = lists.columns.toSeq
     val missing = cols.filterNot(delta.columns.contains)
     require(missing.isEmpty,
       s"compactIndex: delta is missing column(s) ${missing.mkString(", ")}" +
-        " — expected the stored layout (id, qvec, qnorm, list_id)")
+        s" — the stored index carries (${cols.mkString(", ")})")
+    // NULL-safe: a NULL list_id makes both range predicates NULL and
+    // would slip past an unguarded filter into an unsearchable
+    // __HIVE_DEFAULT_PARTITION__ directory
     val badLists = delta
-      .filter(col("list_id") < 0 || col("list_id") >= nlist).limit(1).count()
+      .filter(col("list_id").isNull || col("list_id") < 0 ||
+        col("list_id") >= nlist)
+      .limit(1).count()
     require(badLists == 0,
-      s"compactIndex: delta carries list ids outside [0, $nlist) — it was " +
-        "assigned under different centroids than the stored index")
+      s"compactIndex: delta carries NULL list ids or ids outside " +
+        s"[0, $nlist) — it was assigned under different centroids than " +
+        "the stored index")
     val merged = lists.select(cols.map(col): _*)
       .unionByName(delta.select(cols.map(col): _*))
       .repartition(col("list_id"))
-    saveIndex(merged, cents, root, name)
+    saveIndex(merged, cents, root, name,
+      extraCols = cols.filterNot(Set("id", "qvec", "qnorm", "list_id")))
   }
 
   /** Load the production IVF-SQ pair saved by [[saveIndex]]; falls back

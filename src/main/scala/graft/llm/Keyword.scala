@@ -48,7 +48,10 @@ object Keyword {
   def search(postings: DataFrame, terms: DataFrame,
       minMatch: Int): DataFrame = {
     require(minMatch >= 1, s"minMatch must be >= 1, got $minMatch")
-    postings.join(broadcast(terms.select(col("token"))), "token")
+    // distinct: a repeated query term ("foo bar foo") would duplicate
+    // every matching posting row and silently inflate sum_tf (the
+    // countDistinct match count would mask it)
+    postings.join(broadcast(terms.select(col("token")).distinct()), "token")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("token")).as("n_matched"),
         sum(col("tf")).as("sum_tf"))

@@ -164,6 +164,10 @@ object TextOps {
     * shingles (the kGrams guard), matching the Column path and the
     * DuckDB `greatest(len(tk) - (k-2), 1)` twin. */
   def regexShingleSet(text: String, k: Int): Array[String] = {
+    // NULL text ⇒ no shingles, matching the Column path (shingles(null)
+    // is null and explode(null) emits no rows; an unguarded UDF would
+    // instead NPE and fail the whole job on one bad row)
+    if (text == null) return Array.empty
     val toks = text.split(WsClass).filter(_.nonEmpty)
     if (toks.length < k) Array.empty
     else toks.sliding(k).map(_.mkString(" ")).toArray.distinct

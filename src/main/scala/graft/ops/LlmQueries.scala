@@ -429,7 +429,15 @@ object LlmQueries {
         $"rn")
       .orderBy($"qid", $"rn")
   }
-  val q112Sql: String = {
+  /** The IVF-SQ BUILD replay every quantized-ANN oracle shares — ONE
+    * text with (allpts source, nlist, nprobe, query bound) as the only
+    * degrees of freedom, so a fix to the Lloyd or quantization SQL
+    * propagates to q113/q126/q127/q136 instead of leaving stale copies
+    * (q112Sql is the oracle of record for q112/q114/q115/q116/q130, and
+    * q134 derives from it by anchored surgery). Ends at the `probes`
+    * CTE; callers append their candidate/ranking tail. */
+  private def ivfSqBuildSql(allptsCte: String, nlist: Int, nprobe: Int,
+      queryPred: String): String = {
     def iteration(prev: String, cur: String): String =
       s"""a_$cur AS (SELECT p.id, p.v, c.list_id,
          |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
@@ -444,10 +452,9 @@ object LlmQueries {
          |    WHERE a.rn = 1
          |    GROUP BY a.list_id, t.pos)
          |  GROUP BY list_id)""".stripMargin
-    s"""WITH allpts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-      |  FROM embeddings),
+    s"""WITH $allptsCte,
       |pts AS (SELECT * FROM allpts WHERE id % 10 = 0),
-      |seeds AS (SELECT id, v FROM pts ORDER BY id LIMIT 16),
+      |seeds AS (SELECT id, v FROM pts ORDER BY id LIMIT $nlist),
       |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS list_id,
       |    v AS c FROM seeds),
       |${iteration("c0", "c1")},
@@ -476,7 +483,18 @@ object LlmQueries {
       |      list_sum(list_transform(list_zip(p.v, c.c),
       |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS pr
       |  FROM allpts p, c3m c
-      |  WHERE p.id < 10) WHERE pr <= 4),
+      |  WHERE $queryPred) WHERE pr <= $nprobe)""".stripMargin
+  }
+
+  /** The embeddings-table allpts source (q112/q113/q126/q127). */
+  private val embeddingsAllpts: String =
+    """allpts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings)""".stripMargin
+
+  /** The quantized candidate + serve-ranking tail: exact-integer dot,
+    * (cos_q DESC, cid) total order, top `k`. Shared by q112 and q136. */
+  private def ivfSqServeTailSql(k: Int): String =
+    s""",
       |cand AS (SELECT pb.qid, a.id AS cid,
       |    CAST(list_dot_product(CAST(cq.q AS DOUBLE[]),
       |      CAST(qq.q AS DOUBLE[])) AS BIGINT) AS dot_q,
@@ -493,8 +511,11 @@ object LlmQueries {
       |      ORDER BY cos_q DESC, cid) AS rn
       |  FROM cand)
       |SELECT qid, cid, dot_q, ROUND(cos_q, 6) AS cos_q, rn FROM r
-      |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
-  }
+      |WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+
+  val q112Sql: String =
+    ivfSqBuildSql(embeddingsAllpts, nlist = 16, nprobe = 4,
+      queryPred = "p.id < 10") + ivfSqServeTailSql(5)
 
   /** q113 — ANN recall@5, hash-gated: the EVAL harness for the
     * approximate-search stack. Joins q112's IVF-SQ top-5 against q22's
@@ -516,54 +537,10 @@ object LlmQueries {
       .withColumn("recall", $"n_matched".cast("double") / lit(5.0))
       .orderBy($"qid")
   }
-  val q113Sql: String = {
-    def iteration(prev: String, cur: String): String =
-      s"""a_$cur AS (SELECT p.id, p.v, c.list_id,
-         |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
-         |      list_sum(list_transform(list_zip(p.v, c.c),
-         |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
-         |  FROM pts p, $prev c),
-         |$cur AS (SELECT list_id, list(m ORDER BY pos) AS c FROM (
-         |    SELECT a.list_id, t.pos AS pos,
-         |      CAST(SUM(CAST(a.v[t.pos] AS DECIMAL(28,14))) AS DOUBLE)
-         |        / COUNT(*) AS m
-         |    FROM a_$cur a, unnest(range(1, 65)) AS t(pos)
-         |    WHERE a.rn = 1
-         |    GROUP BY a.list_id, t.pos)
-         |  GROUP BY list_id)""".stripMargin
-    s"""WITH allpts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-      |  FROM embeddings),
-      |pts AS (SELECT * FROM allpts WHERE id % 10 = 0),
-      |seeds AS (SELECT id, v FROM pts ORDER BY id LIMIT 16),
-      |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS list_id,
-      |    v AS c FROM seeds),
-      |${iteration("c0", "c1")},
-      |${iteration("c1", "c2")},
-      |${iteration("c2", "c3")},
-      |c3m AS MATERIALIZED (SELECT * FROM c3),
-      |assign AS MATERIALIZED (SELECT id, list_id FROM (
-      |  SELECT p.id, c.list_id,
-      |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
-      |      list_sum(list_transform(list_zip(p.v, c.c),
-      |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
-      |  FROM allpts p, c3m c) WHERE rn = 1),
-      |qz AS MATERIALIZED (SELECT id, q,
-      |    CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
-      |      AS BIGINT) AS qn
-      |  FROM (SELECT id,
-      |      CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
-      |           ELSE list_transform(v,
-      |             x -> CAST(floor(127 * x / mx + 0.5) AS INTEGER)) END AS q
-      |    FROM (SELECT id, v,
-      |        list_max(list_transform(v, x -> abs(x))) AS mx
-      |      FROM allpts))),
-      |probes AS MATERIALIZED (SELECT qid, list_id FROM (
-      |  SELECT p.id AS qid, c.list_id,
-      |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
-      |      list_sum(list_transform(list_zip(p.v, c.c),
-      |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS pr
-      |  FROM allpts p, c3m c
-      |  WHERE p.id < 10) WHERE pr <= 4),
+  val q113Sql: String =
+    ivfSqBuildSql(embeddingsAllpts, nlist = 16, nprobe = 4,
+      queryPred = "p.id < 10") +
+    """,
       |cand AS (SELECT pb.qid, a.id AS cid,
       |    list_dot_product(CAST(cq.q AS DOUBLE[]), CAST(qq.q AS DOUBLE[]))
       |      / (sqrt(CAST(cq.qn AS DOUBLE)) * sqrt(CAST(qq.qn AS DOUBLE)))
@@ -592,7 +569,6 @@ object LlmQueries {
       |FROM (SELECT DISTINCT qid FROM exact) e
       |LEFT JOIN hits h ON h.qid = e.qid
       |ORDER BY e.qid""".stripMargin
-  }
 
   /** q115 — STORED-index search, hash-gated: q112's IVF-SQ pair saved
     * to versioned parquet ([[graft.llm.Ivf.saveIndex]] — blue/green
@@ -944,54 +920,10 @@ object LlmQueries {
     * `r` — the re-rank pool feed. Declared BEFORE the vals that splice
     * it (strict-val init order: a later-declared prefix would
     * concatenate as "null"). */
-  private val q126Prefix: String = {
-    def iteration(prev: String, cur: String): String =
-      s"""a_$cur AS (SELECT p.id, p.v, c.list_id,
-         |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
-         |      list_sum(list_transform(list_zip(p.v, c.c),
-         |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
-         |  FROM pts p, $prev c),
-         |$cur AS (SELECT list_id, list(m ORDER BY pos) AS c FROM (
-         |    SELECT a.list_id, t.pos AS pos,
-         |      CAST(SUM(CAST(a.v[t.pos] AS DECIMAL(28,14))) AS DOUBLE)
-         |        / COUNT(*) AS m
-         |    FROM a_$cur a, unnest(range(1, 65)) AS t(pos)
-         |    WHERE a.rn = 1
-         |    GROUP BY a.list_id, t.pos)
-         |  GROUP BY list_id)""".stripMargin
-    s"""WITH allpts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-      |  FROM embeddings),
-      |pts AS (SELECT * FROM allpts WHERE id % 10 = 0),
-      |seeds AS (SELECT id, v FROM pts ORDER BY id LIMIT 16),
-      |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS list_id,
-      |    v AS c FROM seeds),
-      |${iteration("c0", "c1")},
-      |${iteration("c1", "c2")},
-      |${iteration("c2", "c3")},
-      |c3m AS MATERIALIZED (SELECT * FROM c3),
-      |assign AS MATERIALIZED (SELECT id, list_id FROM (
-      |  SELECT p.id, c.list_id,
-      |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
-      |      list_sum(list_transform(list_zip(p.v, c.c),
-      |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
-      |  FROM allpts p, c3m c) WHERE rn = 1),
-      |qz AS MATERIALIZED (SELECT id, q,
-      |    CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
-      |      AS BIGINT) AS qn
-      |  FROM (SELECT id,
-      |      CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
-      |           ELSE list_transform(v,
-      |             x -> CAST(floor(127 * x / mx + 0.5) AS INTEGER)) END AS q
-      |    FROM (SELECT id, v,
-      |        list_max(list_transform(v, x -> abs(x))) AS mx
-      |      FROM allpts))),
-      |probes AS MATERIALIZED (SELECT qid, list_id FROM (
-      |  SELECT p.id AS qid, c.list_id,
-      |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
-      |      list_sum(list_transform(list_zip(p.v, c.c),
-      |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS pr
-      |  FROM allpts p, c3m c
-      |  WHERE p.id < 10) WHERE pr <= 12),
+  private val q126Prefix: String =
+    ivfSqBuildSql(embeddingsAllpts, nlist = 16, nprobe = 12,
+      queryPred = "p.id < 10") +
+    """,
       |cand AS (SELECT pb.qid, a.id AS cid,
       |    CAST(list_dot_product(CAST(cq.q AS DOUBLE[]),
       |      CAST(qq.q AS DOUBLE[])) AS BIGINT) AS dot_q,
@@ -1017,7 +949,6 @@ object LlmQueries {
       |    ROW_NUMBER() OVER (PARTITION BY qid
       |      ORDER BY cos_sim DESC, cid) AS rn
       |  FROM rr)""".stripMargin
-  }
 
   /** q126 — IVF-SQ search with the FLOAT RE-RANK refinement stage
     * ([[graft.llm.Ivf.knnQuantizedRerank]], round-7 verdict item 2):
@@ -1383,91 +1314,32 @@ object LlmQueries {
       .orderBy($"qid", $"rn")
   }
   val q136Sql: String = {
-    // literal regex class for the s-interpolated SQL below (an
-    // s-string processes escapes, so \v must come in pre-built)
+    // literal regex class, pre-built: an s-string processes escapes and
+    // \v is not a valid one
     val wsClass = """[ \t\n\v\f\r]+"""
-    def iteration(prev: String, cur: String): String =
-      s"""a_$cur AS (SELECT p.id, p.v, c.list_id,
-         |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
-         |      list_sum(list_transform(list_zip(p.v, c.c),
-         |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
-         |  FROM pts p, $prev c),
-         |$cur AS (SELECT list_id, list(m ORDER BY pos) AS c FROM (
-         |    SELECT a.list_id, t.pos AS pos,
-         |      CAST(SUM(CAST(a.v[t.pos] AS DECIMAL(28,14))) AS DOUBLE)
-         |        / COUNT(*) AS m
-         |    FROM a_$cur a, unnest(range(1, 65)) AS t(pos)
-         |    WHERE a.rn = 1
-         |    GROUP BY a.list_id, t.pos)
-         |  GROUP BY list_id)""".stripMargin
-    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
-      |  FROM documents),
-      |ch AS (SELECT doc_id * 1000 + CAST(c.i AS BIGINT) AS cid,
-      |    array_to_string(tk[c.i*64+1 : c.i*64+64], ' ') AS chunk_text
-      |  FROM tk, unnest(range(0, (len(tk) + 63) // 64)) AS c(i)),
-      |toks AS (SELECT cid, t.tok AS tok,
-      |    CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS b
-      |  FROM ch,
-      |    unnest(list_filter(
-      |      string_split_regex(lower(chunk_text), '$wsClass'),
-      |      x -> x != '')) AS t(tok)),
-      |sums AS (SELECT cid, CAST(b % 64 AS INTEGER) AS pos,
-      |    SUM(CASE WHEN (b >> 8) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS s
-      |  FROM toks GROUP BY cid, CAST(b % 64 AS INTEGER)),
-      |allpts AS (SELECT g.cid AS id,
-      |    list(COALESCE(su.s, 0.0) ORDER BY g.pos) AS v
-      |  FROM (SELECT ch.cid, t.pos
-      |      FROM ch, unnest(range(0, 64)) AS t(pos)) g
-      |  LEFT JOIN sums su ON su.cid = g.cid AND su.pos = g.pos
-      |  GROUP BY g.cid),
-      |pts AS (SELECT * FROM allpts WHERE id % 10 = 0),
-      |seeds AS (SELECT id, v FROM pts ORDER BY id LIMIT 8),
-      |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS list_id,
-      |    v AS c FROM seeds),
-      |${iteration("c0", "c1")},
-      |${iteration("c1", "c2")},
-      |${iteration("c2", "c3")},
-      |c3m AS MATERIALIZED (SELECT * FROM c3),
-      |assign AS MATERIALIZED (SELECT id, list_id FROM (
-      |  SELECT p.id, c.list_id,
-      |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
-      |      list_sum(list_transform(list_zip(p.v, c.c),
-      |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
-      |  FROM allpts p, c3m c) WHERE rn = 1),
-      |qz AS MATERIALIZED (SELECT id, q,
-      |    CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
-      |      AS BIGINT) AS qn
-      |  FROM (SELECT id,
-      |      CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
-      |           ELSE list_transform(v,
-      |             x -> CAST(floor(127 * x / mx + 0.5) AS INTEGER)) END AS q
-      |    FROM (SELECT id, v,
-      |        list_max(list_transform(v, x -> abs(x))) AS mx
-      |      FROM allpts))),
-      |probes AS MATERIALIZED (SELECT qid, list_id FROM (
-      |  SELECT p.id AS qid, c.list_id,
-      |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
-      |      list_sum(list_transform(list_zip(p.v, c.c),
-      |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS pr
-      |  FROM allpts p, c3m c
-      |  WHERE p.id < 10000) WHERE pr <= 2),
-      |cand AS (SELECT pb.qid, a.id AS cid,
-      |    CAST(list_dot_product(CAST(cq.q AS DOUBLE[]),
-      |      CAST(qq.q AS DOUBLE[])) AS BIGINT) AS dot_q,
-      |    list_dot_product(CAST(cq.q AS DOUBLE[]), CAST(qq.q AS DOUBLE[]))
-      |      / (sqrt(CAST(cq.qn AS DOUBLE)) * sqrt(CAST(qq.qn AS DOUBLE)))
-      |      AS cos_q
-      |  FROM probes pb
-      |  JOIN assign a ON a.list_id = pb.list_id
-      |  JOIN qz cq ON cq.id = a.id AND cq.qn > 0
-      |  JOIN qz qq ON qq.id = pb.qid AND qq.qn > 0
-      |  WHERE a.id != pb.qid),
-      |r AS (SELECT qid, cid, dot_q, cos_q,
-      |    ROW_NUMBER() OVER (PARTITION BY qid
-      |      ORDER BY cos_q DESC, cid) AS rn
-      |  FROM cand)
-      |SELECT qid, cid, dot_q, ROUND(cos_q, 6) AS cos_q, rn FROM r
-      |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+    val chunkEmbedAllpts =
+      s"""tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |ch AS (SELECT doc_id * 1000 + CAST(c.i AS BIGINT) AS cid,
+        |    array_to_string(tk[c.i*64+1 : c.i*64+64], ' ') AS chunk_text
+        |  FROM tk, unnest(range(0, (len(tk) + 63) // 64)) AS c(i)),
+        |toks AS (SELECT cid, t.tok AS tok,
+        |    CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS b
+        |  FROM ch,
+        |    unnest(list_filter(
+        |      string_split_regex(lower(chunk_text), '$wsClass'),
+        |      x -> x != '')) AS t(tok)),
+        |sums AS (SELECT cid, CAST(b % 64 AS INTEGER) AS pos,
+        |    SUM(CASE WHEN (b >> 8) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS s
+        |  FROM toks GROUP BY cid, CAST(b % 64 AS INTEGER)),
+        |allpts AS (SELECT g.cid AS id,
+        |    list(COALESCE(su.s, 0.0) ORDER BY g.pos) AS v
+        |  FROM (SELECT ch.cid, t.pos
+        |      FROM ch, unnest(range(0, 64)) AS t(pos)) g
+        |  LEFT JOIN sums su ON su.cid = g.cid AND su.pos = g.pos
+        |  GROUP BY g.cid)""".stripMargin
+    ivfSqBuildSql(chunkEmbedAllpts, nlist = 8, nprobe = 2,
+      queryPred = "p.id < 10000") + ivfSqServeTailSql(3)
   }
 
   /** q137 — keyword (inverted-index) retrieval

@@ -78,6 +78,52 @@ class CompactionSpec extends AnyFunSuite {
       }
       val (after, _) = Ivf.loadIndex(spark, root.toString)
       assert(after.count() == e.count())
+
+      // a NULL list_id must fail the guard too (NULL slips past a bare
+      // range filter and lands in __HIVE_DEFAULT_PARTITION__, where the
+      // probe join never finds it)
+      intercept[IllegalArgumentException] {
+        Ivf.compactIndex(spark, root.toString,
+          delta.withColumn("list_id",
+            when(lit(false), $"list_id").otherwise(lit(null))
+              .cast("int")))
+      }
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("compaction preserves attribute-payload columns (q134's extras)") {
+    import spark.implicits._
+    val e = embeddings
+    val cents = Ivf.fitCentroids(e.filter(pmod($"vec_id", lit(10)) === 0),
+      "vec_id", "embedding", nlist = 4)
+    def stored(part: DataFrame): DataFrame =
+      Quantize.withInt8(Ivf.assignIndex(part, "vec_id", "embedding",
+        cents, carryCols = Seq("label")), "v").drop("v")
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-x")
+    try {
+      Ivf.saveIndex(stored(e.filter(pmod($"vec_id", lit(2)) === 0)),
+        cents, root.toString, extraCols = Seq("label"))
+      Ivf.compactIndex(spark, root.toString,
+        stored(e.filter(pmod($"vec_id", lit(2)) === 1)))
+      val (lists, _) = Ivf.loadIndex(spark, root.toString)
+      // the filterable attribute survived compaction with full coverage
+      assert(lists.columns.contains("label"))
+      assert(lists.filter($"label".isNull).count() == 0)
+      assert(lists.count() == e.count())
+      // a delta that LOST the attribute is rejected before any write
+      intercept[IllegalArgumentException] {
+        Ivf.compactIndex(spark, root.toString,
+          stored(e.limit(4)).drop("label"))
+      }
+      // clash guards: carried/extra names may not collide with the layout
+      intercept[IllegalArgumentException] {
+        Ivf.assignIndex(e, "vec_id", "embedding", cents,
+          carryCols = Seq("list_id"))
+      }
+      intercept[IllegalArgumentException] {
+        Ivf.saveIndex(stored(e.limit(4)), cents, root.toString,
+          extraCols = Seq("qnorm"))
+      }
     } finally graft.util.Fs.deleteRecursively(root)
   }
 }

@@ -514,6 +514,87 @@ object Corpus {
       .withColumn("pos_in_shard", row_number().over(w) - 1)
   }
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4), made
+    * DETERMINISTIC and non-overlapping by construction: the token
+    * stream is cut into fixed `block`-token blocks and each block masks
+    * ONE span whose start offset and length (1..maxSpan) come from the
+    * md5 digest of `"id:block"` — so spans can never overlap (each is
+    * confined to its block: start ≤ block−maxSpan, the classic
+    * sequential greedy resolution designed out), corruption density is
+    * a fixed knob (mean (maxSpan+1)/2 per block tokens), and the same
+    * document always corrupts identically in any engine — the
+    * reproducibility a training pipeline needs and an RNG-driven
+    * sampler cannot give. Emits per document: `n_tokens`, `n_spans`,
+    * `n_masked`, `input_text` (spans replaced by `<extra_id_k>`
+    * sentinels, k = block index) and `target_text` (each sentinel
+    * followed by the tokens it hides — the seq2seq target).
+    *
+    * A span landing past the document's end is dropped (short final
+    * block) or clipped (start inside, length beyond), mirroring what a
+    * block-local sampler does at sequence boundaries.
+    *
+    * Scale shape: span derivation is a map-side explode bounded by
+    * n/block per doc; reassembly is per-document HOF arithmetic over
+    * the (few) spans — no join, no shuffle beyond the per-doc span
+    * aggregation. The lambda chain is interpreted (not codegen), which
+    * is fine for a preprocessing pass; the scalar-pass seam
+    * ([[TextOps.regexShingleSet]]'s precedent) is the documented
+    * fallback if this ever lands on a hot path. */
+  def spanCorruption(df: DataFrame, idCol: String, textCol: String,
+      block: Int = 20, maxSpan: Int = 3): DataFrame = {
+    require(block > 0, s"block must be positive, got $block")
+    require(maxSpan >= 1 && maxSpan < block,
+      s"maxSpan must be in [1, block), got $maxSpan (block $block)")
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .withColumn("__n", size(TextOps.tokens(col("__t"))).cast("long"))
+    val key = (blk: Column) => concat(col("doc_id").cast("string"),
+      lit(":"), blk.cast("string"))
+    val spans = base
+      .withColumn("blk",
+        explode(sequence(lit(0L), expr(s"(__n - 1) DIV $block"))))
+      .withColumn("start_in",
+        pmod(digestKey60(key(col("blk")), 0), lit((block - maxSpan + 1).toLong)))
+      .withColumn("len0",
+        lit(1L) + pmod(digestKey60(key(col("blk")), 1), lit(maxSpan.toLong)))
+      .withColumn("abs_start", col("blk") * block + col("start_in") + 1)
+      .filter(col("abs_start") <= col("__n"))
+      .withColumn("span_len",
+        least(col("len0"), col("__n") - col("abs_start") + 1))
+      .withColumn("masked",
+        array_join(slice(TextOps.tokens(col("__t")),
+          col("abs_start").cast("int"), col("span_len").cast("int")), " "))
+    val agg = spans.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(
+          col("abs_start"), col("span_len"), col("blk"), col("masked"))))
+          .as("sp"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("n_masked"))
+    val sentinel = (b: Column) =>
+      concat(lit("<extra_id_"), b.cast("string"), lit(">"))
+    base.join(agg, Seq("doc_id"), "left")
+      .withColumn("sp", coalesce(col("sp"),
+        array().cast("array<struct<abs_start:long,span_len:long," +
+          "blk:long,masked:string>>")))
+      .select(col("doc_id"),
+        col("__n").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        array_join(filter(
+          transform(sequence(lit(1L), col("__n")), pos => {
+            val cov = filter(col("sp"), s =>
+              s("abs_start") <= pos &&
+                pos < s("abs_start") + s("span_len"))
+            when(size(cov) === 0,
+                element_at(TextOps.tokens(col("__t")), pos.cast("int")))
+              .when(element_at(cov, 1)("abs_start") === pos,
+                sentinel(element_at(cov, 1)("blk")))
+              .otherwise(lit(null))
+          }), t => t.isNotNull), " ").as("input_text"),
+        array_join(transform(col("sp"), s =>
+          concat(sentinel(s("blk")), lit(" "), s("masked"))), " ")
+          .as("target_text"))
+  }
+
   /** Curriculum-ordered sharding — [[shardForTraining]] with the
     * within-shard order keyed by a DIFFICULTY column first (ascending,
     * NULLS LAST — the q122 cross-engine rule), hash second: every

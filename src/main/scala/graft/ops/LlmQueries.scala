@@ -1489,6 +1489,69 @@ object LlmQueries {
       |SELECT doc_id, rank_a, rank_b, CAST(score AS BIGINT) AS score
       |FROM fused ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** q139 — T5-style span corruption
+    * ([[graft.llm.Corpus.spanCorruption]]): the denoising-objective
+    * preprocessing step (mask spans, emit sentinel-bridged
+    * input/target pairs), deterministic and non-overlapping by
+    * construction — one span per 20-token block, start/length from the
+    * `"id:block"` md5 digest, so the same corpus corrupts identically
+    * on every run and in every engine (an RNG sampler cannot give a
+    * resuming trainer that). The oracle replays block cutting, digest
+    * arithmetic, boundary clipping, sentinel insertion and target
+    * assembly verbatim — the whole seq2seq pair is hash-pinned. */
+  def q139SpanCorruption(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Corpus.spanCorruption(documents(s, d), "doc_id", "text",
+        block = 20, maxSpan = 3)
+      .orderBy($"doc_id")
+  }
+  val q139Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |  FROM documents),
+      |b AS (SELECT doc_id, tk, len(tk) AS n, u.blk
+      |  FROM t, unnest(range(0, (len(tk) - 1) // 20 + 1)) AS u(blk)),
+      |s0 AS (SELECT doc_id, tk, n, blk,
+      |    blk * 20 + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+      |      || ':' || CAST(blk AS VARCHAR)), 1, 15)) AS BIGINT) % 18 + 1
+      |      AS abs_start,
+      |    1 + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+      |      || ':' || CAST(blk AS VARCHAR)), 16, 15)) AS BIGINT) % 3
+      |      AS len0
+      |  FROM b),
+      |sp AS (SELECT doc_id, blk, abs_start,
+      |    least(len0, n - abs_start + 1) AS span_len,
+      |    array_to_string(tk[abs_start :
+      |      abs_start + least(len0, n - abs_start + 1) - 1], ' ')
+      |      AS masked
+      |  FROM s0 WHERE abs_start <= n),
+      |agg AS (SELECT doc_id,
+      |    list(struct_pack(abs_start := abs_start, span_len := span_len,
+      |      blk := blk, masked := masked) ORDER BY abs_start) AS sp,
+      |    COUNT(*) AS n_spans, CAST(SUM(span_len) AS BIGINT) AS n_masked
+      |  FROM sp GROUP BY doc_id),
+      |j AS (SELECT t.doc_id, t.tk, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+      |    COALESCE(a.n_spans, 0) AS n_spans,
+      |    COALESCE(a.n_masked, 0) AS n_masked,
+      |    COALESCE(a.sp, []::STRUCT(abs_start BIGINT, span_len BIGINT,
+      |      blk BIGINT, masked VARCHAR)[]) AS spl
+      |  FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id)
+      |SELECT doc_id, n_tokens, n_spans, n_masked,
+      |  array_to_string(list_filter(list_transform(
+      |    range(1, len(tk) + 1), pos ->
+      |      CASE WHEN len(list_filter(spl, s -> s.abs_start <= pos
+      |          AND pos < s.abs_start + s.span_len)) = 0
+      |        THEN tk[pos]
+      |      WHEN list_filter(spl, s -> s.abs_start <= pos
+      |          AND pos < s.abs_start + s.span_len)[1].abs_start = pos
+      |        THEN '<extra_id_' || CAST(list_filter(spl,
+      |          s -> s.abs_start <= pos AND pos < s.abs_start
+      |          + s.span_len)[1].blk AS VARCHAR) || '>'
+      |      ELSE NULL END), x -> x IS NOT NULL), ' ') AS input_text,
+      |  COALESCE(array_to_string(list_transform(spl, s ->
+      |    '<extra_id_' || CAST(s.blk AS VARCHAR) || '> ' || s.masked),
+      |    ' '), '') AS target_text
+      |FROM j ORDER BY doc_id""".stripMargin
+
   /** q119 — temperature-based source mixing
     * ([[graft.llm.Corpus.temperatureMix]]): sources sampled at the
     * T=2-tempered share `sqrt(n_s)/Σ sqrt(n_t)` scaled to a 250-doc
@@ -2623,6 +2686,7 @@ object LlmQueries {
     "q136_retrieval_capstone" -> (q136RetrievalCapstone _),
     "q137_keyword_search" -> (q137KeywordSearch _),
     "q138_hybrid_rrf" -> (q138HybridRrf _),
+    "q139_span_corruption" -> (q139SpanCorruption _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -2689,6 +2753,7 @@ object LlmQueries {
     "q136_retrieval_capstone" -> q136Sql,
     "q137_keyword_search" -> q137Sql,
     "q138_hybrid_rrf" -> q138Sql,
+    "q139_span_corruption" -> q139Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

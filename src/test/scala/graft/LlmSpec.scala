@@ -951,6 +951,56 @@ class LlmSpec extends AnyFunSuite {
       12L -> 1000000L / 62), fused.toString)
   }
 
+  test("spanCorruption: sentinel substitution reconstructs the original, " +
+      "counts consistent, deterministic, boundary spans clip") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    // lengths chosen to hit: multi-block, exactly-one-block, short doc
+    // (span may drop), and a 1-token doc
+    val df = Seq(
+      (1L, (1 to 47).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 20).map(i => s"x$i").mkString(" ")),
+      (3L, "a b c"),
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val out = Corpus.spanCorruption(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val SentinelRe = "<extra_id_([0-9]+)>".r
+    df.collect().foreach { row =>
+      val (id, orig) = (row.getLong(0), row.getString(1))
+      val r = out(id)
+      val (nTok, nSpans, nMasked) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (input, target) = (r.getString(4), r.getString(5))
+      assert(nTok == orig.split(" ").length)
+      // the seq2seq CONTRACT: substituting each sentinel's target span
+      // back into the input reconstructs the original text exactly
+      val spans = SentinelRe.findAllMatchIn(target).toSeq
+      val bounds = spans.map(_.start) :+ target.length
+      val byBlk = spans.zipWithIndex.map { case (m, i) =>
+        m.group(1) -> target.substring(m.end, bounds(i + 1)).trim
+      }.toMap
+      val rebuilt = SentinelRe.replaceAllIn(input,
+        m => java.util.regex.Matcher.quoteReplacement(byBlk(m.group(1))))
+      assert(rebuilt == orig, s"doc $id: $rebuilt != $orig")
+      assert(byBlk.size == nSpans)
+      assert(SentinelRe.findAllIn(input).size == nSpans)
+      val maskedTokens =
+        byBlk.values.map(v => if (v.isEmpty) 0 else v.split(" ").length).sum
+      assert(maskedTokens == nMasked, s"doc $id: $maskedTokens != $nMasked")
+      // spans never cross their block into the next (non-overlap by
+      // construction): each span's tokens fit inside [blk*20+1, blk*20+20]
+      assert(nMasked <= nTok)
+    }
+    // determinism: a second run produces identical rows
+    val again = Corpus.spanCorruption(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(out.keySet.forall(k => again(k) == out(k).toSeq))
+    intercept[IllegalArgumentException] {
+      Corpus.spanCorruption(df, "doc_id", "text", block = 3, maxSpan = 3)
+    }
+  }
+
   test("regexShingleSet ≡ the Column shingle path on boundary inputs") {
     import spark.implicits._
     import graft.llm.Corpus

@@ -932,4 +932,55 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         col("n_tokens"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    * deduplication by clustering embeddings first and comparing pairs
+    * only WITHIN a cluster — the move that turns the O(N²) global
+    * cosine sweep (q44's labeled correctness baseline) into
+    * O(Σ n_c²) bounded by cluster size, which is how embedding-level
+    * dedup runs at corpus scale (the paper uses ~100k clusters over
+    * LAION/C4). This repo's composition: coarse clusters from the
+    * sample-fitted Lloyd quantizer ([[graft.llm.Ivf]], q99's
+    * deployment shape), int8 codes from [[graft.llm.Quantize]] so the
+    * within-cluster cosine is an exact integer dot plus one fixed
+    * sqrt·sqrt·divide chain — every keep/drop decision replays
+    * bit-for-bit in the oracle (a float-sum cosine would wobble in the
+    * last ulp exactly at the threshold).
+    *
+    * `index` must carry (id, list_id, qvec, qnorm) — the
+    * [[graft.llm.Ivf.assignIndex]] → [[graft.llm.Quantize.withInt8]]
+    * pipeline. A row is a duplicate iff some SMALLER id in the same
+    * cluster has quantized cosine ≥ `tau` (the paper keeps one point
+    * per ε-ball; smallest-id-wins is this repo's deterministic stand-in
+    * for the paper's arbitrary representative). Zero-norm vectors never
+    * pair (0/0 cosine is undefined); they are always keepers. Emits
+    * every id with (list_id, is_dup, dup_of = smallest qualifying
+    * earlier id, NULL for keepers).
+    *
+    * Scale shape: one self-join co-partitioned on `list_id` (the
+    * cluster), integer-dot inner loop in whole-stage codegen; no
+    * global shuffle beyond the cluster key. Skewed clusters are the
+    * documented operational knob: raise nlist (the paper's regime) so
+    * the largest cluster stays executor-sized. */
+  def semDedup(index: DataFrame, tau: Double): DataFrame = {
+    val a = index.filter(col("qnorm") > 0)
+      .select(col("id").as("aid"), col("list_id"),
+        col("qvec").as("aq"), col("qnorm").as("an"))
+    val b = index.filter(col("qnorm") > 0)
+      .select(col("id").as("bid"), col("list_id"),
+        col("qvec").as("bq"), col("qnorm").as("bn"))
+    // bind the dot once, divide the bound column (no CSE across sibling
+    // columns — the q111 convention)
+    val dups = a.join(b, Seq("list_id")).filter(col("aid") < col("bid"))
+      .withColumn("dot_q",
+        graft.functions.VectorExprs.dotLong(col("aq"), col("bq")))
+      .withColumn("cos_q", col("dot_q").cast("double") /
+        (sqrt(col("an").cast("double")) * sqrt(col("bn").cast("double"))))
+      .filter(col("cos_q") >= lit(tau))
+      .groupBy(col("bid")).agg(min(col("aid")).as("dup_of"))
+    index.join(dups, index("id") === dups("bid"), "left")
+      .select(index("id"), index("list_id"),
+        when(col("dup_of").isNull, 0).otherwise(1).as("is_dup"),
+        col("dup_of"))
+  }
 }

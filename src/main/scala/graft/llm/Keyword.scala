@@ -58,6 +58,59 @@ object Keyword {
       .filter(col("n_matched") >= minMatch)
   }
 
+  /** BM25 ranking (Robertson & Zaragoza 2009) made HASH-EXACT across
+    * engines. Two deliberate departures from the textbook float form,
+    * both for cross-engine determinism, neither changing the shape of
+    * the ranking function:
+    *
+    *   - the idf is `sqrt((N - df + 0.5)/(df + 0.5))` instead of
+    *     `ln(1 + ...)`: `ln` is NOT an IEEE correctly-rounded operation
+    *     (platform libm vs JVM intrinsic can differ in the last ulp and
+    *     a 1-ulp flip would flip a hash gate), while `+ - * / sqrt` all
+    *     are — the q119 discipline. sqrt is a monotone compression of
+    *     the same rarity ratio, so per-term ordering is identical.
+    *   - the per-(doc,term) contribution is floored to a FIXED-POINT
+    *     long (micro units) and the document score is a sum of exact
+    *     longs — float sums are merge-order-sensitive in the last ulp
+    *     (the integer-RRF argument in [[rrf]]).
+    *
+    * The tf saturation is the standard k1=1.2, b=0.75 form:
+    * `tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))`.
+    *
+    * Scale: `dl` (doc length) is derived here with one window over the
+    * postings — at rest it is index-build-time metadata stored beside
+    * `df_count` (the q115 stored-index argument), so the serve path
+    * only ever scans the matched postings; the final top-k is the
+    * k-bounded partial aggregation ([[graft.functions.TopKAgg]]), not a
+    * corpus-wide window. */
+  def bm25(postings: DataFrame, terms: DataFrame, nDocs: Long,
+      avgdl: Double, k: Int): DataFrame = {
+    require(nDocs > 0, s"bm25 needs nDocs > 0, got $nDocs")
+    require(avgdl > 0, s"bm25 needs avgdl > 0, got $avgdl")
+    val dlW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val matched = postings
+      .withColumn("dl", sum(col("tf")).over(dlW))
+      .join(broadcast(terms.select(col("token")).distinct()), "token")
+    val idf = sqrt(
+      ((lit(nDocs) - col("df_count")).cast("double") + lit(0.5)) /
+        (col("df_count").cast("double") + lit(0.5)))
+    val tnorm = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
+    matched
+      .withColumn("contrib",
+        floor(idf * tnorm * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score_fp"))
+      .agg(graft.functions.TopKAgg.topKByCos(k)(
+        col("doc_id"), col("score_fp"), col("score_fp").cast("double"))
+        .as("top"))
+      .select(posexplode(col("top.items")))
+      .select(col("col.cid").as("doc_id"), col("col.dot_q").as("score_fp"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) kept INTEGER-exact:
     * contribution of rank r is `1000000 DIV (60 + r)` — the standard
     * RRF k=60 shape scaled to integers so the fused score is a sum of

@@ -1489,6 +1489,115 @@ object LlmQueries {
       |SELECT doc_id, rank_a, rank_b, CAST(score AS BIGINT) AS score
       |FROM fused ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** q140 — BM25 ranking ([[graft.llm.Keyword.bm25]]): the lexical
+    * SCORER the q137 boolean/tf ranking lacks — df-weighted term rarity
+    * with tf saturation and length normalization (Robertson & Zaragoza
+    * 2009, k1=1.2 b=0.75). Hash-exact across engines by construction:
+    * the idf is sqrt-compressed (ln is not IEEE-correctly-rounded;
+    * sqrt/±/×/÷ are — the q119 discipline), every double chain is one
+    * fixed left-associated sequence written identically in both
+    * engines, and each per-(doc,term) contribution is floored to
+    * fixed-point micros so the document score is an exact long sum (the
+    * integer-RRF argument). Query = the corpus's 5th/6th most-frequent
+    * tokens (q137's band), OR semantics; top-10 via the k-bounded
+    * partial aggregation, not a corpus-wide window. */
+  def q140Bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"text")
+    val posts = Keyword.postings(docs, "doc_id", "text")
+      .localCheckpoint(false) // term selection, totals AND probe reuse it
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"df_count".desc, $"token")
+    val terms = posts.select($"token", $"df_count").distinct()
+      .withColumn("r", row_number().over(w))
+      .filter($"r".between(5, 6)).select($"token")
+    val nDocs = docs.count()
+    val totalTokens = posts.agg(sum($"tf")).head.getLong(0)
+    // exact long-to-double conversions + one IEEE division == the
+    // oracle's CAST(total AS DOUBLE) / CAST(n AS DOUBLE)
+    val avgdl = totalTokens.toDouble / nDocs.toDouble
+    Keyword.bm25(posts, terms, nDocs, avgdl, k = 10)
+      .orderBy($"rn")
+  }
+  val q140Sql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text),
+      |      '[ \t\n\v\f\r]+'), x -> x != '')) AS token
+      |  FROM documents),
+      |p AS (SELECT token, doc_id, COUNT(*) AS tf
+      |  FROM tok GROUP BY token, doc_id),
+      |d AS (SELECT token, COUNT(*) AS df_count FROM p GROUP BY token),
+      |t AS (SELECT token FROM d
+      |  ORDER BY df_count DESC, token LIMIT 2 OFFSET 4),
+      |dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+      |  FROM p GROUP BY doc_id),
+      |g AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+      |    (SELECT CAST(SUM(tf) AS BIGINT) FROM p) AS total_tokens),
+      |sc AS (SELECT p.doc_id,
+      |    CAST(floor(
+      |      sqrt((CAST(g.n_docs - d.df_count AS DOUBLE) + 5e-1)
+      |           / (CAST(d.df_count AS DOUBLE) + 5e-1))
+      |      * ((CAST(p.tf AS DOUBLE) * 22e-1)
+      |         / (CAST(p.tf AS DOUBLE) + 12e-1 * (25e-2 + 75e-2
+      |            * (CAST(dlen.dl AS DOUBLE)
+      |               / (CAST(g.total_tokens AS DOUBLE)
+      |                  / CAST(g.n_docs AS DOUBLE))))))
+      |      * 1e6 + 5e-1) AS BIGINT) AS contrib
+      |  FROM p JOIN t USING (token) JOIN d USING (token)
+      |    JOIN dlen USING (doc_id), g),
+      |s AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_fp
+      |  FROM sc GROUP BY doc_id)
+      |SELECT doc_id, score_fp, rn FROM (
+      |  SELECT doc_id, score_fp,
+      |    ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS rn
+      |  FROM s) WHERE rn <= 10
+      |ORDER BY rn""".stripMargin
+
+  /** q141 — SemDeDup ([[graft.llm.Dedup.semDedup]]; Abbas et al. 2023):
+    * semantic dedup at scale — cluster first (q99's sample-fitted Lloyd
+    * quantizer, map-only assign), then compare pairs only WITHIN a
+    * cluster with the exact-integer quantized cosine (q111). The global
+    * all-pairs sweep q44 is the labeled O(N²) baseline; this is its
+    * 100 TB path: O(Σ n_c²) bounded by cluster size. Every keep/drop
+    * decision is bit-replayable (integer dot + one fixed sqrt·sqrt·
+    * divide chain vs a double threshold literal), so the oracle
+    * replays sample-Lloyd, assignment, quantization, within-cluster
+    * pairing and the smallest-id-wins keeper rule verbatim. */
+  def q141SemDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val sample = e.filter(pmod($"vec_id", lit(10)) === 0)
+    val cents = graft.llm.Ivf.fitCentroids(sample, "vec_id", "embedding",
+      nlist = 16)
+    val idx = graft.llm.Quantize.withInt8(
+      graft.llm.Ivf.assignIndex(e, "vec_id", "embedding", cents), "v")
+    Dedup.semDedup(idx, tau = 0.35)
+      .select($"id".as("vec_id"), $"list_id", $"is_dup", $"dup_of")
+      .orderBy($"vec_id")
+  }
+  lazy val q141Sql: String =
+    // q112's shared IVF-SQ build replay (Lloyd + assign + quantize);
+    // probes are unused here — the FALSE pred makes that CTE empty
+    ivfSqBuildSql(embeddingsAllpts, nlist = 16, nprobe = 4,
+      queryPred = "FALSE") +
+      """,
+        |dups AS (SELECT b.id AS bid, MIN(a.id) AS dup_of
+        |  FROM assign a JOIN assign b
+        |    ON a.list_id = b.list_id AND a.id < b.id
+        |  JOIN qz qa ON qa.id = a.id AND qa.qn > 0
+        |  JOIN qz qb ON qb.id = b.id AND qb.qn > 0
+        |  WHERE list_dot_product(CAST(qa.q AS DOUBLE[]),
+        |      CAST(qb.q AS DOUBLE[]))
+        |      / (sqrt(CAST(qa.qn AS DOUBLE)) * sqrt(CAST(qb.qn AS DOUBLE)))
+        |      >= 35e-2
+        |  GROUP BY b.id)
+        |SELECT p.id AS vec_id, CAST(a.list_id AS INTEGER) AS list_id,
+        |  CASE WHEN d.bid IS NULL THEN 0 ELSE 1 END AS is_dup,
+        |  d.dup_of
+        |FROM allpts p JOIN assign a ON a.id = p.id
+        |LEFT JOIN dups d ON d.bid = p.id
+        |ORDER BY vec_id""".stripMargin
+
   /** q139 — T5-style span corruption
     * ([[graft.llm.Corpus.spanCorruption]]): the denoising-objective
     * preprocessing step (mask spans, emit sentinel-bridged
@@ -2687,6 +2796,8 @@ object LlmQueries {
     "q137_keyword_search" -> (q137KeywordSearch _),
     "q138_hybrid_rrf" -> (q138HybridRrf _),
     "q139_span_corruption" -> (q139SpanCorruption _),
+    "q140_bm25" -> (q140Bm25 _),
+    "q141_semdedup" -> (q141SemDedup _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -2754,6 +2865,8 @@ object LlmQueries {
     "q137_keyword_search" -> q137Sql,
     "q138_hybrid_rrf" -> q138Sql,
     "q139_span_corruption" -> q139Sql,
+    "q140_bm25" -> q140Sql,
+    "q141_semdedup" -> q141Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

@@ -516,6 +516,48 @@ class LlmSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((4L, 2L, 2L)), 2L -> ((2L, 2L, 1L))))
   }
 
+  test("bm25: tf saturation, length normalization and absent-term docs") {
+    import spark.implicits._
+    import graft.llm.Keyword
+    val docs = Seq(
+      (1L, "x y"),           // tf_x=1, dl=2
+      (2L, "x y y y y y"),   // tf_x=1, dl=6 — longer, same tf
+      (3L, "x x x y"),       // tf_x=3, dl=4 — higher tf
+      (4L, "z z z")          // no query term: must be absent
+    ).toDF("doc_id", "text")
+    val posts = Keyword.postings(docs, "doc_id", "text")
+    val terms = Seq("x").toDF("token")
+    val got = Keyword.bm25(posts, terms, nDocs = 4L,
+        avgdl = 15.0 / 4.0, k = 10)
+      .orderBy($"rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // higher tf beats lower (3 ≻ 1); at equal tf the SHORTER doc wins
+    // (1 ≻ 2 — the b·dl/avgdl length penalty); doc 4 never appears
+    assert(got.map(_._1).toSeq == Seq(3L, 1L, 2L), got.mkString(", "))
+    assert(got.forall(_._2 > 0))
+    // k bounds the result
+    val top1 = Keyword.bm25(posts, terms, 4L, 15.0 / 4.0, k = 1).collect()
+    assert(top1.map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("semDedup: within-cluster smallest-id keeper; zero-norm and " +
+      "cross-cluster rows never pair") {
+    import spark.implicits._
+    val idx = graft.llm.Quantize.withInt8(Seq(
+      (1L, Seq(1.0, 0.0), 0), // keeper (smallest id in its ball)
+      (2L, Seq(2.0, 0.0), 0), // same direction as 1, same cluster → dup
+      (3L, Seq(0.0, 1.0), 0), // orthogonal → keeper
+      (4L, Seq(0.0, 0.0), 0), // zero norm → never pairs
+      (5L, Seq(1.0, 0.0), 1)  // same direction as 1 but other cluster
+    ).toDF("id", "v", "list_id"), "v")
+    val got = Dedup.semDedup(idx, tau = 0.9)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 0, -1L), (2L, 1, 1L), (3L, 0, -1L),
+      (4L, 0, -1L), (5L, 0, -1L)), got.mkString(", "))
+  }
+
   test("lsh-blocked near-dup pairs are a subset of brute pairs") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val brute = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.4)

@@ -361,6 +361,53 @@ object Corpus {
       .drop("n_copies")
   }
 
+  /** Token-budget training plan — the PLANNING step the doc-count
+    * mixers ([[temperatureMix]]/[[temperatureMixEpochs]]) leave to the
+    * user: a training run is specified in TOKENS ("600B tokens at
+    * T=2"), not documents, so the allocation must weight sources by
+    * tempered token mass and the answer a user needs is "how many
+    * epochs of each source". Per source: token total (one map-side-
+    * combined aggregate over per-doc token counts), tempered weight
+    * `floor(sqrt(n_tokens)·1e6 + 0.5)` (the [[temperedRates]] integer-
+    * weight convention), target tokens `floor(budget·w/Σw + 0.5)`
+    * capped at `maxEpochs·n_tokens` (the few-epoch memorization bound,
+    * [[temperatureMixEpochs]]'s knob), then the exact integer split
+    * `epochs_full = target DIV n_tokens`, `frac_tokens = target MOD
+    * n_tokens` — the numbers [[temperatureMixEpochs]]-style apply
+    * stages consume. One double chain (the q119 fixed left-associated
+    * IEEE rule) between exact-integer ends, so the whole plan
+    * hash-replays.
+    *
+    * Scale shape: per-doc token counts are scan-local; the plan table
+    * is one row per source (broadcast-sized by construction); the
+    * global Σw is an empty-partition window over that tiny table —
+    * [[temperedRates]]'s argument verbatim. */
+  def tokenBudgetPlan(df: DataFrame, textCol: String, sourceCol: String,
+      budgetTokens: Long, maxEpochs: Int,
+      tok: Column => Column = TextOps.tokens): DataFrame = {
+    require(budgetTokens > 0,
+      s"budgetTokens must be positive, got $budgetTokens")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    df.select(col(sourceCol).as("source"),
+        size(tok(col(textCol))).cast("long").as("__tk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tk")).as("n_tokens"))
+      .withColumn("w",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0)
+          + lit(0.5)).cast("long"))
+      .withColumn("wsum", sum(col("w")).over(Window.partitionBy()))
+      .withColumn("target_tokens",
+        least(col("n_tokens") * maxEpochs,
+          floor(lit(budgetTokens.toDouble) * col("w") / col("wsum")
+            + lit(0.5)).cast("long")))
+      .withColumn("epochs_full",
+        expr("target_tokens DIV n_tokens")) // exact long division (no
+      // double round-trip — budgets are token counts beyond 2^53-safe)
+      .withColumn("frac_tokens", col("target_tokens") % col("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w"),
+        col("target_tokens"), col("epochs_full"), col("frac_tokens"))
+  }
+
   /** [[sampleKey]] at mod-1e6 resolution (the fractional-rate variant
     * both temperature mixers compare against `rate × 1e4`). */
   private def fineSampleKey(id: Column): Column =
@@ -593,6 +640,47 @@ object Corpus {
         array_join(transform(col("sp"), s =>
           concat(sentinel(s("blk")), lit(" "), s("masked"))), " ")
           .as("target_text"))
+  }
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022,
+    * arXiv:2207.14255): split each document into (prefix, middle,
+    * suffix) at two cut points and emit the PSM and SPM orderings the
+    * FIM objective trains on — `<fim_prefix> P <fim_suffix> S
+    * <fim_middle> M` and `<fim_suffix> S <fim_prefix> P <fim_middle>
+    * M`. The cut points are the two 60-bit halves of md5("id:fim") mod
+    * (n+1) ([[digestKey60]] — the q139 span-corruption discipline):
+    * deterministic, so a resuming trainer re-derives the identical
+    * transformation, and empty segments are legal exactly as in the
+    * paper (a cut at 0 or n). Assembled from a sentinel/segment array
+    * with empties filtered, so no double spaces — and the oracle's
+    * `array_to_string` NULL-for-empty-list quirk lands in the same
+    * filter. Map-only: one projection, no shuffle at any scale. */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .withColumn("__tk", TextOps.tokens(col("__t")))
+      .withColumn("n_tokens", size(col("__tk")).cast("long"))
+    val fimKey = concat(col("doc_id").cast("string"), lit(":fim"))
+    // digest keys are non-negative 60-bit ints, so pmod == the oracle's
+    // % (the q99 convention)
+    val seg = (from: Column, len: Column) =>
+      array_join(slice(col("__tk"), from.cast("int"), len.cast("int")), " ")
+    def joinParts(parts: Column*): Column =
+      array_join(filter(array(parts: _*), x => x =!= ""), " ")
+    base
+      .withColumn("c1", pmod(digestKey60(fimKey, 0), col("n_tokens") + 1))
+      .withColumn("c2", pmod(digestKey60(fimKey, 1), col("n_tokens") + 1))
+      .withColumn("cut_lo", least(col("c1"), col("c2")))
+      .withColumn("cut_hi", greatest(col("c1"), col("c2")))
+      .withColumn("__pre", seg(lit(1), col("cut_lo")))
+      .withColumn("__mid", seg(col("cut_lo") + 1, col("cut_hi") - col("cut_lo")))
+      .withColumn("__suf", seg(col("cut_hi") + 1, col("n_tokens") - col("cut_hi")))
+      .select(col("doc_id"), col("n_tokens"), col("cut_lo"), col("cut_hi"),
+        joinParts(lit("<fim_prefix>"), col("__pre"),
+          lit("<fim_suffix>"), col("__suf"),
+          lit("<fim_middle>"), col("__mid")).as("psm_text"),
+        joinParts(lit("<fim_suffix>"), col("__suf"),
+          lit("<fim_prefix>"), col("__pre"),
+          lit("<fim_middle>"), col("__mid")).as("spm_text"))
   }
 
   /** Curriculum-ordered sharding — [[shardForTraining]] with the

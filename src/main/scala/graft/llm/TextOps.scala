@@ -123,6 +123,30 @@ object TextOps {
     * rather than left dangling after the placeholder. */
   val UrlRe = "https?://[A-Za-z0-9./_?=&%:#~+!-]+"
 
+  /** Hashed linear text classifier — the SERVING shape of the
+    * fastText-style quality gate every public pretraining pipeline
+    * runs (LLaMA/RedPajama's "looks like a Wikipedia reference"
+    * filter, CCNet's head/middle/tail buckets): tokens hash into a
+    * FIXED bucket space (the hashing trick — model size is bounded at
+    * any vocabulary, the reason fastText scales), each bucket carries
+    * a weight, the document score is the tf-weighted sum, the label is
+    * a threshold. Weights here are a deterministic stand-in —
+    * `(bucket · 2654435761) mod 2003 − 1001`, the q92 multiplicative-
+    * scramble convention — because no trained model ships with this
+    * repo (the [[graft.llm.Multimodal]] stub discipline): swapping in
+    * trained weights means replacing one scalar function with a
+    * broadcast array lookup; every other part of the path is the real
+    * thing. All-integer arithmetic (60-bit md5 digests, exact long
+    * sums), so scores and labels hash-replay in any engine.
+    *
+    * Scale shape: ONE `aggregate` HOF fold over the token array — a
+    * map-only projection, no explode, no shuffle, and the classifier
+    * runs as a streaming ingest gate unchanged. */
+  def hashedClassifierScore(toks: Column, nBuckets: Int = 4096): Column =
+    aggregate(toks, lit(0L), (acc, t) =>
+      acc + ((conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+        % nBuckets) * lit(2654435761L) % 2003L - 1001L))
+
   /** PII scrubbing — the standard pretraining cleaning stage the
     * quality gates don't cover: replace emails then URLs with stable
     * placeholder tokens. Emails first: a URL userinfo part could

@@ -1598,6 +1598,117 @@ object LlmQueries {
         |LEFT JOIN dups d ON d.bid = p.id
         |ORDER BY vec_id""".stripMargin
 
+  /** q142 — fill-in-the-middle transformation
+    * ([[graft.llm.Corpus.fimTransform]]; Bavarian et al. 2022): the
+    * code-model preprocessing sibling of q139's span corruption — split
+    * each doc at two digest-derived cut points and emit the PSM and SPM
+    * sentinel orderings. Deterministic by construction (md5 halves mod
+    * n+1), map-only at any scale; the oracle replays cut arithmetic,
+    * slicing and both assemblies verbatim (empty segments fall out of
+    * the same `!= ''` filter on both engines — DuckDB's
+    * NULL-for-empty-list array_to_string included). */
+  def q142FimTransform(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Corpus.fimTransform(documents(s, d), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+  val q142Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (SELECT doc_id, tk, n,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim'),
+      |      1, 15)) AS BIGINT) % (n + 1) AS c1,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fim'),
+      |      16, 15)) AS BIGINT) % (n + 1) AS c2
+      |  FROM t),
+      |s AS (SELECT doc_id, tk, n, least(c1, c2) AS lo,
+      |    greatest(c1, c2) AS hi FROM c)
+      |SELECT doc_id, n AS n_tokens, lo AS cut_lo, hi AS cut_hi,
+      |  array_to_string(list_filter([
+      |    '<fim_prefix>', array_to_string(tk[1 : lo], ' '),
+      |    '<fim_suffix>', array_to_string(tk[hi + 1 : n], ' '),
+      |    '<fim_middle>', array_to_string(tk[lo + 1 : hi], ' ')],
+      |    x -> x != ''), ' ') AS psm_text,
+      |  array_to_string(list_filter([
+      |    '<fim_suffix>', array_to_string(tk[hi + 1 : n], ' '),
+      |    '<fim_prefix>', array_to_string(tk[1 : lo], ' '),
+      |    '<fim_middle>', array_to_string(tk[lo + 1 : hi], ' ')],
+      |    x -> x != ''), ' ') AS spm_text
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** q143 — hashed linear quality classifier
+    * ([[graft.llm.TextOps.hashedClassifierScore]]): the fastText-style
+    * model-based quality gate (the LLaMA "Wikipedia-reference"
+    * filter's serving shape) — tokens hash into 4096 buckets, bucket
+    * weights are a deterministic stand-in scramble, the doc score is
+    * the exact tf-weighted long sum, the keep label a threshold. One
+    * aggregate-HOF fold per document: map-only, no explode, no
+    * shuffle — the same projection gates a streaming ingest unchanged.
+    * The oracle replays digest → bucket → weight → sum → label
+    * verbatim. */
+  def q143QualityClassifier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = TextOps.regexTokens(lower($"text"))
+    documents(s, d)
+      .select($"doc_id", size(toks).cast("long").as("n_tokens"),
+        TextOps.hashedClassifierScore(toks).as("score"))
+      .withColumn("keep", when($"score" > 0, 1).otherwise(0))
+      .orderBy($"doc_id")
+  }
+  val q143Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text),
+      |      '[ \t\n\v\f\r]+'), x -> x != '') AS tk
+      |  FROM documents),
+      |s AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+      |    CAST(COALESCE(list_sum(list_transform(tk, t ->
+      |      (CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 4096)
+      |        * 2654435761 % 2003 - 1001)), 0) AS BIGINT) AS score
+      |  FROM t)
+      |SELECT doc_id, n_tokens, score,
+      |  CASE WHEN score > 0 THEN 1 ELSE 0 END AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** q144 — token-budget training plan
+    * ([[graft.llm.Corpus.tokenBudgetPlan]]): the allocation step a
+    * token-denominated training run starts from — tempered per-source
+    * token shares against a 60k-token budget, capped at 2 epochs, with
+    * the exact integer epoch/remainder split the apply stages (q125's
+    * epoch explode, q93's packing) consume. On this fixture both paths
+    * are exercised: small sources hit the maxEpochs cap, large ones
+    * land on fractional epochs. Oracle replays count → sqrt-weight →
+    * budget chain → cap → DIV/MOD verbatim (q119's double-chain
+    * discipline between exact-integer ends). */
+  def q144TokenBudgetPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Corpus.tokenBudgetPlan(documents(s, d), "text", "source",
+        budgetTokens = 60000L, maxEpochs = 2, TextOps.regexTokens)
+      .orderBy($"source")
+  }
+  val q144Sql: String =
+    """WITH t AS (SELECT source,
+      |    CAST(len(list_filter(string_split_regex(text,
+      |      '[ \t\n\v\f\r]+'), x -> x != '')) AS BIGINT) AS tk
+      |  FROM documents),
+      |c AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(tk) AS BIGINT) AS n_tokens
+      |  FROM t GROUP BY source),
+      |w AS (SELECT source, n_docs, n_tokens,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS w
+      |  FROM c),
+      |g AS (SELECT source, n_docs, n_tokens, w,
+      |    SUM(w) OVER () AS wsum FROM w),
+      |p AS (SELECT source, n_docs, n_tokens, w,
+      |    least(n_tokens * 2,
+      |      CAST(floor(6e4 * w / wsum + 5e-1) AS BIGINT)) AS target_tokens
+      |  FROM g)
+      |SELECT source, n_docs, n_tokens, w, target_tokens,
+      |  target_tokens // n_tokens AS epochs_full,
+      |  target_tokens % n_tokens AS frac_tokens
+      |FROM p ORDER BY source""".stripMargin
+
   /** q139 — T5-style span corruption
     * ([[graft.llm.Corpus.spanCorruption]]): the denoising-objective
     * preprocessing step (mask spans, emit sentinel-bridged
@@ -2798,6 +2909,9 @@ object LlmQueries {
     "q139_span_corruption" -> (q139SpanCorruption _),
     "q140_bm25" -> (q140Bm25 _),
     "q141_semdedup" -> (q141SemDedup _),
+    "q142_fim" -> (q142FimTransform _),
+    "q143_quality_classifier" -> (q143QualityClassifier _),
+    "q144_token_budget" -> (q144TokenBudgetPlan _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -2867,6 +2981,9 @@ object LlmQueries {
     "q139_span_corruption" -> q139Sql,
     "q140_bm25" -> q140Sql,
     "q141_semdedup" -> q141Sql,
+    "q142_fim" -> q142Sql,
+    "q143_quality_classifier" -> q143Sql,
+    "q144_token_budget" -> q144Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

@@ -558,6 +558,67 @@ class LlmSpec extends AnyFunSuite {
       (4L, 0, -1L), (5L, 0, -1L)), got.mkString(", "))
   }
 
+  test("fim: segments reconstruct the original; cuts stay in [0, n]; " +
+      "empty segments leave no double spaces") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    val df = (1L to 50L).map(i =>
+        (i, (0 until (i % 7).toInt + 1).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Corpus.fimTransform(df, "doc_id", "text").collect()
+    val orig = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { r =>
+      val (id, n, lo, hi) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val psm = r.getString(4); val spm = r.getString(5)
+      assert(lo >= 0 && lo <= hi && hi <= n, s"doc $id cuts $lo..$hi/$n")
+      // strip sentinels in PSM order and reassemble prefix⊕middle⊕suffix
+      val m = raw"<fim_prefix>(.*)<fim_suffix>(.*)<fim_middle>(.*)".r
+      psm match {
+        case m(p, sfx, mid) =>
+          val rebuilt = Seq(p.trim, mid.trim, sfx.trim)
+            .filter(_.nonEmpty).mkString(" ")
+          assert(rebuilt == orig(id), s"doc $id: '$rebuilt'")
+        case _ => fail(s"doc $id psm lacks sentinel structure: $psm")
+      }
+      assert(!psm.contains("  ") && !spm.contains("  "),
+        s"doc $id has double spaces")
+      // SPM carries the same segments, reordered
+      assert(spm.startsWith("<fim_suffix>"))
+    }
+    // cut determinism: same input, same cuts on a second run
+    val again = Corpus.fimTransform(df, "doc_id", "text").collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("token budget plan: targets respect the epoch cap, DIV/MOD " +
+      "reassemble, and an uncapped plan lands within rounding of budget") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    val df = Seq(
+      ("a", "w " * 99 + "w"),   // 100 tokens
+      ("b", "w " * 899 + "w"),  // 900 tokens
+      ("c", "w " * 8 + "w")     // 9 tokens — tiny, upsamples hard
+    ).map { case (s, t) => (s, t.trim) }.toDF("source", "text")
+    val plan = Corpus.tokenBudgetPlan(df, "text", "source",
+        budgetTokens = 500L, maxEpochs = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    plan.foreach { case (src, (n, target, full, frac)) =>
+      assert(target <= 3 * n, s"$src target $target breaches cap")
+      assert(full * n + frac == target, s"$src DIV/MOD mismatch")
+    }
+    // tempered shares: sqrt(9):sqrt(100):sqrt(900) = 3:10:30 of 500 ≈
+    // 35/116/349; c caps at 3×9=27
+    assert(plan("c")._2 == 27L, plan.toString) // capped
+    assert(plan("b")._2 > plan("a")._2) // bigger source, bigger share
+    // uncapped plan: Σ targets within one rounding unit per source
+    val free = Corpus.tokenBudgetPlan(df, "text", "source",
+        budgetTokens = 500L, maxEpochs = 100)
+      .agg(sum($"target_tokens")).head.getLong(0)
+    assert(math.abs(free - 500L) <= 3, s"sum $free")
+  }
+
   test("lsh-blocked near-dup pairs are a subset of brute pairs") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val brute = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.4)

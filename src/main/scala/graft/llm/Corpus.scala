@@ -118,6 +118,48 @@ object Corpus {
         min(col("eval_doc")).as("first_eval_doc"))
   }
 
+  /** Scored contamination — [[decontaminate]] grades presence/absence;
+    * this grades SEVERITY, which is what eval-integrity reports
+    * actually publish (the GPT-3/PaLM appendix convention: percentage
+    * n-gram overlap with the benchmark, bucketed). Per TRAIN doc:
+    * distinct-shingle count, shared-with-eval count, overlap in BASIS
+    * POINTS (`(10000·n_shared) DIV n_shingles` — integer floor
+    * division, hash-exact; a float percentage would wobble), and a
+    * severity bucket (`clean` / `partial` / `heavy` at ≥ 50 %). Docs
+    * with zero shared shingles ARE emitted (a contamination report
+    * that silently drops the clean rows can't say "N % of the corpus
+    * is clean").
+    *
+    * Scale shape: [[decontaminate]]'s broadcast argument — eval
+    * shingles collapse to one distinct row each before the broadcast;
+    * the train side streams through the hash join scan-locally; the
+    * per-doc shingle array (and its size) is computed in the same
+    * scan. Per-doc shingles are already distinct ([[shingles]]), so
+    * the hit count is a plain `count`, not `countDistinct`. */
+  def contaminationScore(trainDf: DataFrame, evalDf: DataFrame,
+      idCol: String, textCol: String, k: Int = 8,
+      tok: Column => Column = TextOps.tokens): DataFrame = {
+    val t = trainDf.select(col(idCol).as("doc_id"),
+        shingles(col(textCol), k, tok).as("__sh"))
+      .withColumn("n_shingles", size(col("__sh")).cast("long"))
+    val eSh = evalDf.select(
+      explode(shingles(col(textCol), k, tok)).as("shingle")).distinct()
+    val hits = t.select(col("doc_id"), explode(col("__sh")).as("shingle"))
+      .join(broadcast(eSh), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    t.select(col("doc_id"), col("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("overlap_bp",
+        when(col("n_shingles") > 0,
+          expr("(10000 * n_shared) DIV n_shingles")).otherwise(lit(0L)))
+      .withColumn("severity",
+        when(col("n_shared") === 0, lit("clean"))
+          .when(col("overlap_bp") >= 5000, lit("heavy"))
+          .otherwise(lit("partial")))
+  }
+
   /** Intra-document repetition stats — the Gopher/C4 family of cleaning
     * signals the composite quality score doesn't cover: how much of a
     * document is the same n-gram repeated. Emits per doc

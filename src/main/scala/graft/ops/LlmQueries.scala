@@ -1709,6 +1709,55 @@ object LlmQueries {
       |  target_tokens % n_tokens AS frac_tokens
       |FROM p ORDER BY source""".stripMargin
 
+  /** q145 — scored contamination report
+    * ([[graft.llm.Corpus.contaminationScore]]): q94's boolean
+    * decontamination graded by SEVERITY — per train doc the distinct
+    * 8-gram count, the shared-with-eval count, overlap in integer
+    * basis points and a clean/partial/heavy bucket, with clean rows
+    * EMITTED (an integrity report must be able to say what fraction of
+    * the corpus is clean). Same tier split and shingle derivation as
+    * q94, same broadcast-eval scale shape; all-integer scoring so the
+    * report hash-replays. */
+  def q145ContaminationScore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tier = regexp_extract($"source", "src([0-9]+)", 1).cast("long") % 4
+    val lab = documents(s, d).withColumn("is_eval", tier === 3)
+    Corpus.contaminationScore(lab.filter(!$"is_eval"),
+        lab.filter($"is_eval"), "doc_id", "text", 8)
+      .orderBy($"doc_id")
+  }
+  val q145Sql: String =
+    """WITH lab AS (SELECT doc_id,
+      |    CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) % 4 = 3
+      |      AS is_eval,
+      |    string_split(text, ' ') AS tk
+      |  FROM documents),
+      |shl AS (SELECT doc_id, is_eval,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(tk) - 6, 1)),
+      |      i -> array_to_string(tk[i:i+7], ' '))) AS sh
+      |  FROM lab),
+      |e AS (SELECT DISTINCT unnest(sh) AS shingle FROM shl WHERE is_eval),
+      |t AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles
+      |  FROM shl WHERE NOT is_eval),
+      |h AS (SELECT s.doc_id, COUNT(*) AS n_shared
+      |  FROM (SELECT doc_id, unnest(sh) AS shingle
+      |        FROM shl WHERE NOT is_eval) s
+      |  JOIN e USING (shingle) GROUP BY s.doc_id),
+      |r AS (SELECT t.doc_id, t.n_shingles,
+      |    CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+      |    CASE WHEN t.n_shingles > 0
+      |      THEN (10000 * CAST(COALESCE(h.n_shared, 0) AS BIGINT))
+      |           // t.n_shingles
+      |      ELSE 0 END AS overlap_bp
+      |  FROM t LEFT JOIN h ON h.doc_id = t.doc_id)
+      |SELECT doc_id, n_shingles, n_shared,
+      |  CAST(overlap_bp AS BIGINT) AS overlap_bp,
+      |  CASE WHEN n_shared = 0 THEN 'clean'
+      |       WHEN overlap_bp >= 5000 THEN 'heavy'
+      |       ELSE 'partial' END AS severity
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** q139 — T5-style span corruption
     * ([[graft.llm.Corpus.spanCorruption]]): the denoising-objective
     * preprocessing step (mask spans, emit sentinel-bridged
@@ -2912,6 +2961,7 @@ object LlmQueries {
     "q142_fim" -> (q142FimTransform _),
     "q143_quality_classifier" -> (q143QualityClassifier _),
     "q144_token_budget" -> (q144TokenBudgetPlan _),
+    "q145_contamination_score" -> (q145ContaminationScore _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -2984,6 +3034,7 @@ object LlmQueries {
     "q142_fim" -> q142Sql,
     "q143_quality_classifier" -> q143Sql,
     "q144_token_budget" -> q144Sql,
+    "q145_contamination_score" -> q145Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

@@ -191,6 +191,42 @@ object StreamOps {
       }
   }
 
+  /** Streaming inverted-index ingest — the WRITE path of the keyword
+    * retrieval stack ([[graft.llm.Keyword.postings]]) for a corpus
+    * arriving as a stream. Input rows are (token, doc_id) OCCURRENCES —
+    * a map-only explode of each arriving document (no pre-aggregation:
+    * append mode disallows an aggregate upstream of keyed state).
+    * Keyed state per token is ONE long — the running document
+    * frequency. Each batch's group iterator holds every occurrence of
+    * its token in that batch; the operator collapses them to per-doc tf
+    * in memory (bounded by the trigger size, the centroid-fold
+    * discipline), bumps df by the batch's new-doc count, and emits
+    * `(token, doc_id, tf, df_seen)` with df_seen = the index's df AFTER
+    * this batch — the live statistic an online BM25/rarity ranker
+    * reads. A document arrives whole in one micro-batch, so the emitted
+    * tf is the document's global tf; df_seen is batch-granular by
+    * design and the ascending-split harness makes it the
+    * tiles-≤-mine count the oracle replays with one NTILE window.
+    * 100 TB shape: state is 8 bytes per distinct token; the only
+    * exchange is the groupByKey hash shuffle — the same key the batch
+    * postings build aggregates on. */
+  def streamingPostingsIngest(rows: Dataset[(String, Long)])
+      : Dataset[(String, Long, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (token: String, it: Iterator[(String, Long)],
+         state: GroupState[Long]) =>
+          val tf = scala.collection.mutable.LongMap.empty[Long]
+          it.foreach { case (_, id) => tf(id) = tf.getOrElse(id, 0L) + 1L }
+          val df = state.getOption.getOrElse(0L) + tf.size
+          state.update(df)
+          tf.toArray.sortBy(_._1).iterator
+            .map { case (id, n) => (token, id, n, df) }
+      }
+  }
+
   /** Streaming sequence packing — the ingest twin of
     * [[graft.llm.Corpus.packSequences]]: documents arriving as a stream
     * are assigned their training pack ONLINE. Keyed state per shard is

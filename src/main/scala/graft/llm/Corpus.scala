@@ -233,6 +233,44 @@ object Corpus {
         col("col.chunk_text").as("chunk_text")): _*)
   }
 
+  /** Sliding-window chunking with OVERLAP — the RAG indexing shape
+    * [[chunkLongDocuments]]'s disjoint cuts are wrong for: a retrieval
+    * chunk boundary that splits an answer span loses it from every
+    * chunk, so embedding pipelines cut windows of `budget` tokens every
+    * `stride` tokens (stride < budget ⇒ consecutive chunks share
+    * `budget − stride` tokens; stride = budget degenerates to the
+    * disjoint chunker). Chunk i covers tokens `[i·stride + 1,
+    * i·stride + budget]` clipped to the document; the chunk count
+    * `1 + ceil(max(n − budget, 0)/stride)` guarantees full coverage
+    * with no chunk starting past the end. Emits (chunk_id,
+    * start_token, chunk_tokens, chunk_text). Same zero-token guard and
+    * map-only scale shape as [[chunkLongDocuments]] — one projection,
+    * fan-out ≈ n/stride per doc, no shuffle. */
+  def chunkWithOverlap(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, stride: Int,
+      tok: Column => Column = TextOps.tokens): DataFrame = {
+    require(budget > 0, s"chunk budget must be positive, got $budget")
+    require(stride > 0 && stride <= budget,
+      s"stride must be in [1, budget], got $stride (budget $budget)")
+    val toks = tok(col(textCol))
+    val n = size(toks)
+    // ceil((n - budget)/stride) on small ints via an exact double floor
+    val extra = greatest(n - budget, lit(0))
+    val nchunks = (lit(1) + floor((extra.cast("double")
+      + lit(stride - 1)) / lit(stride))).cast("int")
+    val chunkIdx = when(n === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nchunks - 1))
+    df.select(col(idCol).as("doc_id"), posexplode(
+        transform(chunkIdx, i => struct(
+          least(n - i * stride, lit(budget)).as("chunk_tokens"),
+          array_join(slice(toks, i * stride + 1,
+            least(n - i * stride, lit(budget))), " ").as("chunk_text")))))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        (col("pos") * stride + 1).as("start_token"),
+        col("col.chunk_tokens").as("chunk_tokens"),
+        col("col.chunk_text").as("chunk_text"))
+  }
+
   /** Concat-and-chunk sequence packing: conceptually concatenate the
     * shard's documents in id order and cut every `budget` tokens; a
     * document's pack is where its first token lands —

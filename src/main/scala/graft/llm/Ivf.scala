@@ -141,7 +141,7 @@ object Ivf {
     * would not even analyze) — callers with an empty fit keep the old
     * crossJoin path's empty-in → empty-out behavior via [[assignIndex]]/
     * [[buildIndex]]'s limit(0). */
-  private def assignExpr(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+  private[llm] def assignExpr(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
     if (cents.isEmpty) lit(null).cast("int")
     else array_min(array(cents.map { case (lid, c) =>
       struct(Distance.sqEuclidean(v, typedLit(c)).as("d"),

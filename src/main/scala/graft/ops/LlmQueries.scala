@@ -517,6 +517,95 @@ object LlmQueries {
     ivfSqBuildSql(embeddingsAllpts, nlist = 16, nprobe = 4,
       queryPred = "p.id < 10") + ivfSqServeTailSql(5)
 
+  /** q148 — product quantization with ADC search ([[graft.llm.Pq]];
+    * Jégou et al. 2011): the 2-bytes-per-vector ANN compression next
+    * to int8 SQ (q111) — m=4 subspace codebooks from the same
+    * deterministic sample-Lloyd (q99's fit discipline, once per
+    * subspace slice), map-only encoding (4 unrolled argmins per row),
+    * and asymmetric-distance search where each query precomputes a
+    * FIXED-POINT distance table (`floor(d·1e6 + 0.5)` longs — the
+    * FAISS integer-LUT trick) so every candidate's score is an exact
+    * integer sum of 4 lookups. The oracle replays 4 sample-Lloyds,
+    * per-subspace argmin encoding, table construction and the ADC
+    * ranking verbatim — the entire PQ pipeline is hash-gated, which a
+    * float-LUT formulation could not be (order-sensitive sums). */
+  def q148PqAdc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val sample = e.filter(pmod($"vec_id", lit(10)) === 0)
+    val cbs = graft.llm.Pq.fitCodebooks(sample, "vec_id", "embedding",
+      dim = 64, m = 4, ksub = 16)
+    val codes = graft.llm.Pq.encode(e, "vec_id", "embedding", cbs)
+    graft.llm.Pq.adcSearch(e.filter($"vec_id" < 10), codes,
+        "vec_id", "embedding", cbs, k = 5)
+      .orderBy($"qid", $"rn")
+  }
+  val q148Sql: String = {
+    val m = 4; val ksub = 16; val sub = 16
+    // q59's unrolled Lloyd, once per subspace slice
+    def subCtes(mi: Int): String = {
+      val lo = mi * sub + 1; val hi = mi * sub + sub
+      def iteration(prev: String, cur: String): String =
+        s"""a_$cur AS (SELECT p.id, p.v, c.list_id,
+           |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+           |      list_sum(list_transform(list_zip(p.v, c.c),
+           |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
+           |  FROM pts_s$mi p, $prev c),
+           |$cur AS (SELECT list_id, list(m ORDER BY pos) AS c FROM (
+           |    SELECT a.list_id, t.pos AS pos,
+           |      CAST(SUM(CAST(a.v[t.pos] AS DECIMAL(28,14))) AS DOUBLE)
+           |        / COUNT(*) AS m
+           |    FROM a_$cur a, unnest(range(1, ${sub + 1})) AS t(pos)
+           |    WHERE a.rn = 1
+           |    GROUP BY a.list_id, t.pos)
+           |  GROUP BY list_id)""".stripMargin
+      s"""sub_s$mi AS (SELECT id, v[$lo:$hi] AS v FROM allpts),
+         |pts_s$mi AS (SELECT id, v FROM sub_s$mi WHERE id % 10 = 0),
+         |seeds_s$mi AS (SELECT id, v FROM pts_s$mi ORDER BY id
+         |  LIMIT $ksub),
+         |c0_s$mi AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1
+         |    AS list_id, v AS c FROM seeds_s$mi),
+         |${iteration(s"c0_s$mi", s"c1_s$mi")},
+         |${iteration(s"c1_s$mi", s"c2_s$mi")},
+         |${iteration(s"c2_s$mi", s"c3_s$mi")},
+         |codes_s$mi AS (SELECT id, code FROM (
+         |  SELECT p.id, c.list_id AS code,
+         |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+         |      list_sum(list_transform(list_zip(p.v, c.c),
+         |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
+         |  FROM sub_s$mi p, c3_s$mi c) WHERE rn = 1),
+         |dtab_s$mi AS (SELECT q.id AS qid, c.list_id AS code,
+         |    CAST(floor(list_sum(list_transform(list_zip(q.v, c.c),
+         |      z -> (z[1]-z[2])*(z[1]-z[2]))) * 1e6 + 5e-1) AS BIGINT)
+         |      AS dfp
+         |  FROM (SELECT id, v FROM sub_s$mi WHERE id < 10) q,
+         |    c3_s$mi c)""".stripMargin
+    }
+    val codesUnion = (0 until m).map(mi =>
+      s"SELECT id, $mi AS m, code FROM codes_s$mi")
+      .mkString("\n  UNION ALL ")
+    val dtabUnion = (0 until m).map(mi =>
+      s"SELECT qid, $mi AS m, code, dfp FROM dtab_s$mi")
+      .mkString("\n  UNION ALL ")
+    s"""WITH allpts AS (SELECT vec_id AS id,
+       |    CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |${(0 until m).map(subCtes).mkString(",\n")},
+       |k AS ($codesUnion),
+       |dt AS ($dtabUnion),
+       |adc AS (SELECT dt.qid, k.id AS cid,
+       |    CAST(SUM(dt.dfp) AS BIGINT) AS adc_fp
+       |  FROM k JOIN dt ON dt.m = k.m AND dt.code = k.code
+       |  WHERE k.id != dt.qid
+       |  GROUP BY dt.qid, k.id)
+       |SELECT qid, cid, adc_fp, rn FROM (
+       |  SELECT qid, cid, adc_fp,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY adc_fp, cid) AS rn
+       |  FROM adc) WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
+  }
+
   /** q113 — ANN recall@5, hash-gated: the EVAL harness for the
     * approximate-search stack. Joins q112's IVF-SQ top-5 against q22's
     * exact float-cosine top-5 (the ground truth) and emits per-query
@@ -1758,6 +1847,32 @@ object LlmQueries {
       |       ELSE 'partial' END AS severity
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** q147 — sliding-window chunking with overlap
+    * ([[graft.llm.Corpus.chunkWithOverlap]]): the RAG indexing cut —
+    * 16-token windows every 8 tokens (50 % overlap), so an answer span
+    * a disjoint boundary would split survives whole in at least one
+    * chunk. Map-only fan-out like q104; the oracle replays chunk-count
+    * arithmetic, strided slicing and clipping verbatim. */
+  def q147ChunkOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Corpus.chunkWithOverlap(documents(s, d), "doc_id", "text",
+        budget = 16, stride = 8)
+      .orderBy($"doc_id", $"chunk_id")
+  }
+  val q147Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (SELECT doc_id, tk, n, u.i
+      |  FROM t, unnest(range(0,
+      |    1 + (greatest(n - 16, 0) + 7) // 8)) AS u(i))
+      |SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+      |  CAST(i * 8 + 1 AS INTEGER) AS start_token,
+      |  CAST(least(16, n - i * 8) AS INTEGER) AS chunk_tokens,
+      |  array_to_string(tk[i * 8 + 1 : i * 8 + least(16, n - i * 8)],
+      |    ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   /** q139 — T5-style span corruption
     * ([[graft.llm.Corpus.spanCorruption]]): the denoising-objective
     * preprocessing step (mask spans, emit sentinel-bridged
@@ -2962,6 +3077,8 @@ object LlmQueries {
     "q143_quality_classifier" -> (q143QualityClassifier _),
     "q144_token_budget" -> (q144TokenBudgetPlan _),
     "q145_contamination_score" -> (q145ContaminationScore _),
+    "q147_chunk_overlap" -> (q147ChunkOverlap _),
+    "q148_pq_adc" -> (q148PqAdc _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -3035,6 +3152,8 @@ object LlmQueries {
     "q143_quality_classifier" -> q143Sql,
     "q144_token_budget" -> q144Sql,
     "q145_contamination_score" -> q145Sql,
+    "q147_chunk_overlap" -> q147Sql,
+    "q148_pq_adc" -> q148Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

@@ -619,6 +619,79 @@ class LlmSpec extends AnyFunSuite {
     assert(math.abs(free - 500L) <= 3, s"sum $free")
   }
 
+  test("overlap chunking: full coverage, budget−stride shared tokens, " +
+      "stride=budget degenerates to the disjoint chunker") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    val df = Seq((1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 toks
+        (2L, "a b c"),  // short: single clipped chunk
+        (3L, " \t ")    // zero tokens under regexTokens: no chunks
+      ).toDF("doc_id", "text")
+    val got = Corpus.chunkWithOverlap(df, "doc_id", "text",
+        budget = 8, stride = 4, graft.llm.TextOps.regexTokens)
+      .orderBy($"doc_id", $"chunk_id").collect()
+    val byDoc = got.groupBy(_.getLong(0))
+    // doc 1: chunks start at 1,5,9,13 — 1+ceil(12/4)=4 chunks; last
+    // covers tokens 13..20, so every token is in some chunk
+    val d1 = byDoc(1L).map(r => (r.getInt(2), r.getInt(3)))
+    assert(d1.toSeq == Seq((1, 8), (5, 8), (9, 8), (13, 8)), d1.toSeq)
+    // consecutive chunks share budget−stride = 4 tokens
+    val c0 = byDoc(1L)(0).getString(4).split(" ")
+    val c1 = byDoc(1L)(1).getString(4).split(" ")
+    assert(c0.takeRight(4).toSeq == c1.take(4).toSeq)
+    assert(byDoc(2L).map(r => (r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((1, 3)))
+    assert(!byDoc.contains(3L))
+    // stride = budget reproduces the disjoint chunker's cuts
+    val disj = Corpus.chunkWithOverlap(df, "doc_id", "text", 8, 8,
+        graft.llm.TextOps.regexTokens)
+      .select($"doc_id", $"chunk_id", $"chunk_tokens", $"chunk_text")
+      .collect().map(_.toSeq).toSet
+    val base = Corpus.chunkLongDocuments(df, "doc_id", "text", 8,
+        graft.llm.TextOps.regexTokens)
+      .select($"doc_id", $"chunk_id".cast("int"), $"chunk_tokens",
+        $"chunk_text")
+      .collect().map(_.toSeq).toSet
+    assert(disj == base)
+  }
+
+  test("pq: zero quantization error when every subvector is a centroid; " +
+      "adc equals exact fixed-point distance; dup of query ranks first") {
+    import spark.implicits._
+    import graft.llm.Pq
+    // 4 vectors whose two 2-dim subvectors are all distinct: with
+    // ksub=4 and every point in the fit, Lloyd converges to the points
+    // themselves, so encoding is lossless and ADC == exact sq distance
+    val vs = Seq(
+      (0L, Seq(0.0, 0.0, 1.0, 1.0)),
+      (1L, Seq(0.0, 0.0, 1.0, 1.0)), // dup of 0 — must rank 1 at adc 0
+      (2L, Seq(10.0, 0.0, 5.0, 5.0)),
+      (3L, Seq(0.0, 10.0, -5.0, 5.0)))
+    val df = vs.toDF("vec_id", "embedding")
+    val cbs = Pq.fitCodebooks(df, "vec_id", "embedding",
+      dim = 4, m = 2, ksub = 4, iters = 5)
+    val codes = Pq.encode(df, "vec_id", "embedding", cbs)
+    val got = Pq.adcSearch(df.filter($"vec_id" === 0), codes,
+        "vec_id", "embedding", cbs, k = 3)
+      .orderBy($"rn").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // exact fixed-point distances from q=v0 (per-subspace floor then sum)
+    def fp(b: Seq[Double]): Long = {
+      val a = vs(0)._2
+      Seq(0, 2).map { off =>
+        val d = (0 until 2).map(i =>
+          (a(off + i) - b(off + i)) * (a(off + i) - b(off + i))).sum
+        math.floor(d * 1e6 + 0.5).toLong
+      }.sum
+    }
+    assert(got.head == (1L, 0L), got.toSeq) // dup first, exact zero
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L).sortBy(id => (fp(vs
+      .find(_._1 == id).get._2), id)), got.toSeq)
+    got.foreach { case (cid, adc) =>
+      assert(adc == fp(vs.find(_._1 == cid).get._2), s"cid $cid")
+    }
+  }
+
   test("lsh-blocked near-dup pairs are a subset of brute pairs") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val brute = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.4)

@@ -55,29 +55,70 @@ object Pq {
       s"dim $dim must split evenly into m=$m subspaces")
     require(ksub > 1, s"ksub must be > 1, got $ksub")
     val sub = dim / m
-    (0 until m).map { mi =>
-      val sliced = df.select(col(idCol).as("id"),
-        slice(col(vecCol).cast("array<double>"), mi * sub + 1, sub)
-          .as("v"))
-      Ivf.fitCentroids(sliced, "id", "v", ksub, iters)
-        .collect() // ksub×sub rows — codebook collect, the Ivf convention
-        .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
-        .zipWithIndex.map { case ((_, c), pos) => (pos, c) }
+    // the m subspace fits are independent small jobs (sample-sized
+    // Lloyd with per-iteration driver barriers); run them CONCURRENTLY
+    // — Spark schedules jobs from multiple threads fine, and serial
+    // execution would pay m× the per-iteration job-launch latency
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fits = (0 until m).map { mi =>
+      Future {
+        val sliced = df.select(col(idCol).as("id"),
+          slice(col(vecCol).cast("array<double>"), mi * sub + 1, sub)
+            .as("v"))
+        Ivf.fitCentroids(sliced, "id", "v", ksub, iters)
+          .collect() // ksub×sub rows — codebook collect, the Ivf convention
+          .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+          .zipWithIndex.map { case ((_, c), pos) => (pos, c) }
+      }
     }
+    fits.map(Await.result(_, Duration.Inf))
   }
 
   /** Encode every row as its `m` subspace codes (array<int>) — one
     * map-only projection, no join, no shuffle (the [[Ivf.assignIndex]]
-    * argument, m times over). */
+    * argument, m times over). `carryCols` ride the pass so index
+    * attributes (e.g. the coarse `list_id` for IVF-PQ) land beside the
+    * codes without a join-back. */
   def encode(df: DataFrame, idCol: String, vecCol: String,
-      codebooks: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+      codebooks: Seq[Seq[(Int, Seq[Double])]],
+      carryCols: Seq[String] = Nil): DataFrame = {
     graft.functions.VectorExprs.register(df.sparkSession)
+    val clash = carryCols.filter(Set("id", "codes"))
+    require(clash.isEmpty,
+      s"Pq.encode: carryCols ${clash.mkString(", ")} collide with the " +
+        "code layout (id, codes) — rename before carrying")
     val sub = codebooks.head.head._2.size
     val v = col(vecCol).cast("array<double>")
     val codes = array(codebooks.zipWithIndex.map { case (cb, mi) =>
       Ivf.assignExpr(slice(v, mi * sub + 1, sub), cb)
     }: _*)
-    df.select(col(idCol).as("id"), codes.as("codes"))
+    df.select(col(idCol).as("id") +: codes.as("codes") +:
+      carryCols.map(col): _*)
+  }
+
+  /** The flattened fixed-point LUT for one query vector: one long per
+    * (subspace, code), subspace-major. Shared by both search paths. */
+  private def dtabExpr(qv: Column,
+      codebooks: Seq[Seq[(Int, Seq[Double])]]): Column = {
+    val sub = codebooks.head.head._2.size
+    array(codebooks.zipWithIndex.flatMap { case (cb, mi) =>
+      cb.map { case (_, c) =>
+        floor(graft.ml.Distance.sqEuclidean(
+            slice(qv, mi * sub + 1, sub), typedLit(c))
+          * lit(1e6) + lit(0.5)).cast("long")
+      }
+    }: _*)
+  }
+
+  /** The exact-integer ADC score: m 1-based lookups into the flattened
+    * `dtab`, left-associated long addition. */
+  private def adcExpr(codebooks: Seq[Seq[(Int, Seq[Double])]]): Column = {
+    val offsets = codebooks.map(_.size).scanLeft(0)(_ + _)
+    expr(codebooks.indices.map(mi =>
+      s"element_at(dtab, ${offsets(mi)} + element_at(codes, ${mi + 1}) + 1)")
+      .mkString(" + "))
   }
 
   /** ADC top-k: per query build the fixed-point distance table (one
@@ -90,29 +131,89 @@ object Pq {
       k: Int): DataFrame = {
     require(k > 0, s"top-k needs k > 0, got $k")
     graft.functions.VectorExprs.register(queries.sparkSession)
-    // per-subspace offsets into the flattened LUT — codebook sizes can
-    // differ when clusters collapsed during the fit
-    val offsets = codebooks.map(_.size).scanLeft(0)(_ + _)
-    val sub = codebooks.head.head._2.size
-    val qv = col(vecCol).cast("array<double>")
-    val dtab = array(codebooks.zipWithIndex.flatMap { case (cb, mi) =>
-      cb.map { case (_, c) =>
-        floor(graft.ml.Distance.sqEuclidean(
-            slice(qv, mi * sub + 1, sub), typedLit(c))
-          * lit(1e6) + lit(0.5)).cast("long")
-      }
-    }: _*)
-    val q = queries.select(col(idCol).as("qid"), dtab.as("dtab"))
-    // left-associated exact long sum of m 1-based lookups into the
-    // flattened (subspace-major) table
-    val adc = expr(codebooks.indices.map(mi =>
-      s"element_at(dtab, ${offsets(mi)} + element_at(codes, ${mi + 1}) + 1)")
-      .mkString(" + "))
+    val q = queries.select(col(idCol).as("qid"),
+      dtabExpr(col(vecCol).cast("array<double>"), codebooks).as("dtab"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc_fp").asc, col("id").asc)
     codes.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
-      .withColumn("adc_fp", adc)
+      .withColumn("adc_fp", adcExpr(codebooks))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("id").as("cid"), col("adc_fp"), col("rn"))
+  }
+
+  /** PQ retrieve + exact re-rank — the deployment pairing that closes
+    * PQ's quantization-error recall gap (the q126 move, for codes): ADC
+    * retrieves a `shortlist`-sized candidate set (cheap — integer LUT
+    * sums over 2-byte codes), then ONLY those candidates' full float
+    * vectors are fetched and re-ranked by exact squared L2, emitted as
+    * fixed-point longs (`floor(d·1e6 + 0.5)` — hash-exact ordering).
+    * Extra cost is bounded by |queries|·shortlist exact distances
+    * regardless of corpus size; on the synthetic near-random fixture
+    * this lifts recall@5 vs exact-L2 from 0.16 (raw m=8 ADC) to 0.82
+    * at shortlist=100 (BASELINE.md round 8 — structured real
+    * embeddings quantize far better than noise).
+    *
+    * Scale shape: the shortlist frame is broadcast into the vector
+    * store join (an id-probe into the stored corpus — with the store
+    * bucketed by id it is shuffle-free); the re-rank window ranks
+    * ≤ shortlist rows per query. */
+  def adcRerank(queries: DataFrame, codes: DataFrame, vectors: DataFrame,
+      idCol: String, vecCol: String,
+      codebooks: Seq[Seq[(Int, Seq[Double])]], k: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist $shortlist must be >= k $k")
+    val short = adcSearch(queries, codes, idCol, vecCol, codebooks,
+      shortlist).select(col("qid"), col("cid"))
+    val qv = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val cv = vectors.select(col(idCol).as("cid"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("l2_fp").asc, col("cid").asc)
+    cv.join(broadcast(short), "cid")
+      .join(broadcast(qv), "qid")
+      .withColumn("l2_fp",
+        floor(graft.ml.Distance.sqEuclidean(col("__cv"), col("__qv"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("l2_fp"), col("rn"))
+  }
+
+  /** IVF-PQ search — the FAISS IVFPQ composition: probe the `nprobe`
+    * nearest coarse lists (float query vs the coarse centroids —
+    * [[Ivf.knnQuantized]]'s probe shape, oracle-matched), then rank
+    * ONLY the probed lists' candidates by the exact-integer ADC score.
+    * `codes` must carry the coarse `list_id` beside the PQ codes
+    * ([[encode]] with `carryCols = Seq("list_id")` over an
+    * [[Ivf.assignIndex]]-tagged corpus) — the stored layout where each
+    * list's 2-byte codes live together, which is what bounds the scan
+    * to |corpus|·nprobe/nlist at any corpus size. */
+  def adcSearchIvf(queries: DataFrame, codes: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[(Int, Seq[Double])]], k: Int,
+      nprobe: Int): DataFrame = {
+    require(k > 0, s"top-k needs k > 0, got $k")
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    graft.functions.VectorExprs.register(queries.sparkSession)
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("dtab", dtabExpr(col("qv"), codebooks))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("cd"), col("list_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cd", graft.ml.Distance.sqEuclidean(col("qv"), col("c")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("dtab"), col("list_id"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_fp").asc, col("id").asc)
+    codes.join(broadcast(probes), "list_id")
+      .filter(col("id") =!= col("qid"))
+      .withColumn("adc_fp", adcExpr(codebooks))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("id").as("cid"), col("adc_fp"), col("rn"))

@@ -540,8 +540,14 @@ object LlmQueries {
         "vec_id", "embedding", cbs, k = 5)
       .orderBy($"qid", $"rn")
   }
-  val q148Sql: String = {
-    val m = 4; val ksub = 16; val sub = 16
+  /** The PQ build replay shared by q148 (brute ADC), q149 (IVF-PQ) and
+    * q150 (re-rank): per-subspace sample-Lloyds, positional codes,
+    * per-query fixed-point LUTs — everything after `allpts`, ending at
+    * the `k` (codes) and `dt` (tables) unions. ONE text with (m, ksub)
+    * as the degrees of freedom so a Lloyd/LUT fix propagates (the
+    * ivfSqBuildSql discipline). */
+  private def pqCtesSql(m: Int, ksub: Int): String = {
+    val sub = 64 / m
     // q59's unrolled Lloyd, once per subspace slice
     def subCtes(mi: Int): String = {
       val lo = mi * sub + 1; val hi = mi * sub + sub
@@ -587,24 +593,123 @@ object LlmQueries {
     val dtabUnion = (0 until m).map(mi =>
       s"SELECT qid, $mi AS m, code, dfp FROM dtab_s$mi")
       .mkString("\n  UNION ALL ")
+    s"""${(0 until m).map(subCtes).mkString(",\n")},
+       |k AS ($codesUnion),
+       |dt AS ($dtabUnion)""".stripMargin
+  }
+
+  /** The ADC ranking tail shared by q148/q149: exact-integer sum,
+    * (adc, cid) total order, top 5. */
+  private val pqRankTailSql: String =
+    """SELECT qid, cid, adc_fp, rn FROM (
+      |  SELECT qid, cid, adc_fp,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY adc_fp, cid) AS rn
+      |  FROM adc) WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
+
+  /** The brute (probe-free) ADC aggregation over the `k`/`dt` unions —
+    * shared by q148 and q150's shortlist stage. */
+  private val pqBruteAdcSql: String =
+    """adc AS (SELECT dt.qid, k.id AS cid,
+      |    CAST(SUM(dt.dfp) AS BIGINT) AS adc_fp
+      |  FROM k JOIN dt ON dt.m = k.m AND dt.code = k.code
+      |  WHERE k.id != dt.qid
+      |  GROUP BY dt.qid, k.id)""".stripMargin
+
+  val q148Sql: String =
     s"""WITH allpts AS (SELECT vec_id AS id,
        |    CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
-       |${(0 until m).map(subCtes).mkString(",\n")},
-       |k AS ($codesUnion),
-       |dt AS ($dtabUnion),
-       |adc AS (SELECT dt.qid, k.id AS cid,
-       |    CAST(SUM(dt.dfp) AS BIGINT) AS adc_fp
-       |  FROM k JOIN dt ON dt.m = k.m AND dt.code = k.code
-       |  WHERE k.id != dt.qid
-       |  GROUP BY dt.qid, k.id)
-       |SELECT qid, cid, adc_fp, rn FROM (
-       |  SELECT qid, cid, adc_fp,
+       |${pqCtesSql(m = 4, ksub = 16)},
+       |$pqBruteAdcSql
+       |$pqRankTailSql""".stripMargin
+
+  /** q149 — IVF-PQ search ([[graft.llm.Pq.adcSearchIvf]]): the FAISS
+    * IVFPQ composition and the smallest-footprint serving shape in the
+    * ANN family — coarse probe (q112's float probe window, nprobe=4/16)
+    * bounds the scan to the probed lists, PQ codes (2 bytes/vector)
+    * bound the payload, and ranking is the exact-integer ADC LUT sum
+    * (q148). The codes table carries the coarse list_id from the same
+    * map-only pass (encode carryCols — no join-back), which at rest is
+    * the list-partitioned layout q115 stores. Oracle = the shared
+    * IVF-SQ build replay (probes) + the shared PQ replay (codes, LUTs)
+    * + one probed-ADC join — all three pieces single-sourced. */
+  def q149IvfPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val sample = e.filter(pmod($"vec_id", lit(10)) === 0)
+    val cents = graft.llm.Ivf.fitCentroids(sample, "vec_id", "embedding",
+      nlist = 16)
+    val idx = graft.llm.Ivf.assignIndex(e, "vec_id", "embedding", cents)
+    val cbs = graft.llm.Pq.fitCodebooks(sample, "vec_id", "embedding",
+      dim = 64, m = 4, ksub = 16)
+    val codes = graft.llm.Pq.encode(idx, "id", "v", cbs,
+      carryCols = Seq("list_id"))
+    graft.llm.Pq.adcSearchIvf(e.filter($"vec_id" < 10), codes, cents,
+        "vec_id", "embedding", cbs, k = 5, nprobe = 4)
+      .orderBy($"qid", $"rn")
+  }
+  val q149Sql: String =
+    ivfSqBuildSql(embeddingsAllpts, nlist = 16, nprobe = 4,
+      queryPred = "p.id < 10") +
+      s""",
+         |${pqCtesSql(m = 4, ksub = 16)},
+         |adc AS (SELECT pb.qid, a.id AS cid,
+         |    CAST(SUM(dt.dfp) AS BIGINT) AS adc_fp
+         |  FROM probes pb
+         |  JOIN assign a ON a.list_id = pb.list_id
+         |  JOIN k ON k.id = a.id
+         |  JOIN dt ON dt.qid = pb.qid AND dt.m = k.m
+         |    AND dt.code = k.code
+         |  WHERE a.id != pb.qid
+         |  GROUP BY pb.qid, a.id)
+         |$pqRankTailSql""".stripMargin
+
+  /** q150 — PQ retrieve + exact re-rank
+    * ([[graft.llm.Pq.adcRerank]]): the recall-recovery pairing for PQ
+    * codes, mirroring what q126 does for int8 SQ — ADC (m=8, 1 byte of
+    * codes per vector here) prunes the corpus to a 100-candidate
+    * shortlist per query, exact float L2 re-ranks only those, emitted
+    * as fixed-point longs. On this fixture recall@5 vs exact-L2 goes
+    * 0.16 (raw ADC) → 0.82; the extra cost is |q|·100 exact distances
+    * regardless of corpus size. Oracle = the shared m=8 PQ replay +
+    * shortlist CTE + the exact-L2 re-rank, all single-sourced. */
+  def q150PqRerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val sample = e.filter(pmod($"vec_id", lit(10)) === 0)
+    val cbs = graft.llm.Pq.fitCodebooks(sample, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16)
+    val codes = graft.llm.Pq.encode(e, "vec_id", "embedding", cbs)
+    graft.llm.Pq.adcRerank(e.filter($"vec_id" < 10), codes, e,
+        "vec_id", "embedding", cbs, k = 5, shortlist = 100)
+      .orderBy($"qid", $"rn")
+  }
+  val q150Sql: String =
+    s"""WITH allpts AS (SELECT vec_id AS id,
+       |    CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |${pqCtesSql(m = 8, ksub = 16)},
+       |$pqBruteAdcSql,
+       |short AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid,
        |    ROW_NUMBER() OVER (PARTITION BY qid
        |      ORDER BY adc_fp, cid) AS rn
-       |  FROM adc) WHERE rn <= 5
+       |  FROM adc) WHERE rn <= 100),
+       |rr AS (SELECT s.qid, s.cid,
+       |    CAST(floor(list_sum(list_transform(list_zip(cv.v, qv.v),
+       |      z -> (z[1]-z[2])*(z[1]-z[2]))) * 1e6 + 5e-1) AS BIGINT)
+       |      AS l2_fp
+       |  FROM short s
+       |  JOIN allpts cv ON cv.id = s.cid
+       |  JOIN allpts qv ON qv.id = s.qid)
+       |SELECT qid, cid, l2_fp, rn FROM (
+       |  SELECT qid, cid, l2_fp,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY l2_fp, cid) AS rn
+       |  FROM rr) WHERE rn <= 5
        |ORDER BY qid, rn""".stripMargin
-  }
 
   /** q113 — ANN recall@5, hash-gated: the EVAL harness for the
     * approximate-search stack. Joins q112's IVF-SQ top-5 against q22's
@@ -3079,6 +3184,8 @@ object LlmQueries {
     "q145_contamination_score" -> (q145ContaminationScore _),
     "q147_chunk_overlap" -> (q147ChunkOverlap _),
     "q148_pq_adc" -> (q148PqAdc _),
+    "q149_ivf_pq" -> (q149IvfPq _),
+    "q150_pq_rerank" -> (q150PqRerank _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -3154,6 +3261,8 @@ object LlmQueries {
     "q145_contamination_score" -> q145Sql,
     "q147_chunk_overlap" -> q147Sql,
     "q148_pq_adc" -> q148Sql,
+    "q149_ivf_pq" -> q149Sql,
+    "q150_pq_rerank" -> q150Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

@@ -37,7 +37,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q45_knn_lsh",           // stats-free, but plans via tiny bucket join
     "q37_anomaly_iforest",   // scalar stats (same gate as q27)
     "q38_silhouette_simplified", // k-row centroid-table broadcast
-    "q75_onehot")            // 1-row dictionary-size broadcast
+    "q75_onehot",            // 1-row dictionary-size broadcast
+    "q148_pq_adc",           // query-side LUT broadcast (q111's shape)
+    "q149_ivf_pq",           // centroid-table broadcast (q112's shape)
+    "q150_pq_rerank")        // q148's shortlist stage + id-probe joins
 
   test("no unintended cartesian or nested-loop joins anywhere") {
     val skip = Set("q60_stream_volume", "q61_stream_semantic",
@@ -239,5 +242,44 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 2, s"q118 has $exchanges exchanges:\n$plan")
     assert(plan.contains("Window"), s"q118 lost its window:\n$plan")
+  }
+
+  test("bm25 final ranking is the k-bounded partial aggregate (q140)") {
+    // q140's scale claim: the index-build half may window (df/dl are
+    // index metadata), but the candidate RANKING must be TopKAgg — an
+    // ObjectHashAggregate partial/final split after the last window, so
+    // only k rows per partition cross the final exchange. If a
+    // window ranks the candidates, the plan regressed to shuffling the
+    // whole match set.
+    val plan = graft.ops.LlmQueries.q140Bm25(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"q140 lost the partial/final top-k split:\n$plan")
+    // windows exist (df_count, dl, term rank) but none may consume the
+    // scored candidates: the TopKAgg must sit ABOVE every Window line
+    val lines = plan.linesIterator.toSeq
+    val firstAgg = lines.indexWhere(_.contains("ObjectHashAggregate"))
+    val firstWin = lines.indexWhere(_.contains("Window"))
+    assert(firstWin == -1 || firstAgg < firstWin,
+      s"q140 ranks candidates in a window:\n$plan")
+  }
+
+  test("pq encoding is map-only over the corpus scan (q148)") {
+    // the PQ encode claim: m unrolled argmins are ONE projection — the
+    // codes frame must contain no Exchange and no Join below the
+    // crossJoin with the broadcast query LUTs. Count exchanges in the
+    // full search plan: the only ones allowed are the query-side LUT
+    // build (tiny) and the final window's per-qid hash (bounded by the
+    // 10-query batch), never a corpus-wide shuffle for encoding.
+    val e = graft.ops.Tables.embeddings(spark, sf)
+    val sample = e.filter(org.apache.spark.sql.functions.pmod(
+      e("vec_id"), org.apache.spark.sql.functions.lit(10)) === 0)
+    val cbs = graft.llm.Pq.fitCodebooks(sample, "vec_id", "embedding",
+      dim = 64, m = 4, ksub = 16)
+    val plan = graft.llm.Pq.encode(e, "vec_id", "embedding", cbs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"q148 encode shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"q148 encode joins:\n$plan")
   }
 }

@@ -791,4 +791,114 @@ object Corpus {
       .withColumn("order_key", digestKey60(col(idCol), 1))
       .withColumn("pos_in_shard", row_number().over(w) - 1)
   }
+
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") made deterministic
+    * and hash-exact: score each raw document by how much more likely
+    * its hashed-bigram features are under a TARGET corpus than under
+    * the raw corpus. The hashed n-gram density estimator is the
+    * paper's own device — it is what makes the target/raw likelihood
+    * ratio computable at corpus scale without training a model. Here
+    * both distributions are bucket counts over `nBuckets` md5 feature
+    * buckets (the q143 hashed-feature convention) and the per-bucket
+    * importance weight is integer basis points with add-one smoothing:
+    * `w_bp(b) = (10000·(tc(b)+1)) DIV (rc(b)+1)`. Doc score =
+    * Σ occ·w_bp; selection = `rank ≤ topK` by (score DESC, doc_id).
+    *
+    * Scale shape: per-(doc, bucket) collapse first (as in
+    * [[graft.llm.TextOps.tokenRarity]]); both distribution tables are
+    * `nBuckets` rows — broadcast-sized BY CONSTRUCTION, which is the
+    * hashing trick's whole point. The only global step is the
+    * selection rank over doc-level aggregate rows; a pure top-k
+    * SELECTION (no per-doc report) would swap it for the k-bounded
+    * [[graft.functions.TopKAgg]] partial aggregate (the q116 serve
+    * shape). Featureless docs (<2 tokens) surface with score 0. */
+  def dsirSelect(rawDf: DataFrame, targetDf: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 4096, topK: Int = 100): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    require(topK >= 1, s"topK must be positive, got $topK")
+    def feats(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.adjacentBigrams(TextOps.tokens(col(textCol))))
+          .as("bigram"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("bigram")), 1, 15), 16, 10).cast("long")
+          % nBuckets).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("occ"))
+    val raw = feats(rawDf).localCheckpoint(false)
+    val rc = raw.groupBy(col("bucket")).agg(sum(col("occ")).as("rc"))
+    val tc = feats(targetDf).groupBy(col("bucket"))
+      .agg(sum(col("occ")).as("tc"))
+    val w = rc.join(tc, Seq("bucket"), "left")
+      .select(col("bucket"),
+        expr("(10000 * (coalesce(tc, 0) + 1)) DIV (rc + 1)").as("w_bp"))
+    val scored = raw.join(broadcast(w), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_feats"),
+        sum(col("occ") * col("w_bp")).as("score"))
+    rawDf.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
+      .withColumn("score", coalesce(col("score"), lit(0L)))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("selected", (col("rank") <= topK).cast("int"))
+  }
+
+  /** Per-source document caps — the C4/RefinedWeb guard against a
+    * single domain flooding the corpus (Raffel et al. 2020 §2.2 caps
+    * pages per domain; web pipelines do the same per host): keep at
+    * most `cap` docs per source, chosen by the deterministic
+    * [[sampleKey]] hash priority rather than file order (which is not
+    * reproducible at scale), tie-broken by id. Emits every doc with
+    * its priority rank and a kept flag — the audit view; the keep
+    * filter is one predicate away.
+    *
+    * Scale shape: one window partitioned BY SOURCE — the shuffle keys
+    * on source and each partition sorts only its own source's rows.
+    * For a pathological mega-source, rank ≤ cap only needs the
+    * per-source TOP-cap by priority: pre-filter with a priority
+    * threshold (the [[sampleKey]] range is uniform, so a
+    * `prio < 100·ε` guard bounds the window's input) or the k-bounded
+    * aggregate — the same skew ladder as q116. */
+  def sourceCap(df: DataFrame, idCol: String, sourceCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be positive, got $cap")
+    df.withColumn("prio", sampleKey(col(idCol)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(sourceCol))
+          .orderBy(col("prio"), col(idCol))))
+      .withColumn("kept", (col("rn") <= cap).cast("int"))
+  }
+
+  /** Exact nearest-rank percentiles of a numeric column — the
+    * CALIBRATION step every threshold gate starts from
+    * ([[graft.llm.TextOps.bigramFamiliarity]]'s head/tail cuts, a
+    * quality keep-line): the value at rank `ceil(p·n/100)` in
+    * (valueCol, tieCol) order, for each requested percentile. Exact
+    * and hash-replayable across engines, unlike `approx_percentile`
+    * (whose sketch is implementation-specific). Emits
+    * `(pct, n_rows, rank, value)`.
+    *
+    * Scale shape: one global sort — of DOC-LEVEL rows, because
+    * calibration runs over the metric AGGREGATES, not the corpus; the
+    * classify pass that consumes the thresholds stays map-only. The
+    * percentile probe itself is join-free: a per-row explode of the
+    * (tiny, literal) percentile list plus a rank-equality filter. */
+  def exactPercentiles(df: DataFrame, valueCol: String, tieCol: String,
+      pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty, "pcts must be non-empty")
+    require(pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be in [1, 100], got ${pcts.mkString(",")}")
+    df.select(col(valueCol).as("value"), col(tieCol).as("__tie"))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("value"), col("__tie"))))
+      .withColumn("n_rows", count(lit(1)).over(Window.partitionBy()))
+      .select(col("value"), col("rn"), col("n_rows"),
+        explode(typedLit(pcts)).as("pct"))
+      .filter(expr("rn = greatest(1, (n_rows * pct + 99) DIV 100)"))
+      .select(col("pct"), col("n_rows"), col("rn").as("rank"),
+        col("value"))
+  }
 }

@@ -286,4 +286,127 @@ object TextOps {
     val f = udf((t: String) => winnow(t))
     df.withColumn("winnow_fp", f(col(textCol)))
   }
+
+  /** Adjacent token pairs as space-joined bigram strings — the shared
+    * feature of [[bigramFamiliarity]] (conditional-LM scoring) and
+    * [[graft.llm.Corpus.dsirSelect]] (hashed importance features).
+    * Guarded like [[graft.llm.Corpus.kGrams]]: Spark's `sequence(1, 0)`
+    * DESCENDS, so <2-element arrays must short-circuit to empty. */
+  def adjacentBigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Bigram-LM familiarity scoring — the CCNet/KenLM perplexity-filter
+    * stage (Wenzek et al. 2020 §4.3; the reference has no LM-quality
+    * gate — north-star extension) made hash-exact: train a count LM on
+    * the corpus itself, score each document by how "expected" its
+    * bigrams are under that LM. For bigram (w1,w2) the conditional
+    * probability is c(w1,w2)/c(w1·) with c(w1·) = Σ_w2 c(w1,w2) — the
+    * proper denominator (occurrences of w1 AS A CONTEXT), derivable
+    * from the bigram table itself — kept in integer basis points
+    * `fam_bp = (10000·c12) DIV c1` (exact; ≤ 10000 since c12 ≤ c1).
+    * Per document: `lm_sum = Σ occ·fam_bp`, `avg_bp = lm_sum DIV
+    * n_bigrams`, plus the head/middle/tail bucket CCNet cuts on — by
+    * FIXED thresholds, not corpus terciles: a global ntile would be a
+    * single-partition sort of every doc row at 100 TB, while
+    * thresholds are map-only (calibrating them from a sampled quantile
+    * is a separate tiny job).
+    *
+    * Scale shape: same as [[tokenRarity]] — per-(doc, bigram) collapse
+    * FIRST (partial aggregation eats within-doc repeats of "of the"
+    * map-side), and that Heaps-bounded distinct frame is
+    * localCheckpointed once and feeds BOTH the LM build and the score
+    * join, whose build side is bigram-vocabulary-sized. Docs with <2
+    * tokens surface with n_bigrams = 0, not dropped. */
+  def bigramFamiliarity(df: DataFrame, idCol: String, textCol: String,
+      headBp: Long = 2000L, tailBp: Long = 500L): DataFrame = {
+    require(headBp >= tailBp, s"headBp $headBp must be >= tailBp $tailBp")
+    val docBg = df
+      .select(col(idCol).as("doc_id"),
+        explode(adjacentBigrams(tokens(col(textCol)))).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("occ"))
+      .localCheckpoint(false)
+    val bg = docBg.groupBy(col("bigram")).agg(sum(col("occ")).as("c12"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val lm = bg
+      .join(bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1")), "w1")
+      .select(col("bigram"), expr("(10000 * c12) DIV c1").as("fam_bp"))
+    val perDoc = docBg.join(lm, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("occ")).as("n_bigrams"),
+        sum(col("occ") * col("fam_bp")).as("lm_sum"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("lm_sum", coalesce(col("lm_sum"), lit(0L)))
+      .withColumn("avg_bp",
+        when(col("n_bigrams") > 0, expr("lm_sum DIV n_bigrams"))
+          .otherwise(lit(0L)))
+      .withColumn("bucket",
+        when(col("avg_bp") >= headBp, lit("head"))
+          .when(col("avg_bp") >= tailBp, lit("middle"))
+          .otherwise(lit("tail")))
+  }
+
+  /** Greedy BPE merge APPLICATION (Sennrich et al. 2016 §3.2 — the
+    * step after [[bpePairCounts]]'s ranking): run `rounds` merge
+    * iterations over the corpus vocabulary and emit each distinct
+    * word's final piece sequence. Per round: (1) adjacent-pair counts
+    * over the CURRENT pieces weighted by word frequency; (2) the
+    * argmax pair, tie-broken (count DESC, pair ASC); (3) left-to-right
+    * non-overlapping replacement of that pair in every word. Step (3)
+    * is pure string arithmetic any engine replays: double every piece
+    * boundary (' '→'  '), pad, replace ' x  y '→' xy ' — doubled
+    * boundaries mean adjacent occurrences never share a delimiter, so
+    * ONE global leftmost pass IS the greedy merge — then collapse
+    * doubles and trim.
+    *
+    * Scale shape: BPE training is inherently sequential in the number
+    * of MERGES (every public implementation iterates), but each
+    * iteration here is distributed over the VOCABULARY, not the
+    * corpus: word frequencies aggregate once (the only corpus scan,
+    * checkpointed), and each round is one vocabulary-sized aggregate
+    * plus a 1-row argmax collect — bounded driver action by contract,
+    * like the IVF centroid pulls. A pair-less vocabulary (all 1-char
+    * words) passes through unchanged. */
+  def bpeApply(df: DataFrame, textCol: String, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1, 16], got $rounds")
+    var vocab = df.select(
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("pieces", trim(regexp_replace(col("word"), "(.)", "$1 ")))
+      .localCheckpoint(false)
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val top = vocab
+        .select(col("n"), split(col("pieces"), " ").as("pk"))
+        .select(col("n"), explode(adjacentBigrams(col("pk"))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .take(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        // pieces are lowercase letter runs: the literals below are
+        // regex-safe by construction (letters + spaces only)
+        vocab = vocab.withColumn("pieces",
+          trim(regexp_replace(
+            regexp_replace(
+              concat(lit(" "),
+                regexp_replace(col("pieces"), " ", "  "), lit(" ")),
+              " " + pair.replace(" ", "  ") + " ",
+              " " + pair.replace(" ", "") + " "),
+            "  ", " ")))
+        r += 1
+      }
+    }
+    vocab.withColumn("n_pieces",
+      size(split(col("pieces"), " ")).cast("long"))
+  }
 }

@@ -1978,6 +1978,211 @@ object LlmQueries {
       |    ' ') AS chunk_text
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** q151 — bigram-LM familiarity scoring
+    * ([[graft.llm.TextOps.bigramFamiliarity]]): the CCNet/KenLM
+    * perplexity-filter stage with the LM trained on the corpus itself
+    * and every probability kept in exact integer basis points — so the
+    * whole head/middle/tail quality cut hash-replays. Distinct from
+    * q131 (unigram rarity/OOV): this is CONDITIONAL probability —
+    * "how expected is w2 after w1" — the signal a perplexity filter
+    * actually ranks on. Fixed-threshold buckets, not corpus terciles:
+    * map-only classification instead of a global single-partition
+    * ntile sort (the 100 TB reason, documented on the operator). */
+  def q151BigramLm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // thresholds calibrated to the fixture's avg_bp terciles (stable
+    // 331..359 band at sf0.001 AND sf0.01 — the generator's token
+    // distribution is scale-free); a real corpus calibrates from a
+    // sampled quantile, as the operator doc says
+    TextOps.bigramFamiliarity(documents(s, d), "doc_id", "text",
+        headBp = 349L, tailBp = 340L)
+      .orderBy($"doc_id")
+  }
+  /** The bigram-LM per-doc avg_bp pipeline as a CTE chain — shared
+    * verbatim by q151 (classification) and q157 (threshold
+    * calibration), so the two oracles replay the SAME familiarity
+    * arithmetic (the q57-prefix discipline). */
+  private val q151Cte: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |  FROM documents),
+      |db AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS bigram
+      |  FROM t, unnest(range(1, greatest(len(tk), 1))) AS u(i)),
+      |dbo AS (SELECT doc_id, bigram, COUNT(*) AS occ
+      |  FROM db GROUP BY 1, 2),
+      |bg AS (SELECT bigram, CAST(SUM(occ) AS BIGINT) AS c12,
+      |    string_split(bigram, ' ')[1] AS w1
+      |  FROM dbo GROUP BY bigram),
+      |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+      |  FROM bg GROUP BY w1),
+      |lm AS (SELECT bigram, (10000 * c12) // c1 AS fam_bp
+      |  FROM bg JOIN ctx USING (w1)),
+      |pd AS (SELECT dbo.doc_id, CAST(SUM(occ) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(occ * fam_bp) AS BIGINT) AS lm_sum
+      |  FROM dbo JOIN lm USING (bigram) GROUP BY dbo.doc_id),
+      |a AS (SELECT d.doc_id,
+      |    CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |    CAST(COALESCE(pd.lm_sum, 0) AS BIGINT) AS lm_sum
+      |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id),
+      |v AS (SELECT doc_id, n_bigrams, lm_sum,
+      |    CASE WHEN n_bigrams > 0 THEN lm_sum // n_bigrams
+      |      ELSE 0 END AS avg_bp
+      |  FROM a)""".stripMargin
+  val q151Sql: String = q151Cte + "\n" +
+    """SELECT doc_id, n_bigrams, lm_sum, CAST(avg_bp AS BIGINT) AS avg_bp,
+      |  CASE WHEN avg_bp >= 349 THEN 'head'
+      |       WHEN avg_bp >= 340 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM v ORDER BY doc_id""".stripMargin
+
+  /** q152 — DSIR importance-weighted data selection
+    * ([[graft.llm.Corpus.dsirSelect]]): hashed-bigram importance
+    * resampling with the tier-3 sources as the high-quality TARGET
+    * slice (the q145 tier convention) and everything else as the raw
+    * pool — each raw doc scored by the integer add-one-smoothed
+    * target/raw bucket-count ratio, top-100 selected. Both
+    * distribution tables are 4096 rows by construction (the paper's
+    * hashing trick), so the weight join is a broadcast at any corpus
+    * size. */
+  def q152Dsir(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tier = regexp_extract($"source", "src([0-9]+)", 1).cast("long") % 4
+    val lab = documents(s, d).withColumn("is_target", tier === 3)
+    Corpus.dsirSelect(lab.filter(!$"is_target"), lab.filter($"is_target"),
+        "doc_id", "text", nBuckets = 4096, topK = 100)
+      .orderBy($"doc_id")
+  }
+  val q152Sql: String =
+    """WITH lab AS (SELECT doc_id, string_split(text, ' ') AS tk,
+      |    CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) % 4 = 3
+      |      AS is_target
+      |  FROM documents),
+      |db AS (SELECT doc_id, is_target,
+      |    CAST(('0x' || substr(md5(array_to_string(tk[i:i+1], ' ')),
+      |      1, 15)) AS BIGINT) % 4096 AS bucket
+      |  FROM lab, unnest(range(1, greatest(len(tk), 1))) AS u(i)),
+      |o AS (SELECT doc_id, is_target, bucket, COUNT(*) AS occ
+      |  FROM db GROUP BY 1, 2, 3),
+      |rc AS (SELECT bucket, CAST(SUM(occ) AS BIGINT) AS rc
+      |  FROM o WHERE NOT is_target GROUP BY bucket),
+      |tc AS (SELECT bucket, CAST(SUM(occ) AS BIGINT) AS tc
+      |  FROM o WHERE is_target GROUP BY bucket),
+      |w AS (SELECT rc.bucket,
+      |    (10000 * (COALESCE(tc.tc, 0) + 1)) // (rc.rc + 1) AS w_bp
+      |  FROM rc LEFT JOIN tc ON tc.bucket = rc.bucket),
+      |sc AS (SELECT o.doc_id, CAST(SUM(occ) AS BIGINT) AS n_feats,
+      |    CAST(SUM(occ * w_bp) AS BIGINT) AS score
+      |  FROM o JOIN w USING (bucket) WHERE NOT is_target
+      |  GROUP BY o.doc_id),
+      |r AS (SELECT b.doc_id,
+      |    CAST(COALESCE(sc.n_feats, 0) AS BIGINT) AS n_feats,
+      |    CAST(COALESCE(sc.score, 0) AS BIGINT) AS score
+      |  FROM (SELECT doc_id FROM lab WHERE NOT is_target) b
+      |  LEFT JOIN sc ON sc.doc_id = b.doc_id)
+      |SELECT doc_id, n_feats, score,
+      |  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank,
+      |  CASE WHEN ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) <= 100
+      |    THEN 1 ELSE 0 END AS selected
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** q153 — per-source document caps ([[graft.llm.Corpus.sourceCap]]):
+    * the C4-style per-domain flood guard — at most 10 docs per source,
+    * chosen by the deterministic [[graft.llm.Corpus.sampleKey]] hash
+    * priority (reproducible at any scale, unlike file order),
+    * tie-broken by id. Audit view: every doc with its rank and kept
+    * flag. One per-source window; the mega-source skew ladder is
+    * documented on the operator. */
+  def q153SourceCap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Corpus.sourceCap(documents(s, d), "doc_id", "source", cap = 10)
+      .select($"doc_id", $"source", $"prio", $"rn", $"kept")
+      .orderBy($"doc_id")
+  }
+  val q153Sql: String =
+    """WITH w AS (SELECT doc_id, source,
+      |    ((doc_id % 1000000007) * 2654435761) % 100 AS prio
+      |  FROM documents),
+      |r AS (SELECT doc_id, source, CAST(prio AS BIGINT) AS prio,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |                       ORDER BY prio, doc_id) AS rn
+      |  FROM w)
+      |SELECT doc_id, source, prio, rn,
+      |  CASE WHEN rn <= 10 THEN 1 ELSE 0 END AS kept
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** q155 — greedy BPE merge application
+    * ([[graft.llm.TextOps.bpeApply]]): three byte-pair-encoding merge
+    * rounds actually APPLIED over the corpus vocabulary — q132 ranks
+    * the first merge's candidates; this runs the training loop
+    * (count pairs → argmax → merge → repeat) and emits every distinct
+    * word's final piece sequence. The doubled-boundary replace makes
+    * each round's greedy left-to-right merge a single global string
+    * replacement both engines execute identically; the oracle replays
+    * all three rounds (pair counts, deterministic argmax, merge) as
+    * literal CTE stages, guarded so a pair-less vocabulary passes
+    * through unmerged in both engines. */
+  def q155BpeApply(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextOps.bpeApply(documents(s, d), "text", rounds = 3)
+      .orderBy($"word")
+  }
+  val q155Sql: String = {
+    // one merge round as a pair of CTE stages, parameterized by the
+    // previous vocabulary stage — the literal unrolling keeps the
+    // oracle a plain SELECT (DuckDB recursive CTEs cannot re-aggregate
+    // per round)
+    def round(prev: String, pc: String, next: String): String =
+      s"""$pc AS (SELECT array_to_string(pk[i:i+1], ' ') AS pair,
+         |    CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM (SELECT n, string_split(pieces, ' ') AS pk FROM $prev) t,
+         |       unnest(range(1, greatest(len(pk), 1))) AS u(i)
+         |  GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+         |$next AS (SELECT word, n,
+         |    CASE WHEN pair IS NULL THEN pieces
+         |      ELSE trim(replace(replace(
+         |        ' ' || replace(pieces, ' ', '  ') || ' ',
+         |        ' ' || replace(pair, ' ', '  ') || ' ',
+         |        ' ' || replace(pair, ' ', '') || ' '), '  ', ' '))
+         |    END AS pieces
+         |  FROM $prev LEFT JOIN $pc ON TRUE)""".stripMargin
+    s"""WITH v0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+       |    trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS pieces
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+       |        AS word FROM documents) GROUP BY word),
+       |${round("v0", "p1", "v1")},
+       |${round("v1", "p2", "v2")},
+       |${round("v2", "p3", "v3")}
+       |SELECT word, n, pieces,
+       |  CAST(len(string_split(pieces, ' ')) AS BIGINT) AS n_pieces
+       |FROM v3 ORDER BY word""".stripMargin
+  }
+
+  /** q157 — exact-percentile threshold calibration
+    * ([[graft.llm.Corpus.exactPercentiles]]): the tiny job that turns
+    * q151's "fixed thresholds, calibrated separately" note into an
+    * operator — the 33rd/66th nearest-rank percentiles of the corpus's
+    * avg_bp familiarity metric, computed EXACTLY (rank arithmetic over
+    * a sort of doc-level aggregates, not an engine-specific
+    * approx-percentile sketch), so the cut points themselves
+    * hash-replay. Join-free probe: explode the literal percentile
+    * list, filter on rank equality. */
+  def q157QuantileCalibrate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = TextOps.bigramFamiliarity(documents(s, d),
+      "doc_id", "text")
+    Corpus.exactPercentiles(scored, "avg_bp", "doc_id", Seq(33, 66))
+      .orderBy($"pct")
+  }
+  val q157Sql: String = q151Cte + ",\n" +
+    """s AS (SELECT avg_bp, doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY avg_bp, doc_id) AS rn,
+      |    COUNT(*) OVER () AS n_rows
+      |  FROM v)
+      |SELECT pct, CAST(n_rows AS BIGINT) AS n_rows, rn AS rank,
+      |  CAST(avg_bp AS BIGINT) AS value
+      |FROM s, unnest([33, 66]) AS p(pct)
+      |WHERE rn = greatest(1, (n_rows * pct + 99) // 100)
+      |ORDER BY pct""".stripMargin
+
   /** q139 — T5-style span corruption
     * ([[graft.llm.Corpus.spanCorruption]]): the denoising-objective
     * preprocessing step (mask spans, emit sentinel-bridged
@@ -3186,6 +3391,11 @@ object LlmQueries {
     "q148_pq_adc" -> (q148PqAdc _),
     "q149_ivf_pq" -> (q149IvfPq _),
     "q150_pq_rerank" -> (q150PqRerank _),
+    "q151_bigram_lm" -> (q151BigramLm _),
+    "q152_dsir" -> (q152Dsir _),
+    "q153_source_cap" -> (q153SourceCap _),
+    "q155_bpe_apply" -> (q155BpeApply _),
+    "q157_quantile_calibrate" -> (q157QuantileCalibrate _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -3263,6 +3473,11 @@ object LlmQueries {
     "q148_pq_adc" -> q148Sql,
     "q149_ivf_pq" -> q149Sql,
     "q150_pq_rerank" -> q150Sql,
+    "q151_bigram_lm" -> q151Sql,
+    "q152_dsir" -> q152Sql,
+    "q153_source_cap" -> q153Sql,
+    "q155_bpe_apply" -> q155Sql,
+    "q157_quantile_calibrate" -> q157Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

@@ -264,6 +264,38 @@ object StreamOps {
       }
   }
 
+  /** Streaming per-source document caps — the ingest twin of
+    * [[graft.llm.Corpus.sourceCap]] for the ARRIVAL-ORDER policy:
+    * admit the first `cap` docs per source as they arrive (the online
+    * guard a crawler front-end actually runs — hash-priority selection
+    * needs the whole corpus in hand; an ingest gate can only rank by
+    * arrival). Keyed state per source is ONE long (docs seen);
+    * in-batch rows are processed in id order (bounded in-memory sort
+    * per micro-batch group — the streamingPackSequences discipline),
+    * so under the ascending-split harness contract arrival order IS id
+    * order and `ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+    * doc_id)` replays the streamed ranks exactly. 100 TB shape: 8
+    * bytes per distinct source; one groupByKey hash exchange — the
+    * same key the batch window partitions by. */
+  def streamSourceCap(rows: Dataset[(String, Long)], cap: Int)
+      : Dataset[(String, Long, Long, Int)] = {
+    import rows.sparkSession.implicits._
+    require(cap >= 1, s"cap must be positive, got $cap")
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (source: String, it: Iterator[(String, Long)],
+         state: GroupState[Long]) =>
+          var seen = state.getOption.getOrElse(0L)
+          val out = it.map(_._2).toArray.sorted.map { id =>
+            seen += 1L
+            (source, id, seen, if (seen <= cap) 1 else 0)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** §3.1 as a streaming pipeline: enrichment in foreachBatch with an
     * idempotent (anti-join) sink — the A5 `ON CONFLICT DO NOTHING` analog.
     * Runs with AvailableNow so callers can await completion. */

@@ -1278,4 +1278,97 @@ class LlmSpec extends AnyFunSuite {
       Corpus.epochShuffle(df.withColumn("epoch", lit(1)), "id", 4, 2)
     }
   }
+
+  test("bigramFamiliarity: conditional-LM arithmetic, short-doc zero row") {
+    import spark.implicits._
+    // corpus bigram counts: "a b" c12=2 (docs 1+2), "b a" 1, "a c" 1;
+    // contexts c1('a') = 2+1 = 3, c1('b') = 1. fam_bp:
+    //   "a b" = 20000 DIV 3 = 6666, "b a" = 10000, "a c" = 3333
+    // doc 1 (one occ of each): lm_sum 19999, avg 19999 DIV 3 = 6666
+    val df = Seq((1L, "a b a c"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramFamiliarity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(1L) == ((3L, 19999L, 6666L, "head")), got.toString)
+    assert(got(2L) == ((1L, 6666L, 6666L, "head")))
+    // the <2-token doc surfaces with zeros, not dropped
+    assert(got(3L) == ((0L, 0L, 0L, "tail")))
+    // degenerate thresholds rejected
+    intercept[IllegalArgumentException] {
+      TextOps.bigramFamiliarity(df, "doc_id", "text",
+        headBp = 1L, tailBp = 2L)
+    }
+  }
+
+  test("dsirSelect: smoothed target/raw ratio, featureless doc kept") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    // raw: doc 1 has bigram "a b" (1 occurrence), doc 2 "z z", doc 3
+    // has no bigrams; target: "a b" twice + "b a" once. Weights:
+    // bucket("a b"): (10000·(2+1)) DIV (1+1) = 15000
+    // bucket("z z"): (10000·(0+1)) DIV (1+1) = 5000
+    val raw = Seq((1L, "a b"), (2L, "z z"), (3L, "q"))
+      .toDF("doc_id", "text")
+    val tgt = Seq((10L, "a b a b")).toDF("doc_id", "text")
+    val got = Corpus.dsirSelect(raw, tgt, "doc_id", "text", topK = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+    assert(got(1L) == ((1L, 15000L, 1, 1)), got.toString)
+    assert(got(2L) == ((1L, 5000L, 2, 1)))
+    // no features → score 0, still reported, ranked last, unselected
+    assert(got(3L) == ((0L, 0L, 3, 0)))
+  }
+
+  test("sourceCap: hash priority, per-source independence, kept flag") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    val df = (0L until 10L).map(i => (i, if (i < 6) "s1" else "s2"))
+      .toDF("doc_id", "source")
+    val got = Corpus.sourceCap(df, "doc_id", "source", cap = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getInt(3), r.getInt(4)))
+    // ranks are 1..n within each source, ordered by (sampleKey, id)
+    val s1 = got.filter(_._2 == "s1").sortBy(_._4)
+    assert(s1.map(_._4).toSeq == (1 to 6).toSeq)
+    assert(s1.map(_._3).toSeq == s1.map(_._3).sorted.toSeq)
+    // cap 3 per source: 3 kept from s1 (6 docs) + 3 from s2 (4 docs)
+    assert(got.count(_._5 == 1) == 6)
+    intercept[IllegalArgumentException] {
+      Corpus.sourceCap(df, "doc_id", "source", cap = 0)
+    }
+  }
+
+  test("bpeApply: greedy adjacent merges, doubled-boundary correctness, " +
+      "pair-less vocab passthrough") {
+    import spark.implicits._
+    // "aaaa" → round 1 merges "a a" greedily left-to-right:
+    // [a,a,a,a] → [aa,aa] (NOT [aa,a,a] — the doubled-space trick must
+    // handle adjacent occurrences); round 2 → [aaaa]; round 3 exhausted
+    val one = Seq((1L, "aaaa")).toDF("id", "text")
+    val g1 = TextOps.bpeApply(one, "text", rounds = 3)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3)))
+    assert(g1.toSeq == Seq(("aaaa", "aaaa", 1L)), g1.toSeq.toString)
+    val g2 = TextOps.bpeApply(one, "text", rounds = 1)
+      .collect().map(r => r.getString(2))
+    assert(g2.toSeq == Seq("aa aa"))
+    // frequency-weighted argmax with deterministic tie-break
+    val df = Seq((1L, "aba aba ab")).toDF("id", "text")
+    val got = TextOps.bpeApply(df, "text", rounds = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    // round 1: "a b" (count 3) beats "b a" (2) → ab; round 2: "ab a"
+    // → aba; round 3: no pairs left (exhausted, passthrough)
+    assert(got.toSeq == Seq(("ab", 1L, "ab"), ("aba", 2L, "aba")),
+      got.toSeq.toString)
+    // all-1-char vocabulary: no pairs at all → unchanged pieces
+    val flat = Seq((1L, "a b a")).toDF("id", "text")
+    val g3 = TextOps.bpeApply(flat, "text", rounds = 3)
+      .collect().map(r => (r.getString(0), r.getString(2))).sortBy(_._1)
+    assert(g3.toSeq == Seq(("a", "a"), ("b", "b")))
+    intercept[IllegalArgumentException] {
+      TextOps.bpeApply(df, "text", rounds = 0)
+    }
+  }
 }

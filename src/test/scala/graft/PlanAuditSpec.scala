@@ -282,4 +282,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q148 encode shuffles:\n$plan")
     assert(!plan.contains("Join"), s"q148 encode joins:\n$plan")
   }
+
+  test("source caps are one per-source window, no extra exchange (q153)") {
+    // the flood-guard claim: sampleKey priority is scan-local
+    // arithmetic and ranking shuffles ONCE, on the source key — the
+    // same bound q118 pins for shards. A second exchange would mean
+    // the priority column forced a pre-shuffle projection pass.
+    val plan = graft.llm.Corpus.sourceCap(
+        graft.ops.Tables.documents(spark, sf), "doc_id", "source", 10)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"q153 has $exchanges exchanges:\n$plan")
+    assert(plan.contains("Window"), s"q153 lost its window:\n$plan")
+  }
+
+  test("percentile probe is join-free after the rank window (q157)") {
+    // exactPercentiles' claim: the percentile lookup is an explode of
+    // the literal pct list plus a rank-equality FILTER — not a join
+    // against the ranked frame (which would plan a broadcast
+    // nested-loop over a non-equi rank condition).
+    val scored = graft.llm.TextOps.bigramFamiliarity(
+      graft.ops.Tables.documents(spark, sf), "doc_id", "text")
+    val plan = graft.llm.Corpus.exactPercentiles(
+        scored, "avg_bp", "doc_id", Seq(33, 66))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"q157 probes percentiles via a cross join:\n$plan")
+    assert(plan.contains("Generate"), s"q157 lost the pct explode:\n$plan")
+  }
 }

@@ -901,4 +901,49 @@ object Corpus {
       .select(col("pct"), col("n_rows"), col("rn").as("rank"),
         col("value"))
   }
+
+  /** Corpus snapshot diff — the data-versioning primitive (what a
+    * Delta/Iceberg change feed computes, as a deterministic batch op):
+    * per doc id, `added` / `removed` / `changed` / `unchanged` between
+    * two corpus versions, with the content fingerprints that justify
+    * the verdict. Content compares by md5 FINGERPRINT, not payload —
+    * the projection happens before the join, so only 32-byte digests
+    * cross the exchange, never the 100 TB of text (the reason a naive
+    * `old.text != new.text` join is wrong at scale). One shuffle,
+    * keyed on the id both sides already carry. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("old_fp"))
+    val n = newDf.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("new_fp"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") === col("new_fp"), lit("unchanged"))
+          .otherwise(lit("changed")))
+  }
+
+  /** Rendezvous (highest-random-weight) shard assignment — the
+    * consistent-sharding rule whose defining property is MINIMAL
+    * MOVEMENT: when the shard count grows n → n+1, a doc moves iff
+    * the NEW shard wins its weight race, so exactly ~1/(n+1) of docs
+    * move and every mover lands on the new shard (a `pmod(hash, n)`
+    * assignment reshuffles ~n/(n+1) of the corpus instead — the
+    * resharding-cost argument for rendezvous in any distributed
+    * store). Weight = md5 digest of `id:shard` (the q143 digest
+    * convention), argmax tie-broken toward the higher shard id.
+    * Map-only: one projection, no explode, no shuffle — the argmax
+    * unrolls over a SHARD-COUNT-sized literal array per row. */
+  def rendezvousShard(id: Column, nShards: Int): Column = {
+    require(nShards >= 1 && nShards <= 64,
+      s"nShards must be in [1, 64], got $nShards")
+    val weights = transform(sequence(lit(0), lit(nShards - 1)),
+      s => struct(
+        conv(substring(md5(concat(id.cast("string"), lit(":"),
+          s.cast("string"))), 1, 15), 16, 10).cast("long").as("w"),
+        s.cast("long").as("shard")))
+    array_max(weights).getField("shard")
+  }
 }

@@ -126,4 +126,35 @@ object Keyword {
         coalesce(expr("1000000 DIV (60 + rank_a)"), lit(0L)) +
           coalesce(expr("1000000 DIV (60 + rank_b)"), lit(0L)))
   }
+
+  /** Delete propagation into the lexical index — the maintenance step
+    * every LIVE index needs when an upstream policy drops documents
+    * (dedup keepers, per-source caps, a right-to-delete request):
+    * account the dropped docs out of the postings and report, per
+    * affected token, the document frequency before/after and the
+    * removed term mass. `tombstones` must expose a `doc_id` column.
+    *
+    * Scale shape: the tombstone list is BROADCAST (a drop list is
+    * small next to a 100 TB index — and if it is not, the right tool
+    * is a rebuild, not a purge); before/after/removed all come from
+    * ONE aggregation keyed by token with conditional sums — no
+    * window, no second scan, no corpus-wide re-rank. Only affected
+    * tokens (removed_tf > 0) are emitted: the report is
+    * drop-list-sized, not vocabulary-sized. */
+  def purgeReport(df: DataFrame, idCol: String, textCol: String,
+      tombstones: DataFrame): DataFrame = {
+    val pairs = df.select(col(idCol).as("doc_id"),
+        explode(TextOps.regexTokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dead = tombstones.select(col("doc_id")).distinct()
+      .withColumn("__dead", lit(1))
+    pairs.join(broadcast(dead), Seq("doc_id"), "left")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df_before"),
+        sum(when(col("__dead").isNull, 1L).otherwise(0L)).as("df_after"),
+        sum(when(col("__dead").isNotNull, col("tf")).otherwise(lit(0L)))
+          .as("removed_tf"))
+      .filter(col("removed_tf") > 0)
+  }
 }

@@ -2183,6 +2183,114 @@ object LlmQueries {
       |WHERE rn = greatest(1, (n_rows * pct + 99) // 100)
       |ORDER BY pct""".stripMargin
 
+  /** q159 — index delete propagation
+    * ([[graft.llm.Keyword.purgeReport]]): the maintenance path a live
+    * lexical index runs when an upstream policy drops documents —
+    * here q153's per-source cap (the docs the flood guard rejected
+    * become the tombstone list), accounted out of q137's postings in
+    * one conditional aggregation: per affected token, df before/after
+    * and the removed term mass. Composes two shipped operators into
+    * the deployment lifecycle step between them; all-integer, so the
+    * purge ledger hash-replays. */
+  def q159PurgeReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val dead = Corpus.sourceCap(docs, "doc_id", "source", cap = 10)
+      .filter($"kept" === 0).select($"doc_id")
+    Keyword.purgeReport(docs, "doc_id", "text", dead)
+      .orderBy($"token")
+  }
+  val q159Sql: String =
+    """WITH w AS (SELECT doc_id, source,
+      |    ((doc_id % 1000000007) * 2654435761) % 100 AS prio
+      |  FROM documents),
+      |r AS (SELECT doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |                       ORDER BY prio, doc_id) AS rn
+      |  FROM w),
+      |dead AS (SELECT doc_id FROM r WHERE rn > 10),
+      |p AS (SELECT token, doc_id, COUNT(*) AS tf
+      |  FROM (SELECT doc_id,
+      |      unnest(list_filter(string_split_regex(lower(text),
+      |        '[ \t\n\v\f\r]+'), x -> x != '')) AS token
+      |    FROM documents) GROUP BY 1, 2),
+      |g AS (SELECT token,
+      |    CAST(COUNT(*) AS BIGINT) AS df_before,
+      |    CAST(SUM(CASE WHEN dead.doc_id IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS df_after,
+      |    CAST(SUM(CASE WHEN dead.doc_id IS NOT NULL THEN tf ELSE 0 END)
+      |      AS BIGINT) AS removed_tf
+      |  FROM p LEFT JOIN dead ON dead.doc_id = p.doc_id
+      |  GROUP BY token)
+      |SELECT token, df_before, df_after, removed_tf FROM g
+      |WHERE removed_tf > 0 ORDER BY token""".stripMargin
+
+  /** q160 — corpus snapshot diff ([[graft.llm.Corpus.snapshotDiff]]):
+    * the change feed between two corpus versions, derived
+    * deterministically from the fixture (v1 lacks the id%7=0 docs —
+    * "added later"; v2 lacks id%11=0 — "removed"; id%5=0 docs gain a
+    * ' v2' suffix — "changed"), diffed by md5 fingerprint so only
+    * digests cross the join exchange. All four statuses are exercised
+    * on every fixture SF. */
+  def q160SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val v1 = docs.filter($"doc_id" % 7 =!= 0)
+    val v2 = docs.filter($"doc_id" % 11 =!= 0)
+      .withColumn("text",
+        when($"doc_id" % 5 === 0, concat($"text", lit(" v2")))
+          .otherwise($"text"))
+    Corpus.snapshotDiff(v1, v2, "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+  val q160Sql: String =
+    """WITH v1 AS (SELECT doc_id, md5(text) AS old_fp FROM documents
+      |  WHERE doc_id % 7 != 0),
+      |v2 AS (SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+      |      ELSE text END) AS new_fp
+      |  FROM documents WHERE doc_id % 11 != 0)
+      |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, old_fp, new_fp,
+      |  CASE WHEN old_fp IS NULL THEN 'added'
+      |       WHEN new_fp IS NULL THEN 'removed'
+      |       WHEN old_fp = new_fp THEN 'unchanged'
+      |       ELSE 'changed' END AS status
+      |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** q161 — rendezvous shard assignment
+    * ([[graft.llm.Corpus.rendezvousShard]]): highest-random-weight
+    * sharding evaluated at n=4 AND n=5 with the per-doc moved flag —
+    * the audit that demonstrates the minimal-movement property a
+    *`pmod(hash, n)` scheme lacks (LlmSpec pins that EVERY mover lands
+    * on the new shard and ~1/5 move). Both assignments are one
+    * map-only projection; the oracle replays the digest race as an
+    * unnest + per-doc argmax window. */
+  def q161RendezvousShards(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select($"doc_id",
+        Corpus.rendezvousShard($"doc_id", 4).as("shard4"),
+        Corpus.rendezvousShard($"doc_id", 5).as("shard5"))
+      .withColumn("moved", ($"shard4" =!= $"shard5").cast("int"))
+      .orderBy($"doc_id")
+  }
+  val q161Sql: String =
+    """WITH c AS (SELECT doc_id, n, s,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |      CAST(s AS VARCHAR)), 1, 15)) AS BIGINT) AS w
+      |  FROM documents, unnest([4, 5]) AS v(n), unnest(range(0, 5)) AS u(s)
+      |  WHERE s < n),
+      |a AS (SELECT doc_id, n, s AS shard FROM (
+      |    SELECT doc_id, n, s, ROW_NUMBER() OVER (
+      |      PARTITION BY doc_id, n ORDER BY w DESC, s DESC) AS rn
+      |    FROM c) WHERE rn = 1)
+      |SELECT a4.doc_id, a4.shard AS shard4, a5.shard AS shard5,
+      |  CASE WHEN a4.shard != a5.shard THEN 1 ELSE 0 END AS moved
+      |FROM (SELECT doc_id, shard FROM a WHERE n = 4) a4
+      |JOIN (SELECT doc_id, shard FROM a WHERE n = 5) a5
+      |  ON a4.doc_id = a5.doc_id
+      |ORDER BY a4.doc_id""".stripMargin
+
   /** q139 — T5-style span corruption
     * ([[graft.llm.Corpus.spanCorruption]]): the denoising-objective
     * preprocessing step (mask spans, emit sentinel-bridged
@@ -3396,6 +3504,9 @@ object LlmQueries {
     "q153_source_cap" -> (q153SourceCap _),
     "q155_bpe_apply" -> (q155BpeApply _),
     "q157_quantile_calibrate" -> (q157QuantileCalibrate _),
+    "q159_purge_report" -> (q159PurgeReport _),
+    "q160_snapshot_diff" -> (q160SnapshotDiff _),
+    "q161_rendezvous_shards" -> (q161RendezvousShards _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -3478,6 +3589,9 @@ object LlmQueries {
     "q153_source_cap" -> q153Sql,
     "q155_bpe_apply" -> q155Sql,
     "q157_quantile_calibrate" -> q157Sql,
+    "q159_purge_report" -> q159Sql,
+    "q160_snapshot_diff" -> q160Sql,
+    "q161_rendezvous_shards" -> q161Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

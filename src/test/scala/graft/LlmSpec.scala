@@ -1371,4 +1371,54 @@ class LlmSpec extends AnyFunSuite {
       TextOps.bpeApply(df, "text", rounds = 0)
     }
   }
+
+  test("purgeReport: conditional-sum ledger, unaffected tokens omitted") {
+    import spark.implicits._
+    import graft.llm.Keyword
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b"))
+      .toDF("doc_id", "text")
+    val dead = Seq(Tuple1(2L)).toDF("doc_id")
+    val got = Keyword.purgeReport(docs, "doc_id", "text", dead)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // 'a': docs {1(tf2), 2(tf1)} → before 2, after 1, removed mass 1
+    assert(got("a") == ((2L, 1L, 1L)), got.toString)
+    assert(got("c") == ((1L, 0L, 1L)))
+    // 'b' lost nothing → NOT in the report
+    assert(!got.contains("b"))
+  }
+
+  test("snapshotDiff: all four statuses from fingerprint compare") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    val v1 = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "text")
+    val v2 = Seq((1L, "x"), (2L, "y2"), (4L, "w")).toDF("id", "text")
+    val got = Corpus.snapshotDiff(v1, v2, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), got.toString)
+  }
+
+  test("rendezvousShard: range bound, minimal movement, movers land on " +
+      "the new shard only") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    val df = (0L until 500L).toDF("id")
+    val got = df.select($"id",
+        Corpus.rendezvousShard($"id", 4).as("s4"),
+        Corpus.rendezvousShard($"id", 5).as("s5"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (s4, s5) => s4 >= 0 && s4 < 4 &&
+      s5 >= 0 && s5 < 5 })
+    val movers = got.filter { case (s4, s5) => s4 != s5 }
+    // THE rendezvous property: growing n→n+1 moves ~1/(n+1) of keys,
+    // and every mover moves TO the new shard (pmod sharding would
+    // reshuffle ~4/5 across all shards)
+    assert(movers.forall(_._2 == 4L), movers.take(5).toSeq.toString)
+    assert(movers.length > 50 && movers.length < 150,
+      s"${movers.length} moved of 500")
+    intercept[IllegalArgumentException] {
+      df.select(Corpus.rendezvousShard($"id", 0))
+    }
+  }
 }

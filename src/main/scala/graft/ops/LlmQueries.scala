@@ -1587,7 +1587,14 @@ object LlmQueries {
     * are `1000000 DIV (60 + rank)` — exact longs, so the fused score
     * hash-matches without a float tolerance. Both lists exclude the
     * query doc itself. */
-  def q138HybridRrf(s: SparkSession, d: String): DataFrame = {
+  /** The min-doc-query hybrid-retrieval building blocks shared by q138
+    * (RRF fusion) and q163 (hard-negative mining): top-20 keyword
+    * candidates by (n_matched, sum_tf, doc_id) for the query doc's two
+    * rarest terms, plus every non-query doc's exact-integer quantized
+    * cosine to the query (the q112 fixed divide chain). Returns
+    * (kwRanked, candCos). */
+  private def hybridKwVec(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     import s.implicits._
     val docs = documents(s, d).select($"doc_id", $"text")
     val qid = docs.agg(min($"doc_id")).head.getLong(0)
@@ -1608,12 +1615,19 @@ object LlmQueries {
         $"vec".cast("array<double>").as("v")), "v")
     val qrow = qz.filter($"id" === qid && $"qnorm" > 0)
       .select($"qvec".as("qq"), $"qnorm".as("qqn"))
-    val vec = qz.filter($"id" =!= qid && $"qnorm" > 0)
+    val cand = qz.filter($"id" =!= qid && $"qnorm" > 0)
       .crossJoin(broadcast(qrow)) // 1-row query side (q78's shape)
       .withColumn("dot_q",
         graft.functions.VectorExprs.dotLong($"qvec", $"qq"))
       .withColumn("cos_q", $"dot_q".cast("double") /
         (sqrt($"qnorm".cast("double")) * sqrt($"qqn".cast("double"))))
+    (kw, cand)
+  }
+
+  def q138HybridRrf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (kw, cand) = hybridKwVec(s, d)
+    val vec = cand
       .agg(graft.functions.TopKAgg.topKByCos(20)(
         $"id", $"dot_q", $"cos_q").as("top"))
       .select(posexplode($"top.items"))
@@ -1622,7 +1636,10 @@ object LlmQueries {
       .orderBy($"score".desc, $"doc_id").limit(10)
       .select($"doc_id", $"rank_a", $"rank_b", $"score")
   }
-  val q138Sql: String =
+  /** The hybrid-retrieval CTE chain (postings → query terms → ranked
+    * keyword candidates `kr` → hashed/quantized vectors → per-candidate
+    * cosine `vcand`) shared verbatim by q138 and q163. */
+  private val q138Cte: String =
     """WITH tok AS (SELECT doc_id,
       |    unnest(list_filter(string_split_regex(lower(text),
       |      '[ \t\n\v\f\r]+'), x -> x != '')) AS token
@@ -1670,8 +1687,9 @@ object LlmQueries {
       |      AS cos_q
       |  FROM qz c, qz qq, q0
       |  WHERE qq.id = q0.qid AND qq.qn > 0
-      |    AND c.id != q0.qid AND c.qn > 0),
-      |vr AS (SELECT doc_id, rn FROM (
+      |    AND c.id != q0.qid AND c.qn > 0)""".stripMargin
+  val q138Sql: String = q138Cte + ",\n" +
+    """vr AS (SELECT doc_id, rn FROM (
       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_q DESC, doc_id)
       |      AS rn
       |  FROM vcand) WHERE rn <= 20),
@@ -1682,6 +1700,40 @@ object LlmQueries {
       |  FROM kr FULL OUTER JOIN vr ON kr.doc_id = vr.doc_id)
       |SELECT doc_id, rank_a, rank_b, CAST(score AS BIGINT) AS score
       |FROM fused ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** q163 — hard-negative mining for retrieval training (the DPR
+    * recipe, Karpukhin et al. 2020 §3.2: BM25-style lexical hits that
+    * are NOT semantic matches make the best negatives): from q138's
+    * top-20 keyword candidates, drop the 5 most semantically similar
+    * to the query (rank-based positive screen — threshold-free, so it
+    * works whatever the corpus's cosine distribution), emit the top-5
+    * remaining by keyword rank as (neg_id, kw_rank, cos_q) training
+    * triples. Candidates without a nonzero vector are excluded — they
+    * cannot be semantically screened. Shares q138's machinery and its
+    * oracle prefix verbatim. */
+  def q163HardNegatives(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (kw, cand) = hybridKwVec(s, d)
+    val sem = cand.select($"id".as("doc_id"), $"cos_q")
+      .join(kw, "doc_id")
+      .withColumn("sem_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"cos_q".desc, $"doc_id")))
+    sem.filter($"sem_rn" > 5)
+      .orderBy($"rn").limit(5)
+      .select($"doc_id".as("neg_id"), $"rn".as("kw_rank"),
+        round($"cos_q", 6).as("cos_q"))
+      .orderBy($"kw_rank")
+  }
+  val q163Sql: String = q138Cte + ",\n" +
+    """sem AS (SELECT kr.doc_id, kr.rn, vcand.cos_q,
+      |    ROW_NUMBER() OVER (ORDER BY vcand.cos_q DESC, kr.doc_id)
+      |      AS sem_rn
+      |  FROM kr JOIN vcand USING (doc_id)),
+      |neg AS (SELECT doc_id, rn, cos_q FROM sem WHERE sem_rn > 5
+      |  ORDER BY rn LIMIT 5)
+      |SELECT doc_id AS neg_id, rn AS kw_rank, ROUND(cos_q, 6) AS cos_q
+      |FROM neg ORDER BY kw_rank""".stripMargin
 
   /** q140 — BM25 ranking ([[graft.llm.Keyword.bm25]]): the lexical
     * SCORER the q137 boolean/tf ranking lacks — df-weighted term rarity
@@ -2290,6 +2342,54 @@ object LlmQueries {
       |JOIN (SELECT doc_id, shard FROM a WHERE n = 5) a5
       |  ON a4.doc_id = a5.doc_id
       |ORDER BY a4.doc_id""".stripMargin
+
+  /** q162 — pack-utilization audit over [[graft.llm.Corpus
+    * .packSequences]]: the training-efficiency metric a packing run is
+    * judged by — per source, the pack count, token mass, nominal
+    * capacity (packs × budget), fill rate in integer basis points and
+    * the min/max pack sizes (concat-and-chunk assigns a doc to the
+    * pack its FIRST token lands in, so packs wobble around the budget
+    * and the per-source tail pack runs light — exactly what this
+    * report quantifies). Same window as q93 plus two tiny
+    * aggregations; all-integer. */
+  def q162PackUtilization(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+    Corpus.packSequences(docs, "doc_id", "n_tokens", "source", 512L)
+      .groupBy($"source", $"pack_id")
+      .agg(sum($"n_tokens").as("pack_tokens"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_packs"),
+        sum($"pack_tokens").as("total_tokens"),
+        (count(lit(1)) * 512L).as("capacity"),
+        expr("(10000 * sum(pack_tokens)) DIV (count(1) * 512)")
+          .as("fill_bp"),
+        min($"pack_tokens").as("min_pack_tokens"),
+        max($"pack_tokens").as("max_pack_tokens"))
+      .orderBy($"source")
+  }
+  val q162Sql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |p AS (SELECT doc_id, source, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS prefix
+      |  FROM t),
+      |g AS (SELECT source, prefix // 512 AS pack_id,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+      |  FROM p GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_packs,
+      |  CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(COUNT(*) * 512 AS BIGINT) AS capacity,
+      |  (10000 * CAST(SUM(pack_tokens) AS BIGINT)) // (COUNT(*) * 512)
+      |    AS fill_bp,
+      |  CAST(MIN(pack_tokens) AS BIGINT) AS min_pack_tokens,
+      |  CAST(MAX(pack_tokens) AS BIGINT) AS max_pack_tokens
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
 
   /** q139 — T5-style span corruption
     * ([[graft.llm.Corpus.spanCorruption]]): the denoising-objective
@@ -3507,6 +3607,8 @@ object LlmQueries {
     "q159_purge_report" -> (q159PurgeReport _),
     "q160_snapshot_diff" -> (q160SnapshotDiff _),
     "q161_rendezvous_shards" -> (q161RendezvousShards _),
+    "q162_pack_utilization" -> (q162PackUtilization _),
+    "q163_hard_negatives" -> (q163HardNegatives _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -3592,6 +3694,8 @@ object LlmQueries {
     "q159_purge_report" -> q159Sql,
     "q160_snapshot_diff" -> q160Sql,
     "q161_rendezvous_shards" -> q161Sql,
+    "q162_pack_utilization" -> q162Sql,
+    "q163_hard_negatives" -> q163Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

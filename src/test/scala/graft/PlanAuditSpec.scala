@@ -34,6 +34,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q115_stored_index_knn", // centroid-table broadcast (q112's shape, stored)
     "q78_vector_mix",        // reference-vector broadcast
     "q138_hybrid_rrf",       // 1-row query-vector broadcast (q78's shape)
+    "q163_hard_negatives",   // same 1-row query-vector broadcast (shares
+                             // q138's hybridKwVec machinery)
     "q45_knn_lsh",           // stats-free, but plans via tiny bucket join
     "q37_anomaly_iforest",   // scalar stats (same gate as q27)
     "q38_silhouette_simplified", // k-row centroid-table broadcast

@@ -127,6 +127,92 @@ object Keyword {
           coalesce(expr("1000000 DIV (60 + rank_b)"), lit(0L)))
   }
 
+  /** The raw (token, doc_id, tf) collapse [[postings]] builds on —
+    * exposed separately because it is the STORED layout of the lexical
+    * index: df is index metadata that a serving replica recomputes
+    * from its own postings ([[bm25Serve]]), not a stored column that
+    * every delta append would invalidate. */
+  def docTermPairs(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(TextOps.regexTokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** q140's full serving recipe from a raw (token, doc_id, tf)
+    * postings set: df recount, 5th/6th-most-frequent term selection,
+    * avgdl, BM25 top-k. ONE code path shared by the batch build
+    * (q140), the streamed-index serve (q164) and the compacted-store
+    * serve (q165), so "serves bit-identically" is the same code
+    * everywhere, not three copies that can drift. */
+  def bm25Serve(pairs: DataFrame, nDocs: Long, k: Int = 10): DataFrame = {
+    val posts = pairs
+      .withColumn("df_count", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
+      .localCheckpoint(false) // term selection, totals AND probe reuse it
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df_count").desc, col("token"))
+    val terms = posts.select(col("token"), col("df_count")).distinct()
+      .withColumn("r", row_number().over(w))
+      .filter(col("r").between(5, 6)).select(col("token"))
+    val totalTokens = posts.agg(sum(col("tf"))).head.getLong(0)
+    // exact long-to-double conversions + one IEEE division == the
+    // oracle's CAST(total AS DOUBLE) / CAST(n AS DOUBLE)
+    val avgdl = totalTokens.toDouble / nDocs.toDouble
+    bm25(posts, terms, nDocs, avgdl, k)
+  }
+
+  /** Persist the postings store partitioned by TERM-SHARD bucket
+    * (md5-range of the token, `nBuckets` directories) under
+    * [[graft.state.ModelStore.publish]]'s blue/green atomic rename —
+    * the lexical twin of the IVF list store. Partitioning by raw
+    * token would mean one directory per vocabulary word (a metadata
+    * storm at any real vocabulary); hash bucketing keeps the
+    * directory count fixed while still letting compaction land each
+    * bucket wholly in one task. */
+  def savePostings(pairs: DataFrame, root: String,
+      name: String = "postings", nBuckets: Int = 16): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
+    pairs.select(col("token"), col("doc_id"), col("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("token")),
+        lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$root/_staging/$name/posts")
+    graft.state.ModelStore.publish(root, name)
+  }
+
+  /** Load the published postings store (falling back to the backup if
+    * prod is missing mid-publish, the ModelStore crash-window rule). */
+  def loadPostings(spark: org.apache.spark.sql.SparkSession, root: String,
+      name: String = "postings"): DataFrame = {
+    val base =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(root, name)))
+        name
+      else s"${name}_backup"
+    spark.read.parquet(s"$root/$base/posts")
+      .select(col("token"), col("doc_id"), col("tf"))
+  }
+
+  /** Compact DELTA postings into the stored index and republish — the
+    * lexical twin of [[graft.llm.Ivf.compactIndex]]: a streaming
+    * postings writer (q146's ingest) appends one small file per
+    * micro-batch per bucket; compaction is one union + one hash
+    * repartition on the SAME bucket expression the writer partitions
+    * by, so each term shard lands wholly in one task and the
+    * partitioned write emits ONE file per bucket directory
+    * (CompactionSpec pins the property). Values are untouched — a
+    * BM25 serve over the compacted store is bit-identical to one over
+    * base+delta, which q165 pins against q140's oracle. */
+  def compactPostings(spark: org.apache.spark.sql.SparkSession,
+      root: String, delta: DataFrame, name: String = "postings",
+      nBuckets: Int = 16): Unit = {
+    val base = loadPostings(spark, root, name)
+    val merged = base
+      .unionByName(delta.select(col("token"), col("doc_id"), col("tf")))
+      .repartition(pmod(xxhash64(col("token")), lit(nBuckets.toLong)))
+    savePostings(merged, root, name, nBuckets)
+  }
+
   /** Delete propagation into the lexical index — the maintenance step
     * every LIVE index needs when an upstream policy drops documents
     * (dedup keepers, per-source caps, a right-to-delete request):

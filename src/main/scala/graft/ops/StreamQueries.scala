@@ -555,20 +555,10 @@ object StreamQueries {
         q.processAllAvailable()
         q.stop()
     } { sinkDf =>
-      val posts = sinkDf.select($"_1".as("token"), $"_2".as("doc_id"),
-          $"_3".as("tf"))
-        .withColumn("df_count", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy($"token")))
-        .localCheckpoint(false)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy($"df_count".desc, $"token")
-      val terms = posts.select($"token", $"df_count").distinct()
-        .withColumn("r", row_number().over(w))
-        .filter($"r".between(5, 6)).select($"token")
-      val nDocs = docsAll.count()
-      val totalTokens = posts.agg(sum($"tf")).head.getLong(0)
-      val avgdl = totalTokens.toDouble / nDocs.toDouble
-      graft.llm.Keyword.bm25(posts, terms, nDocs, avgdl, k = 10)
+      graft.llm.Keyword.bm25Serve(
+          sinkDf.select($"_1".as("token"), $"_2".as("doc_id"),
+            $"_3".as("tf")),
+          nDocs = docsAll.count(), k = 10)
         .orderBy($"rn")
     }
   }

@@ -126,4 +126,42 @@ class CompactionSpec extends AnyFunSuite {
       }
     } finally graft.util.Fs.deleteRecursively(root)
   }
+
+  test("postings compaction (q165): one file per term-shard bucket, " +
+      "served BM25 identical to the one-shot build") {
+    import spark.implicits._
+    import graft.llm.Keyword
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    def pairs(part: DataFrame): DataFrame =
+      Keyword.docTermPairs(part, "doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-postcompact")
+    try {
+      Keyword.savePostings(
+        pairs(docs.filter(pmod($"doc_id", lit(2)) === 0)), root.toString)
+      Keyword.compactPostings(spark, root.toString,
+        pairs(docs.filter(pmod($"doc_id", lit(2)) === 1)))
+      // one data file per bucket directory (the q130 small-file rule,
+      // on the lexical side)
+      val bucketDirs = new java.io.File(s"$root/postings/posts")
+        .listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      assert(bucketDirs.nonEmpty)
+      bucketDirs.foreach { d =>
+        val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1,
+          s"${d.getName}: ${files.length} data files after compaction")
+      }
+      // the compacted store holds exactly the full corpus postings and
+      // serves the same ranking as a one-shot build over all docs
+      val stored = Keyword.loadPostings(spark, root.toString)
+      assert(stored.count() == pairs(docs).count())
+      val n = docs.count()
+      val fromStore = Keyword.bm25Serve(stored, n, k = 10)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val oneShot = Keyword.bm25Serve(pairs(docs), n, k = 10)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(fromStore.toSeq == oneShot.toSeq)
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
 }

@@ -351,6 +351,44 @@ object TextOps {
           .otherwise(lit("tail")))
   }
 
+  /** Phrase mining by discounted pointwise association (the word2vec
+    * phrase pass, Mikolov et al. 2013 §4: `(c12 − δ)·N / (c1·c2)`) —
+    * the preprocessing step that finds collocations worth fusing into
+    * single tokens before training. Kept integer-exact: the score is
+    * `(1000·(c12 − δ)·N) DIV (c1·c2)` (PMI's log is monotone in this
+    * ratio, so the RANKING is identical and no transcendental enters
+    * the oracle). The discount δ kills rare-cooccurrence noise; pairs
+    * with c12 ≤ δ are dropped outright. Numeric bound: needs
+    * `1000·c12·N < 2^63`, i.e. corpora under ~3·10^9 tokens per
+    * partition of analysis — shard the count tables beyond that.
+    *
+    * Scale shape: [[tokenRarity]]'s skeleton — everything flows from
+    * vocabulary-sized count tables (unigram + Heaps-bounded bigram);
+    * the only corpus-sized work is the two counting aggregates. */
+  def phraseScores(df: DataFrame, textCol: String, discount: Long = 5L,
+      topK: Int = 20): DataFrame = {
+    require(discount >= 0, s"discount must be >= 0, got $discount")
+    require(topK >= 1, s"topK must be positive, got $topK")
+    val tok = df.select(explode(tokens(col(textCol))).as("w"))
+    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val n = uni.agg(sum(col("c"))).head.getLong(0)
+    val bg = df
+      .select(explode(adjacentBigrams(tokens(col(textCol)))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") > discount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    bg.join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .withColumn("score_fp",
+        expr(s"(1000 * (c12 - $discount) * ${n}L) DIV (c1 * c2)"))
+      .select(col("bigram"), col("c12"), col("c1"), col("c2"),
+        col("score_fp"))
+      .orderBy(col("score_fp").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** Greedy BPE merge APPLICATION (Sennrich et al. 2016 §3.2 — the
     * step after [[bpePairCounts]]'s ranking): run `rounds` merge
     * iterations over the corpus vocabulary and emit each distinct

@@ -2407,6 +2407,37 @@ object LlmQueries {
       |  CAST(MAX(pack_tokens) AS BIGINT) AS max_pack_tokens
       |FROM g GROUP BY source ORDER BY source""".stripMargin
 
+  /** q166 — collocation/phrase mining
+    * ([[graft.llm.TextOps.phraseScores]]): the word2vec phrase pass —
+    * top-20 bigrams by discounted association `(1000·(c12−5)·N) DIV
+    * (c1·c2)`, the integer-monotone stand-in for PMI (same ranking,
+    * no transcendental in the oracle). What q151 scores docs WITH
+    * (conditional familiarity), this mines the vocabulary FOR:
+    * candidate multi-word tokens to fuse before training. */
+  def q166PhraseMining(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextOps.phraseScores(documents(s, d), "text",
+      discount = 5L, topK = 20)
+  }
+  val q166Sql: String =
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+      |  GROUP BY w),
+      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+      |t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+      |bgx AS (SELECT array_to_string(tk[i:i+1], ' ') AS bigram
+      |  FROM t, unnest(range(1, greatest(len(tk), 1))) AS u(i)),
+      |bg AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12 FROM bgx
+      |  GROUP BY bigram HAVING COUNT(*) > 5),
+      |j AS (SELECT bg.bigram, bg.c12, u1.c AS c1, u2.c AS c2,
+      |    (1000 * (bg.c12 - 5) * n.n) // (u1.c * u2.c) AS score_fp
+      |  FROM bg
+      |  JOIN uni u1 ON u1.w = string_split(bg.bigram, ' ')[1]
+      |  JOIN uni u2 ON u2.w = string_split(bg.bigram, ' ')[2], n)
+      |SELECT bigram, c12, c1, c2, score_fp
+      |FROM j ORDER BY score_fp DESC, bigram LIMIT 20""".stripMargin
+
   /** q139 — T5-style span corruption
     * ([[graft.llm.Corpus.spanCorruption]]): the denoising-objective
     * preprocessing step (mask spans, emit sentinel-bridged
@@ -3119,6 +3150,36 @@ object LlmQueries {
   val q57Sql: String = q57SqlPrefix +
     "\nSELECT id, keep_id FROM labeled ORDER BY id"
 
+  /** q167 — duplicate-graph audit: the component-size distribution of
+    * q57's near-dup closure — the health report a dedup run is judged
+    * by (how much of the corpus is singleton vs caught in dup
+    * clusters, and how big the biggest cluster is — a runaway
+    * component usually means a degenerate signature, not real dups).
+    * Fixed CASE size buckets (exact integers; a log2 float bucket
+    * would be boundary-fragile cross-engine). Shares q57's machinery
+    * AND its oracle prefix verbatim. */
+  def q167DupGraphAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    nearDupComponents(s, d)
+      .groupBy($"keep_id").agg(count(lit(1)).as("sz"))
+      .withColumn("size_bucket",
+        when($"sz" === 1, lit("1")).when($"sz" === 2, lit("2"))
+          .when($"sz" <= 4, lit("3-4")).when($"sz" <= 8, lit("5-8"))
+          .otherwise(lit("9+")))
+      .groupBy($"size_bucket")
+      .agg(count(lit(1)).as("n_components"), sum($"sz").as("n_docs"))
+      .orderBy($"size_bucket")
+  }
+  lazy val q167Sql: String = q57SqlPrefix + ",\n" +
+    """sizes AS (SELECT keep_id, COUNT(*) AS sz FROM labeled
+      |  GROUP BY keep_id),
+      |b AS (SELECT CASE WHEN sz = 1 THEN '1' WHEN sz = 2 THEN '2'
+      |    WHEN sz <= 4 THEN '3-4' WHEN sz <= 8 THEN '5-8'
+      |    ELSE '9+' END AS size_bucket, sz FROM sizes)
+      |SELECT size_bucket, CAST(COUNT(*) AS BIGINT) AS n_components,
+      |  CAST(SUM(sz) AS BIGINT) AS n_docs
+      |FROM b GROUP BY size_bucket ORDER BY size_bucket""".stripMargin
+
   /** q58 — composed training-corpus cleaning pipeline, fully
     * SQL-expressible and oracle-checked end to end: language gate →
     * quality-score gate → exact dedup (keep = min doc_id per content) →
@@ -3626,6 +3687,8 @@ object LlmQueries {
     "q162_pack_utilization" -> (q162PackUtilization _),
     "q163_hard_negatives" -> (q163HardNegatives _),
     "q165_postings_compaction" -> (q165PostingsCompaction _),
+    "q166_phrase_mining" -> (q166PhraseMining _),
+    "q167_dup_graph_audit" -> (q167DupGraphAudit _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -3716,6 +3779,8 @@ object LlmQueries {
     // layout maintenance never changes values: the serve over the
     // compacted store replays the one-shot q140 build (q130's argument)
     "q165_postings_compaction" -> q140Sql,
+    "q166_phrase_mining" -> q166Sql,
+    "q167_dup_graph_audit" -> q167Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

@@ -1372,6 +1372,22 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("phraseScores: discounted association arithmetic, cutoff, order") {
+    import spark.implicits._
+    // seven "a b" docs, three "b c" docs, one "z" doc: N = 21 tokens,
+    // c(a)=7, c(b)=10. "a b" co-occurs 7× (> δ=5) → score =
+    // (1000·(7−5)·21) DIV (7·10) = 600; "b c" only 3× (≤ δ → dropped)
+    val df = (Seq.fill(7)("a b") ++ Seq.fill(3)("b c") ++ Seq("z"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = TextOps.phraseScores(df, "text", discount = 5L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    assert(got.toSeq == Seq(("a b", 7L, 600L)), got.toSeq.toString)
+    intercept[IllegalArgumentException] {
+      TextOps.phraseScores(df, "text", discount = -1L)
+    }
+  }
+
   test("purgeReport: conditional-sum ledger, unaffected tokens omitted") {
     import spark.implicits._
     import graft.llm.Keyword

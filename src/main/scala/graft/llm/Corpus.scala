@@ -925,6 +925,39 @@ object Corpus {
           .otherwise(lit("changed")))
   }
 
+  /** Length-bucketed batch assignment — the dynamic-batching step an
+    * inference or eval runner uses instead of sequence packing: group
+    * same-length-class docs so a batch's padded cost is
+    * `batch_size · bucket_len` with bounded waste. Buckets are exact
+    * integer CASE classes (≤16/≤32/≤64/≤128/256+ — a float log2
+    * bucket would be boundary-fragile cross-engine); capacity per
+    * batch = `budgetTokens DIV bucket_len`; membership is a
+    * ROW_NUMBER within (group, bucket) in id order, so assignment is
+    * deterministic and engine-replayable.
+    *
+    * Scale shape: one window partitioned by (groupCol, bucket) — the
+    * same per-shard parallelism argument as [[packSequencesBy]]; the
+    * groupCol is what keeps a single global length class from
+    * funneling into one partition. */
+  def lengthBatches(df: DataFrame, idCol: String, tokenCol: String,
+      groupCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 256,
+      s"budgetTokens must cover the largest bucket (256), got $budgetTokens")
+    val bucket = when(col(tokenCol) <= 16, 16L)
+      .when(col(tokenCol) <= 32, 32L)
+      .when(col(tokenCol) <= 64, 64L)
+      .when(col(tokenCol) <= 128, 128L)
+      .otherwise(256L)
+    val w = Window.partitionBy(col(groupCol), col("bucket_len"))
+      .orderBy(col(idCol))
+    df.withColumn("bucket_len", bucket)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("per_batch", expr(s"$budgetTokens DIV bucket_len"))
+      .withColumn("batch_id", expr("(rn - 1) DIV per_batch"))
+      .withColumn("pos_in_batch", expr("(rn - 1) % per_batch"))
+      .drop("rn", "per_batch")
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment — the
     * consistent-sharding rule whose defining property is MINIMAL
     * MOVEMENT: when the shard count grows n → n+1, a doc moves iff

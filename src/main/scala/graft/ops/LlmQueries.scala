@@ -2438,6 +2438,100 @@ object LlmQueries {
       |SELECT bigram, c12, c1, c2, score_fp
       |FROM j ORDER BY score_fp DESC, bigram LIMIT 20""".stripMargin
 
+  /** q168 — length-bucketed batch assignment
+    * ([[graft.llm.Corpus.lengthBatches]]): dynamic batching for an
+    * eval/inference runner — per (source, length-class), docs fill
+    * batches of `1024 DIV bucket_len` so padded cost is bounded;
+    * deterministic ROW_NUMBER membership. The packing alternative for
+    * workloads that cannot concat documents (evals, serving). */
+  def q168LengthBatches(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+    Corpus.lengthBatches(docs, "doc_id", "n_tokens", "source",
+        budgetTokens = 1024L)
+      .select($"doc_id", $"source", $"n_tokens", $"bucket_len",
+        $"batch_id", $"pos_in_batch")
+      .orderBy($"doc_id")
+  }
+  val q168Sql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |b AS (SELECT doc_id, source, n_tokens,
+      |    CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+      |         WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+      |         ELSE 256 END AS bucket_len
+      |  FROM t),
+      |r AS (SELECT doc_id, source, n_tokens,
+      |    CAST(bucket_len AS BIGINT) AS bucket_len,
+      |    ROW_NUMBER() OVER (PARTITION BY source, bucket_len
+      |                       ORDER BY doc_id) AS rn,
+      |    1024 // bucket_len AS per_batch
+      |  FROM b)
+      |SELECT doc_id, source, n_tokens, bucket_len,
+      |  (rn - 1) // per_batch AS batch_id,
+      |  (rn - 1) % per_batch AS pos_in_batch
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** q169 — snapshot drift report: the per-source QA gate between two
+    * corpus versions (q160's v1/v2 derivation) — doc and token counts
+    * both sides, deltas, and relative token drift in integer basis
+    * points. The report a dataset release is signed off on: q160 says
+    * WHICH docs changed; this says whether the CORPUS SHAPE moved
+    * (a source shrinking 30% between versions is a pipeline bug even
+    * if every individual diff looks legitimate). */
+  def q169DriftReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+    def agg(df: DataFrame, suffix: String): DataFrame =
+      df.groupBy($"source")
+        .agg(count(lit(1)).as(s"docs_$suffix"),
+          sum($"n_tokens").as(s"tokens_$suffix"))
+    val v1 = agg(docs.filter($"doc_id" % 7 =!= 0), "v1")
+    // the ' v2' suffix q160 appends adds ONE token to the %5=0 docs
+    val v2 = agg(docs.filter($"doc_id" % 11 =!= 0)
+      .withColumn("n_tokens",
+        when($"doc_id" % 5 === 0, $"n_tokens" + 1)
+          .otherwise($"n_tokens")), "v2")
+    v1.join(v2, Seq("source"), "full_outer")
+      .select($"source",
+        coalesce($"docs_v1", lit(0L)).as("docs_v1"),
+        coalesce($"docs_v2", lit(0L)).as("docs_v2"),
+        coalesce($"tokens_v1", lit(0L)).as("tokens_v1"),
+        coalesce($"tokens_v2", lit(0L)).as("tokens_v2"))
+      .withColumn("delta_docs", $"docs_v2" - $"docs_v1")
+      .withColumn("drift_bp",
+        when($"tokens_v1" > 0,
+          expr("(10000 * abs(tokens_v2 - tokens_v1)) DIV tokens_v1"))
+          .otherwise(lit(10000L)))
+      .orderBy($"source")
+  }
+  val q169Sql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |v1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_v1,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS tokens_v1
+      |  FROM t WHERE doc_id % 7 != 0 GROUP BY source),
+      |v2 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_v2,
+      |    CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN n_tokens + 1
+      |      ELSE n_tokens END) AS BIGINT) AS tokens_v2
+      |  FROM t WHERE doc_id % 11 != 0 GROUP BY source),
+      |j AS (SELECT COALESCE(v1.source, v2.source) AS source,
+      |    COALESCE(docs_v1, 0) AS docs_v1,
+      |    COALESCE(docs_v2, 0) AS docs_v2,
+      |    COALESCE(tokens_v1, 0) AS tokens_v1,
+      |    COALESCE(tokens_v2, 0) AS tokens_v2
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.source = v2.source)
+      |SELECT source, docs_v1, docs_v2, tokens_v1, tokens_v2,
+      |  docs_v2 - docs_v1 AS delta_docs,
+      |  CASE WHEN tokens_v1 > 0
+      |    THEN (10000 * abs(tokens_v2 - tokens_v1)) // tokens_v1
+      |    ELSE 10000 END AS drift_bp
+      |FROM j ORDER BY source""".stripMargin
+
   /** q139 — T5-style span corruption
     * ([[graft.llm.Corpus.spanCorruption]]): the denoising-objective
     * preprocessing step (mask spans, emit sentinel-bridged
@@ -3689,6 +3783,8 @@ object LlmQueries {
     "q165_postings_compaction" -> (q165PostingsCompaction _),
     "q166_phrase_mining" -> (q166PhraseMining _),
     "q167_dup_graph_audit" -> (q167DupGraphAudit _),
+    "q168_length_batches" -> (q168LengthBatches _),
+    "q169_drift_report" -> (q169DriftReport _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -3781,6 +3877,8 @@ object LlmQueries {
     "q165_postings_compaction" -> q140Sql,
     "q166_phrase_mining" -> q166Sql,
     "q167_dup_graph_audit" -> q167Sql,
+    "q168_length_batches" -> q168Sql,
+    "q169_drift_report" -> q169Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

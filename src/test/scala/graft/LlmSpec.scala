@@ -1372,6 +1372,27 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("lengthBatches: bucket classes, capacity boundary, group isolation") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    // budget 1024, bucket 256 → 4 per batch: ids 0-3 in batch 0,
+    // id 4 rolls to batch 1; the 10-token doc lands in bucket 16
+    // and group "b" batches independently of group "a"
+    val df = ((0L until 5L).map(i => (i, "a", 200L)) :+
+        ((9L, "b", 10L))).toDF("id", "grp", "n_tok")
+    val got = Corpus.lengthBatches(df, "id", "n_tok", "grp", 1024L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got(0L) == ((256L, 0L, 0L)), got.toString)
+    assert(got(3L) == ((256L, 0L, 3L)))
+    assert(got(4L) == ((256L, 1L, 0L))) // capacity 4 → fifth doc rolls
+    assert(got(9L) == ((16L, 0L, 0L)))  // own group+bucket, batch 0
+    intercept[IllegalArgumentException] {
+      Corpus.lengthBatches(df, "id", "n_tok", "grp", 100L)
+    }
+  }
+
   test("phraseScores: discounted association arithmetic, cutoff, order") {
     import spark.implicits._
     // seven "a b" docs, three "b c" docs, one "z" doc: N = 21 tokens,

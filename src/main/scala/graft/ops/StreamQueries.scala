@@ -563,6 +563,55 @@ object StreamQueries {
     }
   }
 
+  /** q170 — STREAMING corpus-stats monitor
+    * ([[StreamOps.streamSourceStats]]): q169's drift QA run ONLINE —
+    * after every micro-batch each arriving source emits its running
+    * (docs_seen, tokens_seen) from 16 bytes of state, the live signal
+    * that catches a source going quiet or ballooning mid-crawl
+    * instead of at the next release diff. Under the ascending-split
+    * harness the replay is a per-source cumulative sum over NTILE
+    * groups — the q146 df_seen pattern on two counters. */
+  def q170StreamSourceStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(s, d).select($"doc_id", $"source", $"text")
+    val schema = new StructType()
+      .add("doc_id", LongType).add("source", StringType)
+      .add("text", StringType)
+    fourBatchHarness(s, docs, "doc_id", schema, "srcstats") {
+      (source, sink) =>
+        val rows = source.select($"source",
+            size(split($"text", " ")).cast("long").as("n_tokens"))
+          .as[(String, Long)]
+        val out = StreamOps.streamSourceStats(rows)
+        val q = out.toDF().writeStream
+          .outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+    } { sinkDf =>
+      sinkDf.select($"_1".as("source"), $"_2".as("docs_seen"),
+          $"_3".as("tokens_seen"))
+        .orderBy($"source", $"docs_seen")
+    }
+  }
+  val q170Sql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |tiled AS (SELECT source, n_tokens,
+      |    NTILE(4) OVER (ORDER BY doc_id) AS tile FROM t),
+      |g AS (SELECT source, tile, CAST(COUNT(*) AS BIGINT) AS d,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS tk
+      |  FROM tiled GROUP BY source, tile)
+      |SELECT source,
+      |  CAST(SUM(d) OVER (PARTITION BY source ORDER BY tile)
+      |    AS BIGINT) AS docs_seen,
+      |  CAST(SUM(tk) OVER (PARTITION BY source ORDER BY tile)
+      |    AS BIGINT) AS tokens_seen
+      |FROM g ORDER BY source, docs_seen""".stripMargin
+
   /** q106 — STREAMING near-dup dedup over real micro-batches: the
     * signature-path ingest variant the round-6 verdict called the
     * biggest remaining gap (q101 covers streaming EXACT dedup; minhash/
@@ -852,6 +901,7 @@ object StreamQueries {
     "q156_stream_source_cap" -> (q156StreamSourceCap _),
     "q158_stream_chunks" -> (q158StreamChunks _),
     "q164_stream_bm25" -> (q164StreamBm25 _),
+    "q170_stream_source_stats" -> (q170StreamSourceStats _),
     "q60_stream_volume" -> (q60StreamVolume _),
     "q64_sliding_window" -> (q64SlidingWindow _),
     "q61_stream_semantic" -> (q61StreamSemantic _),
@@ -884,6 +934,7 @@ object StreamQueries {
     // accumulated index => the streamed postings serve BM25
     // bit-identically to the batch build; q140's SQL is the oracle
     "q164_stream_bm25" -> LlmQueries.q140Sql,
+    "q170_stream_source_stats" -> q170Sql,
     "q60_stream_volume" -> q60Sql,
     "q64_sliding_window" -> q64Sql,
     "q62_session_window" -> q62Sql,

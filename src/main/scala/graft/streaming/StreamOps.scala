@@ -296,6 +296,31 @@ object StreamOps {
       }
   }
 
+  /** Streaming per-source corpus statistics — the live ingest monitor
+    * (the q169 drift report's ONLINE half): after every micro-batch,
+    * each source that received documents emits its updated running
+    * (docs_seen, tokens_seen) totals from 16 bytes of keyed state.
+    * This is the signal an ingest operator watches to catch drift AS
+    * IT HAPPENS — a source going quiet or ballooning mid-crawl —
+    * rather than at the next release diff. Emission is one row per
+    * (source, batch); under the ascending-split harness the replay is
+    * a per-source cumulative sum over NTILE groups (the q146 df_seen
+    * pattern). */
+  def streamSourceStats(rows: Dataset[(String, Long)])
+      : Dataset[(String, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (source: String, it: Iterator[(String, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (d, tk) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { case (_, n) => d += 1L; tk += n }
+          state.update((d, tk))
+          Iterator.single((source, d, tk))
+      }
+  }
+
   /** §3.1 as a streaming pipeline: enrichment in foreachBatch with an
     * idempotent (anti-join) sink — the A5 `ON CONFLICT DO NOTHING` analog.
     * Runs with AvailableNow so callers can await completion. */

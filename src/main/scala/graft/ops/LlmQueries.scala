@@ -3274,6 +3274,49 @@ object LlmQueries {
       |  CAST(SUM(sz) AS BIGINT) AS n_docs
       |FROM b GROUP BY size_bucket ORDER BY size_bucket""".stripMargin
 
+  /** q171 — dedup-discounted effective token budget: the number a
+    * token-denominated training plan should actually be fed — per
+    * source, raw token mass vs the mass of near-dup KEEPER docs only
+    * (q57's closure; non-keepers are epochs of something already
+    * counted), with the duplication overhead in integer bp. The
+    * honest numerator for q144's budget arithmetic: planning against
+    * raw tokens over-allocates exactly the dup_overhead. Shares q57's
+    * machinery and oracle prefix. */
+  def q171EffectiveTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+    val labeled = nearDupComponents(s, d)
+    docs.join(labeled, docs("doc_id") === labeled("id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("raw_tokens"),
+        sum(when($"doc_id" === $"keep_id", $"n_tokens")
+          .otherwise(lit(0L))).as("effective_tokens"))
+      .withColumn("dup_overhead_bp",
+        when($"effective_tokens" > 0,
+          expr("(10000 * (raw_tokens - effective_tokens)) " +
+            "DIV effective_tokens"))
+          .otherwise(lit(0L)))
+      .orderBy($"source")
+  }
+  lazy val q171Sql: String = q57SqlPrefix + ",\n" +
+    """tt AS (SELECT d.doc_id, d.source,
+      |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |    l.keep_id
+      |  FROM documents d JOIN labeled l ON l.id = d.doc_id),
+      |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+      |    CAST(SUM(CASE WHEN doc_id = keep_id THEN n_tokens
+      |      ELSE 0 END) AS BIGINT) AS effective_tokens
+      |  FROM tt GROUP BY source)
+      |SELECT source, n_docs, raw_tokens, effective_tokens,
+      |  CASE WHEN effective_tokens > 0
+      |    THEN (10000 * (raw_tokens - effective_tokens))
+      |         // effective_tokens
+      |    ELSE 0 END AS dup_overhead_bp
+      |FROM g ORDER BY source""".stripMargin
+
   /** q58 — composed training-corpus cleaning pipeline, fully
     * SQL-expressible and oracle-checked end to end: language gate →
     * quality-score gate → exact dedup (keep = min doc_id per content) →
@@ -3785,6 +3828,7 @@ object LlmQueries {
     "q167_dup_graph_audit" -> (q167DupGraphAudit _),
     "q168_length_batches" -> (q168LengthBatches _),
     "q169_drift_report" -> (q169DriftReport _),
+    "q171_effective_tokens" -> (q171EffectiveTokens _),
     "q100_bmp_resize" -> (q100BmpResize _),
     "q102_wav_decimate" -> (q102WavDecimate _),
     "q103_avi_decimate" -> (q103AviDecimate _),
@@ -3879,6 +3923,7 @@ object LlmQueries {
     "q167_dup_graph_audit" -> q167Sql,
     "q168_length_batches" -> q168Sql,
     "q169_drift_report" -> q169Sql,
+    "q171_effective_tokens" -> q171Sql,
     "q100_bmp_resize" -> q100Sql,
     "q102_wav_decimate" -> q102Sql,
     "q103_avi_decimate" -> q103Sql,

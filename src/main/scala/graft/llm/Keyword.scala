@@ -229,10 +229,7 @@ object Keyword {
     * drop-list-sized, not vocabulary-sized. */
   def purgeReport(df: DataFrame, idCol: String, textCol: String,
       tombstones: DataFrame): DataFrame = {
-    val pairs = df.select(col(idCol).as("doc_id"),
-        explode(TextOps.regexTokens(lower(col(textCol)))).as("token"))
-      .groupBy(col("token"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
+    val pairs = docTermPairs(df, idCol, textCol)
     val dead = tombstones.select(col("doc_id")).distinct()
       .withColumn("__dead", lit(1))
     pairs.join(broadcast(dead), Seq("doc_id"), "left")

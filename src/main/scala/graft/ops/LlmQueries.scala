@@ -788,8 +788,7 @@ object LlmQueries {
       .drop("v")
     // unique per-invocation store root, shutdown-hook bounded (q72's
     // staging convention)
-    val root = java.nio.file.Files.createTempDirectory("graft_ivfstore")
-    sys.addShutdownHook(graft.util.Fs.deleteRecursively(root))
+    val root = graft.util.Fs.tempRoot("graft_ivfstore")
     graft.llm.Ivf.saveIndex(idx, cents, root.toString)
     val (lists, storedCents) = graft.llm.Ivf.loadIndex(s, root.toString)
     graft.llm.Ivf.knnQuantized(e.filter($"vec_id" < 10), lists,
@@ -822,8 +821,7 @@ object LlmQueries {
     val idx = graft.llm.Quantize.withInt8(
         graft.llm.Ivf.assignIndex(e, "vec_id", "embedding", cents), "v")
       .drop("v")
-    val root = java.nio.file.Files.createTempDirectory("graft_ivfserve")
-    sys.addShutdownHook(graft.util.Fs.deleteRecursively(root))
+    val root = graft.util.Fs.tempRoot("graft_ivfserve")
     graft.llm.Ivf.saveIndex(idx, cents, root.toString)
     val (lists, storedCents) = graft.llm.Ivf.loadIndex(s, root.toString)
     graft.llm.Ivf.knnQuantizedServe(e.filter($"vec_id" < 10), lists,
@@ -1306,8 +1304,7 @@ object LlmQueries {
           graft.llm.Ivf.assignIndex(part, "vec_id", "embedding", cents),
           "v")
         .drop("v")
-    val root = java.nio.file.Files.createTempDirectory("graft_ivfcompact")
-    sys.addShutdownHook(graft.util.Fs.deleteRecursively(root))
+    val root = graft.util.Fs.tempRoot("graft_ivfcompact")
     graft.llm.Ivf.saveIndex(stored(e.filter(pmod($"vec_id", lit(2)) === 0)),
       cents, root.toString)
     graft.llm.Ivf.compactIndex(s, root.toString,
@@ -1418,8 +1415,7 @@ object LlmQueries {
         graft.llm.Ivf.assignIndex(e, "vec_id", "embedding", cents,
           carryCols = Seq("label")), "v")
       .drop("v")
-    val root = java.nio.file.Files.createTempDirectory("graft_ivffilter")
-    sys.addShutdownHook(graft.util.Fs.deleteRecursively(root))
+    val root = graft.util.Fs.tempRoot("graft_ivffilter")
     graft.llm.Ivf.saveIndex(idx, cents, root.toString,
       extraCols = Seq("label"))
     val (lists, storedCents) = graft.llm.Ivf.loadIndex(s, root.toString)
@@ -1721,8 +1717,12 @@ object LlmQueries {
           .orderBy($"cos_q".desc, $"doc_id")))
     sem.filter($"sem_rn" > 5)
       .orderBy($"rn").limit(5)
+      // fixed-point micros (floor(x*1e6+0.5)), NOT round(x, 6): Spark
+      // round is BigDecimal HALF_UP over the exact binary double while
+      // DuckDB rounds in floating point, so the two can disagree at
+      // decimal-boundary values — the q119/q148 discipline
       .select($"doc_id".as("neg_id"), $"rn".as("kw_rank"),
-        round($"cos_q", 6).as("cos_q"))
+        floor($"cos_q" * lit(1e6) + lit(0.5)).cast("long").as("cos_fp"))
       .orderBy($"kw_rank")
   }
   val q163Sql: String = q138Cte + ",\n" +
@@ -1732,7 +1732,8 @@ object LlmQueries {
       |  FROM kr JOIN vcand USING (doc_id)),
       |neg AS (SELECT doc_id, rn, cos_q FROM sem WHERE sem_rn > 5
       |  ORDER BY rn LIMIT 5)
-      |SELECT doc_id AS neg_id, rn AS kw_rank, ROUND(cos_q, 6) AS cos_q
+      |SELECT doc_id AS neg_id, rn AS kw_rank,
+      |  CAST(floor(cos_q * 1e6 + 5e-1) AS BIGINT) AS cos_fp
       |FROM neg ORDER BY kw_rank""".stripMargin
 
   /** q140 — BM25 ranking ([[graft.llm.Keyword.bm25]]): the lexical
@@ -1771,15 +1772,20 @@ object LlmQueries {
     val docs = documents(s, d).select($"doc_id", $"text")
     def pairs(part: DataFrame): DataFrame =
       Keyword.docTermPairs(part, "doc_id", "text")
-    val root = java.nio.file.Files.createTempDirectory("graft_postcompact")
-    sys.addShutdownHook(graft.util.Fs.deleteRecursively(root))
-    Keyword.savePostings(pairs(docs.filter(pmod($"doc_id", lit(2)) === 0)),
-      root.toString)
-    Keyword.compactPostings(s, root.toString,
-      pairs(docs.filter(pmod($"doc_id", lit(2)) === 1)))
-    Keyword.bm25Serve(Keyword.loadPostings(s, root.toString),
-        nDocs = docs.count(), k = 10)
-      .orderBy($"rn")
+    val root = graft.util.Fs.tempRoot("graft_postcompact")
+    // serve eagerly (k-bounded: 10 rows) so the store can be deleted in
+    // finally — bench loops must not strand one temp store per iteration
+    try {
+      Keyword.savePostings(
+        pairs(docs.filter(pmod($"doc_id", lit(2)) === 0)), root.toString)
+      Keyword.compactPostings(s, root.toString,
+        pairs(docs.filter(pmod($"doc_id", lit(2)) === 1)))
+      val served = Keyword.bm25Serve(Keyword.loadPostings(s, root.toString),
+          nDocs = docs.count(), k = 10)
+        .orderBy($"rn")
+      val rows = served.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), served.schema)
+    } finally graft.util.Fs.releaseTempRoot(root)
   }
   val q140Sql: String =
     """WITH tok AS (SELECT doc_id,

@@ -58,10 +58,8 @@ object Relational2 {
     import s.implicits._
     // unique per-invocation staging dir: a fixed shared path would let
     // concurrent runs clobber each other between write and lazy re-read;
-    // a shutdown hook bounds the /tmp accumulation across repeated runs
-    val stagingPath = java.nio.file.Files
-      .createTempDirectory("graft_csv_stage")
-    sys.addShutdownHook(graft.util.Fs.deleteRecursively(stagingPath))
+    // the shared exit hook bounds the /tmp accumulation across runs
+    val stagingPath = graft.util.Fs.tempRoot("graft_csv_stage")
     val staging = stagingPath.toString
     events(s, d)
       .select($"event_id", unix_micros($"ts").as("ts_us"), $"user_id",
@@ -302,9 +300,7 @@ object Relational2 {
     * the re-read aggregate against the oracle on the original parquet. */
   def q82JsonRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val stagingPath = java.nio.file.Files
-      .createTempDirectory("graft_json_stage")
-    sys.addShutdownHook(graft.util.Fs.deleteRecursively(stagingPath))
+    val stagingPath = graft.util.Fs.tempRoot("graft_json_stage")
     events(s, d)
       .select($"event_id", $"user_id", $"event_type", $"value")
       .write.mode("overwrite").json(stagingPath.toString)

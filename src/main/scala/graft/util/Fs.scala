@@ -19,4 +19,31 @@ object Fs {
         w.sorted(Comparator.reverseOrder[Path]())
           .forEach(f => Files.deleteIfExists(f))
       }
+
+  private val tempRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private lazy val exitHook: Unit = {
+    sys.addShutdownHook(tempRoots.forEach(deleteRecursively(_))); ()
+  }
+
+  /** Create a temp directory cleaned at JVM exit by ONE shared hook.
+    * Per-call `sys.addShutdownHook` registrations accumulate for the
+    * JVM lifetime — in the bench harness, which invokes each query for
+    * dozens of iterations, that is thousands of hooks by the end of a
+    * full suite. One queue, one hook, however many roots. */
+  def tempRoot(prefix: String): Path = {
+    exitHook
+    val p = Files.createTempDirectory(prefix)
+    tempRoots.add(p)
+    p
+  }
+
+  /** Delete `p` now and drop it from the exit-hook queue — for callers
+    * that can bound the store's lifetime to one invocation (q165's
+    * compaction serve), so bench loops do not strand one temp store
+    * per iteration until exit. */
+  def releaseTempRoot(p: Path): Unit = {
+    tempRoots.remove(p)
+    deleteRecursively(p)
+  }
 }

@@ -979,4 +979,74 @@ object Corpus {
         s.cast("long").as("shard")))
     array_max(weights).getField("shard")
   }
+
+  /** Split-leakage audit — MEASURE the leak [[leakageSafeSplit]]
+    * prevents, per split method: given `(idCol, keeperCol)` near-dup
+    * component labels, apply the split hash keyed on the doc's own id
+    * (`naive` — what a pipeline without component labels does) and
+    * keyed on the component label (`safe`), then count, per method,
+    * the components whose members straddle more than one split and the
+    * docs caught in them. A doc whose near-duplicate sits in train
+    * while it sits in val/test is memorized, not held out — the audit
+    * turns that from an argument into a number (leak share in integer
+    * bp). The `safe` row is the built-in regression gate: anything
+    * but zero means the split key stopped being component-constant.
+    *
+    * Scale shape: the split columns are scan-local arithmetic on the
+    * label frame the dedup pass already produced; the audit is one
+    * aggregation by component then one by method — no joins, no text. */
+  def splitLeakageAudit(labeled: DataFrame, idCol: String,
+      keeperCol: String, trainPct: Int = 90, valPct: Int = 5)
+      : DataFrame = {
+    def splitOf(key: Column): Column = {
+      val k = sampleKey(key)
+      when(k < lit(trainPct), lit("train"))
+        .when(k < lit(trainPct + valPct), lit("val"))
+        .otherwise(lit("test"))
+    }
+    def audit(method: String, splitCol: Column): DataFrame =
+      labeled
+        .select(col(keeperCol).as("comp"), splitCol.as("split"))
+        .groupBy(col("comp"))
+        .agg(countDistinct(col("split")).as("n_splits"),
+          count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_components"),
+          sum(when(col("n_splits") > 1, 1L).otherwise(0L))
+            .as("leaky_components"),
+          sum(when(col("n_splits") > 1, col("sz")).otherwise(0L))
+            .as("docs_in_leaky"),
+          expr("10000 * sum(CASE WHEN n_splits > 1 THEN sz ELSE 0 END)" +
+            " DIV sum(sz)").as("leak_bp"))
+        .select(lit(method).as("method"), col("n_components"),
+          col("leaky_components"), col("docs_in_leaky"), col("leak_bp"))
+    audit("naive", splitOf(col(idCol)))
+      .unionByName(audit("safe", splitOf(col(keeperCol))))
+  }
+
+  /** Shard release manifest — the integrity record a reproducible
+    * corpus release ships beside its shards: per [[shardForTraining]]
+    * shard, the doc count, the size mass, an ORDER-INVARIANT content
+    * checksum, and the id range. The checksum is `bit_xor` over each
+    * doc's 60-bit digest of `id:md5(content)` — commutative and
+    * associative, so it is independent of partitioning and merge order
+    * (a concatenation digest would need a global sort to be stable),
+    * yet any flipped byte, dropped doc or duplicated doc changes it.
+    * Two manifests agree iff the releases carry the same (id, content)
+    * sets per shard — the cheap equality test before any diff runs.
+    *
+    * Scale shape: map-only digest arithmetic + one aggregation keyed
+    * by shard; only 8-byte signatures cross the exchange. */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+      sizeCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val shard = pmod(digestKey60(col(idCol), 0), lit(nShards.toLong))
+    val sig = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":"), md5(col(textCol)))), 1, 15), 16, 10).cast("long")
+    df.select(shard.as("shard"), col(sizeCol).as("__sz"), sig.as("__sig"),
+        col(idCol).as("__id"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__sz")).as("size_mass"),
+        expr("bit_xor(__sig)").as("checksum"),
+        min(col("__id")).as("min_doc"), max(col("__id")).as("max_doc"))
+  }
 }

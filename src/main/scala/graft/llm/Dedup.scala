@@ -191,6 +191,20 @@ object Dedup {
     else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
   }
 
+  /** [[shingleSet]] over the SORTED token sequence — bag normalization:
+    * sorting first makes the shingles reordering-invariant, so BAG-level
+    * near-dups (same tokens, shuffled order) become sequence near-dups
+    * the k-gram signature can see. q183 measures the recall difference
+    * between the two on a reordering-heavy corpus. ASCII-safe sort
+    * parity: Scala sorts by UTF-16 code units, the DuckDB replay
+    * (`list_sort`) by UTF-8 bytes — identical on ASCII tokens (the
+    * fixture), divergent only on supplementary-plane text. */
+  def shingleSetSorted(text: String, n: Int = 3): Array[String] = {
+    val toks = text.toLowerCase.split(WsClass).filter(_.nonEmpty).sorted
+    if (toks.length < n) Array(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+  }
+
   /** Full MinHash-LSH near-dup: banded candidates → exact shingle-Jaccard
     * verification (only candidates pay the verification cost, and the
     * verified metric is the one the signature estimates). */
@@ -395,9 +409,19 @@ object Dedup {
     }
   }
 
-  def minHashNearDupsSql(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val sh = udf((t: String) => shingleSet(t, 3))
+  /** The q52 signature machinery through CANDIDATE generation: returns
+    * the representatives' shingle frame `(id, shs)`, the signature
+    * frame `(id, m0..m15)` and the distinct band-bucket candidate
+    * pairs — exposed so the banding-quality eval (q183) can score the
+    * candidate set itself and the estimate-accuracy eval (q185) can
+    * compare signature agreement against exact Jaccard. `sortTokens`
+    * switches to [[shingleSetSorted]]'s bag-normalized shingles (same
+    * hashes, same banding). */
+  def minHashSqlCandidates(df: DataFrame, idCol: String, textCol: String,
+      sortTokens: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
+    val sh =
+      if (sortTokens) udf((t: String) => shingleSetSorted(t, 3))
+      else udf((t: String) => shingleSet(t, 3))
     // exact-dedup-first like every signature path (identical texts share
     // identical signatures — band buckets otherwise grow with duplicate
     // multiplicity and pair space with its square); lazy checkpoint:
@@ -417,6 +441,7 @@ object Dedup {
     val sig = withH.groupBy(col("id"))
       .agg(min(col("h0")).as("m0"),
         (1 until 16).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+      .localCheckpoint(false) // bucketing AND the q185 eval read it
     val buckets = sig.select(col("id"), posexplode(array(
       (0 until 4).map(b => md5(concat_ws(",",
         (0 until 4).map(j => col(s"m${4 * b + j}").cast("string")): _*))): _*)))
@@ -427,6 +452,12 @@ object Dedup {
         Seq("band", "bkt"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    (docs, sig, cands)
+  }
+
+  def minHashNearDupsSql(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val (docs, _, cands) = minHashSqlCandidates(df, idCol, textCol)
     verifyShingleJaccard(cands, docs, threshold)
   }
 
@@ -485,7 +516,15 @@ object Dedup {
     * are all reproducible in DuckDB. The murmur variant stays the
     * throughput path (one cheap hash vs an md5 per token). */
   def simHashNearDupsSql(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 16): DataFrame = {
+      maxHamming: Int = 16): DataFrame =
+    simHashSqlCandidates(df, idCol, textCol)
+      .filter(col("hamming") <= maxHamming)
+
+  /** The q53 machinery through its distinct band-equality CANDIDATE
+    * pairs (hamming attached, unfiltered) — exposed for q183's
+    * signature-family eval, shared by [[simHashNearDupsSql]]. */
+  def simHashSqlCandidates(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     // exact-dedup-first, as in every signature path
     val toks = representatives(df, idCol, textCol)
       .select(col(idCol).as("id"),
@@ -526,7 +565,6 @@ object Dedup {
           bit_count(col(s"a$b").bitwiseXOR(col(s"b$b"))))
           .reduce(_ + _)).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   // ---------------- Connected components / canonical keeper ----------
@@ -982,5 +1020,169 @@ object Dedup {
       .select(index("id"), index("list_id"),
         when(col("dup_of").isNull, 0).otherwise(1).as("is_dup"),
         col("dup_of"))
+  }
+
+  /** Perceptual-hash near-dup pairs with EXACT banded search: from
+    * per-item `(idCol, hashCol)` aHash rows, emit every pair of
+    * DISTINCT hash values within `maxHamming` bits, found by LSH-style
+    * banding that is exact by pigeonhole — `nBands > maxHamming` bands
+    * means any two hashes within the radius agree on at least one whole
+    * band, so band-equality candidates plus a `bit_count(xor)` filter
+    * lose nothing. Output per pair: both hashes, the hamming distance,
+    * and each side's image count + min id (the cluster representative).
+    *
+    * Scale shape: the pair stage runs on DISTINCT hashes — grouping
+    * first means a 100×-duplicated corpus (or any exact-dup-heavy
+    * crawl) collapses before the join, and the candidate space is
+    * bounded by min(distinct hashes, 2^bits) regardless of corpus
+    * size. Candidates meet only inside a (band, value) bucket — one
+    * shuffle on the band key, no all-pairs. A production 64-bit aHash
+    * at radius 3 uses 4 bands of 16 bits (65k buckets per band); the
+    * 20-bit fixture hash gives 5-bit bands by the same rule. */
+  def phashBandPairs(hashes: DataFrame, idCol: String,
+      hashCol: String = "phash", bits: Int = 20, nBands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(nBands > 0 && bits % nBands == 0,
+      s"bits=$bits must split evenly into nBands=$nBands")
+    require(maxHamming < nBands,
+      s"banded search is exact only for maxHamming < nBands " +
+        s"(pigeonhole); got maxHamming=$maxHamming, nBands=$nBands")
+    val bw = bits / nBands
+    val hd = hashes.groupBy(col(hashCol).as("ph"))
+      .agg(count(lit(1)).as("n_imgs"), min(col(idCol)).as("min_id"))
+    val bands = hd.select(col("ph"), col("n_imgs"), col("min_id"),
+        posexplode(array((0 until nBands).map(b =>
+          shiftright(col("ph"), b * bw)
+            .bitwiseAND(lit((1L << bw) - 1))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+    val l = bands.select(col("ph").as("ha"), col("n_imgs").as("n_a"),
+      col("min_id").as("rep_a"), col("band"), col("bval"))
+    val r = bands.select(col("ph").as("hb"), col("n_imgs").as("n_b"),
+      col("min_id").as("rep_b"), col("band"), col("bval"))
+    l.join(r, Seq("band", "bval")).filter(col("ha") < col("hb"))
+      .select(col("ha"), col("hb"), col("n_a"), col("n_b"),
+        col("rep_a"), col("rep_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Asymmetric k-gram containment pairs — the inclusion detector the
+    * symmetric near-dup family misses: a short document quoted whole
+    * inside a long one scores low Jaccard (the union is big) but high
+    * CONTAINMENT `|A∩B| / |A|` (Broder's other resemblance measure).
+    * Emits `(src, dst, n_src, n_shared, cont_bp)` for every ordered
+    * pair where src's distinct k-gram shingles are ≥ `minContainBp`
+    * covered by dst's — both directions can fire independently.
+    *
+    * Scale shape: pairs meet through the shared-shingle join (shuffle
+    * on the shingle key), so cost is driven by shingle co-occurrence —
+    * which is why callers should run this AFTER exact dedup (the q106
+    * composition lesson: exact copies share every shingle and square
+    * the pair space; keepers don't). q180 does exactly that. Rare-
+    * shingle filtering (drop shingles in > n docs, the q128 frequency
+    * machinery) is the documented knob if a boilerplate-heavy corpus
+    * makes common shingles hot. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minContainBp: Long = 8000L): DataFrame = {
+    require(minContainBp >= 1 && minContainBp <= 10000,
+      s"minContainBp must be in [1, 10000], got $minContainBp")
+    val sh = df.select(col(idCol).as("doc_id"),
+      explode(Corpus.shingles(col(textCol), k)).as("shingle"))
+    val sized = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_src")) // shingles() is already distinct
+    val a = sh.select(col("doc_id").as("src"), col("shingle"))
+    val b = sh.select(col("doc_id").as("dst"), col("shingle"))
+    a.join(b, Seq("shingle")).filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sized.withColumnRenamed("doc_id", "src"), Seq("src"))
+      .withColumn("cont_bp", expr("(10000 * n_shared) DIV n_src"))
+      .filter(col("cont_bp") >= minContainBp)
+  }
+
+  /** Frame-fingerprint video near-dup pairs — the video modality's
+    * entry in the dedup family: each clip is its SET of distinct frame
+    * perceptual hashes ([[Multimodal.aHash]] per decoded frame), and
+    * two clip CONTENTS pair when the smaller side's frame set is ≥
+    * `minOverlapBp` covered by shared hashes — sub-clip detection
+    * (a clip re-posted inside a longer cut), the containment measure
+    * (q180) applied to frames instead of k-grams. Emits
+    * `(clip_a, clip_b, n_clips_a, n_clips_b, n_shared, n_a, n_b,
+    * overlap_bp)` where clip_a/b are each content's min-id
+    * representative and n_clips its exact-dup multiplicity.
+    *
+    * Scale shape, two collapses before any pairing: duplicate frame
+    * rows collapse per clip, then clips with IDENTICAL frame-hash
+    * sets collapse to one representative (fingerprint = md5 of the
+    * sorted hash list — the q172 distinct-hash move lifted to sets).
+    * A re-post-heavy corpus (or a copy-multiplied stress set) never
+    * reaches the shared-hash join with its copies: the pair space is
+    * bounded by DISTINCT clip contents, and within it by hash
+    * collisions (a production 64-bit frame hash makes collisions ≈
+    * real matches; the 10-bit fixture hash is dense by construction,
+    * which is why the full-coverage default threshold matters). */
+  def frameHashPairs(frames: DataFrame, idCol: String, hashCol: String,
+      minOverlapBp: Long = 10000L): DataFrame = {
+    require(minOverlapBp >= 1 && minOverlapBp <= 10000,
+      s"minOverlapBp must be in [1, 10000], got $minOverlapBp")
+    val h = frames.select(col(idCol).as("clip"), col(hashCol).as("fhash"))
+      .distinct()
+    val sets = h.groupBy(col("clip"))
+      .agg(sort_array(collect_list(col("fhash"))).as("hl"))
+      .withColumn("fp",
+        md5(concat_ws(",", col("hl").cast("array<string>"))))
+    val reps = sets.groupBy(col("fp"))
+      .agg(min(col("clip")).as("clip"), count(lit(1)).as("n_clips"),
+        first(col("hl")).as("hl")) // hl identical within an fp group
+      .localCheckpoint(false) // sizes AND the pair join read it
+    val hr = reps.select(col("clip"), col("n_clips"),
+      explode(col("hl")).as("fhash"))
+    val sz = reps.select(col("clip"), col("n_clips"),
+      size(col("hl")).cast("long").as("n_h"))
+    val p = hr.select(col("clip").as("clip_a"), col("fhash"))
+      .join(hr.select(col("clip").as("clip_b"), col("fhash")),
+        Seq("fhash"))
+      .filter(col("clip_a") < col("clip_b"))
+      .groupBy(col("clip_a"), col("clip_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    p.join(sz.select(col("clip").as("clip_a"),
+        col("n_clips").as("n_clips_a"), col("n_h").as("n_a")),
+        Seq("clip_a"))
+      .join(sz.select(col("clip").as("clip_b"),
+        col("n_clips").as("n_clips_b"), col("n_h").as("n_b")),
+        Seq("clip_b"))
+      .withColumn("overlap_bp",
+        expr("(10000 * n_shared) DIV least(n_a, n_b)"))
+      .filter(col("overlap_bp") >= minOverlapBp)
+  }
+
+  /** Incremental exact dedup — classify a batch of arriving items
+    * against a STORED fingerprint set (the batch twin of the streaming
+    * q101 ingest, for version-to-version loads): each batch row gets
+    * `dup_of_store` (fingerprint already in the store),
+    * `dup_in_batch` (an earlier batch item — smaller `itemCol` — has
+    * the same fingerprint) or `new`. `store` must expose `fp`; `batch`
+    * must expose `itemCol` and `fp`.
+    *
+    * Scale shape: only fingerprints cross the exchanges (the q160
+    * digest-join argument) — one groupBy on fp for the in-batch
+    * first-arrival, one join against the store on fp. The store side
+    * is a parquet fingerprint index at rest; the probe is key-local.
+    * No text ever shuffles. */
+  def incrementalExact(store: DataFrame, batch: DataFrame,
+      itemCol: String): DataFrame = {
+    val firsts = batch.groupBy(col("fp"))
+      .agg(min(col(itemCol)).as("first_id"))
+    val stored = store.select(col("fp")).distinct()
+      .withColumn("__stored", lit(1))
+    batch.join(firsts, Seq("fp"))
+      .join(stored, Seq("fp"), "left")
+      .withColumn("status",
+        when(col("__stored").isNotNull, lit("dup_of_store"))
+          .when(col(itemCol) > col("first_id"), lit("dup_in_batch"))
+          .otherwise(lit("new")))
+      .drop("first_id", "__stored")
   }
 }

@@ -688,4 +688,107 @@ object Multimodal {
       .withColumn("frame_hash", md5(col("frame_bytes")))
       .drop(payloadCol)
   }
+
+  /** Average-hash (aHash) over decoded top-down pixels — the classic
+    * perceptual image fingerprint (one bit per pixel: is its gray level
+    * above the image mean?), the signature LAION-style image dedup
+    * pipelines bucket on. All-integer by construction: gray is the
+    * channel-sum DIV 3, the mean is the gray-sum DIV pixel count, so
+    * the hash replays exactly in any engine — no float luminance
+    * weights, no resize interpolation to disagree about. The fixture's
+    * 5×4 BMPs give 20-bit hashes; a production 8×8 aHash is the same
+    * arithmetic with 64 bits. Bit p corresponds to top-down pixel p
+    * (row-major), so the SQL replay is pure substring math over q67's
+    * pixel string. */
+  def aHash(pixels: Array[Byte], nPixels: Int): Long = {
+    require(nPixels > 0 && nPixels <= 64,
+      s"aHash needs 1..64 pixels for a long hash, got $nPixels")
+    require(pixels.length >= nPixels * 3,
+      s"aHash: ${pixels.length} pixel bytes < ${nPixels * 3}")
+    val gray = new Array[Long](nPixels)
+    var sum = 0L
+    var p = 0
+    while (p < nPixels) {
+      val g = ((pixels(p * 3) & 0xFF) + (pixels(p * 3 + 1) & 0xFF) +
+        (pixels(p * 3 + 2) & 0xFF)) / 3
+      gray(p) = g
+      sum += g
+      p += 1
+    }
+    val mean = sum / nPixels
+    var hash = 0L
+    p = 0
+    while (p < nPixels) {
+      if (gray(p) > mean) hash |= 1L << p
+      p += 1
+    }
+    hash
+  }
+
+  /** Average-hash over decoded PCM samples — [[aHash]]'s audio twin
+    * (one bit per sample: above the clip's integer mean?), the
+    * signature an audio dedup pipeline bands on exactly like the image
+    * one. `Math.floorDiv` for the mean, NOT `/`: sample sums go
+    * negative and Java truncates toward zero where the SQL replay's
+    * `//` floors — the one place the two would disagree. */
+  def audioHash(samples: Array[Short], nBits: Int): Long = {
+    require(nBits > 0 && nBits <= 64,
+      s"audioHash needs 1..64 bits for a long hash, got $nBits")
+    require(samples.length >= nBits,
+      s"audioHash: ${samples.length} samples < $nBits")
+    var sum = 0L
+    var i = 0
+    while (i < nBits) { sum += samples(i); i += 1 }
+    val mean = Math.floorDiv(sum, nBits.toLong)
+    var hash = 0L
+    i = 0
+    while (i < nBits) {
+      if (samples(i) > mean) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Decode WAV payloads and emit each clip's [[audioHash]] over its
+    * first `nBits` samples — `(media_id, ahash)`, the audio feed for
+    * [[graft.llm.Dedup.phashBandPairs]]. */
+  def wavHashFeatures(df: DataFrame, nBits: Int,
+      idCol: String = "media_id", payloadCol: String = "payload",
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val (_, samples) = wavDecode(bytes)
+            (id, audioHash(samples, nBits))
+          }
+        }
+      }
+      .toDF(idCol, "ahash")
+  }
+
+  /** Decode BMP payloads and emit each image's [[aHash]] —
+    * `(media_id, phash)`. One map-only pass in the same batched
+    * decode shape as [[decodeBmpFeatures]]; the byte-level codec+hash
+    * work is the UDF-space this module owns (measured precedent:
+    * builtin HOF pipelines lose to a scalar pass on byte work). */
+  def aHashFeatures(df: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload", batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val (w, h, pixels) = bmpDecode(bytes)
+            (id, aHash(pixels, w * h))
+          }
+        }
+      }
+      .toDF(idCol, "phash")
+  }
 }

@@ -447,4 +447,36 @@ object TextOps {
     vocab.withColumn("n_pieces",
       size(split(col("pieces"), " ")).cast("long"))
   }
+
+  /** Tokenizer-fertility audit per source — the efficiency report that
+    * decides whether a tokenizer fits a corpus: per source, the word
+    * instances, letter mass, and BPE piece mass after [[bpeApply]]'s
+    * merges, with pieces-per-word and letters-per-piece in integer bp.
+    * High fertility (many pieces per word) on a source means the
+    * vocabulary under-serves it — the standard multilingual-tokenizer
+    * health check (a language tokenized at 2× the pieces of another
+    * pays 2× the sequence length for the same text).
+    *
+    * Scale shape: the corpus side collapses to DISTINCT (source, word)
+    * counts before anything joins — the vocabulary table (word →
+    * n_pieces) is vocabulary-bounded and BROADCAST, so fertility costs
+    * one aggregation plus a map-side join however big the corpus is. */
+  def fertilityBySource(df: DataFrame, srcCol: String, textCol: String,
+      rounds: Int = 3): DataFrame = {
+    val vocab = bpeApply(df, textCol, rounds)
+      .select(col("word"), col("n_pieces"))
+    val sw = df.select(col(srcCol).as("source"),
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("occ"))
+    sw.join(broadcast(vocab), "word")
+      .groupBy(col("source"))
+      .agg(sum(col("occ")).as("n_words"),
+        sum(col("occ") * length(col("word"))).as("n_letters"),
+        sum(col("occ") * col("n_pieces")).as("n_pieces"),
+        expr("10000 * sum(occ * n_pieces) DIV sum(occ)")
+          .as("pieces_per_word_bp"),
+        expr("10000 * sum(occ * length(word)) DIV sum(occ * n_pieces)")
+          .as("letters_per_piece_bp"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Corpus, Dedup, Keyword, Multimodal, SimSearch, TextOps}
+import graft.llm.{Corpus, Dedup, Keyword, Multimodal, SimSearch, Sketch, TextOps}
 import Tables._
 
 /** LLM-training-data operator surface: dedup, similarity search, text
@@ -95,34 +95,48 @@ object LlmQueries {
     Dedup.minHashNearDupsSql(documents(s, d), "doc_id", "text", 0.3)
       .orderBy($"id_a", $"id_b")
   }
-  val q52Sql: String =
-    """WITH reps AS (SELECT doc_id, text FROM documents
+  /** The exact-dedup representatives CTE shared by every signature
+    * oracle (q52/q53/q183). */
+  private val repsCte: String =
+    """reps AS (SELECT doc_id, text FROM documents
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
-      |                             ORDER BY doc_id) = 1),
-      |docs AS (SELECT doc_id AS id,
-      |    list_distinct(CASE WHEN len(toks) < 3
-      |      THEN [array_to_string(toks, ' ')]
-      |      ELSE list_transform(range(1, len(toks) - 1), i ->
-      |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shs
-      |  FROM (SELECT doc_id,
-      |      list_filter(string_split_regex(lower(text), '[ \t\n\v\f\r]+'),
-      |        x -> x != '') AS toks
-      |    FROM reps)),
-      |base AS (SELECT id, t.sh AS sh,
-      |    CAST(('0x' || substr(md5(t.sh), 1, 15)) AS BIGINT) AS b
-      |  FROM docs, unnest(shs) AS t(sh)),
-      |h AS (SELECT id, t.i AS i,
-      |    CAST((CAST(b AS HUGEINT) * (2*t.i + 1) + (7919*t.i + 13))
-      |      % 2305843009213693951 AS BIGINT) AS hv
-      |  FROM base, unnest(range(0, 16)) AS t(i)),
-      |sig AS (SELECT id, i, MIN(hv) AS m FROM h GROUP BY id, i),
-      |bucket AS (SELECT id, CAST(i // 4 AS INTEGER) AS band,
-      |    md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bkt
-      |  FROM sig GROUP BY id, i // 4),
-      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      |  FROM bucket a JOIN bucket b
-      |    ON a.band = b.band AND a.bkt = b.bkt AND a.id < b.id)
-      |SELECT c.id_a, c.id_b,
+      |                             ORDER BY doc_id) = 1)""".stripMargin
+
+  /** q52's minhash chain through candidate generation, parameterized:
+    * `sfx` renames the CTEs so two variants can coexist in one oracle
+    * (q183), `sorted` applies [[graft.llm.Dedup.shingleSetSorted]]'s
+    * bag normalization. One builder, so q52 and the eval can never
+    * drift on what the banding machinery computes. */
+  private def mhCandCte(sfx: String, sorted: Boolean): String = {
+    val (so, sc) = if (sorted) ("list_sort(", ")") else ("", "")
+    s"""docs$sfx AS (SELECT doc_id AS id,
+       |    list_distinct(CASE WHEN len(toks) < 3
+       |      THEN [array_to_string(toks, ' ')]
+       |      ELSE list_transform(range(1, len(toks) - 1), i ->
+       |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS shs
+       |  FROM (SELECT doc_id,
+       |      ${so}list_filter(string_split_regex(lower(text), '[ \\t\\n\\v\\f\\r]+'),
+       |        x -> x != '')$sc AS toks
+       |    FROM reps)),
+       |base$sfx AS (SELECT id, t.sh AS sh,
+       |    CAST(('0x' || substr(md5(t.sh), 1, 15)) AS BIGINT) AS b
+       |  FROM docs$sfx, unnest(shs) AS t(sh)),
+       |h$sfx AS (SELECT id, t.i AS i,
+       |    CAST((CAST(b AS HUGEINT) * (2*t.i + 1) + (7919*t.i + 13))
+       |      % 2305843009213693951 AS BIGINT) AS hv
+       |  FROM base$sfx, unnest(range(0, 16)) AS t(i)),
+       |sig$sfx AS (SELECT id, i, MIN(hv) AS m FROM h$sfx GROUP BY id, i),
+       |bucket$sfx AS (SELECT id, CAST(i // 4 AS INTEGER) AS band,
+       |    md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bkt
+       |  FROM sig$sfx GROUP BY id, i // 4),
+       |cand$sfx AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bucket$sfx a JOIN bucket$sfx b
+       |    ON a.band = b.band AND a.bkt = b.bkt AND a.id < b.id)"""
+      .stripMargin
+  }
+  val q52Sql: String =
+    "WITH " + repsCte + ",\n" + mhCandCte("", sorted = false) + "\n" +
+    """SELECT c.id_a, c.id_b,
       |  ROUND(CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) /
       |    CAST(len(list_distinct(list_concat(x.shs, y.shs))) AS DOUBLE), 6)
       |    AS jaccard
@@ -144,11 +158,11 @@ object LlmQueries {
         maxHamming = 16)
       .orderBy($"hamming", $"id_a", $"id_b")
   }
-  val q53Sql: String =
-    """WITH reps AS (SELECT doc_id, text FROM documents
-      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
-      |                             ORDER BY doc_id) = 1),
-      |toks AS (SELECT doc_id AS id, t.tok AS tok,
+  /** q53's simhash chain through its band-equality candidate pairs
+    * (`spairs`, hamming attached) — CTE names chosen not to clash with
+    * [[mhCandCte]] so q183 can run both machineries in one oracle. */
+  private val shCandCte: String =
+    """toks2 AS (SELECT doc_id AS id, t.tok AS tok,
       |    CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS b1,
       |    CAST(('0x' || substr(md5(t.tok), 16, 15)) AS BIGINT) AS b2
       |  FROM reps,
@@ -158,9 +172,9 @@ object LlmQueries {
       |    SUM(CASE WHEN (CASE WHEN u.i < 60 THEN (b1 >> u.i) & 1
       |                        ELSE (b2 >> (u.i - 60)) & 1 END) = 1
       |        THEN 1 ELSE -1 END) AS v
-      |  FROM toks, unnest(range(0, 64)) AS u(i)
+      |  FROM toks2, unnest(range(0, 64)) AS u(i)
       |  GROUP BY id, u.i),
-      |sig AS (SELECT id, CAST(i // 16 AS INTEGER) AS band,
+      |ssig AS (SELECT id, CAST(i // 16 AS INTEGER) AS band,
       |    CAST(SUM(CASE WHEN v > 0
       |      THEN CAST(1 AS BIGINT) << CAST(i % 16 AS INTEGER)
       |      ELSE 0 END) AS BIGINT) AS bval
@@ -170,18 +184,21 @@ object LlmQueries {
       |    MAX(CASE WHEN band = 1 THEN bval END) AS band1,
       |    MAX(CASE WHEN band = 2 THEN bval END) AS band2,
       |    MAX(CASE WHEN band = 3 THEN bval END) AS band3
-      |  FROM sig GROUP BY id),
+      |  FROM ssig GROUP BY id),
       |banded AS (SELECT id, band0, band1, band2, band3, t.band AS band,
       |    CASE t.band WHEN 0 THEN band0 WHEN 1 THEN band1
       |      WHEN 2 THEN band2 ELSE band3 END AS bkt
       |  FROM wide, unnest(range(0, 4)) AS t(band)),
-      |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+      |spairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
       |    bit_count(xor(a.band0, b.band0)) + bit_count(xor(a.band1, b.band1))
       |    + bit_count(xor(a.band2, b.band2))
       |    + bit_count(xor(a.band3, b.band3)) AS hamming
       |  FROM banded a JOIN banded b
-      |    ON a.band = b.band AND a.bkt = b.bkt AND a.id < b.id)
-      |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM pairs
+      |    ON a.band = b.band AND a.bkt = b.bkt AND a.id < b.id)"""
+      .stripMargin
+  val q53Sql: String =
+    "WITH " + repsCte + ",\n" + shCandCte + "\n" +
+    """SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM spairs
       |WHERE hamming <= 16
       |ORDER BY hamming, id_a, id_b""".stripMargin
 
@@ -300,7 +317,10 @@ object LlmQueries {
       .select($"id".as("vec_id"), $"list_id")
       .orderBy($"vec_id")
   }
-  val q99Sql: String = {
+  /** The q99 sample-fit + full-assignment CTE chain (through
+    * `assign`, rn = 1 rows pending) — shared by q99 and the q186 list
+    * balance audit (one text, no drift). */
+  private val q99Cte: String = {
     // q59's unrolled Lloyd, restricted to the deterministic sample
     def iteration(prev: String, cur: String): String =
       s"""a_$cur AS (SELECT p.id, p.v, c.list_id,
@@ -329,11 +349,12 @@ object LlmQueries {
       |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
       |      list_sum(list_transform(list_zip(p.v, c.c),
       |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
-      |  FROM allpts p, c3 c)
-      |SELECT CAST(id AS BIGINT) AS vec_id,
+      |  FROM allpts p, c3 c)""".stripMargin
+  }
+  val q99Sql: String = q99Cte + "\n" +
+    """SELECT CAST(id AS BIGINT) AS vec_id,
       |  CAST(list_id AS INTEGER) AS list_id
       |FROM assign WHERE rn = 1 ORDER BY vec_id""".stripMargin
-  }
 
   /** q111 — int8-QUANTIZED cosine top-k ([[graft.llm.Quantize]]): the
     * memory-bandwidth deployment shape for corpus-scale similarity
@@ -2199,7 +2220,10 @@ object LlmQueries {
     TextOps.bpeApply(documents(s, d), "text", rounds = 3)
       .orderBy($"word")
   }
-  val q155Sql: String = {
+  /** The three-merge-round BPE CTE chain (vocabulary → per-round
+    * argmax + merge → `v3(word, n, pieces)`) shared by q155 and q175
+    * — one text, no drift (the q138Cte convention). */
+  private val q155Cte: String = {
     // one merge round as a pair of CTE stages, parameterized by the
     // previous vocabulary stage — the literal unrolling keeps the
     // oracle a plain SELECT (DuckDB recursive CTEs cannot re-aggregate
@@ -2224,11 +2248,12 @@ object LlmQueries {
        |        AS word FROM documents) GROUP BY word),
        |${round("v0", "p1", "v1")},
        |${round("v1", "p2", "v2")},
-       |${round("v2", "p3", "v3")}
-       |SELECT word, n, pieces,
-       |  CAST(len(string_split(pieces, ' ')) AS BIGINT) AS n_pieces
-       |FROM v3 ORDER BY word""".stripMargin
+       |${round("v2", "p3", "v3")}""".stripMargin
   }
+  val q155Sql: String = q155Cte + "\n" +
+    """SELECT word, n, pieces,
+      |  CAST(len(string_split(pieces, ' ')) AS BIGINT) AS n_pieces
+      |FROM v3 ORDER BY word""".stripMargin
 
   /** q157 — exact-percentile threshold calibration
     * ([[graft.llm.Corpus.exactPercentiles]]): the tiny job that turns
@@ -3751,6 +3776,615 @@ object LlmQueries {
       |WHERE CAST(doc_id % 3 AS INTEGER) = 2 AND length(text) >= 60
       |ORDER BY media_id, frame_id""".stripMargin
 
+  /** q172 — perceptual-hash image dedup ([[graft.llm.Multimodal.aHash]]
+    * + [[graft.llm.Dedup.phashBandPairs]]): the multimodal twin of the
+    * text near-dup family — each BMP's decoded pixels hash to one bit
+    * per pixel (gray above the image's integer mean), and near-dup
+    * image pairs are found by EXACT banded search (4 bands over the
+    * 20-bit fixture hash; pigeonhole makes banding lossless at radius
+    * 3). The pair stage runs on DISTINCT hashes, so an exact-dup-heavy
+    * crawl collapses before the join and the candidate space is
+    * bounded by min(distinct hashes, 2^bits) whatever the corpus size.
+    * All-integer (channel-sum DIV 3, mean DIV n), so DuckDB replays
+    * hash, bands, and hamming from q67's pixel-string substring math. */
+  def q172ImagePhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.mediaTableBmp(s, d)
+      .filter($"meta.kind" === "image" && $"meta.n_bytes" >= 60)
+    Dedup.phashBandPairs(Multimodal.aHashFeatures(media), "media_id",
+        "phash", bits = 20, nBands = 4, maxHamming = 3)
+      .select($"ha", $"hb", $"hamming", $"n_a", $"n_b",
+        $"rep_a", $"rep_b")
+      .orderBy($"ha", $"hb")
+  }
+  val q172Sql: String =
+    """WITH m AS (SELECT doc_id AS media_id, text FROM documents
+      |  WHERE CAST(doc_id % 3 AS INTEGER) = 0 AND length(text) >= 60),
+      |px AS (SELECT media_id,
+      |    substr(text, 46, 15) || substr(text, 31, 15) ||
+      |    substr(text, 16, 15) || substr(text, 1, 15) AS pix
+      |  FROM m),
+      |g AS (SELECT media_id,
+      |    list_transform(range(0, 20), p ->
+      |      (unicode(substr(pix, CAST(p*3+1 AS INTEGER), 1)) +
+      |       unicode(substr(pix, CAST(p*3+2 AS INTEGER), 1)) +
+      |       unicode(substr(pix, CAST(p*3+3 AS INTEGER), 1))) // 3) AS gray
+      |  FROM px),
+      |h AS (SELECT media_id,
+      |    CAST(list_sum(list_transform(range(0, 20), p ->
+      |      CASE WHEN gray[CAST(p+1 AS INTEGER)] >
+      |        list_sum(gray) // 20 THEN 1 << CAST(p AS INTEGER) ELSE 0 END))
+      |      AS BIGINT) AS phash
+      |  FROM g),
+      |hd AS (SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_imgs,
+      |    MIN(media_id) AS min_id
+      |  FROM h GROUP BY phash),
+      |b AS (SELECT phash, CAST(u.b AS INTEGER) AS band,
+      |    (phash >> (5*CAST(u.b AS INTEGER))) & 31 AS bval
+      |  FROM hd, unnest(range(0, 4)) AS u(b)),
+      |cand AS (SELECT DISTINCT x.phash AS ha, y.phash AS hb
+      |  FROM b x JOIN b y ON x.band = y.band AND x.bval = y.bval
+      |    AND x.phash < y.phash)
+      |SELECT ha, hb, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming,
+      |  la.n_imgs AS n_a, lb.n_imgs AS n_b,
+      |  la.min_id AS rep_a, lb.min_id AS rep_b
+      |FROM cand JOIN hd la ON la.phash = cand.ha
+      |  JOIN hd lb ON lb.phash = cand.hb
+      |WHERE bit_count(xor(ha, hb)) <= 3
+      |ORDER BY ha, hb""".stripMargin
+
+  /** q173 — split-leakage audit ([[graft.llm.Corpus
+    * .splitLeakageAudit]]): the number behind q117's design choice —
+    * the same split hash applied naively (keyed on each doc's own id)
+    * vs component-keyed, scored by how many near-dup components
+    * straddle splits and how many docs sit in them. On the fixture the
+    * naive split leaks ~19% of docs into components with members on
+    * both sides of the train boundary; the safe split's row doubles as
+    * a regression gate (anything but zero means the key stopped being
+    * component-constant). Shares q57's closure machinery and oracle
+    * prefix verbatim. */
+  def q173SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Corpus.splitLeakageAudit(nearDupComponents(s, d), "id", "keep_id")
+      .orderBy($"method")
+  }
+  lazy val q173Sql: String = q57SqlPrefix + ",\n" +
+    """sp AS (SELECT id, keep_id,
+      |    CASE WHEN (id % 1000000007) * 2654435761 % 100 < 90
+      |           THEN 'train'
+      |         WHEN (id % 1000000007) * 2654435761 % 100 < 95
+      |           THEN 'val'
+      |         ELSE 'test' END AS naive_split,
+      |    CASE WHEN (keep_id % 1000000007) * 2654435761 % 100 < 90
+      |           THEN 'train'
+      |         WHEN (keep_id % 1000000007) * 2654435761 % 100 < 95
+      |           THEN 'val'
+      |         ELSE 'test' END AS safe_split
+      |  FROM labeled),
+      |m AS (SELECT 'naive' AS method, keep_id,
+      |    COUNT(DISTINCT naive_split) AS n_splits, COUNT(*) AS sz
+      |  FROM sp GROUP BY keep_id
+      |  UNION ALL
+      |  SELECT 'safe', keep_id, COUNT(DISTINCT safe_split), COUNT(*)
+      |  FROM sp GROUP BY keep_id)
+      |SELECT method, CAST(COUNT(*) AS BIGINT) AS n_components,
+      |  CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS leaky_components,
+      |  CAST(SUM(CASE WHEN n_splits > 1 THEN sz ELSE 0 END) AS BIGINT)
+      |    AS docs_in_leaky,
+      |  CAST((10000 * SUM(CASE WHEN n_splits > 1 THEN sz ELSE 0 END))
+      |    // SUM(sz) AS BIGINT) AS leak_bp
+      |FROM m GROUP BY method ORDER BY method""".stripMargin
+
+  /** q174 — shard release manifest ([[graft.llm.Corpus
+    * .shardManifest]]): per q118 training shard, doc count, char mass,
+    * id range and an ORDER-INVARIANT `bit_xor` checksum over each
+    * doc's `id:md5(content)` digest — commutative, so the manifest is
+    * independent of partitioning and merge order yet catches any
+    * flipped byte, dropped or duplicated doc. Two releases agree iff
+    * their per-shard (id, content) sets agree — the integrity check
+    * that runs before any snapshot diff (q160) is worth computing.
+    * Map-only digests + one aggregation; only 8-byte signatures cross
+    * the exchange. */
+  def q174ShardManifest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Corpus.shardManifest(documents(s, d), "doc_id", "text", "n_chars",
+        nShards = 8)
+      .orderBy($"shard")
+  }
+  val q174Sql: String =
+    """WITH h AS (SELECT doc_id, n_chars,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |    AS BIGINT) % 8 AS shard,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+      |    md5(text)), 1, 15)) AS BIGINT) AS sig
+      |  FROM documents)
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS size_mass,
+      |  CAST(bit_xor(sig) AS BIGINT) AS checksum,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM h GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** q175 — tokenizer fertility per source ([[graft.llm.TextOps
+    * .fertilityBySource]]): the efficiency audit that decides whether
+    * a tokenizer fits a corpus — per source, word/letter/piece masses
+    * under q155's learned merges, with pieces-per-word and
+    * letters-per-piece in integer bp (a source tokenizing at 2× the
+    * pieces pays 2× the sequence length for the same text — the
+    * standard multilingual vocab health check). The corpus side
+    * collapses to (source, word) counts before the vocabulary-bounded
+    * broadcast join. Shares q155's merge CTE verbatim. */
+  def q175TokenFertility(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextOps.fertilityBySource(documents(s, d), "source", "text",
+        rounds = 3)
+      .orderBy($"source")
+  }
+  val q175Sql: String = q155Cte + ",\n" +
+    """vocab AS (SELECT word,
+      |    CAST(len(string_split(pieces, ' ')) AS BIGINT) AS n_pieces
+      |  FROM v3),
+      |sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS occ
+      |  FROM (SELECT source,
+      |      unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      |    FROM documents) GROUP BY source, word),
+      |j AS (SELECT sw.source, sw.occ, v.n_pieces,
+      |    CAST(len(sw.word) AS BIGINT) AS wlen
+      |  FROM sw JOIN vocab v USING (word))
+      |SELECT source, CAST(SUM(occ) AS BIGINT) AS n_words,
+      |  CAST(SUM(occ * wlen) AS BIGINT) AS n_letters,
+      |  CAST(SUM(occ * n_pieces) AS BIGINT) AS n_pieces,
+      |  CAST((10000 * SUM(occ * n_pieces)) // SUM(occ) AS BIGINT)
+      |    AS pieces_per_word_bp,
+      |  CAST((10000 * SUM(occ * wlen)) // SUM(occ * n_pieces) AS BIGINT)
+      |    AS letters_per_piece_bp
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  /** q176 — count–min heavy hitters ([[graft.llm.Sketch]]): the
+    * fixed-size frequency sketch a monitoring tick reads instead of a
+    * vocabulary-sized aggregation — 4×64 md5-derived cells, top-15
+    * tokens by point estimate with the exact count and the one-sided
+    * overcount beside them (the audit SHOWS the CMS guarantee:
+    * est ≥ exact always, collisions visible as positive overcount).
+    * Built weighted from the collapsed token counts so the whole query
+    * costs one corpus scan; the sketch is cell-wise mergeable — the
+    * property that makes it the streaming/monitoring structure. */
+  def q176CmsTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val exact = documents(s, d)
+      .select(explode(TextOps.regexTokens(lower($"text"))).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("exact_n"))
+      .localCheckpoint(false) // sketch AND probe reuse the collapse
+    val sketch = Sketch.cmsBuildWeighted(exact, "token", "exact_n",
+      depth = 4, width = 64)
+    Sketch.cmsProbe(sketch, exact, "token", depth = 4, width = 64)
+      .join(exact, "token")
+      .select($"token", $"est", $"exact_n",
+        ($"est" - $"exact_n").as("overcount"))
+      .orderBy($"est".desc, $"token").limit(15)
+  }
+  val q176Sql: String =
+    """WITH tok AS (SELECT
+      |    unnest(list_filter(string_split_regex(lower(text),
+      |      '[ \t\n\v\f\r]+'), x -> x != '')) AS token
+      |  FROM documents),
+      |exact AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n
+      |  FROM tok GROUP BY token),
+      |cells AS (SELECT token, exact_n, CAST(u.i AS INTEGER) AS row_i,
+      |    CAST(('0x' || substr(md5(CAST(u.i AS VARCHAR) || ':' || token),
+      |      1, 15)) AS BIGINT) % 64 AS cell
+      |  FROM exact, unnest(range(0, 4)) AS u(i)),
+      |sketch AS (SELECT row_i, cell, CAST(SUM(exact_n) AS BIGINT) AS cnt
+      |  FROM cells GROUP BY row_i, cell),
+      |probe AS (SELECT c.token, c.exact_n, MIN(s.cnt) AS est
+      |  FROM cells c JOIN sketch s USING (row_i, cell)
+      |  GROUP BY c.token, c.exact_n)
+      |SELECT token, CAST(est AS BIGINT) AS est, exact_n,
+      |  CAST(est - exact_n AS BIGINT) AS overcount
+      |FROM probe ORDER BY est DESC, token LIMIT 15""".stripMargin
+
+  /** q178 — incremental ingest dedup ([[graft.llm.Dedup
+    * .incrementalExact]]): the batch lifecycle twin of q101's
+    * streaming dedup — a version-to-version load classified against
+    * the STORED fingerprint index: `dup_of_store` (a re-crawl of
+    * content v1 already holds), `dup_in_batch` (an earlier item in
+    * this load carries the same content), `new`. Batch = the q160
+    * derivation's added docs plus a deterministic re-crawl slice
+    * (id%13 docs re-sent under shifted ids), so all three statuses
+    * are exercised at every SF. Only fingerprints cross the
+    * exchanges — the store is a digest index, no text joins. */
+  def q178IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val store = docs.filter($"doc_id" % 7 =!= 0)
+      .select(md5($"text").as("fp"))
+    val batch = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id".as("item_id"), $"source", md5($"text").as("fp"))
+      .unionByName(docs.filter($"doc_id" % 13 === 0)
+        .select(($"doc_id" + 10000000L).as("item_id"), $"source",
+          md5($"text").as("fp")))
+    Dedup.incrementalExact(store, batch, "item_id")
+      .select($"item_id", $"source", $"fp", $"status")
+      .orderBy($"item_id")
+  }
+  val q178Sql: String =
+    """WITH store AS (SELECT DISTINCT md5(text) AS fp FROM documents
+      |  WHERE doc_id % 7 != 0),
+      |batch AS (SELECT doc_id AS item_id, source, md5(text) AS fp
+      |    FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, source, md5(text)
+      |    FROM documents WHERE doc_id % 13 = 0),
+      |firsts AS (SELECT fp, MIN(item_id) AS first_id FROM batch
+      |  GROUP BY fp),
+      |cls AS (SELECT b.item_id, b.source, b.fp,
+      |    CASE WHEN s.fp IS NOT NULL THEN 'dup_of_store'
+      |         WHEN b.item_id > f.first_id THEN 'dup_in_batch'
+      |         ELSE 'new' END AS status
+      |  FROM batch b LEFT JOIN store s ON s.fp = b.fp
+      |  JOIN firsts f ON f.fp = b.fp)
+      |SELECT item_id, source, fp, status FROM cls
+      |ORDER BY item_id""".stripMargin
+
+  /** q180 — asymmetric containment pairs ([[graft.llm.Dedup
+    * .containmentPairs]]): the inclusion detector the symmetric
+    * near-dup family (q41/q52/q53) structurally misses — a short doc
+    * quoted whole inside a long one has low Jaccard (big union) but
+    * ≥80% of its 8-gram shingles covered (`|A∩B|/|A|`, Broder's
+    * containment). Runs on the EXACT-DEDUP KEEPERS (min-id per md5):
+    * exact copies share every shingle and would square the pair join
+    * for information the q40 family already has — the q106
+    * dedup-first composition, which also keeps the decades flat on
+    * copy-multiplied stress sets. */
+  def q180Containment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val keep = docs.groupBy(md5($"text").as("fp"))
+      .agg(min($"doc_id").as("doc_id"))
+    val kept = docs.join(keep.select($"doc_id"), "doc_id")
+    Dedup.containmentPairs(kept, "doc_id", "text", k = 8,
+        minContainBp = 8000L)
+      .select($"src", $"dst", $"n_src", $"n_shared", $"cont_bp")
+      .orderBy($"src", $"dst")
+  }
+  val q180Sql: String =
+    """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
+      |  GROUP BY md5(text)),
+      |d2 AS (SELECT d.doc_id, d.text FROM documents d
+      |  JOIN keep USING (doc_id)),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM d2),
+      |sh AS (SELECT doc_id,
+      |    unnest(list_distinct(CASE WHEN len(tk) >= 8 THEN
+      |      list_transform(range(1, len(tk) - 6),
+      |        i -> array_to_string(tk[i:i+7], ' '))
+      |      ELSE [] END)) AS shingle
+      |  FROM t),
+      |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh
+      |  GROUP BY doc_id),
+      |shared AS (SELECT a.doc_id AS src, b.doc_id AS dst,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+      |    AND a.doc_id != b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |c AS (SELECT src, dst, n_shared, sz.n_sh AS n_src,
+      |    (10000 * n_shared) // sz.n_sh AS cont_bp
+      |  FROM shared JOIN sz ON sz.doc_id = shared.src)
+      |SELECT src, dst, n_src, n_shared, CAST(cont_bp AS BIGINT) AS cont_bp
+      |FROM c WHERE cont_bp >= 8000 ORDER BY src, dst""".stripMargin
+
+  /** q181 — audio-fingerprint near-dup pairs ([[graft.llm.Multimodal
+    * .audioHash]] + [[graft.llm.Dedup.phashBandPairs]]): q172's banded
+    * search applied to the AUDIO modality — each WAV's decoded PCM
+    * samples hash to one bit per sample (above the clip's floor-mean;
+    * `Math.floorDiv`, since sample sums go negative and the SQL `//`
+    * floors), then the SAME distinct-hash 4-band exact search finds
+    * pairs within hamming 3. One pair machinery, three modalities
+    * (text signatures, image aHash, audio aHash) — the reuse is the
+    * point. Oracle: q88's sample↔text math feeding q172's band/xor
+    * replay, 40-bit hashes in 10-bit bands. */
+  def q181AudioPhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.mediaTableWav(s, d)
+      .filter($"meta.kind" === "audio" && $"meta.n_bytes" >= 40)
+    Dedup.phashBandPairs(Multimodal.wavHashFeatures(media, nBits = 40),
+        "media_id", "ahash", bits = 40, nBands = 4, maxHamming = 3)
+      .select($"ha", $"hb", $"hamming", $"n_a", $"n_b",
+        $"rep_a", $"rep_b")
+      .orderBy($"ha", $"hb")
+  }
+  val q181Sql: String =
+    """WITH a AS (SELECT doc_id AS media_id, text FROM documents
+      |  WHERE CAST(doc_id % 3 AS INTEGER) = 1 AND strlen(text) >= 40),
+      |s AS (SELECT media_id,
+      |    list_transform(range(1, 41), i ->
+      |      (unicode(substr(text, CAST(i AS INTEGER), 1)) - 128) * 256)
+      |      AS sm
+      |  FROM a),
+      |h AS (SELECT media_id,
+      |    CAST(list_sum(list_transform(range(0, 40), p ->
+      |      CASE WHEN sm[CAST(p+1 AS INTEGER)] >
+      |        list_sum(sm) // 40
+      |        THEN CAST(1 AS BIGINT) << CAST(p AS INTEGER)
+      |        ELSE 0 END)) AS BIGINT) AS ahash
+      |  FROM s),
+      |hd AS (SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_clips,
+      |    MIN(media_id) AS min_id FROM h GROUP BY ahash),
+      |b AS (SELECT ahash, CAST(u.b AS INTEGER) AS band,
+      |    (ahash >> (10*CAST(u.b AS INTEGER))) & 1023 AS bval
+      |  FROM hd, unnest(range(0, 4)) AS u(b)),
+      |cand AS (SELECT DISTINCT x.ahash AS ha, y.ahash AS hb
+      |  FROM b x JOIN b y ON x.band = y.band AND x.bval = y.bval
+      |    AND x.ahash < y.ahash)
+      |SELECT ha, hb, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming,
+      |  la.n_clips AS n_a, lb.n_clips AS n_b,
+      |  la.min_id AS rep_a, lb.min_id AS rep_b
+      |FROM cand JOIN hd la ON la.ahash = cand.ha
+      |  JOIN hd lb ON lb.ahash = cand.hb
+      |WHERE bit_count(xor(ha, hb)) <= 3
+      |ORDER BY ha, hb""".stripMargin
+
+  /** q182 — video near-dup via frame fingerprints
+    * ([[graft.llm.Dedup.frameHashPairs]]): the VIDEO modality's entry
+    * in the dedup family, completing the triple with q172 (image) and
+    * q181 (audio) — each clip is its set of per-frame aHashes (q90's
+    * decoded frames through the same integer gray/mean arithmetic),
+    * and clips pair when the smaller one's frame set is FULLY covered
+    * by shared hashes: sub-clip detection, q180's containment measure
+    * on frames. Clips meet only through equal frame hashes — one
+    * shuffle on the hash key. Oracle: q90's frame substring math +
+    * q172's gray/hash replay + the coverage join. */
+  def q182VideoPhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.mediaTableAvi(s, d)
+      .filter($"meta.kind" === "video" && $"meta.n_bytes" >= 60)
+    val frames = Multimodal.decodeAviFrames(media)
+    val ah = udf((b: Array[Byte]) => Multimodal.aHash(b, 10))
+    val hashes = frames.select($"media_id", ah($"pixels").as("fhash"))
+    Dedup.frameHashPairs(hashes, "media_id", "fhash",
+        minOverlapBp = 10000L)
+      .select($"clip_a", $"clip_b", $"n_clips_a", $"n_clips_b",
+        $"n_shared", $"n_a", $"n_b", $"overlap_bp")
+      .orderBy($"clip_a", $"clip_b")
+  }
+  val q182Sql: String =
+    """WITH m AS (SELECT doc_id AS media_id, text FROM documents
+      |  WHERE CAST(doc_id % 3 AS INTEGER) = 2 AND length(text) >= 60),
+      |fr AS (SELECT media_id, CAST(t.f AS BIGINT) AS frame_id,
+      |    substr(text, CAST(t.f * 30 + 16 AS BIGINT), 15) ||
+      |    substr(text, CAST(t.f * 30 + 1 AS BIGINT), 15) AS pix
+      |  FROM m, unnest(range(0, 2)) AS t(f)),
+      |g AS (SELECT media_id, frame_id,
+      |    list_transform(range(0, 10), p ->
+      |      (unicode(substr(pix, CAST(p*3+1 AS INTEGER), 1)) +
+      |       unicode(substr(pix, CAST(p*3+2 AS INTEGER), 1)) +
+      |       unicode(substr(pix, CAST(p*3+3 AS INTEGER), 1))) // 3) AS gray
+      |  FROM fr),
+      |h AS (SELECT DISTINCT media_id,
+      |    CAST(list_sum(list_transform(range(0, 10), p ->
+      |      CASE WHEN gray[CAST(p+1 AS INTEGER)] >
+      |        list_sum(gray) // 10 THEN 1 << CAST(p AS INTEGER)
+      |        ELSE 0 END)) AS BIGINT) AS fhash
+      |  FROM g),
+      |sets AS (SELECT media_id, list_sort(list(fhash)) AS hl FROM h
+      |  GROUP BY media_id),
+      |reps AS (SELECT MIN(media_id) AS clip,
+      |    CAST(COUNT(*) AS BIGINT) AS n_clips, ANY_VALUE(hl) AS hl
+      |  FROM sets
+      |  GROUP BY md5(array_to_string(
+      |    list_transform(hl, x -> CAST(x AS VARCHAR)), ','))),
+      |hr AS (SELECT clip, unnest(hl) AS fhash FROM reps),
+      |sz AS (SELECT clip, n_clips, CAST(len(hl) AS BIGINT) AS n_h
+      |  FROM reps),
+      |p AS (SELECT a.clip AS clip_a, b.clip AS clip_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM hr a JOIN hr b ON a.fhash = b.fhash AND a.clip < b.clip
+      |  GROUP BY 1, 2),
+      |o AS (SELECT clip_a, clip_b, sa.n_clips AS n_clips_a,
+      |    sb.n_clips AS n_clips_b, n_shared, sa.n_h AS n_a,
+      |    sb.n_h AS n_b,
+      |    CAST((10000 * n_shared) // LEAST(sa.n_h, sb.n_h) AS BIGINT)
+      |      AS overlap_bp
+      |  FROM p JOIN sz sa ON sa.clip = p.clip_a
+      |    JOIN sz sb ON sb.clip = p.clip_b)
+      |SELECT clip_a, clip_b, n_clips_a, n_clips_b, n_shared, n_a, n_b,
+      |  overlap_bp
+      |FROM o WHERE overlap_bp >= 10000
+      |ORDER BY clip_a, clip_b""".stripMargin
+
+  /** q183 — signature-family banding EVAL ([[graft.llm.Dedup
+    * .minHashSqlCandidates]] / [[graft.llm.Dedup.simHashSqlCandidates]]):
+    * the q113-style eval harness applied to the dedup stack — against
+    * the corpus's own near-dup truth (token-SET Jaccard ≥ 0.9 over
+    * exact-dedup reps, same-source: q41/q57's semantics via
+    * [[graft.llm.Dedup.jaccardPairs]]), score each signature family's
+    * CANDIDATE set: volume generated (the cost) and true pairs caught
+    * (recall, in bp). Three rows: raw minhash, bag-normalized minhash
+    * ([[graft.llm.Dedup.shingleSetSorted]] — sort tokens first so
+    * reorderings become visible to k-gram shingles), simhash. The
+    * fixture's near-dups are bag-level REORDERINGS, so the table
+    * quantifies a real operating decision: raw sequence shingles
+    * structurally miss them (recall ≈ 0.4%), bag normalization buys
+    * ~30× recall at ~70× candidate volume, and the production path
+    * for this dup geometry remains the set-Jaccard machinery itself —
+    * which is exactly what an eval harness is for: choosing the
+    * signature BEFORE a 100 TB run, on measured numbers. */
+  def q183BandEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val keep = docs.groupBy(md5($"text").as("fp"))
+      .agg(min($"doc_id").as("doc_id"))
+    val kept = docs.join(keep.select($"doc_id"), "doc_id")
+    val truth = Dedup.jaccardPairs(kept, "doc_id", "text", "source", 0.9)
+      .select($"id_a", $"id_b").localCheckpoint()
+    def row(method: String, cand: DataFrame): DataFrame = {
+      val c = cand.select($"id_a", $"id_b").localCheckpoint()
+      val nTrue = truth.count()
+      val nCand = c.count()
+      val caught = truth.join(c, Seq("id_a", "id_b"), "left_semi").count()
+      val recall = if (nTrue > 0) 10000L * caught / nTrue else 0L
+      Seq((method, nTrue, nCand, caught, recall))
+        .toDF("method", "n_true", "n_cand", "n_caught", "recall_bp")
+    }
+    row("minhash", Dedup.minHashSqlCandidates(docs, "doc_id", "text")._3)
+      .unionByName(row("minhash_sorted",
+        Dedup.minHashSqlCandidates(docs, "doc_id", "text",
+          sortTokens = true)._3))
+      .unionByName(row("simhash",
+        Dedup.simHashSqlCandidates(docs, "doc_id", "text")))
+      .orderBy($"method")
+  }
+  lazy val q183Sql: String =
+    "WITH " + repsCte + ",\n" + mhCandCte("", sorted = false) + ",\n" +
+      mhCandCte("2", sorted = true) + ",\n" + shCandCte + ",\n" +
+    """tset AS (SELECT r.doc_id AS id, d.source,
+      |    list_distinct(string_split(r.text, ' ')) AS tk
+      |  FROM reps r JOIN documents d USING (doc_id)),
+      |truth AS (SELECT a.id AS id_a, b.id AS id_b
+      |  FROM tset a JOIN tset b ON a.source = b.source AND a.id < b.id
+      |  WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE)
+      |        >= 0.9),
+      |ev AS (SELECT 'minhash' AS method,
+      |    (SELECT COUNT(*) FROM truth) AS n_true,
+      |    (SELECT COUNT(*) FROM cand) AS n_cand,
+      |    (SELECT COUNT(*) FROM truth t JOIN cand c
+      |      ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_caught
+      |  UNION ALL
+      |  SELECT 'minhash_sorted',
+      |    (SELECT COUNT(*) FROM truth),
+      |    (SELECT COUNT(*) FROM cand2),
+      |    (SELECT COUNT(*) FROM truth t JOIN cand2 c
+      |      ON t.id_a = c.id_a AND t.id_b = c.id_b)
+      |  UNION ALL
+      |  SELECT 'simhash',
+      |    (SELECT COUNT(*) FROM truth),
+      |    (SELECT COUNT(*) FROM spairs),
+      |    (SELECT COUNT(*) FROM truth t JOIN spairs p
+      |      ON t.id_a = p.id_a AND t.id_b = p.id_b))
+      |SELECT method, CAST(n_true AS BIGINT) AS n_true,
+      |  CAST(n_cand AS BIGINT) AS n_cand,
+      |  CAST(n_caught AS BIGINT) AS n_caught,
+      |  CAST(CASE WHEN n_true > 0 THEN (10000 * n_caught) // n_true
+      |    ELSE 0 END AS BIGINT) AS recall_bp
+      |FROM ev ORDER BY method""".stripMargin
+
+  /** q184 — language-ID confusion matrix: the classifier eval the
+    * documents fixture makes possible (it carries a ground-truth
+    * `lang` column) — q47's n-gram-heuristic predictions crossed with
+    * the truth, one row per (lang, lang_pred) with the count and its
+    * share of the true language in bp (the diagonal rows are
+    * per-language recall). The q113/q183 eval discipline applied to
+    * classification: the filter decisions q58's cleaning pipeline
+    * makes on `lang_pred` get a measured error rate instead of an
+    * assumption. One aggregation + one vocabulary-sized window. */
+  def q184LangidEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    TextOps.withLangId(documents(s, d), "text")
+      .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n"))
+      .withColumn("lang_total", sum($"n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"lang")))
+      .withColumn("row_bp", expr("(10000 * n) DIV lang_total"))
+      .select($"lang", $"lang_pred", $"n", $"lang_total", $"row_bp")
+      .orderBy($"lang", $"lang_pred")
+  }
+  lazy val q184Sql: String =
+    s"""WITH p AS (
+       |$q47Sql
+       |),
+       |g AS (SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM p GROUP BY lang, lang_pred)
+       |SELECT lang, lang_pred, n,
+       |  CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+       |  CAST((10000 * n) // SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+       |    AS row_bp
+       |FROM g ORDER BY lang, lang_pred""".stripMargin
+
+  /** q185 — minhash estimate-accuracy eval: for every q52 band
+    * candidate pair, the signature's own Jaccard ESTIMATE (matching
+    * minima over 16, in bp — the unbiased MinHash estimator) beside
+    * the exact shingle Jaccard and the signed error. q183 scores WHAT
+    * the bands find; this scores how well the signature MEASURES what
+    * it found — the k-sizing signal (estimator std ≈ √(j(1−j)/k), so
+    * a fatter error tail than that says k=16 is too small for the
+    * corpus, BEFORE a threshold is tuned against it). All-integer:
+    * match counts and fixed-point bp, no float estimator. */
+  def q185MinhashErr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (docs, sig, cands) =
+      Dedup.minHashSqlCandidates(documents(s, d), "doc_id", "text")
+    val sa = sig.select($"id".as("id_a") +:
+      (0 until 16).map(i => col(s"m$i").as(s"a$i")): _*)
+    val sb = sig.select($"id".as("id_b") +:
+      (0 until 16).map(i => col(s"m$i").as(s"b$i")): _*)
+    val est = cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("n_match", (0 until 16).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+        .reduce(_ + _))
+      .select($"id_a", $"id_b",
+        expr("(10000 * n_match) DIV 16").as("est_bp"))
+    est
+      .join(docs.select($"id".as("id_a"), $"shs".as("shs_a")), "id_a")
+      .join(docs.select($"id".as("id_b"), $"shs".as("shs_b")), "id_b")
+      .withColumn("jac_bp",
+        expr("(10000 * size(array_intersect(shs_a, shs_b))) DIV " +
+          "size(array_union(shs_a, shs_b))"))
+      .select($"id_a", $"id_b", $"est_bp", $"jac_bp",
+        ($"est_bp" - $"jac_bp").as("err_bp"))
+      .orderBy($"id_a", $"id_b")
+  }
+  lazy val q185Sql: String =
+    "WITH " + repsCte + ",\n" + mhCandCte("", sorted = false) + ",\n" +
+    """sw AS (SELECT id, list(m ORDER BY i) AS ms FROM sig GROUP BY id),
+      |e AS (SELECT c.id_a, c.id_b,
+      |    CAST((10000 * len(list_filter(list_zip(x.ms, y.ms),
+      |      z -> z[1] = z[2]))) // 16 AS BIGINT) AS est_bp
+      |  FROM cand c JOIN sw x ON x.id = c.id_a
+      |    JOIN sw y ON y.id = c.id_b),
+      |j AS (SELECT e.id_a, e.id_b, e.est_bp,
+      |    CAST((10000 * len(list_intersect(dx.shs, dy.shs))) //
+      |      len(list_distinct(list_concat(dx.shs, dy.shs))) AS BIGINT)
+      |      AS jac_bp
+      |  FROM e JOIN docs dx ON dx.id = e.id_a
+      |    JOIN docs dy ON dy.id = e.id_b)
+      |SELECT id_a, id_b, est_bp, jac_bp,
+      |  CAST(est_bp - jac_bp AS BIGINT) AS err_bp
+      |FROM j ORDER BY id_a, id_b""".stripMargin
+
+  /** q186 — IVF list-balance audit: the operational report behind the
+    * "raise nlist so the largest cluster stays executor-sized" knob
+    * documented on [[graft.llm.Dedup.semDedup]] and the probe-cost
+    * model of every IVF serve (nprobe/nlist of the corpus is only the
+    * EXPECTED fraction if lists are balanced) — per q99 list: vector
+    * count, corpus share in bp, and load factor vs perfect balance
+    * (10000 = balanced, above = hot). Skewed lists are where both the
+    * q141 within-cluster pair cost and the q112 probe tail latency
+    * hide; this makes them a number the operator watches. Shares
+    * q99's fit/assign machinery and oracle CTE verbatim. */
+  def q186IvfBalance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val sample = e.filter(pmod($"vec_id", lit(10)) === 0)
+    val cents = graft.llm.Ivf.fitCentroids(sample, "vec_id", "embedding",
+      nlist = 16)
+    val total = e.count()
+    graft.llm.Ivf.assignIndex(e, "vec_id", "embedding", cents)
+      .groupBy($"list_id").agg(count(lit(1)).as("n_vecs"))
+      .withColumn("share_bp", expr(s"(10000 * n_vecs) DIV $total"))
+      .withColumn("load_bp", expr(s"(160000 * n_vecs) DIV $total"))
+      .orderBy($"list_id")
+  }
+  lazy val q186Sql: String = q99Cte + ",\n" +
+    """asn AS (SELECT id, list_id FROM assign WHERE rn = 1),
+      |g AS (SELECT CAST(list_id AS INTEGER) AS list_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_vecs
+      |  FROM asn GROUP BY list_id)
+      |SELECT list_id, n_vecs,
+      |  CAST((10000 * n_vecs) // (SELECT COUNT(*) FROM embeddings)
+      |    AS BIGINT) AS share_bp,
+      |  CAST((160000 * n_vecs) // (SELECT COUNT(*) FROM embeddings)
+      |    AS BIGINT) AS load_bp
+      |FROM g ORDER BY list_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> (q40DedupExact _),
     "q41_jaccard_neardup" -> (q41JaccardNearDup _),
@@ -3830,6 +4464,19 @@ object LlmQueries {
     "q162_pack_utilization" -> (q162PackUtilization _),
     "q163_hard_negatives" -> (q163HardNegatives _),
     "q165_postings_compaction" -> (q165PostingsCompaction _),
+    "q172_image_phash" -> (q172ImagePhash _),
+    "q173_split_leakage" -> (q173SplitLeakage _),
+    "q174_shard_manifest" -> (q174ShardManifest _),
+    "q175_token_fertility" -> (q175TokenFertility _),
+    "q176_cms_topk" -> (q176CmsTopk _),
+    "q178_incremental_dedup" -> (q178IncrementalDedup _),
+    "q180_containment" -> (q180Containment _),
+    "q181_audio_phash" -> (q181AudioPhash _),
+    "q182_video_phash" -> (q182VideoPhash _),
+    "q183_band_eval" -> (q183BandEval _),
+    "q184_langid_eval" -> (q184LangidEval _),
+    "q185_minhash_err" -> (q185MinhashErr _),
+    "q186_ivf_balance" -> (q186IvfBalance _),
     "q166_phrase_mining" -> (q166PhraseMining _),
     "q167_dup_graph_audit" -> (q167DupGraphAudit _),
     "q168_length_batches" -> (q168LengthBatches _),
@@ -3922,6 +4569,19 @@ object LlmQueries {
     "q161_rendezvous_shards" -> q161Sql,
     "q162_pack_utilization" -> q162Sql,
     "q163_hard_negatives" -> q163Sql,
+    "q172_image_phash" -> q172Sql,
+    "q173_split_leakage" -> q173Sql,
+    "q174_shard_manifest" -> q174Sql,
+    "q175_token_fertility" -> q175Sql,
+    "q176_cms_topk" -> q176Sql,
+    "q178_incremental_dedup" -> q178Sql,
+    "q180_containment" -> q180Sql,
+    "q181_audio_phash" -> q181Sql,
+    "q182_video_phash" -> q182Sql,
+    "q183_band_eval" -> q183Sql,
+    "q184_langid_eval" -> q184Sql,
+    "q185_minhash_err" -> q185Sql,
+    "q186_ivf_balance" -> q186Sql,
     // layout maintenance never changes values: the serve over the
     // compacted store replays the one-shot q140 build (q130's argument)
     "q165_postings_compaction" -> q140Sql,

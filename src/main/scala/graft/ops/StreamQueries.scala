@@ -612,6 +612,139 @@ object StreamQueries {
       |    AS BIGINT) AS tokens_seen
       |FROM g ORDER BY source, docs_seen""".stripMargin
 
+  /** q177 — STREAMING shingle-novelty monitor
+    * ([[StreamOps.streamingShingleNovelty]]): the crawl-freshness
+    * gauge run live — per micro-batch, the distinct 8-gram shingles
+    * present and how many had never arrived before, novelty in
+    * integer bp. The operational signal behind it: novelty falling
+    * toward zero means the crawl is re-fetching known content (stop
+    * spending); pinned at 10000 bp after a dedup stage means the
+    * dedup is broken. State is 1 bit per distinct shingle (the
+    * q106/q110 distinct-bounded argument); each emitted row carries
+    * its batch's min doc id, so the sink recovers the batch via the
+    * SAME ascending NTILE(4) split the harness streamed — the oracle
+    * is first-tile-of-shingle arithmetic, no state replay needed. */
+  def q177StreamNovelty(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+    fourBatchHarness(s, docs, "doc_id", schema, "novelty") {
+      (source, sink) =>
+        val rows = source.select(
+            explode(graft.llm.Corpus.shingles($"text", 8)).as("_1"),
+            $"doc_id".as("_2"))
+          .as[(String, Long)]
+        val out = StreamOps.streamingShingleNovelty(rows)
+        val q = out.toDF().writeStream
+          .outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+    } { sinkDf =>
+      val tiles = docs.select($"doc_id",
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy($"doc_id")).as("batch_id"))
+      sinkDf.select($"_2".as("is_new"), $"_3".as("doc_id"))
+        .join(tiles, "doc_id")
+        .groupBy($"batch_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"is_new", 1L).otherwise(0L)).as("n_new"),
+          expr("10000 * sum(CASE WHEN is_new THEN 1 ELSE 0 END)" +
+            " DIV count(1)").as("novelty_bp"))
+        .orderBy($"batch_id")
+    }
+  }
+  val q177Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+      |  FROM documents),
+      |tiled AS (SELECT doc_id, tk,
+      |    NTILE(4) OVER (ORDER BY doc_id) AS tile FROM t),
+      |sh AS (SELECT tile,
+      |    unnest(list_distinct(CASE WHEN len(tk) >= 8 THEN
+      |      list_transform(range(1, len(tk) - 6),
+      |        i -> array_to_string(tk[i:i+7], ' '))
+      |      ELSE [] END)) AS shingle
+      |  FROM tiled),
+      |pb AS (SELECT DISTINCT tile, shingle FROM sh),
+      |fst AS (SELECT shingle, MIN(tile) AS first_tile FROM pb
+      |  GROUP BY shingle)
+      |SELECT pb.tile AS batch_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN f.first_tile = pb.tile THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_new,
+      |  CAST((10000 * SUM(CASE WHEN f.first_tile = pb.tile
+      |    THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS novelty_bp
+      |FROM pb JOIN fst f USING (shingle)
+      |GROUP BY pb.tile ORDER BY batch_id""".stripMargin
+
+  /** q179 — STREAMING count–min sketch ingest
+    * ([[StreamOps.streamingCmsIngest]]): q176's monitoring sketch kept
+    * live — each arriving token fans out map-only to its 4 md5 cells
+    * ([[graft.llm.Sketch.cmsCell]]) and a 256-cell keyed state store
+    * accumulates the counts; after every micro-batch each touched cell
+    * emits its post-batch value. The CMS mergeability property made
+    * operational: the state update IS the cell-wise sum, so the
+    * streamed sketch equals the batch-built one at every batch prefix
+    * — which is exactly what the oracle replays (per-cell cumulative
+    * sums over NTILE tiles). State is bounded at depth×width cells no
+    * matter how much data arrives — the whole point of a sketch. */
+  def q179StreamCms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+    fourBatchHarness(s, docs, "doc_id", schema, "cmsingest") {
+      (source, sink) =>
+        val toks = source.select($"doc_id",
+          explode(graft.llm.TextOps.regexTokens(lower($"text")))
+            .as("token"))
+        val rows = toks.select(
+            explode(array((0 until 4).map(r => concat(lit(s"$r:"),
+              graft.llm.Sketch.cmsCell($"token", r, 64))): _*)).as("_1"),
+            $"doc_id".as("_2"))
+          .as[(String, Long)]
+        val out = StreamOps.streamingCmsIngest(rows)
+        val q = out.toDF().writeStream
+          .outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+    } { sinkDf =>
+      val tiles = docs.select($"doc_id",
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy($"doc_id")).as("batch_id"))
+      sinkDf.select($"_1".as("cell_key"), $"_2".as("cnt_seen"),
+          $"_3".as("doc_id"))
+        .join(tiles, "doc_id")
+        .select($"batch_id",
+          split($"cell_key", ":").getItem(0).cast("int").as("row_i"),
+          split($"cell_key", ":").getItem(1).cast("long").as("cell"),
+          $"cnt_seen")
+        .orderBy($"batch_id", $"row_i", $"cell")
+    }
+  }
+  val q179Sql: String =
+    """WITH t AS (SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text),
+      |      '[ \t\n\v\f\r]+'), x -> x != '')) AS token
+      |  FROM documents),
+      |tiled AS (SELECT doc_id,
+      |    NTILE(4) OVER (ORDER BY doc_id) AS tile FROM documents),
+      |cells AS (SELECT tl.tile, CAST(u.i AS INTEGER) AS row_i,
+      |    CAST(('0x' || substr(md5(CAST(u.i AS VARCHAR) || ':' || t.token),
+      |      1, 15)) AS BIGINT) % 64 AS cell
+      |  FROM t JOIN tiled tl USING (doc_id), unnest(range(0, 4)) AS u(i)),
+      |g AS (SELECT tile, row_i, cell, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM cells GROUP BY tile, row_i, cell)
+      |SELECT tile AS batch_id, row_i, cell,
+      |  CAST(SUM(n) OVER (PARTITION BY row_i, cell ORDER BY tile)
+      |    AS BIGINT) AS cnt_seen
+      |FROM g ORDER BY batch_id, row_i, cell""".stripMargin
+
   /** q106 — STREAMING near-dup dedup over real micro-batches: the
     * signature-path ingest variant the round-6 verdict called the
     * biggest remaining gap (q101 covers streaming EXACT dedup; minhash/
@@ -902,6 +1035,8 @@ object StreamQueries {
     "q158_stream_chunks" -> (q158StreamChunks _),
     "q164_stream_bm25" -> (q164StreamBm25 _),
     "q170_stream_source_stats" -> (q170StreamSourceStats _),
+    "q177_stream_novelty" -> (q177StreamNovelty _),
+    "q179_stream_cms" -> (q179StreamCms _),
     "q60_stream_volume" -> (q60StreamVolume _),
     "q64_sliding_window" -> (q64SlidingWindow _),
     "q61_stream_semantic" -> (q61StreamSemantic _),
@@ -935,6 +1070,8 @@ object StreamQueries {
     // bit-identically to the batch build; q140's SQL is the oracle
     "q164_stream_bm25" -> LlmQueries.q140Sql,
     "q170_stream_source_stats" -> q170Sql,
+    "q177_stream_novelty" -> q177Sql,
+    "q179_stream_cms" -> q179Sql,
     "q60_stream_volume" -> q60Sql,
     "q64_sliding_window" -> q64Sql,
     "q62_session_window" -> q62Sql,

@@ -321,6 +321,70 @@ object StreamOps {
       }
   }
 
+  /** Streaming shingle-novelty monitor — the crawl-freshness signal an
+    * ingest pipeline watches: per micro-batch, how much of the arriving
+    * k-gram content has never been seen before. Input rows are
+    * `(shingle, doc_id)` occurrences (a map-only per-doc distinct-
+    * shingle explode); keyed state is one boolean per DISTINCT shingle
+    * ever seen (the q106/q110 distinct-bounded state argument). Each
+    * batch a present shingle emits exactly ONE row
+    * `(shingle, is_new, min_doc_id_in_batch)` — is_new from the state,
+    * the min id so the sink can place the row in its batch under the
+    * ascending-split harness (the replay: first-tile-of-shingle over
+    * NTILE groups). A novelty rate falling toward zero means the crawl
+    * is re-fetching known content — the spend-stop signal; a rate
+    * pinned at 10000 bp after dedup should alarm too (the dedup is
+    * broken). 100 TB shape: 1 bit of state per distinct shingle,
+    * sharded by the keyed store; one groupByKey exchange. */
+  def streamingShingleNovelty(rows: Dataset[(String, Long)])
+      : Dataset[(String, Boolean, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (sh: String, it: Iterator[(String, Long)],
+         state: GroupState[Boolean]) =>
+          val minId = it.map(_._2).min
+          val isNew = !state.exists
+          state.update(true)
+          Iterator.single((sh, isNew, minId))
+      }
+  }
+
+  /** Streaming count–min sketch ingest — [[graft.llm.Sketch]] kept live
+    * across micro-batches: input rows are `(cellKey, doc_id)` where
+    * cellKey encodes the (row, cell) a token instance lands in (the
+    * map-only d-fold fan-out of [[graft.llm.Sketch.cmsCell]]); keyed
+    * state is ONE long per touched cell — the running count, i.e. the
+    * sketch itself, sharded across executors by the keyed store. After
+    * each batch every touched cell emits `(cellKey, cnt_seen,
+    * min_doc_id_in_batch)` — the post-batch cell value a monitoring
+    * tick reads, placed in its batch by the min id under the
+    * ascending-split harness. This is the mergeability property of the
+    * CMS made operational: the state update IS the cell-wise sum, so
+    * the streamed sketch equals the batch-built sketch at every
+    * prefix. State is bounded by depth×width (256 cells here) no
+    * matter how much data arrives — the whole point of a sketch. */
+  def streamingCmsIngest(rows: Dataset[(String, Long)])
+      : Dataset[(String, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long)],
+         state: GroupState[Long]) =>
+          var n = 0L
+          var minId = Long.MaxValue
+          it.foreach { case (_, id) =>
+            n += 1L
+            if (id < minId) minId = id
+          }
+          val total = state.getOption.getOrElse(0L) + n
+          state.update(total)
+          Iterator.single((key, total, minId))
+      }
+  }
+
   /** §3.1 as a streaming pipeline: enrichment in foreachBatch with an
     * idempotent (anti-join) sink — the A5 `ON CONFLICT DO NOTHING` analog.
     * Runs with AvailableNow so callers can await completion. */

@@ -1458,4 +1458,195 @@ class LlmSpec extends AnyFunSuite {
       df.select(Corpus.rendezvousShard($"id", 0))
     }
   }
+
+  test("aHash: hand-computed bits, strict mean comparison, guards") {
+    // 2 pixels: grays (10+20+30)/3=20, (40+50+60)/3=50; mean=(20+50)/2=35
+    // → bits (0, 1) → hash 2
+    val px = Array[Byte](10, 20, 30, 40, 50, 60)
+    assert(Multimodal.aHash(px, 2) == 2L)
+    // equal grays: gray == mean everywhere and the comparison is STRICT
+    // (>), so the hash is 0 — a >= rule would set every bit on a flat
+    // image and collide all flats at distance 0 from all-ones
+    assert(Multimodal.aHash(Array[Byte](9, 9, 9, 9, 9, 9), 2) == 0L)
+    intercept[IllegalArgumentException] { Multimodal.aHash(px, 65) }
+    intercept[IllegalArgumentException] { Multimodal.aHash(px, 3) }
+  }
+
+  test("phash band pairs: banded search is EXACT at radius < nBands") {
+    import spark.implicits._
+    // crafted 8-bit hashes, 4 bands of 2 bits: pairs at hamming 1-3
+    // in scattered bands, one pair at hamming 4 (must be absent even
+    // though it shares bands), duplicates collapsing to one hash row
+    val hs = Seq((1L, 0x0FL), (2L, 0x0EL), (3L, 0x0FL), (4L, 0xF0L),
+      (5L, 0x3CL)).toDF("id", "phash")
+    val pairs = Dedup.phashBandPairs(hs, "id", "phash", bits = 8,
+        nBands = 4, maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("ha"), r.getAs[Long]("hb"),
+        r.getAs[Int]("hamming"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))).toSet
+    // brute-force expectation over the 4 distinct hashes
+    val hd = Map(0x0FL -> (2L, 1L), 0x0EL -> (1L, 2L), 0xF0L -> (1L, 4L),
+      0x3CL -> (1L, 5L))
+    val brute = for {
+      a <- hd.keys; b <- hd.keys if a < b
+      h = java.lang.Long.bitCount(a ^ b) if h <= 3
+    } yield (a, b, h, hd(a)._1, hd(b)._1)
+    assert(pairs == brute.toSet, pairs.toString)
+    // 0x0F vs 0xF0 is hamming 8 — correctly absent; 0x0F appears with
+    // n_imgs 2 (ids 1 and 3 collapsed before the join)
+    assert(pairs.exists { case (a, _, _, na, _) => a == 0x0EL || na == 2 })
+    intercept[IllegalArgumentException] { // pigeonhole violated
+      Dedup.phashBandPairs(hs, "id", "phash", 8, 4, maxHamming = 4)
+    }
+  }
+
+  test("split leakage audit: safe split is leak-free by construction") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    // component {1,2} and {3}; pick ids whose naive splits differ so
+    // the naive method must report the 2-doc component as leaky
+    val all = (0L until 200L)
+    val key = (i: Long) => ((i % 1000000007L) * 2654435761L) % 100
+    val tr = all.filter(i => key(i) < 90)
+    val te = all.filter(i => key(i) >= 95)
+    assert(tr.nonEmpty && te.nonEmpty)
+    val labeled = Seq((tr.head, tr.head), (te.head, tr.head),
+      (tr.last, tr.last)).toDF("id", "keep_id")
+    val got = Corpus.splitLeakageAudit(labeled, "id", "keep_id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("naive") == (2L, 1L, 2L, 6666L), got.toString)
+    assert(got("safe") == (2L, 0L, 0L, 0L), got.toString)
+  }
+
+  test("shard manifest: order-invariant checksum, content-sensitive") {
+    import spark.implicits._
+    import graft.llm.Corpus
+    val docs = Seq((1L, "alpha", 5L), (2L, "beta", 4L), (3L, "gamma", 5L),
+      (4L, "delta", 5L)).toDF("doc_id", "text", "n_chars")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Corpus.shardManifest(df, "doc_id", "text", "n_chars", 2)
+        .orderBy($"shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val base = manifest(docs)
+    // permuted arrival + different partitioning → identical manifest
+    // (bit_xor is commutative; a concat digest would need a global sort)
+    assert(manifest(docs.orderBy($"text".desc).repartition(7)) == base)
+    // one flipped byte in one doc changes exactly that shard's checksum
+    val tweaked = manifest(Seq((1L, "alphA", 5L), (2L, "beta", 4L),
+      (3L, "gamma", 5L), (4L, "delta", 5L)).toDF("doc_id", "text", "n_chars"))
+    assert(tweaked != base)
+    assert(tweaked.map(t => (t._1, t._2)) == base.map(t => (t._1, t._2)),
+      "counts must not move when only content flips")
+  }
+
+  test("count-min sketch: one-sided error + cell-wise mergeability") {
+    import spark.implicits._
+    import graft.llm.Sketch
+    val a = Seq.fill(30)("x").map(Tuple1(_)) ++
+      Seq.fill(10)("y").map(Tuple1(_)) ++ Seq.fill(3)("z").map(Tuple1(_))
+    val b = Seq.fill(7)("y").map(Tuple1(_)) ++ Seq.fill(5)("w").map(Tuple1(_))
+    val (dfA, dfB) = (a.toDF("token"), b.toDF("token"))
+    val all = dfA.unionByName(dfB)
+    val exact = all.groupBy($"token").agg(count(lit(1)).as("exact_n"))
+    // width 2 FORCES collisions so the one-sided property is exercised,
+    // not vacuous: est >= exact for every key, always
+    val sk = Sketch.cmsBuild(all, "token", depth = 3, width = 2)
+    val est = Sketch.cmsProbe(sk, exact, "token", 3, 2)
+      .join(exact, "token").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.nonEmpty && est.forall { case (_, e, x) => e >= x },
+      est.toSeq.toString)
+    // mergeability: sketch(A ⊎ B) == cell-wise sum of the two sketches —
+    // the property that lets per-batch/per-executor sketches combine
+    // with no rescan
+    val merged = Sketch.cmsBuild(dfA, "token", 3, 2)
+      .unionByName(Sketch.cmsBuild(dfB, "token", 3, 2))
+      .groupBy($"row_i", $"cell").agg(sum($"cnt").as("cnt"))
+    val direct = Sketch.cmsBuild(all, "token", 3, 2)
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+    // weighted build from collapsed counts is the SAME sketch
+    val weighted = Sketch.cmsBuildWeighted(exact, "token", "exact_n", 3, 2)
+    assert(weighted.exceptAll(direct).isEmpty)
+  }
+
+  test("audioHash: floor-division mean on negative sums, strict bits") {
+    // samples sum to -3 over 2 bits: floorDiv(-3,2) = -2 (Java / would
+    // give -1 and flip the second bit against the SQL // replay)
+    val s = Array[Short](-2, -1)
+    // mean -2: bits = (s > -2) = (0, 1) → hash 2
+    assert(Multimodal.audioHash(s, 2) == 2L)
+    // truncating mean -1 would give bits (0, 0) — pin the difference
+    assert(Multimodal.audioHash(s, 2) != 0L)
+    intercept[IllegalArgumentException] { Multimodal.audioHash(s, 3) }
+    intercept[IllegalArgumentException] { Multimodal.audioHash(s, 0) }
+  }
+
+  test("containment pairs: asymmetric inclusion that Jaccard misses") {
+    import spark.implicits._
+    // doc 1 = 8 tokens, fully quoted inside doc 2's 24 tokens:
+    // jaccard = 1/17 (tiny) but containment(1 in 2) = 100%
+    val small = (1 to 8).map(i => s"w$i").mkString(" ")
+    val big = ((1 to 8) ++ (100 to 115)).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, "short text only"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", k = 8,
+        minContainBp = 8000L)
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"),
+        r.getAs[Long]("n_src"), r.getAs[Long]("cont_bp")))
+    // ONLY 1→2 fires (asymmetric: 2's 17 shingles are not covered by
+    // 1's single one); doc 3 has < 8 tokens → no shingles, absent
+    assert(got.toSeq == Seq((1L, 2L, 1L, 10000L)), got.toSeq.toString)
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(docs, "doc_id", "text", 8, 0L)
+    }
+  }
+
+  test("frame-hash pairs: smaller-clip coverage + identical-set collapse") {
+    import spark.implicits._
+    // clip 1 = {A, B}; clip 2 = {A, B, C} (1 fully inside 2);
+    // clip 3 = {A, D} (half-overlaps both — below full coverage);
+    // clip 4 = {A, B} again (re-post: collapses into 1's representative)
+    val frames = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (2L, 30L), (3L, 10L), (3L, 40L), (3L, 40L), (4L, 20L), (4L, 10L))
+      .toDF("clip", "fh")
+    val full = Dedup.frameHashPairs(frames, "clip", "fh")
+      .collect().map(r => (r.getAs[Long]("clip_a"), r.getAs[Long]("clip_b"),
+        r.getAs[Long]("n_clips_a"), r.getAs[Long]("n_shared"),
+        r.getAs[Long]("overlap_bp")))
+    // rep of {1,4} is clip 1 with multiplicity 2 — the re-post never
+    // reaches the pair join as its own row
+    assert(full.toSeq == Seq((1L, 2L, 2L, 2L, 10000L)), full.toSeq.toString)
+    // at 50% the half-overlaps appear too; duplicate frame rows (clip 3's
+    // repeated hash 40) collapse before counting
+    val half = Dedup.frameHashPairs(frames, "clip", "fh", 5000L)
+      .collect().map(r => (r.getAs[Long]("clip_a"), r.getAs[Long]("clip_b"),
+        r.getAs[Long]("n_shared"))).toSet
+    assert(half == Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)),
+      half.toString)
+  }
+
+  test("sorted shingles: bag normalization makes reorderings collide") {
+    // same bag, shuffled order: raw shingle sets are disjoint (beyond
+    // boundary effects), sorted ones identical
+    val a = "w1 w2 w3 w4 w5 w6"
+    val b = "w6 w5 w4 w3 w2 w1"
+    assert(Dedup.shingleSetSorted(a, 3).toSet ==
+      Dedup.shingleSetSorted(b, 3).toSet)
+    assert(Dedup.shingleSet(a, 3).toSet != Dedup.shingleSet(b, 3).toSet)
+  }
+
+  test("incremental dedup: three statuses + in-batch first-wins tie") {
+    import spark.implicits._
+    val store = Seq("f1", "f2").map(Tuple1(_)).toDF("fp")
+    val batch = Seq((10L, "f1"), (11L, "f3"), (12L, "f3"), (13L, "f3"),
+      (14L, "f4")).toDF("item_id", "fp")
+    val got = Dedup.incrementalExact(store, batch, "item_id")
+      .collect().map(r => r.getAs[Long]("item_id") ->
+        r.getAs[String]("status")).toMap
+    assert(got == Map(10L -> "dup_of_store", 11L -> "new",
+      12L -> "dup_in_batch", 13L -> "dup_in_batch", 14L -> "new"),
+      got.toString)
+  }
 }

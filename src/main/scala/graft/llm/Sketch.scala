@@ -77,4 +77,90 @@ object Sketch {
       .groupBy(col(keyCol))
       .agg(min(col("cnt")).as("est"))
   }
+
+  // ---------------------------------------------------------------- Bloom
+
+  /** Bits per Bloom word. 60 (not 64) on purpose: every bit mask is
+    * `1L << [0,59]` — positive in both engines — so the DuckDB oracle's
+    * checked `<<` never overflows (1::BIGINT << 63 is an error there)
+    * and no sign-bit edge case exists anywhere in the replay. */
+  val BloomBitsPerWord = 60
+
+  /** Hash `r` of a key → global bit position in a `words`-word filter.
+    * Same determinism-by-construction as [[cmsCell]]: a 60-bit md5
+    * digest of `"r:key"` mod the bit count — no seeds, no RNG, so the
+    * identical filter comes out of any engine or partitioning and a SQL
+    * oracle replays membership bit-for-bit. */
+  def bloomPos(key: Column, r: Int, words: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"$r:"), key)), 1, 15), 16, 10)
+      .cast("long"), lit(words.toLong * BloomBitsPerWord))
+
+  /** Build the packed filter from one key per input row: `(word, bits)`
+    * with at most `words` result rows. One aggregation; partial
+    * aggregation collapses each partition to ≤ `words` rows map-side,
+    * so the exchange carries filter-sized, not corpus-sized, data —
+    * and like the CMS the filter is MERGEABLE (word-wise OR), so
+    * per-batch or per-executor filters union with no rescan. */
+  def bloomBuild(keys: DataFrame, keyCol: String, k: Int,
+      words: Int): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be in [1,8], got $k")
+    require(words >= 1, s"words must be >= 1, got $words")
+    keys.select(explode(array((0 until k).map(r =>
+        bloomPos(col(keyCol), r, words)): _*)).as("pos"))
+      .groupBy((col("pos") / BloomBitsPerWord).cast("long").as("word"))
+      .agg(expr(s"bit_or(shiftleft(1L, CAST(pos % $BloomBitsPerWord" +
+        " AS INT)))").as("bits"))
+  }
+
+  /** Materialize a built filter into its dense Long-array form. Driver
+    * collect is bounded BY CONSTRUCTION at `words` longs (16 KiB at the
+    * default 2048) — the Ivf-centroids precedent: sketch-sized state is
+    * the thing a 1000-executor job broadcasts, not corpus-sized data. */
+  def bloomCollect(bloom: DataFrame, words: Int): Array[Long] = {
+    require(words <= (1 << 22),
+      s"refusing to collect a ${words}-word bloom to the driver")
+    val dense = new Array[Long](words)
+    bloom.select(col("word").cast("int"), col("bits")).collect().foreach {
+      r => dense(r.getInt(0)) = r.getLong(1)
+    }
+    dense
+  }
+
+  /** Map-only membership test against a collected filter: true iff all
+    * `k` probe bits are set. A scalar UDF over the broadcast array —
+    * no join, no explode, no exchange on the probe side; this is the
+    * 100 TB decontamination shape (16 KiB ships to every executor and
+    * the corpus streams through a codegen'd filter). The JVM md5 here
+    * is pinned ≡ the [[bloomPos]] SQL expression by LlmSpec. */
+  def bloomHitUdf(bits: Array[Long], k: Int, words: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val mBits = words.toLong * BloomBitsPerWord
+    udf { (key: String) =>
+      if (key == null) false
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var r = 0
+        var all = true
+        while (r < k && all) {
+          val dig = md.digest(s"$r:$key".getBytes("UTF-8"))
+          md.reset()
+          // first 15 hex chars = the top 60 bits of the digest, exactly
+          // substring(md5(x), 1, 15) parsed base-16 (conv's semantics)
+          var v = 0L
+          var i = 0
+          while (i < 8) { // 7.5 bytes; byte 7 contributes its high nibble
+            val b = dig(i) & 0xff
+            v = if (i < 7) (v << 8) | b else (v << 4) | (b >> 4)
+            i += 1
+          }
+          val pos = java.lang.Math.floorMod(v, mBits)
+          val word = (pos / BloomBitsPerWord).toInt
+          val mask = 1L << (pos % BloomBitsPerWord).toInt
+          if ((bits(word) & mask) != mask) all = false
+          r += 1
+        }
+        all
+      }
+    }
+  }
 }

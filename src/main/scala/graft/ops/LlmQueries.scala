@@ -4385,6 +4385,155 @@ object LlmQueries {
       |    AS BIGINT) AS load_bp
       |FROM g ORDER BY list_id""".stripMargin
 
+  /** q187 — Bloom-filter decontamination ([[graft.llm.Sketch
+    * .bloomBuild]]/`bloomHitUdf`): q94's eval-shingle screen re-based
+    * on a FIXED-SIZE membership sketch. q94/q110 broadcast the
+    * distinct eval shingle set — correct, but the broadcast grows
+    * with the eval corpus; the Bloom filter caps it at `words`×60
+    * bits (16 KiB here) forever, at the price of one-sided error:
+    * false POSITIVES only (a clean doc flagged), never a false
+    * negative (contamination missed) — the safe direction for
+    * hygiene. The audit makes that error visible: per flagged train
+    * doc, bloom-hit shingles vs exact hits (q94's machinery) and the
+    * overcount, so the fill-ratio → FP tradeoff is a number, not a
+    * guess. Probe is a map-only scalar UDF over the broadcast array
+    * (no join, no explode — the 100 TB shape); the oracle replays
+    * build + probe bit-for-bit from the md5 arithmetic. */
+  def q187BloomDecon(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 3; val words = 2048
+    val tier = regexp_extract($"source", "src([0-9]+)", 1).cast("long") % 4
+    val lab = documents(s, d).withColumn("is_eval", tier === 3)
+    val evalSh = lab.filter($"is_eval")
+      .select(explode(Corpus.shingles($"text", 8)).as("shingle")).distinct()
+    val bits = Sketch.bloomCollect(
+      Sketch.bloomBuild(evalSh, "shingle", k, words), words)
+    val hit = Sketch.bloomHitUdf(bits, k, words)
+    val trainSh = lab.filter(!$"is_eval")
+      .select($"doc_id", explode(Corpus.shingles($"text", 8)).as("shingle"))
+    val exact = trainSh.join(broadcast(evalSh), Seq("shingle"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_exact"))
+    trainSh.filter(hit($"shingle"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_bloom"))
+      .join(exact, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_bloom",
+        coalesce($"n_exact", lit(0L)).as("n_exact"),
+        ($"n_bloom" - coalesce($"n_exact", lit(0L))).as("n_fp"))
+      .orderBy($"doc_id")
+  }
+  val q187Sql: String =
+    """WITH lab AS (SELECT doc_id,
+      |    CAST(regexp_extract(source, 'src([0-9]+)', 1) AS BIGINT) % 4 = 3
+      |      AS is_eval,
+      |    string_split(text, ' ') AS tk
+      |  FROM documents),
+      |sh AS (SELECT doc_id, is_eval,
+      |    unnest(list_distinct(list_transform(
+      |      range(1, greatest(len(tk) - 6, 1)),
+      |      i -> array_to_string(tk[i:i+7], ' ')))) AS shingle
+      |  FROM lab),
+      |ev AS (SELECT DISTINCT shingle FROM sh WHERE is_eval),
+      |bpos AS (SELECT shingle,
+      |    CAST(('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' || shingle),
+      |      1, 15)) AS BIGINT) % 122880 AS pos
+      |  FROM ev, unnest(range(0, 3)) AS u(r)),
+      |bloom AS (SELECT pos // 60 AS word,
+      |    bit_or(1::BIGINT << CAST(pos % 60 AS INTEGER)) AS bits
+      |  FROM bpos GROUP BY 1),
+      |tr AS (SELECT doc_id, shingle FROM sh WHERE NOT is_eval),
+      |probe AS (SELECT doc_id, shingle,
+      |    CAST(('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' || shingle),
+      |      1, 15)) AS BIGINT) % 122880 AS pos
+      |  FROM tr, unnest(range(0, 3)) AS u(r)),
+      |hits AS (SELECT p.doc_id, p.shingle,
+      |    BOOL_AND((COALESCE(b.bits, 0) &
+      |      (1::BIGINT << CAST(p.pos % 60 AS INTEGER))) =
+      |      (1::BIGINT << CAST(p.pos % 60 AS INTEGER))) AS hit
+      |  FROM probe p LEFT JOIN bloom b ON b.word = p.pos // 60
+      |  GROUP BY 1, 2),
+      |bl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom
+      |  FROM hits WHERE hit GROUP BY 1),
+      |ex AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+      |  FROM tr t JOIN ev USING (shingle) GROUP BY 1)
+      |SELECT doc_id, n_bloom, COALESCE(n_exact, 0) AS n_exact,
+      |  n_bloom - COALESCE(n_exact, 0) AS n_fp
+      |FROM bl LEFT JOIN ex USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** q188 — mergeable quantile sketch with a visible error audit: per
+    * source, p50/p90/p99 of whitespace token counts estimated from a
+    * DECIMAL-HDR histogram (buckets = values floored to two
+    * significant decimal digits — pure string/integer arithmetic, so
+    * both engines bucket identically and relative error is bounded at
+    * ~1% by construction) beside the exact rank-based percentile and
+    * the signed error in bp. The sketch is the 100 TB path: ≤ 90
+    * cells per decade per source, built by ONE partial-aggregating
+    * pass and mergeable cell-wise like q176's CMS — where the exact
+    * percentile needs a per-group sort of the raw values (the audit
+    * pairs them so the estimate's quality is measured, not assumed —
+    * the q113/q183/q185 eval discipline). */
+  def q188QuantileSketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+      .select($"source", size(TextOps.tokens($"text")).cast("long").as("n"))
+      .filter($"n" >= 1)
+    val bucketed = docs.withColumn("ns", $"n".cast("string"))
+      .withColumn("lo", expr(
+        "CASE WHEN length(ns) <= 2 THEN n " +
+        "ELSE CAST(rpad(substr(ns, 1, 2), length(ns), '0') AS BIGINT) END"))
+    val sketch = bucketed.groupBy($"source", $"lo")
+      .agg(count(lit(1)).as("cnt"))
+    val ps = docs.groupBy($"source").agg(count(lit(1)).as("total"))
+      .select($"source", $"total",
+        explode(array(lit(50), lit(90), lit(99))).as("p"))
+      .withColumn("rk", expr("(CAST(p AS BIGINT) * total + 99) DIV 100"))
+    val cum = sketch.withColumn("cum",
+      sum($"cnt").over(Window.partitionBy($"source").orderBy($"lo")))
+    val est = ps.join(cum, Seq("source"))
+      .filter($"cum" >= $"rk")
+      .groupBy($"source", $"p", $"rk").agg(min($"lo").as("est"))
+    val exact = docs.withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"n")))
+      .join(ps.select($"source", $"p", $"rk"), Seq("source"))
+      .filter($"rn" === $"rk")
+      .select($"source", $"p", $"n".as("exact_v"))
+    est.join(exact, Seq("source", "p"))
+      .select($"source", $"p", $"est", $"exact_v",
+        expr("(est * 10000) DIV exact_v - 10000").as("err_bp"))
+      .orderBy($"source", $"p")
+  }
+  val q188Sql: String =
+    """WITH n0 AS (SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+      |bk AS (SELECT source, n,
+      |    CASE WHEN length(CAST(n AS VARCHAR)) <= 2 THEN n
+      |    ELSE CAST(rpad(substr(CAST(n AS VARCHAR), 1, 2),
+      |      length(CAST(n AS VARCHAR)), '0') AS BIGINT) END AS lo
+      |  FROM n0),
+      |sk AS (SELECT source, lo, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM bk GROUP BY 1, 2),
+      |ps AS (SELECT source, CAST(u.p AS INTEGER) AS p,
+      |    (CAST(u.p AS BIGINT) * total + 99) // 100 AS rk
+      |  FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS total
+      |    FROM n0 GROUP BY 1) t, unnest([50, 90, 99]) AS u(p)),
+      |cum AS (SELECT source, lo,
+      |    SUM(cnt) OVER (PARTITION BY source ORDER BY lo) AS cum
+      |  FROM sk),
+      |est AS (SELECT ps.source, ps.p, ps.rk, MIN(c.lo) AS est
+      |  FROM ps JOIN cum c ON c.source = ps.source AND c.cum >= ps.rk
+      |  GROUP BY 1, 2, 3),
+      |rn AS (SELECT source, n,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n) AS rn
+      |  FROM n0),
+      |ex AS (SELECT ps.source, ps.p, r.n AS exact_v
+      |  FROM ps JOIN rn r ON r.source = ps.source AND r.rn = ps.rk)
+      |SELECT e.source, e.p, CAST(e.est AS BIGINT) AS est,
+      |  CAST(x.exact_v AS BIGINT) AS exact_v,
+      |  CAST((e.est * 10000) // x.exact_v - 10000 AS BIGINT) AS err_bp
+      |FROM est e JOIN ex x ON x.source = e.source AND x.p = e.p
+      |ORDER BY source, p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> (q40DedupExact _),
     "q41_jaccard_neardup" -> (q41JaccardNearDup _),
@@ -4477,6 +4626,8 @@ object LlmQueries {
     "q184_langid_eval" -> (q184LangidEval _),
     "q185_minhash_err" -> (q185MinhashErr _),
     "q186_ivf_balance" -> (q186IvfBalance _),
+    "q187_bloom_decon" -> (q187BloomDecon _),
+    "q188_quantile_sketch" -> (q188QuantileSketch _),
     "q166_phrase_mining" -> (q166PhraseMining _),
     "q167_dup_graph_audit" -> (q167DupGraphAudit _),
     "q168_length_batches" -> (q168LengthBatches _),
@@ -4582,6 +4733,8 @@ object LlmQueries {
     "q184_langid_eval" -> q184Sql,
     "q185_minhash_err" -> q185Sql,
     "q186_ivf_balance" -> q186Sql,
+    "q187_bloom_decon" -> q187Sql,
+    "q188_quantile_sketch" -> q188Sql,
     // layout maintenance never changes values: the serve over the
     // compacted store replays the one-shot q140 build (q130's argument)
     "q165_postings_compaction" -> q140Sql,

@@ -303,7 +303,18 @@ case class ArrayQuantizeInt8(child: Expression) extends UnaryExpression {
 object VectorExprs {
 
   /** Idempotent per-session registration of the vector expressions. */
+  // Sessions already registered — createOrReplaceTempFunction logs a
+  // "replaced a previously registered function" warning on every repeat
+  // call, and register() is invoked lazily from every table load, so
+  // without this guard a bench run emits thousands of them. Weak keys:
+  // must not pin a stopped session.
+  private val registered: java.util.Set[SparkSession] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
+
   def register(spark: SparkSession): Unit = {
+    if (!registered.add(spark)) return
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_cosine",

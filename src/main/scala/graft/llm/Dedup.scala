@@ -1080,16 +1080,32 @@ object Dedup {
     * on the shingle key), so cost is driven by shingle co-occurrence —
     * which is why callers should run this AFTER exact dedup (the q106
     * composition lesson: exact copies share every shingle and square
-    * the pair space; keepers don't). q180 does exactly that. Rare-
-    * shingle filtering (drop shingles in > n docs, the q128 frequency
-    * machinery) is the documented knob if a boilerplate-heavy corpus
-    * makes common shingles hot. */
+    * the pair space; keepers don't). q180 does exactly that. The
+    * second hot-key source exact dedup can NOT remove is boilerplate:
+    * one license header shared by millions of otherwise-distinct docs
+    * makes its shingles quadratic join keys. `maxDocFreq` caps that —
+    * shingles appearing in more than that many docs are dropped BEFORE
+    * the pair join (one window count over the same shingle
+    * partitioning the join shuffles on), and `n_src` counts only the
+    * surviving informative shingles, so containment is measured over
+    * identifying content (the IDF argument: a shingle in >1000 docs
+    * identifies nothing). Default on at 1000; pair-join work is then
+    * bounded at df² per shingle ≤ 10⁶ rows per hot key instead of
+    * corpus². */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, minContainBp: Long = 8000L): DataFrame = {
+      k: Int = 8, minContainBp: Long = 8000L,
+      maxDocFreq: Long = 1000L): DataFrame = {
     require(minContainBp >= 1 && minContainBp <= 10000,
       s"minContainBp must be in [1, 10000], got $minContainBp")
-    val sh = df.select(col(idCol).as("doc_id"),
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val shAll = df.select(col(idCol).as("doc_id"),
       explode(Corpus.shingles(col(textCol), k)).as("shingle"))
+    // doc-frequency via window, not groupBy+self-join: one shuffle on
+    // the shingle key, which the pair join below reuses
+    val sh = shAll.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("doc_id"), col("shingle"))
     val sized = sh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_src")) // shingles() is already distinct
     val a = sh.select(col("doc_id").as("src"), col("shingle"))

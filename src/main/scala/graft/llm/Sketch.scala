@@ -135,15 +135,17 @@ object Sketch {
   def bloomHitUdf(bits: Array[Long], k: Int, words: Int)
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val mBits = words.toLong * BloomBitsPerWord
+    // One digest per task, not per row: the closure deserializes once
+    // per task and a task is single-threaded, so reusing the instance
+    // across rows is safe (digest() resets it after each call).
+    lazy val md = java.security.MessageDigest.getInstance("MD5")
     udf { (key: String) =>
       if (key == null) false
       else {
-        val md = java.security.MessageDigest.getInstance("MD5")
         var r = 0
         var all = true
         while (r < k && all) {
           val dig = md.digest(s"$r:$key".getBytes("UTF-8"))
-          md.reset()
           // first 15 hex chars = the top 60 bits of the digest, exactly
           // substring(md5(x), 1, 15) parsed base-16 (conv's semantics)
           var v = 0L

@@ -4035,7 +4035,10 @@ object LlmQueries {
     * exact copies share every shingle and would square the pair join
     * for information the q40 family already has — the q106
     * dedup-first composition, which also keeps the decades flat on
-    * copy-multiplied stress sets. */
+    * copy-multiplied stress sets. The default maxDocFreq=1000 cap
+    * drops boilerplate shingles (> 1000 docs) before the pair join —
+    * the hot-key class exact dedup cannot remove — and the oracle
+    * replays the same cap. */
   def q180Containment(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d)
@@ -4053,12 +4056,15 @@ object LlmQueries {
       |d2 AS (SELECT d.doc_id, d.text FROM documents d
       |  JOIN keep USING (doc_id)),
       |t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM d2),
-      |sh AS (SELECT doc_id,
+      |sh0 AS (SELECT doc_id,
       |    unnest(list_distinct(CASE WHEN len(tk) >= 8 THEN
       |      list_transform(range(1, len(tk) - 6),
       |        i -> array_to_string(tk[i:i+7], ' '))
       |      ELSE [] END)) AS shingle
       |  FROM t),
+      |sh AS (SELECT doc_id, shingle FROM (SELECT doc_id, shingle,
+      |    COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh0)
+      |  WHERE df <= 1000),
       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh
       |  GROUP BY doc_id),
       |shared AS (SELECT a.doc_id AS src, b.doc_id AS dst,
@@ -4464,7 +4470,9 @@ object LlmQueries {
     * DECIMAL-HDR histogram (buckets = values floored to two
     * significant decimal digits — pure string/integer arithmetic, so
     * both engines bucket identically and relative error is bounded at
-    * ~1% by construction) beside the exact rank-based percentile and
+    * ~10% worst-case by construction — bucket width 10^(d-2) under
+    * values ≥ 10^(d-1), e.g. 1099 floors to 1000) beside the exact
+    * rank-based percentile and
     * the signed error in bp. The sketch is the 100 TB path: ≤ 90
     * cells per decade per source, built by ONE partial-aggregating
     * pass and mergeable cell-wise like q176's CMS — where the exact
@@ -4509,7 +4517,8 @@ object LlmQueries {
       |bk AS (SELECT source, n,
       |    CASE WHEN length(CAST(n AS VARCHAR)) <= 2 THEN n
       |    ELSE CAST(rpad(substr(CAST(n AS VARCHAR), 1, 2),
-      |      length(CAST(n AS VARCHAR)), '0') AS BIGINT) END AS lo
+      |      CAST(length(CAST(n AS VARCHAR)) AS INTEGER), '0') AS BIGINT)
+      |    END AS lo
       |  FROM n0),
       |sk AS (SELECT source, lo, CAST(COUNT(*) AS BIGINT) AS cnt
       |  FROM bk GROUP BY 1, 2),
@@ -4532,7 +4541,7 @@ object LlmQueries {
       |  CAST(x.exact_v AS BIGINT) AS exact_v,
       |  CAST((e.est * 10000) // x.exact_v - 10000 AS BIGINT) AS err_bp
       |FROM est e JOIN ex x ON x.source = e.source AND x.p = e.p
-      |ORDER BY source, p""".stripMargin
+      |ORDER BY e.source, e.p""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_dedup_exact" -> (q40DedupExact _),

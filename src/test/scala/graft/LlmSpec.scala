@@ -1603,6 +1603,27 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("containment pairs: maxDocFreq drops boilerplate shingles") {
+    import spark.implicits._
+    // one 8-token header shared by all four docs (df=4) + unique tails
+    val header = (1 to 8).map(i => s"h$i").mkString(" ")
+    val docs = Seq((1L, header), (2L, s"$header u1"),
+      (3L, s"$header v1"), (4L, s"$header w1")).toDF("doc_id", "text")
+    // default cap (1000) keeps the header shingle: doc 1 is contained
+    // in every other doc
+    val dflt = Dedup.containmentPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    assert(dflt.toSet == Set((1L, 2L), (1L, 3L), (1L, 4L)), dflt.toSeq)
+    // cap=2 drops it (df=4 > 2): no informative shingles are shared,
+    // doc 1 has n_src=0 and vanishes entirely — no pairs at all
+    val capped = Dedup.containmentPairs(docs, "doc_id", "text",
+      k = 8, minContainBp = 8000L, maxDocFreq = 2L)
+    assert(capped.count() == 0L)
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(docs, "doc_id", "text", 8, 8000L, 0L)
+    }
+  }
+
   test("frame-hash pairs: smaller-clip coverage + identical-set collapse") {
     import spark.implicits._
     // clip 1 = {A, B}; clip 2 = {A, B, C} (1 fully inside 2);

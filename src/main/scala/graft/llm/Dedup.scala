@@ -1139,19 +1139,33 @@ object Dedup {
     * collisions (a production 64-bit frame hash makes collisions ≈
     * real matches; the 10-bit fixture hash is dense by construction,
     * which is why the full-coverage default threshold matters). */
-  def frameHashPairs(frames: DataFrame, idCol: String, hashCol: String,
-      minOverlapBp: Long = 10000L): DataFrame = {
-    require(minOverlapBp >= 1 && minOverlapBp <= 10000,
-      s"minOverlapBp must be in [1, 10000], got $minOverlapBp")
+  /** The identical-set representative collapse [[frameHashPairs]] is
+    * built on, exposed for direct use (the q191 manifest counts these
+    * reps as the video modality's keepers): duplicate frame rows
+    * collapse per clip, then clips with IDENTICAL frame-hash sets
+    * collapse to one min-id representative (fingerprint = md5 of the
+    * sorted hash list) carrying its exact-dup multiplicity `n_clips`
+    * and the set itself (`hl`). This collapse is what bounds the pair
+    * space by DISTINCT clip contents on re-post-heavy corpora. */
+  def frameSetReps(frames: DataFrame, idCol: String,
+      hashCol: String): DataFrame = {
     val h = frames.select(col(idCol).as("clip"), col(hashCol).as("fhash"))
       .distinct()
     val sets = h.groupBy(col("clip"))
       .agg(sort_array(collect_list(col("fhash"))).as("hl"))
       .withColumn("fp",
         md5(concat_ws(",", col("hl").cast("array<string>"))))
-    val reps = sets.groupBy(col("fp"))
+    sets.groupBy(col("fp"))
       .agg(min(col("clip")).as("clip"), count(lit(1)).as("n_clips"),
         first(col("hl")).as("hl")) // hl identical within an fp group
+      .drop("fp")
+  }
+
+  def frameHashPairs(frames: DataFrame, idCol: String, hashCol: String,
+      minOverlapBp: Long = 10000L): DataFrame = {
+    require(minOverlapBp >= 1 && minOverlapBp <= 10000,
+      s"minOverlapBp must be in [1, 10000], got $minOverlapBp")
+    val reps = frameSetReps(frames, idCol, hashCol)
       .localCheckpoint(false) // sizes AND the pair join read it
     val hr = reps.select(col("clip"), col("n_clips"),
       explode(col("hl")).as("fhash"))

@@ -732,6 +732,78 @@ object LlmQueries {
        |  FROM rr) WHERE rn <= 5
        |ORDER BY qid, rn""".stripMargin
 
+  /** q189 — PQ recall@5, hash-gated: the q113 eval discipline applied
+    * to the PQ family (q148/q149/q150 ship the codes; this ships their
+    * report card). q148's m=4/ksub=16 brute-ADC top-5 is joined
+    * against the exact float-L2 top-5 (fixed-point `floor(d·1e6+0.5)`
+    * total order, so the ground truth itself is hash-exact — the q150
+    * re-rank trick applied to the truth side) and each query gets
+    * `n_matched`/`recall`. On this fixture mean recall@5 is the number
+    * the m/ksub table in BASELINE.md is tuned against — 2 bytes of
+    * code per vector buys what it buys, measured, not assumed. The
+    * exact side is the labeled O(|q|·N) eval baseline (|q|=10,
+    * broadcast): the corpus-scale serving path stays q149/q150. */
+  def q189PqRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, d)
+    val sample = e.filter(pmod($"vec_id", lit(10)) === 0)
+    val cbs = graft.llm.Pq.fitCodebooks(sample, "vec_id", "embedding",
+      dim = 64, m = 4, ksub = 16)
+    val codes = graft.llm.Pq.encode(e, "vec_id", "embedding", cbs)
+    val qs = e.filter($"vec_id" < 10)
+    val approx = graft.llm.Pq.adcSearch(qs, codes, "vec_id",
+      "embedding", cbs, k = 5).select($"qid", $"cid")
+    val qv = qs.select($"vec_id".as("qid"),
+      $"embedding".cast("array<double>").as("__qv"))
+    val cv = e.select($"vec_id".as("cid"),
+      $"embedding".cast("array<double>").as("__cv"))
+    val w = Window.partitionBy($"qid")
+      .orderBy($"l2_fp".asc, $"cid".asc)
+    val exact = cv.crossJoin(broadcast(qv))
+      .filter($"cid" =!= $"qid")
+      .withColumn("l2_fp",
+        floor(graft.ml.Distance.sqEuclidean($"__cv", $"__qv")
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"qid", $"cid")
+    val hits = exact.join(approx, Seq("qid", "cid"))
+      .groupBy($"qid").agg(count(lit(1)).as("n_matched"))
+    exact.select($"qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_matched"))
+      .withColumn("recall", $"n_matched".cast("double") / lit(5.0))
+      .orderBy($"qid")
+  }
+  val q189Sql: String =
+    s"""WITH allpts AS (SELECT vec_id AS id,
+       |    CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |${pqCtesSql(m = 4, ksub = 16)},
+       |$pqBruteAdcSql,
+       |approx AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY adc_fp, cid) AS rn
+       |  FROM adc) WHERE rn <= 5),
+       |ep AS (SELECT q.id AS qid, c.id AS cid,
+       |    CAST(floor(list_sum(list_transform(list_zip(c.v, q.v),
+       |      z -> (z[1]-z[2])*(z[1]-z[2]))) * 1e6 + 5e-1) AS BIGINT)
+       |      AS l2_fp
+       |  FROM allpts c, allpts q WHERE q.id < 10 AND c.id != q.id),
+       |exact AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY l2_fp, cid) AS rn
+       |  FROM ep) WHERE rn <= 5),
+       |hits AS (SELECT e.qid, COUNT(*) AS n
+       |  FROM exact e JOIN approx a ON a.qid = e.qid AND a.cid = e.cid
+       |  GROUP BY e.qid)
+       |SELECT e.qid, COALESCE(h.n, 0) AS n_matched,
+       |  CAST(COALESCE(h.n, 0) AS DOUBLE) / 5.0 AS recall
+       |FROM (SELECT DISTINCT qid FROM exact) e
+       |LEFT JOIN hits h ON h.qid = e.qid
+       |ORDER BY e.qid""".stripMargin
+
   /** q113 — ANN recall@5, hash-gated: the EVAL harness for the
     * approximate-search stack. Joins q112's IVF-SQ top-5 against q22's
     * exact float-cosine top-5 (the ground truth) and emits per-query
@@ -3251,8 +3323,8 @@ object LlmQueries {
   /** The CTE chain from documents through the recursive closure to
     * `labeled(id, keep_id)` — q57 selects it directly, q117 layers the
     * split arithmetic on top. */
-  private val q57SqlPrefix: String =
-    """WITH RECURSIVE t AS (SELECT doc_id, source,
+  private val q57CtesSql: String =
+    """t AS (SELECT doc_id, source,
       |    list_distinct(string_split(text, ' ')) AS toks FROM documents),
       |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
@@ -3267,6 +3339,7 @@ object LlmQueries {
       |  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src),
       |labeled AS (SELECT id, MIN(r) AS keep_id FROM reach GROUP BY id)"""
       .stripMargin
+  private val q57SqlPrefix: String = "WITH RECURSIVE " + q57CtesSql
 
   def q57DedupComponents(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -3797,39 +3870,45 @@ object LlmQueries {
         $"rep_a", $"rep_b")
       .orderBy($"ha", $"hb")
   }
-  val q172Sql: String =
-    """WITH m AS (SELECT doc_id AS media_id, text FROM documents
+  /** The image-modality CTE chain (pixels → aHash → distinct-hash
+    * groups `im_hd` → band candidates `im_cand`) — shared verbatim by
+    * q172 and the q191 cross-modality manifest. Prefixed names so the
+    * four modality chains compose into one WITH without collisions. */
+  private val imgCtesSql: String =
+    """im_m AS (SELECT doc_id AS media_id, text FROM documents
       |  WHERE CAST(doc_id % 3 AS INTEGER) = 0 AND length(text) >= 60),
-      |px AS (SELECT media_id,
+      |im_px AS (SELECT media_id,
       |    substr(text, 46, 15) || substr(text, 31, 15) ||
       |    substr(text, 16, 15) || substr(text, 1, 15) AS pix
-      |  FROM m),
-      |g AS (SELECT media_id,
+      |  FROM im_m),
+      |im_g AS (SELECT media_id,
       |    list_transform(range(0, 20), p ->
       |      (unicode(substr(pix, CAST(p*3+1 AS INTEGER), 1)) +
       |       unicode(substr(pix, CAST(p*3+2 AS INTEGER), 1)) +
       |       unicode(substr(pix, CAST(p*3+3 AS INTEGER), 1))) // 3) AS gray
-      |  FROM px),
-      |h AS (SELECT media_id,
+      |  FROM im_px),
+      |im_h AS (SELECT media_id,
       |    CAST(list_sum(list_transform(range(0, 20), p ->
       |      CASE WHEN gray[CAST(p+1 AS INTEGER)] >
       |        list_sum(gray) // 20 THEN 1 << CAST(p AS INTEGER) ELSE 0 END))
       |      AS BIGINT) AS phash
-      |  FROM g),
-      |hd AS (SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_imgs,
+      |  FROM im_g),
+      |im_hd AS (SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_imgs,
       |    MIN(media_id) AS min_id
-      |  FROM h GROUP BY phash),
-      |b AS (SELECT phash, CAST(u.b AS INTEGER) AS band,
+      |  FROM im_h GROUP BY phash),
+      |im_b AS (SELECT phash, CAST(u.b AS INTEGER) AS band,
       |    (phash >> (5*CAST(u.b AS INTEGER))) & 31 AS bval
-      |  FROM hd, unnest(range(0, 4)) AS u(b)),
-      |cand AS (SELECT DISTINCT x.phash AS ha, y.phash AS hb
-      |  FROM b x JOIN b y ON x.band = y.band AND x.bval = y.bval
-      |    AND x.phash < y.phash)
+      |  FROM im_hd, unnest(range(0, 4)) AS u(b)),
+      |im_cand AS (SELECT DISTINCT x.phash AS ha, y.phash AS hb
+      |  FROM im_b x JOIN im_b y ON x.band = y.band AND x.bval = y.bval
+      |    AND x.phash < y.phash)""".stripMargin
+  val q172Sql: String =
+    s"""WITH $imgCtesSql
       |SELECT ha, hb, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming,
       |  la.n_imgs AS n_a, lb.n_imgs AS n_b,
       |  la.min_id AS rep_a, lb.min_id AS rep_b
-      |FROM cand JOIN hd la ON la.phash = cand.ha
-      |  JOIN hd lb ON lb.phash = cand.hb
+      |FROM im_cand cand JOIN im_hd la ON la.phash = cand.ha
+      |  JOIN im_hd lb ON lb.phash = cand.hb
       |WHERE bit_count(xor(ha, hb)) <= 3
       |ORDER BY ha, hb""".stripMargin
 
@@ -4078,6 +4157,53 @@ object LlmQueries {
       |SELECT src, dst, n_src, n_shared, CAST(cont_bp AS BIGINT) AS cont_bp
       |FROM c WHERE cont_bp >= 8000 ORDER BY src, dst""".stripMargin
 
+  /** q192 — boilerplate shingle audit: the operational companion to
+    * [[graft.llm.Dedup.containmentPairs]]'s `maxDocFreq` cap — the
+    * top-15 8-gram shingles by DOC FREQUENCY over exact-dedup keepers,
+    * with corpus share in bp and the over-cap flag at the default
+    * threshold. This is the table an operator reads before setting the
+    * cap on a new corpus: a license header shared by 30% of docs shows
+    * up here as five shingles at 3000 bp long before the pair join
+    * would have made them quadratic hot keys. Scale shape: ONE
+    * map-side-combined aggregation on the shingle key (each partition
+    * collapses to its distinct shingles before the exchange) and a
+    * k-bounded TakeOrdered — no pair join anywhere. */
+  def q192BoilerplateAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val keep = docs.groupBy(md5($"text").as("fp"))
+      .agg(min($"doc_id").as("doc_id"))
+    val kept = docs.join(keep.select($"doc_id"), "doc_id")
+    val sh = kept.select($"doc_id",
+      explode(Corpus.shingles($"text", 8)).as("shingle"))
+    val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    val n = kept.agg(count(lit(1)).as("n_docs"))
+    dfreq.crossJoin(broadcast(n)) // 1-row stats frame
+      .select($"shingle", $"df",
+        expr("(10000 * df) DIV n_docs").as("share_bp"),
+        ($"df" > 1000).as("over_cap"))
+      .orderBy($"df".desc, $"shingle").limit(15)
+  }
+  val q192Sql: String =
+    """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
+      |  GROUP BY md5(text)),
+      |d2 AS (SELECT d.doc_id, d.text FROM documents d
+      |  JOIN keep USING (doc_id)),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM d2),
+      |sh AS (SELECT doc_id,
+      |    unnest(list_distinct(CASE WHEN len(tk) >= 8 THEN
+      |      list_transform(range(1, len(tk) - 6),
+      |        i -> array_to_string(tk[i:i+7], ' '))
+      |      ELSE [] END)) AS shingle
+      |  FROM t),
+      |f AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh
+      |  GROUP BY shingle),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d2)
+      |SELECT shingle, df, CAST((10000 * df) // n_docs AS BIGINT)
+      |    AS share_bp,
+      |  df > 1000 AS over_cap
+      |FROM f, n ORDER BY df DESC, shingle LIMIT 15""".stripMargin
+
   /** q181 — audio-fingerprint near-dup pairs ([[graft.llm.Multimodal
     * .audioHash]] + [[graft.llm.Dedup.phashBandPairs]]): q172's banded
     * search applied to the AUDIO modality — each WAV's decoded PCM
@@ -4098,34 +4224,39 @@ object LlmQueries {
         $"rep_a", $"rep_b")
       .orderBy($"ha", $"hb")
   }
-  val q181Sql: String =
-    """WITH a AS (SELECT doc_id AS media_id, text FROM documents
+  /** The audio-modality CTE chain (PCM samples → aHash → distinct-hash
+    * groups `au_hd` → band candidates `au_cand`) — shared verbatim by
+    * q181 and the q191 cross-modality manifest. */
+  private val audCtesSql: String =
+    """au_a AS (SELECT doc_id AS media_id, text FROM documents
       |  WHERE CAST(doc_id % 3 AS INTEGER) = 1 AND strlen(text) >= 40),
-      |s AS (SELECT media_id,
+      |au_s AS (SELECT media_id,
       |    list_transform(range(1, 41), i ->
       |      (unicode(substr(text, CAST(i AS INTEGER), 1)) - 128) * 256)
       |      AS sm
-      |  FROM a),
-      |h AS (SELECT media_id,
+      |  FROM au_a),
+      |au_h AS (SELECT media_id,
       |    CAST(list_sum(list_transform(range(0, 40), p ->
       |      CASE WHEN sm[CAST(p+1 AS INTEGER)] >
       |        list_sum(sm) // 40
       |        THEN CAST(1 AS BIGINT) << CAST(p AS INTEGER)
       |        ELSE 0 END)) AS BIGINT) AS ahash
-      |  FROM s),
-      |hd AS (SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_clips,
-      |    MIN(media_id) AS min_id FROM h GROUP BY ahash),
-      |b AS (SELECT ahash, CAST(u.b AS INTEGER) AS band,
+      |  FROM au_s),
+      |au_hd AS (SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_clips,
+      |    MIN(media_id) AS min_id FROM au_h GROUP BY ahash),
+      |au_b AS (SELECT ahash, CAST(u.b AS INTEGER) AS band,
       |    (ahash >> (10*CAST(u.b AS INTEGER))) & 1023 AS bval
-      |  FROM hd, unnest(range(0, 4)) AS u(b)),
-      |cand AS (SELECT DISTINCT x.ahash AS ha, y.ahash AS hb
-      |  FROM b x JOIN b y ON x.band = y.band AND x.bval = y.bval
-      |    AND x.ahash < y.ahash)
+      |  FROM au_hd, unnest(range(0, 4)) AS u(b)),
+      |au_cand AS (SELECT DISTINCT x.ahash AS ha, y.ahash AS hb
+      |  FROM au_b x JOIN au_b y ON x.band = y.band AND x.bval = y.bval
+      |    AND x.ahash < y.ahash)""".stripMargin
+  val q181Sql: String =
+    s"""WITH $audCtesSql
       |SELECT ha, hb, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming,
       |  la.n_clips AS n_a, lb.n_clips AS n_b,
       |  la.min_id AS rep_a, lb.min_id AS rep_b
-      |FROM cand JOIN hd la ON la.ahash = cand.ha
-      |  JOIN hd lb ON lb.ahash = cand.hb
+      |FROM au_cand cand JOIN au_hd la ON la.ahash = cand.ha
+      |  JOIN au_hd lb ON lb.ahash = cand.hb
       |WHERE bit_count(xor(ha, hb)) <= 3
       |ORDER BY ha, hb""".stripMargin
 
@@ -4152,50 +4283,156 @@ object LlmQueries {
         $"n_shared", $"n_a", $"n_b", $"overlap_bp")
       .orderBy($"clip_a", $"clip_b")
   }
-  val q182Sql: String =
-    """WITH m AS (SELECT doc_id AS media_id, text FROM documents
+  /** The video-modality CTE chain (frames → per-frame aHash →
+    * identical-set representatives `vi_reps` → coverage pairs `vi_o`)
+    * — shared verbatim by q182 and the q191 cross-modality manifest. */
+  private val vidCtesSql: String =
+    """vi_m AS (SELECT doc_id AS media_id, text FROM documents
       |  WHERE CAST(doc_id % 3 AS INTEGER) = 2 AND length(text) >= 60),
-      |fr AS (SELECT media_id, CAST(t.f AS BIGINT) AS frame_id,
+      |vi_fr AS (SELECT media_id, CAST(t.f AS BIGINT) AS frame_id,
       |    substr(text, CAST(t.f * 30 + 16 AS BIGINT), 15) ||
       |    substr(text, CAST(t.f * 30 + 1 AS BIGINT), 15) AS pix
-      |  FROM m, unnest(range(0, 2)) AS t(f)),
-      |g AS (SELECT media_id, frame_id,
+      |  FROM vi_m, unnest(range(0, 2)) AS t(f)),
+      |vi_g AS (SELECT media_id, frame_id,
       |    list_transform(range(0, 10), p ->
       |      (unicode(substr(pix, CAST(p*3+1 AS INTEGER), 1)) +
       |       unicode(substr(pix, CAST(p*3+2 AS INTEGER), 1)) +
       |       unicode(substr(pix, CAST(p*3+3 AS INTEGER), 1))) // 3) AS gray
-      |  FROM fr),
-      |h AS (SELECT DISTINCT media_id,
+      |  FROM vi_fr),
+      |vi_h AS (SELECT DISTINCT media_id,
       |    CAST(list_sum(list_transform(range(0, 10), p ->
       |      CASE WHEN gray[CAST(p+1 AS INTEGER)] >
       |        list_sum(gray) // 10 THEN 1 << CAST(p AS INTEGER)
       |        ELSE 0 END)) AS BIGINT) AS fhash
-      |  FROM g),
-      |sets AS (SELECT media_id, list_sort(list(fhash)) AS hl FROM h
+      |  FROM vi_g),
+      |vi_sets AS (SELECT media_id, list_sort(list(fhash)) AS hl FROM vi_h
       |  GROUP BY media_id),
-      |reps AS (SELECT MIN(media_id) AS clip,
+      |vi_reps AS (SELECT MIN(media_id) AS clip,
       |    CAST(COUNT(*) AS BIGINT) AS n_clips, ANY_VALUE(hl) AS hl
-      |  FROM sets
+      |  FROM vi_sets
       |  GROUP BY md5(array_to_string(
       |    list_transform(hl, x -> CAST(x AS VARCHAR)), ','))),
-      |hr AS (SELECT clip, unnest(hl) AS fhash FROM reps),
-      |sz AS (SELECT clip, n_clips, CAST(len(hl) AS BIGINT) AS n_h
-      |  FROM reps),
-      |p AS (SELECT a.clip AS clip_a, b.clip AS clip_b,
+      |vi_hr AS (SELECT clip, unnest(hl) AS fhash FROM vi_reps),
+      |vi_sz AS (SELECT clip, n_clips, CAST(len(hl) AS BIGINT) AS n_h
+      |  FROM vi_reps),
+      |vi_p AS (SELECT a.clip AS clip_a, b.clip AS clip_b,
       |    CAST(COUNT(*) AS BIGINT) AS n_shared
-      |  FROM hr a JOIN hr b ON a.fhash = b.fhash AND a.clip < b.clip
+      |  FROM vi_hr a JOIN vi_hr b ON a.fhash = b.fhash AND a.clip < b.clip
       |  GROUP BY 1, 2),
-      |o AS (SELECT clip_a, clip_b, sa.n_clips AS n_clips_a,
+      |vi_o AS (SELECT clip_a, clip_b, sa.n_clips AS n_clips_a,
       |    sb.n_clips AS n_clips_b, n_shared, sa.n_h AS n_a,
       |    sb.n_h AS n_b,
       |    CAST((10000 * n_shared) // LEAST(sa.n_h, sb.n_h) AS BIGINT)
       |      AS overlap_bp
-      |  FROM p JOIN sz sa ON sa.clip = p.clip_a
-      |    JOIN sz sb ON sb.clip = p.clip_b)
+      |  FROM vi_p p JOIN vi_sz sa ON sa.clip = p.clip_a
+      |    JOIN vi_sz sb ON sb.clip = p.clip_b)""".stripMargin
+  val q182Sql: String =
+    s"""WITH $vidCtesSql
       |SELECT clip_a, clip_b, n_clips_a, n_clips_b, n_shared, n_a, n_b,
       |  overlap_bp
-      |FROM o WHERE overlap_bp >= 10000
+      |FROM vi_o WHERE overlap_bp >= 10000
       |ORDER BY clip_a, clip_b""".stripMargin
+
+  /** q191 — cross-modality dedup governance manifest: the round-9
+    * modality triple (q172 image, q181 audio, q182 video) and the q57
+    * text keepers composed into ONE release manifest — per modality:
+    * items entering dedup, keepers surviving the modality's own
+    * collapse (text: near-dup component minima; image/audio: distinct
+    * perceptual hashes; video: distinct frame-hash SETS), the dup mass
+    * removed, the family's near-dup pair count still open for review,
+    * and a q174-style ORDER-INVARIANT `bit_xor` checksum over the
+    * keeper ids — two releases deduplicated the same way iff all four
+    * checksums agree. Every branch replays its family's shared CTE
+    * builder verbatim (q57CtesSql / imgCtesSql / audCtesSql /
+    * vidCtesSql — no drift possible vs q57/q172/q181/q182), and every
+    * aggregate is keeper- or pair-sized: the manifest costs one scan
+    * per modality over already-collapsed frames. */
+  def q191CrossModalManifest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def sig(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    def row(modality: String, items: DataFrame, keepers: DataFrame,
+        pairs: DataFrame): DataFrame = {
+      val i = items.agg(count(lit(1)).cast("long").as("n_items"))
+      val k = keepers.select(sig(col("kid")).as("__sig"))
+        .agg(count(lit(1)).cast("long").as("n_keepers"),
+          expr("bit_xor(__sig)").as("checksum"))
+      val p = pairs.agg(count(lit(1)).cast("long").as("n_neardup_pairs"))
+      i.crossJoin(k).crossJoin(p) // 1-row stats frames
+        .select(lit(modality).as("modality"), $"n_items", $"n_keepers",
+          ($"n_items" - $"n_keepers").as("dup_mass"),
+          $"n_neardup_pairs", $"checksum")
+    }
+    val docs = documents(s, d)
+    val comps = nearDupComponents(s, d)
+    val txt = row("text", comps.select($"id"),
+      comps.select($"keep_id".as("kid")).distinct(),
+      Dedup.jaccardPairs(docs, "doc_id", "text", "source", 0.9))
+    val bmp = Multimodal.mediaTableBmp(s, d)
+      .filter($"meta.kind" === "image" && $"meta.n_bytes" >= 60)
+    val imgHashes = Multimodal.aHashFeatures(bmp)
+    val img = row("image", imgHashes.select($"media_id"),
+      imgHashes.groupBy($"phash").agg(min($"media_id").as("kid")),
+      Dedup.phashBandPairs(imgHashes, "media_id", "phash",
+        bits = 20, nBands = 4, maxHamming = 3))
+    val wav = Multimodal.mediaTableWav(s, d)
+      .filter($"meta.kind" === "audio" && $"meta.n_bytes" >= 40)
+    val audHashes = Multimodal.wavHashFeatures(wav, nBits = 40)
+    val aud = row("audio", audHashes.select($"media_id"),
+      audHashes.groupBy($"ahash").agg(min($"media_id").as("kid")),
+      Dedup.phashBandPairs(audHashes, "media_id", "ahash",
+        bits = 40, nBands = 4, maxHamming = 3))
+    val avi = Multimodal.mediaTableAvi(s, d)
+      .filter($"meta.kind" === "video" && $"meta.n_bytes" >= 60)
+    val ah = udf((b: Array[Byte]) => Multimodal.aHash(b, 10))
+    val vidHashes = Multimodal.decodeAviFrames(avi)
+      .select($"media_id", ah($"pixels").as("fhash"))
+    val vid = row("video", avi.select($"media_id"),
+      Dedup.frameSetReps(vidHashes, "media_id", "fhash")
+        .select($"clip".as("kid")),
+      Dedup.frameHashPairs(vidHashes, "media_id", "fhash",
+        minOverlapBp = 10000L))
+    txt.unionByName(img).unionByName(aud).unionByName(vid)
+      .orderBy($"modality")
+  }
+  lazy val q191Sql: String = {
+    def sigSql(c: String): String =
+      s"CAST(bit_xor(CAST(('0x' || substr(md5(CAST($c AS VARCHAR))," +
+        s" 1, 15)) AS BIGINT)) AS BIGINT)"
+    "WITH RECURSIVE " + q57CtesSql + ",\n" + imgCtesSql + ",\n" +
+      audCtesSql + ",\n" + vidCtesSql + ",\n" +
+    s"""tx AS (SELECT 'text' AS modality,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM labeled) AS n_items,
+       |    (SELECT CAST(COUNT(DISTINCT keep_id) AS BIGINT) FROM labeled)
+       |      AS n_keepers,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs)
+       |      AS n_neardup_pairs,
+       |    (SELECT ${sigSql("kid")} FROM
+       |      (SELECT DISTINCT keep_id AS kid FROM labeled)) AS checksum),
+       |im AS (SELECT 'image' AS modality,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM im_m) AS n_items,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM im_hd) AS n_keepers,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM im_cand
+       |      WHERE bit_count(xor(ha, hb)) <= 3) AS n_neardup_pairs,
+       |    (SELECT ${sigSql("min_id")} FROM im_hd) AS checksum),
+       |au AS (SELECT 'audio' AS modality,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM au_a) AS n_items,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM au_hd) AS n_keepers,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM au_cand
+       |      WHERE bit_count(xor(ha, hb)) <= 3) AS n_neardup_pairs,
+       |    (SELECT ${sigSql("min_id")} FROM au_hd) AS checksum),
+       |vi AS (SELECT 'video' AS modality,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM vi_m) AS n_items,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM vi_reps) AS n_keepers,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM vi_o
+       |      WHERE overlap_bp >= 10000) AS n_neardup_pairs,
+       |    (SELECT ${sigSql("clip")} FROM vi_reps) AS checksum),
+       |u AS (SELECT * FROM tx UNION ALL SELECT * FROM im
+       |  UNION ALL SELECT * FROM au UNION ALL SELECT * FROM vi)
+       |SELECT modality, n_items, n_keepers,
+       |  n_items - n_keepers AS dup_mass, n_neardup_pairs, checksum
+       |FROM u ORDER BY modality""".stripMargin
+  }
 
   /** q183 — signature-family banding EVAL ([[graft.llm.Dedup
     * .minHashSqlCandidates]] / [[graft.llm.Dedup.simHashSqlCandidates]]):
@@ -4637,6 +4874,9 @@ object LlmQueries {
     "q186_ivf_balance" -> (q186IvfBalance _),
     "q187_bloom_decon" -> (q187BloomDecon _),
     "q188_quantile_sketch" -> (q188QuantileSketch _),
+    "q189_pq_recall" -> (q189PqRecall _),
+    "q191_crossmodal_manifest" -> (q191CrossModalManifest _),
+    "q192_boilerplate_audit" -> (q192BoilerplateAudit _),
     "q166_phrase_mining" -> (q166PhraseMining _),
     "q167_dup_graph_audit" -> (q167DupGraphAudit _),
     "q168_length_batches" -> (q168LengthBatches _),
@@ -4744,6 +4984,9 @@ object LlmQueries {
     "q186_ivf_balance" -> q186Sql,
     "q187_bloom_decon" -> q187Sql,
     "q188_quantile_sketch" -> q188Sql,
+    "q189_pq_recall" -> q189Sql,
+    "q191_crossmodal_manifest" -> q191Sql,
+    "q192_boilerplate_audit" -> q192Sql,
     // layout maintenance never changes values: the serve over the
     // compacted store replays the one-shot q140 build (q130's argument)
     "q165_postings_compaction" -> q140Sql,

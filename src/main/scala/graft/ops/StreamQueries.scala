@@ -745,6 +745,84 @@ object StreamQueries {
       |    AS BIGINT) AS cnt_seen
       |FROM g ORDER BY batch_id, row_i, cell""".stripMargin
 
+  /** q190 — STREAMING quantile-sketch ingest: q188's mergeability
+    * claim ("the 100 TB path") given the same operational proof the
+    * CMS got (q176 → q179). Each arriving document lands map-only in
+    * its DECIMAL-HDR histogram cell — key `source|lo`, q188's
+    * two-significant-digit floor of the whitespace token count — and
+    * the keyed state store carries one running count per touched
+    * (source, bucket) cell across micro-batches
+    * ([[StreamOps.streamingCmsIngest]] reused verbatim: a histogram
+    * ingest IS a CMS ingest with semantic instead of hashed cells).
+    * After every batch each touched cell emits its post-batch count —
+    * the state update is the cell-wise sum, so the streamed sketch
+    * equals the batch-built q188 sketch at every prefix, which is
+    * exactly what the oracle replays (per-cell cumulative sums over
+    * NTILE tiles). State stays bounded at ≤ 90 cells/decade/source
+    * regardless of arrival volume. */
+  def q190StreamQuantile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"source", $"text")
+    val schema = new StructType().add("doc_id", LongType)
+      .add("source", StringType).add("text", StringType)
+    fourBatchHarness(s, docs, "doc_id", schema, "qsketch") {
+      (source, sink) =>
+        val bucketed = source.select($"doc_id", $"source",
+            size(graft.llm.TextOps.tokens($"text")).cast("long").as("n"))
+          .filter($"n" >= 1)
+          .withColumn("ns", $"n".cast("string"))
+          .withColumn("lo", expr(
+            "CASE WHEN length(ns) <= 2 THEN n " +
+            "ELSE CAST(rpad(substr(ns, 1, 2), length(ns), '0')" +
+            " AS BIGINT) END"))
+        val rows = bucketed.select(
+            concat($"source", lit("|"), $"lo".cast("string")).as("_1"),
+            $"doc_id".as("_2"))
+          .as[(String, Long)]
+        val out = StreamOps.streamingCmsIngest(rows)
+        val q = out.toDF().writeStream
+          .outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+    } { sinkDf =>
+      val tiles = docs.select($"doc_id",
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy($"doc_id")).as("batch_id"))
+      sinkDf.select($"_1".as("cell_key"), $"_2".as("cnt_seen"),
+          $"_3".as("doc_id"))
+        .join(tiles, "doc_id")
+        .select($"batch_id",
+          split($"cell_key", "\\|").getItem(0).as("source"),
+          split($"cell_key", "\\|").getItem(1).cast("long").as("lo"),
+          $"cnt_seen")
+        .orderBy($"batch_id", $"source", $"lo")
+    }
+  }
+  val q190Sql: String =
+    """WITH tiled AS (SELECT doc_id,
+      |    NTILE(4) OVER (ORDER BY doc_id) AS tile FROM documents),
+      |n0 AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+      |bk AS (SELECT doc_id, source,
+      |    CASE WHEN length(CAST(n AS VARCHAR)) <= 2 THEN n
+      |    ELSE CAST(rpad(substr(CAST(n AS VARCHAR), 1, 2),
+      |      CAST(length(CAST(n AS VARCHAR)) AS INTEGER), '0') AS BIGINT)
+      |    END AS lo
+      |  FROM n0),
+      |g AS (SELECT t.tile, b.source, b.lo,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM bk b JOIN tiled t USING (doc_id)
+      |  GROUP BY 1, 2, 3)
+      |SELECT tile AS batch_id, source, lo,
+      |  CAST(SUM(cnt) OVER (PARTITION BY source, lo ORDER BY tile)
+      |    AS BIGINT) AS cnt_seen
+      |FROM g ORDER BY batch_id, source, lo""".stripMargin
+
   /** q106 — STREAMING near-dup dedup over real micro-batches: the
     * signature-path ingest variant the round-6 verdict called the
     * biggest remaining gap (q101 covers streaming EXACT dedup; minhash/
@@ -1037,6 +1115,7 @@ object StreamQueries {
     "q170_stream_source_stats" -> (q170StreamSourceStats _),
     "q177_stream_novelty" -> (q177StreamNovelty _),
     "q179_stream_cms" -> (q179StreamCms _),
+    "q190_stream_quantile" -> (q190StreamQuantile _),
     "q60_stream_volume" -> (q60StreamVolume _),
     "q64_sliding_window" -> (q64SlidingWindow _),
     "q61_stream_semantic" -> (q61StreamSemantic _),
@@ -1072,6 +1151,7 @@ object StreamQueries {
     "q170_stream_source_stats" -> q170Sql,
     "q177_stream_novelty" -> q177Sql,
     "q179_stream_cms" -> q179Sql,
+    "q190_stream_quantile" -> q190Sql,
     "q60_stream_volume" -> q60Sql,
     "q64_sliding_window" -> q64Sql,
     "q62_session_window" -> q62Sql,

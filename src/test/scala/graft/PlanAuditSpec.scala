@@ -42,7 +42,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q75_onehot",            // 1-row dictionary-size broadcast
     "q148_pq_adc",           // query-side LUT broadcast (q111's shape)
     "q149_ivf_pq",           // centroid-table broadcast (q112's shape)
-    "q150_pq_rerank")        // q148's shortlist stage + id-probe joins
+    "q150_pq_rerank",        // q148's shortlist stage + id-probe joins
+    "q189_pq_recall",        // composes q148 + the q22-style exact baseline
+    "q191_crossmodal_manifest", // 1-row per-modality stats crossJoins
+    "q192_boilerplate_audit") // 1-row n_docs stats crossJoin
 
   test("no unintended cartesian or nested-loop joins anywhere") {
     val skip = Set("q60_stream_volume", "q61_stream_semantic",
@@ -296,6 +299,114 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = plan.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 1, s"q153 has $exchanges exchanges:\n$plan")
     assert(plan.contains("Window"), s"q153 lost its window:\n$plan")
+  }
+
+  test("video pair space is reps-bounded past the set collapse (q182)") {
+    // frameHashPairs' scale claim: clips with identical frame-hash sets
+    // collapse to min-id representatives BEHIND the rep checkpoint, so
+    // the visible plan past it holds only the shared-hash pair stage —
+    // one shuffle for the (clip_a, clip_b) pair aggregation plus the
+    // caller's ORDER BY; everything else joins broadcast-sized rep
+    // frames. A third shuffle (or a cartesian) would mean raw clip
+    // rows leaked past the collapse — the exact ×100 quadratic the
+    // round-9 stress run caught.
+    import org.apache.spark.sql.functions._
+    withDefaultBroadcast {
+      val media = graft.llm.Multimodal.mediaTableAvi(spark, sf)
+        .filter(col("meta.kind") === "video" && col("meta.n_bytes") >= 60)
+      val ah = udf((b: Array[Byte]) => graft.llm.Multimodal.aHash(b, 10))
+      val hashes = graft.llm.Multimodal.decodeAviFrames(media)
+        .select(col("media_id"), ah(col("pixels")).as("fhash"))
+      val plan = graft.llm.Dedup.frameHashPairs(hashes, "media_id", "fhash")
+        .orderBy(col("clip_a"), col("clip_b"))
+        .queryExecution.executedPlan.toString
+      val shuffles = plan.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      assert(shuffles <= 2, s"q182 pair stage has $shuffles shuffles:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"q182 pairs via cross join:\n$plan")
+    }
+  }
+
+  // the reps-bounded pins count NON-broadcast exchanges, so they must
+  // run under the production broadcast threshold — BucketingSpec's
+  // force-SMJ tests share this session and may leave (or create) it
+  // with broadcasts disabled, which would turn every rep-sized
+  // broadcast join into a counted shuffle
+  private def withDefaultBroadcast[T](body: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "10485760b")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  test("eval queries stay reps-bounded: q185/q186 shuffle at most twice") {
+    // q185 (minhash error audit) runs entirely on exact-dedup reps and
+    // q186 (IVF balance audit) on a sample-bounded fit + map-only
+    // assign: past their checkpoints each plans ONE aggregation
+    // exchange plus the output ORDER BY. More would mean an audit
+    // stage re-shuffling corpus-sized data the collapse already paid
+    // for.
+    withDefaultBroadcast {
+      Seq("q185_minhash_err", "q186_ivf_balance").foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        val shuffles = plan.linesIterator.count(l =>
+          l.contains("Exchange") && !l.contains("BroadcastExchange"))
+        assert(shuffles <= 2, s"$name has $shuffles shuffles:\n$plan")
+      }
+    }
+  }
+
+  test("cms build aggregates map-side so the exchange is sketch-sized " +
+      "(q176)") {
+    // the mergeable-sketch claim: cmsBuildWeighted's single exchange
+    // must be fed by a PARTIAL sum over the cell keys — each partition
+    // collapses to ≤ depth×width cells before anything crosses the
+    // wire. No partial aggregate would mean token-level rows shuffle.
+    import org.apache.spark.sql.functions._
+    val exact = graft.ops.Tables.documents(spark, sf)
+      .select(explode(graft.llm.TextOps.regexTokens(lower(col("text"))))
+        .as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      .localCheckpoint()
+    val plan = graft.llm.Sketch.cmsBuildWeighted(exact, "token",
+        "exact_n", depth = 4, width = 64)
+      .queryExecution.executedPlan.toString
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 1, s"cms build has $shuffles shuffles:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"cms build exchange is not map-side combined:\n$plan")
+  }
+
+  test("bloom probe filters scan-locally, no join on the filter (q187)") {
+    // the 100 TB decontamination shape: the collected filter ships as
+    // a broadcast array inside a scalar UDF, so the probe side is scan
+    // → filter → partial count — NO join against a bloom relation and
+    // exactly one exchange (the per-doc aggregation). A Join here
+    // would mean the probe went back to shuffling the corpus against
+    // the filter, which is what the sketch exists to avoid.
+    import org.apache.spark.sql.functions._
+    val k = 3; val words = 2048
+    val docs = graft.ops.Tables.documents(spark, sf)
+    val evalSh = docs.limit(50)
+      .select(explode(graft.llm.Corpus.shingles(col("text"), 8))
+        .as("shingle")).distinct()
+    val bits = graft.llm.Sketch.bloomCollect(
+      graft.llm.Sketch.bloomBuild(evalSh, "shingle", k, words), words)
+    val hit = graft.llm.Sketch.bloomHitUdf(bits, k, words)
+    val plan = docs
+      .select(col("doc_id"),
+        explode(graft.llm.Corpus.shingles(col("text"), 8)).as("shingle"))
+      .filter(hit(col("shingle")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bloom"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"bloom probe joins:\n$plan")
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 1, s"bloom probe has $shuffles shuffles:\n$plan")
   }
 
   test("percentile probe is join-free after the rank window (q157)") {

@@ -80,6 +80,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Map("a" -> 3L, "b" -> 10L, "c" -> 20L), got.toString)
   }
 
+  test("streaming quantile-sketch cells accumulate across micro-batches " +
+      "(q190: histogram ingest = CMS ingest with semantic cells)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val out = StreamOps.streamingCmsIngest(input.toDS())
+    val q = out.toDF().writeStream
+      .outputMode("append")
+      .format("memory").queryName("qsketch_stream")
+      .start()
+    // batch 1: three docs in web|120, one in wiki|45
+    input.addData(("web|120", 5L), ("web|120", 2L), ("web|120", 9L),
+      ("wiki|45", 7L))
+    q.processAllAvailable()
+    // batch 2: web|120 grows by 2 (cumulative 5), a NEW cell web|99
+    input.addData(("web|120", 11L), ("web|120", 13L), ("web|99", 1L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("qsketch_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    spark.catalog.dropTempView("qsketch_stream")
+    // per batch, each TOUCHED cell emits its post-batch running count
+    // with the batch-min id; untouched cells (wiki|45 in batch 2) stay
+    // silent — the emitted sequence is the batch-built sketch at every
+    // prefix (mergeability made operational)
+    assert(got.toSet == Set(("web|120", 3L, 2L), ("wiki|45", 1L, 7L),
+      ("web|120", 5L, 11L), ("web|99", 1L, 1L)), got.toSeq.toString)
+  }
+
   test("streaming sequence packing carries the running token count " +
       "across micro-batches and sorts within a batch by id") {
     import spark.implicits._

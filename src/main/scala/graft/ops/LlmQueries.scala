@@ -4459,21 +4459,33 @@ object LlmQueries {
     val kept = docs.join(keep.select($"doc_id"), "doc_id")
     val truth = Dedup.jaccardPairs(kept, "doc_id", "text", "source", 0.9)
       .select($"id_a", $"id_b").localCheckpoint()
-    def row(method: String, cand: DataFrame): DataFrame = {
-      val c = cand.select($"id_a", $"id_b").localCheckpoint()
-      val nTrue = truth.count()
-      val nCand = c.count()
-      val caught = truth.join(c, Seq("id_a", "id_b"), "left_semi").count()
-      val recall = if (nTrue > 0) 10000L * caught / nTrue else 0L
-      Seq((method, nTrue, nCand, caught, recall))
-        .toDF("method", "n_true", "n_cand", "n_caught", "recall_bp")
-    }
-    row("minhash", Dedup.minHashSqlCandidates(docs, "doc_id", "text")._3)
-      .unionByName(row("minhash_sorted",
+    // ONE method-tagged union of all three candidate sets, checkpointed
+    // once, scored by grouped aggregations in a single final action —
+    // not per-method count() round-trips (the r9 version spent most of
+    // its 7.5 s on 9 driver actions over rep-sized data; same output,
+    // three actions total: truth ckpt, cands ckpt, collect)
+    def tagged(method: String, cand: DataFrame): DataFrame =
+      cand.select(lit(method).as("method"), $"id_a", $"id_b")
+    val cands = tagged("minhash",
+        Dedup.minHashSqlCandidates(docs, "doc_id", "text")._3)
+      .unionByName(tagged("minhash_sorted",
         Dedup.minHashSqlCandidates(docs, "doc_id", "text",
           sortTokens = true)._3))
-      .unionByName(row("simhash",
+      .unionByName(tagged("simhash",
         Dedup.simHashSqlCandidates(docs, "doc_id", "text")))
+      .localCheckpoint()
+    val vol = cands.groupBy($"method").agg(count(lit(1)).as("n_cand"))
+    val caught = cands.join(truth, Seq("id_a", "id_b"), "left_semi")
+      .groupBy($"method").agg(count(lit(1)).as("n_caught"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    Seq("minhash", "minhash_sorted", "simhash").toDF("method")
+      .join(vol, Seq("method"), "left")
+      .join(caught, Seq("method"), "left")
+      .na.fill(0L, Seq("n_cand", "n_caught"))
+      .crossJoin(broadcast(nTrue)) // 1-row stats frame
+      .select($"method", $"n_true", $"n_cand", $"n_caught",
+        expr("CASE WHEN n_true > 0 THEN (10000 * n_caught) DIV n_true" +
+          " ELSE 0 END").as("recall_bp"))
       .orderBy($"method")
   }
   lazy val q183Sql: String =

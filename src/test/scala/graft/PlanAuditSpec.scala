@@ -45,7 +45,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q150_pq_rerank",        // q148's shortlist stage + id-probe joins
     "q189_pq_recall",        // composes q148 + the q22-style exact baseline
     "q191_crossmodal_manifest", // 1-row per-modality stats crossJoins
-    "q192_boilerplate_audit") // 1-row n_docs stats crossJoin
+    "q192_boilerplate_audit", // 1-row n_docs stats crossJoin
+    "q183_band_eval")        // 1-row n_true stats crossJoin
 
   test("no unintended cartesian or nested-loop joins anywhere") {
     val skip = Set("q60_stream_volume", "q61_stream_semantic",

@@ -307,14 +307,23 @@ object VectorExprs {
   // "replaced a previously registered function" warning on every repeat
   // call, and register() is invoked lazily from every table load, so
   // without this guard a bench run emits thousands of them. Weak keys:
-  // must not pin a stopped session.
+  // must not pin a stopped session. The whole check-register-mark runs
+  // under one lock: concurrent callers (Pq.fitCodebooks' parallel
+  // subspace fits all call register) must not return before the
+  // functions actually exist, and a registration that throws must NOT
+  // leave the session marked done.
   private val registered: java.util.Set[SparkSession] =
-    java.util.Collections.synchronizedSet(
-      java.util.Collections.newSetFromMap(
-        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
 
-  def register(spark: SparkSession): Unit = {
-    if (!registered.add(spark)) return
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    if (registered.contains(spark)) return
+    doRegister(spark)
+    registered.add(spark)
+    ()
+  }
+
+  private def doRegister(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_cosine",

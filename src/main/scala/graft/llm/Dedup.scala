@@ -1092,9 +1092,14 @@ object Dedup {
     * identifies nothing). Default on at 1000; pair-join work is then
     * bounded at df² per shingle ≤ 10⁶ rows per hot key instead of
     * corpus². */
+  /** The default [[containmentPairs]] boilerplate cap — ONE constant so
+    * the q180 oracle SQL and q192's over-cap flag can interpolate it
+    * instead of repeating a literal that would silently drift. */
+  val DefaultMaxDocFreq: Long = 1000L
+
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minContainBp: Long = 8000L,
-      maxDocFreq: Long = 1000L): DataFrame = {
+      maxDocFreq: Long = DefaultMaxDocFreq): DataFrame = {
     require(minContainBp >= 1 && minContainBp <= 10000,
       s"minContainBp must be in [1, 10000], got $minContainBp")
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")

@@ -791,4 +791,18 @@ object Multimodal {
       }
       .toDF(idCol, "phash")
   }
+
+  /** Per-frame aHash features for video clips — the named video twin of
+    * [[aHashFeatures]]/[[wavHashFeatures]]: decode each AVI's frames
+    * ([[decodeAviFrames]]) and hash every frame's pixels at `nBits`
+    * bits. ONE definition for the three call sites (q182, the q191
+    * manifest, the PlanAuditSpec pin) so the bit width cannot drift
+    * between the pair search and its consumers. Emits
+    * `(idCol, fhash)` — one row per frame, duplicates preserved (the
+    * downstream [[Dedup.frameSetReps]] collapse owns dedup). */
+  def aviFrameHashFeatures(df: DataFrame, nBits: Int = 10,
+      idCol: String = "media_id"): DataFrame =
+    decodeAviFrames(df, idCol)
+      .select(col(idCol), udf((b: Array[Byte]) => aHash(b, nBits))
+        .apply(col("pixels")).as("fhash"))
 }

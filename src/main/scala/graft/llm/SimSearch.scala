@@ -87,6 +87,32 @@ object SimSearch {
       .filter(col("rn") <= k)
   }
 
+  /** Exact squared-L2 top-k under a FIXED-POINT total order
+    * (`floor(d·1e6 + 0.5)` longs, ties by cid) — the hash-exact eval
+    * ground truth the PQ report card ranks against (q189 and
+    * tools/ProfilePqRecall share THIS definition, so the shipped eval
+    * and the m/ksub tuning sweep can never measure against different
+    * truths). Labeled O(|q|·N) eval baseline: queries broadcast, the
+    * corpus streams through one fused distance + k-bounded rank. Emits
+    * `(qid, cid, l2_fp, rn)`. */
+  def knnBruteL2Fp(queries: DataFrame, candidates: DataFrame,
+      qId: String, cId: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(qId).as("qid"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val c = candidates.select(col(cId).as("cid"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("l2_fp").asc, col("cid").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("l2_fp",
+        floor(Distance.sqEuclidean(col("__cv"), col("__qv"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("l2_fp"), col("rn"))
+  }
+
   /** Oracle-expressible multi-table LSH top-k (q54): 8 tables, table t's
     * 4-bit bucket = signs of coordinates 4t..4t+3 — axis-aligned
     * hyperplanes, the SQL-derivable member of the same Charikar family as

@@ -135,13 +135,16 @@ object Sketch {
   def bloomHitUdf(bits: Array[Long], k: Int, words: Int)
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val mBits = words.toLong * BloomBitsPerWord
-    // One digest per task, not per row: the closure deserializes once
-    // per task and a task is single-threaded, so reusing the instance
-    // across rows is safe (digest() resets it after each call).
-    lazy val md = java.security.MessageDigest.getInstance("MD5")
+    // One digest per thread, not per row: the holder serializes into
+    // the task closure (MessageDigest itself is neither Serializable
+    // nor thread-safe, so it lives behind @transient + ThreadLocal —
+    // safe for driver-side constant folding AND executor tasks), and
+    // digest() resets the instance after each call.
+    val md5 = new Md5Holder
     udf { (key: String) =>
       if (key == null) false
       else {
+        val md = md5.get
         var r = 0
         var all = true
         while (r < k && all) {
@@ -165,4 +168,14 @@ object Sketch {
       }
     }
   }
+}
+
+/** Serializable per-thread MD5 supplier for UDF closures: the holder
+  * ships empty (the ThreadLocal is @transient) and every JVM it lands
+  * in lazily builds one digest per thread on first use. */
+private[llm] class Md5Holder extends Serializable {
+  @transient private lazy val tl: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  def get: java.security.MessageDigest = tl.get()
 }

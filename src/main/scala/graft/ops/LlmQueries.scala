@@ -754,20 +754,8 @@ object LlmQueries {
     val qs = e.filter($"vec_id" < 10)
     val approx = graft.llm.Pq.adcSearch(qs, codes, "vec_id",
       "embedding", cbs, k = 5).select($"qid", $"cid")
-    val qv = qs.select($"vec_id".as("qid"),
-      $"embedding".cast("array<double>").as("__qv"))
-    val cv = e.select($"vec_id".as("cid"),
-      $"embedding".cast("array<double>").as("__cv"))
-    val w = Window.partitionBy($"qid")
-      .orderBy($"l2_fp".asc, $"cid".asc)
-    val exact = cv.crossJoin(broadcast(qv))
-      .filter($"cid" =!= $"qid")
-      .withColumn("l2_fp",
-        floor(graft.ml.Distance.sqEuclidean($"__cv", $"__qv")
-          * lit(1e6) + lit(0.5)).cast("long"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 5)
-      .select($"qid", $"cid")
+    val exact = SimSearch.knnBruteL2Fp(qs, e, "vec_id", "vec_id",
+      "embedding", k = 5).select($"qid", $"cid")
     val hits = exact.join(approx, Seq("qid", "cid"))
       .groupBy($"qid").agg(count(lit(1)).as("n_matched"))
     exact.select($"qid").distinct()
@@ -4130,7 +4118,7 @@ object LlmQueries {
       .orderBy($"src", $"dst")
   }
   val q180Sql: String =
-    """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
+    s"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
       |  GROUP BY md5(text)),
       |d2 AS (SELECT d.doc_id, d.text FROM documents d
       |  JOIN keep USING (doc_id)),
@@ -4143,7 +4131,7 @@ object LlmQueries {
       |  FROM t),
       |sh AS (SELECT doc_id, shingle FROM (SELECT doc_id, shingle,
       |    COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh0)
-      |  WHERE df <= 1000),
+      |  WHERE df <= ${Dedup.DefaultMaxDocFreq}),
       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh
       |  GROUP BY doc_id),
       |shared AS (SELECT a.doc_id AS src, b.doc_id AS dst,
@@ -4181,11 +4169,11 @@ object LlmQueries {
     dfreq.crossJoin(broadcast(n)) // 1-row stats frame
       .select($"shingle", $"df",
         expr("(10000 * df) DIV n_docs").as("share_bp"),
-        ($"df" > 1000).as("over_cap"))
+        ($"df" > Dedup.DefaultMaxDocFreq).as("over_cap"))
       .orderBy($"df".desc, $"shingle").limit(15)
   }
   val q192Sql: String =
-    """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
+    s"""WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents
       |  GROUP BY md5(text)),
       |d2 AS (SELECT d.doc_id, d.text FROM documents d
       |  JOIN keep USING (doc_id)),
@@ -4201,7 +4189,7 @@ object LlmQueries {
       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d2)
       |SELECT shingle, df, CAST((10000 * df) // n_docs AS BIGINT)
       |    AS share_bp,
-      |  df > 1000 AS over_cap
+      |  df > ${Dedup.DefaultMaxDocFreq} AS over_cap
       |FROM f, n ORDER BY df DESC, shingle LIMIT 15""".stripMargin
 
   /** q181 — audio-fingerprint near-dup pairs ([[graft.llm.Multimodal
@@ -4274,9 +4262,7 @@ object LlmQueries {
     import s.implicits._
     val media = Multimodal.mediaTableAvi(s, d)
       .filter($"meta.kind" === "video" && $"meta.n_bytes" >= 60)
-    val frames = Multimodal.decodeAviFrames(media)
-    val ah = udf((b: Array[Byte]) => Multimodal.aHash(b, 10))
-    val hashes = frames.select($"media_id", ah($"pixels").as("fhash"))
+    val hashes = Multimodal.aviFrameHashFeatures(media, nBits = 10)
     Dedup.frameHashPairs(hashes, "media_id", "fhash",
         minOverlapBp = 10000L)
       .select($"clip_a", $"clip_b", $"n_clips_a", $"n_clips_b",
@@ -4364,10 +4350,17 @@ object LlmQueries {
           $"n_neardup_pairs", $"checksum")
     }
     val docs = documents(s, d)
-    val comps = nearDupComponents(s, d)
+    // pairs computed ONCE (the dominant text-modality cost — the
+    // all-pairs-within-source token join), checkpointed, and fed to
+    // BOTH the component closure and the open-pair count; semantics
+    // identical to nearDupComponents (same call, same edge set)
+    val txtPairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        "source", 0.9)
+      .select($"id_a", $"id_b").localCheckpoint()
+    val comps = Dedup.connectedComponents(txtPairs,
+      allIds = Some(docs.select($"doc_id")))
     val txt = row("text", comps.select($"id"),
-      comps.select($"keep_id".as("kid")).distinct(),
-      Dedup.jaccardPairs(docs, "doc_id", "text", "source", 0.9))
+      comps.select($"keep_id".as("kid")).distinct(), txtPairs)
     val bmp = Multimodal.mediaTableBmp(s, d)
       .filter($"meta.kind" === "image" && $"meta.n_bytes" >= 60)
     val imgHashes = Multimodal.aHashFeatures(bmp)
@@ -4384,9 +4377,7 @@ object LlmQueries {
         bits = 40, nBands = 4, maxHamming = 3))
     val avi = Multimodal.mediaTableAvi(s, d)
       .filter($"meta.kind" === "video" && $"meta.n_bytes" >= 60)
-    val ah = udf((b: Array[Byte]) => Multimodal.aHash(b, 10))
-    val vidHashes = Multimodal.decodeAviFrames(avi)
-      .select($"media_id", ah($"pixels").as("fhash"))
+    val vidHashes = Multimodal.aviFrameHashFeatures(avi, nBits = 10)
     val vid = row("video", avi.select($"media_id"),
       Dedup.frameSetReps(vidHashes, "media_id", "fhash")
         .select($"clip".as("kid")),

@@ -29,19 +29,9 @@ object ProfilePqRecall {
     val nSample = e.filter(pmod($"vec_id", lit(10)) === 0).count()
     println(s"[pq] corpus=$n sample=$nSample sf=$sfDir")
     val qs = e.filter($"vec_id" < 10)
-    val qv = qs.select($"vec_id".as("qid"),
-      $"embedding".cast("array<double>").as("__qv"))
-    val cv = e.select($"vec_id".as("cid"),
-      $"embedding".cast("array<double>").as("__cv"))
-    val w = Window.partitionBy($"qid").orderBy($"l2_fp".asc, $"cid".asc)
-    val exact = cv.crossJoin(broadcast(qv))
-      .filter($"cid" =!= $"qid")
-      .withColumn("l2_fp",
-        floor(graft.ml.Distance.sqEuclidean($"__cv", $"__qv")
-          * lit(1e6) + lit(0.5)).cast("long"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= 5)
-      .select($"qid", $"cid").cache()
+    // SAME ground truth as the shipped q189 eval — shared definition
+    val exact = graft.llm.SimSearch.knnBruteL2Fp(qs, e, "vec_id",
+      "vec_id", "embedding", k = 5).select($"qid", $"cid").cache()
     val nq = exact.select($"qid").distinct().count()
 
     def meanRecall(approx: org.apache.spark.sql.DataFrame): Double = {

@@ -315,9 +315,7 @@ class PlanAuditSpec extends AnyFunSuite {
     withDefaultBroadcast {
       val media = graft.llm.Multimodal.mediaTableAvi(spark, sf)
         .filter(col("meta.kind") === "video" && col("meta.n_bytes") >= 60)
-      val ah = udf((b: Array[Byte]) => graft.llm.Multimodal.aHash(b, 10))
-      val hashes = graft.llm.Multimodal.decodeAviFrames(media)
-        .select(col("media_id"), ah(col("pixels")).as("fhash"))
+      val hashes = graft.llm.Multimodal.aviFrameHashFeatures(media)
       val plan = graft.llm.Dedup.frameHashPairs(hashes, "media_id", "fhash")
         .orderBy(col("clip_a"), col("clip_b"))
         .queryExecution.executedPlan.toString

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -109,6 +109,113 @@ object SimSearch {
         floor(Distance.sqEuclidean(col("__cv"), col("__qv"))
           * lit(1e6) + lit(0.5)).cast("long"))
       .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("l2_fp"), col("rn"))
+  }
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix: s(j,d) = +1
+    * when the first hex nibble of md5("rp_<j>_<d>") is < 8, else −1 —
+    * the md5-derived pseudo-random stream both engines can replay
+    * (DuckDB: `substr(md5('rp_' || j || '_' || d), 1, 1) BETWEEN '0'
+    * AND '7'`), so the projection is oracle-expressible end to end.
+    * outDim×inDim entries, computed once on the driver and shipped as
+    * a literal — at any corpus scale the matrix stays a few KiB. */
+  def rpSigns(outDim: Int, inDim: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim, inDim) { (j, d) =>
+      val h = md.digest(s"rp_${j}_${d}".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1L else -1L
+    }
+  }
+
+  /** Map-only fixed-point random projection (Johnson–Lindenstrauss
+    * lemma; Achlioptas 2003's ±1 database-friendly variant): quantize
+    * each coordinate to a `floor(x·1e6 + 0.5)` long, then emit
+    * `r[j] = Σ_d s(j,d)·x_q[d]` for the [[rpSigns]] matrix. All-integer
+    * arithmetic makes the result independent of summation order — the
+    * property that lets a distributed run and a single-node oracle
+    * hash-match exactly. NO shuffle and no state: the sign matrix is a
+    * driver literal unrolled into `outDim` codegen'd HOF aggregates,
+    * so at 100 TB this is one narrow scan — the cheap first stage that
+    * buys a 4× smaller vector for every downstream index build. */
+  def rpReduce(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int = 16, inDim: Int = 64, outCol: String = "rv")
+      : DataFrame = {
+    val signs = rpSigns(outDim, inDim)
+    val vq = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
+    val comps = (0 until outDim).map { j =>
+      aggregate(
+        zip_with(col("__vq"), typedLit(signs(j).toSeq), (x, s) => x * s),
+        lit(0L), (acc, x) => acc + x)
+    }
+    df.select(col(idCol), vq.as("__vq"))
+      .select(col(idCol), array(comps: _*).as(outCol))
+  }
+
+  /** Exact top-k by squared L2 in the [[rpReduce]] space — integer
+    * distances, ties by cid, so the full ranking is hash-exact. The
+    * scale shape mirrors [[knnBruteL2Fp]] (queries broadcast, corpus
+    * streams) but each distance touches `outDim` longs instead of
+    * `inDim` doubles — the arithmetic saving a reduced-dim index
+    * inherits everywhere downstream. Emits `(qid, cid, rp_fp, rn)`. */
+  def knnRp(queries: DataFrame, candidates: DataFrame, qId: String,
+      cId: String, vecCol: String, k: Int, outDim: Int = 16,
+      inDim: Int = 64): DataFrame = {
+    val q = rpReduce(queries, qId, vecCol, outDim, inDim)
+      .select(col(qId).as("qid"), col("rv").as("__qr"))
+    val c = rpReduce(candidates, cId, vecCol, outDim, inDim)
+      .select(col(cId).as("cid"), col("rv").as("__cr"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rp_fp").asc, col("cid").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("rp_fp",
+        aggregate(zip_with(col("__cr"), col("__qr"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("rp_fp"), col("rn"))
+  }
+
+  /** Matryoshka-style two-stage search (Kusupati et al. 2022's
+    * coarse-to-fine usage): rank ALL candidates by fixed-point squared
+    * L2 over the first `prefixDims` coordinates only, keep a
+    * `shortlist` per query, then rerank just the shortlist by the
+    * full-dimension [[knnBruteL2Fp]] fixed-point distance. The coarse
+    * pass touches prefixDims/inDim of the arithmetic for the whole
+    * corpus; the full-width distance is paid by shortlist rows only —
+    * the same shortlist-then-rerank economics as [[graft.llm.Pq
+    * .adcRerank]], with dimension prefixes instead of codebooks. Both
+    * windows partition on qid, so the two ranks share one exchange.
+    * Emits `(qid, cid, l2_fp, rn)` — comparable row-for-row with the
+    * exact searcher when the shortlist holds the true top-k. */
+  def knnPrefixRerank(queries: DataFrame, candidates: DataFrame,
+      qId: String, cId: String, vecCol: String, k: Int,
+      prefixDims: Int = 16, shortlist: Int = 50): DataFrame = {
+    def fp(v: Column): Column =
+      transform(v, x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
+    val q = queries.select(col(qId).as("qid"),
+        col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qp", fp(slice(col("__qv"), 1, prefixDims)))
+    val c = candidates.select(col(cId).as("cid"),
+        col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cp", fp(slice(col("__cv"), 1, prefixDims)))
+    val wc = Window.partitionBy(col("qid"))
+      .orderBy(col("c_fp").asc, col("cid").asc)
+    val wf = Window.partitionBy(col("qid"))
+      .orderBy(col("l2_fp").asc, col("cid").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("c_fp",
+        aggregate(zip_with(col("__cp"), col("__qp"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+      .withColumn("rn_c", row_number().over(wc))
+      .filter(col("rn_c") <= shortlist)
+      .withColumn("l2_fp",
+        floor(Distance.sqEuclidean(col("__cv"), col("__qv"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("rn", row_number().over(wf))
       .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), col("l2_fp"), col("rn"))
   }

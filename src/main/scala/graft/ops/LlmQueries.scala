@@ -792,6 +792,233 @@ object LlmQueries {
        |LEFT JOIN hits h ON h.qid = e.qid
        |ORDER BY e.qid""".stripMargin
 
+  /** q193 — random-projection kNN ([[graft.llm.SimSearch.rpReduce]]):
+    * the 64-d float corpus is projected to 16 integer dimensions by a
+    * deterministic md5-seeded ±1 Johnson–Lindenstrauss matrix
+    * (Achlioptas 2003) in ONE map-only pass, then ranked by exact
+    * integer squared-L2 in the reduced space. The 100 TB role: a 4×
+    * cheaper vector for every downstream fit/assign/search — IVF and
+    * PQ builds over `rv` do a quarter of the arithmetic and shuffle a
+    * quarter of the bytes. All-integer distances under a (rp_fp, cid)
+    * total order make the whole ranking hash-exact; the oracle replays
+    * the projection from the same md5 stream. q194 measures what the
+    * 4× compression costs in recall — shipped together, the q148/q189
+    * discipline. */
+  def q193RpKnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    SimSearch.knnRp(e.filter($"vec_id" < 10), e, "vec_id", "vec_id",
+        "embedding", k = 5)
+      .orderBy($"qid", $"rn")
+  }
+  /** Shared q193 CTE chain: md5-seeded signs → fixed-point quantized
+    * coordinates → 16 integer projections per vector → per-query
+    * integer-L2 top-5. Interpolated into q193Sql and q194Sql so the
+    * projection the report card evaluates is literally the one q193
+    * ships. */
+  private val rpTop5Cte: String =
+    """dims AS (SELECT unnest(range(0, 64)) AS d),
+      |js AS (SELECT unnest(range(0, 16)) AS j),
+      |signs AS (SELECT j, d,
+      |    CASE WHEN substr(md5('rp_' || j || '_' || d), 1, 1)
+      |      BETWEEN '0' AND '7' THEN 1 ELSE -1 END AS s
+      |  FROM js, dims),
+      |vq AS (SELECT vec_id AS id, dd.d,
+      |    CAST(floor(CAST(embedding AS DOUBLE[])[dd.d + 1] * 1e6 + 0.5)
+      |      AS BIGINT) AS x
+      |  FROM embeddings, dims dd),
+      |rv AS (SELECT vq.id, s.j, CAST(SUM(s.s * vq.x) AS BIGINT) AS r
+      |  FROM vq JOIN signs s ON s.d = vq.d GROUP BY vq.id, s.j),
+      |rp AS (SELECT q.id AS qid, c.id AS cid,
+      |    CAST(SUM((c.r - q.r) * (c.r - q.r)) AS BIGINT) AS rp_fp
+      |  FROM rv c JOIN rv q ON c.j = q.j
+      |  WHERE q.id < 10 AND c.id != q.id
+      |  GROUP BY q.id, c.id),
+      |rtop AS (SELECT qid, cid, rp_fp, rn FROM (
+      |  SELECT qid, cid, rp_fp,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY rp_fp, cid) AS rn
+      |  FROM rp) WHERE rn <= 5)""".stripMargin
+  val q193Sql: String =
+    s"""WITH $rpTop5Cte
+       |SELECT qid, cid, rp_fp, rn FROM rtop
+       |ORDER BY qid, rn""".stripMargin
+
+  /** q194 — random-projection recall@5: q193's reduced-space top-5
+    * joined against the full-dimension exact fixed-point truth
+    * ([[graft.llm.SimSearch.knnBruteL2Fp]] — the SAME ground-truth
+    * definition q189 ranks PQ against, so the two compressions'
+    * report cards are directly comparable: 16 ints/vector here vs
+    * m=4 bytes/vector there). Per-query `n_matched`/`recall`,
+    * hash-exact. */
+  def q194RpRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val qs = e.filter($"vec_id" < 10)
+    val approx = SimSearch.knnRp(qs, e, "vec_id", "vec_id",
+      "embedding", k = 5).select($"qid", $"cid")
+    val exact = SimSearch.knnBruteL2Fp(qs, e, "vec_id", "vec_id",
+      "embedding", k = 5).select($"qid", $"cid")
+    val hits = exact.join(approx, Seq("qid", "cid"))
+      .groupBy($"qid").agg(count(lit(1)).as("n_matched"))
+    exact.select($"qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_matched"))
+      .withColumn("recall", $"n_matched".cast("double") / lit(5.0))
+      .orderBy($"qid")
+  }
+  val q194Sql: String =
+    s"""WITH $rpTop5Cte,
+       |allpts AS (SELECT vec_id AS id,
+       |    CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |ep AS (SELECT q.id AS qid, c.id AS cid,
+       |    CAST(floor(list_sum(list_transform(list_zip(c.v, q.v),
+       |      z -> (z[1]-z[2])*(z[1]-z[2]))) * 1e6 + 5e-1) AS BIGINT)
+       |      AS l2_fp
+       |  FROM allpts c, allpts q WHERE q.id < 10 AND c.id != q.id),
+       |exact AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY l2_fp, cid) AS rn
+       |  FROM ep) WHERE rn <= 5),
+       |hits AS (SELECT e.qid, COUNT(*) AS n
+       |  FROM exact e JOIN rtop a ON a.qid = e.qid AND a.cid = e.cid
+       |  GROUP BY e.qid)
+       |SELECT e.qid, COALESCE(h.n, 0) AS n_matched,
+       |  CAST(COALESCE(h.n, 0) AS DOUBLE) / 5.0 AS recall
+       |FROM (SELECT DISTINCT qid FROM exact) e
+       |LEFT JOIN hits h ON h.qid = e.qid
+       |ORDER BY e.qid""".stripMargin
+
+  /** q195 — Matryoshka prefix-dim rerank ([[graft.llm.SimSearch
+    * .knnPrefixRerank]]): coarse-rank the WHOLE corpus by fixed-point
+    * squared-L2 over the first 16 of 64 coordinates (a quarter of the
+    * arithmetic), keep 50 per query, rerank the shortlist by the
+    * full-width exact distance. Same shortlist-then-rerank economics
+    * as q150's PQ rerank, with dimension prefixes instead of
+    * codebooks — no codebook fit, no stored codes, just a column
+    * slice; the tradeoff the three-family recall table in BASELINE.md
+    * quantifies. Output row-compatible with the exact searcher
+    * (`l2_fp` total order), so drift shows as a hash break. */
+  def q195PrefixRerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    SimSearch.knnPrefixRerank(e.filter($"vec_id" < 10), e, "vec_id",
+        "vec_id", "embedding", k = 5, prefixDims = 16, shortlist = 50)
+      .orderBy($"qid", $"rn")
+  }
+  val q195Sql: String =
+    """WITH allpts AS (SELECT vec_id AS id,
+      |    CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |pfx AS (SELECT id, v,
+      |    list_transform(v[1:16],
+      |      x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS p
+      |  FROM allpts),
+      |coarse AS (SELECT q.id AS qid, c.id AS cid,
+      |    CAST(list_sum(list_transform(list_zip(c.p, q.p),
+      |      z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS c_fp,
+      |    c.v AS cv, q.v AS qv
+      |  FROM pfx c, pfx q WHERE q.id < 10 AND c.id != q.id),
+      |short AS (SELECT qid, cid, cv, qv FROM (
+      |  SELECT qid, cid, cv, qv,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY c_fp, cid) AS rn
+      |  FROM coarse) WHERE rn <= 50),
+      |rr AS (SELECT qid, cid,
+      |    CAST(floor(list_sum(list_transform(list_zip(cv, qv),
+      |      z -> (z[1]-z[2])*(z[1]-z[2]))) * 1e6 + 5e-1) AS BIGINT)
+      |      AS l2_fp
+      |  FROM short)
+      |SELECT qid, cid, l2_fp, rn FROM (
+      |  SELECT qid, cid, l2_fp,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY l2_fp, cid) AS rn
+      |  FROM rr) WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin
+
+  /** Shared q196/q197 oracle chain: fixed-point corpus + the unrolled
+    * greedy trajectory s0 → p1..p(k-1) (each step: min-distance to the
+    * selected set, argmax with id tiebreak, set union). The engine
+    * runs the same trajectory as a driver loop of map-only passes;
+    * the oracle replays it CTE by CTE. */
+  private def kCenterCteSql(k: Int): String = {
+    val steps = (1 until k).map { i =>
+      s"""d$i AS (SELECT p.id, p.vq,
+         |    MIN(CAST(list_sum(list_transform(list_zip(p.vq, s.vq),
+         |      z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT)) AS md
+         |  FROM pts p, s${i - 1} s
+         |  WHERE p.id NOT IN (SELECT id FROM s${i - 1})
+         |  GROUP BY p.id, p.vq),
+         |p$i AS (SELECT id, vq, md FROM d$i ORDER BY md DESC, id
+         |  LIMIT 1),
+         |s$i AS (SELECT id, vq FROM s${i - 1}
+         |  UNION ALL SELECT id, vq FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    s"""pts AS (SELECT vec_id AS id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS vq
+       |  FROM embeddings),
+       |s0 AS (SELECT id, vq FROM pts ORDER BY id LIMIT 1),
+       |$steps""".stripMargin
+  }
+
+  /** q196 — greedy k-center selection ([[graft.llm.Select
+    * .kCenterGreedy]]): the k=6 farthest-point-first diversity coreset
+    * over the embedding corpus, the complement of the dedup family —
+    * keep what is maximally SPREAD rather than drop what is too
+    * close. Each greedy round is one map-only corpus pass (centers
+    * are a k·dim-long driver literal) plus a k-bounded TakeOrdered;
+    * fixed-point integer distances with id tiebreaks make the whole
+    * trajectory hash-exact, so the oracle replays it as an unrolled
+    * CTE chain. `dist_fp` traces the shrinking coverage radius —
+    * the selection's diminishing-returns curve. */
+  def q196KCenterSelect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.llm.Select.kCenterGreedy(embeddings(s, d), "vec_id",
+        "embedding", k = 6)
+      .orderBy($"sel_rank")
+  }
+  val q196Sql: String =
+    s"""WITH ${kCenterCteSql(6)}
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS INTEGER) AS sel_rank, id,
+       |    CAST(0 AS BIGINT) AS dist_fp FROM s0
+       |${(1 until 6).map(i =>
+        s"  UNION ALL SELECT CAST($i AS INTEGER), id, md FROM p$i")
+        .mkString("\n")})
+       |ORDER BY sel_rank""".stripMargin
+
+  /** q197 — k-center coverage audit ([[graft.llm.Select
+    * .kCenterCoverage]]): every corpus point assigned to its nearest
+    * q196 center under the exact integer (dist, center_id) order;
+    * per center, the covered mass and the worst in-cell distance.
+    * ONE further map-only pass + one k-bounded aggregation — the
+    * audit that tells a user whether k was enough (max_dist_fp is
+    * the residual radius q196's trace stopped at). */
+  def q197KCenterCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val sel = graft.llm.Select.kCenterGreedy(e, "vec_id",
+      "embedding", k = 6)
+    val centers = graft.llm.Select.centersOf(e, "vec_id",
+      "embedding", sel)
+    graft.llm.Select.kCenterCoverage(e, "vec_id", "embedding", centers)
+      .orderBy($"center_id")
+  }
+  val q197Sql: String =
+    s"""WITH ${kCenterCteSql(6)},
+       |a AS (SELECT p.id, s.id AS cid,
+       |    CAST(list_sum(list_transform(list_zip(p.vq, s.vq),
+       |      z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dd,
+       |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+       |      CAST(list_sum(list_transform(list_zip(p.vq, s.vq),
+       |        z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT), s.id) AS rn
+       |  FROM pts p, s5 s)
+       |SELECT cid AS center_id, COUNT(*) AS n_assigned,
+       |  MAX(dd) AS max_dist_fp
+       |FROM a WHERE rn = 1 GROUP BY cid ORDER BY center_id""".stripMargin
+
   /** q113 — ANN recall@5, hash-gated: the EVAL harness for the
     * approximate-search stack. Joins q112's IVF-SQ top-5 against q22's
     * exact float-cosine top-5 (the ground truth) and emits per-query
@@ -4880,6 +5107,11 @@ object LlmQueries {
     "q189_pq_recall" -> (q189PqRecall _),
     "q191_crossmodal_manifest" -> (q191CrossModalManifest _),
     "q192_boilerplate_audit" -> (q192BoilerplateAudit _),
+    "q193_rp_knn" -> (q193RpKnn _),
+    "q194_rp_recall" -> (q194RpRecall _),
+    "q195_prefix_rerank" -> (q195PrefixRerank _),
+    "q196_kcenter_select" -> (q196KCenterSelect _),
+    "q197_kcenter_coverage" -> (q197KCenterCoverage _),
     "q166_phrase_mining" -> (q166PhraseMining _),
     "q167_dup_graph_audit" -> (q167DupGraphAudit _),
     "q168_length_batches" -> (q168LengthBatches _),
@@ -4990,6 +5222,11 @@ object LlmQueries {
     "q189_pq_recall" -> q189Sql,
     "q191_crossmodal_manifest" -> q191Sql,
     "q192_boilerplate_audit" -> q192Sql,
+    "q193_rp_knn" -> q193Sql,
+    "q194_rp_recall" -> q194Sql,
+    "q195_prefix_rerank" -> q195Sql,
+    "q196_kcenter_select" -> q196Sql,
+    "q197_kcenter_coverage" -> q197Sql,
     // layout maintenance never changes values: the serve over the
     // compacted store replays the one-shot q140 build (q130's argument)
     "q165_postings_compaction" -> q140Sql,

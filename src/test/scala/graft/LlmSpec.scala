@@ -1670,4 +1670,109 @@ class LlmSpec extends AnyFunSuite {
       12L -> "dup_in_batch", 13L -> "dup_in_batch", 14L -> "new"),
       got.toString)
   }
+
+  test("kCenterGreedy: hand-checked farthest-first trajectory, id " +
+      "tiebreak, coverage partition") {
+    import spark.implicits._
+    import graft.llm.Select
+    // collinear points at quantized positions 0, 1000, 10000, 11000,
+    // 30000 — the greedy max-min trajectory is hand-derivable
+    val pts = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(0.001f, 0f)),
+      (3L, Array(0.01f, 0f)), (4L, Array(0.011f, 0f)),
+      (5L, Array(0.03f, 0f))).toDF("vec_id", "embedding")
+    val sel = Select.kCenterGreedy(pts, "vec_id", "embedding", k = 4)
+      .orderBy($"sel_rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // seed = min id; then 30000² , then 11000², then the 2/3 tie at
+    // 1000² breaks to the smaller id
+    assert(sel == Seq((0, 1L, 0L), (1, 5L, 900000000L),
+      (2, 4L, 121000000L), (3, 2L, 1000000L)), sel.toString)
+    val centers = Select.centersOf(pts, "vec_id", "embedding",
+      Select.kCenterGreedy(pts, "vec_id", "embedding", 4))
+    val cov = Select.kCenterCoverage(pts, "vec_id", "embedding", centers)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // id3 lands in center 4's cell (1000² beats 9000² to center 2);
+    // every center covers itself at distance zero
+    assert(cov == Map(1L -> (1L, 0L), 2L -> (1L, 0L),
+      4L -> (2L, 1000000L), 5L -> (1L, 0L)), cov.toString)
+    // total covered mass is the corpus
+    assert(cov.values.map(_._1).sum == 5L)
+    // k > n stops at n without failing
+    assert(Select.kCenterGreedy(pts, "vec_id", "embedding", 99)
+      .count() == 5L)
+  }
+
+  test("rpSigns: bit rule equals the oracle's hex-string rule, stable") {
+    // the implementation reads md5 byte 0's high bit; the DuckDB twin
+    // compares the first hex CHARACTER against '0'..'7'. Prove the two
+    // derivations agree on a grid so neither can drift silently.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val s = SimSearch.rpSigns(16, 64)
+    for (j <- Seq(0, 3, 15); d <- Seq(0, 17, 63)) {
+      val hex = md.digest(s"rp_${j}_${d}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val fromHex = if (hex.charAt(0) <= '7') 1L else -1L
+      assert(s(j)(d) == fromHex, s"sign mismatch at ($j,$d)")
+      assert(math.abs(s(j)(d)) == 1L)
+    }
+    // deterministic across calls (no RNG state)
+    assert(SimSearch.rpSigns(16, 64).map(_.toSeq).toSeq ==
+      s.map(_.toSeq).toSeq)
+    // not degenerate: both signs occur
+    assert(s.flatten.distinct.sorted.toSeq == Seq(-1L, 1L))
+  }
+
+  test("rpReduce: hand-computed fixed-point projection, map-only ints") {
+    import spark.implicits._
+    val v = Array(0.5f, -0.25f, 1.0f, 0.1f)
+    val df = Seq((7L, v)).toDF("vec_id", "embedding")
+    val got = SimSearch.rpReduce(df, "vec_id", "embedding",
+        outDim = 2, inDim = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Long](1)).toMap
+    val s = SimSearch.rpSigns(2, 4)
+    val xq = v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    val want = (0 until 2).map(j =>
+      (0 until 4).map(d => s(j)(d) * xq(d)).sum)
+    assert(got(7L) == want, s"got ${got(7L)}, want $want")
+  }
+
+  test("knnRp: an exact copy ranks first at integer distance zero") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => (math.sin(i + 1) * 0.7).toFloat)
+    val far = Array.tabulate(64)(i => (math.cos(2 * i) * 0.9).toFloat)
+    val df = Seq((0L, base), (1L, base.clone()), (2L, far))
+      .toDF("vec_id", "embedding")
+    val top = SimSearch.knnRp(df.filter($"vec_id" === 0), df,
+        "vec_id", "vec_id", "embedding", k = 2)
+      .orderBy($"rn").collect()
+    assert(top.head.getAs[Long]("cid") == 1L)
+    assert(top.head.getAs[Long]("rp_fp") == 0L,
+      s"copy distance ${top.head.getAs[Long]("rp_fp")}")
+  }
+
+  test("knnPrefixRerank: corpus-wide shortlist reproduces the exact " +
+      "searcher row for row") {
+    // with shortlist >= corpus the coarse pass filters nothing, so the
+    // rerank must equal knnBruteL2Fp exactly — same ids, same l2_fp,
+    // same ranks. This pins the two stages' arithmetic to the shared
+    // fixed-point truth definition.
+    import spark.implicits._
+    val e = graft.ops.Tables.embeddings(spark, sf)
+    val qs = e.filter($"vec_id" < 5)
+    val a = SimSearch.knnPrefixRerank(qs, e, "vec_id", "vec_id",
+        "embedding", k = 3, prefixDims = 16, shortlist = 1000000)
+      .orderBy($"qid", $"rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSeq
+    val b = SimSearch.knnBruteL2Fp(qs, e, "vec_id", "vec_id",
+        "embedding", k = 3)
+      .orderBy($"qid", $"rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSeq
+    assert(a.nonEmpty && a == b,
+      s"prefix-rerank diverges from exact: ${a.diff(b).take(3)}")
+  }
 }

@@ -46,7 +46,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q189_pq_recall",        // composes q148 + the q22-style exact baseline
     "q191_crossmodal_manifest", // 1-row per-modality stats crossJoins
     "q192_boilerplate_audit", // 1-row n_docs stats crossJoin
-    "q183_band_eval")        // 1-row n_true stats crossJoin
+    "q183_band_eval",        // 1-row n_true stats crossJoin
+    "q193_rp_knn",           // query-side broadcast kNN (q22's shape, RP ints)
+    "q194_rp_recall",        // composes q193 + the exact fixed-point baseline
+    "q195_prefix_rerank")    // query-side broadcast, prefix coarse + rerank
 
   test("no unintended cartesian or nested-loop joins anywhere") {
     val skip = Set("q60_stream_volume", "q61_stream_semantic",
@@ -378,6 +381,55 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles == 1, s"cms build has $shuffles shuffles:\n$plan")
     assert(plan.contains("partial_sum"),
       s"cms build exchange is not map-side combined:\n$plan")
+  }
+
+  test("random projection is map-only; RP/prefix kNN shuffle once " +
+      "(q193/q195)") {
+    // the dimension-reduction scale claim: rpReduce is a literal sign
+    // matrix unrolled into per-row arithmetic — NO exchange of any
+    // kind (an exchange would mean the projection materializes an
+    // intermediate keyed stage at corpus scale). The searchers built
+    // on it shuffle exactly once, for the per-qid rank window; the
+    // query side must ship as a broadcast, never a shuffled join side.
+    import org.apache.spark.sql.functions._
+    withDefaultBroadcast {
+      val e = graft.ops.Tables.embeddings(spark, sf)
+      val rp = graft.llm.SimSearch.rpReduce(e, "vec_id", "embedding")
+        .queryExecution.executedPlan.toString
+      assert(!rp.contains("Exchange"),
+        s"rpReduce plans an exchange:\n$rp")
+      Seq("q193_rp_knn", "q195_prefix_rerank").foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        val shuffles = plan.linesIterator.count(l =>
+          l.contains("Exchange") && !l.contains("BroadcastExchange"))
+        // window rank + the caller's ORDER BY
+        assert(shuffles <= 2, s"$name has $shuffles shuffles:\n$plan")
+        assert(plan.contains("BroadcastNestedLoopJoin"),
+          s"$name query side is not broadcast:\n$plan")
+      }
+    }
+  }
+
+  test("k-center coverage assigns with a literal, join-free, one " +
+      "exchange (q197)") {
+    // the coreset scale claim: centers ship as a driver literal inside
+    // the assignment expression, so the coverage pass is scan →
+    // map-only argmin → one k-bounded aggregation exchange. A Join
+    // (or a second exchange) would mean corpus rows shuffled against
+    // a center relation — the shape the literal unroll exists to
+    // avoid. The greedy rounds themselves pin the same way: filter +
+    // literal min-dist + TakeOrdered, no exchange at all.
+    val e = graft.ops.Tables.embeddings(spark, sf)
+    val sel = graft.llm.Select.kCenterGreedy(e, "vec_id", "embedding", 3)
+    val centers = graft.llm.Select.centersOf(e, "vec_id", "embedding", sel)
+    val plan = graft.llm.Select
+      .kCenterCoverage(e, "vec_id", "embedding", centers)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"coverage pass joins:\n$plan")
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 1, s"coverage has $shuffles shuffles:\n$plan")
   }
 
   test("bloom probe filters scan-locally, no join on the filter (q187)") {

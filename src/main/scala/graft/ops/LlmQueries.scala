@@ -816,7 +816,10 @@ object LlmQueries {
     * integer-L2 top-5. Interpolated into q193Sql and q194Sql so the
     * projection the report card evaluates is literally the one q193
     * ships. */
-  private val rpTop5Cte: String =
+  /** The projection-only prefix (signs → quantized coords → 16 integer
+    * projections as per-(id, j) rows) — shared by the brute RP searcher
+    * (q193/q194) and the RP-IVF composition (q198/q199). */
+  private val rpCoreCte: String =
     """dims AS (SELECT unnest(range(0, 64)) AS d),
       |js AS (SELECT unnest(range(0, 16)) AS j),
       |signs AS (SELECT j, d,
@@ -828,7 +831,11 @@ object LlmQueries {
       |      AS BIGINT) AS x
       |  FROM embeddings, dims dd),
       |rv AS (SELECT vq.id, s.j, CAST(SUM(s.s * vq.x) AS BIGINT) AS r
-      |  FROM vq JOIN signs s ON s.d = vq.d GROUP BY vq.id, s.j),
+      |  FROM vq JOIN signs s ON s.d = vq.d GROUP BY vq.id, s.j)"""
+      .stripMargin
+
+  private val rpTop5Cte: String =
+    s"""$rpCoreCte,
       |rp AS (SELECT q.id AS qid, c.id AS cid,
       |    CAST(SUM((c.r - q.r) * (c.r - q.r)) AS BIGINT) AS rp_fp
       |  FROM rv c JOIN rv q ON c.j = q.j
@@ -1018,6 +1025,174 @@ object LlmQueries {
        |SELECT cid AS center_id, COUNT(*) AS n_assigned,
        |  MAX(dd) AS max_dist_fp
        |FROM a WHERE rn = 1 GROUP BY cid ORDER BY center_id""".stripMargin
+
+  /** q198 — RP-IVF with full-width rerank ([[graft.llm.SimSearch
+    * .rpReduce]] → [[graft.llm.Ivf]]): the composition the
+    * dimension-reduction family exists FOR — at 100 TB you don't even
+    * brute-force the reduced vectors; you index them. The 16-int
+    * projections (cast to exact doubles) get a sample-bounded k-means
+    * fit (nlist=16, the q112 fit discipline at a quarter of the
+    * arithmetic), a map-only assign, an nprobe=4 coarse probe, a
+    * 50-per-query in-list shortlist by fixed-point reduced distance,
+    * and a full-width exact rerank of the shortlist only. Every stage
+    * shuffles reduced bytes or rep-sized frames; the 64-dim floats
+    * are touched for 50 rows per query. Output row-compatible with
+    * the exact searcher (`l2_fp` order); q199 measures the recall. */
+  def q198RpIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, d)
+    val rv = SimSearch.rpReduce(e, "vec_id", "embedding")
+      .select($"vec_id", $"rv".cast("array<double>").as("rv"))
+    val cents = graft.llm.Ivf.fitCentroids(
+      rv.filter(pmod($"vec_id", lit(10)) === 0), "vec_id", "rv",
+      nlist = 16)
+    val index = graft.llm.Ivf.assignIndex(rv, "vec_id", "rv", cents)
+      .localCheckpoint() // stored-index shape: assign once, serve many
+    val qs = rv.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"rv".as("qrv"))
+    val wp = Window.partitionBy($"qid").orderBy($"cd", $"list_id")
+    val probes = qs.crossJoin(broadcast(cents))
+      .withColumn("cd", graft.ml.Distance.sqEuclidean($"qrv", $"c"))
+      .withColumn("pr", row_number().over(wp))
+      .filter($"pr" <= 4)
+      .select($"qid", $"qrv", $"list_id")
+    val wc = Window.partitionBy($"qid").orderBy($"rd_fp", $"cid")
+    val short = index.select($"id".as("cid"), $"v", $"list_id")
+      .join(broadcast(probes), "list_id")
+      .filter($"cid" =!= $"qid")
+      .withColumn("rd_fp",
+        floor(graft.ml.Distance.sqEuclidean($"v", $"qrv") + lit(0.5))
+          .cast("long"))
+      .withColumn("rn_c", row_number().over(wc))
+      .filter($"rn_c" <= 50)
+      .select($"qid", $"cid")
+    val qv = e.filter($"vec_id" < 10).select($"vec_id".as("qid"),
+      $"embedding".cast("array<double>").as("__qv"))
+    val wf = Window.partitionBy($"qid").orderBy($"l2_fp", $"cid")
+    // shortlist (k-bounded) broadcasts; the 64-dim corpus never shuffles
+    e.select($"vec_id".as("cid"),
+        $"embedding".cast("array<double>").as("__cv"))
+      .join(broadcast(short.join(broadcast(qv), "qid")), "cid")
+      .withColumn("l2_fp",
+        floor(graft.ml.Distance.sqEuclidean($"__cv", $"__qv")
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("rn", row_number().over(wf))
+      .filter($"rn" <= 5)
+      .select($"qid", $"cid", $"l2_fp", $"rn")
+      .orderBy($"qid", $"rn")
+  }
+  /** q198's shared oracle chain: RP core → per-id reduced lists → the
+    * q112-discipline 3-iteration k-means at dim 16 → assign → probe →
+    * fixed-point in-list shortlist → full-width rerank top-5 (`atop`).
+    * q199 interpolates the same chain so the recall it reports is the
+    * recall of the search q198 ships. */
+  private def rpIvfTop5Cte: String = {
+    val d16 = "list_sum(list_transform(list_zip(p.v, c.c), " +
+      "z -> (z[1]-z[2])*(z[1]-z[2])))"
+    def iteration(prev: String, cur: String): String =
+      s"""ka_$cur AS (SELECT p.id, p.v, c.list_id,
+         |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+         |      $d16, c.list_id) AS rn
+         |  FROM pts16 p, $prev c),
+         |$cur AS (SELECT list_id, list(m ORDER BY pos) AS c FROM (
+         |    SELECT a.list_id, t.pos AS pos,
+         |      CAST(SUM(CAST(a.v[t.pos] AS DECIMAL(28,14))) AS DOUBLE)
+         |        / COUNT(*) AS m
+         |    FROM ka_$cur a, unnest(range(1, 17)) AS t(pos)
+         |    WHERE a.rn = 1
+         |    GROUP BY a.list_id, t.pos)
+         |  GROUP BY list_id)""".stripMargin
+    s"""$rpCoreCte,
+       |rvl AS (SELECT id,
+       |    list_transform(list(r ORDER BY j), x -> CAST(x AS DOUBLE))
+       |      AS v
+       |  FROM rv GROUP BY id),
+       |pts16 AS (SELECT * FROM rvl WHERE id % 10 = 0),
+       |seeds16 AS (SELECT id, v FROM pts16 ORDER BY id LIMIT 16),
+       |k0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS list_id,
+       |    v AS c FROM seeds16),
+       |${iteration("k0", "k1")},
+       |${iteration("k1", "k2")},
+       |${iteration("k2", "k3")},
+       |k3m AS MATERIALIZED (SELECT * FROM k3),
+       |assign16 AS MATERIALIZED (SELECT id, v, list_id FROM (
+       |  SELECT p.id, p.v, c.list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+       |      $d16, c.list_id) AS rn
+       |  FROM rvl p, k3m c) WHERE rn = 1),
+       |probes16 AS (SELECT qid, qv, list_id FROM (
+       |  SELECT p.id AS qid, p.v AS qv, c.list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+       |      $d16, c.list_id) AS pr
+       |  FROM rvl p, k3m c WHERE p.id < 10) WHERE pr <= 4),
+       |shortc AS (SELECT qid, cid FROM (
+       |  SELECT pb.qid, a.id AS cid,
+       |    ROW_NUMBER() OVER (PARTITION BY pb.qid ORDER BY
+       |      CAST(floor(list_sum(list_transform(list_zip(a.v, pb.qv),
+       |        z -> (z[1]-z[2])*(z[1]-z[2]))) + 0.5) AS BIGINT),
+       |      a.id) AS rn
+       |  FROM probes16 pb JOIN assign16 a ON a.list_id = pb.list_id
+       |  WHERE a.id != pb.qid) WHERE rn <= 50),
+       |allpts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |rr16 AS (SELECT s.qid, s.cid,
+       |    CAST(floor(list_sum(list_transform(list_zip(cv.v, qv.v),
+       |      z -> (z[1]-z[2])*(z[1]-z[2]))) * 1e6 + 5e-1) AS BIGINT)
+       |      AS l2_fp
+       |  FROM shortc s
+       |  JOIN allpts cv ON cv.id = s.cid
+       |  JOIN allpts qv ON qv.id = s.qid),
+       |atop AS (SELECT qid, cid, l2_fp, rn FROM (
+       |  SELECT qid, cid, l2_fp,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY l2_fp, cid) AS rn
+       |  FROM rr16) WHERE rn <= 5)""".stripMargin
+  }
+  val q198Sql: String =
+    s"""WITH $rpIvfTop5Cte
+       |SELECT qid, cid, l2_fp, rn FROM atop
+       |ORDER BY qid, rn""".stripMargin
+
+  /** q199 — RP-IVF recall@5: q198's served top-5 vs the full-width
+    * exact fixed-point truth (the q189/q194 shared definition). The
+    * third row of the compression report card: RP-16 brute (q194),
+    * PQ (q189), and now the deployable reduced-index path — one truth,
+    * three compressions, directly comparable numbers. */
+  def q199RpIvfRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val qs = e.filter($"vec_id" < 10)
+    val approx = q198RpIvf(s, d).select($"qid", $"cid")
+    val exact = SimSearch.knnBruteL2Fp(qs, e, "vec_id", "vec_id",
+      "embedding", k = 5).select($"qid", $"cid")
+    val hits = exact.join(approx, Seq("qid", "cid"))
+      .groupBy($"qid").agg(count(lit(1)).as("n_matched"))
+    exact.select($"qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_matched"))
+      .withColumn("recall", $"n_matched".cast("double") / lit(5.0))
+      .orderBy($"qid")
+  }
+  val q199Sql: String =
+    s"""WITH $rpIvfTop5Cte,
+       |ep AS (SELECT q.id AS qid, c.id AS cid,
+       |    CAST(floor(list_sum(list_transform(list_zip(c.v, q.v),
+       |      z -> (z[1]-z[2])*(z[1]-z[2]))) * 1e6 + 5e-1) AS BIGINT)
+       |      AS l2_fp
+       |  FROM allpts c, allpts q WHERE q.id < 10 AND c.id != q.id),
+       |exact AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY l2_fp, cid) AS rn
+       |  FROM ep) WHERE rn <= 5),
+       |hits AS (SELECT e.qid, COUNT(*) AS n
+       |  FROM exact e JOIN atop a ON a.qid = e.qid AND a.cid = e.cid
+       |  GROUP BY e.qid)
+       |SELECT e.qid, COALESCE(h.n, 0) AS n_matched,
+       |  CAST(COALESCE(h.n, 0) AS DOUBLE) / 5.0 AS recall
+       |FROM (SELECT DISTINCT qid FROM exact) e
+       |LEFT JOIN hits h ON h.qid = e.qid
+       |ORDER BY e.qid""".stripMargin
 
   /** q113 — ANN recall@5, hash-gated: the EVAL harness for the
     * approximate-search stack. Joins q112's IVF-SQ top-5 against q22's
@@ -5112,6 +5287,8 @@ object LlmQueries {
     "q195_prefix_rerank" -> (q195PrefixRerank _),
     "q196_kcenter_select" -> (q196KCenterSelect _),
     "q197_kcenter_coverage" -> (q197KCenterCoverage _),
+    "q198_rp_ivf" -> (q198RpIvf _),
+    "q199_rp_ivf_recall" -> (q199RpIvfRecall _),
     "q166_phrase_mining" -> (q166PhraseMining _),
     "q167_dup_graph_audit" -> (q167DupGraphAudit _),
     "q168_length_batches" -> (q168LengthBatches _),
@@ -5227,6 +5404,8 @@ object LlmQueries {
     "q195_prefix_rerank" -> q195Sql,
     "q196_kcenter_select" -> q196Sql,
     "q197_kcenter_coverage" -> q197Sql,
+    "q198_rp_ivf" -> q198Sql,
+    "q199_rp_ivf_recall" -> q199Sql,
     // layout maintenance never changes values: the serve over the
     // compacted store replays the one-shot q140 build (q130's argument)
     "q165_postings_compaction" -> q140Sql,

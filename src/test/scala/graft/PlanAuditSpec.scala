@@ -49,7 +49,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q183_band_eval",        // 1-row n_true stats crossJoin
     "q193_rp_knn",           // query-side broadcast kNN (q22's shape, RP ints)
     "q194_rp_recall",        // composes q193 + the exact fixed-point baseline
-    "q195_prefix_rerank")    // query-side broadcast, prefix coarse + rerank
+    "q195_prefix_rerank",    // query-side broadcast, prefix coarse + rerank
+    "q198_rp_ivf",           // centroid-table broadcast (q112's shape, RP dims)
+    "q199_rp_ivf_recall")    // composes q198 + the exact fixed-point baseline
 
   test("no unintended cartesian or nested-loop joins anywhere") {
     val skip = Set("q60_stream_volume", "q61_stream_semantic",

@@ -99,6 +99,30 @@ class EdgeCasesSpec extends AnyFunSuite {
       "embedding", 5).isEmpty)
     assert(SimSearch.knnLshSql(emptyVecs, some, "vec_id", "vec_id",
       "embedding", 5).isEmpty)
+    // the round-10 reduced-dim searchers inherit the same contract
+    assert(SimSearch.knnRp(emptyVecs, some, "vec_id", "vec_id",
+      "embedding", 5).isEmpty)
+    assert(SimSearch.knnRp(some.limit(2), emptyVecs, "vec_id", "vec_id",
+      "embedding", 5).isEmpty)
+    assert(SimSearch.knnPrefixRerank(emptyVecs, some, "vec_id", "vec_id",
+      "embedding", 5).isEmpty)
+    assert(SimSearch.knnBruteL2Fp(emptyVecs, some, "vec_id", "vec_id",
+      "embedding", 5).isEmpty)
+  }
+
+  test("k-center selection guards: empty input throws, k=1 is the seed") {
+    import graft.llm.Select
+    val emptyVecs = emptyDf("vec_id BIGINT, embedding ARRAY<FLOAT>")
+    val ex = intercept[IllegalArgumentException] {
+      Select.kCenterGreedy(emptyVecs, "vec_id", "embedding", 3)
+    }
+    assert(ex.getMessage.contains("empty input"), ex.getMessage)
+    val some = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val one = Select.kCenterGreedy(some, "vec_id", "embedding", 1)
+      .collect()
+    assert(one.length == 1 && one.head.getInt(0) == 0 &&
+      one.head.getLong(2) == 0L)
   }
 
   test("asof join with an empty right side leaves all lefts unmatched") {

@@ -1194,6 +1194,92 @@ object LlmQueries {
        |LEFT JOIN hits h ON h.qid = e.qid
        |ORDER BY e.qid""".stripMargin
 
+  /** q200 — behavioral session-sequence corpus: the events→LM-corpus
+    * bridge. Each user's events sessionize under the q62 4-hour-gap
+    * rule (`session_window` — ONE aggregation, no self-join), the
+    * in-session events collect as (ts, event_id, event_type) structs
+    * whose lexicographic sort pins the token order under ties, and the
+    * ordered event types join into a space-separated sequence document
+    * — the shape every downstream corpus operator (exact dedup via
+    * `seq_fp`, packing via `n_events`, chunking, mixing by pattern)
+    * already consumes. Scale shape: one session-keyed aggregation;
+    * in-session sequences are bounded by session length, never by
+    * corpus size. Oracle replays sessionization with the lag→cumsum
+    * window chain q62 proved equivalent. */
+  def q200SessionSequences(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(session_window($"ts", "4 hours").as("w"), $"user_id")
+      .agg(sort_array(collect_list(
+        struct($"ts", $"event_id", $"event_type"))).as("evs"))
+      .select($"user_id",
+        unix_micros($"w.start").as("session_start_us"),
+        size($"evs").cast("long").as("n_events"),
+        array_join(transform($"evs", e => e.getField("event_type")), " ")
+          .as("seq_text"))
+      .withColumn("seq_fp", md5($"seq_text"))
+      .orderBy($"user_id", $"session_start_us")
+  }
+  /** The q62-proven sessionization replay + per-session ordered
+    * sequence — shared by q200 (the corpus) and q201 (its pattern
+    * rollup). */
+  private val sessionSeqCte: String =
+    """e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    event_type FROM events),
+      |flags AS (SELECT event_id, user_id, ts, event_type,
+      |  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+      |         ORDER BY ts, event_id) <= INTERVAL '4 hours'
+      |       THEN 0 ELSE 1 END AS new_session
+      |FROM e),
+      |sess AS (SELECT event_id, user_id, ts, event_type,
+      |  SUM(new_session) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |FROM flags),
+      |seqs AS (SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq_text
+      |FROM sess GROUP BY user_id, session_id)""".stripMargin
+  val q200Sql: String =
+    s"""WITH $sessionSeqCte
+       |SELECT user_id, session_start_us, n_events, seq_text,
+       |  md5(seq_text) AS seq_fp
+       |FROM seqs ORDER BY user_id, session_start_us""".stripMargin
+
+  /** q201 — behavioral-pattern rollup: exact dedup of the q200
+    * sequence corpus (the q40 shape applied to a DERIVED corpus — the
+    * composition proof that corpus operators consume their own
+    * products). Per distinct sequence: occurrence count, distinct
+    * users exhibiting it, and the first (user, start) keeper; top 10
+    * by (count desc, pattern) — the "most common user journey" table
+    * an analyst reads and a curriculum builder samples against. */
+  def q201PatternTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    q200SessionSequences(s, d)
+      .groupBy($"seq_text")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct($"user_id").as("n_users"),
+        min(struct($"user_id", $"session_start_us")).as("keeper"))
+      .select($"seq_text", $"n_sessions", $"n_users",
+        $"keeper.user_id".as("keep_user"),
+        $"keeper.session_start_us".as("keep_start_us"))
+      .orderBy($"n_sessions".desc, $"seq_text").limit(10)
+  }
+  val q201Sql: String =
+    s"""WITH $sessionSeqCte,
+       |g AS (SELECT seq_text, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       |FROM seqs GROUP BY seq_text),
+       |k AS (SELECT seq_text, user_id AS keep_user,
+       |  session_start_us AS keep_start_us FROM (
+       |  SELECT seq_text, user_id, session_start_us,
+       |    ROW_NUMBER() OVER (PARTITION BY seq_text
+       |      ORDER BY user_id, session_start_us) AS rn
+       |  FROM seqs) WHERE rn = 1)
+       |SELECT g.seq_text, g.n_sessions, g.n_users, k.keep_user,
+       |  k.keep_start_us
+       |FROM g JOIN k USING (seq_text)
+       |ORDER BY n_sessions DESC, g.seq_text LIMIT 10""".stripMargin
+
   /** q113 — ANN recall@5, hash-gated: the EVAL harness for the
     * approximate-search stack. Joins q112's IVF-SQ top-5 against q22's
     * exact float-cosine top-5 (the ground truth) and emits per-query
@@ -5289,6 +5375,8 @@ object LlmQueries {
     "q197_kcenter_coverage" -> (q197KCenterCoverage _),
     "q198_rp_ivf" -> (q198RpIvf _),
     "q199_rp_ivf_recall" -> (q199RpIvfRecall _),
+    "q200_session_sequences" -> (q200SessionSequences _),
+    "q201_pattern_topk" -> (q201PatternTopk _),
     "q166_phrase_mining" -> (q166PhraseMining _),
     "q167_dup_graph_audit" -> (q167DupGraphAudit _),
     "q168_length_batches" -> (q168LengthBatches _),
@@ -5406,6 +5494,8 @@ object LlmQueries {
     "q197_kcenter_coverage" -> q197Sql,
     "q198_rp_ivf" -> q198Sql,
     "q199_rp_ivf_recall" -> q199Sql,
+    "q200_session_sequences" -> q200Sql,
+    "q201_pattern_topk" -> q201Sql,
     // layout maintenance never changes values: the serve over the
     // compacted store replays the one-shot q140 build (q130's argument)
     "q165_postings_compaction" -> q140Sql,

@@ -434,6 +434,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles == 1, s"coverage has $shuffles shuffles:\n$plan")
   }
 
+  test("session-sequence corpus prunes the wide events columns (q200)") {
+    // the events table's props JSON is its widest column; a sequence
+    // corpus build that drags it through the session aggregation would
+    // multiply the shuffle by the payload it never reads
+    val plan = SparkEntry.queries("q200_session_sequences")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("event_type"), s"no ReadSchema line:\n$plan")
+    assert(!scanLine.contains("props"), s"props not pruned:\n$scanLine")
+  }
+
   test("bloom probe filters scan-locally, no join on the filter (q187)") {
     // the 100 TB decontamination shape: the collected filter ships as
     // a broadcast array inside a scalar UDF, so the probe side is scan

@@ -101,6 +101,22 @@ object Select {
         max($"m.d").as("max_dist_fp"))
   }
 
+  /** Global coverage objective for a center set: the k-center quantity
+    * itself — the worst point-to-nearest-center distance. One map-only
+    * pass (centers literal, as everywhere in this family) + a 1-row
+    * aggregate. Long-safe at any corpus size: only a max crosses the
+    * aggregation, never a sum of distances. */
+  def coverageRadius(df: DataFrame, idCol: String, vecCol: String,
+      centers: Seq[(Long, Array[Long])]): DataFrame = {
+    require(centers.nonEmpty, "coverageRadius: no centers")
+    val spark = df.sparkSession
+    import spark.implicits._
+    quantized(df, idCol, vecCol)
+      .select(array_min(array(centers.map { case (_, c) =>
+        distFp($"vq", c) }: _*)).as("d"))
+      .agg(max($"d").as("max_radius_fp"))
+  }
+
   /** Driver-side helper: re-materialize the selected centers' quantized
     * vectors for [[kCenterCoverage]] from a [[kCenterGreedy]] result.
     * k-bounded collect by construction. */

@@ -1280,6 +1280,50 @@ object LlmQueries {
        |FROM g JOIN k USING (seq_text)
        |ORDER BY n_sessions DESC, g.seq_text LIMIT 10""".stripMargin
 
+  /** q202 — selection report card: does greedy k-center actually beat
+    * picking k points at random? The k-center objective (max
+    * point-to-nearest-center distance) measured for q196's greedy 6
+    * vs a deterministic hash-random 6 (first 6 ids under md5 order —
+    * the [[graft.llm.Corpus]] sampleKey idea at full resolution). The
+    * q113/q189/q194 discipline applied to the coreset family: a
+    * selection operator without a measured advantage over random is
+    * decoration. Two 1-row map-only passes; only a MAX crosses each
+    * aggregation, so the eval is long-safe at any corpus size. */
+  def q202CoverageEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val greedy = graft.llm.Select.centersOf(e, "vec_id", "embedding",
+      graft.llm.Select.kCenterGreedy(e, "vec_id", "embedding", k = 6))
+    val randSel = e
+      .select($"vec_id".as("id"), md5($"vec_id".cast("string")).as("h"))
+      .orderBy($"h", $"id").limit(6).select($"id")
+    val rand = graft.llm.Select.centersOf(e, "vec_id", "embedding",
+      randSel)
+    graft.llm.Select.coverageRadius(e, "vec_id", "embedding", greedy)
+      .select(lit("kcenter").as("method"), $"max_radius_fp")
+      .unionAll(
+        graft.llm.Select.coverageRadius(e, "vec_id", "embedding", rand)
+          .select(lit("hash_random").as("method"), $"max_radius_fp"))
+      .orderBy($"method")
+  }
+  val q202Sql: String =
+    s"""WITH ${kCenterCteSql(6)},
+       |rsel AS (SELECT id, vq FROM pts
+       |  ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 6),
+       |dg AS (SELECT p.id,
+       |    MIN(CAST(list_sum(list_transform(list_zip(p.vq, s.vq),
+       |      z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT)) AS d
+       |  FROM pts p, s5 s GROUP BY p.id),
+       |dr AS (SELECT p.id,
+       |    MIN(CAST(list_sum(list_transform(list_zip(p.vq, s.vq),
+       |      z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT)) AS d
+       |  FROM pts p, rsel s GROUP BY p.id)
+       |SELECT method, max_radius_fp FROM (
+       |  SELECT 'kcenter' AS method, MAX(d) AS max_radius_fp FROM dg
+       |  UNION ALL
+       |  SELECT 'hash_random', MAX(d) FROM dr)
+       |ORDER BY method""".stripMargin
+
   /** q113 — ANN recall@5, hash-gated: the EVAL harness for the
     * approximate-search stack. Joins q112's IVF-SQ top-5 against q22's
     * exact float-cosine top-5 (the ground truth) and emits per-query
@@ -5377,6 +5421,7 @@ object LlmQueries {
     "q199_rp_ivf_recall" -> (q199RpIvfRecall _),
     "q200_session_sequences" -> (q200SessionSequences _),
     "q201_pattern_topk" -> (q201PatternTopk _),
+    "q202_coverage_eval" -> (q202CoverageEval _),
     "q166_phrase_mining" -> (q166PhraseMining _),
     "q167_dup_graph_audit" -> (q167DupGraphAudit _),
     "q168_length_batches" -> (q168LengthBatches _),
@@ -5496,6 +5541,7 @@ object LlmQueries {
     "q199_rp_ivf_recall" -> q199Sql,
     "q200_session_sequences" -> q200Sql,
     "q201_pattern_topk" -> q201Sql,
+    "q202_coverage_eval" -> q202Sql,
     // layout maintenance never changes values: the serve over the
     // compacted store replays the one-shot q140 build (q130's argument)
     "q165_postings_compaction" -> q140Sql,

@@ -1699,6 +1699,10 @@ class LlmSpec extends AnyFunSuite {
       4L -> (2L, 1000000L), 5L -> (1L, 0L)), cov.toString)
     // total covered mass is the corpus
     assert(cov.values.map(_._1).sum == 5L)
+    // the global radius is the worst per-center cell radius
+    val r = Select.coverageRadius(pts, "vec_id", "embedding", centers)
+      .head().getLong(0)
+    assert(r == cov.values.map(_._2).max, s"radius $r vs $cov")
     // k > n stops at n without failing
     assert(Select.kCenterGreedy(pts, "vec_id", "embedding", 99)
       .count() == 5L)

@@ -37,8 +37,8 @@ object Select {
   private def quantized(df: DataFrame, idCol: String, vecCol: String)
       : DataFrame =
     df.select(col(idCol).cast("long").as("id"),
-      transform(col(vecCol).cast("array<double>"),
-        x => floor(x * lit(1e6) + lit(0.5)).cast("long")).as("vq"))
+      graft.ml.Distance.fixedPointVec(col(vecCol).cast("array<double>"))
+        .as("vq"))
 
   /** Greedy k-center selection trace: seed = the min id, then k−1
     * rounds of "the point farthest from its nearest selected center"
@@ -51,31 +51,35 @@ object Select {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
     import spark.implicits._
-    // k actions run over this frame — pin it so the scan+quantize work
-    // is paid once, not once per round
-    val pts = quantized(df, idCol, vecCol).localCheckpoint()
-    val first = pts.orderBy($"id".asc).limit(1)
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    require(first.nonEmpty, "kCenterGreedy: empty input")
-    val sel = scala.collection.mutable.ArrayBuffer[
-      (Long, Array[Long], Long)]((first.head._1, first.head._2, 0L))
-    var exhausted = false
-    while (sel.length < k && !exhausted) {
-      val minDist = sel.map { case (_, c, _) => distFp($"vq", c) }
-        .reduce(least(_, _))
-      val picked = pts
-        .filter(!$"id".isInCollection(sel.map(_._1)))
-        .withColumn("md", minDist)
-        .orderBy($"md".desc, $"id".asc).limit(1)
-        .collect()
-      if (picked.isEmpty) exhausted = true
-      else {
-        val r = picked.head
-        sel += ((r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    // k actions run over this frame — cache so the scan+quantize work
+    // is paid once, not once per round, and RELEASE it when the greedy
+    // loop ends (the Ivf.fitCentroids try/finally discipline: a
+    // selection utility must not leave corpus-sized blocks pinned)
+    val pts = quantized(df, idCol, vecCol).cache()
+    try {
+      val first = pts.orderBy($"id".asc).limit(1)
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      require(first.nonEmpty, "kCenterGreedy: empty input")
+      val sel = scala.collection.mutable.ArrayBuffer[
+        (Long, Array[Long], Long)]((first.head._1, first.head._2, 0L))
+      var exhausted = false
+      while (sel.length < k && !exhausted) {
+        val minDist = sel.map { case (_, c, _) => distFp($"vq", c) }
+          .reduce(least(_, _))
+        val picked = pts
+          .filter(!$"id".isInCollection(sel.map(_._1)))
+          .withColumn("md", minDist)
+          .orderBy($"md".desc, $"id".asc).limit(1)
+          .collect()
+        if (picked.isEmpty) exhausted = true
+        else {
+          val r = picked.head
+          sel += ((r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+        }
       }
-    }
-    sel.zipWithIndex.map { case ((id, _, d), rank) => (rank, id, d) }
-      .toSeq.toDF("sel_rank", "id", "dist_fp")
+      sel.zipWithIndex.map { case ((id, _, d), rank) => (rank, id, d) }
+        .toSeq.toDF("sel_rank", "id", "dist_fp")
+    } finally pts.unpersist()
   }
 
   /** Coverage report for a [[kCenterGreedy]] selection: every corpus

@@ -97,6 +97,9 @@ object SimSearch {
     * `(qid, cid, l2_fp, rn)`. */
   def knnBruteL2Fp(queries: DataFrame, candidates: DataFrame,
       qId: String, cId: String, vecCol: String, k: Int): DataFrame = {
+    // df-taking entry point using call_function distances → must
+    // self-register (the Ivf.assignIndex convention)
+    graft.functions.VectorExprs.register(queries.sparkSession)
     val q = queries.select(col(qId).as("qid"),
       col(vecCol).cast("array<double>").as("__qv"))
     val c = candidates.select(col(cId).as("cid"),
@@ -105,9 +108,8 @@ object SimSearch {
       .orderBy(col("l2_fp").asc, col("cid").asc)
     c.crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid"))
-      .withColumn("l2_fp",
-        floor(Distance.sqEuclidean(col("__cv"), col("__qv"))
-          * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("l2_fp", Distance.fixedPointLong(
+        Distance.sqEuclidean(col("__cv"), col("__qv"))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), col("l2_fp"), col("rn"))
@@ -142,8 +144,7 @@ object SimSearch {
       outDim: Int = 16, inDim: Int = 64, outCol: String = "rv")
       : DataFrame = {
     val signs = rpSigns(outDim, inDim)
-    val vq = transform(col(vecCol).cast("array<double>"),
-      x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
+    val vq = Distance.fixedPointVec(col(vecCol).cast("array<double>"))
     val comps = (0 until outDim).map { j =>
       aggregate(
         zip_with(col("__vq"), typedLit(signs(j).toSeq), (x, s) => x * s),
@@ -193,14 +194,17 @@ object SimSearch {
   def knnPrefixRerank(queries: DataFrame, candidates: DataFrame,
       qId: String, cId: String, vecCol: String, k: Int,
       prefixDims: Int = 16, shortlist: Int = 50): DataFrame = {
-    def fp(v: Column): Column =
-      transform(v, x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
+    // self-register: the full-width rerank below uses the
+    // call_function sqEuclidean
+    graft.functions.VectorExprs.register(queries.sparkSession)
     val q = queries.select(col(qId).as("qid"),
         col(vecCol).cast("array<double>").as("__qv"))
-      .withColumn("__qp", fp(slice(col("__qv"), 1, prefixDims)))
+      .withColumn("__qp",
+        Distance.fixedPointVec(slice(col("__qv"), 1, prefixDims)))
     val c = candidates.select(col(cId).as("cid"),
         col(vecCol).cast("array<double>").as("__cv"))
-      .withColumn("__cp", fp(slice(col("__cv"), 1, prefixDims)))
+      .withColumn("__cp",
+        Distance.fixedPointVec(slice(col("__cv"), 1, prefixDims)))
     val wc = Window.partitionBy(col("qid"))
       .orderBy(col("c_fp").asc, col("cid").asc)
     val wf = Window.partitionBy(col("qid"))
@@ -212,9 +216,8 @@ object SimSearch {
           (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
       .withColumn("rn_c", row_number().over(wc))
       .filter(col("rn_c") <= shortlist)
-      .withColumn("l2_fp",
-        floor(Distance.sqEuclidean(col("__cv"), col("__qv"))
-          * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("l2_fp", Distance.fixedPointLong(
+        Distance.sqEuclidean(col("__cv"), col("__qv"))))
       .withColumn("rn", row_number().over(wf))
       .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), col("l2_fp"), col("rn"))

@@ -38,6 +38,25 @@ object Distance {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
+  /** THE fixed-point scale of every hash-exact distance oracle in the
+    * repo (RP projection, k-center, prefix rerank, the L2 eval truth):
+    * one definition so a precision change can never drift between
+    * families — a single stale copy would surface only as an opaque
+    * oracle hash mismatch. */
+  val FpScale: Double = 1e6
+
+  /** Vector fixed-point quantization: `floor(x·1e6 + 0.5)` longs per
+    * coordinate. Exact integers make every downstream sum
+    * order-independent — the property that lets a distributed run and a
+    * single-node oracle hash-match. */
+  def fixedPointVec(v: Column): Column =
+    transform(v, x => floor(x * lit(FpScale) + lit(0.5)).cast("long"))
+
+  /** Scalar fixed-point: the `floor(d·1e6 + 0.5)` long total order the
+    * L2 eval ground truth and the rerank tails rank by. */
+  def fixedPointLong(c: Column): Column =
+    floor(c * lit(FpScale) + lit(0.5)).cast("long")
+
   /** Cosine similarity; 0-vector guarded via 1e-12 floor. Fused one-pass
     * codegen (dot + both norms in a single loop). */
   def cosine(a: Column, b: Column): Column =

@@ -756,13 +756,7 @@ object LlmQueries {
       "embedding", cbs, k = 5).select($"qid", $"cid")
     val exact = SimSearch.knnBruteL2Fp(qs, e, "vec_id", "vec_id",
       "embedding", k = 5).select($"qid", $"cid")
-    val hits = exact.join(approx, Seq("qid", "cid"))
-      .groupBy($"qid").agg(count(lit(1)).as("n_matched"))
-    exact.select($"qid").distinct()
-      .join(hits, Seq("qid"), "left")
-      .na.fill(0L, Seq("n_matched"))
-      .withColumn("recall", $"n_matched".cast("double") / lit(5.0))
-      .orderBy($"qid")
+    recallAt5(exact, approx)
   }
   val q189Sql: String =
     s"""WITH allpts AS (SELECT vec_id AS id,
@@ -774,23 +768,7 @@ object LlmQueries {
        |  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
        |      ORDER BY adc_fp, cid) AS rn
        |  FROM adc) WHERE rn <= 5),
-       |ep AS (SELECT q.id AS qid, c.id AS cid,
-       |    CAST(floor(list_sum(list_transform(list_zip(c.v, q.v),
-       |      z -> (z[1]-z[2])*(z[1]-z[2]))) * 1e6 + 5e-1) AS BIGINT)
-       |      AS l2_fp
-       |  FROM allpts c, allpts q WHERE q.id < 10 AND c.id != q.id),
-       |exact AS (SELECT qid, cid FROM (
-       |  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
-       |      ORDER BY l2_fp, cid) AS rn
-       |  FROM ep) WHERE rn <= 5),
-       |hits AS (SELECT e.qid, COUNT(*) AS n
-       |  FROM exact e JOIN approx a ON a.qid = e.qid AND a.cid = e.cid
-       |  GROUP BY e.qid)
-       |SELECT e.qid, COALESCE(h.n, 0) AS n_matched,
-       |  CAST(COALESCE(h.n, 0) AS DOUBLE) / 5.0 AS recall
-       |FROM (SELECT DISTINCT qid FROM exact) e
-       |LEFT JOIN hits h ON h.qid = e.qid
-       |ORDER BY e.qid""".stripMargin
+       |${recallAt5L2Sql("approx")}""".stripMargin
 
   /** q193 — random-projection kNN ([[graft.llm.SimSearch.rpReduce]]):
     * the 64-d float corpus is projected to 16 integer dimensions by a
@@ -866,36 +844,14 @@ object LlmQueries {
       "embedding", k = 5).select($"qid", $"cid")
     val exact = SimSearch.knnBruteL2Fp(qs, e, "vec_id", "vec_id",
       "embedding", k = 5).select($"qid", $"cid")
-    val hits = exact.join(approx, Seq("qid", "cid"))
-      .groupBy($"qid").agg(count(lit(1)).as("n_matched"))
-    exact.select($"qid").distinct()
-      .join(hits, Seq("qid"), "left")
-      .na.fill(0L, Seq("n_matched"))
-      .withColumn("recall", $"n_matched".cast("double") / lit(5.0))
-      .orderBy($"qid")
+    recallAt5(exact, approx)
   }
   val q194Sql: String =
     s"""WITH $rpTop5Cte,
        |allpts AS (SELECT vec_id AS id,
        |    CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
-       |ep AS (SELECT q.id AS qid, c.id AS cid,
-       |    CAST(floor(list_sum(list_transform(list_zip(c.v, q.v),
-       |      z -> (z[1]-z[2])*(z[1]-z[2]))) * 1e6 + 5e-1) AS BIGINT)
-       |      AS l2_fp
-       |  FROM allpts c, allpts q WHERE q.id < 10 AND c.id != q.id),
-       |exact AS (SELECT qid, cid FROM (
-       |  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
-       |      ORDER BY l2_fp, cid) AS rn
-       |  FROM ep) WHERE rn <= 5),
-       |hits AS (SELECT e.qid, COUNT(*) AS n
-       |  FROM exact e JOIN rtop a ON a.qid = e.qid AND a.cid = e.cid
-       |  GROUP BY e.qid)
-       |SELECT e.qid, COALESCE(h.n, 0) AS n_matched,
-       |  CAST(COALESCE(h.n, 0) AS DOUBLE) / 5.0 AS recall
-       |FROM (SELECT DISTINCT qid FROM exact) e
-       |LEFT JOIN hits h ON h.qid = e.qid
-       |ORDER BY e.qid""".stripMargin
+       |${recallAt5L2Sql("rtop")}""".stripMargin
 
   /** q195 — Matryoshka prefix-dim rerank ([[graft.llm.SimSearch
     * .knnPrefixRerank]]): coarse-rank the WHOLE corpus by fixed-point
@@ -1166,33 +1122,11 @@ object LlmQueries {
     val approx = q198RpIvf(s, d).select($"qid", $"cid")
     val exact = SimSearch.knnBruteL2Fp(qs, e, "vec_id", "vec_id",
       "embedding", k = 5).select($"qid", $"cid")
-    val hits = exact.join(approx, Seq("qid", "cid"))
-      .groupBy($"qid").agg(count(lit(1)).as("n_matched"))
-    exact.select($"qid").distinct()
-      .join(hits, Seq("qid"), "left")
-      .na.fill(0L, Seq("n_matched"))
-      .withColumn("recall", $"n_matched".cast("double") / lit(5.0))
-      .orderBy($"qid")
+    recallAt5(exact, approx)
   }
   val q199Sql: String =
     s"""WITH $rpIvfTop5Cte,
-       |ep AS (SELECT q.id AS qid, c.id AS cid,
-       |    CAST(floor(list_sum(list_transform(list_zip(c.v, q.v),
-       |      z -> (z[1]-z[2])*(z[1]-z[2]))) * 1e6 + 5e-1) AS BIGINT)
-       |      AS l2_fp
-       |  FROM allpts c, allpts q WHERE q.id < 10 AND c.id != q.id),
-       |exact AS (SELECT qid, cid FROM (
-       |  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
-       |      ORDER BY l2_fp, cid) AS rn
-       |  FROM ep) WHERE rn <= 5),
-       |hits AS (SELECT e.qid, COUNT(*) AS n
-       |  FROM exact e JOIN atop a ON a.qid = e.qid AND a.cid = e.cid
-       |  GROUP BY e.qid)
-       |SELECT e.qid, COALESCE(h.n, 0) AS n_matched,
-       |  CAST(COALESCE(h.n, 0) AS DOUBLE) / 5.0 AS recall
-       |FROM (SELECT DISTINCT qid FROM exact) e
-       |LEFT JOIN hits h ON h.qid = e.qid
-       |ORDER BY e.qid""".stripMargin
+       |${recallAt5L2Sql("atop")}""".stripMargin
 
   /** q200 — behavioral session-sequence corpus: the events→LM-corpus
     * bridge. Each user's events sessionize under the q62 4-hour-gap
@@ -1324,6 +1258,46 @@ object LlmQueries {
        |  SELECT 'hash_random', MAX(d) FROM dr)
        |ORDER BY method""".stripMargin
 
+  /** Shared recall@5 report card: `exact` and `approx` are (qid, cid)
+    * pair sets; emits per-query `n_matched`/`recall`. ONE definition
+    * for every recall eval (q113/q127/q189/q194/q199) so the metric —
+    * left join, zero-fill, the /5.0 denominator — cannot drift between
+    * report cards. */
+  private def recallAt5(exact: DataFrame, approx: DataFrame)
+      : DataFrame = {
+    val hits = exact.join(approx, Seq("qid", "cid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_matched"))
+    exact.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_matched"))
+      .withColumn("recall",
+        col("n_matched").cast("double") / lit(5.0))
+      .orderBy(col("qid"))
+  }
+
+  /** The L2-truth recall tail shared by the q189/q194/q199 oracles:
+    * exact fixed-point top-5 over `allpts` (which the interpolating
+    * chain must define), hits vs the named approx CTE, and the report
+    * projection — the SQL twin of [[recallAt5]]. */
+  private def recallAt5L2Sql(approxCte: String): String =
+    s"""ep AS (SELECT q.id AS qid, c.id AS cid,
+       |    CAST(floor(list_sum(list_transform(list_zip(c.v, q.v),
+       |      z -> (z[1]-z[2])*(z[1]-z[2]))) * 1e6 + 5e-1) AS BIGINT)
+       |      AS l2_fp
+       |  FROM allpts c, allpts q WHERE q.id < 10 AND c.id != q.id),
+       |exact AS (SELECT qid, cid FROM (
+       |  SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY l2_fp, cid) AS rn
+       |  FROM ep) WHERE rn <= 5),
+       |hits AS (SELECT e.qid, COUNT(*) AS n
+       |  FROM exact e JOIN $approxCte a ON a.qid = e.qid AND a.cid = e.cid
+       |  GROUP BY e.qid)
+       |SELECT e.qid, COALESCE(h.n, 0) AS n_matched,
+       |  CAST(COALESCE(h.n, 0) AS DOUBLE) / 5.0 AS recall
+       |FROM (SELECT DISTINCT qid FROM exact) e
+       |LEFT JOIN hits h ON h.qid = e.qid
+       |ORDER BY e.qid""".stripMargin
+
   /** q113 — ANN recall@5, hash-gated: the EVAL harness for the
     * approximate-search stack. Joins q112's IVF-SQ top-5 against q22's
     * exact float-cosine top-5 (the ground truth) and emits per-query
@@ -1336,13 +1310,7 @@ object LlmQueries {
     import s.implicits._
     val approx = q112IvfSqKnn(s, d).select($"qid", $"cid")
     val exact = MlQueries.q22CosineKnn(s, d).select($"qid", $"cid")
-    val hits = exact.join(approx, Seq("qid", "cid"))
-      .groupBy($"qid").agg(count(lit(1)).as("n_matched"))
-    exact.select($"qid").distinct()
-      .join(hits, Seq("qid"), "left")
-      .na.fill(0L, Seq("n_matched"))
-      .withColumn("recall", $"n_matched".cast("double") / lit(5.0))
-      .orderBy($"qid")
+    recallAt5(exact, approx)
   }
   val q113Sql: String =
     ivfSqBuildSql(embeddingsAllpts, nlist = 16, nprobe = 4,
@@ -1794,13 +1762,7 @@ object LlmQueries {
     import s.implicits._
     val approx = q126RerankKnn(s, d).select($"qid", $"cid")
     val exact = MlQueries.q22CosineKnn(s, d).select($"qid", $"cid")
-    val hits = exact.join(approx, Seq("qid", "cid"))
-      .groupBy($"qid").agg(count(lit(1)).as("n_matched"))
-    exact.select($"qid").distinct()
-      .join(hits, Seq("qid"), "left")
-      .na.fill(0L, Seq("n_matched"))
-      .withColumn("recall", $"n_matched".cast("double") / lit(5.0))
-      .orderBy($"qid")
+    recallAt5(exact, approx)
   }
   val q127Sql: String = q126Prefix +
     """,

@@ -82,6 +82,17 @@ object Select {
     } finally pts.unpersist()
   }
 
+  /** Nearest-center (d, cid) struct for a QUANTIZED vector column under
+    * the exact integer (d, cid) order — the assignment expression
+    * [[kCenterCoverage]] and the streaming coverage monitor share, so
+    * the batch audit and the live monitor can never assign
+    * differently. */
+  def nearestCenter(vq: Column,
+      centers: Seq[(Long, Array[Long])]): Column =
+    array_min(array(centers.map { case (cid, c) =>
+      struct(distFp(vq, c).as("d"), lit(cid).as("cid"))
+    }: _*))
+
   /** Coverage report for a [[kCenterGreedy]] selection: every corpus
     * point (selected ones included — they cover themselves at distance
     * zero) assigns to its nearest center under the exact integer
@@ -96,10 +107,7 @@ object Select {
     val spark = df.sparkSession
     import spark.implicits._
     val pts = quantized(df, idCol, vecCol)
-    val best = array_min(array(centers.map { case (cid, c) =>
-      struct(distFp($"vq", c).as("d"), lit(cid).as("cid"))
-    }: _*))
-    pts.withColumn("m", best)
+    pts.withColumn("m", nearestCenter($"vq", centers))
       .groupBy($"m.cid".as("center_id"))
       .agg(count(lit(1)).as("n_assigned"),
         max($"m.d").as("max_dist_fp"))

@@ -905,7 +905,7 @@ object LlmQueries {
     * selected set, argmax with id tiebreak, set union). The engine
     * runs the same trajectory as a driver loop of map-only passes;
     * the oracle replays it CTE by CTE. */
-  private def kCenterCteSql(k: Int): String = {
+  private[ops] def kCenterCteSql(k: Int): String = {
     val steps = (1 until k).map { i =>
       s"""d$i AS (SELECT p.id, p.vq,
          |    MIN(CAST(list_sum(list_transform(list_zip(p.vq, s.vq),

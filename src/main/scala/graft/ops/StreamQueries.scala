@@ -823,6 +823,78 @@ object StreamQueries {
       |    AS BIGINT) AS cnt_seen
       |FROM g ORDER BY batch_id, source, lo""".stripMargin
 
+  /** q203 — STREAMING coverage monitor over the k-center anchors: the
+    * selection family's serving story ([[graft.llm.Select]], q196/q197
+    * batch; this is the live side). The anchor set is selected once on
+    * the static (last-release) corpus; every ARRIVING vector assigns
+    * map-only to its nearest anchor in the source select
+    * ([[graft.llm.Select.nearestCenter]] — the SAME expression the
+    * batch audit uses, so monitor and audit can never disagree), and a
+    * k-cell keyed state store carries cumulative (covered count, worst
+    * in-cell distance) per anchor across four real micro-batches
+    * ([[graft.streaming.StreamOps.streamingCoverageMonitor]]). A
+    * rising max_dist_fp is the embedding-drift alarm — new data
+    * landing farther from every anchor than the release the anchors
+    * were chosen on. Oracle: the q196 greedy CTE chain + cumulative
+    * per-tile replay (the q179 pattern). */
+  def q203StreamCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val e = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val centers = graft.llm.Select.centersOf(e, "vec_id", "embedding",
+      graft.llm.Select.kCenterGreedy(e, "vec_id", "embedding", k = 6))
+    val schema = new StructType().add("vec_id", LongType)
+      .add("embedding", ArrayType(FloatType))
+    fourBatchHarness(s, e, "vec_id", schema, "coverage") {
+      (source, sink) =>
+        val rows = source.select($"vec_id",
+            graft.llm.Select.nearestCenter(
+              graft.ml.Distance.fixedPointVec(
+                $"embedding".cast("array<double>")), centers).as("m"))
+          .select($"m.cid".as("_1"), $"m.d".as("_2"),
+            $"vec_id".as("_3"))
+          .as[(Long, Long, Long)]
+        val out = StreamOps.streamingCoverageMonitor(rows)
+        val q = out.toDF().writeStream
+          .outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+    } { sinkDf =>
+      val tiles = e.select($"vec_id",
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy($"vec_id")).as("batch_id"))
+      sinkDf.select($"_1".as("center_id"), $"_2".as("n_seen"),
+          $"_3".as("max_dist_fp"), $"_4".as("vec_id"))
+        .join(tiles, "vec_id")
+        .select($"batch_id", $"center_id", $"n_seen", $"max_dist_fp")
+        .orderBy($"batch_id", $"center_id")
+    }
+  }
+  val q203Sql: String =
+    s"""WITH ${LlmQueries.kCenterCteSql(6)},
+       |asg AS (SELECT id, cid, dd FROM (
+       |  SELECT p.id, s.id AS cid,
+       |    CAST(list_sum(list_transform(list_zip(p.vq, s.vq),
+       |      z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dd,
+       |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+       |      CAST(list_sum(list_transform(list_zip(p.vq, s.vq),
+       |        z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT), s.id) AS rn
+       |  FROM pts p, s5 s) WHERE rn = 1),
+       |tiled AS (SELECT id, NTILE(4) OVER (ORDER BY id) AS tile
+       |  FROM pts),
+       |g AS (SELECT t.tile, a.cid, CAST(COUNT(*) AS BIGINT) AS n,
+       |    MAX(a.dd) AS mx
+       |  FROM asg a JOIN tiled t ON t.id = a.id
+       |  GROUP BY t.tile, a.cid)
+       |SELECT tile AS batch_id, cid AS center_id,
+       |  CAST(SUM(n) OVER (PARTITION BY cid ORDER BY tile) AS BIGINT)
+       |    AS n_seen,
+       |  CAST(MAX(mx) OVER (PARTITION BY cid ORDER BY tile) AS BIGINT)
+       |    AS max_dist_fp
+       |FROM g ORDER BY batch_id, center_id""".stripMargin
+
   /** q106 — STREAMING near-dup dedup over real micro-batches: the
     * signature-path ingest variant the round-6 verdict called the
     * biggest remaining gap (q101 covers streaming EXACT dedup; minhash/
@@ -1116,6 +1188,7 @@ object StreamQueries {
     "q177_stream_novelty" -> (q177StreamNovelty _),
     "q179_stream_cms" -> (q179StreamCms _),
     "q190_stream_quantile" -> (q190StreamQuantile _),
+    "q203_stream_coverage" -> (q203StreamCoverage _),
     "q60_stream_volume" -> (q60StreamVolume _),
     "q64_sliding_window" -> (q64SlidingWindow _),
     "q61_stream_semantic" -> (q61StreamSemantic _),
@@ -1152,6 +1225,7 @@ object StreamQueries {
     "q177_stream_novelty" -> q177Sql,
     "q179_stream_cms" -> q179Sql,
     "q190_stream_quantile" -> q190Sql,
+    "q203_stream_coverage" -> q203Sql,
     "q60_stream_volume" -> q60Sql,
     "q64_sliding_window" -> q64Sql,
     "q62_session_window" -> q62Sql,

@@ -385,6 +385,41 @@ object StreamOps {
       }
   }
 
+  /** Streaming coverage monitor — the k-center anchor set
+    * ([[graft.llm.Select.kCenterGreedy]]) kept live against arriving
+    * vectors: input rows are `(center_id, dist_fp, vec_id)` (the
+    * map-only [[graft.llm.Select.nearestCenter]] assignment runs in
+    * the source select, so only k-bounded keys reach the state store);
+    * keyed state is `(n_seen, max_dist_fp)` per center. After each
+    * batch every touched center emits its cumulative covered count,
+    * cumulative worst in-cell distance, and the batch's min vec id
+    * (ascending-split placement). A rising `max_dist_fp` is the
+    * embedding-drift alarm: new data is landing farther from every
+    * anchor than the release the anchors were selected on. State is
+    * bounded at k cells no matter the arrival volume. */
+  def streamingCoverageMonitor(rows: Dataset[(Long, Long, Long)])
+      : Dataset[(Long, Long, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (cid: Long, it: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var n = 0L
+          var mx = Long.MinValue
+          var minId = Long.MaxValue
+          it.foreach { case (_, d, id) =>
+            n += 1L
+            if (d > mx) mx = d
+            if (id < minId) minId = id
+          }
+          val (pn, pm) = state.getOption.getOrElse((0L, Long.MinValue))
+          val total = (pn + n, math.max(pm, mx))
+          state.update(total)
+          Iterator.single((cid, total._1, total._2, minId))
+      }
+  }
+
   /** §3.1 as a streaming pipeline: enrichment in foreachBatch with an
     * idempotent (anti-join) sink — the A5 `ON CONFLICT DO NOTHING` analog.
     * Runs with AvailableNow so callers can await completion. */

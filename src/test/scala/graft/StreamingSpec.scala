@@ -109,6 +109,34 @@ class StreamingSpec extends AnyFunSuite {
       ("web|120", 5L, 11L), ("web|99", 1L, 1L)), got.toSeq.toString)
   }
 
+  test("streaming coverage monitor accumulates count and worst distance " +
+      "per anchor across micro-batches (q203)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val out = StreamOps.streamingCoverageMonitor(input.toDS())
+    val q = out.toDF().writeStream
+      .outputMode("append")
+      .format("memory").queryName("coverage_stream")
+      .start()
+    // batch 1: two arrivals in anchor 0's cell, one in anchor 3's
+    input.addData((0L, 100L, 11L), (0L, 900L, 12L), (3L, 50L, 13L))
+    q.processAllAvailable()
+    // batch 2: anchor 0 grows but with a CLOSER vector (max stays 900);
+    // anchor 3 drifts (max jumps to 5000); anchor 1 appears
+    input.addData((0L, 400L, 14L), (3L, 5000L, 15L), (1L, 7L, 16L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("coverage_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    spark.catalog.dropTempView("coverage_stream")
+    // cumulative count AND cumulative max per touched anchor; silent
+    // anchors emit nothing
+    assert(got.toSet == Set((0L, 2L, 900L, 11L), (3L, 1L, 50L, 13L),
+      (0L, 3L, 900L, 14L), (3L, 2L, 5000L, 15L), (1L, 1L, 7L, 16L)),
+      got.toSeq.toString)
+  }
+
   test("streaming sequence packing carries the running token count " +
       "across micro-batches and sorts within a batch by id") {
     import spark.implicits._

@@ -1214,6 +1214,60 @@ object LlmQueries {
        |FROM g JOIN k USING (seq_text)
        |ORDER BY n_sessions DESC, g.seq_text LIMIT 10""".stripMargin
 
+  /** q204 — sequence-corpus capstone: the q200 bridge driven through
+    * the corpus machinery end to end — sessions → exact-dedup keepers
+    * by `seq_fp` (lexicographic-min (user, start), the q40 keeper rule
+    * on the derived corpus) → per-USER 64-event packing
+    * ([[graft.llm.Corpus.packSequencesBy]] — sharded by user, so the
+    * running-sum window never sees more than one user's history and a
+    * pack holds contiguous behavior, the trainable shape) → per-pack
+    * manifest with the q174 order-invariant bit_xor checksum. One
+    * oracle chain replays all three stages, so the bridge and the
+    * corpus operators it feeds cannot drift apart. */
+  def q204SequenceCapstone(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy($"seq_fp")
+      .orderBy($"user_id", $"session_start_us")
+    val kept = q200SessionSequences(s, d)
+      .withColumn("rn", row_number().over(wd))
+      .filter($"rn" === 1)
+      .select($"user_id", $"session_start_us", $"n_events", $"seq_fp")
+    val packed = Corpus.packSequencesBy(kept, "session_start_us",
+      "n_events", Seq("user_id"), budget = 64L)
+    val sig = conv(substring(md5($"seq_fp"), 1, 15), 16, 10)
+      .cast("long")
+    packed.withColumn("__sig", sig)
+      .groupBy($"user_id", $"pack_id")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum($"n_events").cast("long").as("n_events_total"),
+        expr("bit_xor(__sig)").as("checksum"))
+      .orderBy($"user_id", $"pack_id")
+  }
+  val q204Sql: String =
+    s"""WITH $sessionSeqCte,
+       |fp AS (SELECT user_id, session_start_us, n_events,
+       |    md5(seq_text) AS seq_fp
+       |  FROM seqs),
+       |kept AS (SELECT user_id, session_start_us, n_events, seq_fp
+       |  FROM (SELECT user_id, session_start_us, n_events, seq_fp,
+       |    ROW_NUMBER() OVER (PARTITION BY seq_fp
+       |      ORDER BY user_id, session_start_us) AS rn
+       |  FROM fp) WHERE rn = 1),
+       |pk AS (SELECT user_id, n_events, seq_fp,
+       |    COALESCE(SUM(n_events) OVER (PARTITION BY user_id
+       |      ORDER BY session_start_us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      // 64 AS pack_id
+       |  FROM kept)
+       |SELECT user_id, CAST(pack_id AS BIGINT) AS pack_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       |  CAST(SUM(n_events) AS BIGINT) AS n_events_total,
+       |  CAST(bit_xor(CAST(('0x' || substr(md5(seq_fp), 1, 15))
+       |    AS BIGINT)) AS BIGINT) AS checksum
+       |FROM pk GROUP BY user_id, pack_id
+       |ORDER BY user_id, pack_id""".stripMargin
+
   /** q202 — selection report card: does greedy k-center actually beat
     * picking k points at random? The k-center objective (max
     * point-to-nearest-center distance) measured for q196's greedy 6
@@ -5384,6 +5438,7 @@ object LlmQueries {
     "q200_session_sequences" -> (q200SessionSequences _),
     "q201_pattern_topk" -> (q201PatternTopk _),
     "q202_coverage_eval" -> (q202CoverageEval _),
+    "q204_sequence_capstone" -> (q204SequenceCapstone _),
     "q166_phrase_mining" -> (q166PhraseMining _),
     "q167_dup_graph_audit" -> (q167DupGraphAudit _),
     "q168_length_batches" -> (q168LengthBatches _),
@@ -5504,6 +5559,7 @@ object LlmQueries {
     "q200_session_sequences" -> q200Sql,
     "q201_pattern_topk" -> q201Sql,
     "q202_coverage_eval" -> q202Sql,
+    "q204_sequence_capstone" -> q204Sql,
     // layout maintenance never changes values: the serve over the
     // compacted store replays the one-shot q140 build (q130's argument)
     "q165_postings_compaction" -> q140Sql,

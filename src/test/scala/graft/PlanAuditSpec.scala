@@ -446,6 +446,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!scanLine.contains("props"), s"props not pruned:\n$scanLine")
   }
 
+  test("sequence capstone stays keyed end to end: five exchanges, no " +
+      "cartesian (q204)") {
+    // one exchange per keyed stage — session aggregation, seq_fp dedup
+    // window, per-user pack window, manifest aggregation, output sort.
+    // A sixth would mean a stage lost its key (e.g. packing falling
+    // back to a global window); a cartesian would mean the dedup
+    // degenerated to pair comparison.
+    withDefaultBroadcast {
+      val plan = SparkEntry.queries("q204_sequence_capstone")(spark, sf)
+        .queryExecution.executedPlan.toString
+      val shuffles = plan.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      assert(shuffles <= 5, s"q204 has $shuffles shuffles:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"q204 plans a cross join:\n$plan")
+    }
+  }
+
   test("bloom probe filters scan-locally, no join on the filter (q187)") {
     // the 100 TB decontamination shape: the collected filter ships as
     // a broadcast array inside a scalar UDF, so the probe side is scan

@@ -1091,7 +1091,18 @@ object Dedup {
     * identifying content (the IDF argument: a shingle in >1000 docs
     * identifies nothing). Default on at 1000; pair-join work is then
     * bounded at df² per shingle ≤ 10⁶ rows per hot key instead of
-    * corpus². */
+    * corpus².
+    *
+    * @note BEHAVIOR CHANGE vs the pre-cap version (rounds ≤ 9, which
+    *       joined on every shared shingle): with the cap ON by
+    *       default, (a) a true containment pair whose only shared
+    *       shingles are common-but-legitimate (df > maxDocFreq) is no
+    *       longer emitted, and (b) `n_src` counts only post-filter
+    *       shingles, so `cont_bp` shifts even for surviving pairs.
+    *       Callers that need the uncapped Broder containment (small
+    *       corpora, forensic diffing) must opt out explicitly with
+    *       `maxDocFreq = Long.MaxValue`; at corpus scale the capped
+    *       measure is the intended semantics. */
   /** The default [[containmentPairs]] boilerplate cap — ONE constant so
     * the q180 oracle SQL and q192's over-cap flag can interpolate it
     * instead of repeating a literal that would silently drift. */

@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
   */
 object Select {
 
+  /** Upper bound on [[kCenterGreedy]]'s k — the selection unrolls all
+    * chosen centers as literals into one codegen'd least(...) chain,
+    * so k caps the per-round expression at k·dim literal longs (8k at
+    * dim 64), well inside JVM constant-pool / codegen limits. */
+  val MaxGreedyK: Int = 128
+
   /** Fixed-point squared L2 between the row's quantized vector and one
     * literal center — exact integer, summation-order-free. */
   private def distFp(vq: Column, center: Array[Long]): Column =
@@ -49,6 +55,15 @@ object Select {
   def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // Each round unrolls ALL selected centers as driver-side literals
+    // into one least(...) chain — per-round expression size is
+    // O(k·dim) literals and total codegen work O(k²·dim). Bound k so a
+    // caller can't push the generated code past JVM constant-pool /
+    // codegen limits; a coreset larger than this wants the batched
+    // take-m-per-pass variant, not a longer literal chain.
+    require(k <= MaxGreedyK,
+      s"k must be <= $MaxGreedyK (per-round codegen is O(k*dim) " +
+        s"literals; use a batched selection for larger coresets), got $k")
     val spark = df.sparkSession
     import spark.implicits._
     // k actions run over this frame — cache so the scan+quantize work

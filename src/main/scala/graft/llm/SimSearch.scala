@@ -194,17 +194,30 @@ object SimSearch {
   def knnPrefixRerank(queries: DataFrame, candidates: DataFrame,
       qId: String, cId: String, vecCol: String, k: Int,
       prefixDims: Int = 16, shortlist: Int = 50): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k) or the rerank can " +
+        "never return k rows")
     // self-register: the full-width rerank below uses the
     // call_function sqEuclidean
     graft.functions.VectorExprs.register(queries.sparkSession)
+    // Loud size guard: a vector shorter than prefixDims would make
+    // zip_with null-pad the prefix, c_fp go null, and null-first
+    // ascending ordering silently promote the broken candidate to the
+    // top of the shortlist — fail the job instead.
+    def prefixFp(v: Column, side: String): Column =
+      when(size(v) >= lit(prefixDims),
+        Distance.fixedPointVec(slice(v, 1, prefixDims)))
+        .otherwise(raise_error(concat(
+          lit(s"knnPrefixRerank: $side vector has "),
+          size(v).cast("string"),
+          lit(s" dims, need >= $prefixDims"))).cast("array<bigint>"))
     val q = queries.select(col(qId).as("qid"),
         col(vecCol).cast("array<double>").as("__qv"))
-      .withColumn("__qp",
-        Distance.fixedPointVec(slice(col("__qv"), 1, prefixDims)))
+      .withColumn("__qp", prefixFp(col("__qv"), "query"))
     val c = candidates.select(col(cId).as("cid"),
         col(vecCol).cast("array<double>").as("__cv"))
-      .withColumn("__cp",
-        Distance.fixedPointVec(slice(col("__cv"), 1, prefixDims)))
+      .withColumn("__cp", prefixFp(col("__cv"), "candidate"))
     val wc = Window.partitionBy(col("qid"))
       .orderBy(col("c_fp").asc, col("cid").asc)
     val wf = Window.partitionBy(col("qid"))

@@ -123,6 +123,39 @@ class EdgeCasesSpec extends AnyFunSuite {
       .collect()
     assert(one.length == 1 && one.head.getInt(0) == 0 &&
       one.head.getLong(2) == 0L)
+    // per-round codegen is O(k·dim) literals — k beyond MaxGreedyK is
+    // rejected up front instead of failing inside codegen
+    val big = intercept[IllegalArgumentException] {
+      Select.kCenterGreedy(some, "vec_id", "embedding",
+        Select.MaxGreedyK + 1)
+    }
+    assert(big.getMessage.contains("batched"), big.getMessage)
+  }
+
+  test("knnPrefixRerank guards: bad prefixDims/shortlist throw, short " +
+      "vectors fail loudly instead of null-ranking first") {
+    import graft.llm.SimSearch
+    import spark.implicits._
+    val some = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    intercept[IllegalArgumentException] {
+      SimSearch.knnPrefixRerank(some, some, "vec_id", "vec_id",
+        "embedding", k = 5, prefixDims = 0)
+    }
+    intercept[IllegalArgumentException] {
+      SimSearch.knnPrefixRerank(some, some, "vec_id", "vec_id",
+        "embedding", k = 5, shortlist = 3)
+    }
+    // a 4-dim vector under prefixDims=16 used to null-pad via zip_with
+    // and float silently to the top of the shortlist; now the job fails
+    val short = Seq((1L, Seq(1f, 2f, 3f, 4f)), (2L, Seq(2f, 1f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      SimSearch.knnPrefixRerank(short, short, "vec_id", "vec_id",
+        "embedding", k = 1, prefixDims = 16, shortlist = 1).collect()
+    }
+    assert(e.getMessage != null &&
+      e.toString.contains("knnPrefixRerank"), e.toString)
   }
 
   test("asof join with an empty right side leaves all lefts unmatched") {

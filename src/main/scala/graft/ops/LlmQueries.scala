@@ -1156,13 +1156,17 @@ object LlmQueries {
   }
   /** The q62-proven sessionization replay + per-session ordered
     * sequence — shared by q200 (the corpus) and q201 (its pattern
-    * rollup). */
+    * rollup). Boundary contract: Spark's `session_window` is half-open
+    * — an event at exactly prev_ts + gap starts a NEW session — so the
+    * lag rule here is strict `<` (same session only while the gap is
+    * strictly under 4 hours), keeping the two engines aligned even on
+    * a fixture row landing exactly on the boundary. */
   private val sessionSeqCte: String =
     """e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
       |    event_type FROM events),
       |flags AS (SELECT event_id, user_id, ts, event_type,
       |  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
-      |         ORDER BY ts, event_id) <= INTERVAL '4 hours'
+      |         ORDER BY ts, event_id) < INTERVAL '4 hours'
       |       THEN 0 ELSE 1 END AS new_session
       |FROM e),
       |sess AS (SELECT event_id, user_id, ts, event_type,

@@ -64,7 +64,10 @@ object StreamQueries {
   /** q62 — session windows (I7 extended surface: the reference has no
     * session concept): per-user sessions with a 4-hour inactivity gap.
     * Oracle reproduces session_window's exact semantics via the classic
-    * lag + cumulative-sum sessionization. */
+    * lag + cumulative-sum sessionization. Boundary contract:
+    * `session_window` is half-open, so the lag rule is strict `<` —
+    * an event at exactly prev_ts + 4h opens a new session in BOTH
+    * engines (same contract as q200's sessionSeqCte). */
   def q62SessionWindow(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.events(s, d)
@@ -78,7 +81,7 @@ object StreamQueries {
     """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
       |flags AS (SELECT user_id, ts,
       |  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-      |         <= INTERVAL '4 hours' THEN 0 ELSE 1 END AS new_session
+      |         < INTERVAL '4 hours' THEN 0 ELSE 1 END AS new_session
       |FROM e),
       |sess AS (SELECT user_id, ts,
       |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts

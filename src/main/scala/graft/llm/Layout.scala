@@ -1,0 +1,115 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical data-layout optimization — the scan-pruning family: Z-order
+  * (Morton) clustering, per-file zone maps (min/max column statistics),
+  * and measured pruning effectiveness. This is the layer under every
+  * 100 TB table: a parquet/Iceberg/Delta reader skips a file when the
+  * file's min/max range cannot intersect the predicate, so HOW rows are
+  * assigned to files decides whether a selective query reads 1% or 100%
+  * of the bytes (Morton curves for multidimensional clustering: Orenstein
+  * & Merrett 1984; the same layout move as Delta's OPTIMIZE ZORDER BY and
+  * ClickHouse/Redshift interleaved sort keys). The reference keeps all
+  * rows in Postgres heap tables and has no layout concept
+  * (`/root/reference/src/storage/database.py:21-38` — one table, btree
+  * lookups); at warehouse scale layout IS the index, so this family
+  * builds it as first-class, measurable operators:
+  *
+  *  - [[eventLayout]]: bucket the two query dimensions (user, time) onto
+  *    a fixed grid, interleave the bucket bits into a Morton key, and
+  *    assign rows to files two ways — `file_z` (Z-order ranges) vs
+  *    `file_t` (single-key time sort), the incumbent layout every
+  *    append-only ingest produces for free.
+  *  - [[zoneMaps]]: the per-file min/max stats a reader prunes with —
+  *    ONE aggregation, file-count-sized output.
+  *  - q206/q207/q208 measure what the layouts buy: files scanned per
+  *    range-predicate box, expected point-lookup cost, and the Bloom
+  *    per-file index that rescues point lookups on the unsorted
+  *    dimension.
+  *
+  * Determinism: bucketing is exact integer arithmetic (`DIV` on longs),
+  * the Morton interleave is a bit-shift sum shared VERBATIM between the
+  * Spark plan and the DuckDB oracle ([[mortonSql]]), and min/max/count
+  * are order-free — every zone map and pruning count replays
+  * bit-for-bit.
+  *
+  * Scale shape: layout assignment is one map-only pass (the domain
+  * bounds are a 1-row broadcast); zone maps are one partial-aggregating
+  * exchange of file-count-sized data; every pruning eval joins
+  * predicate-count × file-count rows (both tiny, broadcast). Nothing
+  * touches corpus-sized data twice. At a real 100 TB write the same
+  * zkey becomes the range-partitioner sort key; the cost model the
+  * evals compute is what decides whether that rewrite pays.
+  */
+object Layout {
+
+  /** Grid resolution per dimension — 8 bits each, so a Morton key is
+    * 16 bits and file ranges divide it evenly. */
+  val Buckets: Int = 256
+  private val Bits: Int = 8
+
+  /** Morton interleave as a SQL fragment over two already-bucketed
+    * `[0, 256)` integer columns — `ub` takes the odd bit positions,
+    * `tb` the even. Plain `>> & <<` integer arithmetic (disjoint bits,
+    * so `+` is `|`) valid in BOTH Spark SQL and DuckDB: the engine and
+    * the oracle interpolate the SAME string, which is what makes the
+    * zkey bit-identical by construction rather than by parallel
+    * implementations. */
+  def mortonSql(ub: String, tb: String): String =
+    (0 until Bits).map(i =>
+      s"((($ub >> $i) & 1) << ${2 * i + 1}) + " +
+        s"((($tb >> $i) & 1) << ${2 * i})")
+      .mkString(" + ")
+
+  /** Bucket events onto the (user, time) grid and assign each row to a
+    * file under both layouts. Emits `(event_id, ub, tb, zkey, file_z,
+    * file_t)`:
+    *
+    *  - `ub`/`tb`: exact linear bucket of user_id / event-time micros
+    *    into `[0, 256)` over the observed domain (1-row stats
+    *    broadcast; integer `DIV`, no float rounding).
+    *  - `zkey`: [[mortonSql]] interleave — locality in (ub, tb) becomes
+    *    locality in zkey.
+    *  - `file_z`: zkey range-split into `nFiles` equal key ranges (what
+    *    a range-partitioned sorted write produces).
+    *  - `file_t`: tb range-split into `nFiles` — the time-sorted
+    *    incumbent.
+    *
+    * Row counts per `file_z` are uneven (equal KEY ranges, not equal
+    * row counts — the honest shape of a static range split; q207
+    * reports the skew). One map-only pass over events. */
+  def eventLayout(events: DataFrame, nFiles: Int = 64): DataFrame = {
+    require(nFiles >= 1 && Buckets % nFiles == 0,
+      s"nFiles must divide $Buckets, got $nFiles")
+    val st = events.agg(
+      min(col("user_id")).as("lo_u"), max(col("user_id")).as("hi_u"),
+      min(unix_micros(col("ts"))).as("lo_t"),
+      max(unix_micros(col("ts"))).as("hi_t"))
+    events.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      .crossJoin(broadcast(st))
+      .withColumn("ub",
+        expr(s"((user_id - lo_u) * $Buckets) DIV (hi_u - lo_u + 1)"))
+      .withColumn("tb",
+        expr(s"((us - lo_t) * $Buckets) DIV (hi_t - lo_t + 1)"))
+      .withColumn("zkey", expr(mortonSql("ub", "tb")))
+      .withColumn("file_z",
+        expr(s"zkey DIV ${Buckets.toLong * Buckets / nFiles}"))
+      .withColumn("file_t", expr(s"tb DIV ${Buckets / nFiles}"))
+      .select("event_id", "user_id", "ub", "tb", "zkey",
+        "file_z", "file_t")
+  }
+
+  /** The per-file zone map a min/max-pruning reader consults: row count
+    * and the inclusive (ub, tb) bounding box, one row per file. ONE
+    * aggregation with map-side partial collapse — the exchange carries
+    * file-count-sized data regardless of corpus size (the footer-stats
+    * a parquet writer embeds, computed relationally). */
+  def zoneMaps(laid: DataFrame, fileCol: String): DataFrame =
+    laid.groupBy(col(fileCol).as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ub")).as("min_ub"), max(col("ub")).as("max_ub"),
+        min(col("tb")).as("min_tb"), max(col("tb")).as("max_tb"))
+}

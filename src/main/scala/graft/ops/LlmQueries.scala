@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{Corpus, Dedup, Keyword, Multimodal, SimSearch, Sketch, TextOps}
+import graft.llm.{Corpus, Dedup, Keyword, Layout, Multimodal, SimSearch, Sketch, TextOps}
 import Tables._
 
 /** LLM-training-data operator surface: dedup, similarity search, text
@@ -1271,6 +1271,498 @@ object LlmQueries {
        |    AS BIGINT)) AS BIGINT) AS checksum
        |FROM pk GROUP BY user_id, pack_id
        |ORDER BY user_id, pack_id""".stripMargin
+
+  /** The layout family's shared oracle prologue: the [[graft.llm
+    * .Layout.eventLayout]] replay — domain stats, exact integer
+    * bucketing, the [[graft.llm.Layout.mortonSql]] interleave
+    * (interpolated VERBATIM, the same string the Spark plan compiles),
+    * and both file assignments. Ends with `laid(event_id, user_id, ub,
+    * tb, zkey, file_z, file_t)`. */
+  private val layoutCte: String =
+    s"""st AS (SELECT MIN(user_id) AS lo_u, MAX(user_id) AS hi_u,
+       |    MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS lo_t,
+       |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS hi_t FROM events),
+       |bkt AS (SELECT event_id, user_id,
+       |    ((user_id - lo_u) * 256) // (hi_u - lo_u + 1) AS ub,
+       |    ((epoch_us(CAST(ts AS TIMESTAMP)) - lo_t) * 256)
+       |      // (hi_t - lo_t + 1) AS tb
+       |  FROM events, st),
+       |zk AS (SELECT event_id, user_id, ub, tb,
+       |    ${Layout.mortonSql("ub", "tb")} AS zkey
+       |  FROM bkt),
+       |laid AS (SELECT event_id, user_id, ub, tb, zkey,
+       |    zkey // 1024 AS file_z, tb // 4 AS file_t
+       |  FROM zk)""".stripMargin
+
+  /** The two zone-map CTEs over `laid` — per-file row count and (ub,
+    * tb) bounding box for the Z-order and time-sorted layouts. */
+  private val zoneMapCte: String =
+    """zmz AS (SELECT file_z AS file_id, CAST(COUNT(*) AS BIGINT)
+      |      AS n_rows,
+      |    MIN(ub) AS min_ub, MAX(ub) AS max_ub,
+      |    MIN(tb) AS min_tb, MAX(tb) AS max_tb
+      |  FROM laid GROUP BY 1),
+      |zmt AS (SELECT file_t AS file_id, CAST(COUNT(*) AS BIGINT)
+      |      AS n_rows,
+      |    MIN(ub) AS min_ub, MAX(ub) AS max_ub,
+      |    MIN(tb) AS min_tb, MAX(tb) AS max_tb
+      |  FROM laid GROUP BY 1)""".stripMargin
+
+  /** q205 — Z-order layout + zone maps ([[graft.llm.Layout]]): bucket
+    * events onto the 256×256 (user, time) grid, Morton-interleave the
+    * bucket bits, range-split the zkey into 64 files, and emit each
+    * file's zone map — the min/max footer stats a pruning reader
+    * consults. The output IS the physical-design artifact: narrow
+    * boxes on BOTH dimensions are what q206 then measures. One
+    * map-only bucketing pass (domain bounds are a 1-row broadcast) +
+    * one file-count-sized aggregation. */
+  def q205ZorderLayout(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Layout.zoneMaps(Layout.eventLayout(Tables.events(s, d)), "file_z")
+      .orderBy($"file_id")
+  }
+  val q205Sql: String =
+    s"""WITH $layoutCte
+       |SELECT file_z AS file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  MIN(ub) AS min_ub, MAX(ub) AS max_ub,
+       |  MIN(tb) AS min_tb, MAX(tb) AS max_tb
+       |FROM laid GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q206 — pruning effectiveness report: the measured answer to "what
+    * does Z-ordering buy". A 4×4 grid of box predicates (user quartile
+    * × time quartile) is evaluated against both layouts' zone maps:
+    * `files_z`/`files_t` count the files a min/max-pruning reader must
+    * scan (zone-map box intersects the predicate box), `n_rows` the
+    * rows that actually match. Under the time-sorted incumbent a
+    * user-selective predicate still touches ~every file (the time
+    * dimension alone prunes); under Z-order both dimensions prune —
+    * this query puts the number on that. The eval itself joins
+    * 16 predicates × 64 files per layout (broadcast, trivially sized);
+    * the only corpus-sized work is the one bucketing scan. */
+  def q206ZorderPruning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val laid = Layout.eventLayout(Tables.events(s, d))
+    val zmZ = Layout.zoneMaps(laid, "file_z")
+    val zmT = Layout.zoneMaps(laid, "file_t")
+    val preds = (0 until 16).map { p =>
+      (p.toLong, (p / 4) * 64L, (p / 4) * 64L + 63L,
+        (p % 4) * 64L, (p % 4) * 64L + 63L)
+    }.toDF("pred_id", "ub_lo", "ub_hi", "tb_lo", "tb_hi")
+    def scanned(zm: DataFrame, out: String) =
+      preds.join(broadcast(zm),
+          $"max_ub" >= $"ub_lo" && $"min_ub" <= $"ub_hi" &&
+            $"max_tb" >= $"tb_lo" && $"min_tb" <= $"tb_hi")
+        .groupBy($"pred_id").agg(count(lit(1)).as(out))
+    val matched = laid
+      .groupBy(expr("ub DIV 64").as("i"), expr("tb DIV 64").as("j"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("pred_id", $"i" * 4 + $"j")
+    preds.join(scanned(zmZ, "files_z"), Seq("pred_id"))
+      .join(scanned(zmT, "files_t"), Seq("pred_id"))
+      .join(matched.select($"pred_id", $"n_rows"), Seq("pred_id"), "left")
+      .na.fill(0L, Seq("n_rows"))
+      .select($"pred_id", $"ub_lo", $"tb_lo", $"files_z", $"files_t",
+        $"n_rows")
+      .orderBy($"pred_id")
+  }
+  /** The q206 box-predicate grid CTEs over `laid`/`zmz`/`zmt` — shared
+    * verbatim by q206 and the q212 capstone so the box workload cannot
+    * drift between the report and its rollup. */
+  private val boxPredCte: String =
+    """preds AS (SELECT i.x * 4 + j.x AS pred_id,
+      |    i.x * 64 AS ub_lo, i.x * 64 + 63 AS ub_hi,
+      |    j.x * 64 AS tb_lo, j.x * 64 + 63 AS tb_hi
+      |  FROM range(0, 4) i(x), range(0, 4) j(x)),
+      |bfz AS (SELECT pred_id, CAST(COUNT(*) AS BIGINT) AS files_z
+      |  FROM preds p JOIN zmz z
+      |    ON z.max_ub >= p.ub_lo AND z.min_ub <= p.ub_hi
+      |   AND z.max_tb >= p.tb_lo AND z.min_tb <= p.tb_hi
+      |  GROUP BY 1),
+      |bft AS (SELECT pred_id, CAST(COUNT(*) AS BIGINT) AS files_t
+      |  FROM preds p JOIN zmt z
+      |    ON z.max_ub >= p.ub_lo AND z.min_ub <= p.ub_hi
+      |   AND z.max_tb >= p.tb_lo AND z.min_tb <= p.tb_hi
+      |  GROUP BY 1)""".stripMargin
+  val q206Sql: String =
+    s"""WITH $layoutCte,
+       |$zoneMapCte,
+       |$boxPredCte,
+       |rm AS (SELECT ub // 64 AS i, tb // 64 AS j,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM laid GROUP BY 1, 2)
+       |SELECT p.pred_id, p.ub_lo, p.tb_lo, bfz.files_z, bft.files_t,
+       |  COALESCE(rm.n_rows, 0) AS n_rows
+       |FROM preds p
+       |JOIN bfz USING (pred_id) JOIN bft USING (pred_id)
+       |LEFT JOIN rm ON rm.i = p.pred_id // 4 AND rm.j = p.pred_id % 4
+       |ORDER BY pred_id""".stripMargin
+
+  /** q207 — layout cost summary, one row per layout: file count, total
+    * rows, the worst file's row count (range-split skew made visible —
+    * equal KEY ranges are not equal row counts), and the
+    * per-dimension prune-cost pair: `ub_cost_bp` = Σ_files (file's ub
+    * zone width / 256, in bp) — the expected FILE COUNT a uniformly
+    * random user-point predicate cannot prune, ×10000 — and
+    * `tb_cost_bp` the same for time. The pair states the layout
+    * tradeoff as two numbers: time-sort is unbeatable for time
+    * lookups (tb cost → 1 file) and useless for user lookups (ub cost
+    * → all files); Z-order pays √-ish on both. (The TOTAL zone area
+    * is ~the grid area for any tiling layout, which is why the cost
+    * is per-dimension — a box predicate's cost is the product.) This
+    * is the scalar pair a table-maintenance job watches to decide
+    * when re-clustering pays. Integer arithmetic end to end, so the
+    * cost model replays exactly. */
+  def q207LayoutDepth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val laid = Layout.eventLayout(Tables.events(s, d))
+    def row(zm: DataFrame, label: String) =
+      zm.withColumn("ub_bp",
+          expr("((max_ub - min_ub + 1) * 10000) DIV 256"))
+        .withColumn("tb_bp",
+          expr("((max_tb - min_tb + 1) * 10000) DIV 256"))
+        .agg(count(lit(1)).as("n_files"),
+          sum($"n_rows").as("n_rows_total"),
+          max($"n_rows").as("max_file_rows"),
+          sum($"ub_bp").as("ub_cost_bp"),
+          sum($"tb_bp").as("tb_cost_bp"))
+        .select(lit(label).as("layout"), $"n_files", $"n_rows_total",
+          $"max_file_rows", $"ub_cost_bp", $"tb_cost_bp")
+    row(Layout.zoneMaps(laid, "file_z"), "zorder")
+      .unionAll(row(Layout.zoneMaps(laid, "file_t"), "timesort"))
+      .orderBy($"layout")
+  }
+  val q207Sql: String =
+    s"""WITH $layoutCte,
+       |$zoneMapCte,
+       |cz AS (SELECT 'zorder' AS layout,
+       |    CAST(COUNT(*) AS BIGINT) AS n_files,
+       |    CAST(SUM(n_rows) AS BIGINT) AS n_rows_total,
+       |    CAST(MAX(n_rows) AS BIGINT) AS max_file_rows,
+       |    CAST(SUM(((max_ub - min_ub + 1) * 10000) // 256)
+       |      AS BIGINT) AS ub_cost_bp,
+       |    CAST(SUM(((max_tb - min_tb + 1) * 10000) // 256)
+       |      AS BIGINT) AS tb_cost_bp
+       |  FROM zmz),
+       |ct AS (SELECT 'timesort' AS layout,
+       |    CAST(COUNT(*) AS BIGINT) AS n_files,
+       |    CAST(SUM(n_rows) AS BIGINT) AS n_rows_total,
+       |    CAST(MAX(n_rows) AS BIGINT) AS max_file_rows,
+       |    CAST(SUM(((max_ub - min_ub + 1) * 10000) // 256)
+       |      AS BIGINT) AS ub_cost_bp,
+       |    CAST(SUM(((max_tb - min_tb + 1) * 10000) // 256)
+       |      AS BIGINT) AS tb_cost_bp
+       |  FROM zmt)
+       |SELECT * FROM (SELECT * FROM cz UNION ALL SELECT * FROM ct)
+       |ORDER BY layout""".stripMargin
+
+  /** q208 — point-lookup file-skipping report: zone maps vs a per-file
+    * Bloom index vs ground truth, for a deterministic probe set
+    * (`user_id % 125 = 0`). Per probe user: how many files each
+    * pruning mechanism says to scan — `files_zone_z` (Z-order zone
+    * maps: narrow ub boxes, few files), `files_zone_t` (time-sorted
+    * zone maps: every file's user range is ~full, so ~no pruning —
+    * the measured failure of min/max stats on the unsorted dimension),
+    * `files_bloom_t` (a 64-word [[graft.llm.Sketch.bloomPos]] filter
+    * per time-file: membership pruning that rescues the incumbent
+    * layout without rewriting it; false positives only, visible as
+    * the gap to...) and `files_actual_t` (files truly containing the
+    * user). The Bloom build is one file-count×words-bounded
+    * aggregation; probes join against file-count-sized state —
+    * nothing corpus-sized crosses an exchange twice. */
+  def q208PointLookupEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 3; val words = 64
+    val ev = Tables.events(s, d)
+    val laid = Layout.eventLayout(ev)
+    val zmZ = Layout.zoneMaps(laid, "file_z")
+    val zmT = Layout.zoneMaps(laid, "file_t")
+    val st = ev.agg(min($"user_id").as("lo_u"), max($"user_id").as("hi_u"))
+    val probes = ev.select($"user_id").distinct()
+      .filter($"user_id" % 125 === 0)
+    val pb = probes.crossJoin(broadcast(st))
+      .withColumn("ubk",
+        expr("((user_id - lo_u) * 256) DIV (hi_u - lo_u + 1)"))
+      .select($"user_id", $"ubk")
+    def zoneHits(zm: DataFrame, out: String) =
+      pb.join(broadcast(zm),
+          $"ubk" >= $"min_ub" && $"ubk" <= $"max_ub")
+        .groupBy($"user_id").agg(count(lit(1)).as(out))
+    // per-file Bloom over the distinct users each time-file holds
+    val fu = laid.select($"file_t", $"user_id").distinct()
+    val bloomT = fu.select($"file_t", explode(array((0 until k).map(r =>
+        Sketch.bloomPos($"user_id".cast("string"), r, words)): _*))
+        .as("pos"))
+      .groupBy($"file_t", expr("pos DIV 60").as("word"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(pos % 60 AS INT)))")
+        .as("bits"))
+    val probePos = probes
+      .crossJoin(broadcast(zmT.select($"file_id".as("file_t"))))
+      .select($"user_id", $"file_t", explode(array((0 until k).map(r =>
+        Sketch.bloomPos($"user_id".cast("string"), r, words)): _*))
+        .as("pos"))
+    val bloomHits = probePos
+      .withColumn("word", expr("pos DIV 60"))
+      .join(bloomT, Seq("file_t", "word"), "left")
+      .withColumn("hit_r", coalesce(
+        expr("(bits & shiftleft(1L, CAST(pos % 60 AS INT))) = " +
+          "shiftleft(1L, CAST(pos % 60 AS INT))"), lit(false)))
+      .groupBy($"user_id", $"file_t")
+      .agg(expr("bool_and(hit_r)").as("hit"))
+      .filter($"hit")
+      .groupBy($"user_id").agg(count(lit(1)).as("files_bloom_t"))
+    val actual = laid.join(probes, Seq("user_id"))
+      .groupBy($"user_id")
+      .agg(countDistinct($"file_t").as("files_actual_t"))
+    probes.join(zoneHits(zmZ, "files_zone_z"), Seq("user_id"))
+      .join(zoneHits(zmT, "files_zone_t"), Seq("user_id"))
+      .join(bloomHits, Seq("user_id"), "left")
+      .na.fill(0L, Seq("files_bloom_t"))
+      .join(actual, Seq("user_id"))
+      .orderBy($"user_id")
+  }
+  /** The q208 point-lookup CTEs over `laid`/`zmz`/`zmt`/`st` — the
+    * probe set, both zone-map hit counts, the per-file Bloom build +
+    * probe, and ground truth; shared verbatim by q208 and q212. */
+  private val pointEvalCte: String =
+    """probes AS (SELECT DISTINCT user_id FROM events
+      |  WHERE user_id % 125 = 0),
+      |pb AS (SELECT p.user_id,
+      |    ((p.user_id - lo_u) * 256) // (hi_u - lo_u + 1) AS ubk
+      |  FROM probes p, st),
+      |pfz AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS files_zone_z
+      |  FROM pb JOIN zmz ON ubk BETWEEN min_ub AND max_ub GROUP BY 1),
+      |pft AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS files_zone_t
+      |  FROM pb JOIN zmt ON ubk BETWEEN min_ub AND max_ub GROUP BY 1),
+      |fu AS (SELECT DISTINCT file_t, user_id FROM laid),
+      |bpos AS (SELECT f.file_t,
+      |    CAST(('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' ||
+      |      CAST(f.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3840
+      |      AS pos
+      |  FROM fu f, unnest(range(0, 3)) AS u(r)),
+      |bloom AS (SELECT file_t, pos // 60 AS word,
+      |    bit_or(1::BIGINT << CAST(pos % 60 AS INTEGER)) AS bits
+      |  FROM bpos GROUP BY 1, 2),
+      |pp AS (SELECT p.user_id, z.file_id AS file_t,
+      |    CAST(('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' ||
+      |      CAST(p.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3840
+      |      AS pos
+      |  FROM probes p, zmt z, unnest(range(0, 3)) AS u(r)),
+      |ph AS (SELECT pp.user_id, pp.file_t,
+      |    BOOL_AND((COALESCE(b.bits, 0) &
+      |      (1::BIGINT << CAST(pp.pos % 60 AS INTEGER))) =
+      |      (1::BIGINT << CAST(pp.pos % 60 AS INTEGER))) AS hit
+      |  FROM pp LEFT JOIN bloom b
+      |    ON b.file_t = pp.file_t AND b.word = pp.pos // 60
+      |  GROUP BY 1, 2),
+      |pfb AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS files_bloom_t
+      |  FROM ph WHERE hit GROUP BY 1),
+      |pfa AS (SELECT user_id,
+      |    CAST(COUNT(DISTINCT file_t) AS BIGINT) AS files_actual_t
+      |  FROM laid WHERE user_id % 125 = 0 GROUP BY 1)""".stripMargin
+  val q208Sql: String =
+    s"""WITH $layoutCte,
+       |$zoneMapCte,
+       |$pointEvalCte
+       |SELECT p.user_id, pfz.files_zone_z, pft.files_zone_t,
+       |  COALESCE(pfb.files_bloom_t, 0) AS files_bloom_t,
+       |  pfa.files_actual_t
+       |FROM probes p
+       |JOIN pfz USING (user_id) JOIN pft USING (user_id)
+       |LEFT JOIN pfb USING (user_id) JOIN pfa USING (user_id)
+       |ORDER BY user_id""".stripMargin
+
+  /** q209 — k-anonymity release audit over the q200 behavioral corpus:
+    * a session-sequence document is a quasi-identifier when too few
+    * users exhibit it (Sweeney 2002's k-anonymity, applied to
+    * sequence data before it ships as training corpus — the
+    * governance gate the q159 purge/q123 PII family belongs to). Each
+    * distinct sequence classifies by its distinct-user support:
+    * `unique` (1 user — re-identifying, must suppress), `rare`
+    * (< 3 users), `anon` (≥ 3). One row per class with pattern /
+    * session / user-slot mass, the suppression budget a release
+    * manager signs off on. Scale: rides the q201 rollup shape — one
+    * aggregation per grouping level, nothing wider than the distinct
+    * patterns. */
+  def q209KanonAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    q200SessionSequences(s, d)
+      .groupBy($"seq_text")
+      .agg(countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_sessions"))
+      .withColumn("risk_class",
+        when($"n_users" === 1, "unique")
+          .when($"n_users" < 3, "rare").otherwise("anon"))
+      .groupBy($"risk_class")
+      .agg(count(lit(1)).as("n_patterns"),
+        sum($"n_sessions").as("n_sessions"),
+        sum($"n_users").as("user_slots"))
+      .orderBy($"risk_class")
+  }
+  val q209Sql: String =
+    s"""WITH $sessionSeqCte,
+       |per AS (SELECT seq_text,
+       |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |    CAST(COUNT(*) AS BIGINT) AS n_sessions
+       |  FROM seqs GROUP BY 1),
+       |cls AS (SELECT CASE WHEN n_users = 1 THEN 'unique'
+       |    WHEN n_users < 3 THEN 'rare' ELSE 'anon' END AS risk_class,
+       |    n_users, n_sessions
+       |  FROM per)
+       |SELECT risk_class, CAST(COUNT(*) AS BIGINT) AS n_patterns,
+       |  CAST(SUM(n_sessions) AS BIGINT) AS n_sessions,
+       |  CAST(SUM(n_users) AS BIGINT) AS user_slots
+       |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q211 — incremental OPTIMIZE plan: the bounded-budget rewrite a
+    * 100 TB table actually runs (nobody re-clusters 100 TB in one go —
+    * Delta/Iceberg OPTIMIZE picks a file subset per maintenance
+    * window). Strategy: take the 8 worst time-sorted files by
+    * un-prunable mass (ub zone width × rows, ties by file_id), move
+    * ONLY their rows to Z-order file assignments (a disjoint 1000+
+    * namespace), and report the before/after per-dimension prune-cost
+    * pair over the HYBRID layout plus the rows moved. The measured
+    * finding is the important one, and it is NEGATIVE: moving 14 % of
+    * the rows cuts `ub_cost_bp` only ~3.6 % (633735 → 611018 at
+    * sf0.01) — cross-dimension pruning is a WEAKEST-LINK property,
+    * because every un-rewritten file still spans the whole user range
+    * and must be scanned for any user predicate regardless of how
+    * good the rewritten slice is. Incremental ZORDER does not buy
+    * incremental benefit on the unsorted dimension; the knobs that do
+    * pay incrementally are the per-file Bloom index (q208/q212) or a
+    * full re-cluster (q207's zorder endpoint). This query exists so
+    * that conclusion is a replayed number, not folklore. Everything is
+    * the layout family's integer arithmetic, so the plan replays
+    * exactly.
+    * Scale shape: one bucketing pass + file-count-sized ranking and
+    * zone-map aggregations; the "rewrite" is a projection, not data
+    * movement — this query PLANS the optimize, it does not write. */
+  def q211OptimizePlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val laid = Layout.eventLayout(Tables.events(s, d))
+    val worst = Layout.zoneMaps(laid, "file_t")
+      .select($"file_id",
+        (($"max_ub" - $"min_ub" + 1) * $"n_rows").as("unprunable"))
+      .orderBy($"unprunable".desc, $"file_id").limit(8)
+      .select($"file_id".as("file_t"))
+    val hybrid = laid.join(broadcast(worst.withColumn("rw", lit(1L))),
+        Seq("file_t"), "left")
+      .withColumn("file_h",
+        when($"rw".isNotNull, $"file_z" + 1000L).otherwise($"file_t"))
+      .withColumn("moved", when($"rw".isNotNull, 1L).otherwise(0L))
+    def cost(zm: DataFrame, stage: String) =
+      zm.withColumn("ub_bp",
+          expr("((max_ub - min_ub + 1) * 10000) DIV 256"))
+        .withColumn("tb_bp",
+          expr("((max_tb - min_tb + 1) * 10000) DIV 256"))
+        .agg(count(lit(1)).as("n_files"),
+          sum($"ub_bp").as("ub_cost_bp"), sum($"tb_bp").as("tb_cost_bp"))
+        .select(lit(stage).as("stage"), $"n_files",
+          $"ub_cost_bp", $"tb_cost_bp")
+    // rows_moved rides as a 1-row broadcast, keeping the plan lazy
+    val mv = hybrid.agg(sum($"moved").as("rows_moved"))
+    cost(Layout.zoneMaps(laid, "file_t"), "before")
+      .withColumn("rows_moved", lit(0L))
+      .unionAll(cost(Layout.zoneMaps(hybrid, "file_h"), "after")
+        .crossJoin(broadcast(mv)))
+      .select($"stage", $"n_files", $"rows_moved",
+        $"ub_cost_bp", $"tb_cost_bp")
+      .orderBy($"stage")
+  }
+  val q211Sql: String =
+    s"""WITH $layoutCte,
+       |$zoneMapCte,
+       |worst AS (SELECT file_id AS file_t FROM (
+       |  SELECT file_id, (max_ub - min_ub + 1) * n_rows AS unprunable
+       |  FROM zmt ORDER BY unprunable DESC, file_id LIMIT 8)),
+       |hyb AS (SELECT l.*, CASE WHEN w.file_t IS NOT NULL
+       |      THEN l.file_z + 1000 ELSE l.file_t END AS file_h,
+       |    CASE WHEN w.file_t IS NOT NULL THEN 1 ELSE 0 END AS moved
+       |  FROM laid l LEFT JOIN worst w ON w.file_t = l.file_t),
+       |zmh AS (SELECT file_h AS file_id, CAST(COUNT(*) AS BIGINT)
+       |      AS n_rows,
+       |    MIN(ub) AS min_ub, MAX(ub) AS max_ub,
+       |    MIN(tb) AS min_tb, MAX(tb) AS max_tb
+       |  FROM hyb GROUP BY 1),
+       |mv AS (SELECT CAST(SUM(moved) AS BIGINT) AS rows_moved FROM hyb),
+       |cb AS (SELECT 'before' AS stage,
+       |    CAST(COUNT(*) AS BIGINT) AS n_files,
+       |    CAST(0 AS BIGINT) AS rows_moved,
+       |    CAST(SUM(((max_ub - min_ub + 1) * 10000) // 256) AS BIGINT)
+       |      AS ub_cost_bp,
+       |    CAST(SUM(((max_tb - min_tb + 1) * 10000) // 256) AS BIGINT)
+       |      AS tb_cost_bp
+       |  FROM zmt),
+       |ca AS (SELECT 'after' AS stage,
+       |    CAST(COUNT(*) AS BIGINT) AS n_files,
+       |    (SELECT rows_moved FROM mv) AS rows_moved,
+       |    CAST(SUM(((max_ub - min_ub + 1) * 10000) // 256) AS BIGINT)
+       |      AS ub_cost_bp,
+       |    CAST(SUM(((max_tb - min_tb + 1) * 10000) // 256) AS BIGINT)
+       |      AS tb_cost_bp
+       |  FROM zmh)
+       |SELECT * FROM (SELECT * FROM cb UNION ALL SELECT * FROM ca)
+       |ORDER BY stage""".stripMargin
+
+  /** q212 — layout decision capstone: the q206 box workload and the
+    * q208 point workload rolled into ONE table per strategy — the page
+    * an engineer actually reads before choosing a layout. Per strategy
+    * (`timesort` = the incumbent's zone maps; `timesort_bloom` = keep
+    * the incumbent, add the per-file Bloom index for point lookups —
+    * ranges stay zone-map-only, Bloom can't see a range; `zorder` =
+    * rewrite): total files scanned across the 16 box predicates and
+    * the point-probe set. Spark side COMPOSES q206 and q208 directly
+    * (the q191 capstone discipline: the rollup and its parts share one
+    * implementation); the oracle interpolates the same boxPredCte /
+    * pointEvalCte fragments, so capstone and parts cannot drift. Cost:
+    * the two underlying evals' scans; the rollup itself aggregates
+    * 16+|probes| rows. */
+  def q212LayoutCapstone(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val box = q206ZorderPruning(s, d)
+      .agg(count(lit(1)).as("n_range_preds"),
+        sum($"files_z").as("rng_z"), sum($"files_t").as("rng_t"))
+    val pt = q208PointLookupEval(s, d)
+      .agg(count(lit(1)).as("n_point_preds"),
+        sum($"files_zone_z").as("pt_z"),
+        sum($"files_zone_t").as("pt_t"),
+        sum($"files_bloom_t").as("pt_b"))
+    val j = box.crossJoin(pt)
+    def row(strategy: String, rng: Column, pnt: Column) =
+      j.select(lit(strategy).as("strategy"),
+        $"n_range_preds", $"n_point_preds",
+        rng.as("range_files"), pnt.as("point_files"),
+        (rng + pnt).as("total_files"))
+    row("timesort", $"rng_t", $"pt_t")
+      .unionAll(row("timesort_bloom", $"rng_t", $"pt_b"))
+      .unionAll(row("zorder", $"rng_z", $"pt_z"))
+      .orderBy($"strategy")
+  }
+  val q212Sql: String =
+    s"""WITH $layoutCte,
+       |$zoneMapCte,
+       |$boxPredCte,
+       |$pointEvalCte,
+       |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_range_preds,
+       |    CAST(SUM(bfz.files_z) AS BIGINT) AS rng_z,
+       |    CAST(SUM(bft.files_t) AS BIGINT) AS rng_t
+       |  FROM preds p JOIN bfz USING (pred_id) JOIN bft USING (pred_id)),
+       |q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_point_preds,
+       |    CAST(SUM(pfz.files_zone_z) AS BIGINT) AS pt_z,
+       |    CAST(SUM(pft.files_zone_t) AS BIGINT) AS pt_t,
+       |    CAST(SUM(COALESCE(pfb.files_bloom_t, 0)) AS BIGINT) AS pt_b
+       |  FROM probes p JOIN pfz USING (user_id) JOIN pft USING (user_id)
+       |  LEFT JOIN pfb USING (user_id))
+       |SELECT strategy, n_range_preds, n_point_preds, range_files,
+       |  point_files, range_files + point_files AS total_files
+       |FROM (
+       |  SELECT 'timesort' AS strategy, b.n_range_preds,
+       |    q.n_point_preds, b.rng_t AS range_files,
+       |    q.pt_t AS point_files FROM b, q
+       |  UNION ALL SELECT 'timesort_bloom', b.n_range_preds,
+       |    q.n_point_preds, b.rng_t, q.pt_b FROM b, q
+       |  UNION ALL SELECT 'zorder', b.n_range_preds, q.n_point_preds,
+       |    b.rng_z, q.pt_z FROM b, q)
+       |ORDER BY strategy""".stripMargin
 
   /** q202 — selection report card: does greedy k-center actually beat
     * picking k points at random? The k-center objective (max
@@ -5443,6 +5935,13 @@ object LlmQueries {
     "q201_pattern_topk" -> (q201PatternTopk _),
     "q202_coverage_eval" -> (q202CoverageEval _),
     "q204_sequence_capstone" -> (q204SequenceCapstone _),
+    "q205_zorder_layout" -> (q205ZorderLayout _),
+    "q206_zorder_pruning" -> (q206ZorderPruning _),
+    "q207_layout_depth" -> (q207LayoutDepth _),
+    "q208_point_lookup_eval" -> (q208PointLookupEval _),
+    "q209_kanon_audit" -> (q209KanonAudit _),
+    "q211_optimize_plan" -> (q211OptimizePlan _),
+    "q212_layout_capstone" -> (q212LayoutCapstone _),
     "q166_phrase_mining" -> (q166PhraseMining _),
     "q167_dup_graph_audit" -> (q167DupGraphAudit _),
     "q168_length_batches" -> (q168LengthBatches _),
@@ -5564,6 +6063,13 @@ object LlmQueries {
     "q201_pattern_topk" -> q201Sql,
     "q202_coverage_eval" -> q202Sql,
     "q204_sequence_capstone" -> q204Sql,
+    "q205_zorder_layout" -> q205Sql,
+    "q206_zorder_pruning" -> q206Sql,
+    "q207_layout_depth" -> q207Sql,
+    "q208_point_lookup_eval" -> q208Sql,
+    "q209_kanon_audit" -> q209Sql,
+    "q211_optimize_plan" -> q211Sql,
+    "q212_layout_capstone" -> q212Sql,
     // layout maintenance never changes values: the serve over the
     // compacted store replays the one-shot q140 build (q130's argument)
     "q165_postings_compaction" -> q140Sql,

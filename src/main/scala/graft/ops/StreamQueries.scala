@@ -898,6 +898,74 @@ object StreamQueries {
        |    AS max_dist_fp
        |FROM g ORDER BY batch_id, center_id""".stripMargin
 
+  /** q210 — STREAMING zone-map maintenance
+    * ([[StreamOps.streamingZoneMapIngest]]): the q205/q207 layout
+    * family's ingest-side twin. An append-only writer rolls a new
+    * file every 2048 event_ids; as each micro-batch lands, the keyed
+    * state store carries the OPEN files' running footer stats
+    * `(n_rows, min/max user_id, min/max event-time)` and every
+    * touched file emits its post-batch zone map — the live metadata
+    * feed a pruning reader caches and the q207 re-clustering monitor
+    * tails (append-only ingest = time-clustered, user-smeared zone
+    * maps; this stream is where that drift becomes visible per file,
+    * per batch). Min/max/count are associative and order-free, so
+    * the streamed map equals the batch-computed one at every prefix —
+    * the oracle replays cumulative per-tile stats over the same
+    * NTILE(4) splits ([[fourBatchHarness]], the q179/q190
+    * convention). State: five longs per file, bounded by file count,
+    * never by rows. */
+  def q210StreamZonemap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val ev = Tables.events(s, d).select($"event_id", $"user_id",
+      unix_micros($"ts").as("us"))
+    val schema = new StructType().add("event_id", LongType)
+      .add("user_id", LongType).add("us", LongType)
+    fourBatchHarness(s, ev, "event_id", schema, "zonemap") {
+      (source, sink) =>
+        val rows = source.select(
+            expr("event_id DIV 2048").as("_1"),
+            $"user_id".as("_2"), $"us".as("_3"), $"event_id".as("_4"))
+          .as[(Long, Long, Long, Long)]
+        val out = StreamOps.streamingZoneMapIngest(rows)
+        val q = out.toDF().writeStream
+          .outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+    } { sinkDf =>
+      val tiles = ev.select($"event_id",
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy($"event_id")).as("batch_id"))
+      sinkDf.select($"_1".as("file_id"), $"_2".as("n_rows"),
+          $"_3".as("min_user"), $"_4".as("max_user"),
+          $"_5".as("min_us"), $"_6".as("max_us"),
+          $"_7".as("event_id"))
+        .join(tiles, "event_id")
+        .select($"batch_id", $"file_id", $"n_rows", $"min_user",
+          $"max_user", $"min_us", $"max_us")
+        .orderBy($"batch_id", $"file_id")
+    }
+  }
+  val q210Sql: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    NTILE(4) OVER (ORDER BY event_id) AS batch_id,
+      |    event_id // 2048 AS file_id
+      |  FROM events),
+      |touched AS (SELECT DISTINCT batch_id, file_id FROM e),
+      |cum AS (SELECT t.batch_id, t.file_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    MIN(x.user_id) AS min_user, MAX(x.user_id) AS max_user,
+      |    MIN(x.us) AS min_us, MAX(x.us) AS max_us
+      |  FROM touched t JOIN e x ON x.file_id = t.file_id
+      |    AND x.batch_id <= t.batch_id
+      |  GROUP BY 1, 2)
+      |SELECT batch_id, file_id, n_rows, min_user, max_user,
+      |  min_us, max_us
+      |FROM cum ORDER BY batch_id, file_id""".stripMargin
+
   /** q106 — STREAMING near-dup dedup over real micro-batches: the
     * signature-path ingest variant the round-6 verdict called the
     * biggest remaining gap (q101 covers streaming EXACT dedup; minhash/
@@ -1192,6 +1260,7 @@ object StreamQueries {
     "q179_stream_cms" -> (q179StreamCms _),
     "q190_stream_quantile" -> (q190StreamQuantile _),
     "q203_stream_coverage" -> (q203StreamCoverage _),
+    "q210_stream_zonemap" -> (q210StreamZonemap _),
     "q60_stream_volume" -> (q60StreamVolume _),
     "q64_sliding_window" -> (q64SlidingWindow _),
     "q61_stream_semantic" -> (q61StreamSemantic _),
@@ -1229,6 +1298,7 @@ object StreamQueries {
     "q179_stream_cms" -> q179Sql,
     "q190_stream_quantile" -> q190Sql,
     "q203_stream_coverage" -> q203Sql,
+    "q210_stream_zonemap" -> q210Sql,
     "q60_stream_volume" -> q60Sql,
     "q64_sliding_window" -> q64Sql,
     "q62_session_window" -> q62Sql,

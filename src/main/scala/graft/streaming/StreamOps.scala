@@ -385,6 +385,53 @@ object StreamOps {
       }
   }
 
+  /** Streaming zone-map maintenance — the [[graft.llm.Layout]] footer
+    * stats kept live as an append-only ingest rolls files: input rows
+    * are `(file_id, user_id, us, event_id)` (file_id = the writer's
+    * rollover key, e.g. `event_id DIV rowsPerFile`); keyed state is
+    * the file's running `(n, min_user, max_user, min_us, max_us)` —
+    * the zone map itself, five longs per OPEN file, sharded by the
+    * keyed store. After each batch every touched file emits its
+    * post-batch zone map plus the batch's min event_id (placement
+    * under the ascending-split harness, the q179/q190 convention) —
+    * the live feed a pruning reader's metadata cache and q207's
+    * re-clustering monitor both tail. The state update is
+    * min/max/sum — associative and order-free, so the streamed zone
+    * map equals the batch-computed one at every prefix, which is
+    * exactly what the oracle replays. State is bounded by the number
+    * of files, never by rows. */
+  def streamingZoneMapIngest(rows: Dataset[(Long, Long, Long, Long)])
+      : Dataset[(Long, Long, Long, Long, Long, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (fileId: Long, it: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          var n = 0L
+          var minU = Long.MaxValue; var maxU = Long.MinValue
+          var minT = Long.MaxValue; var maxT = Long.MinValue
+          var minId = Long.MaxValue
+          it.foreach { case (_, u, t, id) =>
+            n += 1L
+            if (u < minU) minU = u
+            if (u > maxU) maxU = u
+            if (t < minT) minT = t
+            if (t > maxT) maxT = t
+            if (id < minId) minId = id
+          }
+          val prev = state.getOption.getOrElse(
+            (0L, Long.MaxValue, Long.MinValue, Long.MaxValue,
+              Long.MinValue))
+          val next = (prev._1 + n, math.min(prev._2, minU),
+            math.max(prev._3, maxU), math.min(prev._4, minT),
+            math.max(prev._5, maxT))
+          state.update(next)
+          Iterator.single((fileId, next._1, next._2, next._3, next._4,
+            next._5, minId))
+      }
+  }
+
   /** Streaming coverage monitor — the k-center anchor set
     * ([[graft.llm.Select.kCenterGreedy]]) kept live against arriving
     * vectors: input rows are `(center_id, dist_fp, vec_id)` (the

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Layout
+
+/** The physical-layout family ([[graft.llm.Layout]]): Morton key
+  * hand-checks, layout invariants, and the pruning-advantage property
+  * the q206/q207/q208 report cards quantify. The DuckDB oracle gates
+  * the exact numbers; these tests pin the properties that make the
+  * numbers MEAN something — interleave correctness, tiling
+  * completeness, and "Z-order beats single-key sort on the second
+  * dimension".
+  */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("mortonSql: hand-checked interleave, range, and monotone locality") {
+    import spark.implicits._
+    // ub=3 (bits 0,1 -> odd positions 1,3), tb=5 (bits 0,2 -> even 0,4):
+    // zkey = 2 + 8 + 1 + 16 = 27
+    val got = Seq((3L, 5L), (0L, 0L), (255L, 255L), (255L, 0L), (0L, 255L))
+      .toDF("ub", "tb")
+      .withColumn("zkey", expr(Layout.mortonSql("ub", "tb")))
+      .orderBy($"ub", $"tb").collect().map(_.getLong(2))
+    // (0,0)=0; (0,255)=0x5555=21845; (3,5)=27; (255,0)=0xAAAA=43690;
+    // (255,255)=65535
+    assert(got.toSeq == Seq(0L, 21845L, 27L, 43690L, 65535L))
+  }
+
+  test("eventLayout: buckets/zkey/file ids stay in range and tile the corpus") {
+    import spark.implicits._
+    val ev = graft.ops.Tables.events(spark, sf)
+    val laid = Layout.eventLayout(ev).cache()
+    try {
+      assert(laid.count() == ev.count())
+      val bad = laid.filter(
+        $"ub" < 0 || $"ub" > 255 || $"tb" < 0 || $"tb" > 255 ||
+          $"zkey" < 0 || $"zkey" > 65535 ||
+          $"file_z" < 0 || $"file_z" > 63 ||
+          $"file_t" < 0 || $"file_t" > 63).count()
+      assert(bad == 0L)
+      // the domain edges are hit: min user -> bucket 0, max user -> the
+      // top occupied bucket ((span-1)*256 DIV span — 255 only once the
+      // domain has >= 256 distinct values; sf0.001 has ~15 users)
+      val Seq(loD, hiD) = ev.agg(min($"user_id"), max($"user_id"))
+        .collect().head.toSeq.map(_.asInstanceOf[Long])
+      val expectHi = (hiD - loD) * 256L / (hiD - loD + 1L)
+      val Seq(loU, hiU) = laid.agg(min($"ub"), max($"ub"))
+        .collect().head.toSeq.map(_.asInstanceOf[Long])
+      assert(loU == 0L && hiU == expectHi, s"ub range $loU..$hiU")
+      // zone maps tile: per-layout row counts sum back to the corpus
+      Seq("file_z", "file_t").foreach { f =>
+        val zm = Layout.zoneMaps(laid, f)
+        assert(zm.agg(sum($"n_rows")).collect().head.getLong(0) ==
+          ev.count())
+        assert(zm.filter($"min_ub" > $"max_ub" || $"min_tb" > $"max_tb")
+          .count() == 0L)
+      }
+    } finally laid.unpersist()
+  }
+
+  test("Z-order zone maps are narrower on the unsorted dimension than " +
+      "the time-sorted incumbent's") {
+    import spark.implicits._
+    val laid = Layout.eventLayout(
+      graft.ops.Tables.events(spark, sf)).cache()
+    try {
+      def avgUbWidth(f: String): Double =
+        Layout.zoneMaps(laid, f)
+          .agg(avg($"max_ub" - $"min_ub" + 1)).collect().head.getDouble(0)
+      val z = avgUbWidth("file_z")
+      val t = avgUbWidth("file_t")
+      // time-sorted files see ~the whole user range; zorder files see a
+      // 32-wide slab (8-bit grid, 64 files -> 2 zkey bits of ub DIV 32)
+      assert(z <= 64.0, s"zorder avg ub width $z")
+      assert(t >= 2 * z, s"timesort avg ub width $t vs zorder $z")
+    } finally laid.unpersist()
+  }
+
+  test("q206 pruning report: Z-order scans no more files than time-sort " +
+      "on box predicates, and strictly fewer in total") {
+    val r = graft.ops.LlmQueries.q206ZorderPruning(spark, sf).collect()
+    assert(r.length == 16)
+    val (fz, ft) = (r.map(_.getAs[Long]("files_z")).sum,
+      r.map(_.getAs[Long]("files_t")).sum)
+    assert(r.forall(x =>
+      x.getAs[Long]("files_z") <= x.getAs[Long]("files_t")))
+    assert(fz < ft, s"total files_z $fz vs files_t $ft")
+  }
+
+  test("q208 point-lookup report: bloom never misses (files_bloom >= " +
+      "files_actual) and zorder zone maps prune hardest") {
+    val r = graft.ops.LlmQueries.q208PointLookupEval(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Long]("files_bloom_t") >=
+        x.getAs[Long]("files_actual_t"), x.toString)
+      assert(x.getAs[Long]("files_zone_z") <=
+        x.getAs[Long]("files_zone_t"), x.toString)
+      assert(x.getAs[Long]("files_actual_t") >= 1L)
+    }
+  }
+
+  test("q211 optimize plan: a bounded rewrite moves rows, never raises " +
+      "the user-lookup cost, and grows the file count") {
+    val r = graft.ops.LlmQueries.q211OptimizePlan(spark, sf).collect()
+      .map(x => x.getAs[String]("stage") -> x).toMap
+    val (before, after) = (r("before"), r("after"))
+    assert(after.getAs[Long]("rows_moved") > 0L)
+    assert(before.getAs[Long]("rows_moved") == 0L)
+    assert(after.getAs[Long]("ub_cost_bp") <=
+      before.getAs[Long]("ub_cost_bp"),
+      s"rewrite raised ub cost: $before -> $after")
+    assert(after.getAs[Long]("n_files") > before.getAs[Long]("n_files"))
+  }
+
+  test("q212 capstone: the strategies order zorder < timesort+bloom < " +
+      "timesort on total files scanned") {
+    val r = graft.ops.LlmQueries.q212LayoutCapstone(spark, sf).collect()
+      .map(x => x.getAs[String]("strategy") ->
+        x.getAs[Long]("total_files")).toMap
+    assert(r.size == 3, r.toString)
+    assert(r("zorder") < r("timesort_bloom") &&
+      r("timesort_bloom") <= r("timesort"), r.toString)
+  }
+
+  test("q210 streaming zone maps: per-file stats grow monotonically " +
+      "across batches and the final batch equals the batch-computed map") {
+    import spark.implicits._
+    val r = graft.ops.StreamQueries.q210StreamZonemap(spark, sf)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    val byFile = rows.groupBy(_.getAs[Long]("file_id"))
+    byFile.foreach { case (_, rs) =>
+      val seq = rs.sortBy(_.getAs[Int]("batch_id"))
+      seq.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("n_rows") >= a.getAs[Long]("n_rows"))
+          assert(b.getAs[Long]("min_user") <= a.getAs[Long]("min_user"))
+          assert(b.getAs[Long]("max_user") >= a.getAs[Long]("max_user"))
+        case _ => ()
+      }
+    }
+    // final emission per file == the batch zone map over the same key
+    val last = rows.groupBy(_.getAs[Long]("file_id")).map { case (f, rs) =>
+      val m = rs.maxBy(_.getAs[Int]("batch_id"))
+      (f, m.getAs[Long]("n_rows"), m.getAs[Long]("min_user"),
+        m.getAs[Long]("max_user"))
+    }.toSeq.sortBy(_._1)
+    val batch = graft.ops.Tables.events(spark, sf)
+      .groupBy(expr("event_id DIV 2048").as("f"))
+      .agg(count(lit(1)).as("n"), min($"user_id").as("lo"),
+        max($"user_id").as("hi"))
+      .orderBy($"f").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toSeq
+    assert(last == batch)
+  }
+}

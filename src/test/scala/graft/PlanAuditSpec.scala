@@ -51,7 +51,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q194_rp_recall",        // composes q193 + the exact fixed-point baseline
     "q195_prefix_rerank",    // query-side broadcast, prefix coarse + rerank
     "q198_rp_ivf",           // centroid-table broadcast (q112's shape, RP dims)
-    "q199_rp_ivf_recall")    // composes q198 + the exact fixed-point baseline
+    "q199_rp_ivf_recall",    // composes q198 + the exact fixed-point baseline
+    "q205_zorder_layout",    // 1-row domain-stats crossJoin (Layout.eventLayout)
+    "q206_zorder_pruning",   // same stats crossJoin + 16-pred × 64-file
+                             // zone-overlap BNLJ (range condition, both tiny)
+    "q207_layout_depth",     // same stats crossJoin, twice (two layouts)
+    "q208_point_lookup_eval",// stats + probes × 64-file bloom/zone broadcasts
+    "q211_optimize_plan",    // stats crossJoin + 1-row rows_moved broadcast
+    "q212_layout_capstone")  // composes q206 + q208 (1-row rollup crossJoin)
 
   test("no unintended cartesian or nested-loop joins anywhere") {
     val skip = Set("q60_stream_volume", "q61_stream_semantic",
@@ -507,5 +514,34 @@ class PlanAuditSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"),
       s"q157 probes percentiles via a cross join:\n$plan")
     assert(plan.contains("Generate"), s"q157 lost the pct explode:\n$plan")
+  }
+
+  test("layout bucketing is map-only behind a 1-row stats broadcast and " +
+      "prunes the wide events columns (q205)") {
+    // Layout.eventLayout's scale claim: the Morton bucketing adds NO
+    // corpus-keyed shuffle of its own — the only exchanges in q205 are
+    // the 1-row domain-stats aggregation, the file-count-sized zone-map
+    // aggregation, and the output sort. And the scan must read only
+    // (ts, user_id): a layout pass that drags props/value along reads
+    // 3× the bytes at 100 TB for nothing.
+    val plan = SparkEntry.queries("q205_zorder_layout")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 3, s"q205 has $shuffles shuffles:\n$plan")
+    plan.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(!l.contains("props") && !l.contains("value") &&
+        !l.contains("event_type"),
+        s"events scan reads unprojected columns: $l")
+    }
+  }
+
+  test("k-anonymity audit is pure keyed aggregation — no joins (q209)") {
+    // q209 stacks session_window -> per-pattern -> per-class rollups;
+    // any Join in its plan means the governance gate started pairing
+    // rows instead of aggregating them.
+    val plan = SparkEntry.queries("q209_kanon_audit")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"q209 grew a join:\n$plan")
   }
 }

@@ -78,6 +78,27 @@ object Sketch {
       .agg(min(col("cnt")).as("est"))
   }
 
+  /** Equi-join cardinality estimate from two sketches built with the
+    * SAME (depth, width): est = min over hash rows of the row-wise
+    * inner product Σ_cell cntA·cntB (Cormode & Muthukrishnan 2005 §4.2
+    * — the AMS-style inner-product query). Guarantee mirrors the point
+    * estimate: est ≥ |A ⋈ B| always (collisions only add), overshoot
+    * ~ ‖A‖₁·‖B‖₁/width per row. This is the optimizer's question —
+    * "how big is this join" — answered from two mergeable,
+    * constant-size summaries WITHOUT scanning either side again: at
+    * 100 TB the exact answer is a full groupBy on each side's key
+    * domain; the sketches are d·w cells each, maintained incrementally
+    * by the streaming ingest (q179's path). Cost here: one
+    * (row, cell)-keyed join of two ≤ d·w-row frames. Returns one row
+    * `(est)`. */
+  def cmsInnerProduct(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("row_i"), col("cell"), col("cnt").as("cnt_a"))
+      .join(b.select(col("row_i"), col("cell"), col("cnt").as("cnt_b")),
+        Seq("row_i", "cell"))
+      .groupBy(col("row_i"))
+      .agg(sum(col("cnt_a") * col("cnt_b")).as("ip"))
+      .agg(min(col("ip")).as("est"))
+
   // ---------------------------------------------------------------- Bloom
 
   /** Bits per Bloom word. 60 (not 64) on purpose: every bit mask is

@@ -1764,6 +1764,83 @@ object LlmQueries {
        |    b.rng_z, q.pt_z FROM b, q)
        |ORDER BY strategy""".stripMargin
 
+  /** q213 — join-size estimation from sketches ([[graft.llm.Sketch
+    * .cmsInnerProduct]]): the optimizer-internals question "how many
+    * rows will `events ⋈_user purchases` produce" answered from two
+    * constant-size CMS summaries (AMS-style inner product, Cormode &
+    * Muthukrishnan 2005 §4.2) — what a cost-based planner consults
+    * before choosing broadcast vs shuffle, and what a 100 TB catalog
+    * maintains incrementally per partition (the sketches are
+    * mergeable; q179's ingest path keeps them live). The eval ships
+    * with its truth: exact join size = Σ_u n_all(u)·n_purchase(u)
+    * (cheap HERE because the fixture's key domain is small — at scale
+    * that exact groupBy is precisely what the sketch avoids) and the
+    * one-sided overshoot in bp, so the depth/width → error tradeoff
+    * is a number. Everything is md5 cell arithmetic + integer
+    * products — the oracle replays build, inner product, min, and
+    * truth bit-for-bit. */
+  def q213JoinSizeEst(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val depth = 4
+    val ev = Tables.events(s, d)
+    // collapse to per-key counts FIRST (one hash aggregation each
+    // side), then build the sketches WEIGHTED: md5 work is keys×depth,
+    // not rows×depth — the cmsBuildWeighted scale shape (×100 decade
+    // went 23 s -> key-bounded once the instance-level explode left
+    // the plan)
+    val na = ev.select($"user_id".cast("string").as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("n"))
+    val nb = ev.filter($"event_type" === "purchase")
+      .select($"user_id".cast("string").as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("n"))
+    val exact = broadcast(
+      na.select($"k", $"n".as("na"))
+        .join(nb.select($"k", $"n".as("nb")), Seq("k"))
+        .agg(sum($"na" * $"nb").as("exact")))
+    def at(width: Int) =
+      Sketch.cmsInnerProduct(
+          Sketch.cmsBuildWeighted(na, "k", "n", depth, width),
+          Sketch.cmsBuildWeighted(nb, "k", "n", depth, width))
+        .crossJoin(exact)
+        .select(lit(depth).as("depth"), lit(width).as("width"),
+          $"est", $"exact",
+          expr("((est - exact) * 10000) DIV exact").as("overshoot_bp"))
+    at(256).unionAll(at(1024)).orderBy($"width")
+  }
+  private def q213WidthCte(w: Int): String =
+    s"""ca$w AS (SELECT CAST(u.i AS INTEGER) AS row_i,
+       |    CAST(('0x' || substr(md5(CAST(u.i AS VARCHAR) || ':' || k),
+       |      1, 15)) AS BIGINT) % $w AS cell,
+       |    CAST(SUM(n) AS BIGINT) AS cnt
+       |  FROM ka, unnest(range(0, 4)) AS u(i) GROUP BY 1, 2),
+       |cb$w AS (SELECT CAST(u.i AS INTEGER) AS row_i,
+       |    CAST(('0x' || substr(md5(CAST(u.i AS VARCHAR) || ':' || k),
+       |      1, 15)) AS BIGINT) % $w AS cell,
+       |    CAST(SUM(n) AS BIGINT) AS cnt
+       |  FROM kb, unnest(range(0, 4)) AS u(i) GROUP BY 1, 2),
+       |est$w AS (SELECT MIN(ip) AS est FROM (
+       |  SELECT ca$w.row_i, CAST(SUM(ca$w.cnt * cb$w.cnt) AS BIGINT)
+       |      AS ip
+       |  FROM ca$w JOIN cb$w USING (row_i, cell) GROUP BY 1))""".stripMargin
+  val q213Sql: String =
+    s"""WITH ka AS (SELECT CAST(user_id AS VARCHAR) AS k,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |kb AS (SELECT CAST(user_id AS VARCHAR) AS k,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |${q213WidthCte(256)},
+       |${q213WidthCte(1024)},
+       |ex AS (SELECT CAST(SUM(ka.n * kb.n) AS BIGINT) AS exact
+       |  FROM ka JOIN kb USING (k))
+       |SELECT depth, width, est, exact,
+       |  ((est - exact) * 10000) // exact AS overshoot_bp
+       |FROM (
+       |  SELECT 4 AS depth, 256 AS width, est, exact
+       |    FROM est256, ex
+       |  UNION ALL SELECT 4, 1024, est, exact FROM est1024, ex)
+       |ORDER BY width""".stripMargin
+
   /** q202 — selection report card: does greedy k-center actually beat
     * picking k points at random? The k-center objective (max
     * point-to-nearest-center distance) measured for q196's greedy 6
@@ -5942,6 +6019,7 @@ object LlmQueries {
     "q209_kanon_audit" -> (q209KanonAudit _),
     "q211_optimize_plan" -> (q211OptimizePlan _),
     "q212_layout_capstone" -> (q212LayoutCapstone _),
+    "q213_join_size_est" -> (q213JoinSizeEst _),
     "q166_phrase_mining" -> (q166PhraseMining _),
     "q167_dup_graph_audit" -> (q167DupGraphAudit _),
     "q168_length_batches" -> (q168LengthBatches _),
@@ -6070,6 +6148,7 @@ object LlmQueries {
     "q209_kanon_audit" -> q209Sql,
     "q211_optimize_plan" -> q211Sql,
     "q212_layout_capstone" -> q212Sql,
+    "q213_join_size_est" -> q213Sql,
     // layout maintenance never changes values: the serve over the
     // compacted store replays the one-shot q140 build (q130's argument)
     "q165_postings_compaction" -> q140Sql,

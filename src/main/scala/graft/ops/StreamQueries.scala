@@ -966,6 +966,155 @@ object StreamQueries {
       |  min_us, max_us
       |FROM cum ORDER BY batch_id, file_id""".stripMargin
 
+  /** q214 — time-series gap-fill: the dense per-(event_type, hour)
+    * count grid a dashboard or anomaly detector consumes — a plain
+    * groupBy SKIPS empty hours, and "no events between 02:00 and
+    * 05:00" is usually the most important row (the outage). The hour
+    * axis materializes from the observed global span (1-row stats
+    * broadcast → `sequence` explode — domain-bounded, never
+    * corpus-bounded: 720 hours × 5 types regardless of SF), missing
+    * cells zero-fill, and `cnt_ffill` carries the last OBSERVED count
+    * forward (the monitoring convention for sparse gauges). One
+    * aggregation + one span-sized left join + one per-type window.
+    * Oracle: DuckDB range() grid + `last_value IGNORE NULLS`. */
+  def q214Gapfill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).select($"event_type",
+      expr("unix_micros(ts) DIV 3600000000").as("hour_id"))
+    val span = ev.agg(min($"hour_id").as("lo"), max($"hour_id").as("hi"))
+    val grid = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select($"event_type", explode(sequence($"lo", $"hi")).as("hour_id"))
+    val counts = ev.groupBy($"event_type", $"hour_id")
+      .agg(count(lit(1)).as("cnt_raw"))
+    val w = Window.partitionBy($"event_type").orderBy($"hour_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(counts, Seq("event_type", "hour_id"), "left")
+      .withColumn("cnt", coalesce($"cnt_raw", lit(0L)))
+      .withColumn("cnt_ffill",
+        coalesce(last($"cnt_raw", ignoreNulls = true).over(w), lit(0L)))
+      .select($"event_type", $"hour_id", $"cnt", $"cnt_ffill")
+      .orderBy($"event_type", $"hour_id")
+  }
+  val q214Sql: String =
+    """WITH e AS (SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_id
+      |  FROM events),
+      |span AS (SELECT MIN(hour_id) AS lo, MAX(hour_id) AS hi FROM e),
+      |grid AS (SELECT event_type,
+      |    unnest(range(lo, hi + 1)) AS hour_id
+      |  FROM (SELECT DISTINCT event_type FROM e), span),
+      |cnts AS (SELECT event_type, hour_id,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt_raw
+      |  FROM e GROUP BY 1, 2),
+      |j AS (SELECT g.event_type, g.hour_id, c.cnt_raw
+      |  FROM grid g LEFT JOIN cnts c USING (event_type, hour_id))
+      |SELECT event_type, hour_id, COALESCE(cnt_raw, 0) AS cnt,
+      |  COALESCE(last_value(cnt_raw IGNORE NULLS) OVER (
+      |    PARTITION BY event_type ORDER BY hour_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+      |    AS cnt_ffill
+      |FROM j ORDER BY event_type, hour_id""".stripMargin
+
+  /** q215 — funnel analysis: strictly-ordered view → click → purchase
+    * conversion per user, each stage required WITHIN ONE DAY of the
+    * previous stage's first occurrence (the product-analytics funnel
+    * with a conversion window — three independent counts would call
+    * every heavy user converted; the 24 h window is what
+    * discriminates: 150 -> 60 -> 25 users at sf0.01).
+    * Timestamps work as unix micros (pure integer comparisons — no
+    * interval arithmetic to diverge between engines). Three keyed
+    * min-aggregations chained by user-keyed joins; every frame after
+    * the first aggregation is user-domain-sized, so the funnel costs
+    * one scan plus key-local work regardless of event volume. Emits
+    * one row per stage with user count and conversion from stage 1
+    * in bp — integer DIV, replayed exactly. */
+  def q215Funnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400000000L
+    val ev = Tables.events(s, d).select($"user_id", $"event_type",
+      unix_micros($"ts").as("us"))
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("t_view"))
+    val c = ev.filter($"event_type" === "click").join(v, Seq("user_id"))
+      .filter($"us" > $"t_view" && $"us" <= $"t_view" + lit(dayUs))
+      .groupBy($"user_id").agg(min($"us").as("t_click"))
+    val p = ev.filter($"event_type" === "purchase").join(c, Seq("user_id"))
+      .filter($"us" > $"t_click" && $"us" <= $"t_click" + lit(dayUs))
+      .groupBy($"user_id").agg(min($"us").as("t_buy"))
+    val nv = v.agg(count(lit(1)).as("n"))
+    val n0 = broadcast(nv.select($"n".as("n0")))
+    def stage(lbl: String, n: org.apache.spark.sql.DataFrame) =
+      n.crossJoin(n0).select(lit(lbl).as("stage"), $"n".as("n_users"),
+        expr("(n * 10000) DIV n0").as("conv_bp"))
+    stage("1_view", nv)
+      .unionAll(stage("2_click", c.agg(count(lit(1)).as("n"))))
+      .unionAll(stage("3_purchase", p.agg(count(lit(1)).as("n"))))
+      .orderBy($"stage")
+  }
+  val q215Sql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |v AS (SELECT user_id, MIN(us) AS t_view FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.us) AS t_click
+      |  FROM e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.us > v.t_view
+      |    AND e.us <= v.t_view + 86400000000 GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.us) AS t_buy
+      |  FROM e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.us > c.t_click
+      |    AND e.us <= c.t_click + 86400000000 GROUP BY 1),
+      |n AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS nv,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS nc,
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS np)
+      |SELECT stage, n_users, (n_users * 10000) // nv AS conv_bp FROM (
+      |  SELECT '1_view' AS stage, nv AS n_users, nv FROM n
+      |  UNION ALL SELECT '2_click', nc, nv FROM n
+      |  UNION ALL SELECT '3_purchase', np, nv FROM n)
+      |ORDER BY stage""".stripMargin
+
+  /** q216 — retention cohorts: users cohort by their FIRST active day
+    * (relative to the corpus's global first day — a 1-row broadcast,
+    * no calendar dependency), and each later active day counts them
+    * at that offset — the (cohort_day, day_offset, n_users) triangle
+    * every growth dashboard draws (day granularity so the fixture's
+    * ~2-events/user/day rate actually discriminates; weekly saturates
+    * at 100 %). Two keyed aggregations + one user-keyed join; output
+    * is span²-bounded (≤ ~500 rows on the 30-day fixture) regardless
+    * of event volume. */
+  def q216Retention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"user_id",
+      expr("unix_micros(ts) DIV 86400000000").as("dy"))
+    val base = ev.agg(min($"dy").as("d0"))
+    val rel = ev.crossJoin(broadcast(base))
+      .select($"user_id", ($"dy" - $"d0").as("w"))
+    val cohort = rel.groupBy($"user_id").agg(min($"w").as("cohort_day"))
+    rel.join(cohort, Seq("user_id"))
+      .select($"cohort_day", ($"w" - $"cohort_day").as("day_offset"),
+        $"user_id")
+      .distinct()
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+  val q216Sql: String =
+    """WITH e AS (SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dy
+      |  FROM events),
+      |base AS (SELECT MIN(dy) AS d0 FROM e),
+      |rel AS (SELECT user_id, dy - d0 AS w FROM e, base),
+      |cohort AS (SELECT user_id, MIN(w) AS cohort_day
+      |  FROM rel GROUP BY 1),
+      |d AS (SELECT DISTINCT c.cohort_day, r.w - c.cohort_day
+      |    AS day_offset, r.user_id
+      |  FROM rel r JOIN cohort c USING (user_id))
+      |SELECT cohort_day, day_offset, CAST(COUNT(*) AS BIGINT)
+      |    AS n_users
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q106 — STREAMING near-dup dedup over real micro-batches: the
     * signature-path ingest variant the round-6 verdict called the
     * biggest remaining gap (q101 covers streaming EXACT dedup; minhash/
@@ -1261,6 +1410,9 @@ object StreamQueries {
     "q190_stream_quantile" -> (q190StreamQuantile _),
     "q203_stream_coverage" -> (q203StreamCoverage _),
     "q210_stream_zonemap" -> (q210StreamZonemap _),
+    "q214_gapfill" -> (q214Gapfill _),
+    "q215_funnel" -> (q215Funnel _),
+    "q216_retention" -> (q216Retention _),
     "q60_stream_volume" -> (q60StreamVolume _),
     "q64_sliding_window" -> (q64SlidingWindow _),
     "q61_stream_semantic" -> (q61StreamSemantic _),
@@ -1299,6 +1451,9 @@ object StreamQueries {
     "q190_stream_quantile" -> q190Sql,
     "q203_stream_coverage" -> q203Sql,
     "q210_stream_zonemap" -> q210Sql,
+    "q214_gapfill" -> q214Sql,
+    "q215_funnel" -> q215Sql,
+    "q216_retention" -> q216Sql,
     "q60_stream_volume" -> q60Sql,
     "q64_sliding_window" -> q64Sql,
     "q62_session_window" -> q62Sql,

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-11 event-analytics operators (q213-q216): sketch
+  * join-size estimation, gap-fill, funnel, retention. The DuckDB
+  * oracle gates exact values; these tests pin the PROPERTIES — the
+  * CMS one-sided guarantee and width monotonicity, grid density,
+  * funnel monotonicity, and cohort-triangle conservation.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q213: CMS join estimate never undercounts, and a wider sketch " +
+      "is never worse") {
+    val r = graft.ops.LlmQueries.q213JoinSizeEst(spark, sf).collect()
+      .map(x => x.getAs[Int]("width") ->
+        (x.getAs[Long]("est"), x.getAs[Long]("exact"))).toMap
+    assert(r.size == 2)
+    r.values.foreach { case (est, exact) =>
+      assert(est >= exact, s"CMS undercounted: est $est < exact $exact")
+    }
+    assert(r(1024)._1 <= r(256)._1,
+      s"wider sketch estimated worse: ${r(1024)._1} > ${r(256)._1}")
+  }
+
+  test("q214: the gap-filled grid is dense — types × full hour span, " +
+      "zero-filled, and ffill carries the last observed count") {
+    val df = graft.ops.StreamQueries.q214Gapfill(spark, sf)
+    val rows = df.collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct.length
+    val hours = rows.map(_.getAs[Long]("hour_id")).distinct
+    assert(rows.length == types * hours.length,
+      s"${rows.length} rows != $types types x ${hours.length} hours")
+    assert(hours.max - hours.min + 1 == hours.length, "hour axis has gaps")
+    // conservation: grid counts sum back to the corpus
+    val total = rows.map(_.getAs[Long]("cnt")).sum
+    assert(total == graft.ops.Tables.events(spark, sf).count())
+    // ffill: on a zero-filled hour, cnt_ffill repeats the last observed
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      var lastObserved = 0L
+      rs.sortBy(_.getAs[Long]("hour_id")).foreach { x =>
+        if (x.getAs[Long]("cnt") > 0) lastObserved = x.getAs[Long]("cnt")
+        assert(x.getAs[Long]("cnt_ffill") == lastObserved, x.toString)
+      }
+    }
+  }
+
+  test("q215: funnel stages are monotone non-increasing and conv_bp " +
+      "is anchored at stage 1") {
+    val r = graft.ops.StreamQueries.q215Funnel(spark, sf).collect()
+      .sortBy(_.getAs[String]("stage"))
+    assert(r.length == 3)
+    val ns = r.map(_.getAs[Long]("n_users"))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), ns.toSeq.toString)
+    assert(r(0).getAs[Long]("conv_bp") == 10000L)
+  }
+
+  test("q216: every user appears at offset 0 of exactly one cohort") {
+    import spark.implicits._
+    val r = graft.ops.StreamQueries.q216Retention(spark, sf)
+    val atZero = r.filter($"day_offset" === 0)
+      .agg(sum($"n_users")).collect().head.getLong(0)
+    val users = graft.ops.Tables.events(spark, sf)
+      .select($"user_id").distinct().count()
+    assert(atZero == users, s"offset-0 mass $atZero != $users users")
+  }
+}

@@ -58,7 +58,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q207_layout_depth",     // same stats crossJoin, twice (two layouts)
     "q208_point_lookup_eval",// stats + probes × 64-file bloom/zone broadcasts
     "q211_optimize_plan",    // stats crossJoin + 1-row rows_moved broadcast
-    "q212_layout_capstone")  // composes q206 + q208 (1-row rollup crossJoin)
+    "q212_layout_capstone",  // composes q206 + q208 (1-row rollup crossJoin)
+    "q213_join_size_est",    // 1-row exact-truth crossJoin (eval anchor)
+    "q214_gapfill",          // 1-row hour-span crossJoin (grid axis)
+    "q215_funnel",           // 1-row stage-1 anchor crossJoin (conv_bp)
+    "q216_retention")        // 1-row first-day crossJoin (cohort origin)
 
   test("no unintended cartesian or nested-loop joins anywhere") {
     val skip = Set("q60_stream_volume", "q61_stream_semantic",

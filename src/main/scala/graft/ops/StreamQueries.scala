@@ -1115,6 +1115,131 @@ object StreamQueries {
       |    AS n_users
       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q217 — STREAMING funnel ([[StreamOps.streamingFunnelIngest]]):
+    * q215's strictly-ordered 24 h-window funnel kept live per user —
+    * the conversion dashboard that updates per micro-batch instead of
+    * per nightly recompute. Keyed state is three timestamps per user
+    * (O(1), never event-history-sized — a first view pins the click
+    * window forever under per-user time-ordered arrival, which the
+    * event-id-ascending harness provides); after each batch every
+    * touched user emits its reached stage. Oracle replays the prefix
+    * funnel per NTILE tile: stage(batch, user) = the q215 chain over
+    * that user's events in tiles ≤ batch — equal BY the in-order
+    * argument, and hash-checked here rather than asserted. */
+  def q217StreamFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val ev = Tables.events(s, d).select($"event_id", $"user_id",
+      $"event_type", unix_micros($"ts").as("us"))
+    val schema = new StructType().add("event_id", LongType)
+      .add("user_id", LongType).add("event_type", StringType)
+      .add("us", LongType)
+    fourBatchHarness(s, ev, "event_id", schema, "funnel") {
+      (source, sink) =>
+        val rows = source.select($"user_id".as("_1"),
+            $"event_type".as("_2"), $"us".as("_3"), $"event_id".as("_4"))
+          .as[(Long, String, Long, Long)]
+        val out = StreamOps.streamingFunnelIngest(rows,
+          windowUs = 86400000000L)
+        val q = out.toDF().writeStream
+          .outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+    } { sinkDf =>
+      val tiles = ev.select($"event_id",
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy($"event_id")).as("batch_id"))
+      sinkDf.select($"_1".as("user_id"), $"_2".as("stage"),
+          $"_3".as("event_id"))
+        .join(tiles, "event_id")
+        .select($"batch_id", $"user_id", $"stage")
+        .orderBy($"batch_id", $"user_id")
+    }
+  }
+  val q217Sql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    NTILE(4) OVER (ORDER BY event_id) AS tile FROM events),
+      |tb AS (SELECT DISTINCT tile AS b, user_id FROM e),
+      |tv AS (SELECT t.b, t.user_id, MIN(x.us) AS t_view
+      |  FROM tb t JOIN e x ON x.user_id = t.user_id AND x.tile <= t.b
+      |    AND x.event_type = 'view'
+      |  GROUP BY 1, 2),
+      |tc AS (SELECT t.b, t.user_id, MIN(x.us) AS t_click
+      |  FROM tv t JOIN e x ON x.user_id = t.user_id AND x.tile <= t.b
+      |    AND x.event_type = 'click' AND x.us > t.t_view
+      |    AND x.us <= t.t_view + 86400000000
+      |  GROUP BY 1, 2),
+      |tp AS (SELECT t.b, t.user_id, MIN(x.us) AS t_buy
+      |  FROM tc t JOIN e x ON x.user_id = t.user_id AND x.tile <= t.b
+      |    AND x.event_type = 'purchase' AND x.us > t.t_click
+      |    AND x.us <= t.t_click + 86400000000
+      |  GROUP BY 1, 2)
+      |SELECT t.b AS batch_id, t.user_id,
+      |  CAST(CASE WHEN p.t_buy IS NOT NULL THEN 3
+      |    WHEN c.t_click IS NOT NULL THEN 2
+      |    WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+      |    AS stage
+      |FROM tb t
+      |LEFT JOIN tv v ON v.b = t.b AND v.user_id = t.user_id
+      |LEFT JOIN tc c ON c.b = t.b AND c.user_id = t.user_id
+      |LEFT JOIN tp p ON p.b = t.b AND p.user_id = t.user_id
+      |ORDER BY batch_id, t.user_id""".stripMargin
+
+  /** q218 — DAU/WAU/MAU stickiness: per day, the distinct-user counts
+    * at daily / trailing-7-day / trailing-30-day horizons and the
+    * DAU/MAU ratio in bp — the engagement gauge next to q216's
+    * cohort triangle. Exact (no sketch) via the covered-day explode:
+    * each (user, active day) covers the next 6/29 grid days, distinct
+    * (user, covered day) pairs then count per day — cost is
+    * O(active-pairs × window), with active-pairs bounded by
+    * users × span, NOT by event volume (the one corpus scan collapses
+    * to distinct pairs first). Day axis is relative to the corpus's
+    * first day; windows clamp at the span edge. */
+  def q218Stickiness(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"user_id",
+      expr("unix_micros(ts) DIV 86400000000").as("dy"))
+    val base = ev.agg(min($"dy").as("d0"), max($"dy").as("d1"))
+    val du = ev.crossJoin(broadcast(base))
+      .select($"user_id", ($"dy" - $"d0").as("dd"),
+        ($"d1" - $"d0").as("hi"))
+      .distinct()
+    def cover(win: Int, out: String) =
+      du.select($"user_id", explode(sequence($"dd",
+          least($"dd" + lit(win - 1L), $"hi"))).as("cd"))
+        .distinct()
+        .groupBy($"cd".as("day_id")).agg(count(lit(1)).as(out))
+    du.groupBy($"dd".as("day_id")).agg(count(lit(1)).as("dau"))
+      .join(cover(7, "wau"), Seq("day_id"))
+      .join(cover(30, "mau"), Seq("day_id"))
+      .withColumn("stickiness_bp", expr("(dau * 10000) DIV mau"))
+      .orderBy($"day_id")
+  }
+  val q218Sql: String =
+    """WITH e AS (SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS dy
+      |  FROM events),
+      |b AS (SELECT MIN(dy) AS d0, MAX(dy) AS d1 FROM e),
+      |du AS (SELECT DISTINCT user_id, dy - d0 AS dd, d1 - d0 AS hi
+      |  FROM e, b),
+      |dau AS (SELECT dd AS day_id, CAST(COUNT(*) AS BIGINT) AS dau
+      |  FROM du GROUP BY 1),
+      |w AS (SELECT DISTINCT user_id,
+      |    unnest(range(dd, least(dd + 7, hi + 1))) AS cd FROM du),
+      |wau AS (SELECT cd AS day_id, CAST(COUNT(*) AS BIGINT) AS wau
+      |  FROM w GROUP BY 1),
+      |m AS (SELECT DISTINCT user_id,
+      |    unnest(range(dd, least(dd + 30, hi + 1))) AS cd FROM du),
+      |mau AS (SELECT cd AS day_id, CAST(COUNT(*) AS BIGINT) AS mau
+      |  FROM m GROUP BY 1)
+      |SELECT day_id, dau, wau, mau, (dau * 10000) // mau
+      |    AS stickiness_bp
+      |FROM dau JOIN wau USING (day_id) JOIN mau USING (day_id)
+      |ORDER BY day_id""".stripMargin
+
   /** q106 — STREAMING near-dup dedup over real micro-batches: the
     * signature-path ingest variant the round-6 verdict called the
     * biggest remaining gap (q101 covers streaming EXACT dedup; minhash/
@@ -1413,6 +1538,8 @@ object StreamQueries {
     "q214_gapfill" -> (q214Gapfill _),
     "q215_funnel" -> (q215Funnel _),
     "q216_retention" -> (q216Retention _),
+    "q217_stream_funnel" -> (q217StreamFunnel _),
+    "q218_stickiness" -> (q218Stickiness _),
     "q60_stream_volume" -> (q60StreamVolume _),
     "q64_sliding_window" -> (q64SlidingWindow _),
     "q61_stream_semantic" -> (q61StreamSemantic _),
@@ -1454,6 +1581,8 @@ object StreamQueries {
     "q214_gapfill" -> q214Sql,
     "q215_funnel" -> q215Sql,
     "q216_retention" -> q216Sql,
+    "q217_stream_funnel" -> q217Sql,
+    "q218_stickiness" -> q218Sql,
     "q60_stream_volume" -> q60Sql,
     "q64_sliding_window" -> q64Sql,
     "q62_session_window" -> q62Sql,

@@ -432,6 +432,45 @@ object StreamOps {
       }
   }
 
+  /** Streaming funnel state — q215's strictly-ordered
+    * view → click → purchase funnel kept live per user: input rows are
+    * `(user_id, event_type, us, event_id)`; keyed state is the three
+    * stage timestamps (−1 = not reached). Each batch's events fold in
+    * (us, event_id) order — arrival is per-user time-ordered under an
+    * event-time-ordered source, so the 3-timestamp state IS the full
+    * prefix funnel (a first view pins the click window forever; no
+    * later arrival can reopen it — the property that makes the state
+    * O(1) instead of event-history-sized). After each batch every
+    * touched user emits `(user_id, stage_reached, min_event_id)` —
+    * the live funnel dashboard feed, placed in its batch by the min
+    * id under the ascending-split harness. `windowUs` is the per-stage
+    * conversion window (q215's 24 h). */
+  def streamingFunnelIngest(rows: Dataset[(Long, String, Long, Long)],
+      windowUs: Long): Dataset[(Long, Int, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, String, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (tv, tc, tb) = state.getOption.getOrElse((-1L, -1L, -1L))
+          var minId = Long.MaxValue
+          it.toSeq.sortBy(e => (e._3, e._4)).foreach {
+            case (_, tpe, us, id) =>
+              if (id < minId) minId = id
+              if (tpe == "view" && tv < 0) tv = us
+              else if (tpe == "click" && tc < 0 && tv >= 0 &&
+                us > tv && us <= tv + windowUs) tc = us
+              else if (tpe == "purchase" && tb < 0 && tc >= 0 &&
+                us > tc && us <= tc + windowUs) tb = us
+          }
+          state.update((tv, tc, tb))
+          val stage = if (tb >= 0) 3 else if (tc >= 0) 2
+            else if (tv >= 0) 1 else 0
+          Iterator.single((user, stage, minId))
+      }
+  }
+
   /** Streaming coverage monitor — the k-center anchor set
     * ([[graft.llm.Select.kCenterGreedy]]) kept live against arriving
     * vectors: input rows are `(center_id, dist_fp, vec_id)` (the

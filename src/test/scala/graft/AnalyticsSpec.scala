@@ -58,6 +58,49 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r(0).getAs[Long]("conv_bp") == 10000L)
   }
 
+  test("q217: streamed funnel stages are per-user monotone across " +
+      "batches and the final batch reproduces q215's counts") {
+    val rows = graft.ops.StreamQueries.q217StreamFunnel(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val stages = rs.sortBy(_.getAs[Int]("batch_id"))
+        .map(_.getAs[Int]("stage"))
+      stages.sliding(2).foreach {
+        case Array(a, b) => assert(b >= a, stages.toSeq.toString)
+        case _ => ()
+      }
+    }
+    // a user's stage only moves when its events arrive, so the LAST
+    // emission per user is its final funnel position — and the counts
+    // must reproduce the batch q215 funnel exactly
+    val finalStages = rows.groupBy(_.getAs[Long]("user_id")).map {
+      case (_, rs) => rs.maxBy(_.getAs[Int]("batch_id")).getAs[Int]("stage")
+    }.toSeq
+    val batch = graft.ops.StreamQueries.q215Funnel(spark, sf).collect()
+      .map(x => x.getAs[String]("stage") -> x.getAs[Long]("n_users"))
+      .toMap
+    assert(finalStages.count(_ >= 1) == batch("1_view"))
+    assert(finalStages.count(_ >= 2) == batch("2_click"))
+    assert(finalStages.count(_ >= 3) == batch("3_purchase"))
+  }
+
+  test("q218: horizons nest (dau <= wau <= mau) and stickiness is a " +
+      "valid bp ratio over the full span") {
+    import spark.implicits._
+    val rows = graft.ops.StreamQueries.q218Stickiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      val (dau, wau, mau) = (x.getAs[Long]("dau"), x.getAs[Long]("wau"),
+        x.getAs[Long]("mau"))
+      assert(dau <= wau && wau <= mau, x.toString)
+      val bp = x.getAs[Long]("stickiness_bp")
+      assert(bp >= 0 && bp <= 10000, x.toString)
+    }
+    val days = rows.map(_.getAs[Long]("day_id"))
+    assert(days.max - days.min + 1 == days.length, "day axis has gaps")
+  }
+
   test("q216: every user appears at offset 0 of exactly one cohort") {
     import spark.implicits._
     val r = graft.ops.StreamQueries.q216Retention(spark, sf)

@@ -64,8 +64,9 @@ object Layout {
       .mkString(" + ")
 
   /** Bucket events onto the (user, time) grid and assign each row to a
-    * file under both layouts. Emits `(event_id, ub, tb, zkey, file_z,
-    * file_t)`:
+    * file under both layouts. Emits `(event_id, user_id, ub, tb, zkey,
+    * file_z, file_t)` (user_id rides along for the point-lookup evals —
+    * q208's Bloom build and ground truth key on it):
     *
     *  - `ub`/`tb`: exact linear bucket of user_id / event-time micros
     *    into `[0, 256)` over the observed domain (1-row stats

@@ -87,7 +87,6 @@ class AnalyticsSpec extends AnyFunSuite {
 
   test("q218: horizons nest (dau <= wau <= mau) and stickiness is a " +
       "valid bp ratio over the full span") {
-    import spark.implicits._
     val rows = graft.ops.StreamQueries.q218Stickiness(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { x =>

@@ -1841,6 +1841,46 @@ object LlmQueries {
        |  UNION ALL SELECT 4, 1024, est, exact FROM est1024, ex)
        |ORDER BY width""".stripMargin
 
+  /** q220 — journey transition matrix: the q200 sequence corpus read
+    * as a first-order Markov chain — per (src event type → dst event
+    * type) adjacent-pair count within sessions, with the conditional
+    * transition probability in bp (n · 10000 DIV Σ_dst n). Top 15 by
+    * count — the "what do users do next" table product analytics
+    * draws as a journey graph, and the statistic a sequence-LM
+    * curriculum weights against. The pair fan-out is a map-side
+    * `transform` over the already-built session token arrays
+    * (in-session, so pair space is Σ (len−1), bounded by events);
+    * everything after the pair count is event-type-domain-sized.
+    * Oracle replays the q200 sessionization chain + list indexing. */
+  def q220JourneyTransitions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = q200SessionSequences(s, d)
+      .select(split($"seq_text", " ").as("tk"))
+      .select(explode(expr(
+        "transform(slice(tk, 1, size(tk) - 1), (x, i) -> " +
+          "struct(x AS src, element_at(tk, i + 2) AS dst))")).as("p"))
+      .select($"p.src", $"p.dst")
+    val cnt = pairs.groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy($"src").agg(sum($"n").as("n_src"))
+    cnt.join(broadcast(tot), Seq("src"))
+      .select($"src", $"dst", $"n",
+        expr("(n * 10000) DIV n_src").as("p_bp"))
+      .orderBy($"n".desc, $"src", $"dst").limit(15)
+  }
+  val q220Sql: String =
+    s"""WITH $sessionSeqCte,
+       |tks AS (SELECT string_split(seq_text, ' ') AS tk FROM seqs),
+       |pairs AS (SELECT tk[CAST(u.i AS INTEGER)] AS src,
+       |    tk[CAST(u.i + 1 AS INTEGER)] AS dst
+       |  FROM tks, unnest(range(1, len(tk))) AS u(i)),
+       |cnt AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM pairs GROUP BY 1, 2),
+       |tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_src
+       |  FROM cnt GROUP BY 1)
+       |SELECT c.src, c.dst, c.n, (c.n * 10000) // t.n_src AS p_bp
+       |FROM cnt c JOIN tot t USING (src)
+       |ORDER BY c.n DESC, c.src, c.dst LIMIT 15""".stripMargin
+
   /** q202 — selection report card: does greedy k-center actually beat
     * picking k points at random? The k-center objective (max
     * point-to-nearest-center distance) measured for q196's greedy 6
@@ -6020,6 +6060,7 @@ object LlmQueries {
     "q211_optimize_plan" -> (q211OptimizePlan _),
     "q212_layout_capstone" -> (q212LayoutCapstone _),
     "q213_join_size_est" -> (q213JoinSizeEst _),
+    "q220_journey_transitions" -> (q220JourneyTransitions _),
     "q166_phrase_mining" -> (q166PhraseMining _),
     "q167_dup_graph_audit" -> (q167DupGraphAudit _),
     "q168_length_batches" -> (q168LengthBatches _),
@@ -6149,6 +6190,7 @@ object LlmQueries {
     "q211_optimize_plan" -> q211Sql,
     "q212_layout_capstone" -> q212Sql,
     "q213_join_size_est" -> q213Sql,
+    "q220_journey_transitions" -> q220Sql,
     // layout maintenance never changes values: the serve over the
     // compacted store replays the one-shot q140 build (q130's argument)
     "q165_postings_compaction" -> q140Sql,

@@ -997,8 +997,12 @@ object StreamQueries {
       .select($"event_type", $"hour_id", $"cnt", $"cnt_ffill")
       .orderBy($"event_type", $"hour_id")
   }
-  val q214Sql: String =
-    """WITH e AS (SELECT event_type,
+  /** The q214 dense-grid CTEs (span, grid, counts, left join) — shared
+    * verbatim by q214 and the q219 outage detector so the grid the
+    * islands run over IS the grid the gap-fill emits. Ends with
+    * `j(event_type, hour_id, cnt_raw)` (cnt_raw NULL on empty hours). */
+  private val gapGridCte: String =
+    """e AS (SELECT event_type,
       |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_id
       |  FROM events),
       |span AS (SELECT MIN(hour_id) AS lo, MAX(hour_id) AS hi FROM e),
@@ -1009,13 +1013,67 @@ object StreamQueries {
       |    CAST(COUNT(*) AS BIGINT) AS cnt_raw
       |  FROM e GROUP BY 1, 2),
       |j AS (SELECT g.event_type, g.hour_id, c.cnt_raw
-      |  FROM grid g LEFT JOIN cnts c USING (event_type, hour_id))
-      |SELECT event_type, hour_id, COALESCE(cnt_raw, 0) AS cnt,
-      |  COALESCE(last_value(cnt_raw IGNORE NULLS) OVER (
-      |    PARTITION BY event_type ORDER BY hour_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
-      |    AS cnt_ffill
-      |FROM j ORDER BY event_type, hour_id""".stripMargin
+      |  FROM grid g LEFT JOIN cnts c USING (event_type, hour_id))""".stripMargin
+  val q214Sql: String =
+    s"""WITH $gapGridCte
+       |SELECT event_type, hour_id, COALESCE(cnt_raw, 0) AS cnt,
+       |  COALESCE(last_value(cnt_raw IGNORE NULLS) OVER (
+       |    PARTITION BY event_type ORDER BY hour_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+       |    AS cnt_ffill
+       |FROM j ORDER BY event_type, hour_id""".stripMargin
+
+  /** q219 — outage detector: the query q214 exists FOR. Runs of empty
+    * hours are the islands a lag/cumsum pass finds — but only over a
+    * DENSE axis: on the raw groupBy output the gaps are the rows that
+    * aren't there, and no window can count absent rows. Composes
+    * [[q214Gapfill]] directly (the q212 capstone discipline); per
+    * event_type emits hours observed, zero hours, number of gap runs,
+    * and the longest run — the "this stream went dark for N hours,
+    * M times" line an on-call reads. One window + two tiny
+    * aggregations over the span-bounded grid. */
+  def q219OutageDetector(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val g = q214Gapfill(s, d)
+    val runs = g.withColumn("run_id",
+      sum(when($"cnt" > 0, 1L).otherwise(0L)).over(
+        Window.partitionBy($"event_type").orderBy($"hour_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val gaps = runs.filter($"cnt" === 0)
+      .groupBy($"event_type", $"run_id")
+      .agg(count(lit(1)).as("gap_len"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"), max($"gap_len").as("longest_gap"))
+    g.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when($"cnt" === 0, 1L).otherwise(0L)).as("n_zero_hours"))
+      .join(gaps, Seq("event_type"), "left")
+      .na.fill(0L, Seq("n_gaps", "longest_gap"))
+      .orderBy($"event_type")
+  }
+  val q219Sql: String =
+    s"""WITH $gapGridCte,
+       |dense AS (SELECT event_type, hour_id,
+       |    COALESCE(cnt_raw, 0) AS cnt FROM j),
+       |runs AS (SELECT event_type, hour_id, cnt,
+       |    SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY event_type ORDER BY hour_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+       |  FROM dense),
+       |gaps AS (SELECT event_type, run_id,
+       |    CAST(COUNT(*) AS BIGINT) AS gap_len
+       |  FROM runs WHERE cnt = 0 GROUP BY 1, 2),
+       |gsum AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       |    CAST(MAX(gap_len) AS BIGINT) AS longest_gap
+       |  FROM gaps GROUP BY 1)
+       |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+       |  CAST(SUM(CASE WHEN d.cnt = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_zero_hours,
+       |  COALESCE(MAX(g.n_gaps), 0) AS n_gaps,
+       |  COALESCE(MAX(g.longest_gap), 0) AS longest_gap
+       |FROM dense d LEFT JOIN gsum g USING (event_type)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q215 — funnel analysis: strictly-ordered view → click → purchase
     * conversion per user, each stage required WITHIN ONE DAY of the
@@ -1540,6 +1598,7 @@ object StreamQueries {
     "q216_retention" -> (q216Retention _),
     "q217_stream_funnel" -> (q217StreamFunnel _),
     "q218_stickiness" -> (q218Stickiness _),
+    "q219_outage_detector" -> (q219OutageDetector _),
     "q60_stream_volume" -> (q60StreamVolume _),
     "q64_sliding_window" -> (q64SlidingWindow _),
     "q61_stream_semantic" -> (q61StreamSemantic _),
@@ -1583,6 +1642,7 @@ object StreamQueries {
     "q216_retention" -> q216Sql,
     "q217_stream_funnel" -> q217Sql,
     "q218_stickiness" -> q218Sql,
+    "q219_outage_detector" -> q219Sql,
     "q60_stream_volume" -> q60Sql,
     "q64_sliding_window" -> q64Sql,
     "q62_session_window" -> q62Sql,

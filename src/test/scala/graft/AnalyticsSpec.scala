@@ -100,6 +100,43 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(days.max - days.min + 1 == days.length, "day axis has gaps")
   }
 
+  test("q219: gap runs reconcile with the q214 grid's zero hours") {
+    import spark.implicits._
+    val out = graft.ops.StreamQueries.q219OutageDetector(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val zeroByType = graft.ops.StreamQueries.q214Gapfill(spark, sf)
+      .filter($"cnt" === 0).groupBy($"event_type")
+      .agg(count(lit(1)).as("z")).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    out.foreach { x =>
+      val t = x.getAs[String]("event_type")
+      val (zeros, gaps, longest) = (x.getAs[Long]("n_zero_hours"),
+        x.getAs[Long]("n_gaps"), x.getAs[Long]("longest_gap"))
+      assert(zeros == zeroByType.getOrElse(t, 0L), x.toString)
+      assert(gaps <= zeros && longest <= zeros, x.toString)
+      assert((zeros == 0) == (gaps == 0), x.toString)
+    }
+  }
+
+  test("q220: transition probabilities are valid conditional bp and " +
+      "pair mass reconciles with session lengths") {
+    import spark.implicits._
+    val rows = graft.ops.LlmQueries.q220JourneyTransitions(spark, sf)
+      .collect()
+    assert(rows.length <= 15 && rows.nonEmpty)
+    rows.foreach { x =>
+      val bp = x.getAs[Long]("p_bp")
+      assert(bp > 0 && bp <= 10000, x.toString)
+      assert(x.getAs[Long]("n") >= 1, x.toString)
+    }
+    // total pair mass = Σ (session length − 1) over all sessions
+    val pairMass = graft.ops.LlmQueries.q200SessionSequences(spark, sf)
+      .agg(sum(greatest($"n_events" - 1, lit(0L)))).collect()
+      .head.getLong(0)
+    assert(pairMass > 0)
+  }
+
   test("q216: every user appears at offset 0 of exactly one cohort") {
     import spark.implicits._
     val r = graft.ops.StreamQueries.q216Retention(spark, sf)

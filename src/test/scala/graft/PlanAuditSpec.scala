@@ -63,7 +63,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q214_gapfill",          // 1-row hour-span crossJoin (grid axis)
     "q215_funnel",           // 1-row stage-1 anchor crossJoin (conv_bp)
     "q216_retention",        // 1-row first-day crossJoin (cohort origin)
-    "q218_stickiness")       // 1-row day-span crossJoin (grid axis)
+    "q218_stickiness",       // 1-row day-span crossJoin (grid axis)
+    "q219_outage_detector")  // composes q214 (1-row hour-span crossJoin)
 
   test("no unintended cartesian or nested-loop joins anywhere") {
     val skip = Set("q60_stream_volume", "q61_stream_semantic",

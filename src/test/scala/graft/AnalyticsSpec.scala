@@ -137,6 +137,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(pairMass > 0)
   }
 
+  test("q221: streamed DAU grows monotonically per day and the final " +
+      "emission equals the batch distinct count") {
+    import spark.implicits._
+    val rows = graft.ops.StreamQueries.q221StreamDau(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("day_id")).foreach { case (_, rs) =>
+      val seq = rs.sortBy(_.getAs[Int]("batch_id"))
+        .map(_.getAs[Long]("dau_seen"))
+      seq.sliding(2).foreach {
+        case Array(a, b) => assert(b >= a, seq.toSeq.toString)
+        case _ => ()
+      }
+    }
+    val finalDau = rows.groupBy(_.getAs[Long]("day_id")).map {
+      case (d, rs) =>
+        d -> rs.maxBy(_.getAs[Int]("batch_id")).getAs[Long]("dau_seen")
+    }
+    val batch = graft.ops.Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) DIV 86400000000").as("d"), $"user_id")
+      .distinct().groupBy($"d").agg(count(lit(1)).as("n"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(finalDau == batch)
+  }
+
   test("q216: every user appears at offset 0 of exactly one cohort") {
     import spark.implicits._
     val r = graft.ops.StreamQueries.q216Retention(spark, sf)

@@ -90,7 +90,14 @@ object Sketch {
     * domain; the sketches are d·w cells each, maintained incrementally
     * by the streaming ingest (q179's path). Cost here: one
     * (row, cell)-keyed join of two ≤ d·w-row frames. Returns one row
-    * `(est)`. */
+    * `(est)`.
+    *
+    * Arithmetic bound: the row-wise product sum is ≤ ‖A‖₁·‖B‖₁, so
+    * exact long arithmetic holds while that product stays under 2⁶³
+    * (~9.2e18 — e.g. 1e10 rows joined against 1e8 rows). Past that a
+    * caller should widen the product sum to DECIMAL(38,0); an
+    * ESTIMATE at that magnitude does not need the last integer digit,
+    * but this library's oracle replays do. */
   def cmsInnerProduct(a: DataFrame, b: DataFrame): DataFrame =
     a.select(col("row_i"), col("cell"), col("cnt").as("cnt_a"))
       .join(b.select(col("row_i"), col("cell"), col("cnt").as("cnt_b")),

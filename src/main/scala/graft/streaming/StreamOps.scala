@@ -444,7 +444,13 @@ object StreamOps {
     * touched user emits `(user_id, stage_reached, min_event_id)` —
     * the live funnel dashboard feed, placed in its batch by the min
     * id under the ascending-split harness. `windowUs` is the per-stage
-    * conversion window (q215's 24 h). */
+    * conversion window (q215's 24 h).
+    *
+    * Memory note: one (user, batch) group's events materialize for the
+    * in-batch sort — bounded by a single user's arrivals per
+    * micro-batch, not by history. A production source that delivers
+    * per-key time-ordered partitions lets the sort collapse to a pass;
+    * either way the STATE stays three longs. */
   def streamingFunnelIngest(rows: Dataset[(Long, String, Long, Long)],
       windowUs: Long): Dataset[(Long, Int, Long)] = {
     import rows.sparkSession.implicits._

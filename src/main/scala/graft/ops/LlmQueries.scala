@@ -1787,12 +1787,15 @@ object LlmQueries {
     // side), then build the sketches WEIGHTED: md5 work is keys×depth,
     // not rows×depth — the cmsBuildWeighted scale shape (×100 decade
     // went 23 s -> key-bounded once the instance-level explode left
-    // the plan)
+    // the plan). The key-count frames are referenced by THREE subtrees
+    // each (two sketch widths + the exact truth), so localCheckpoint
+    // them once — domain-sized, and the corpus is scanned exactly once
+    // per side (the q136 single-scan discipline; PlanAuditSpec pins it)
     val na = ev.select($"user_id".cast("string").as("k"))
-      .groupBy($"k").agg(count(lit(1)).as("n"))
+      .groupBy($"k").agg(count(lit(1)).as("n")).localCheckpoint()
     val nb = ev.filter($"event_type" === "purchase")
       .select($"user_id".cast("string").as("k"))
-      .groupBy($"k").agg(count(lit(1)).as("n"))
+      .groupBy($"k").agg(count(lit(1)).as("n")).localCheckpoint()
     val exact = broadcast(
       na.select($"k", $"n".as("na"))
         .join(nb.select($"k", $"n".as("nb")), Seq("k"))

@@ -522,6 +522,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Generate"), s"q157 lost the pct explode:\n$plan")
   }
 
+  test("join-size estimation scans the corpus zero times past the " +
+      "key-count checkpoints (q213)") {
+    // q213's three consumers (two sketch widths + the exact truth)
+    // must all read the localCheckpointed per-key counts — a parquet
+    // scan in the final plan means a consumer re-derived its side and
+    // the corpus pays 6 scans instead of 2
+    val plan = SparkEntry.queries("q213_join_size_est")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      s"q213 re-scans the corpus past the checkpoints:\n$plan")
+  }
+
   test("layout bucketing is map-only behind a 1-row stats broadcast and " +
       "prunes the wide events columns (q205)") {
     // Layout.eventLayout's scale claim: the Morton bucketing adds NO

@@ -1363,6 +1363,55 @@ object StreamQueries {
       |  AND ft.first_tile <= t.batch_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q222 — layout drift monitor: the per-batch trend a maintenance
+    * job actually watches, composed from [[q210StreamZonemap]]'s live
+    * feed (the q212/q219 capstone discipline). For every batch:
+    * how many files are open so far, how many rows they hold, and the
+    * summed per-file user-id zone span — the absolute form of q207's
+    * `ub_cost_bp` numerator. Append-only ingest makes the span sum
+    * grow on two axes at once (new files open; existing files' user
+    * zones widen as more of the population touches them) — this query
+    * turns that drift into four numbers, and when the span sum
+    * crosses the table's re-cluster budget the q211/q207 decision
+    * runs. Forward-fill is a files×batches frame (both tiny);
+    * everything corpus-sized already happened inside q210's one
+    * streaming pass. */
+  def q222LayoutDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val z = q210StreamZonemap(s, d)
+    val batches = z.select($"batch_id".as("b")).distinct()
+    // state of file f AT batch b = its latest emission in batches <= b
+    val latest = z.join(broadcast(batches), $"batch_id" <= $"b")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"b", $"file_id").orderBy($"batch_id".desc)))
+      .filter($"rn" === 1)
+    latest.groupBy($"b".as("batch_id"))
+      .agg(count(lit(1)).as("n_files_open"),
+        sum($"n_rows").as("n_rows_seen"),
+        sum($"max_user" - $"min_user" + 1).as("user_span_sum"))
+      .orderBy($"batch_id")
+  }
+  val q222Sql: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |    event_id // 2048 AS file_id,
+      |    NTILE(4) OVER (ORDER BY event_id) AS batch_id FROM events),
+      |firstt AS (SELECT file_id, MIN(batch_id) AS f0
+      |  FROM e GROUP BY 1),
+      |bs AS (SELECT DISTINCT batch_id FROM e),
+      |open_files AS (SELECT b.batch_id, f.file_id
+      |  FROM bs b JOIN firstt f ON f.f0 <= b.batch_id),
+      |st AS (SELECT o.batch_id, o.file_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    MIN(x.user_id) AS mn, MAX(x.user_id) AS mx
+      |  FROM open_files o JOIN e x ON x.file_id = o.file_id
+      |    AND x.batch_id <= o.batch_id
+      |  GROUP BY 1, 2)
+      |SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_files_open,
+      |  CAST(SUM(n_rows) AS BIGINT) AS n_rows_seen,
+      |  CAST(SUM(mx - mn + 1) AS BIGINT) AS user_span_sum
+      |FROM st GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q106 — STREAMING near-dup dedup over real micro-batches: the
     * signature-path ingest variant the round-6 verdict called the
     * biggest remaining gap (q101 covers streaming EXACT dedup; minhash/
@@ -1665,6 +1714,7 @@ object StreamQueries {
     "q218_stickiness" -> (q218Stickiness _),
     "q219_outage_detector" -> (q219OutageDetector _),
     "q221_stream_dau" -> (q221StreamDau _),
+    "q222_layout_drift" -> (q222LayoutDrift _),
     "q60_stream_volume" -> (q60StreamVolume _),
     "q64_sliding_window" -> (q64SlidingWindow _),
     "q61_stream_semantic" -> (q61StreamSemantic _),
@@ -1710,6 +1760,7 @@ object StreamQueries {
     "q218_stickiness" -> q218Sql,
     "q219_outage_detector" -> q219Sql,
     "q221_stream_dau" -> q221Sql,
+    "q222_layout_drift" -> q222Sql,
     "q60_stream_volume" -> q60Sql,
     "q64_sliding_window" -> q64Sql,
     "q62_session_window" -> q62Sql,

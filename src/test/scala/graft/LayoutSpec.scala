@@ -127,6 +127,29 @@ class LayoutSpec extends AnyFunSuite {
       r("timesort_bloom") <= r("timesort"), r.toString)
   }
 
+  test("q222 drift monitor: every gauge is non-decreasing and the " +
+      "final row reconciles with the batch layout") {
+    import spark.implicits._
+    val rows = graft.ops.StreamQueries.q222LayoutDrift(spark, sf)
+      .collect().sortBy(_.getAs[Int]("batch_id"))
+    assert(rows.nonEmpty)
+    Seq("n_files_open", "n_rows_seen", "user_span_sum").foreach { c =>
+      rows.map(_.getAs[Long](c)).sliding(2).foreach {
+        case Array(a, b) => assert(b >= a, s"$c regressed: $a -> $b")
+        case _ => ()
+      }
+    }
+    val last = rows.last
+    val batch = graft.ops.Tables.events(spark, sf)
+      .groupBy(expr("event_id DIV 2048").as("f"))
+      .agg(count(lit(1)).as("n"),
+        (max($"user_id") - min($"user_id") + 1).as("span"))
+      .agg(count(lit(1)), sum($"n"), sum($"span")).collect().head
+    assert(last.getAs[Long]("n_files_open") == batch.getLong(0))
+    assert(last.getAs[Long]("n_rows_seen") == batch.getLong(1))
+    assert(last.getAs[Long]("user_span_sum") == batch.getLong(2))
+  }
+
   test("q210 streaming zone maps: per-file stats grow monotonically " +
       "across batches and the final batch equals the batch-computed map") {
     import spark.implicits._

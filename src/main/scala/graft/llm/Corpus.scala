@@ -808,11 +808,15 @@ object Corpus {
     * Scale shape: per-(doc, bucket) collapse first (as in
     * [[graft.llm.TextOps.tokenRarity]]); both distribution tables are
     * `nBuckets` rows — broadcast-sized BY CONSTRUCTION, which is the
-    * hashing trick's whole point. The only global step is the
-    * selection rank over doc-level aggregate rows; a pure top-k
-    * SELECTION (no per-doc report) would swap it for the k-bounded
-    * [[graft.functions.TopKAgg]] partial aggregate (the q116 serve
-    * shape). Featureless docs (<2 tokens) surface with score 0. */
+    * hashing trick's whole point. The selection rank over the
+    * doc-level aggregate rows is the [[graft.functions.Ranks]]
+    * two-pass distributed exact rank (range counts → literal offsets
+    * → per-range window), NOT a global window — no task ever holds
+    * the corpus (the round-11 verdict's q152 finding); a pure top-k
+    * SELECTION (no per-doc audit rank) could go further and use the
+    * k-bounded [[graft.functions.TopKAgg]] partial aggregate (the
+    * q116 serve shape). Featureless docs (<2 tokens) surface with
+    * score 0. */
   def dsirSelect(rawDf: DataFrame, targetDf: DataFrame, idCol: String,
       textCol: String, nBuckets: Int = 4096, topK: Int = 100): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
@@ -837,12 +841,16 @@ object Corpus {
       .groupBy(col("doc_id"))
       .agg(sum(col("occ")).as("n_feats"),
         sum(col("occ") * col("w_bp")).as("score"))
-    rawDf.select(col(idCol).as("doc_id"))
+    val audit = rawDf.select(col(idCol).as("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
       .withColumn("score", coalesce(col("score"), lit(0L)))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))))
+    // surrogate = -score: monotone in (score DESC, doc_id) order; the
+    // score-0 tail (featureless docs) all shares one range, ordered
+    // there by doc_id — the documented multiplicity floor
+    graft.functions.Ranks.globalRowNumber(audit,
+        Seq(col("score").desc, col("doc_id")), -col("score"), "rank")
+      ._1
       .withColumn("selected", (col("rank") <= topK).cast("int"))
   }
 
@@ -881,21 +889,27 @@ object Corpus {
     * (whose sketch is implementation-specific). Emits
     * `(pct, n_rows, rank, value)`.
     *
-    * Scale shape: one global sort — of DOC-LEVEL rows, because
-    * calibration runs over the metric AGGREGATES, not the corpus; the
-    * classify pass that consumes the thresholds stays map-only. The
-    * percentile probe itself is join-free: a per-row explode of the
-    * (tiny, literal) percentile list plus a rank-equality filter. */
+    * Scale shape: the [[graft.functions.Ranks.rowsAtRanks]] two-pass
+    * distributed rank — range counts size the target ranks, then ONLY
+    * the ≤ |pcts| ranges actually holding a target rank are sorted
+    * (inside a partitioned window); the rest of the input is counted,
+    * never sorted, and no task ever holds the whole frame (the
+    * round-11 verdict's q157 finding). The percentile probe itself
+    * stays join-free: a per-row explode of the (tiny, literal)
+    * percentile list plus a rank-equality filter. */
   def exactPercentiles(df: DataFrame, valueCol: String, tieCol: String,
       pcts: Seq[Int]): DataFrame = {
     require(pcts.nonEmpty, "pcts must be non-empty")
     require(pcts.forall(p => p >= 1 && p <= 100),
       s"pcts must be in [1, 100], got ${pcts.mkString(",")}")
-    df.select(col(valueCol).as("value"), col(tieCol).as("__tie"))
-      .withColumn("rn",
-        row_number().over(Window.orderBy(col("value"), col("__tie"))))
-      .withColumn("n_rows", count(lit(1)).over(Window.partitionBy()))
-      .select(col("value"), col("rn"), col("n_rows"),
+    val (picked, n) = graft.functions.Ranks.rowsAtRanks(
+      df.select(col(valueCol).as("value"), col(tieCol).as("__tie")),
+      Seq(col("value"), col("__tie")), col("value"),
+      total => pcts.map(p => math.max(1L, (total * p + 99) / 100))
+        .distinct,
+      "rn")
+    picked
+      .select(col("value"), col("rn"), lit(n).as("n_rows"),
         explode(typedLit(pcts)).as("pct"))
       .filter(expr("rn = greatest(1, (n_rows * pct + 99) DIV 100)"))
       .select(col("pct"), col("n_rows"), col("rn").as("rank"),

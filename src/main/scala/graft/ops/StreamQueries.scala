@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.llm.Dedup
@@ -182,14 +182,75 @@ object StreamQueries {
     * view is dropped HERE — a caller can't forget the cleanup that keeps
     * bench/stress loops from accumulating one in-memory table per
     * invocation. */
+  /** Exact `NTILE(n) OVER (ORDER BY idCol)` boundary ids WITHOUT a
+    * global window (the round-11 verdict's harness finding: the old
+    * `ntile(4)` funneled every input row through one task in ~20
+    * registered stream twins and spammed the bench log with
+    * `WindowExec: No Partition Defined`). Ids must be DISTINCT (they
+    * are: doc_id/vec_id/event_id). Dense ids — every harness fixture
+    * except filtered subsets — need only one bounded (min, max, count)
+    * aggregation: rank(id) = id - min + 1, so the n-1 boundary ids are
+    * arithmetic. Sparse ids (q110's train split) take a 1024-range
+    * histogram (one bounded aggregation + a ≤1024-row collect) plus at
+    * most n-1 probes that each sort ONE range. Returns the inclusive
+    * upper-bound id of tiles 1..n-1; tile assignment is then the
+    * scan-local CASE of [[tileExpr]], bit-identical to the oracles'
+    * NTILE(n) by the cumulative-count construction. */
+  private def ntileSplitIds(df: DataFrame, idCol: String,
+      n: Int): Array[Long] = {
+    val head = df.agg(min(col(idCol)).cast("long").as("mn"),
+      max(col(idCol)).cast("long").as("mx"),
+      count(lit(1)).as("cnt")).head()
+    val (mn, mx, cnt) = (head.getLong(0), head.getLong(1),
+      head.getLong(2))
+    require(cnt >= n, s"ntileSplitIds needs >= $n rows, got $cnt")
+    // NTILE cumulative boundaries: tiles 1..rem get base+1 rows
+    val base = cnt / n
+    val rem = cnt % n
+    val cums = (1 until n).map(k => k * base + math.min(k, rem))
+    val span = mx - mn + 1
+    if (span == cnt) cums.map(c => mn + c - 1).toArray
+    else {
+      val width = (span + 1023) / 1024
+      val bkt = expr(s"CAST(($idCol - $mn) DIV $width AS INT)")
+      val hist = df.groupBy(bkt.as("__b"))
+        .agg(count(lit(1)).as("__c")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val cumBefore = new Array[Long](1025)
+      for (b <- 1 to 1024)
+        cumBefore(b) = cumBefore(b - 1) + hist.getOrElse(b - 1, 0L)
+      cums.map { c =>
+        val b = (0 until 1024)
+          .find(b => cumBefore(b) < c && c <= cumBefore(b + 1))
+          .getOrElse(sys.error(s"rank $c outside histogram"))
+        // sort ONE range (≤ its row count), take the needed offset
+        df.filter(bkt === b).select(col(idCol).cast("long"))
+          .orderBy(col(idCol))
+          .limit((c - cumBefore(b)).toInt)
+          .agg(max(col(idCol))).head().getLong(0)
+      }.toArray
+    }
+  }
+
+  /** Scan-local tile CASE over [[ntileSplitIds]] boundaries. */
+  private def tileExpr(id: Column, bounds: Array[Long]): Column =
+    bounds.zipWithIndex.foldRight(lit(bounds.length + 1): Column) {
+      case ((b, i), acc) => when(id <= b, lit(i + 1)).otherwise(acc)
+    }
+
+  /** The finish-side `(idCol, batch_id)` frame the stream twins label
+    * their sink rows with — same boundaries, same CASE, no window. */
+  private def tile4(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol),
+      tileExpr(col(idCol), ntileSplitIds(df, idCol, 4)).as("batch_id"))
+
   private def fourBatchHarness(s: SparkSession, df: DataFrame,
       idCol: String, schema: org.apache.spark.sql.types.StructType,
       tag: String)(run: (DataFrame, String) => Unit)(
       finish: DataFrame => DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import scala.jdk.CollectionConverters._
     val tiled = df.withColumn("tile",
-      ntile(4).over(Window.orderBy(col(idCol))))
+      tileExpr(col(idCol), ntileSplitIds(df, idCol, 4)))
     val streamDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_in")
     val stageDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_stage")
     // memory-sink name derived from the (unique) temp dir: two concurrent
@@ -647,9 +708,7 @@ object StreamQueries {
         q.processAllAvailable()
         q.stop()
     } { sinkDf =>
-      val tiles = docs.select($"doc_id",
-        ntile(4).over(org.apache.spark.sql.expressions.Window
-          .orderBy($"doc_id")).as("batch_id"))
+      val tiles = tile4(docs, "doc_id")
       sinkDf.select($"_2".as("is_new"), $"_3".as("doc_id"))
         .join(tiles, "doc_id")
         .groupBy($"batch_id")
@@ -717,9 +776,7 @@ object StreamQueries {
         q.processAllAvailable()
         q.stop()
     } { sinkDf =>
-      val tiles = docs.select($"doc_id",
-        ntile(4).over(org.apache.spark.sql.expressions.Window
-          .orderBy($"doc_id")).as("batch_id"))
+      val tiles = tile4(docs, "doc_id")
       sinkDf.select($"_1".as("cell_key"), $"_2".as("cnt_seen"),
           $"_3".as("doc_id"))
         .join(tiles, "doc_id")
@@ -792,9 +849,7 @@ object StreamQueries {
         q.processAllAvailable()
         q.stop()
     } { sinkDf =>
-      val tiles = docs.select($"doc_id",
-        ntile(4).over(org.apache.spark.sql.expressions.Window
-          .orderBy($"doc_id")).as("batch_id"))
+      val tiles = tile4(docs, "doc_id")
       sinkDf.select($"_1".as("cell_key"), $"_2".as("cnt_seen"),
           $"_3".as("doc_id"))
         .join(tiles, "doc_id")
@@ -865,9 +920,7 @@ object StreamQueries {
         q.processAllAvailable()
         q.stop()
     } { sinkDf =>
-      val tiles = e.select($"vec_id",
-        ntile(4).over(org.apache.spark.sql.expressions.Window
-          .orderBy($"vec_id")).as("batch_id"))
+      val tiles = tile4(e, "vec_id")
       sinkDf.select($"_1".as("center_id"), $"_2".as("n_seen"),
           $"_3".as("max_dist_fp"), $"_4".as("vec_id"))
         .join(tiles, "vec_id")
@@ -935,9 +988,7 @@ object StreamQueries {
         q.processAllAvailable()
         q.stop()
     } { sinkDf =>
-      val tiles = ev.select($"event_id",
-        ntile(4).over(org.apache.spark.sql.expressions.Window
-          .orderBy($"event_id")).as("batch_id"))
+      val tiles = tile4(ev, "event_id")
       sinkDf.select($"_1".as("file_id"), $"_2".as("n_rows"),
           $"_3".as("min_user"), $"_4".as("max_user"),
           $"_5".as("min_us"), $"_6".as("max_us"),
@@ -1206,9 +1257,7 @@ object StreamQueries {
         q.processAllAvailable()
         q.stop()
     } { sinkDf =>
-      val tiles = ev.select($"event_id",
-        ntile(4).over(org.apache.spark.sql.expressions.Window
-          .orderBy($"event_id")).as("batch_id"))
+      val tiles = tile4(ev, "event_id")
       sinkDf.select($"_1".as("user_id"), $"_2".as("stage"),
           $"_3".as("event_id"))
         .join(tiles, "event_id")
@@ -1332,8 +1381,7 @@ object StreamQueries {
         q.stop()
     } { sinkDf =>
       import org.apache.spark.sql.expressions.Window
-      val tiles = ev.select($"event_id",
-        ntile(4).over(Window.orderBy($"event_id")).as("batch_id"))
+      val tiles = tile4(ev, "event_id")
       sinkDf.select($"_1".as("key"), $"_2".as("is_new"),
           $"_3".as("event_id"))
         .join(tiles, "event_id")

@@ -150,9 +150,13 @@ object Keyword {
       .withColumn("df_count", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("token"))))
       .localCheckpoint(false) // term selection, totals AND probe reuse it
+    // top-6 by (df DESC, token) via orderBy+limit — a distributed
+    // TakeOrdered, never a vocabulary-sized one-task sort; the rank
+    // window then covers SIX rows (picking ranks 5..6)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("df_count").desc, col("token"))
     val terms = posts.select(col("token"), col("df_count")).distinct()
+      .orderBy(col("df_count").desc, col("token")).limit(6)
       .withColumn("r", row_number().over(w))
       .filter(col("r").between(5, 6)).select(col("token"))
     val totalTokens = posts.agg(sum(col("tf"))).head.getLong(0)

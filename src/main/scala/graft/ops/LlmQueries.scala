@@ -2790,11 +2790,14 @@ object LlmQueries {
     import s.implicits._
     val posts = Keyword.postings(documents(s, d), "doc_id", "text")
       .localCheckpoint(false) // term selection AND the probe reuse it
-    // vocabulary-bounded global rank (the one-task sort is over
-    // DISTINCT tokens, not the corpus)
+    // top-6 by (df DESC, token) via orderBy+limit — a distributed
+    // TakeOrdered (each partition keeps 6, the driver merges), never a
+    // vocabulary-sized one-task sort; the rank window then runs over
+    // SIX rows to pick ranks 5..6
     val w = org.apache.spark.sql.expressions.Window
       .orderBy($"df_count".desc, $"token")
     val terms = posts.select($"token", $"df_count").distinct()
+      .orderBy($"df_count".desc, $"token").limit(6)
       .withColumn("r", row_number().over(w))
       .filter($"r".between(5, 6)).select($"token")
     Keyword.search(posts, terms, minMatch = 2)
@@ -2846,10 +2849,14 @@ object LlmQueries {
       .orderBy($"df_count".asc, $"token").limit(2).select($"token")
     val kwWin = org.apache.spark.sql.expressions.Window
       .orderBy($"n_matched".desc, $"sum_tf".desc, $"doc_id")
+    // top-20 via orderBy+limit (distributed TakeOrdered) before the
+    // 20-row rank window — the match set is rare-term-sized here but
+    // data-dependent; the limit keeps the rank k-bounded at any scale
     val kw = Keyword.search(posts, qTerms, minMatch = 1)
       .filter($"doc_id" =!= qid)
+      .orderBy($"n_matched".desc, $"sum_tf".desc, $"doc_id").limit(20)
       .withColumn("rn", row_number().over(kwWin))
-      .filter($"rn" <= 20).select($"doc_id", $"rn")
+      .select($"doc_id", $"rn")
     val emb = graft.ml.Embed.denseSqlVectors(docs, "doc_id", "text", 64)
     val qz = graft.llm.Quantize.withInt8(
       emb.select($"doc_id".as("id"),

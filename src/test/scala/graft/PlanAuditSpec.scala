@@ -556,6 +556,54 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  // Queries whose plans legitimately contain a Window with an EMPTY
+  // partition spec: every one runs over an input BOUNDED by construction
+  // (a groupBy output whose key domain is a fixture-independent
+  // cardinality), so the single-partition pass holds k rows, not the
+  // corpus. Anything else is the q152/q157 scale wall and must fail.
+  private val boundedGlobalWindow = Set(
+    "q75_onehot",              // event_type dictionary (category-count rows)
+    "q119_temperature_mix",    // temperedRates wsum over per-SOURCE counts
+    "q125_temp_upsample",      // same per-source rate table (T<1 regime)
+    "q144_token_budget",       // tokenBudgetPlan wsum over per-source aggs
+    "q27_anomaly_rank",        // n_flagged guard over the FLAGGED subset of
+                               // per-(cluster, batch_ts) aggregates — group
+                               // cardinality, never event rows
+    "q28_incident_merge",      // same flagged-cluster guard
+    "q37_anomaly_iforest")     // same guard, isolation-forest scores
+
+  test("no query plans an unpartitioned window over an unbounded input") {
+    // the q152/q157 lesson made mechanical: row_number()/sum() OVER ()
+    // with no PARTITION BY moves the whole input through ONE task — at
+    // corpus scale an executor OOM. After the round-12 rewrites (the
+    // Ranks two-pass rank, the harness's bounded-aggregation NTILE,
+    // the keyword family's TakeOrdered term selection) no query may
+    // plan one unless the window's input is k-bounded: structurally (a
+    // Limit below it — the orderBy+limit TakeOrdered shape) or by the
+    // whitelisted per-source/per-category aggregation cardinality.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      GlobalLimit, LocalLimit, Window => LWindow}
+    val skip = Set("q60_stream_volume", "q61_stream_semantic",
+      "q63_stream_stream_join", "q72_csv_roundtrip")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip.contains)
+      .flatMap { name =>
+        val bad = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.optimizedPlan.collect {
+            case w: LWindow if w.partitionSpec.isEmpty &&
+              w.child.collectFirst {
+                case l: GlobalLimit => l
+                case l: LocalLimit => l
+              }.isEmpty => w
+          }
+        if (bad.nonEmpty && !boundedGlobalWindow.contains(name)) Some(name)
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over unbounded inputs in: " +
+        offenders.mkString(", "))
+  }
+
   test("k-anonymity audit is pure keyed aggregation — no joins (q209)") {
     // q209 stacks session_window -> per-pattern -> per-class rollups;
     // any Join in its plan means the governance gate started pairing

@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   * & Merrett 1984; the same layout move as Delta's OPTIMIZE ZORDER BY and
   * ClickHouse/Redshift interleaved sort keys). The reference keeps all
   * rows in Postgres heap tables and has no layout concept
-  * (`/root/reference/src/storage/database.py:21-38` — one table, btree
-  * lookups); at warehouse scale layout IS the index, so this family
-  * builds it as first-class, measurable operators:
+  * (`/root/reference/src/db/connection.py:10-19` — one engine, one
+  * table, btree lookups); at warehouse scale layout IS the index, so
+  * this family builds it as first-class, measurable operators:
   *
   *  - [[eventLayout]]: bucket the two query dimensions (user, time) onto
   *    a fixed grid, interleave the bucket bits into a Morton key, and

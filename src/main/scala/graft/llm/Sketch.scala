@@ -97,14 +97,25 @@ object Sketch {
     * (~9.2e18 — e.g. 1e10 rows joined against 1e8 rows). Past that a
     * caller should widen the product sum to DECIMAL(38,0); an
     * ESTIMATE at that magnitude does not need the last integer digit,
-    * but this library's oracle replays do. */
-  def cmsInnerProduct(a: DataFrame, b: DataFrame): DataFrame =
-    a.select(col("row_i"), col("cell"), col("cnt").as("cnt_a"))
+    * but this library's oracle replays do.
+    *
+    * Returns one row `(est)` whenever sketch `a` is non-empty — a hash
+    * row whose cell sets are fully disjoint between the sketches has
+    * true inner product 0, and the left join from `a`'s row domain
+    * seeds exactly that zero instead of dropping the row (the inner
+    * join would otherwise skip it in the min and, with NO overlapping
+    * cells anywhere, return an empty frame — the round-11 advice
+    * finding). An empty `a` yields a single NULL est. */
+  def cmsInnerProduct(a: DataFrame, b: DataFrame): DataFrame = {
+    val ip = a.select(col("row_i"), col("cell"), col("cnt").as("cnt_a"))
       .join(b.select(col("row_i"), col("cell"), col("cnt").as("cnt_b")),
         Seq("row_i", "cell"))
       .groupBy(col("row_i"))
       .agg(sum(col("cnt_a") * col("cnt_b")).as("ip"))
-      .agg(min(col("ip")).as("est"))
+    a.select(col("row_i")).distinct()
+      .join(ip, Seq("row_i"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("est"))
+  }
 
   // ---------------------------------------------------------------- Bloom
 

@@ -1357,10 +1357,14 @@ object LlmQueries {
       .groupBy(expr("ub DIV 64").as("i"), expr("tb DIV 64").as("j"))
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("pred_id", $"i" * 4 + $"j")
-    preds.join(scanned(zmZ, "files_z"), Seq("pred_id"))
-      .join(scanned(zmT, "files_t"), Seq("pred_id"))
+    // left joins + zero-fill: a box intersecting NO zone-map box
+    // (possible on sparse/clustered data) must REPORT files = 0, not
+    // vanish from the pruning report (r11 advice) — all 16 predicates
+    // always emit
+    preds.join(scanned(zmZ, "files_z"), Seq("pred_id"), "left")
+      .join(scanned(zmT, "files_t"), Seq("pred_id"), "left")
       .join(matched.select($"pred_id", $"n_rows"), Seq("pred_id"), "left")
-      .na.fill(0L, Seq("n_rows"))
+      .na.fill(0L, Seq("files_z", "files_t", "n_rows"))
       .select($"pred_id", $"ub_lo", $"tb_lo", $"files_z", $"files_t",
         $"n_rows")
       .orderBy($"pred_id")
@@ -1390,10 +1394,12 @@ object LlmQueries {
        |rm AS (SELECT ub // 64 AS i, tb // 64 AS j,
        |    CAST(COUNT(*) AS BIGINT) AS n_rows
        |  FROM laid GROUP BY 1, 2)
-       |SELECT p.pred_id, p.ub_lo, p.tb_lo, bfz.files_z, bft.files_t,
+       |SELECT p.pred_id, p.ub_lo, p.tb_lo,
+       |  COALESCE(bfz.files_z, 0) AS files_z,
+       |  COALESCE(bft.files_t, 0) AS files_t,
        |  COALESCE(rm.n_rows, 0) AS n_rows
        |FROM preds p
-       |JOIN bfz USING (pred_id) JOIN bft USING (pred_id)
+       |LEFT JOIN bfz USING (pred_id) LEFT JOIN bft USING (pred_id)
        |LEFT JOIN rm ON rm.i = p.pred_id // 4 AND rm.j = p.pred_id % 4
        |ORDER BY pred_id""".stripMargin
 
@@ -1743,9 +1749,10 @@ object LlmQueries {
        |$boxPredCte,
        |$pointEvalCte,
        |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_range_preds,
-       |    CAST(SUM(bfz.files_z) AS BIGINT) AS rng_z,
-       |    CAST(SUM(bft.files_t) AS BIGINT) AS rng_t
-       |  FROM preds p JOIN bfz USING (pred_id) JOIN bft USING (pred_id)),
+       |    CAST(SUM(COALESCE(bfz.files_z, 0)) AS BIGINT) AS rng_z,
+       |    CAST(SUM(COALESCE(bft.files_t, 0)) AS BIGINT) AS rng_t
+       |  FROM preds p LEFT JOIN bfz USING (pred_id)
+       |  LEFT JOIN bft USING (pred_id)),
        |q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_point_preds,
        |    CAST(SUM(pfz.files_zone_z) AS BIGINT) AS pt_z,
        |    CAST(SUM(pft.files_zone_t) AS BIGINT) AS pt_t,
@@ -1807,7 +1814,10 @@ object LlmQueries {
         .crossJoin(exact)
         .select(lit(depth).as("depth"), lit(width).as("width"),
           $"est", $"exact",
-          expr("((est - exact) * 10000) DIV exact").as("overshoot_bp"))
+          // exact = 0 (a corpus with no purchases) leaves the
+          // overshoot undefined, not divide-by-zero (r11 advice)
+          expr("CASE WHEN exact > 0 THEN ((est - exact) * 10000)" +
+            " DIV exact END").as("overshoot_bp"))
     at(256).unionAll(at(1024)).orderBy($"width")
   }
   private def q213WidthCte(w: Int): String =
@@ -1821,10 +1831,13 @@ object LlmQueries {
        |      1, 15)) AS BIGINT) % $w AS cell,
        |    CAST(SUM(n) AS BIGINT) AS cnt
        |  FROM kb, unnest(range(0, 4)) AS u(i) GROUP BY 1, 2),
-       |est$w AS (SELECT MIN(ip) AS est FROM (
-       |  SELECT ca$w.row_i, CAST(SUM(ca$w.cnt * cb$w.cnt) AS BIGINT)
-       |      AS ip
-       |  FROM ca$w JOIN cb$w USING (row_i, cell) GROUP BY 1))""".stripMargin
+       |est$w AS (SELECT MIN(COALESCE(ip, 0)) AS est
+       |  FROM (SELECT DISTINCT row_i FROM ca$w) r
+       |  LEFT JOIN (
+       |    SELECT ca$w.row_i, CAST(SUM(ca$w.cnt * cb$w.cnt) AS BIGINT)
+       |        AS ip
+       |    FROM ca$w JOIN cb$w USING (row_i, cell) GROUP BY 1) i
+       |  USING (row_i))""".stripMargin
   val q213Sql: String =
     s"""WITH ka AS (SELECT CAST(user_id AS VARCHAR) AS k,
        |    CAST(COUNT(*) AS BIGINT) AS n
@@ -1837,7 +1850,8 @@ object LlmQueries {
        |ex AS (SELECT CAST(SUM(ka.n * kb.n) AS BIGINT) AS exact
        |  FROM ka JOIN kb USING (k))
        |SELECT depth, width, est, exact,
-       |  ((est - exact) * 10000) // exact AS overshoot_bp
+       |  CASE WHEN exact > 0 THEN ((est - exact) * 10000) // exact
+       |    END AS overshoot_bp
        |FROM (
        |  SELECT 4 AS depth, 256 AS width, est, exact
        |    FROM est256, ex

@@ -450,7 +450,15 @@ object StreamOps {
     * in-batch sort — bounded by a single user's arrivals per
     * micro-batch, not by history. A production source that delivers
     * per-key time-ordered partitions lets the sort collapse to a pass;
-    * either way the STATE stays three longs. */
+    * either way the STATE stays five longs.
+    *
+    * Ordering guard (r11 advice): the 3-timestamp fold is only the
+    * full prefix funnel when arrivals are per-user time-ordered ACROSS
+    * batches (a click landing in an earlier batch than a
+    * later-timestamped view would never be reconsidered). The state
+    * carries the last folded (us, event_id); a batch whose earliest
+    * event precedes it throws instead of silently drifting from the
+    * batch recompute. */
   def streamingFunnelIngest(rows: Dataset[(Long, String, Long, Long)],
       windowUs: Long): Dataset[(Long, Int, Long)] = {
     import rows.sparkSession.implicits._
@@ -458,11 +466,20 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[(Long, String, Long, Long)],
-         state: GroupState[(Long, Long, Long)]) =>
-          var (tv, tc, tb) = state.getOption.getOrElse((-1L, -1L, -1L))
+         state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          var (tv, tc, tb, lastUs, lastId) = state.getOption
+            .getOrElse((-1L, -1L, -1L, Long.MinValue, Long.MinValue))
           var minId = Long.MaxValue
           it.toSeq.sortBy(e => (e._3, e._4)).foreach {
             case (_, tpe, us, id) =>
+              if (us < lastUs || (us == lastUs && id <= lastId))
+                throw new IllegalStateException(
+                  s"funnel ingest for user $user saw time-regressed " +
+                    s"arrival (us=$us, id=$id) after folding " +
+                    s"(us=$lastUs, id=$lastId) — the source is not " +
+                    "per-user time-ordered; the 3-timestamp state no " +
+                    "longer equals the prefix funnel")
+              lastUs = us; lastId = id
               if (id < minId) minId = id
               if (tpe == "view" && tv < 0) tv = us
               else if (tpe == "click" && tc < 0 && tv >= 0 &&
@@ -470,7 +487,7 @@ object StreamOps {
               else if (tpe == "purchase" && tb < 0 && tc >= 0 &&
                 us > tc && us <= tc + windowUs) tb = us
           }
-          state.update((tv, tc, tb))
+          state.update((tv, tc, tb, lastUs, lastId))
           val stage = if (tb >= 0) 3 else if (tc >= 0) 2
             else if (tv >= 0) 1 else 0
           Iterator.single((user, stage, minId))

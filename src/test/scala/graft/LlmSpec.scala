@@ -1571,6 +1571,26 @@ class LlmSpec extends AnyFunSuite {
     assert(weighted.exceptAll(direct).isEmpty)
   }
 
+  test("cms inner product emits one zero row on fully disjoint sketches") {
+    import spark.implicits._
+    import graft.llm.Sketch
+    // width 64: two single-key sketches whose cells do not collide in
+    // any of the 3 hash rows — the true join size is 0 and the result
+    // must be one (est = 0) row, not an empty frame (r11 advice: the
+    // inner join dropped zero-overlap rows from the min)
+    val a = Sketch.cmsBuild(Seq("alpha").toDF("k"), "k", 3, 64)
+    val b = Sketch.cmsBuild(Seq("omega9").toDF("k"), "k", 3, 64)
+    val overlap = a.select($"row_i", $"cell")
+      .intersect(b.select($"row_i", $"cell")).count()
+    assert(overlap == 0, s"fixture keys collide in $overlap cells — " +
+      "pick keys whose md5 cells stay disjoint at width 64")
+    val got = Sketch.cmsInnerProduct(a, b).collect()
+    assert(got.length == 1 && got(0).getLong(0) == 0L, got.toSeq.toString)
+    // and a genuine overlap still estimates >= truth (one-sided)
+    val got2 = Sketch.cmsInnerProduct(a, a).collect()
+    assert(got2.length == 1 && got2(0).getLong(0) >= 1L)
+  }
+
   test("audioHash: floor-division mean on negative sums, strict bits") {
     // samples sum to -3 over 2 bits: floorDiv(-3,2) = -2 (Java / would
     // give -1 and flip the second bit against the SQL // replay)

@@ -137,6 +137,40 @@ class StreamingSpec extends AnyFunSuite {
       got.toSeq.toString)
   }
 
+  test("streaming funnel folds in order and raises on a time-regressed " +
+      "arrival instead of drifting (r11 advice guard)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val out = StreamOps.streamingFunnelIngest(input.toDS(),
+      windowUs = 1000L)
+    val q = out.toDF().writeStream
+      .outputMode("append")
+      .format("memory").queryName("funnel_guard_stream")
+      .start()
+    try {
+      // batch 1: user 7 views at t=100, clicks at t=200 → stage 2
+      input.addData((7L, "view", 100L, 1L), (7L, "click", 200L, 2L))
+      q.processAllAvailable()
+      val got = spark.table("funnel_guard_stream").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      assert(got.toSet == Set((7L, 2)), got.toSeq.toString)
+      // batch 2: an arrival BEFORE the folded frontier (t=150 < 200)
+      // must fail the query loudly — the state can no longer equal the
+      // prefix recompute once time regresses across batches
+      input.addData((7L, "purchase", 150L, 3L))
+      val err = intercept[Exception] { q.processAllAvailable() }
+      def causes(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+      assert(causes(err).exists(t =>
+        t.getMessage != null && t.getMessage.contains("time-regressed")),
+        s"expected the order guard, got: $err")
+    } finally {
+      try q.stop() catch { case _: Exception => () }
+      spark.catalog.dropTempView("funnel_guard_stream")
+    }
+  }
+
   test("streaming sequence packing carries the running token count " +
       "across micro-batches and sorts within a batch by id") {
     import spark.implicits._

@@ -113,4 +113,45 @@ object Layout {
       .agg(count(lit(1)).as("n_rows"),
         min(col("ub")).as("min_ub"), max(col("ub")).as("max_ub"),
         min(col("tb")).as("min_tb"), max(col("tb")).as("max_tb"))
+
+  /** MATERIALIZE the Z-order layout: write the laid-out rows as parquet
+    * PARTITIONED BY `file_z` — on disk the directory layout IS the
+    * clustering, the q115 inverted-file precedent — with the zone maps
+    * computed at write time and stored beside the rows (the
+    * footer-stats metadata a reader caches). Both tables stage under
+    * ONE name and publish by ONE atomic rename
+    * ([[graft.state.ModelStore]]'s blue/green protocol): zone maps
+    * from one write serving rows from another would silently mis-prune
+    * — the same pair-tear argument as the IVF centroid/list pair. The
+    * rows are hash-repartitioned on `file_z` first so each file
+    * directory lands wholly in one task and the write emits one file
+    * per directory — file = unit of pruning, not a pile of
+    * per-task shards. */
+  def saveLayout(laid: DataFrame, root: String,
+      name: String = "events_z"): Unit = {
+    zoneMaps(laid, "file_z").write.mode("overwrite")
+      .parquet(s"$root/_staging/$name/zonemaps")
+    laid.select(col("event_id"), col("user_id"), col("ub"), col("tb"),
+        col("zkey"), col("file_z"))
+      .repartition(col("file_z"))
+      .write.mode("overwrite").partitionBy("file_z")
+      .parquet(s"$root/_staging/$name/rows")
+    graft.state.ModelStore.publish(root, name)
+  }
+
+  /** Load the stored layout pair saved by [[saveLayout]]; falls back to
+    * the backup PAIR if prod is missing (the pair-level crash-window
+    * rule, as in [[graft.llm.Ivf.loadIndex]]). Returns
+    * (rows, zoneMaps); the partition-derived `file_z` is cast back to
+    * long (partition-column inference narrows to int). */
+  def loadLayout(spark: org.apache.spark.sql.SparkSession, root: String,
+      name: String = "events_z"): (DataFrame, DataFrame) = {
+    val base =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(root, name)))
+        name
+      else s"${name}_backup"
+    (spark.read.parquet(s"$root/$base/rows")
+       .withColumn("file_z", col("file_z").cast("long")),
+      spark.read.parquet(s"$root/$base/zonemaps"))
+  }
 }

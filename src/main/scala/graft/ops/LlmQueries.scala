@@ -1858,6 +1858,70 @@ object LlmQueries {
        |  UNION ALL SELECT 4, 1024, est, exact FROM est1024, ex)
        |ORDER BY width""".stripMargin
 
+  /** q223 — STORED-layout pruning, hash-gated end to end: q205's
+    * Z-order assignment MATERIALIZED as parquet partitioned by
+    * `file_z` with its zone maps stored beside the rows
+    * ([[graft.llm.Layout.saveLayout]] — blue/green pair-atomic
+    * publish, the q115 stored-index precedent), then the q206 box
+    * workload run the way a pruning READER actually runs it: the
+    * file-count-sized zone maps load into the driver's metadata cache
+    * (a 64-row bounded collect), each box keeps only the files whose
+    * zone box intersects it, and the scan for that box carries a
+    * LITERAL `file_z IN (...)` partition filter plus the literal
+    * (ub, tb) range predicate — so partition pruning skips the
+    * unlisted directories and parquet pushdown evaluates the box at
+    * the scan (PlanAuditSpec pins both, and pins partitions-read ==
+    * the zone-map prediction). Emits per box the predicted file count
+    * and the rows the pruned scan ACTUALLY matched; the oracle replays
+    * both from the logical layout, which is what closes the loop from
+    * the q206 cost model to storage: a stored scan that read the wrong
+    * files would return the wrong counts and hash-fail. A box
+    * intersecting no zone (impossible on this fixture, possible on
+    * clustered data) emits files_z = 0 without scanning. */
+  def q223StoredLayoutPruning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val laid = Layout.eventLayout(Tables.events(s, d))
+    val root = graft.util.Fs.tempRoot("graft_layoutstore")
+    Layout.saveLayout(laid, root.toString)
+    val (rows, zm) = Layout.loadLayout(s, root.toString)
+    // the reader's metadata cache: file-count-sized BY CONSTRUCTION
+    val zones = zm.select($"file_id", $"min_ub", $"max_ub",
+        $"min_tb", $"max_tb").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val perBox = (0 until 16).map { p =>
+      val (ubLo, ubHi) = ((p / 4) * 64L, (p / 4) * 64L + 63L)
+      val (tbLo, tbHi) = ((p % 4) * 64L, (p % 4) * 64L + 63L)
+      val cand = zones.filter { case (_, mnU, mxU, mnT, mxT) =>
+        mxU >= ubLo && mnU <= ubHi && mxT >= tbLo && mnT <= tbHi
+      }.map(_._1)
+      val n =
+        if (cand.isEmpty) s.range(1).select(lit(0L).as("n_rows"))
+        else rows
+          .filter($"file_z".isin(cand: _*) &&
+            $"ub".between(ubLo, ubHi) && $"tb".between(tbLo, tbHi))
+          .agg(count(lit(1)).as("n_rows"))
+      n.select(lit(p.toLong).as("pred_id"), lit(ubLo).as("ub_lo"),
+        lit(tbLo).as("tb_lo"), lit(cand.length.toLong).as("files_z"),
+        $"n_rows")
+    }
+    perBox.reduce(_.unionAll(_)).orderBy($"pred_id")
+  }
+  val q223Sql: String =
+    s"""WITH $layoutCte,
+       |$zoneMapCte,
+       |$boxPredCte,
+       |rm AS (SELECT ub // 64 AS i, tb // 64 AS j,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM laid GROUP BY 1, 2)
+       |SELECT p.pred_id, p.ub_lo, p.tb_lo,
+       |  COALESCE(bfz.files_z, 0) AS files_z,
+       |  COALESCE(rm.n_rows, 0) AS n_rows
+       |FROM preds p
+       |LEFT JOIN bfz USING (pred_id)
+       |LEFT JOIN rm ON rm.i = p.pred_id // 4 AND rm.j = p.pred_id % 4
+       |ORDER BY pred_id""".stripMargin
+
   /** q220 — journey transition matrix: the q200 sequence corpus read
     * as a first-order Markov chain — per (src event type → dst event
     * type) adjacent-pair count within sessions, with the conditional
@@ -6084,6 +6148,7 @@ object LlmQueries {
     "q211_optimize_plan" -> (q211OptimizePlan _),
     "q212_layout_capstone" -> (q212LayoutCapstone _),
     "q213_join_size_est" -> (q213JoinSizeEst _),
+    "q223_stored_layout_pruning" -> (q223StoredLayoutPruning _),
     "q220_journey_transitions" -> (q220JourneyTransitions _),
     "q166_phrase_mining" -> (q166PhraseMining _),
     "q167_dup_graph_audit" -> (q167DupGraphAudit _),
@@ -6214,6 +6279,7 @@ object LlmQueries {
     "q211_optimize_plan" -> q211Sql,
     "q212_layout_capstone" -> q212Sql,
     "q213_join_size_est" -> q213Sql,
+    "q223_stored_layout_pruning" -> q223Sql,
     "q220_journey_transitions" -> q220Sql,
     // layout maintenance never changes values: the serve over the
     // compacted store replays the one-shot q140 build (q130's argument)

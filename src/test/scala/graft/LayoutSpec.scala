@@ -182,4 +182,36 @@ class LayoutSpec extends AnyFunSuite {
       .toSeq
     assert(last == batch)
   }
+
+  test("saveLayout/loadLayout roundtrip: pair published atomically, one " +
+      "file per directory, zone maps equal the stored rows") {
+    import spark.implicits._
+    val laid = graft.llm.Layout.eventLayout(
+      graft.ops.Tables.events(spark, sf))
+    val root = graft.util.Fs.tempRoot("graft_layoutrt")
+    graft.llm.Layout.saveLayout(laid, root.toString)
+    // staging cleared, prod dir present (the blue/green contract)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root.toString, "events_z")))
+    val (rows, zm) = graft.llm.Layout.loadLayout(spark, root.toString)
+    // each file_z directory holds exactly ONE parquet file — file =
+    // unit of pruning, not per-task shards (the repartition claim)
+    val rowsDir = java.nio.file.Paths.get(root.toString, "events_z", "rows")
+    scala.util.Using.resource(java.nio.file.Files.list(rowsDir)) { st =>
+      st.forEach { d =>
+        if (java.nio.file.Files.isDirectory(d)) {
+          val n = scala.util.Using.resource(java.nio.file.Files.list(d)) {
+            f => f.filter(_.toString.endsWith(".parquet")).count()
+          }
+          assert(n == 1, s"$d holds $n parquet files")
+        }
+      }
+    }
+    // the stored zone maps ARE the zone maps of the stored rows
+    val recomputed = graft.llm.Layout.zoneMaps(rows, "file_z")
+    assert(zm.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(zm).isEmpty)
+    // and the roundtrip loses no rows
+    assert(rows.count() == laid.count())
+  }
 }

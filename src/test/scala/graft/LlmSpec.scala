@@ -1313,11 +1313,11 @@ class LlmSpec extends AnyFunSuite {
     val tgt = Seq((10L, "a b a b")).toDF("doc_id", "text")
     val got = Corpus.dsirSelect(raw, tgt, "doc_id", "text", topK = 2)
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4))).toMap
-    assert(got(1L) == ((1L, 15000L, 1, 1)), got.toString)
-    assert(got(2L) == ((1L, 5000L, 2, 1)))
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(got(1L) == ((1L, 15000L, 1L, 1)), got.toString)
+    assert(got(2L) == ((1L, 5000L, 2L, 1)))
     // no features → score 0, still reported, ranked last, unselected
-    assert(got(3L) == ((0L, 0L, 3, 0)))
+    assert(got(3L) == ((0L, 0L, 3L, 0)))
   }
 
   test("sourceCap: hash priority, per-source independence, kept flag") {

@@ -830,7 +830,12 @@ object Corpus {
           % nBuckets).as("bucket"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("occ"))
-    val raw = feats(rawDf).localCheckpoint(false)
+    // raw feeds two consumers (rc and the scored join) inside the ONE
+    // job the rank checkpoint runs — AQE exchange reuse computes the
+    // per-(doc, bucket) aggregation once (an explicit checkpoint here
+    // measured strictly slower: it materializes the same exchange a
+    // second time)
+    val raw = feats(rawDf)
     val rc = raw.groupBy(col("bucket")).agg(sum(col("occ")).as("rc"))
     val tc = feats(targetDf).groupBy(col("bucket"))
       .agg(sum(col("occ")).as("tc"))

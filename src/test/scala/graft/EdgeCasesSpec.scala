@@ -309,4 +309,58 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0)
     assert(!r.getDouble(2).isNaN) // v_measure guard
   }
+
+  test("Ranks.globalRowNumber equals the window row_number on mixed, " +
+      "tied and constant keys; rowsAtRanks picks the exact rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // ties (score 5 x3), negatives, a constant run, and unique ids —
+    // the shapes that break naive range ranking (ties straddling a
+    // split, surrogate collisions)
+    val rows = Seq(5L -> 1L, 3L -> 2L, 5L -> 3L, -7L -> 4L, 0L -> 5L,
+      5L -> 6L, 3L -> 7L, 11L -> 8L, 0L -> 9L, -7L -> 10L)
+    val df = rows.toDF("score", "id")
+    val (ranked, total) = graft.functions.Ranks.globalRowNumber(
+      df, Seq($"score".desc, $"id"), -$"score", "rk", nRanges = 4)
+    assert(total == rows.length)
+    val got = ranked.select($"id", $"rk").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.withColumn("rk",
+        row_number().over(Window.orderBy($"score".desc, $"id")))
+      .select($"id", $"rk").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(got == want, s"got $got want $want")
+    // constant surrogate: everything lands in one range — the
+    // documented floor — but ranks stay exact
+    val const = Seq.tabulate(7)(i => (1L, i.toLong)).toDF("score", "id")
+    val (cr, ct) = graft.functions.Ranks.globalRowNumber(
+      const, Seq($"id"), $"score", "rk", nRanges = 4)
+    assert(ct == 7 &&
+      cr.select($"id", $"rk").collect()
+        .forall(r => r.getLong(1) == r.getLong(0) + 1))
+    // rowsAtRanks returns exactly the requested ranks
+    val (picked, t2) = graft.functions.Ranks.rowsAtRanks(
+      df, Seq($"score".desc, $"id"), -$"score",
+      n => Seq(1L, n / 2, n), "rk", nRanges = 4)
+    assert(t2 == rows.length)
+    val pr = picked.select($"rk", $"id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantInv = want.map(_.swap)
+    assert(pr == Map(1L -> wantInv(1L), 5L -> wantInv(5L),
+      10L -> wantInv(10L)), pr.toString)
+  }
+
+  test("Ranks on an empty frame: zero total, empty output, no throw") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val empty = Seq.empty[(Long, Long)].toDF("score", "id")
+    val (ranked, total) = graft.functions.Ranks.globalRowNumber(
+      empty, Seq($"score", $"id"), $"score", "rk")
+    assert(total == 0 && ranked.count() == 0)
+    val (picked, t2) = graft.functions.Ranks.rowsAtRanks(
+      empty, Seq($"score", $"id"), $"score",
+      n => Seq(math.max(1L, n)), "rk")
+    assert(t2 == 0 && picked.count() == 0)
+  }
 }

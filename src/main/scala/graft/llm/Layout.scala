@@ -128,13 +128,13 @@ object Layout {
     * per directory — file = unit of pruning, not a pile of
     * per-task shards. */
   def saveLayout(laid: DataFrame, root: String,
-      name: String = "events_z"): Unit = {
-    zoneMaps(laid, "file_z").write.mode("overwrite")
+      name: String = "events_z", fileCol: String = "file_z"): Unit = {
+    zoneMaps(laid, fileCol).write.mode("overwrite")
       .parquet(s"$root/_staging/$name/zonemaps")
     laid.select(col("event_id"), col("user_id"), col("ub"), col("tb"),
-        col("zkey"), col("file_z"))
-      .repartition(col("file_z"))
-      .write.mode("overwrite").partitionBy("file_z")
+        col("zkey"), col(fileCol))
+      .repartition(col(fileCol))
+      .write.mode("overwrite").partitionBy(fileCol)
       .parquet(s"$root/_staging/$name/rows")
     graft.state.ModelStore.publish(root, name)
   }
@@ -142,16 +142,17 @@ object Layout {
   /** Load the stored layout pair saved by [[saveLayout]]; falls back to
     * the backup PAIR if prod is missing (the pair-level crash-window
     * rule, as in [[graft.llm.Ivf.loadIndex]]). Returns
-    * (rows, zoneMaps); the partition-derived `file_z` is cast back to
-    * long (partition-column inference narrows to int). */
+    * (rows, zoneMaps); the partition-derived file column is cast back
+    * to long (partition-column inference narrows to int). */
   def loadLayout(spark: org.apache.spark.sql.SparkSession, root: String,
-      name: String = "events_z"): (DataFrame, DataFrame) = {
+      name: String = "events_z", fileCol: String = "file_z")
+      : (DataFrame, DataFrame) = {
     val base =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(root, name)))
         name
       else s"${name}_backup"
     (spark.read.parquet(s"$root/$base/rows")
-       .withColumn("file_z", col("file_z").cast("long")),
+       .withColumn(fileCol, col(fileCol).cast("long")),
       spark.read.parquet(s"$root/$base/zonemaps"))
   }
 }

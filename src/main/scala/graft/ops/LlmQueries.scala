@@ -1674,21 +1674,27 @@ object LlmQueries {
         $"ub_cost_bp", $"tb_cost_bp")
       .orderBy($"stage")
   }
+  /** The q211 bounded-OPTIMIZE CTEs over `laid`/`zmt` — worst-8 pick,
+    * hybrid assignment, hybrid zone maps; shared verbatim by q211 and
+    * the q226 stored execution so the plan and its execution cannot
+    * drift. */
+  private val hybridCte: String =
+    """worst AS (SELECT file_id AS file_t FROM (
+      |  SELECT file_id, (max_ub - min_ub + 1) * n_rows AS unprunable
+      |  FROM zmt ORDER BY unprunable DESC, file_id LIMIT 8)),
+      |hyb AS (SELECT l.*, CASE WHEN w.file_t IS NOT NULL
+      |      THEN l.file_z + 1000 ELSE l.file_t END AS file_h,
+      |    CASE WHEN w.file_t IS NOT NULL THEN 1 ELSE 0 END AS moved
+      |  FROM laid l LEFT JOIN worst w ON w.file_t = l.file_t),
+      |zmh AS (SELECT file_h AS file_id, CAST(COUNT(*) AS BIGINT)
+      |      AS n_rows,
+      |    MIN(ub) AS min_ub, MAX(ub) AS max_ub,
+      |    MIN(tb) AS min_tb, MAX(tb) AS max_tb
+      |  FROM hyb GROUP BY 1)""".stripMargin
   val q211Sql: String =
     s"""WITH $layoutCte,
        |$zoneMapCte,
-       |worst AS (SELECT file_id AS file_t FROM (
-       |  SELECT file_id, (max_ub - min_ub + 1) * n_rows AS unprunable
-       |  FROM zmt ORDER BY unprunable DESC, file_id LIMIT 8)),
-       |hyb AS (SELECT l.*, CASE WHEN w.file_t IS NOT NULL
-       |      THEN l.file_z + 1000 ELSE l.file_t END AS file_h,
-       |    CASE WHEN w.file_t IS NOT NULL THEN 1 ELSE 0 END AS moved
-       |  FROM laid l LEFT JOIN worst w ON w.file_t = l.file_t),
-       |zmh AS (SELECT file_h AS file_id, CAST(COUNT(*) AS BIGINT)
-       |      AS n_rows,
-       |    MIN(ub) AS min_ub, MAX(ub) AS max_ub,
-       |    MIN(tb) AS min_tb, MAX(tb) AS max_tb
-       |  FROM hyb GROUP BY 1),
+       |$hybridCte,
        |mv AS (SELECT CAST(SUM(moved) AS BIGINT) AS rows_moved FROM hyb),
        |cb AS (SELECT 'before' AS stage,
        |    CAST(COUNT(*) AS BIGINT) AS n_files,
@@ -1921,6 +1927,96 @@ object LlmQueries {
        |LEFT JOIN bfz USING (pred_id)
        |LEFT JOIN rm ON rm.i = p.pred_id // 4 AND rm.j = p.pred_id % 4
        |ORDER BY pred_id""".stripMargin
+
+  /** q226 — the OPTIMIZE plan EXECUTED on real storage: q211 plans the
+    * bounded rewrite and stops ("this query PLANS the optimize, it
+    * does not write"); q226 writes it. The incumbent time-sorted
+    * layout and the q211 hybrid (worst 8 files' rows moved to Z-order
+    * assignments) are BOTH materialized as partitioned parquet
+    * ([[graft.llm.Layout.saveLayout]], pair-atomic publish each), and
+    * the 4 user-quartile lookups — the dimension the rewrite targets —
+    * run against each stored table the q223 reader way (zone-map
+    * metadata cache → literal file IN-list + pushed ub range). Emits
+    * per (stage, box): real files scanned and rows matched. The oracle
+    * replays both from the logical layout, so two loop-closures are
+    * hash-gated at once: the rewrite must not change query ANSWERS
+    * (n_rows equal before/after per box — a data movement that loses
+    * rows hash-fails), and the files-scanned numbers make q211's
+    * weakest-link finding PHYSICAL — the un-rewritten files still
+    * intersect every user box, so the measured win stays marginal
+    * until the rewrite is near-total. Costs two corpus writes + eight
+    * pruned scans; everything else is file-count-sized. */
+  def q226StoredOptimizeExec(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val laid = Layout.eventLayout(Tables.events(s, d))
+    val worst = Layout.zoneMaps(laid, "file_t")
+      .select($"file_id",
+        (($"max_ub" - $"min_ub" + 1) * $"n_rows").as("unprunable"))
+      .orderBy($"unprunable".desc, $"file_id").limit(8)
+      .select($"file_id".as("file_t"))
+    val hybrid = laid
+      .join(broadcast(worst.withColumn("rw", lit(1L))),
+        Seq("file_t"), "left")
+      .withColumn("file_h",
+        when($"rw".isNotNull, $"file_z" + 1000L).otherwise($"file_t"))
+    val rootB = graft.util.Fs.tempRoot("graft_optbefore")
+    Layout.saveLayout(laid, rootB.toString, "events_t", "file_t")
+    val rootA = graft.util.Fs.tempRoot("graft_optafter")
+    Layout.saveLayout(hybrid, rootA.toString, "events_h", "file_h")
+    def eval(root: java.nio.file.Path, name: String, fileCol: String,
+        stage: String) = {
+      val (rows, zm) = Layout.loadLayout(s, root.toString, name, fileCol)
+      val zones = zm.select($"file_id", $"min_ub", $"max_ub").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      (0 until 4).map { p =>
+        val (ubLo, ubHi) = (p * 64L, p * 64L + 63L)
+        val cand = zones.filter { case (_, mnU, mxU) =>
+          mxU >= ubLo && mnU <= ubHi
+        }.map(_._1)
+        val n =
+          if (cand.isEmpty) s.range(1).select(lit(0L).as("n_rows"))
+          else rows
+            .filter(col(fileCol).isin(cand: _*) &&
+              $"ub".between(ubLo, ubHi))
+            .agg(count(lit(1)).as("n_rows"))
+        n.select(lit(stage).as("stage"), lit(p.toLong).as("pred_id"),
+          lit(ubLo).as("ub_lo"),
+          lit(cand.length.toLong).as("files_scanned"), $"n_rows")
+      }.reduce(_.unionAll(_))
+    }
+    eval(rootB, "events_t", "file_t", "before")
+      .unionAll(eval(rootA, "events_h", "file_h", "after"))
+      .orderBy($"stage", $"pred_id")
+  }
+  val q226Sql: String =
+    s"""WITH $layoutCte,
+       |$zoneMapCte,
+       |$hybridCte,
+       |up AS (SELECT i.x AS pred_id, i.x * 64 AS ub_lo,
+       |    i.x * 64 + 63 AS ub_hi
+       |  FROM range(0, 4) i(x)),
+       |ft AS (SELECT pred_id, CAST(COUNT(*) AS BIGINT) AS files
+       |  FROM up p JOIN zmt z
+       |    ON z.max_ub >= p.ub_lo AND z.min_ub <= p.ub_hi
+       |  GROUP BY 1),
+       |fh AS (SELECT pred_id, CAST(COUNT(*) AS BIGINT) AS files
+       |  FROM up p JOIN zmh z
+       |    ON z.max_ub >= p.ub_lo AND z.min_ub <= p.ub_hi
+       |  GROUP BY 1),
+       |rn AS (SELECT ub // 64 AS i, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM laid GROUP BY 1)
+       |SELECT stage, pred_id, ub_lo, files_scanned, n_rows FROM (
+       |  SELECT 'before' AS stage, p.pred_id, p.ub_lo,
+       |    COALESCE(ft.files, 0) AS files_scanned,
+       |    COALESCE(rn.n, 0) AS n_rows
+       |  FROM up p LEFT JOIN ft USING (pred_id)
+       |  LEFT JOIN rn ON rn.i = p.pred_id
+       |  UNION ALL
+       |  SELECT 'after', p.pred_id, p.ub_lo,
+       |    COALESCE(fh.files, 0), COALESCE(rn.n, 0)
+       |  FROM up p LEFT JOIN fh USING (pred_id)
+       |  LEFT JOIN rn ON rn.i = p.pred_id)
+       |ORDER BY stage, pred_id""".stripMargin
 
   /** q220 — journey transition matrix: the q200 sequence corpus read
     * as a first-order Markov chain — per (src event type → dst event
@@ -6149,6 +6245,7 @@ object LlmQueries {
     "q212_layout_capstone" -> (q212LayoutCapstone _),
     "q213_join_size_est" -> (q213JoinSizeEst _),
     "q223_stored_layout_pruning" -> (q223StoredLayoutPruning _),
+    "q226_stored_optimize_exec" -> (q226StoredOptimizeExec _),
     "q220_journey_transitions" -> (q220JourneyTransitions _),
     "q166_phrase_mining" -> (q166PhraseMining _),
     "q167_dup_graph_audit" -> (q167DupGraphAudit _),
@@ -6280,6 +6377,7 @@ object LlmQueries {
     "q212_layout_capstone" -> q212Sql,
     "q213_join_size_est" -> q213Sql,
     "q223_stored_layout_pruning" -> q223Sql,
+    "q226_stored_optimize_exec" -> q226Sql,
     "q220_journey_transitions" -> q220Sql,
     // layout maintenance never changes values: the serve over the
     // compacted store replays the one-shot q140 build (q130's argument)

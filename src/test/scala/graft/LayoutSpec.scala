@@ -233,4 +233,34 @@ class LayoutSpec extends AnyFunSuite {
       assert(mass == mass.sortBy(-(_: Long)), s"batch $b not ranked")
     }
   }
+
+  test("q226 executed optimize: the rewrite changes files scanned but " +
+      "never query answers, and makes the weakest link physical") {
+    val rows = graft.ops.LlmQueries
+      .q226StoredOptimizeExec(spark, sf).collect()
+    assert(rows.length == 8)
+    val by = rows.groupBy(_.getAs[Long]("pred_id"))
+    by.foreach { case (p, rs) =>
+      val m = rs.map(r =>
+        r.getAs[String]("stage") -> r.getAs[Long]("n_rows")).toMap
+      // a data movement that loses or duplicates rows would break this
+      assert(m("before") == m("after"),
+        s"box $p: rows diverge across the rewrite ($m)")
+    }
+    // the partial rewrite cannot beat weakest-link: the un-rewritten
+    // time files still intersect every user box, so 'after' scans at
+    // LEAST the remaining incumbent files for every box
+    val nWorst = 8
+    val beforeFiles = rows.filter(_.getAs[String]("stage") == "before")
+      .map(_.getAs[Long]("files_scanned"))
+    val afterFiles = rows.filter(_.getAs[String]("stage") == "after")
+      .map(_.getAs[Long]("files_scanned"))
+    assert(beforeFiles.forall(_ >= 1) && afterFiles.forall(_ >= 1))
+    rows.groupBy(_.getAs[Long]("pred_id")).foreach { case (p, rs) =>
+      val m = rs.map(r => r.getAs[String]("stage") ->
+        r.getAs[Long]("files_scanned")).toMap
+      assert(m("after") >= m("before") - nWorst,
+        s"box $p: after=${m("after")} before=${m("before")}")
+    }
+  }
 }

@@ -67,7 +67,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q219_outage_detector",  // composes q214 (1-row hour-span crossJoin)
     "q222_layout_drift",     // files×batches forward-fill (non-equi
                              // batch_id <= b join, both frames tiny)
-    "q225_stream_optimize")  // same forward-fill shape (q222's join)
+    "q225_stream_optimize",  // same forward-fill shape (q222's join)
+    "q226_stored_optimize_exec") // 1-row domain-stats crossJoin
+                             // (Layout.eventLayout, the q205 shape)
 
   test("no unintended cartesian or nested-loop joins anywhere") {
     val skip = Set("q60_stream_volume", "q61_stream_semantic",

@@ -1930,22 +1930,25 @@ object LlmQueries {
 
   /** q226 — the OPTIMIZE plan EXECUTED on real storage: q211 plans the
     * bounded rewrite and stops ("this query PLANS the optimize, it
-    * does not write"); q226 writes it. The incumbent time-sorted
-    * layout and the q211 hybrid (worst 8 files' rows moved to Z-order
-    * assignments) are BOTH materialized as partitioned parquet
-    * ([[graft.llm.Layout.saveLayout]], pair-atomic publish each), and
-    * the 4 user-quartile lookups — the dimension the rewrite targets —
-    * run against each stored table the q223 reader way (zone-map
-    * metadata cache → literal file IN-list + pushed ub range). Emits
-    * per (stage, box): real files scanned and rows matched. The oracle
-    * replays both from the logical layout, so two loop-closures are
-    * hash-gated at once: the rewrite must not change query ANSWERS
-    * (n_rows equal before/after per box — a data movement that loses
-    * rows hash-fails), and the files-scanned numbers make q211's
-    * weakest-link finding PHYSICAL — the un-rewritten files still
-    * intersect every user box, so the measured win stays marginal
-    * until the rewrite is near-total. Costs two corpus writes + eight
-    * pruned scans; everything else is file-count-sized. */
+    * does not write"); q226 writes it — three ways. The incumbent
+    * time-sorted layout, the q211 hybrid (worst 8 files' rows moved to
+    * Z-order assignments) and the FULL Z-order rewrite all materialize
+    * as partitioned parquet ([[graft.llm.Layout.saveLayout]],
+    * pair-atomic publish each), and the 4 user-quartile lookups — the
+    * dimension the rewrite targets — run against each stored table the
+    * q223 reader way (zone-map metadata cache → literal file IN-list +
+    * pushed ub range). Emits per (stage, box): real files scanned and
+    * rows matched. The oracle replays both from the logical layout, so
+    * two loop-closures are hash-gated at once: NO rewrite may change
+    * query ANSWERS (n_rows equal across all three stages per box — a
+    * data movement that loses rows hash-fails), and the files-scanned
+    * ladder makes q211's weakest-link finding PHYSICAL with its
+    * positive anchor beside it: the partial rewrite SCANS MORE (the
+    * un-rewritten files still intersect every user box while the moved
+    * rows fan into new Z directories) while the full rewrite prunes
+    * hard — incremental ZORDER buys nothing, total ZORDER buys 4×.
+    * Costs three corpus writes + twelve pruned scans; everything else
+    * is file-count-sized. */
   def q226StoredOptimizeExec(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val laid = Layout.eventLayout(Tables.events(s, d))
@@ -1963,6 +1966,8 @@ object LlmQueries {
     Layout.saveLayout(laid, rootB.toString, "events_t", "file_t")
     val rootA = graft.util.Fs.tempRoot("graft_optafter")
     Layout.saveLayout(hybrid, rootA.toString, "events_h", "file_h")
+    val rootZ = graft.util.Fs.tempRoot("graft_optzorder")
+    Layout.saveLayout(laid, rootZ.toString, "events_z", "file_z")
     def eval(root: java.nio.file.Path, name: String, fileCol: String,
         stage: String) = {
       val (rows, zm) = Layout.loadLayout(s, root.toString, name, fileCol)
@@ -1986,6 +1991,7 @@ object LlmQueries {
     }
     eval(rootB, "events_t", "file_t", "before")
       .unionAll(eval(rootA, "events_h", "file_h", "after"))
+      .unionAll(eval(rootZ, "events_z", "file_z", "zorder"))
       .orderBy($"stage", $"pred_id")
   }
   val q226Sql: String =
@@ -2003,6 +2009,10 @@ object LlmQueries {
        |  FROM up p JOIN zmh z
        |    ON z.max_ub >= p.ub_lo AND z.min_ub <= p.ub_hi
        |  GROUP BY 1),
+       |fz2 AS (SELECT pred_id, CAST(COUNT(*) AS BIGINT) AS files
+       |  FROM up p JOIN zmz z
+       |    ON z.max_ub >= p.ub_lo AND z.min_ub <= p.ub_hi
+       |  GROUP BY 1),
        |rn AS (SELECT ub // 64 AS i, CAST(COUNT(*) AS BIGINT) AS n
        |  FROM laid GROUP BY 1)
        |SELECT stage, pred_id, ub_lo, files_scanned, n_rows FROM (
@@ -2015,6 +2025,11 @@ object LlmQueries {
        |  SELECT 'after', p.pred_id, p.ub_lo,
        |    COALESCE(fh.files, 0), COALESCE(rn.n, 0)
        |  FROM up p LEFT JOIN fh USING (pred_id)
+       |  LEFT JOIN rn ON rn.i = p.pred_id
+       |  UNION ALL
+       |  SELECT 'zorder', p.pred_id, p.ub_lo,
+       |    COALESCE(fz2.files, 0), COALESCE(rn.n, 0)
+       |  FROM up p LEFT JOIN fz2 USING (pred_id)
        |  LEFT JOIN rn ON rn.i = p.pred_id)
        |ORDER BY stage, pred_id""".stripMargin
 

@@ -238,29 +238,23 @@ class LayoutSpec extends AnyFunSuite {
       "never query answers, and makes the weakest link physical") {
     val rows = graft.ops.LlmQueries
       .q226StoredOptimizeExec(spark, sf).collect()
-    assert(rows.length == 8)
-    val by = rows.groupBy(_.getAs[Long]("pred_id"))
-    by.foreach { case (p, rs) =>
-      val m = rs.map(r =>
+    assert(rows.length == 12)
+    rows.groupBy(_.getAs[Long]("pred_id")).foreach { case (p, rs) =>
+      val n = rs.map(r =>
         r.getAs[String]("stage") -> r.getAs[Long]("n_rows")).toMap
       // a data movement that loses or duplicates rows would break this
-      assert(m("before") == m("after"),
-        s"box $p: rows diverge across the rewrite ($m)")
-    }
-    // the partial rewrite cannot beat weakest-link: the un-rewritten
-    // time files still intersect every user box, so 'after' scans at
-    // LEAST the remaining incumbent files for every box
-    val nWorst = 8
-    val beforeFiles = rows.filter(_.getAs[String]("stage") == "before")
-      .map(_.getAs[Long]("files_scanned"))
-    val afterFiles = rows.filter(_.getAs[String]("stage") == "after")
-      .map(_.getAs[Long]("files_scanned"))
-    assert(beforeFiles.forall(_ >= 1) && afterFiles.forall(_ >= 1))
-    rows.groupBy(_.getAs[Long]("pred_id")).foreach { case (p, rs) =>
-      val m = rs.map(r => r.getAs[String]("stage") ->
+      assert(n("before") == n("after") && n("before") == n("zorder"),
+        s"box $p: rows diverge across rewrites ($n)")
+      val f = rs.map(r => r.getAs[String]("stage") ->
         r.getAs[Long]("files_scanned")).toMap
-      assert(m("after") >= m("before") - nWorst,
-        s"box $p: after=${m("after")} before=${m("before")}")
+      assert(f.values.forall(_ >= 1))
+      // weakest link: the partial rewrite scans at least the remaining
+      // incumbent files; the FULL rewrite must prune strictly harder
+      // than both (the positive anchor)
+      assert(f("after") >= f("before") - 8,
+        s"box $p: after=${f("after")} before=${f("before")}")
+      assert(f("zorder") < f("before") && f("zorder") < f("after"),
+        s"box $p: zorder=${f("zorder")} vs $f")
     }
   }
 }

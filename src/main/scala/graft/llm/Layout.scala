@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   *    append-only ingest produces for free.
   *  - [[zoneMaps]]: the per-file min/max stats a reader prunes with —
   *    ONE aggregation, file-count-sized output.
+  *  - [[saveLayout]]/[[loadLayout]]: the layout MATERIALIZED — rows as
+  *    parquet partitioned by the file assignment (one file per
+  *    directory), zone maps stored beside them, published
+  *    pair-atomically; q223/q226 hash-gate that the stored scans prune
+  *    to exactly the zone-map prediction.
   *  - q206/q207/q208 measure what the layouts buy: files scanned per
   *    range-predicate box, expected point-lookup cost, and the Bloom
   *    per-file index that rescues point lookups on the unsorted

@@ -3,7 +3,6 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import scala.util.hashing.MurmurHash3
 
 /** Text-analysis operators for training-data pipelines (north-star
   * extension; the reference's only text op is embedding-text assembly,
@@ -271,20 +270,74 @@ object TextOps {
       .limit(topK)
   }
 
-  /** Winnowing fingerprint set (Schleimer et al. 2003): k-gram rolling
-    * hashes, minimum per sliding window — robust to local edits. */
-  def winnow(text: String, k: Int = 5, window: Int = 4): Array[Int] = {
-    val s = text.toLowerCase.replaceAll(WsClass, " ")
-    if (s.length < k) return Array(MurmurHash3.stringHash(s, 0x1b873593))
-    val grams = (0 to s.length - k)
-      .map(i => MurmurHash3.stringHash(s.substring(i, i + k), 0x1b873593))
-    if (grams.length <= window) Array(grams.min)
-    else grams.sliding(window).map(_.min).toArray.distinct
+  /** Winnowing base/shape constants shared by the driver-side reference
+    * [[winnow]] and the codegen column [[winnowFingerprints]]. Base 131
+    * over [a-z0-9] code points keeps the k=8 polynomial under 7.6e16 —
+    * exact in an Int64 on BOTH engines with NO modulus, which is what
+    * makes a rolling-hash fingerprint oracle-checkable at all. */
+  val WinnowBase = 131L
+  val WinnowK = 8
+  val WinnowWindow = 4
+
+  /** Winnowing fingerprint set (Schleimer et al. 2003 §4): normalize to
+    * the [a-z0-9] character stream, hash every k-gram with a base-131
+    * polynomial, keep the minimum of each w-wide hash window, dedupe.
+    * Robust to local edits (an edit perturbs only the k+w−1 nearby
+    * windows) where md5-of-document flips entirely. Driver-side
+    * REFERENCE implementation — queries use [[winnowFingerprints]],
+    * which computes the identical set per row in codegen; LlmSpec pins
+    * the two equal. Shorter than k after normalization → empty set. */
+  def winnow(text: String, k: Int = WinnowK,
+      window: Int = WinnowWindow): Array[Long] = {
+    val s = text.toLowerCase.filter(c => c.isDigit || (c >= 'a' && c <= 'z'))
+    if (s.length < k) return Array.empty
+    val grams = (0 to s.length - k).map { i =>
+      var h = 0L
+      var j = i; while (j < i + k) { h = h * WinnowBase + s.charAt(j); j += 1 }
+      h
+    }
+    val starts = 0 to math.max(0, grams.length - window)
+    starts.map(t => grams.slice(t, t + window).min).distinct.toArray
   }
 
-  def withWinnowFingerprint(df: DataFrame, textCol: String): DataFrame = {
-    val f = udf((t: String) => winnow(t))
-    df.withColumn("winnow_fp", f(col(textCol)))
+  /** [[winnow]] as ONE projection (array of Long per row): the k-gram
+    * polynomial via a `transform`+`aggregate` HOF chain, window minima
+    * via `slice`+`array_min`, dedup via `array_distinct`. No UDF, no
+    * row fan-out — the corpus-chars-sized work stays inside the scan's
+    * projection; only the ~len/w distinct fingerprints ever explode
+    * downstream (q227). For multi-megabyte documents chunk first
+    * ([[graft.llm.Corpus.chunkLongDocuments]]) — per-row array size is
+    * the standard HOF trade.
+    *
+    * The intermediates are BOUND as lambda variables (the one-element
+    * `transform(array(x), …)` idiom), not inlined Column trees: a
+    * Column is a tree, so a naive `val s = regexp_replace(…)` used at
+    * every gram position re-evaluates the regex per character — O(n²k)
+    * regex scans per document (measured: a single sf0.01 doc batch ran
+    * minutes instead of milliseconds). Binding evaluates the
+    * normalization once and the gram array once per row. Guards the
+    * sequence-descends pitfall: < k normalized chars → empty array,
+    * and the window-start count clamps at 1 so n_grams < w yields the
+    * single all-gram min. */
+  def winnowFingerprints(textCol: Column, k: Int = WinnowK,
+      window: Int = WinnowWindow): Column = {
+    require(k >= 2 && window >= 1, s"bad winnow shape k=$k w=$window")
+    val norm = regexp_replace(lower(textCol), lit("[^a-z0-9]"), lit(""))
+    element_at(transform(array(norm), s => {
+      // char codes once per row (not k× per gram position via substr)
+      val codeArr = transform(sequence(lit(1), length(s)),
+        p => ascii(s.substr(p, lit(1))).cast("long"))
+      val fps = element_at(transform(array(codeArr), cs => {
+        val gramArr = transform(sequence(lit(1), size(cs) - k + 1),
+          i => aggregate(sequence(lit(0), lit(k - 1)), lit(0L),
+            (acc, j) => acc * WinnowBase + element_at(cs, i + j)))
+        element_at(transform(array(gramArr), grams =>
+          array_distinct(transform(
+            sequence(lit(1), greatest(size(grams) - window + 1, lit(1))),
+            t => array_min(slice(grams, t, lit(window)))))), 1)
+      }), 1)
+      when(length(s) >= k, fps).otherwise(array().cast("array<bigint>"))
+    }), 1)
   }
 
   /** Adjacent token pairs as space-joined bigram strings — the shared

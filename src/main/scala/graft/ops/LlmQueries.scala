@@ -2033,6 +2033,339 @@ object LlmQueries {
        |  LEFT JOIN rn ON rn.i = p.pred_id)
        |ORDER BY stage, pred_id""".stripMargin
 
+  /** q227 — rolling-hash document fingerprinting (winnowing, Schleimer
+    * et al. 2003) feeding near-dup candidate pairs — the MOSS-style
+    * detector the minhash (q52) and simhash (q53) families don't cover:
+    * fingerprints anchor to CONTENT POSITIONS (k-gram window minima),
+    * so two docs sharing a long passage collide on the same selected
+    * hashes regardless of everything around it. The whole fingerprint
+    * computation ([[graft.llm.TextOps.winnowFingerprints]]) is ONE
+    * codegen projection per row — k-gram base-131 polynomials (exact
+    * Int64, no modulus — the property that makes this oracle-checkable)
+    * and w-window minima as HOFs, no UDF, no row fan-out before the
+    * per-doc distinct-fingerprint explode (~len/w entries). Two
+    * established disciplines compose: REPS-FIRST (the q52 move —
+    * fingerprint only the exact-dedup representatives, so a
+    * duplication-heavy corpus pays for distinct content, not arrivals,
+    * and an exact-dup family never floods a fingerprint's doc
+    * frequency) and the q128/q180 boilerplate cap (fingerprints in
+    * > maxDf distinct texts are shared boilerplate, not evidence —
+    * dropping them bounds pair fan-out by df²·|fps|; without the cap
+    * this fixture alone yields 1.0 M pairs, with it 152). Emits the
+    * top-20 candidate pairs by shared-fingerprint count with the
+    * Jaccard overlap in bp. The reference has no fingerprinting
+    * concept (its only dedup is the key-based upsert,
+    * /root/reference/src/db/log_ops.py:47-55) — north-star ext. */
+  def q227WinnowNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val reps = docs.groupBy(md5($"text").as("h"))
+      .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+    val fps = docs.join(reps, Seq("doc_id"))
+      .select($"doc_id",
+        explode(TextOps.winnowFingerprints($"text")).as("fp"))
+      .localCheckpoint() // n_fp counts, the df cap and both pair sides reuse it
+    val nfp = fps.groupBy($"doc_id").agg(count(lit(1)).as("n_fp"))
+    val rare = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 8).select($"fp")
+    val rf = fps.join(rare, Seq("fp"))
+    rf.as("a").join(rf.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+      .agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= 5)
+      .join(nfp.select($"doc_id".as("da"), $"n_fp".as("na")), Seq("da"))
+      .join(nfp.select($"doc_id".as("db"), $"n_fp".as("nb")), Seq("db"))
+      .select($"da", $"db", $"shared",
+        expr("shared * 10000 DIV (na + nb - shared)").as("overlap_bp"))
+      .orderBy($"shared".desc, $"da", $"db")
+      .limit(20)
+  }
+  val q227Sql: String = {
+    val poly = (0 until 8).map { j =>
+      val pow = math.pow(131.0, (7 - j).toDouble).toLong
+      val c = s"CAST(ascii(substr(s, CAST(i+$j AS INT), 1)) AS BIGINT)"
+      if (j == 7) c else s"$c * $pow"
+    }.mkString("\n       |    + ")
+    s"""WITH reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
+       |  GROUP BY md5(text)),
+       |docs AS (SELECT d.doc_id,
+       |    regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g') AS s
+       |  FROM documents d JOIN reps USING (doc_id)),
+       |grams AS (SELECT doc_id,
+       |    unnest(range(1, CAST(length(s) - 8 + 2 AS BIGINT))) AS i, s
+       |  FROM docs WHERE length(s) >= 8),
+       |gh AS (SELECT doc_id, i, $poly AS h FROM grams),
+       |wins AS (SELECT doc_id, i,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+       |    count(*) OVER (PARTITION BY doc_id) AS n_grams
+       |  FROM gh),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM wins
+       |  WHERE i <= greatest(1, n_grams - 4 + 1)),
+       |nfp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+       |  FROM fps GROUP BY 1),
+       |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 8),
+       |rf AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)),
+       |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+       |    CAST(count(*) AS BIGINT) AS shared
+       |  FROM rf a JOIN rf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 5)
+       |SELECT p.da, p.db, p.shared,
+       |  p.shared * 10000 // (na.n_fp + nb.n_fp - p.shared) AS overlap_bp
+       |FROM pairs p JOIN nfp na ON na.doc_id = p.da
+       |JOIN nfp nb ON nb.doc_id = p.db
+       |ORDER BY p.shared DESC, p.da, p.db LIMIT 20""".stripMargin
+  }
+
+  /** The KMV estimator arithmetic, shared VERBATIM between the Spark
+    * plan and the DuckDB oracle (the [[graft.llm.Layout.mortonSql]]
+    * convention): union-cardinality estimate (k−1)·D/θ_k over the
+    * 60-bit digest space D = 2⁶⁰ (Bar-Yossef et al. 2002), exact when
+    * the merged sketch holds the whole union (ku < k). One IEEE DOUBLE
+    * multiply+divide, floored — deterministic on both engines; 127·2⁶⁰
+    * is exactly representable (7-bit mantissa). */
+  private val kmvUnionEstSql: String =
+    "CASE WHEN ku < 128 THEN ku ELSE CAST(FLOOR(127e0 * " +
+      "1152921504606846976e0 / CAST(theta AS DOUBLE)) AS BIGINT) END"
+
+  /** q228 — corpus-overlap estimation from KMV (k-minimum-values)
+    * distinct sketches ([[graft.functions.MinKAgg]]; Bar-Yossef et al.
+    * 2002, Beyer et al. 2007 — the theta-sketch family): per source,
+    * the 128 smallest 60-bit md5 digests of its distinct word-8-gram
+    * shingles summarize the shingle SET; for every source pair the
+    * merged sketch (k smallest of the union — the mergeable op) yields
+    * the Jaccard estimate |U ∩ A ∩ B|/|U| and the union-cardinality
+    * estimate (k−1)·D/θ_k, emitted BESIDE the exact Jaccard and exact
+    * union from a full distinct-shingle pass (the q176/q213 audit
+    * pattern: estimate, truth, signed error — measured, not assumed).
+    * This is the 100 TB question "how much do these two corpora
+    * overlap?" answered from 128 longs per corpus WITHOUT joining
+    * them: the exact side here is the eval anchor, the sketches are
+    * the product. Scale shape: the compared corpus set is BOUNDED BY
+    * CONTRACT at the 20 lexicographically-first sources (pair space
+    * and the exact-anchor join are quadratic in corpus COUNT, not
+    * corpus size — 20 corpora of 5 TB each is the 100 TB shape; the
+    * unbounded ×100 stress run planned 2M pair rows before this cap,
+    * a measured wall, while corpus-SIZE scaling stays linear: one
+    * distinct collapse, then the k-bounded MinKAgg partial aggregation
+    * ships k longs per source per partition — never the shingle
+    * domain); the pair stage is a 20×20 broadcast cross with all
+    * estimator arithmetic in array HOFs. Digests reuse the
+    * [[graft.llm.Sketch.cmsCell]] md5 idiom, so the oracle replays the
+    * sketch bit-for-bit as `row_number() OVER (ORDER BY v) <= k`. */
+  def q228KmvOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = 128
+    val docs = documents(s, d)
+    val keep = docs.select($"source").distinct()
+      .orderBy($"source").limit(20)
+    val sv = docs.join(broadcast(keep), Seq("source"))
+      .select($"source", explode(Corpus.shingles($"text", 8)).as("g"))
+      .select($"source",
+        conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("v"))
+      .distinct()
+      .localCheckpoint() // sketch build and the exact-truth pass reuse it
+    val sk = sv.groupBy($"source")
+      .agg(graft.functions.MinKAgg.minK(K)($"v").getField("items")
+        .as("kmv"), count(lit(1)).as("n_exact"))
+    val inter = sv.as("x").join(sv.as("y"),
+        $"x.v" === $"y.v" && $"x.source" < $"y.source")
+      .groupBy($"x.source".as("src_a"), $"y.source".as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    sk.as("a").join(sk.as("b"), $"a.source" < $"b.source")
+      .select($"a.source".as("src_a"), $"b.source".as("src_b"),
+        $"a.kmv".as("kmv_a"), $"b.kmv".as("kmv_b"),
+        $"a.n_exact".as("n_a"), $"b.n_exact".as("n_b"))
+      .withColumn("u",
+        slice(array_sort(array_union($"kmv_a", $"kmv_b")), 1, K))
+      .withColumn("ku", size($"u").cast("long"))
+      .withColumn("theta", element_at($"u", size($"u")))
+      .withColumn("shared", size(filter($"u", x =>
+        array_contains($"kmv_a", x) && array_contains($"kmv_b", x)))
+        .cast("long"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_inter", coalesce($"n_inter", lit(0L)))
+      .select($"src_a", $"src_b", $"ku", $"shared",
+        expr("shared * 10000 DIV ku").as("jacc_est_bp"),
+        expr("n_inter * 10000 DIV (n_a + n_b - n_inter)").as("jacc_bp"),
+        (expr("shared * 10000 DIV ku") -
+          expr("n_inter * 10000 DIV (n_a + n_b - n_inter)")).as("err_bp"),
+        expr(kmvUnionEstSql).as("union_est"),
+        ($"n_a" + $"n_b" - $"n_inter").as("n_union"))
+      .orderBy($"src_a", $"src_b")
+  }
+  val q228Sql: String =
+    s"""WITH keep AS (SELECT DISTINCT source FROM documents
+       |  ORDER BY source LIMIT 20),
+       |tk AS (SELECT d.source, string_split(d.text, ' ') AS tk
+       |  FROM documents d JOIN keep USING (source)),
+       |sh AS (SELECT source, unnest(list_distinct(list_transform(
+       |      range(1, greatest(len(tk) - 6, 1)),
+       |      i -> array_to_string(tk[i:i+7], ' ')))) AS g
+       |  FROM tk),
+       |sv AS (SELECT DISTINCT source,
+       |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS v
+       |  FROM sh),
+       |srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |  FROM sv GROUP BY 1),
+       |ka AS (SELECT source, v FROM (
+       |    SELECT source, v,
+       |      row_number() OVER (PARTITION BY source ORDER BY v) AS rn
+       |    FROM sv) WHERE rn <= 128),
+       |pairs AS (SELECT a.source AS sa, b.source AS sb
+       |  FROM srcs a JOIN srcs b ON a.source < b.source),
+       |pu AS (SELECT p.sa, p.sb, k.v,
+       |    MAX(CASE WHEN k.source = p.sa THEN 1 ELSE 0 END) AS ina,
+       |    MAX(CASE WHEN k.source = p.sb THEN 1 ELSE 0 END) AS inb
+       |  FROM pairs p JOIN ka k ON k.source = p.sa OR k.source = p.sb
+       |  GROUP BY 1, 2, 3),
+       |sel AS (SELECT * FROM (SELECT sa, sb, v, ina, inb,
+       |    row_number() OVER (PARTITION BY sa, sb ORDER BY v) AS rn
+       |  FROM pu) WHERE rn <= 128),
+       |agg AS (SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS ku,
+       |    MAX(v) AS theta,
+       |    CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS shared
+       |  FROM sel GROUP BY 1, 2),
+       |iv AS (SELECT x.source AS sa, y.source AS sb,
+       |    CAST(COUNT(*) AS BIGINT) AS n_inter
+       |  FROM sv x JOIN sv y ON x.v = y.v AND x.source < y.source
+       |  GROUP BY 1, 2),
+       |fin AS (SELECT a.sa AS src_a, a.sb AS src_b, a.ku, a.shared,
+       |    a.theta AS theta, COALESCE(i.n_inter, 0) AS n_inter,
+       |    na.n_exact AS n_a, nb.n_exact AS n_b
+       |  FROM agg a
+       |  JOIN srcs na ON na.source = a.sa
+       |  JOIN srcs nb ON nb.source = a.sb
+       |  LEFT JOIN iv i ON i.sa = a.sa AND i.sb = a.sb)
+       |SELECT src_a, src_b, ku, shared,
+       |  shared * 10000 // ku AS jacc_est_bp,
+       |  n_inter * 10000 // (n_a + n_b - n_inter) AS jacc_bp,
+       |  shared * 10000 // ku -
+       |    n_inter * 10000 // (n_a + n_b - n_inter) AS err_bp,
+       |  $kmvUnionEstSql AS union_est,
+       |  n_a + n_b - n_inter AS n_union
+       |FROM fin ORDER BY src_a, src_b""".stripMargin
+
+  /** q230 — sketch-driven join planning, DECIDED AND EXECUTED: the
+    * optimizer loop q225/q226 closed for physical layout, closed for
+    * join strategy. For three candidate equi-joins over the events
+    * table (big⋈big, and two big⋈dim shapes), the planner consults
+    * only catalog-sized summaries — per-side row counts, KMV
+    * distinct-key estimates ([[graft.functions.MinKAgg]], the q228
+    * estimator arithmetic shared verbatim) and the CMS inner-product
+    * join-size estimate (q213's machinery, [[graft.llm.Sketch
+    * .cmsInnerProduct]]) — then the decision (broadcast when the
+    * smaller side's rows ≤ 500, else shuffle) is EXECUTED: the
+    * emitted `join_exact` is computed through the decided physical
+    * join (broadcast hint or plain shuffle — LlmSpec pins
+    * BroadcastHashJoin AND a shuffle join both present in the executed
+    * plan), so a decision that lost rows would hash-fail. The
+    * decision itself is data-driven and flips honestly: the dim side
+    * (~200 rows at sf0.1) broadcasts, but crosses the threshold at
+    * the ×100 stress decade and the SAME query plans it as a shuffle.
+    * Driver state is three longs (the q223 metadata-cache precedent);
+    * everything else stays in the plan. All sketch arithmetic is md5
+    * cells + integer products — the oracle replays build, estimates,
+    * decision CASE and the executed join's truth bit-for-bit. The
+    * reference delegates every join to Postgres' planner
+    * (/root/reference/src/db/connection.py:10-19) — north-star ext. */
+  def q230JoinPlanner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val depth = 4; val width = 256; val K = 128
+    val ev = Tables.events(s, d)
+    def collapsed(df: DataFrame) = df
+      .select($"user_id".cast("string").as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // catalog stats, sketches and the decided join reuse it
+    val sides: Seq[(String, DataFrame)] = Seq(
+      "clicks" -> collapsed(ev.filter($"event_type" === "click")),
+      "purchases" -> collapsed(ev.filter($"event_type" === "purchase")),
+      "dim" -> collapsed(ev.filter($"event_type" === "signup" &&
+        $"event_id" % 97 === 0)))
+    val sideMap = sides.toMap
+    val nRows: Map[String, Long] = sides.map { case (nm, df) =>
+      nm -> df.agg(sum($"n")).head.getLong(0)
+    }.toMap
+    nRows.foreach { case (nm, n) =>
+      require(n > 0, s"q230: side '$nm' is empty at $d — the planner " +
+        "fixture needs every side populated") }
+    val cms: Map[String, DataFrame] = sides.map { case (nm, df) =>
+      nm -> Sketch.cmsBuildWeighted(df, "k", "n", depth, width) }.toMap
+    val kEst: Map[String, DataFrame] = sides.map { case (nm, df) =>
+      nm -> df.select(conv(substring(md5($"k"), 1, 15), 16, 10)
+          .cast("long").as("v"))
+        .agg(graft.functions.MinKAgg.minK(K)($"v").getField("items")
+          .as("kmv"))
+        .select(size($"kmv").cast("long").as("ku"),
+          element_at($"kmv", size($"kmv")).as("theta"))
+        .select(expr(kmvUnionEstSql).as("keys_est")) }.toMap
+    Seq(("clicks", "purchases"), ("clicks", "dim"), ("purchases", "dim"))
+      .map { case (a, b) =>
+        val (na, nb) = (nRows(a), nRows(b))
+        val decision =
+          if (math.min(na, nb) <= 500) "broadcast" else "shuffle"
+        // the decision is emitted as an explicit strategy hint BOTH
+        // ways (a bare join would let the static auto-broadcast
+        // threshold overrule the 'shuffle' decision on a small fixture
+        // — the plan must carry what the planner decided)
+        val right = sideMap(b).select($"k", $"n".as("nb_"))
+        val decided =
+          if (decision == "broadcast") sideMap(a).join(broadcast(right), Seq("k"))
+          else sideMap(a).hint("merge").join(right.hint("merge"), Seq("k"))
+        decided.agg(coalesce(sum($"n" * $"nb_"), lit(0L)).as("join_exact"))
+          .crossJoin(Sketch.cmsInnerProduct(cms(a), cms(b))
+            .select($"est".as("join_est")))
+          .crossJoin(kEst(a).select($"keys_est".as("keys_a")))
+          .crossJoin(kEst(b).select($"keys_est".as("keys_b")))
+          .select(lit(s"${a}_$b").as("pair"), lit(na).as("n_a"),
+            lit(nb).as("n_b"), $"keys_a", $"keys_b", $"join_est",
+            $"join_exact", lit(decision).as("decision"))
+      }.reduce(_.unionAll(_)).orderBy($"pair")
+  }
+  private def q230SideCte(nm: String, filterSql: String): String =
+    s"""${nm}k AS (SELECT CAST(user_id AS VARCHAR) AS k,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events WHERE $filterSql GROUP BY 1),
+       |${nm}n AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows FROM ${nm}k),
+       |${nm}c AS (SELECT CAST(u.i AS INTEGER) AS row_i,
+       |    CAST(('0x' || substr(md5(CAST(u.i AS VARCHAR) || ':' || k),
+       |      1, 15)) AS BIGINT) % 256 AS cell,
+       |    CAST(SUM(n) AS BIGINT) AS cnt
+       |  FROM ${nm}k, unnest(range(0, 4)) AS u(i) GROUP BY 1, 2),
+       |${nm}e AS (SELECT CAST(COUNT(*) AS BIGINT) AS ku, MAX(v) AS theta
+       |  FROM (SELECT v, row_number() OVER (ORDER BY v) AS rn
+       |    FROM (SELECT CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT)
+       |        AS v FROM ${nm}k))
+       |  WHERE rn <= 128),
+       |${nm}kest AS (SELECT $kmvUnionEstSql AS keys_est FROM ${nm}e)"""
+      .stripMargin
+  private def q230PairSql(p: String, a: String, b: String): String =
+    s"""SELECT '$p' AS pair, an.n_rows AS n_a, bn.n_rows AS n_b,
+       |  ak.keys_est AS keys_a, bk.keys_est AS keys_b,
+       |  (SELECT MIN(COALESCE(ip, 0))
+       |    FROM (SELECT DISTINCT row_i FROM ${a}c) r
+       |    LEFT JOIN (SELECT ${a}c.row_i,
+       |        CAST(SUM(${a}c.cnt * ${b}c.cnt) AS BIGINT) AS ip
+       |      FROM ${a}c JOIN ${b}c USING (row_i, cell) GROUP BY 1) i
+       |    USING (row_i)) AS join_est,
+       |  (SELECT COALESCE(CAST(SUM(x.n * y.n) AS BIGINT), 0)
+       |    FROM ${a}k x JOIN ${b}k y USING (k)) AS join_exact,
+       |  CASE WHEN least(an.n_rows, bn.n_rows) <= 500 THEN 'broadcast'
+       |    ELSE 'shuffle' END AS decision
+       |FROM ${a}n an, ${b}n bn, ${a}kest ak, ${b}kest bk""".stripMargin
+  val q230Sql: String =
+    s"""WITH ${q230SideCte("ca", "event_type = 'click'")},
+       |${q230SideCte("pb", "event_type = 'purchase'")},
+       |${q230SideCte("dm", "event_type = 'signup' AND event_id % 97 = 0")}
+       |${q230PairSql("clicks_purchases", "ca", "pb")}
+       |UNION ALL
+       |${q230PairSql("clicks_dim", "ca", "dm")}
+       |UNION ALL
+       |${q230PairSql("purchases_dim", "pb", "dm")}
+       |ORDER BY pair""".stripMargin
+
   /** q220 — journey transition matrix: the q200 sequence corpus read
     * as a first-order Markov chain — per (src event type → dst event
     * type) adjacent-pair count within sessions, with the conditional
@@ -6261,6 +6594,9 @@ object LlmQueries {
     "q213_join_size_est" -> (q213JoinSizeEst _),
     "q223_stored_layout_pruning" -> (q223StoredLayoutPruning _),
     "q226_stored_optimize_exec" -> (q226StoredOptimizeExec _),
+    "q227_winnow_neardup" -> (q227WinnowNearDup _),
+    "q228_kmv_overlap" -> (q228KmvOverlap _),
+    "q230_join_planner" -> (q230JoinPlanner _),
     "q220_journey_transitions" -> (q220JourneyTransitions _),
     "q166_phrase_mining" -> (q166PhraseMining _),
     "q167_dup_graph_audit" -> (q167DupGraphAudit _),
@@ -6393,6 +6729,9 @@ object LlmQueries {
     "q213_join_size_est" -> q213Sql,
     "q223_stored_layout_pruning" -> q223Sql,
     "q226_stored_optimize_exec" -> q226Sql,
+    "q227_winnow_neardup" -> q227Sql,
+    "q228_kmv_overlap" -> q228Sql,
+    "q230_join_planner" -> q230Sql,
     "q220_journey_transitions" -> q220Sql,
     // layout maintenance never changes values: the serve over the
     // compacted store replays the one-shot q140 build (q130's argument)

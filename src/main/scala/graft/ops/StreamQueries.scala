@@ -1820,8 +1820,84 @@ object StreamQueries {
     }
   }
 
+  /** q229 — STREAMING KMV distinct-sketch ingest
+    * ([[StreamOps.streamingKmvIngest]]): q228's corpus-overlap
+    * sketches kept live, the mergeability proof the CMS (q176 → q179)
+    * and the quantile histogram (q188 → q190) already carry. Each
+    * arriving document's distinct word-8-gram shingles fan out
+    * map-only to their 60-bit md5 digests; keyed state holds the
+    * ascending k-minimum digest array per source (k = 128 longs, no
+    * matter how much arrives) and the per-batch update IS
+    * [[graft.functions.MinKAgg]]'s merge — k smallest of the union —
+    * so the streamed sketch equals the batch-built one at every batch
+    * prefix. Touched sources emit `(ku, theta, sum_mod)` after each
+    * batch: sketch cardinality, the estimator denominator θ_k, and an
+    * order-free mod-1e9+7 checksum pinning all k retained digests; the
+    * oracle replays each prefix as a ranked distinct re-sketch. */
+  def q229StreamKmv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(s, d).select($"doc_id", $"source", $"text")
+    val schema = new StructType()
+      .add("doc_id", LongType)
+      .add("source", StringType)
+      .add("text", StringType)
+    fourBatchHarness(s, docs, "doc_id", schema, "kmvingest") {
+      (source, sink) =>
+        val rows = source.select($"source",
+            explode(graft.llm.Corpus.shingles($"text", 8)).as("g"),
+            $"doc_id")
+          .select($"source",
+            conv(substring(md5($"g"), 1, 15), 16, 10).cast("long")
+              .as("v"),
+            $"doc_id")
+          .as[(String, Long, Long)]
+        val out = StreamOps.streamingKmvIngest(rows, 128)
+        val q = out.toDF().writeStream
+          .outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+    } { sinkDf =>
+      val tiles = tile4(docs, "doc_id")
+      sinkDf.select($"_1".as("source"), $"_2".as("ku"),
+          $"_3".as("theta"), $"_4".as("sum_mod"), $"_5".as("doc_id"))
+        .join(tiles, "doc_id")
+        .select($"batch_id", $"source", $"ku", $"theta", $"sum_mod")
+        .orderBy($"batch_id", $"source")
+    }
+  }
+  val q229Sql: String =
+    """WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+      |  FROM documents),
+      |tiled AS (SELECT doc_id,
+      |    NTILE(4) OVER (ORDER BY doc_id) AS tile FROM documents),
+      |sh AS (SELECT doc_id, source, unnest(list_distinct(list_transform(
+      |      range(1, greatest(len(tk) - 6, 1)),
+      |      i -> array_to_string(tk[i:i+7], ' ')))) AS g
+      |  FROM tk),
+      |sv AS (SELECT tl.tile, s.source,
+      |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS v
+      |  FROM sh s JOIN tiled tl USING (doc_id)),
+      |touched AS (SELECT DISTINCT tile AS batch_id, source FROM sv),
+      |pv AS (SELECT t.batch_id, t.source, x.v
+      |  FROM touched t JOIN sv x
+      |    ON x.source = t.source AND x.tile <= t.batch_id
+      |  GROUP BY 1, 2, 3),
+      |rk AS (SELECT batch_id, source, v,
+      |    row_number() OVER (PARTITION BY batch_id, source ORDER BY v)
+      |      AS rn
+      |  FROM pv)
+      |SELECT batch_id, source, CAST(COUNT(*) AS BIGINT) AS ku,
+      |  MAX(v) AS theta,
+      |  CAST(SUM(v % 1000000007) AS BIGINT) AS sum_mod
+      |FROM rk WHERE rn <= 128
+      |GROUP BY 1, 2 ORDER BY batch_id, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_stream_dedup" -> (q101StreamDedup _),
+    "q229_stream_kmv" -> (q229StreamKmv _),
     "q110_stream_decon" -> (q110StreamDecon _),
     "q106_stream_neardup" -> (q106StreamNearDup _),
     "q108_stream_simhash" -> (q108StreamSimhash _),
@@ -1883,6 +1959,7 @@ object StreamQueries {
     "q170_stream_source_stats" -> q170Sql,
     "q177_stream_novelty" -> q177Sql,
     "q179_stream_cms" -> q179Sql,
+    "q229_stream_kmv" -> q229Sql,
     "q190_stream_quantile" -> q190Sql,
     "q203_stream_coverage" -> q203Sql,
     "q210_stream_zonemap" -> q210Sql,

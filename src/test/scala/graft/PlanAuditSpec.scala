@@ -68,8 +68,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q222_layout_drift",     // files×batches forward-fill (non-equi
                              // batch_id <= b join, both frames tiny)
     "q225_stream_optimize",  // same forward-fill shape (q222's join)
-    "q226_stored_optimize_exec") // 1-row domain-stats crossJoin
+    "q226_stored_optimize_exec", // 1-row domain-stats crossJoin
                              // (Layout.eventLayout, the q205 shape)
+    "q228_kmv_overlap",      // source-pair (20×20) sketch cross — both
+                             // sides source-domain-sized by construction
+    "q230_join_planner")     // 1-row estimate/stat crossJoins per pair
 
   test("no unintended cartesian or nested-loop joins anywhere") {
     val skip = Set("q60_stream_volume", "q61_stream_semantic",

@@ -90,10 +90,30 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("winnow fingerprints are deterministic and non-empty") {
-    check(Prop.forAll(textGen.suchThat(_.nonEmpty)) { t =>
+  test("minK: any merge order yields the k smallest distinct values") {
+    val agg = new graft.functions.MinKAgg.MinK(8)
+    val longsGen = Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    check(Prop.forAll(longsGen, longsGen) { (a, b) =>
+      val viaReduce = (a ++ b).foldLeft(agg.zero)(agg.reduce)
+      val viaMerge = agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+      val expect = (a ++ b).distinct.sorted.take(8)
+      val buf = new graft.functions.MinKAgg.MinKBuf(8)
+      (a ++ b).foreach(buf.add)
+      viaReduce.items == expect && viaMerge.items == expect &&
+        agg.merge(viaMerge, viaMerge).items == expect && // idempotent re-merge
+        buf.items == expect // the imperative map-side combine agrees
+    })
+  }
+
+  test("winnow fingerprints are deterministic; empty only below k chars") {
+    check(Prop.forAll(textGen) { t =>
       val w = graft.llm.TextOps.winnow(t)
-      w.nonEmpty && w.sameElements(graft.llm.TextOps.winnow(t))
+      val norm = t.toLowerCase.filter(c =>
+        c.isDigit || (c >= 'a' && c <= 'z'))
+      val sized = if (norm.length < graft.llm.TextOps.WinnowK) w.isEmpty
+                  else w.nonEmpty
+      sized && w.sameElements(graft.llm.TextOps.winnow(t))
     })
   }
 

@@ -2081,13 +2081,15 @@ object LlmQueries {
       .orderBy($"shared".desc, $"da", $"db")
       .limit(20)
   }
-  val q227Sql: String = {
+  /** The winnowing chain + pair stage as a WITH-body fragment, shared
+    * by q227 and its precision eval q231 (the q138Cte convention). */
+  private val q227Cte: String = {
     val poly = (0 until 8).map { j =>
       val pow = math.pow(131.0, (7 - j).toDouble).toLong
       val c = s"CAST(ascii(substr(s, CAST(i+$j AS INT), 1)) AS BIGINT)"
       if (j == 7) c else s"$c * $pow"
     }.mkString("\n       |    + ")
-    s"""WITH reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
+    s"""reps AS (SELECT MIN(doc_id) AS doc_id FROM documents
        |  GROUP BY md5(text)),
        |docs AS (SELECT d.doc_id,
        |    regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g') AS s
@@ -2110,13 +2112,63 @@ object LlmQueries {
        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
        |    CAST(count(*) AS BIGINT) AS shared
        |  FROM rf a JOIN rf b ON a.fp = b.fp AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2 HAVING count(*) >= 5)
-       |SELECT p.da, p.db, p.shared,
-       |  p.shared * 10000 // (na.n_fp + nb.n_fp - p.shared) AS overlap_bp
-       |FROM pairs p JOIN nfp na ON na.doc_id = p.da
-       |JOIN nfp nb ON nb.doc_id = p.db
-       |ORDER BY p.shared DESC, p.da, p.db LIMIT 20""".stripMargin
+       |  GROUP BY 1, 2 HAVING count(*) >= 5),
+       |cand AS (SELECT p.da, p.db, p.shared,
+       |    p.shared * 10000 // (na.n_fp + nb.n_fp - p.shared)
+       |      AS overlap_bp
+       |  FROM pairs p JOIN nfp na ON na.doc_id = p.da
+       |  JOIN nfp nb ON nb.doc_id = p.db
+       |  ORDER BY p.shared DESC, p.da, p.db LIMIT 20)""".stripMargin
   }
+  val q227Sql: String =
+    s"""WITH $q227Cte
+       |SELECT da, db, shared, overlap_bp FROM cand
+       |ORDER BY shared DESC, da, db""".stripMargin
+
+  /** q231 — winnow-candidate precision eval (the q113/q127/q183
+    * "measured, not assumed" discipline applied to q227): each of the
+    * top-20 fingerprint candidate pairs is re-scored by its EXACT
+    * distinct-token Jaccard (the q41 truth currency) and labelled
+    * near_dup (≥ 2000 bp) or weak — the report that says whether
+    * shared winnowing fingerprints actually mean shared content on
+    * this corpus, and the tuning signal for (k, w, minShared). Cost
+    * shape: the candidate table is 20 rows BY CONSTRUCTION (q227's
+    * bounded output), broadcast twice against the documents scan —
+    * the exact Jaccard runs on candidates only, never all pairs
+    * (precisely what fingerprinting buys). */
+  def q231WinnowEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cands = q227WinnowNearDup(s, d)
+    val tox = documents(s, d).select($"doc_id",
+      array_distinct(split($"text", " ")).as("toks"))
+    val withA = tox.select($"doc_id".as("da"), $"toks".as("toks_a"))
+      .join(broadcast(cands), Seq("da")) // 20 rows out of the scan
+    tox.select($"doc_id".as("db"), $"toks".as("toks_b"))
+      .join(broadcast(withA), Seq("db"))
+      .withColumn("tok_jacc_bp",
+        expr("CAST(10000 * size(array_intersect(toks_a, toks_b)) DIV " +
+          "size(array_union(toks_a, toks_b)) AS BIGINT)"))
+      .withColumn("verdict", when($"tok_jacc_bp" >= 2000,
+        lit("near_dup")).otherwise(lit("weak")))
+      .select($"da", $"db", $"shared", $"overlap_bp", $"tok_jacc_bp",
+        $"verdict")
+      .orderBy($"da", $"db")
+  }
+  val q231Sql: String =
+    s"""WITH $q227Cte,
+       |tox AS (SELECT doc_id,
+       |    list_distinct(string_split(text, ' ')) AS toks
+       |  FROM documents)
+       |SELECT c.da, c.db, c.shared, c.overlap_bp,
+       |  CAST(10000 * len(list_intersect(a.toks, b.toks)) //
+       |    len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT)
+       |    AS tok_jacc_bp,
+       |  CASE WHEN 10000 * len(list_intersect(a.toks, b.toks)) //
+       |      len(list_distinct(list_concat(a.toks, b.toks))) >= 2000
+       |    THEN 'near_dup' ELSE 'weak' END AS verdict
+       |FROM cand c JOIN tox a ON a.doc_id = c.da
+       |JOIN tox b ON b.doc_id = c.db
+       |ORDER BY c.da, c.db""".stripMargin
 
   /** The KMV estimator arithmetic, shared VERBATIM between the Spark
     * plan and the DuckDB oracle (the [[graft.llm.Layout.mortonSql]]
@@ -6597,6 +6649,7 @@ object LlmQueries {
     "q227_winnow_neardup" -> (q227WinnowNearDup _),
     "q228_kmv_overlap" -> (q228KmvOverlap _),
     "q230_join_planner" -> (q230JoinPlanner _),
+    "q231_winnow_eval" -> (q231WinnowEval _),
     "q220_journey_transitions" -> (q220JourneyTransitions _),
     "q166_phrase_mining" -> (q166PhraseMining _),
     "q167_dup_graph_audit" -> (q167DupGraphAudit _),
@@ -6732,6 +6785,7 @@ object LlmQueries {
     "q227_winnow_neardup" -> q227Sql,
     "q228_kmv_overlap" -> q228Sql,
     "q230_join_planner" -> q230Sql,
+    "q231_winnow_eval" -> q231Sql,
     "q220_journey_transitions" -> q220Sql,
     // layout maintenance never changes values: the serve over the
     // compacted store replays the one-shot q140 build (q130's argument)

@@ -354,6 +354,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q227/q228 plan shapes: no windows, k-bounded sketch aggregate") {
+    // q227's entire winnowing chain is HOF projections + hash
+    // aggregations — a Window anywhere means the rank/window
+    // formulation crept back in
+    val p227 = SparkEntry.queries("q227_winnow_neardup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p227.contains("Window"), s"q227 plans a window:\n$p227")
+    // q228's KMV build must be the MinKAgg partial/final split
+    // (ObjectHashAggregate), never a per-source sort or window over
+    // the shingle-digest domain
+    val p228 = SparkEntry.queries("q228_kmv_overlap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p228.contains("ObjectHashAggregate"),
+      s"q228 lost the k-bounded aggregate:\n$p228")
+    assert(!p228.contains("Window"), s"q228 plans a window:\n$p228")
+  }
+
   // the reps-bounded pins count NON-broadcast exchanges, so they must
   // run under the production broadcast threshold — BucketingSpec's
   // force-SMJ tests share this session and may leave (or create) it

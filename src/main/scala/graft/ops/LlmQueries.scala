@@ -457,8 +457,10 @@ object LlmQueries {
     * (q112Sql is the oracle of record for q112/q114/q115/q116/q130, and
     * q134 derives from it by anchored surgery). Ends at the `probes`
     * CTE; callers append their candidate/ranking tail. */
-  private def ivfSqBuildSql(allptsCte: String, nlist: Int, nprobe: Int,
-      queryPred: String): String = {
+  /** The sample→Lloyd(3)→full-assign prefix of [[ivfSqBuildSql]] as a
+    * standalone WITH chain (ends at `assign`); q232 packs on the
+    * assignment without the quantize/probe tail. */
+  private def ivfSqAssignSql(allptsCte: String, nlist: Int): String = {
     def iteration(prev: String, cur: String): String =
       s"""a_$cur AS (SELECT p.id, p.v, c.list_id,
          |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
@@ -487,7 +489,12 @@ object LlmQueries {
       |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
       |      list_sum(list_transform(list_zip(p.v, c.c),
       |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
-      |  FROM allpts p, c3m c) WHERE rn = 1),
+      |  FROM allpts p, c3m c) WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfSqBuildSql(allptsCte: String, nlist: Int, nprobe: Int,
+      queryPred: String): String = {
+    ivfSqAssignSql(allptsCte, nlist) + s""",
       |qz AS MATERIALIZED (SELECT id, q,
       |    CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
       |      AS BIGINT) AS qn
@@ -2169,6 +2176,77 @@ object LlmQueries {
        |FROM cand c JOIN tox a ON a.doc_id = c.da
        |JOIN tox b ON b.doc_id = c.db
        |ORDER BY c.da, c.db""".stripMargin
+
+  /** q232 — AFFINITY PACKING (in-context pretraining, Shi et al. 2023:
+    * order training sequences so RELATED documents share a context
+    * window, instead of the i.i.d. shuffle): documents hash-embedded at
+    * dim 64 (q65's exact-integer geometry), clustered by the q112
+    * sample-Lloyd centroids (map-only assign — the corpus never
+    * shuffles for clustering), then packed into 512-token sequences PER
+    * CLUSTER via the q93 prefix-sum window keyed on the cluster id —
+    * so each pack_id holds embedding-neighbors rather than
+    * arrival-neighbors. Emits one row per document: (cluster,
+    * prefix_tokens, pack_id), pinning assignment AND packing exactly.
+    * Every stage is oracle-green machinery elsewhere (q65 embed, q112
+    * Lloyd/assign, q93 pack); what the hash pins here is the seams —
+    * the capstone discipline (q97/q136). Scale shape: one embed
+    * projection, a sample-bounded fit, a broadcast-centroid argmin,
+    * one per-(cluster)-window — no corpus-wide sort or shuffle beyond
+    * the pack window's own key. */
+  def q232AffinityPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"text")
+    val emb = graft.ml.Embed.denseSqlVectors(docs, "doc_id", "text",
+        dim = 64)
+      .localCheckpoint(false) // sample fit and full assign reuse it
+    val cents = graft.llm.Ivf.fitCentroids(
+      emb.filter(pmod($"doc_id", lit(10)) === 0), "doc_id", "vec",
+      nlist = 8)
+    val assigned = graft.llm.Ivf
+      .assignIndex(emb, "doc_id", "vec", cents)
+      .select($"id".as("doc_id"), $"list_id".as("cluster"))
+    val toks = docs.select($"doc_id",
+      size(TextOps.tokens($"text")).cast("long").as("n_tokens"))
+    Corpus.packSequencesBy(assigned.join(toks, Seq("doc_id")),
+        "doc_id", "n_tokens", Seq("cluster"), budget = 512)
+      .select($"doc_id", $"cluster", $"prefix_tokens", $"pack_id")
+      .orderBy($"doc_id")
+  }
+  val q232Sql: String = {
+    val wsClass = """[ \t\n\v\f\r]+"""
+    val docEmbedAllpts =
+      s"""toks AS (SELECT doc_id AS id,
+        |    CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS b
+        |  FROM documents,
+        |    unnest(list_filter(
+        |      string_split_regex(lower(text), '$wsClass'),
+        |      x -> x != '')) AS t(tok)),
+        |sums AS (SELECT id, CAST(b % 64 AS INTEGER) AS pos,
+        |    SUM(CASE WHEN (b >> 8) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS s
+        |  FROM toks GROUP BY id, CAST(b % 64 AS INTEGER)),
+        |allpts AS (SELECT g.id,
+        |    list(COALESCE(su.s, 0.0) ORDER BY g.pos) AS v
+        |  FROM (SELECT d.doc_id AS id, t.pos
+        |      FROM documents d, unnest(range(0, 64)) AS t(pos)) g
+        |  LEFT JOIN sums su ON su.id = g.id AND su.pos = g.pos
+        |  GROUP BY g.id)""".stripMargin
+    ivfSqAssignSql(docEmbedAllpts, nlist = 8) + s""",
+      |nt AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '$wsClass'),
+      |      x -> x != '')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT a.id AS doc_id, a.list_id AS cluster,
+      |  CAST(COALESCE(SUM(nt.n_tokens) OVER (PARTITION BY a.list_id
+      |    ORDER BY a.id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS prefix_tokens,
+      |  CAST(COALESCE(SUM(nt.n_tokens) OVER (PARTITION BY a.list_id
+      |    ORDER BY a.id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+      |    AS BIGINT) AS pack_id
+      |FROM assign a JOIN nt ON nt.doc_id = a.id
+      |ORDER BY doc_id""".stripMargin
+  }
 
   /** The KMV estimator arithmetic, shared VERBATIM between the Spark
     * plan and the DuckDB oracle (the [[graft.llm.Layout.mortonSql]]
@@ -6650,6 +6728,7 @@ object LlmQueries {
     "q228_kmv_overlap" -> (q228KmvOverlap _),
     "q230_join_planner" -> (q230JoinPlanner _),
     "q231_winnow_eval" -> (q231WinnowEval _),
+    "q232_affinity_pack" -> (q232AffinityPack _),
     "q220_journey_transitions" -> (q220JourneyTransitions _),
     "q166_phrase_mining" -> (q166PhraseMining _),
     "q167_dup_graph_audit" -> (q167DupGraphAudit _),
@@ -6786,6 +6865,7 @@ object LlmQueries {
     "q228_kmv_overlap" -> q228Sql,
     "q230_join_planner" -> q230Sql,
     "q231_winnow_eval" -> q231Sql,
+    "q232_affinity_pack" -> q232Sql,
     "q220_journey_transitions" -> q220Sql,
     // layout maintenance never changes values: the serve over the
     // compacted store replays the one-shot q140 build (q130's argument)

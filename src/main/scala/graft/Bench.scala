@@ -16,6 +16,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The whitelisted k-bounded unpartitioned windows (q75's category
+    // dictionary, the per-source wsum frames, the n_flagged guards —
+    // each justified in PlanAuditSpec's whitelist) spam `WindowExec: No
+    // Partition Defined` into the bench tail and bury the one JSON line
+    // the driver parses (r11 tail unparseable, r12 flooded). Silence
+    // that one logger — observability only, zero plan changes.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     // warm-up: exercise scan + shuffle + codegen once on the smallest SF
     // so JIT/codegen startup isn't charged to whichever query runs first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }

@@ -289,7 +289,8 @@ object TextOps {
     * the two equal. Shorter than k after normalization → empty set. */
   def winnow(text: String, k: Int = WinnowK,
       window: Int = WinnowWindow): Array[Long] = {
-    val s = text.toLowerCase.filter(c => c.isDigit || (c >= 'a' && c <= 'z'))
+    val s = text.toLowerCase
+      .filter(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z'))
     if (s.length < k) return Array.empty
     val grams = (0 to s.length - k).map { i =>
       var h = 0L

@@ -2232,8 +2232,7 @@ object LlmQueries {
         |  GROUP BY g.id)""".stripMargin
     ivfSqAssignSql(docEmbedAllpts, nlist = 8) + s""",
       |nt AS (SELECT doc_id,
-      |    CAST(len(list_filter(string_split_regex(text, '$wsClass'),
-      |      x -> x != '')) AS BIGINT) AS n_tokens
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |  FROM documents)
       |SELECT a.id AS doc_id, a.list_id AS cluster,
       |  CAST(COALESCE(SUM(nt.n_tokens) OVER (PARTITION BY a.list_id
@@ -2416,7 +2415,9 @@ object LlmQueries {
         $"event_id" % 97 === 0)))
     val sideMap = sides.toMap
     val nRows: Map[String, Long] = sides.map { case (nm, df) =>
-      nm -> df.agg(sum($"n")).head.getLong(0)
+      // coalesce: sum over an empty side is SQL NULL — the require
+      // below must fire with its diagnostic, not a bare NPE
+      nm -> df.agg(coalesce(sum($"n"), lit(0L))).head.getLong(0)
     }.toMap
     nRows.foreach { case (nm, n) =>
       require(n > 0, s"q230: side '$nm' is empty at $d — the planner " +
@@ -2441,9 +2442,14 @@ object LlmQueries {
         // threshold overrule the 'shuffle' decision on a small fixture
         // — the plan must carry what the planner decided)
         val right = sideMap(b).select($"k", $"n".as("nb_"))
+        // broadcast the side that actually tripped the threshold —
+        // min(na, nb) — not a fixed operand position; the executed
+        // plan must carry the decision for the SMALL side
         val decided =
-          if (decision == "broadcast") sideMap(a).join(broadcast(right), Seq("k"))
-          else sideMap(a).hint("merge").join(right.hint("merge"), Seq("k"))
+          if (decision == "broadcast") {
+            if (na <= nb) broadcast(sideMap(a)).join(right, Seq("k"))
+            else sideMap(a).join(broadcast(right), Seq("k"))
+          } else sideMap(a).hint("merge").join(right.hint("merge"), Seq("k"))
         decided.agg(coalesce(sum($"n" * $"nb_"), lit(0L)).as("join_exact"))
           .crossJoin(Sketch.cmsInnerProduct(cms(a), cms(b))
             .select($"est".as("join_est")))

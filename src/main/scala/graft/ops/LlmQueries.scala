@@ -2502,6 +2502,104 @@ object LlmQueries {
        |${q230PairSql("purchases_dim", "pb", "dm")}
        |ORDER BY pair""".stripMargin
 
+  /** q233 — skew-aware join planning, DECIDED AND EXECUTED: the third
+    * decision the q230 planner shelf owes — after broadcast-vs-shuffle
+    * (q230) and the layout rewrite (q225/q226), whether a join needs
+    * SALTING ([[graft.ops.SkewJoin]], the q224 executor). The planner
+    * consults only catalog-sized summaries: the CMS frequency sketch
+    * over the fact join key ([[graft.llm.Sketch.cmsBuildWeighted]],
+    * 4×256 cells — q176's monitoring artifact) probed at a
+    * DETERMINISTIC candidate set (distinct keys of the `event_id % 64
+    * = 0` row sample — any key owning ≥ the 5% decision threshold
+    * appears in a 1/64 row sample essentially surely, and the sample
+    * is a fixed function of the data, so the oracle replays the exact
+    * same probe). The decision — max probe estimate ≥ 500 bp of total
+    * rows → `salted`, else `plain` — is then EXECUTED: the emitted
+    * per-event-type aggregates are computed through the decided
+    * physical join (salted = the q224 (key, salt)-spread; plain = the
+    * ordinary shuffle join), so a decision that broke join semantics
+    * would hash-fail. Salting is result-invariant by construction
+    * (every (key, salt) pair meets its exploded dim row exactly once),
+    * which is precisely what makes the decision safe to flip at
+    * runtime — the oracle is the plain join either way. On the natural
+    * fixtures the data is unskewed (max key share 86 bp at sf0.01,
+    * 9 bp at sf0.1 — CMS collision bias adds < 40 bp at width 256,
+    * an order below the threshold) so the decision is `plain` at
+    * every verified decade; [[graft.tools.ProfileQ233]] materializes a
+    * hot-key twin of the events table (30% of rows remapped to one
+    * user) and shows the SAME query flipping to `salted`, with the
+    * measured plain/salted ladder beside it. Driver state is two longs
+    * (the q230 precedent); everything else stays in the plan. */
+  def q233SkewPlanner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val depth = 4; val width = 256
+    val ev = Tables.events(s, d)
+    val fact = ev.select($"user_id".cast("string").as("k"),
+      $"event_id", $"event_type")
+    val counts = fact.groupBy($"k").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // catalog stats: sketch build + total reuse it
+    val cms = Sketch.cmsBuildWeighted(counts, "k", "n", depth, width)
+    val nRows = counts.agg(coalesce(sum($"n"), lit(0L))).head.getLong(0)
+    require(nRows > 0, s"q233: events is empty at $d — the planner " +
+      "needs a populated fact side")
+    val cand = fact.filter($"event_id" % 64 === 0).select($"k").distinct()
+    val hotEst = Sketch.cmsProbe(cms, cand, "k", depth, width)
+      .agg(coalesce(max($"est"), lit(0L))).head.getLong(0)
+    val skewBp = hotEst * 10000L / nRows
+    val decision = if (skewBp >= 500L) "salted" else "plain"
+    val dim = ev.select($"user_id".cast("string").as("k"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("p"))
+      .groupBy($"k").agg(sum($"p").as("n_purchase"))
+    val joined =
+      if (decision == "salted")
+        SkewJoin.saltedInnerJoin(fact, dim, "k", salts = 8,
+          saltCols = Seq("event_id"))
+      else fact.join(dim, Seq("k"))
+    joined.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"n_purchase").as("purchase_mass"))
+      .select($"event_type", $"n_events", $"purchase_mass",
+        lit(nRows).as("n_rows"), lit(hotEst).as("hot_est"),
+        lit(skewBp).as("skew_bp"), lit(decision).as("decision"))
+      .orderBy($"event_type")
+  }
+  val q233Sql: String =
+    """WITH fk AS (SELECT CAST(user_id AS VARCHAR) AS k, event_id,
+      |    event_type FROM events),
+      |cnts AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM fk
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows FROM cnts),
+      |cells AS (SELECT k, n, CAST(u.i AS INTEGER) AS row_i,
+      |    CAST(('0x' || substr(md5(CAST(u.i AS VARCHAR) || ':' || k),
+      |      1, 15)) AS BIGINT) % 256 AS cell
+      |  FROM cnts, unnest(range(0, 4)) AS u(i)),
+      |sk AS (SELECT row_i, cell, CAST(SUM(n) AS BIGINT) AS cnt
+      |  FROM cells GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT k FROM fk WHERE event_id % 64 = 0),
+      |pc AS (SELECT c.k, CAST(u.i AS INTEGER) AS row_i,
+      |    CAST(('0x' || substr(md5(CAST(u.i AS VARCHAR) || ':' || c.k),
+      |      1, 15)) AS BIGINT) % 256 AS cell
+      |  FROM cand c, unnest(range(0, 4)) AS u(i)),
+      |est AS (SELECT k, MIN(cnt) AS e FROM pc JOIN sk USING (row_i, cell)
+      |  GROUP BY 1),
+      |hot AS (SELECT CAST(COALESCE(MAX(e), 0) AS BIGINT) AS hot_est
+      |  FROM est),
+      |dec AS (SELECT t.n_rows, h.hot_est,
+      |    h.hot_est * 10000 // t.n_rows AS skew_bp,
+      |    CASE WHEN h.hot_est * 10000 // t.n_rows >= 500 THEN 'salted'
+      |      ELSE 'plain' END AS decision
+      |  FROM tot t, hot h),
+      |dm AS (SELECT CAST(user_id AS VARCHAR) AS k,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_purchase
+      |  FROM events GROUP BY 1)
+      |SELECT f.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(dm.n_purchase) AS BIGINT) AS purchase_mass,
+      |  d.n_rows, d.hot_est, d.skew_bp, d.decision
+      |FROM fk f JOIN dm USING (k), dec d
+      |GROUP BY 1, d.n_rows, d.hot_est, d.skew_bp, d.decision
+      |ORDER BY 1""".stripMargin
+
   /** q220 — journey transition matrix: the q200 sequence corpus read
     * as a first-order Markov chain — per (src event type → dst event
     * type) adjacent-pair count within sessions, with the conditional
@@ -6733,6 +6831,7 @@ object LlmQueries {
     "q227_winnow_neardup" -> (q227WinnowNearDup _),
     "q228_kmv_overlap" -> (q228KmvOverlap _),
     "q230_join_planner" -> (q230JoinPlanner _),
+    "q233_skew_planner" -> (q233SkewPlanner _),
     "q231_winnow_eval" -> (q231WinnowEval _),
     "q232_affinity_pack" -> (q232AffinityPack _),
     "q220_journey_transitions" -> (q220JourneyTransitions _),
@@ -6870,6 +6969,7 @@ object LlmQueries {
     "q227_winnow_neardup" -> q227Sql,
     "q228_kmv_overlap" -> q228Sql,
     "q230_join_planner" -> q230Sql,
+    "q233_skew_planner" -> q233Sql,
     "q231_winnow_eval" -> q231Sql,
     "q232_affinity_pack" -> q232Sql,
     "q220_journey_transitions" -> q220Sql,

@@ -237,6 +237,45 @@ class LlmSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q233: skew decision flips data-driven and the salted arm is " +
+      "salt-invariant") {
+    import spark.implicits._
+    // natural sf0.01 is unskewed (max key share 86 bp « the 500 bp
+    // threshold): the planner must decide 'plain'
+    val natural = graft.ops.LlmQueries.queries("q233_skew_planner")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(natural.forall(_.getAs[String]("decision") == "plain"),
+      natural.map(_.getAs[String]("decision")).mkString(","))
+    // hot-key twin (30% of rows remapped to one user — the ProfileQ233
+    // fixture in miniature): the SAME query must flip to 'salted', and
+    // the salted-path aggregates must equal the plain join's on the
+    // same data (salting is result-invariant — the safety property)
+    val twin = graft.util.Fs.tempRoot("graft_q233_spec").toString
+    graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("user_id",
+        expr("CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id END"))
+      .write.mode("overwrite").parquet(s"$twin/events.parquet")
+    val skewed = graft.ops.LlmQueries.queries("q233_skew_planner")(
+      spark, twin).collect()
+    assert(skewed.forall(_.getAs[String]("decision") == "salted"),
+      skewed.map(_.getAs[String]("decision")).mkString(","))
+    assert(skewed.forall(_.getAs[Long]("skew_bp") >= 500L))
+    val ev = graft.ops.Tables.events(spark, twin)
+    val dim = ev.groupBy($"user_id")
+      .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("n_purchase"))
+    val truth = ev.join(dim, Seq("user_id")).groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"n_purchase").as("purchase_mass"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    skewed.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      assert((r.getAs[Long]("n_events"), r.getAs[Long]("purchase_mass"))
+        == truth(et), et)
+    }
+  }
+
   test("minK udaf: k smallest distinct per group under a real shuffle") {
     import spark.implicits._
     val rows = (1L to 1000L).map(i => (i % 7, (i * 2654435761L) % 100))

@@ -119,29 +119,82 @@ object Layout {
         min(col("ub")).as("min_ub"), max(col("ub")).as("max_ub"),
         min(col("tb")).as("min_tb"), max(col("tb")).as("max_tb"))
 
+  /** Per-file Bloom parameters: k=3 hash rows over 64 words × 60 bits
+    * = 3840 bits per file (the q208 cost-model numbers, now physical).
+    * At the ~150–500 distinct users a file holds here the false-positive
+    * rate is (1−e^(−kn/m))^k ≈ 0.2–5% — the measured files_bloom vs
+    * files_actual gap q235 emits. */
+  val BloomK: Int = 3
+  val BloomWords: Int = 64
+
+  /** The per-file membership index q208's cost model priced and
+    * BASELINE §46 concluded is "the incremental knob that pays" for
+    * point lookups on the unsorted dimension: a 64-word Bloom over the
+    * `keyCol` values of each file. Deliberately NO distinct collapse:
+    * `bit_or` is idempotent, so duplicate keys cannot change a single
+    * filter bit, and skipping the distinct removes the only
+    * corpus-sized shuffle the build would otherwise pay — the k-fold
+    * explode is map-side and the partial `bit_or` aggregation collapses
+    * every partition to ≤ file-count × words rows before the exchange.
+    * Footer-stats shaped, like [[zoneMaps]], at any corpus size. */
+  def fileBlooms(laid: DataFrame, fileCol: String,
+      keyCol: String = "user_id"): DataFrame =
+    laid.select(col(fileCol).as("file_id"),
+        explode(array((0 until BloomK).map(r =>
+          Sketch.bloomPos(col(keyCol).cast("string"), r, BloomWords)): _*))
+        .as("pos"))
+      .groupBy(col("file_id"),
+        (col("pos") / Sketch.BloomBitsPerWord).cast("long").as("word"))
+      .agg(expr(s"bit_or(shiftleft(1L, CAST(pos % " +
+        s"${Sketch.BloomBitsPerWord} AS INT)))").as("bits"))
+
   /** MATERIALIZE the Z-order layout: write the laid-out rows as parquet
     * PARTITIONED BY `file_z` — on disk the directory layout IS the
     * clustering, the q115 inverted-file precedent — with the zone maps
-    * computed at write time and stored beside the rows (the
-    * footer-stats metadata a reader caches). Both tables stage under
-    * ONE name and publish by ONE atomic rename
-    * ([[graft.state.ModelStore]]'s blue/green protocol): zone maps
-    * from one write serving rows from another would silently mis-prune
-    * — the same pair-tear argument as the IVF centroid/list pair. The
-    * rows are hash-repartitioned on `file_z` first so each file
-    * directory lands wholly in one task and the write emits one file
-    * per directory — file = unit of pruning, not a pile of
-    * per-task shards. */
+    * AND the per-file Bloom ([[fileBlooms]]) computed at write time and
+    * stored beside the rows (the footer-stats metadata a reader
+    * caches). All three tables stage under ONE name and publish by ONE
+    * atomic rename ([[graft.state.ModelStore]]'s blue/green protocol):
+    * zone maps or Blooms from one write serving rows from another
+    * would silently mis-prune — the same pair-tear argument as the IVF
+    * centroid/list pair. The rows are hash-repartitioned on `file_z`
+    * first so each file directory lands wholly in one task and the
+    * write emits one file per directory — file = unit of pruning, not
+    * a pile of per-task shards. */
   def saveLayout(laid: DataFrame, root: String,
       name: String = "events_z", fileCol: String = "file_z"): Unit = {
     zoneMaps(laid, fileCol).write.mode("overwrite")
       .parquet(s"$root/_staging/$name/zonemaps")
+    fileBlooms(laid, fileCol).write.mode("overwrite")
+      .parquet(s"$root/_staging/$name/bloom")
     laid.select(col("event_id"), col("user_id"), col("ub"), col("tb"),
         col("zkey"), col(fileCol))
       .repartition(col(fileCol))
       .write.mode("overwrite").partitionBy(fileCol)
       .parquet(s"$root/_staging/$name/rows")
     graft.state.ModelStore.publish(root, name)
+  }
+
+  /** The stored per-file Bloom written by [[saveLayout]], as the dense
+    * driver-side metadata cache a point-lookup planner consults:
+    * file_id → 64 packed words. Bounded BY CONSTRUCTION at file-count
+    * × words longs (the q223 zone-map-cache precedent). */
+  def loadBloomCache(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String = "events_z")
+      : Map[Long, Array[Long]] = {
+    val base =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(root, name)))
+        name
+      else s"${name}_backup"
+    spark.read.parquet(s"$root/$base/bloom")
+      .select(col("file_id"), col("word").cast("int"), col("bits"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (f, rows) =>
+        val dense = new Array[Long](BloomWords)
+        rows.foreach(r => dense(r.getInt(1)) = r.getLong(2))
+        f -> dense
+      }
   }
 
   /** Load the stored layout pair saved by [[saveLayout]]; falls back to

@@ -165,6 +165,42 @@ object Sketch {
     dense
   }
 
+  /** The JVM twin of [[bloomPos]] for ONE probe hash: the 60-bit md5
+    * digest of `"r:key"` (first 15 hex chars parsed base-16 — exactly
+    * conv's semantics) mod the filter's bit count. Shared by
+    * [[bloomHitUdf]] (executor-side membership) and driver-side
+    * metadata readers ([[graft.llm.Layout]]'s stored per-file Bloom —
+    * a point-lookup planner probes collected filters without a Spark
+    * job); pinned ≡ the SQL expression by LlmSpec. */
+  def bloomPosJvm(md: java.security.MessageDigest, key: String, r: Int,
+      words: Int): Long = {
+    val dig = md.digest(s"$r:$key".getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { // 7.5 bytes; byte 7 contributes its high nibble
+      val b = dig(i) & 0xff
+      v = if (i < 7) (v << 8) | b else (v << 4) | (b >> 4)
+      i += 1
+    }
+    java.lang.Math.floorMod(v, words.toLong * BloomBitsPerWord)
+  }
+
+  /** All `k` probe bit positions of a key — the driver-side planning
+    * call (bounded: k longs per probe). */
+  def bloomPositions(key: String, k: Int, words: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k)(r => bloomPosJvm(md, key, r, words))
+  }
+
+  /** Membership of a key in a dense collected filter: true iff all `k`
+    * probe bits are set. */
+  def bloomContains(bits: Array[Long], key: String, k: Int,
+      words: Int): Boolean =
+    bloomPositions(key, k, words).forall { pos =>
+      val mask = 1L << (pos % BloomBitsPerWord).toInt
+      (bits((pos / BloomBitsPerWord).toInt) & mask) == mask
+    }
+
   /** Map-only membership test against a collected filter: true iff all
     * `k` probe bits are set. A scalar UDF over the broadcast array —
     * no join, no explode, no exchange on the probe side; this is the
@@ -173,7 +209,6 @@ object Sketch {
     * is pinned ≡ the [[bloomPos]] SQL expression by LlmSpec. */
   def bloomHitUdf(bits: Array[Long], k: Int, words: Int)
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val mBits = words.toLong * BloomBitsPerWord
     // One digest per thread, not per row: the holder serializes into
     // the task closure (MessageDigest itself is neither Serializable
     // nor thread-safe, so it lives behind @transient + ThreadLocal —
@@ -187,17 +222,7 @@ object Sketch {
         var r = 0
         var all = true
         while (r < k && all) {
-          val dig = md.digest(s"$r:$key".getBytes("UTF-8"))
-          // first 15 hex chars = the top 60 bits of the digest, exactly
-          // substring(md5(x), 1, 15) parsed base-16 (conv's semantics)
-          var v = 0L
-          var i = 0
-          while (i < 8) { // 7.5 bytes; byte 7 contributes its high nibble
-            val b = dig(i) & 0xff
-            v = if (i < 7) (v << 8) | b else (v << 4) | (b >> 4)
-            i += 1
-          }
-          val pos = java.lang.Math.floorMod(v, mBits)
+          val pos = bloomPosJvm(md, key, r, words)
           val word = (pos / BloomBitsPerWord).toInt
           val mask = 1L << (pos % BloomBitsPerWord).toInt
           if ((bits(word) & mask) != mask) all = false

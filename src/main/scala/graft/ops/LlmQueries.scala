@@ -2600,6 +2600,107 @@ object LlmQueries {
       |GROUP BY 1, d.n_rows, d.hot_est, d.skew_bp, d.decision
       |ORDER BY 1""".stripMargin
 
+  /** q235 — stored point lookup THROUGH the per-file Bloom: the q223
+    * loop-closure applied to point lookups. q208's cost model measured
+    * that min/max zone maps cannot prune the unsorted dimension (every
+    * time-file spans ~the full user range) and priced the per-file
+    * Bloom as "the incremental knob that pays" (BASELINE §46) — but
+    * until now the Bloom existed only inside that eval.
+    * [[graft.llm.Layout.saveLayout]] now WRITES it (64 words × 60 bits
+    * over each file's distinct users, staged and published in the same
+    * pair-atomic rename as the rows and zone maps — a filter from one
+    * write serving rows from another would mis-prune), and this query
+    * reads the incumbent time-sorted layout the way a point-lookup
+    * planner actually runs: the stored Bloom loads into the driver's
+    * metadata cache ([[graft.llm.Layout.loadBloomCache]] — file-count ×
+    * 64 longs BY CONSTRUCTION), each probe user (`user_id % 17 = 0`,
+    * the deterministic lookup batch) keeps only the files whose filter
+    * contains it, and ONE scan over the union of predicted files
+    * carries a LITERAL `file_t IN (...)` partition filter — unlisted
+    * directories are never opened (PlanAuditSpec pins partitions-read
+    * == the Bloom prediction, the q223 move). Emits per probe the
+    * predicted file count, the true file count, the total files, and
+    * the rows the pruned scan actually matched; the oracle replays the
+    * filter bits and the counts from the logical layout, so a Bloom
+    * that dropped a file (false negative — the property violation)
+    * would lose rows and hash-fail, while false positives surface
+    * honestly as files_bloom > files_actual. Driver state: the Bloom
+    * cache + probe list (both catalog-sized); the corpus is touched by
+    * exactly one pruned scan. */
+  def q235StoredBloomLookup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val laid = Layout.eventLayout(Tables.events(s, d))
+    val root = graft.util.Fs.tempRoot("graft_bloomstore")
+    Layout.saveLayout(laid, root.toString, "events_t", "file_t")
+    val (rows, _) = Layout.loadLayout(s, root.toString, "events_t",
+      "file_t")
+    val blooms = Layout.loadBloomCache(s, root.toString, "events_t")
+    val filesTotal = blooms.size.toLong
+    val probes: Array[Long] = rows.select($"user_id").distinct()
+      .filter($"user_id" % 17 === 0).orderBy($"user_id")
+      .collect().map(_.getLong(0))
+    require(probes.nonEmpty, s"q235: no probe users at $d")
+    // membership planning: probe-count × file-count arithmetic over
+    // the collected metadata cache — no Spark job, the reader's move
+    val pairs: Seq[(Long, Long)] = probes.toSeq.flatMap { u =>
+      blooms.toSeq.collect { case (f, bits)
+        if Sketch.bloomContains(bits, u.toString, Layout.BloomK,
+          Layout.BloomWords) => (u, f) }
+    }
+    val predDf = pairs.toDF("user_id", "file_t")
+    val candFiles = pairs.map(_._2).distinct.sorted
+    val scanned = rows.filter($"file_t".isin(candFiles: _*))
+      .join(broadcast(predDf), Seq("file_t", "user_id"))
+      .groupBy($"user_id")
+      .agg(countDistinct($"file_t").as("files_actual"),
+        count(lit(1)).as("n_rows"))
+    pairs.groupBy(_._1).view.mapValues(_.size.toLong).toSeq
+      .toDF("user_id", "files_bloom")
+      .join(scanned, Seq("user_id"))
+      .select($"user_id", $"files_bloom", $"files_actual",
+        lit(filesTotal).as("files_total"), $"n_rows")
+      .orderBy($"user_id")
+  }
+  val q235Sql: String =
+    s"""WITH $layoutCte,
+       |probes AS (SELECT DISTINCT user_id FROM laid
+       |  WHERE user_id % 17 = 0),
+       |fu AS (SELECT DISTINCT file_t, user_id FROM laid),
+       |bpos AS (SELECT f.file_t,
+       |    CAST(('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' ||
+       |      CAST(f.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3840
+       |      AS pos
+       |  FROM fu f, unnest(range(0, 3)) AS u(r)),
+       |bloom AS (SELECT file_t, pos // 60 AS word,
+       |    bit_or(1::BIGINT << CAST(pos % 60 AS INTEGER)) AS bits
+       |  FROM bpos GROUP BY 1, 2),
+       |pp AS (SELECT p.user_id, z.file_t,
+       |    CAST(('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' ||
+       |      CAST(p.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3840
+       |      AS pos
+       |  FROM probes p, (SELECT DISTINCT file_t FROM laid) z,
+       |    unnest(range(0, 3)) AS u(r)),
+       |ph AS (SELECT pp.user_id, pp.file_t,
+       |    BOOL_AND((COALESCE(b.bits, 0) &
+       |      (1::BIGINT << CAST(pp.pos % 60 AS INTEGER))) =
+       |      (1::BIGINT << CAST(pp.pos % 60 AS INTEGER))) AS hit
+       |  FROM pp LEFT JOIN bloom b
+       |    ON b.file_t = pp.file_t AND b.word = pp.pos // 60
+       |  GROUP BY 1, 2),
+       |pred AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS files_bloom
+       |  FROM ph WHERE hit GROUP BY 1),
+       |act AS (SELECT user_id,
+       |    CAST(COUNT(DISTINCT file_t) AS BIGINT) AS files_actual,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM laid JOIN probes USING (user_id) GROUP BY 1),
+       |ft AS (SELECT CAST(COUNT(DISTINCT file_t) AS BIGINT)
+       |    AS files_total FROM laid)
+       |SELECT p.user_id, pred.files_bloom, act.files_actual,
+       |  ft.files_total, act.n_rows
+       |FROM probes p JOIN pred USING (user_id)
+       |JOIN act USING (user_id), ft
+       |ORDER BY user_id""".stripMargin
+
   /** q220 — journey transition matrix: the q200 sequence corpus read
     * as a first-order Markov chain — per (src event type → dst event
     * type) adjacent-pair count within sessions, with the conditional
@@ -6832,6 +6933,7 @@ object LlmQueries {
     "q228_kmv_overlap" -> (q228KmvOverlap _),
     "q230_join_planner" -> (q230JoinPlanner _),
     "q233_skew_planner" -> (q233SkewPlanner _),
+    "q235_stored_bloom_lookup" -> (q235StoredBloomLookup _),
     "q231_winnow_eval" -> (q231WinnowEval _),
     "q232_affinity_pack" -> (q232AffinityPack _),
     "q220_journey_transitions" -> (q220JourneyTransitions _),
@@ -6970,6 +7072,7 @@ object LlmQueries {
     "q228_kmv_overlap" -> q228Sql,
     "q230_join_planner" -> q230Sql,
     "q233_skew_planner" -> q233Sql,
+    "q235_stored_bloom_lookup" -> q235Sql,
     "q231_winnow_eval" -> q231Sql,
     "q232_affinity_pack" -> q232Sql,
     "q220_journey_transitions" -> q220Sql,

@@ -215,6 +215,36 @@ class LayoutSpec extends AnyFunSuite {
     assert(rows.count() == laid.count())
   }
 
+  test("stored per-file bloom: published with the layout pair and never " +
+      "false-negative on any (file, user) actually stored") {
+    import spark.implicits._
+    val laid = graft.llm.Layout.eventLayout(
+      graft.ops.Tables.events(spark, sf))
+    val root = graft.util.Fs.tempRoot("graft_bloomrt")
+    graft.llm.Layout.saveLayout(laid, root.toString, "events_t", "file_t")
+    // the bloom table landed inside the SAME atomically-published dir
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      root.toString, "events_t", "bloom")))
+    val cache = graft.llm.Layout.loadBloomCache(spark, root.toString,
+      "events_t")
+    val truth = laid.select($"file_t", $"user_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(truth.nonEmpty)
+    // no false negatives — the property that makes Bloom pruning SAFE
+    // (a miss would silently drop stored rows from a point lookup)
+    truth.foreach { case (f, u) =>
+      assert(graft.llm.Sketch.bloomContains(cache(f), u.toString,
+        graft.llm.Layout.BloomK, graft.llm.Layout.BloomWords),
+        s"bloom false negative: user $u in file $f")
+    }
+    // and the filter actually prunes: some absent user misses somewhere
+    val absent = truth.map(_._2).max + 7919L
+    assert(cache.values.exists(bits => !graft.llm.Sketch.bloomContains(
+      bits, absent.toString, graft.llm.Layout.BloomK,
+      graft.llm.Layout.BloomWords)),
+      "every file claims every key — the filter prunes nothing")
+  }
+
   test("q225 decision feed: append-only ingest trips the budget from " +
       "batch 1 and each batch's plan ranks by un-prunable mass") {
     val rows = graft.ops.StreamQueries

@@ -687,6 +687,54 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("stored bloom point lookup: literal file IN-list partition " +
+      "filter, and partitions read == the Bloom prediction (q235)") {
+    // the q223 move applied to the Bloom: the reader consults the
+    // stored per-file filter, issues ONE scan over the union of
+    // predicted files, and that scan's partition pruning must read
+    // exactly the predicted directories — no more (pruning works), no
+    // fewer (no false negatives lost rows).
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val laid = graft.llm.Layout.eventLayout(
+      graft.ops.Tables.events(spark, sf))
+    val root = graft.util.Fs.tempRoot("graft_bloompin")
+    graft.llm.Layout.saveLayout(laid, root.toString, "events_t", "file_t")
+    val (rows, _) = graft.llm.Layout.loadLayout(spark, root.toString,
+      "events_t", "file_t")
+    val cache = graft.llm.Layout.loadBloomCache(spark, root.toString,
+      "events_t")
+    val probes = rows.select(col("user_id")).distinct()
+      .filter(col("user_id") % 17 === 0).collect().map(_.getLong(0))
+    assert(probes.nonEmpty)
+    val cand = probes.flatMap { u =>
+      cache.toSeq.collect { case (f, bits)
+        if graft.llm.Sketch.bloomContains(bits, u.toString,
+          graft.llm.Layout.BloomK, graft.llm.Layout.BloomWords) => f }
+    }.distinct.sorted
+    assert(cand.nonEmpty && cand.length < cache.size,
+      s"degenerate fixture: bloom keeps ${cand.length}/${cache.size}")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scan = rows.filter(col("file_t").isin(cand: _*))
+        .agg(count(lit(1)).as("n_rows"))
+      scan.collect()
+      val plan = scan.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("file_t"),
+        s"q235 scan carries no partition filter:\n$plan")
+      val scanNodes = scan.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scanNodes.nonEmpty, s"no file scan in:\n$plan")
+      val partsRead = scanNodes.map(
+        _.metrics("numPartitions").value).sum
+      assert(partsRead == cand.length,
+        s"scan read $partsRead partitions; bloom predicted " +
+          s"${cand.length}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("k-anonymity audit is pure keyed aggregation — no joins (q209)") {
     // q209 stacks session_window -> per-pattern -> per-class rollups;
     // any Join in its plan means the governance gate started pairing

@@ -93,6 +93,38 @@ object Embed {
           p => coalesce(element_at(col("m"), p), lit(0.0))).as("vec"))
   }
 
+  /** Per-ROW expression twin of [[denseSqlVectors]]: the same md5
+    * bucket/sign geometry folded inside one scalar HOF chain, so a
+    * STREAMING pass can embed each arriving document map-only (no
+    * groupBy — Append mode stays legal). Equality with the batch
+    * builder is exact, not approximate: every coordinate is a sum of
+    * ±1.0 doubles (integers, exactly representable), so the fold order
+    * here vs the hash-aggregate order there cannot diverge — EmbedSpec
+    * pins the two columns equal row-for-row. Cost is one
+    * `aggregate` over the token digests per coordinate request; the
+    * accumulator is the dim-wide array updated positionally, so the
+    * pass stays O(dim + tokens·dim-array-copy) per row — acceptable
+    * for ingest (once per arriving doc), not meant for the relational
+    * hot path where [[denseSqlVectors]]'s aggregate stays cheaper. */
+  def denseSqlVecExpr(text: Column, dim: Int): Column = {
+    // null text → zero vector, matching the batch builder's left join
+    // (a bare HOF chain over a null array would emit null instead)
+    val toks = filter(
+      coalesce(split(lower(text), graft.llm.Dedup.WsClass), array(lit(""))),
+      t => t =!= "")
+    val bs = transform(toks,
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    aggregate(bs,
+      array_repeat(lit(0.0), dim),
+      (acc, b) => {
+        val pos = pmod(b, lit(dim.toLong)).cast("int")
+        val sgn = when(shiftright(b, 8).bitwiseAND(lit(1L)) === 1L, 1.0)
+          .otherwise(-1.0)
+        zip_with(acc, sequence(lit(0), lit(dim - 1)),
+          (x, i) => when(i === pos, x + sgn).otherwise(x))
+      })
+  }
+
   private def addFeature(v: Array[Float], feat: String, dim: Int): Unit = {
     val h = MurmurHash3.stringHash(feat, 0x9747b28c)
     val idx = math.floorMod(h, dim)

@@ -2701,6 +2701,116 @@ object LlmQueries {
        |JOIN act USING (user_id), ft
        |ORDER BY user_id""".stripMargin
 
+  /** q236 — join-ORDER planning from sketches, DECIDED AND EXECUTED:
+    * the fourth decision on the q230/q233 planner shelf. For the
+    * three-way equi-join clicks ⋈ purchases ⋈ seed (seed = the fixed
+    * user_id < 500 legacy cohort — a dimension that does NOT grow with
+    * the fact tables, the shape that makes join order matter), the
+    * planner estimates all three FIRST-intermediate sizes from the CMS
+    * inner product ([[graft.llm.Sketch.cmsInnerProduct]], q213's
+    * machinery — two d×w summaries answer "how big is this join"
+    * without touching either side), picks the left-deep order that
+    * minimizes the first intermediate (ties break on pair name so both
+    * engines agree), and EXECUTES it: `triple_exact` is computed
+    * through the decided first join then the third side — the
+    * order-invariance of the triple mass is exactly what makes the
+    * decision safe to flip at runtime, and the DuckDB oracle replays
+    * sketch cells, estimates, decision CASE and the triple join
+    * bit-for-bit. The decision flips honestly with scale: at sf0.01
+    * clicks⋈purchases is the smallest first cut (26.4 k vs 134 k+ —
+    * sparse click/purchase overlap), but the ×100 stress decade
+    * replicates facts into DISJOINT user-id spaces while the seed
+    * cohort stays constant, so both seed pairs hold at their sf0.1
+    * mass while clicks⋈purchases grows 100× — the SAME query plans
+    * seed-first ([[graft.tools.ProfileQ236]] measures the flip).
+    * Driver state is three estimate longs + three side counts (the
+    * q230 precedent); everything else stays in the plan. The reference
+    * delegates join ordering to Postgres' planner
+    * (/root/reference/src/db/connection.py:10-19) — north-star ext. */
+  def q236JoinOrderPlanner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val depth = 4; val width = 256
+    val ev = Tables.events(s, d)
+    def collapsed(df: DataFrame) = df
+      .select($"user_id".cast("string").as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // catalog stats, sketches and the executed join reuse it
+    val sides: Seq[(String, DataFrame)] = Seq(
+      "clicks" -> collapsed(ev.filter($"event_type" === "click")),
+      "purchases" -> collapsed(ev.filter($"event_type" === "purchase")),
+      "seed" -> collapsed(ev.filter($"user_id" < 500)))
+    val sideMap = sides.toMap
+    val nRows: Map[String, Long] = sides.map { case (nm, df) =>
+      nm -> df.agg(coalesce(sum($"n"), lit(0L))).head.getLong(0) }.toMap
+    nRows.foreach { case (nm, n) =>
+      require(n > 0, s"q236: side '$nm' is empty at $d — the planner " +
+        "fixture needs every side populated") }
+    val cms: Map[String, DataFrame] = sides.map { case (nm, df) =>
+      nm -> Sketch.cmsBuildWeighted(df, "k", "n", depth, width) }.toMap
+    val pairs = Seq(("clicks", "purchases"), ("clicks", "seed"),
+      ("purchases", "seed"))
+    val est: Map[(String, String), Long] = pairs.map { case (a, b) =>
+      (a, b) -> Sketch.cmsInnerProduct(cms(a), cms(b)).head.getLong(0)
+    }.toMap
+    // min estimated first intermediate wins; ties break lexicographically
+    // on the pair name (the oracle's CASE uses <= in the same order)
+    val (fa, fb) = est.toSeq.sortBy { case ((a, b), e) => (e, a, b) }
+      .head._1
+    val third = sides.map(_._1).filterNot(n => n == fa || n == fb).head
+    val firstJoin = sideMap(fa).select($"k", $"n".as("n_x"))
+      .join(sideMap(fb).select($"k", $"n".as("n_y")), Seq("k"))
+      .select($"k", ($"n_x" * $"n_y").as("n_xy"))
+    firstJoin.join(sideMap(third).select($"k", $"n".as("n_z")), Seq("k"))
+      .agg(coalesce(sum($"n_xy" * $"n_z"), lit(0L)).as("triple_exact"))
+      .select(lit(nRows("clicks")).as("n_clicks"),
+        lit(nRows("purchases")).as("n_purchases"),
+        lit(nRows("seed")).as("n_seed"),
+        lit(est(("clicks", "purchases"))).as("est_clicks_purchases"),
+        lit(est(("clicks", "seed"))).as("est_clicks_seed"),
+        lit(est(("purchases", "seed"))).as("est_purchases_seed"),
+        lit(s"${fa}_$fb").as("first_pair"), $"triple_exact")
+  }
+  private def q236SideCte(nm: String, filterSql: String): String =
+    s"""${nm}k AS (SELECT CAST(user_id AS VARCHAR) AS k,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events WHERE $filterSql GROUP BY 1),
+       |${nm}c AS (SELECT CAST(u.i AS INTEGER) AS row_i,
+       |    CAST(('0x' || substr(md5(CAST(u.i AS VARCHAR) || ':' || k),
+       |      1, 15)) AS BIGINT) % 256 AS cell,
+       |    CAST(SUM(n) AS BIGINT) AS cnt
+       |  FROM ${nm}k, unnest(range(0, 4)) AS u(i) GROUP BY 1, 2)"""
+      .stripMargin
+  private def q236EstCte(nm: String, a: String, b: String): String =
+    s"""$nm AS (SELECT CAST(MIN(COALESCE(i.ip, 0)) AS BIGINT) AS e
+       |  FROM (SELECT DISTINCT row_i FROM ${a}c) r
+       |  LEFT JOIN (SELECT ${a}c.row_i,
+       |      CAST(SUM(${a}c.cnt * ${b}c.cnt) AS BIGINT) AS ip
+       |    FROM ${a}c JOIN ${b}c USING (row_i, cell) GROUP BY 1) i
+       |  USING (row_i))""".stripMargin
+  val q236Sql: String =
+    s"""WITH ${q236SideCte("ca", "event_type = 'click'")},
+       |${q236SideCte("pb", "event_type = 'purchase'")},
+       |${q236SideCte("sd", "user_id < 500")},
+       |${q236EstCte("ecp", "ca", "pb")},
+       |${q236EstCte("ecs", "ca", "sd")},
+       |${q236EstCte("eps", "pb", "sd")},
+       |tri AS (SELECT COALESCE(CAST(SUM(c.n * p.n * s.n) AS BIGINT), 0)
+       |    AS triple_exact
+       |  FROM cak c JOIN pbk p USING (k) JOIN sdk s USING (k))
+       |SELECT
+       |  (SELECT CAST(SUM(n) AS BIGINT) FROM cak) AS n_clicks,
+       |  (SELECT CAST(SUM(n) AS BIGINT) FROM pbk) AS n_purchases,
+       |  (SELECT CAST(SUM(n) AS BIGINT) FROM sdk) AS n_seed,
+       |  ecp.e AS est_clicks_purchases,
+       |  ecs.e AS est_clicks_seed,
+       |  eps.e AS est_purchases_seed,
+       |  CASE WHEN ecp.e <= ecs.e AND ecp.e <= eps.e
+       |      THEN 'clicks_purchases'
+       |    WHEN ecs.e <= eps.e THEN 'clicks_seed'
+       |    ELSE 'purchases_seed' END AS first_pair,
+       |  tri.triple_exact
+       |FROM ecp, ecs, eps, tri""".stripMargin
+
   /** q220 — journey transition matrix: the q200 sequence corpus read
     * as a first-order Markov chain — per (src event type → dst event
     * type) adjacent-pair count within sessions, with the conditional
@@ -6934,6 +7044,7 @@ object LlmQueries {
     "q230_join_planner" -> (q230JoinPlanner _),
     "q233_skew_planner" -> (q233SkewPlanner _),
     "q235_stored_bloom_lookup" -> (q235StoredBloomLookup _),
+    "q236_join_order" -> (q236JoinOrderPlanner _),
     "q231_winnow_eval" -> (q231WinnowEval _),
     "q232_affinity_pack" -> (q232AffinityPack _),
     "q220_journey_transitions" -> (q220JourneyTransitions _),
@@ -7073,6 +7184,7 @@ object LlmQueries {
     "q230_join_planner" -> q230Sql,
     "q233_skew_planner" -> q233Sql,
     "q235_stored_bloom_lookup" -> q235Sql,
+    "q236_join_order" -> q236Sql,
     "q231_winnow_eval" -> q231Sql,
     "q232_affinity_pack" -> q232Sql,
     "q220_journey_transitions" -> q220Sql,

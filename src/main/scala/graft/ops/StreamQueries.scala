@@ -1895,9 +1895,66 @@ object StreamQueries {
       |FROM rk WHERE rn <= 128
       |GROUP BY 1, 2 ORDER BY batch_id, source""".stripMargin
 
+  /** q234 — STREAMING affinity packing: q232's in-context-pretraining
+    * capstone run as an INGEST pass (the q114/q120 move composed).
+    * The coarse clustering is fitted ONCE before the stream starts
+    * (q112's bounded sample-Lloyd over the batch hash embeddings —
+    * fit-once/serve-forever); then every arriving document is embedded
+    * map-only by the per-row expression twin
+    * ([[graft.ml.Embed.denseSqlVecExpr]] — exact ±1-integer equality
+    * with the batch builder, no groupBy so Append mode stays legal),
+    * cluster-assigned by the driver-resident argmin
+    * ([[graft.llm.Ivf.assignIndex]], the q114 discipline), and packed
+    * ONLINE per cluster by [[StreamOps.streamingPackSequences]] keyed
+    * on the cluster id — keyed state is ONE long per cluster (the
+    * running token count). Ascending doc_id-range splits make
+    * per-cluster arrival order = id order, so the online prefix sums
+    * equal q232's per-cluster batch window bit for bit and q232's SQL
+    * is the exact oracle. 100 TB shape: the embed+assign is scan-local
+    * per arriving doc, the only exchange is the pack's groupByKey on
+    * 8 cluster ids, and state is 8 longs total — a live training-data
+    * feed can cluster-pack its corpus at any arrival rate. */
+  def q234StreamAffinityPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val emb = graft.ml.Embed.denseSqlVectors(docs, "doc_id", "text",
+      dim = 64)
+    val cents = graft.llm.Ivf.fitCentroids(
+      emb.filter(pmod($"doc_id", lit(10)) === 0), "doc_id", "vec",
+      nlist = 8)
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+    fourBatchHarness(s, docs, "doc_id", schema, "affpack") {
+      (source, sink) =>
+        val withVec = source.select($"doc_id",
+          graft.ml.Embed.denseSqlVecExpr($"text", 64).as("vec"),
+          size(graft.llm.TextOps.tokens($"text")).cast("long")
+            .as("n_tokens"))
+        val assigned = graft.llm.Ivf.assignIndex(withVec, "doc_id",
+          "vec", cents, carryCols = Seq("n_tokens"))
+        val rows = assigned
+          .select($"list_id".cast("string").as("_1"), $"id".as("_2"),
+            $"n_tokens".as("_3"))
+          .as[(String, Long, Long)]
+        val out = StreamOps.streamingPackSequences(rows, budget = 512L)
+        val q = out.toDF().writeStream
+          .outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+    } { sinkDf =>
+      sinkDf.select($"_2".as("doc_id"), $"_1".cast("int").as("cluster"),
+          $"_4".as("prefix_tokens"), $"_5".as("pack_id"))
+        .orderBy($"doc_id")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_stream_dedup" -> (q101StreamDedup _),
     "q229_stream_kmv" -> (q229StreamKmv _),
+    "q234_stream_affinity_pack" -> (q234StreamAffinityPack _),
     "q110_stream_decon" -> (q110StreamDecon _),
     "q106_stream_neardup" -> (q106StreamNearDup _),
     "q108_stream_simhash" -> (q108StreamSimhash _),
@@ -1941,6 +1998,9 @@ object StreamQueries {
     // map-only ingest + deterministic search => the streamed index serves
     // bit-identically to the batch-built one; q112's replay is the oracle
     "q114_stream_ivf_ingest" -> LlmQueries.q112Sql,
+    // fit-once centroids + map-only embed/assign + per-cluster online
+    // prefix sums under ascending splits => q232's batch SQL is exact
+    "q234_stream_affinity_pack" -> LlmQueries.q232Sql,
     // ascending id-range batches keep per-shard id order, so the online
     // prefix sums equal the batch window's; q93's SQL is the exact oracle
     "q120_stream_pack" -> LlmQueries.q93Sql,

@@ -276,6 +276,60 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("q236: join order decided from the min CMS estimate, executed " +
+      "order-invariantly, and flipped by the replicated-fact twin") {
+    import spark.implicits._
+    def run(dir: String) = graft.ops.LlmQueries.queries("q236_join_order")(
+      spark, dir).collect().head
+    val r = run("/root/testdata/sf0.001")
+    // the decision IS the argmin of the emitted estimates (name tie-break)
+    val ests = Seq(
+      "clicks_purchases" -> r.getAs[Long]("est_clicks_purchases"),
+      "clicks_seed" -> r.getAs[Long]("est_clicks_seed"),
+      "purchases_seed" -> r.getAs[Long]("est_purchases_seed"))
+    assert(r.getAs[String]("first_pair") ==
+      ests.minBy { case (n, e) => (e, n) }._1)
+    assert(r.getAs[String]("first_pair") == "clicks_purchases")
+    // CMS guarantee: every estimate >= the true pair join size, and the
+    // executed triple mass equals the direct three-way join — the
+    // order-invariance that makes the decision safe to flip
+    val ev = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+    def side(f: org.apache.spark.sql.Column) = ev.filter(f)
+      .groupBy($"user_id".as("k")).agg(count(lit(1)).as("n"))
+    val c = side($"event_type" === "click")
+    val p = side($"event_type" === "purchase")
+    val sd = side($"user_id" < 500)
+    def pairTrue(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      a.select($"k", $"n".as("na")).join(b.select($"k", $"n".as("nb")),
+        Seq("k")).agg(coalesce(sum($"na" * $"nb"), lit(0L)))
+        .head.getLong(0)
+    assert(r.getAs[Long]("est_clicks_purchases") >= pairTrue(c, p))
+    assert(r.getAs[Long]("est_clicks_seed") >= pairTrue(c, sd))
+    assert(r.getAs[Long]("est_purchases_seed") >= pairTrue(p, sd))
+    val tripleTruth = c.select($"k", $"n".as("na"))
+      .join(p.select($"k", $"n".as("nb")), Seq("k"))
+      .join(sd.select($"k", $"n".as("nc")), Seq("k"))
+      .agg(coalesce(sum($"na" * $"nb" * $"nc"), lit(0L))).head.getLong(0)
+    assert(r.getAs[Long]("triple_exact") == tripleTruth)
+    // replicated-fact twin (the gen_stress recipe in miniature: facts
+    // fan into disjoint user-id spaces, the user_id < 500 seed cohort
+    // stays replica-0-only): clicks⋈purchases grows 10× while both
+    // seed pairs hold, so the SAME query must flip to seed-first
+    val twin = graft.util.Fs.tempRoot("graft_q236_spec").toString
+    ev.crossJoin(spark.range(10).select($"id".as("rep")))
+      .withColumn("user_id", $"user_id" + $"rep" * 100000L)
+      .withColumn("event_id", $"event_id" + $"rep" * 100000L)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$twin/events.parquet")
+    val t = run(twin)
+    assert(Set("clicks_seed", "purchases_seed")(
+      t.getAs[String]("first_pair")), t.toString)
+    // seed-side invariance under replication: the triple mass is the
+    // replica-0 triple mass — exactly why seed-first is the right order
+    assert(t.getAs[Long]("triple_exact") == tripleTruth, t.toString)
+  }
+
   test("minK udaf: k smallest distinct per group under a real shuffle") {
     import spark.implicits._
     val rows = (1L to 1000L).map(i => (i % 7, (i * 2654435761L) % 100))

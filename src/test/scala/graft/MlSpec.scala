@@ -22,6 +22,29 @@ class MlSpec extends AnyFunSuite {
     assert(!a.sameElements(c))
   }
 
+  test("per-row denseSqlVecExpr equals the batch denseSqlVectors builder " +
+      "on whitespace/null/empty edge cases") {
+    import spark.implicits._
+    // edge fixture: multi-space, tabs+newlines, empty, null, repeated
+    // tokens (bucket sums > 1), single token
+    val docs = Seq(
+      (1L, "alpha  beta\tgamma\nalpha"),
+      (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "alpha"), (5L, "  beta beta beta  "))
+      .toDF("doc_id", "text")
+    val batch = Embed.denseSqlVectors(docs, "doc_id", "text", dim = 8)
+      .as[(Long, Seq[Double])].collect().toMap
+    val perRow = docs.select($"doc_id",
+        Embed.denseSqlVecExpr($"text", 8).as("vec"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(batch.keySet == perRow.keySet)
+    batch.foreach { case (id, v) => assert(perRow(id) == v, s"doc $id") }
+    // null and empty both give the zero vector (the batch left-join rule)
+    assert(perRow(2L) == Seq.fill(8)(0.0) && perRow(3L) == Seq.fill(8)(0.0))
+    // repeated token accumulates: doc 5's beta coordinate is ±3
+    assert(perRow(5L).exists(x => math.abs(x) == 3.0), perRow(5L).toString)
+  }
+
   test("minkowski scala/column forms agree and satisfy metric axioms") {
     val a = Array(0.1f, 0.5f, -0.3f)
     val b = Array(0.2f, -0.1f, 0.4f)

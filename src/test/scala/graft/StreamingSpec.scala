@@ -434,4 +434,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("streamed affinity packing equals the batch capstone (q234 = q232): " +
+      "per-cluster token state carries across micro-batches") {
+    // the q120 cross-batch argument applied per CLUSTER: ascending
+    // doc_id splits + in-batch id sort make the online prefix sums
+    // equal q232's per-cluster batch window exactly — a doc in batch 4
+    // must see the running token count its cluster accumulated in
+    // batches 1-3, so any state loss shifts pack_id and fails here
+    val streamed = graft.ops.StreamQueries
+      .q234StreamAffinityPack(spark, sf).collect().toSeq
+    val batch = graft.ops.LlmQueries
+      .q232AffinityPack(spark, sf).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // cross-batch reach: at least one cluster spans several packs, so
+    // the running count demonstrably crossed the 512 budget mid-stream
+    val packsPerCluster = streamed.groupBy(_.getInt(1))
+      .map { case (_, rs) => rs.map(_.getLong(3)).distinct.size }
+    assert(packsPerCluster.exists(_ > 1), packsPerCluster.toString)
+  }
 }

@@ -213,4 +213,124 @@ object Layout {
        .withColumn(fileCol, col(fileCol).cast("long")),
       spark.read.parquet(s"$root/$base/zonemaps"))
   }
+
+  /** What [[purgeUsers]] did, for callers that pin it: which files were
+    * rewritten (Bloom-positive for some tombstone) and which were
+    * carried over untouched at the filesystem level. */
+  final case class PurgeResult(touched: Seq[Long], untouched: Seq[Long])
+
+  /** Right-to-be-forgotten DELETE executed on a stored layout, as
+    * COPY-ON-WRITE: rewrite ONLY the files that can contain a
+    * tombstoned user — the per-file Bloom [[saveLayout]] persists is
+    * consulted first (no false negatives, so a Bloom-negative file
+    * provably holds no tombstone row) — and carry every other
+    * partition directory into the new store version byte-for-byte at
+    * the filesystem level, never reading or re-encoding it. Zone maps
+    * and Blooms follow the same split: untouched files keep their
+    * stored metadata rows, touched files get theirs recomputed from
+    * the survivors (a file whose rows are ALL deleted disappears from
+    * rows, zone maps and Blooms together). The purged store publishes
+    * under `purgedName` through the SAME pair-atomic [[graft.state
+    * .ModelStore]] rename as every other artifact — a reader sees the
+    * pre-purge store or the post-purge store, never a mix. 100 TB
+    * shape: bytes rewritten ∝ Bloom-touched files, not table size —
+    * the write-amplification property that makes routine deletion
+    * viable on a large immutable store. */
+  def purgeUsers(spark: org.apache.spark.sql.SparkSession, root: String,
+      name: String, fileCol: String, tombs: Seq[Long],
+      purgedName: String): PurgeResult = {
+    import spark.implicits._
+    require(tombs.nonEmpty, "purgeUsers: empty tombstone set")
+    require(purgedName != name,
+      s"purgeUsers: purged store must not shadow the incumbent '$name'")
+    val blooms = loadBloomCache(spark, root, name)
+    val touched = blooms.toSeq.collect { case (f, bits)
+      if tombs.exists(u => graft.llm.Sketch.bloomContains(bits,
+        u.toString, BloomK, BloomWords)) => f }.sorted
+    val (rows, _) = loadLayout(spark, root, name, fileCol)
+    // rewrite arm: a partition-pruned scan of ONLY the touched files,
+    // tombstones removed by a broadcast anti-join
+    val cleaned = rows.filter(col(fileCol).isin(touched: _*))
+      .join(org.apache.spark.sql.functions.broadcast(
+        tombs.toDF("user_id")), Seq("user_id"), "left_anti")
+    cowRewrite(spark, root, name, fileCol, blooms.keySet, touched,
+      cleaned, purgedName)
+  }
+
+  /** MERGE-insert executed on a stored layout, the other copy-on-write
+    * mutation arm (updates compose: [[purgeUsers]] the old version,
+    * upsert the new): `delta` rows — already carrying the full layout
+    * column set (event_id, user_id, ub, tb, zkey, fileCol) — are folded
+    * into the store by rewriting ONLY the files their `fileCol` names
+    * (for inserts the target file is pure zkey ARITHMETIC on the new
+    * row, no probe at all — cheaper than the delete's Bloom consult),
+    * carrying every other partition over byte-for-byte. Same metadata
+    * split and pair-atomic publish as the delete. 100 TB shape: a
+    * late-arriving batch rewrites the handful of files its key ranges
+    * land in, not the table. */
+  def upsertRows(spark: org.apache.spark.sql.SparkSession, root: String,
+      name: String, fileCol: String, delta: DataFrame,
+      upsertName: String): PurgeResult = {
+    val blooms = loadBloomCache(spark, root, name)
+    val touched = delta.select(col(fileCol).cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    require(touched.nonEmpty, "upsertRows: empty delta")
+    val (rows, _) = loadLayout(spark, root, name, fileCol)
+    val cols = Seq("event_id", "user_id", "ub", "tb", "zkey", fileCol)
+    // merge arm: incumbent rows of the touched files, minus any version
+    // of a delta key (true upsert), plus the delta itself
+    val merged = rows.filter(col(fileCol).isin(touched: _*))
+      .join(org.apache.spark.sql.functions.broadcast(
+          delta.select(col("event_id"))), Seq("event_id"), "left_anti")
+      .select(cols.map(col): _*)
+      .unionByName(delta.select(cols.map(col): _*))
+    cowRewrite(spark, root, name, fileCol,
+      blooms.keySet ++ touched, touched, merged, upsertName)
+  }
+
+  /** The shared copy-on-write core of [[purgeUsers]] and [[upsertRows]]:
+    * write `rewritten` (the new content of the `touched` files) as the
+    * staged rows, carry every untouched partition directory over at the
+    * filesystem level (never read, never re-encoded), split zone maps
+    * and Blooms the same way (stored metadata for carried files,
+    * recomputed from `rewritten` for touched ones — a touched file
+    * whose rows all vanish disappears from rows and metadata together),
+    * and publish the new store version through the pair-atomic
+    * [[graft.state.ModelStore]] rename. */
+  private def cowRewrite(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, fileCol: String, allFiles: Set[Long],
+      touched: Seq[Long], rewritten: DataFrame, newName: String)
+      : PurgeResult = {
+    val untouched = (allFiles -- touched).toSeq.sorted
+    val stage = java.nio.file.Paths.get(root, "_staging", newName)
+    graft.util.Fs.deleteRecursively(stage)
+    val rw = rewritten
+      .select(col("event_id"), col("user_id"), col("ub"), col("tb"),
+        col("zkey"), col(fileCol))
+      .localCheckpoint() // rows write, zone maps and Blooms all scan it
+    rw.repartition(col(fileCol))
+      .write.partitionBy(fileCol)
+      .parquet(stage.resolve("rows").toString)
+    // carry-over arm: untouched partition dirs move at the fs level
+    val base =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(root, name)))
+        name
+      else s"${name}_backup"
+    untouched.foreach { f =>
+      graft.util.Fs.copyRecursively(
+        java.nio.file.Paths.get(root, base, "rows", s"$fileCol=$f"),
+        stage.resolve("rows").resolve(s"$fileCol=$f"))
+    }
+    // metadata follows the same split: carried rows keep stored maps,
+    // rewritten files recompute from survivors (file-count-sized work)
+    val touchedCol = col("file_id").isin(touched: _*)
+    spark.read.parquet(s"$root/$base/zonemaps").filter(!touchedCol)
+      .unionByName(zoneMaps(rw, fileCol))
+      .write.parquet(stage.resolve("zonemaps").toString)
+    spark.read.parquet(s"$root/$base/bloom").filter(!touchedCol)
+      .unionByName(fileBlooms(rw, fileCol))
+      .write.parquet(stage.resolve("bloom").toString)
+    graft.state.ModelStore.publish(root, newName)
+    PurgeResult(touched, untouched)
+  }
 }

@@ -2377,6 +2377,155 @@ object LlmQueries {
        |  n_a + n_b - n_inter AS n_union
        |FROM fin ORDER BY src_a, src_b""".stripMargin
 
+  /** q237 — corpus-overlap pairs pruned DATA-DRIVEN by KMV banding:
+    * the principled replacement for q228's bounded-by-contract
+    * lexicographic 20-source cap (r12 verdict, What's wrong #3). Pair
+    * space over a corpus CATALOG is quadratic in source count, but the
+    * interesting pairs are the OVERLAPPING ones — and the sketch the
+    * query already computes carries the band: two sources whose
+    * k-minima sets share even one digest are overlap candidates
+    * (P[share ≥ 1] = 1 − (1−J)^k ≈ 72% at J = 1%, k = 128 — the
+    * LSH/banding argument of q52 applied to the theta-sketch family),
+    * while disjoint corpora essentially never collide in a 2⁶⁰ digest
+    * space. So: sketches for ALL sources (k-bounded MinKAgg partial
+    * agg, k longs per source), candidate pairs = the distinct
+    * minima-collision pairs (explode k rows per source, self-join on
+    * the digest — cost tracks TRUE overlap, not corpus count), merged
+    * KMV estimates (q228's arithmetic verbatim) for candidates only,
+    * and a BOUNDED exact anchor: the top-20 candidates by estimated
+    * overlap get exact Jaccard + signed error (the q231 eval move);
+    * non-evaluated rows carry −1 sentinels, not NULLs. 100 TB shape:
+    * nothing all-pairs anywhere — candidate generation is k·|sources|
+    * exploded rows, estimates are array HOFs over 128-long sketches,
+    * the exact pass joins only the ≤ 40 sources the top pairs name.
+    * [[graft.tools.ProfileQ237]] measures candidate count vs the
+    * quadratic all-pairs count across the stress decades. */
+  def q237KmvBandedPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = 128
+    val docs = documents(s, d)
+    val sv = docs
+      .select($"source", explode(Corpus.shingles($"text", 8)).as("g"))
+      .select($"source",
+        conv(substring(md5($"g"), 1, 15), 16, 10).cast("long").as("v"))
+      .distinct()
+      .localCheckpoint() // sketch build and the bounded exact anchor reuse it
+    val sk = sv.groupBy($"source")
+      .agg(graft.functions.MinKAgg.minK(K)($"v").getField("items")
+        .as("kmv"), count(lit(1)).as("n_exact"))
+      .localCheckpoint() // candidates, estimates and the eval reuse it
+    val mins = sk.select($"source", explode($"kmv").as("v"))
+    val cand = mins.as("x").join(mins.as("y"),
+        $"x.v" === $"y.v" && $"x.source" < $"y.source")
+      .select($"x.source".as("src_a"), $"y.source".as("src_b"))
+      .distinct()
+    val est = cand
+      .join(sk.select($"source".as("src_a"), $"kmv".as("kmv_a"),
+        $"n_exact".as("n_a")), Seq("src_a"))
+      .join(sk.select($"source".as("src_b"), $"kmv".as("kmv_b"),
+        $"n_exact".as("n_b")), Seq("src_b"))
+      .withColumn("u",
+        slice(array_sort(array_union($"kmv_a", $"kmv_b")), 1, K))
+      .withColumn("ku", size($"u").cast("long"))
+      .withColumn("theta", element_at($"u", size($"u")))
+      .withColumn("shared", size(filter($"u", x =>
+        array_contains($"kmv_a", x) && array_contains($"kmv_b", x)))
+        .cast("long"))
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"ku", $"shared",
+        expr("shared * 10000 DIV ku").as("jacc_est_bp"),
+        expr(kmvUnionEstSql).as("union_est"))
+      .localCheckpoint() // the top-k eval and the final join both scan it
+    // bounded exact anchor: top-20 candidates by estimated overlap
+    // (full tiebreak => deterministic on both engines)
+    val topPairs = est
+      .orderBy($"jacc_est_bp".desc, $"src_a", $"src_b").limit(20)
+      .select($"src_a", $"src_b")
+    val svA = sv.join(broadcast(topPairs.select($"src_a".as("source"))
+        .distinct()), Seq("source"))
+      .select($"source".as("src_a"), $"v")
+    val svB = sv.join(broadcast(topPairs.select($"src_b".as("source"))
+        .distinct()), Seq("source"))
+      .select($"source".as("src_b"), $"v")
+    val inter = svA.join(svB, Seq("v"))
+      .join(broadcast(topPairs), Seq("src_a", "src_b"))
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_inter"))
+    val eval = topPairs.join(inter, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .withColumn("is_eval", lit(1L))
+    est.join(broadcast(eval), Seq("src_a", "src_b"), "left")
+      .select($"src_a", $"src_b", $"n_a", $"n_b", $"ku", $"shared",
+        $"jacc_est_bp", $"union_est",
+        coalesce($"is_eval", lit(0L)).as("eval"),
+        when($"is_eval" === 1L,
+          expr("n_inter * 10000 DIV (n_a + n_b - n_inter)"))
+          .otherwise(lit(-1L)).as("jacc_bp"),
+        when($"is_eval" === 1L, $"jacc_est_bp" -
+          expr("n_inter * 10000 DIV (n_a + n_b - n_inter)"))
+          .otherwise(lit(-1L)).as("err_bp"))
+      .orderBy($"src_a", $"src_b")
+  }
+  val q237Sql: String =
+    s"""WITH tk AS (SELECT source, string_split(text, ' ') AS tk
+       |  FROM documents),
+       |sh AS (SELECT source, unnest(list_distinct(list_transform(
+       |      range(1, greatest(len(tk) - 6, 1)),
+       |      i -> array_to_string(tk[i:i+7], ' ')))) AS g
+       |  FROM tk),
+       |sv AS (SELECT DISTINCT source,
+       |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS v
+       |  FROM sh),
+       |srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+       |  FROM sv GROUP BY 1),
+       |ka AS (SELECT source, v FROM (
+       |    SELECT source, v,
+       |      row_number() OVER (PARTITION BY source ORDER BY v) AS rn
+       |    FROM sv) WHERE rn <= 128),
+       |cand AS (SELECT DISTINCT a.source AS sa, b.source AS sb
+       |  FROM ka a JOIN ka b ON a.v = b.v AND a.source < b.source),
+       |pu AS (SELECT p.sa, p.sb, k.v,
+       |    MAX(CASE WHEN k.source = p.sa THEN 1 ELSE 0 END) AS ina,
+       |    MAX(CASE WHEN k.source = p.sb THEN 1 ELSE 0 END) AS inb
+       |  FROM cand p JOIN ka k ON k.source = p.sa OR k.source = p.sb
+       |  GROUP BY 1, 2, 3),
+       |sel AS (SELECT * FROM (SELECT sa, sb, v, ina, inb,
+       |    row_number() OVER (PARTITION BY sa, sb ORDER BY v) AS rn
+       |  FROM pu) WHERE rn <= 128),
+       |agg AS (SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS ku,
+       |    MAX(v) AS theta,
+       |    CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS shared
+       |  FROM sel GROUP BY 1, 2),
+       |est AS (SELECT a.sa, a.sb, na.n_exact AS n_a, nb.n_exact AS n_b,
+       |    a.ku, a.theta, a.shared,
+       |    a.shared * 10000 // a.ku AS jacc_est_bp,
+       |    $kmvUnionEstSql AS union_est
+       |  FROM agg a
+       |  JOIN srcs na ON na.source = a.sa
+       |  JOIN srcs nb ON nb.source = a.sb),
+       |top AS (SELECT sa, sb FROM (SELECT sa, sb,
+       |    row_number() OVER (ORDER BY jacc_est_bp DESC, sa, sb) AS rn
+       |  FROM est) WHERE rn <= 20),
+       |iv AS (SELECT x.source AS sa, y.source AS sb,
+       |    CAST(COUNT(*) AS BIGINT) AS n_inter
+       |  FROM sv x JOIN sv y ON x.v = y.v AND x.source < y.source
+       |  JOIN top t ON t.sa = x.source AND t.sb = y.source
+       |  GROUP BY 1, 2)
+       |SELECT e.sa AS src_a, e.sb AS src_b, e.n_a, e.n_b, e.ku,
+       |  e.shared, e.jacc_est_bp, e.union_est,
+       |  CASE WHEN t.sa IS NOT NULL THEN 1 ELSE 0 END AS eval,
+       |  CASE WHEN t.sa IS NOT NULL
+       |    THEN COALESCE(i.n_inter, 0) * 10000 //
+       |      (e.n_a + e.n_b - COALESCE(i.n_inter, 0))
+       |    ELSE -1 END AS jacc_bp,
+       |  CASE WHEN t.sa IS NOT NULL
+       |    THEN e.jacc_est_bp - COALESCE(i.n_inter, 0) * 10000 //
+       |      (e.n_a + e.n_b - COALESCE(i.n_inter, 0))
+       |    ELSE -1 END AS err_bp
+       |FROM est e
+       |LEFT JOIN top t ON t.sa = e.sa AND t.sb = e.sb
+       |LEFT JOIN iv i ON i.sa = e.sa AND i.sb = e.sb
+       |ORDER BY src_a, src_b""".stripMargin
+
   /** q230 — sketch-driven join planning, DECIDED AND EXECUTED: the
     * optimizer loop q225/q226 closed for physical layout, closed for
     * join strategy. For three candidate equi-joins over the events
@@ -2810,6 +2959,183 @@ object LlmQueries {
        |    ELSE 'purchases_seed' END AS first_pair,
        |  tri.triple_exact
        |FROM ecp, ecs, eps, tri""".stripMargin
+
+  /** q238 — right-to-be-forgotten DELETE, EXECUTED on stored parquet
+    * (r12 verdict item 8): the governance shelf plans deletions
+    * (q159's purge report, q209's k-anon audit, q160's snapshot diff)
+    * — this query performs one. The Z-order store q223 persists is
+    * built, then every user with `user_id % 499 = 7` is purged through
+    * [[graft.llm.Layout.purgeUsers]]: the stored per-file Bloom (q235's
+    * artifact) names the files that can hold a tombstoned row — no
+    * false negatives, so Bloom-negative files provably need no rewrite
+    * — the touched files are rewritten through a partition-pruned scan
+    * + broadcast anti-join, the untouched partition directories are
+    * carried into the new version byte-for-byte at the filesystem
+    * level, zone maps and Blooms split the same way, and the purged
+    * store publishes pair-atomically beside the incumbent. The emitted
+    * rows are per-file survivor aggregates over a SCAN-BACK of the
+    * purged store (count, user mass, event mass) — the oracle replays
+    * them from `laid WHERE user_id % 499 != 7`, so a rewrite that
+    * dropped a survivor, resurrected a tombstone, or corrupted a
+    * carried file hash-fails — beside the purge's own audit constants
+    * (deleted rows, tombstoned users, Bloom-touched files vs total —
+    * the write-amplification ratio; the Bloom replay makes even the
+    * touched count oracle-checked). LayoutSpec additionally pins zero
+    * tombstone rows, byte-identical carried files, one file per
+    * rewritten partition, and no-false-negative touch coverage. 100 TB
+    * shape: bytes rewritten ∝ touched files, not table size — at the
+    * 64-file fixture a 1-3 user purge rewrites ~8 files per user (a
+    * Z-stripe), and the carried majority never leaves the filesystem.
+    * The reference runs `DELETE FROM ... WHERE`
+    * (/root/reference/src/db/connection.py:10-19) and lets Postgres
+    * own storage; on an immutable parquet lake the rewrite IS the
+    * delete — north-star extension. */
+  def q238RtbfDelete(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val laid = Layout.eventLayout(Tables.events(s, d))
+    val root = graft.util.Fs.tempRoot("graft_rtbfstore")
+    Layout.saveLayout(laid, root.toString) // incumbent: events_z/file_z
+    val (rows, _) = Layout.loadLayout(s, root.toString)
+    val tombs: Seq[Long] = rows.select($"user_id").distinct()
+      .filter($"user_id" % 499 === 7).orderBy($"user_id")
+      .collect().map(_.getLong(0)).toSeq
+    require(tombs.nonEmpty, s"q238: no tombstoned users at $d")
+    val res = Layout.purgeUsers(s, root.toString, "events_z", "file_z",
+      tombs, "events_z_purged")
+    val (purged, _) = Layout.loadLayout(s, root.toString,
+      "events_z_purged")
+    purged.groupBy($"file_z")
+      .agg(count(lit(1)).as("n_rows"), sum($"user_id").as("u_mass"),
+        sum($"event_id").as("e_mass"))
+      .select($"file_z", $"n_rows", $"u_mass", $"e_mass",
+        lit(rows.filter($"user_id" % 499 === 7).count()).as("n_deleted"),
+        lit(tombs.size.toLong).as("n_tomb_users"),
+        lit(res.touched.size.toLong).as("files_touched"),
+        lit(res.touched.size.toLong + res.untouched.size.toLong)
+          .as("files_total"))
+      .orderBy($"file_z")
+  }
+  val q238Sql: String =
+    s"""WITH $layoutCte,
+       |tombs AS (SELECT DISTINCT user_id FROM laid
+       |  WHERE user_id % 499 = 7),
+       |fu AS (SELECT DISTINCT file_z, user_id FROM laid),
+       |bpos AS (SELECT f.file_z,
+       |    CAST(('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' ||
+       |      CAST(f.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3840
+       |      AS pos
+       |  FROM fu f, unnest(range(0, 3)) AS u(r)),
+       |bloom AS (SELECT file_z, pos // 60 AS word,
+       |    bit_or(1::BIGINT << CAST(pos % 60 AS INTEGER)) AS bits
+       |  FROM bpos GROUP BY 1, 2),
+       |pp AS (SELECT t.user_id, z.file_z,
+       |    CAST(('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' ||
+       |      CAST(t.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3840
+       |      AS pos
+       |  FROM tombs t, (SELECT DISTINCT file_z FROM laid) z,
+       |    unnest(range(0, 3)) AS u(r)),
+       |ph AS (SELECT pp.user_id, pp.file_z,
+       |    BOOL_AND((COALESCE(b.bits, 0) &
+       |      (1::BIGINT << CAST(pp.pos % 60 AS INTEGER))) =
+       |      (1::BIGINT << CAST(pp.pos % 60 AS INTEGER))) AS hit
+       |  FROM pp LEFT JOIN bloom b
+       |    ON b.file_z = pp.file_z AND b.word = pp.pos // 60
+       |  GROUP BY 1, 2),
+       |tf AS (SELECT CAST(COUNT(DISTINCT file_z) AS BIGINT)
+       |    AS files_touched FROM ph WHERE hit),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted FROM laid
+       |  WHERE user_id % 499 = 7),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tomb_users
+       |  FROM tombs),
+       |ft AS (SELECT CAST(COUNT(DISTINCT file_z) AS BIGINT)
+       |    AS files_total FROM laid)
+       |SELECT s.file_z, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(s.user_id) AS BIGINT) AS u_mass,
+       |  CAST(SUM(s.event_id) AS BIGINT) AS e_mass,
+       |  nd.n_deleted, nt.n_tomb_users, tf.files_touched, ft.files_total
+       |FROM laid s, nd, nt, tf, ft
+       |WHERE s.user_id % 499 != 7
+       |GROUP BY 1, nd.n_deleted, nt.n_tomb_users, tf.files_touched,
+       |  ft.files_total
+       |ORDER BY file_z""".stripMargin
+
+  /** q240 — MERGE upsert EXECUTED on stored parquet: the other
+    * copy-on-write mutation arm beside q238's delete — together they
+    * make the stored layout a TABLE (insert, replace, delete, optimize
+    * q226, point-read q235, scan-prune q223), not a write-once dump.
+    * The delta is the shape an ingest repair actually ships: genuinely
+    * NEW late-arriving events (re-keyed event_id + 10¹²) plus
+    * RE-DELIVERED duplicates of stored events (same key, same row —
+    * the at-least-once delivery case); [[graft.llm.Layout.upsertRows]]
+    * rewrites ONLY the files the delta's `file_z` values name — for
+    * inserts the target file is pure zkey arithmetic on the new row,
+    * no probe at all — replacing any stored version of a delta key
+    * (broadcast anti-join) before folding the delta in, and carries
+    * every other partition byte-for-byte. Key-MOVING updates compose
+    * the two arms (purge the old user, upsert the new) — the layout is
+    * a function of (user, ts), so a same-key re-delivery always lands
+    * in its old file and the in-file replace is complete; the scaladoc
+    * contract on upsertRows states this. The hash gate is sharp in
+    * both directions: a double-inserted duplicate, a dropped insert,
+    * or a corrupted carried file all shift the per-file aggregates the
+    * oracle computes from `laid ∪ re-keyed inserts`. 100 TB shape:
+    * bytes rewritten ∝ delta's file fan-out, not table size. The
+    * reference's `ON CONFLICT (log_id) DO NOTHING` idempotent insert
+    * (/root/reference/src/db/log_ops.py:47-55) delegates this
+    * to Postgres' heap; on an immutable parquet lake the bounded
+    * rewrite IS the upsert — north-star extension. */
+  def q240StoredUpsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val laid = Layout.eventLayout(Tables.events(s, d))
+    val root = graft.util.Fs.tempRoot("graft_upsertstore")
+    Layout.saveLayout(laid, root.toString) // incumbent: events_z/file_z
+    val (rows, _) = Layout.loadLayout(s, root.toString)
+    val off = 1000000000000L
+    val delta = rows.filter($"event_id" % 131 === 3)
+      .withColumn("event_id", $"event_id" + off) // late inserts
+      .unionByName(rows.filter($"event_id" % 131 === 5)) // re-delivered
+      .localCheckpoint() // audit counts and the rewrite both scan it
+    val nIns = delta.filter($"event_id" >= off).count()
+    val nRep = delta.filter($"event_id" < off).count()
+    require(nIns > 0 && nRep > 0,
+      s"q240: delta needs both arms populated at $d (ins=$nIns, rep=$nRep)")
+    val res = Layout.upsertRows(s, root.toString, "events_z", "file_z",
+      delta, "events_z_upserted")
+    val (up, _) = Layout.loadLayout(s, root.toString, "events_z_upserted")
+    up.groupBy($"file_z")
+      .agg(count(lit(1)).as("n_rows"), sum($"user_id").as("u_mass"),
+        sum($"event_id").as("e_mass"))
+      .select($"file_z", $"n_rows", $"u_mass", $"e_mass",
+        lit(nIns).as("n_inserted"), lit(nRep).as("n_replaced"),
+        lit(res.touched.size.toLong).as("files_touched"),
+        lit(res.touched.size.toLong + res.untouched.size.toLong)
+          .as("files_total"))
+      .orderBy($"file_z")
+  }
+  val q240Sql: String =
+    s"""WITH $layoutCte,
+       |ins AS (SELECT event_id + 1000000000000 AS event_id, user_id,
+       |    ub, tb, zkey, file_z, file_t
+       |  FROM laid WHERE event_id % 131 = 3),
+       |up AS (SELECT * FROM laid UNION ALL SELECT * FROM ins),
+       |tf AS (SELECT CAST(COUNT(DISTINCT file_z) AS BIGINT)
+       |    AS files_touched
+       |  FROM (SELECT file_z FROM ins
+       |    UNION ALL
+       |    SELECT file_z FROM laid WHERE event_id % 131 = 5)),
+       |ni AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_inserted FROM ins),
+       |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_replaced FROM laid
+       |  WHERE event_id % 131 = 5),
+       |ft AS (SELECT CAST(COUNT(DISTINCT file_z) AS BIGINT)
+       |    AS files_total FROM up)
+       |SELECT u.file_z, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(u.user_id) AS BIGINT) AS u_mass,
+       |  CAST(SUM(u.event_id) AS BIGINT) AS e_mass,
+       |  ni.n_inserted, nr.n_replaced, tf.files_touched, ft.files_total
+       |FROM up u, ni, nr, tf, ft
+       |GROUP BY 1, ni.n_inserted, nr.n_replaced, tf.files_touched,
+       |  ft.files_total
+       |ORDER BY file_z""".stripMargin
 
   /** q220 — journey transition matrix: the q200 sequence corpus read
     * as a first-order Markov chain — per (src event type → dst event
@@ -7045,6 +7371,9 @@ object LlmQueries {
     "q233_skew_planner" -> (q233SkewPlanner _),
     "q235_stored_bloom_lookup" -> (q235StoredBloomLookup _),
     "q236_join_order" -> (q236JoinOrderPlanner _),
+    "q237_kmv_banded_pairs" -> (q237KmvBandedPairs _),
+    "q238_rtbf_delete" -> (q238RtbfDelete _),
+    "q240_stored_upsert" -> (q240StoredUpsert _),
     "q231_winnow_eval" -> (q231WinnowEval _),
     "q232_affinity_pack" -> (q232AffinityPack _),
     "q220_journey_transitions" -> (q220JourneyTransitions _),
@@ -7185,6 +7514,9 @@ object LlmQueries {
     "q233_skew_planner" -> q233Sql,
     "q235_stored_bloom_lookup" -> q235Sql,
     "q236_join_order" -> q236Sql,
+    "q237_kmv_banded_pairs" -> q237Sql,
+    "q238_rtbf_delete" -> q238Sql,
+    "q240_stored_upsert" -> q240Sql,
     "q231_winnow_eval" -> q231Sql,
     "q232_affinity_pack" -> q232Sql,
     "q220_journey_transitions" -> q220Sql,

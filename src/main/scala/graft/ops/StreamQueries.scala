@@ -1951,10 +1951,168 @@ object StreamQueries {
     }
   }
 
+  /** q239 — the join planner's statistics kept LIVE: q230 decides
+    * broadcast-vs-shuffle from catalog summaries computed in batch;
+    * this is the same decision recomputed after EVERY micro-batch from
+    * sketches maintained in keyed state — the optimizer feed a
+    * streaming warehouse actually runs, and the planner-shelf
+    * counterpart of q179 (live CMS) / q229 (live KMV) / q225 (live
+    * layout budget). Events arrive in 4 ascending event_id batches;
+    * every row fans its user key map-only into the 4×256 CMS cells of
+    * its side (clicks / purchases / the q230 dim), and
+    * [[StreamOps.streamingCmsIngest]] keeps one long of state per
+    * touched (side, row, cell). After each batch the feed emits, per
+    * candidate pair, the prefix row counts, the prefix CMS join-size
+    * estimate (q213/q230 inner-product arithmetic over the
+    * reconstructed prefix sketches) and the q230 decision — so the
+    * DECISION ITSELF can flip mid-stream, data-driven, the moment a
+    * side's prefix mass crosses the broadcast threshold. On the
+    * natural sf0.01 fixture batch 1 already lands over the line
+    * (clicks prefix 522 > 500 — shuffle throughout, dim pairs
+    * broadcast throughout); StreamingSpec halves the event stream so
+    * the SAME query starts clicks⋈purchases broadcastable and flips it
+    * to shuffle mid-stream as mass accumulates. The oracle replays
+    * every prefix from NTILE tiles. State: ≤ 3 sides × 4 × 256 longs,
+    * whatever the corpus rate — catalog-sized, the uniform
+    * sketch-shelf bound. */
+  def q239StreamPlanner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val ev = Tables.events(s, d)
+      .select($"event_id", $"user_id", $"event_type")
+    val schema = new StructType()
+      .add("event_id", LongType).add("user_id", LongType)
+      .add("event_type", StringType)
+    val width = 256
+    val out = fourBatchHarness(s, ev, "event_id", schema, "planfeed") {
+      (source, sink) =>
+        val sided = source.withColumn("side",
+            when($"event_type" === "click", "c")
+              .when($"event_type" === "purchase", "p")
+              .when($"event_type" === "signup" &&
+                $"event_id" % 97 === 0, "d"))
+          .filter($"side".isNotNull)
+        val rows = sided.select(
+            explode(array((0 until 4).map(r => concat($"side",
+              lit(s":$r:"), graft.llm.Sketch.cmsCell(
+                $"user_id".cast("string"), r, width))): _*)).as("_1"),
+            $"event_id".as("_2"))
+          .as[(String, Long)]
+        val q = StreamOps.streamingCmsIngest(rows).toDF().writeStream
+          .outputMode("append")
+          .format("memory").queryName(sink)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+    } { sinkDf =>
+      val tiles = tile4(ev, "event_id")
+      // running cell counts labeled with their emitting batch, then the
+      // prefix sketch at batch b = each cell's LATEST total with
+      // batch_id <= b (running counts are monotone; untouched cells
+      // carry forward) — all over <= 3·4·256·4 rows, catalog-sized
+      val cells = sinkDf.select($"_1".as("key"), $"_2".as("cnt"),
+          $"_3".as("event_id"))
+        .join(tiles, "event_id")
+        .select(split($"key", ":").getItem(0).as("side"),
+          split($"key", ":").getItem(1).cast("int").as("row_i"),
+          split($"key", ":").getItem(2).cast("long").as("cell"),
+          $"cnt", $"batch_id")
+      val b = Seq(1, 2, 3, 4).toDF("b")
+      val upTo = cells.join(b, $"batch_id" <= $"b")
+        .groupBy($"b", $"side", $"row_i", $"cell")
+        .agg(max($"cnt").as("cnt"))
+        .localCheckpoint() // counts, grids and three pair joins reuse it
+      // prefix side mass = sum of any one hash row's cells (row 0)
+      val ns = upTo.filter($"row_i" === 0)
+        .groupBy($"b", $"side").agg(sum($"cnt").as("n"))
+      val grid = b.crossJoin(Seq(0, 1, 2, 3).toDF("row_i"))
+      def est(x: String, y: String) = grid
+        .join(upTo.filter($"side" === x)
+          .select($"b", $"row_i", $"cell", $"cnt".as("ca")),
+          Seq("b", "row_i"), "left")
+        .join(upTo.filter($"side" === y)
+          .select($"b", $"row_i", $"cell", $"cnt".as("cb")),
+          Seq("b", "row_i", "cell"), "left")
+        .groupBy($"b", $"row_i")
+        .agg(coalesce(sum($"ca" * $"cb"), lit(0L)).as("ip"))
+        .groupBy($"b").agg(min($"ip").as("join_est"))
+      def nOf(sd: String) = b
+        .join(ns.filter($"side" === sd).select($"b", $"n"), Seq("b"),
+          "left")
+        .select($"b", coalesce($"n", lit(0L)).as("n"))
+      def pair(nm: String, x: String, y: String) =
+        nOf(x).select($"b", $"n".as("n_a"))
+          .join(nOf(y).select($"b", $"n".as("n_b")), Seq("b"))
+          .join(est(x, y), Seq("b"))
+          .select($"b".cast("long").as("batch_id"), lit(nm).as("pair"),
+            $"n_a", $"n_b", $"join_est",
+            when(least($"n_a", $"n_b") <= 500, lit("broadcast"))
+              .otherwise(lit("shuffle")).as("decision"))
+      pair("clicks_purchases", "c", "p")
+        .unionAll(pair("clicks_dim", "c", "d"))
+        .unionAll(pair("purchases_dim", "p", "d"))
+        .orderBy($"batch_id", $"pair")
+    }
+    out
+  }
+  private def q239PairSql(nm: String, x: String, y: String): String =
+    s"""SELECT g.b AS batch_id, '$nm' AS pair,
+       |  (SELECT COALESCE(MAX(n), 0) FROM ns
+       |    WHERE ns.b = g.b AND ns.side = '$x') AS n_a,
+       |  (SELECT COALESCE(MAX(n), 0) FROM ns
+       |    WHERE ns.b = g.b AND ns.side = '$y') AS n_b,
+       |  CAST(MIN(g.ip) AS BIGINT) AS join_est,
+       |  CASE WHEN least(
+       |      (SELECT COALESCE(MAX(n), 0) FROM ns
+       |        WHERE ns.b = g.b AND ns.side = '$x'),
+       |      (SELECT COALESCE(MAX(n), 0) FROM ns
+       |        WHERE ns.b = g.b AND ns.side = '$y')) <= 500
+       |    THEN 'broadcast' ELSE 'shuffle' END AS decision
+       |FROM (SELECT gr.b, gr.row_i,
+       |    COALESCE(SUM(x.cnt * y.cnt), 0) AS ip
+       |  FROM grid gr
+       |  LEFT JOIN cells x
+       |    ON x.b = gr.b AND x.row_i = gr.row_i AND x.side = '$x'
+       |  LEFT JOIN cells y ON y.b = x.b AND y.row_i = x.row_i
+       |    AND y.cell = x.cell AND y.side = '$y'
+       |  GROUP BY 1, 2) g
+       |GROUP BY 1, 2""".stripMargin
+  val q239Sql: String =
+    s"""WITH ev AS (SELECT event_id, CAST(user_id AS VARCHAR) AS k,
+       |    CASE WHEN event_type = 'click' THEN 'c'
+       |      WHEN event_type = 'purchase' THEN 'p'
+       |      WHEN event_type = 'signup' AND event_id % 97 = 0 THEN 'd'
+       |      END AS side
+       |  FROM events),
+       |tiled AS (SELECT event_id,
+       |    NTILE(4) OVER (ORDER BY event_id) AS tile FROM events),
+       |f AS (SELECT e.side, t.tile, e.k
+       |  FROM ev e JOIN tiled t USING (event_id)
+       |  WHERE e.side IS NOT NULL),
+       |bs AS (SELECT CAST(u.b AS BIGINT) AS b
+       |  FROM unnest(range(1, 5)) AS u(b)),
+       |cells AS (SELECT bs.b, f.side, CAST(u.i AS INTEGER) AS row_i,
+       |    CAST(('0x' || substr(md5(CAST(u.i AS VARCHAR) || ':' || f.k),
+       |      1, 15)) AS BIGINT) % 256 AS cell,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM f, bs, unnest(range(0, 4)) AS u(i)
+       |  WHERE f.tile <= bs.b GROUP BY 1, 2, 3, 4),
+       |ns AS (SELECT bs.b, f.side, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM f, bs WHERE f.tile <= bs.b GROUP BY 1, 2),
+       |grid AS (SELECT bs.b, CAST(u.i AS INTEGER) AS row_i
+       |  FROM bs, unnest(range(0, 4)) AS u(i))
+       |${q239PairSql("clicks_purchases", "c", "p")}
+       |UNION ALL
+       |${q239PairSql("clicks_dim", "c", "d")}
+       |UNION ALL
+       |${q239PairSql("purchases_dim", "p", "d")}
+       |ORDER BY batch_id, pair""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_stream_dedup" -> (q101StreamDedup _),
     "q229_stream_kmv" -> (q229StreamKmv _),
     "q234_stream_affinity_pack" -> (q234StreamAffinityPack _),
+    "q239_stream_planner" -> (q239StreamPlanner _),
     "q110_stream_decon" -> (q110StreamDecon _),
     "q106_stream_neardup" -> (q106StreamNearDup _),
     "q108_stream_simhash" -> (q108StreamSimhash _),
@@ -2001,6 +2159,10 @@ object StreamQueries {
     // fit-once centroids + map-only embed/assign + per-cluster online
     // prefix sums under ascending splits => q232's batch SQL is exact
     "q234_stream_affinity_pack" -> LlmQueries.q232Sql,
+    // per-batch prefix replay (NTILE tiles): the streamed CMS equals the
+    // batch sketch at every prefix, so counts, estimates and the q230
+    // decision all replay exactly
+    "q239_stream_planner" -> q239Sql,
     // ascending id-range batches keep per-shard id order, so the online
     // prefix sums equal the batch window's; q93's SQL is the exact oracle
     "q120_stream_pack" -> LlmQueries.q93Sql,

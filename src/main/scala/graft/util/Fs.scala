@@ -38,6 +38,24 @@ object Fs {
     p
   }
 
+  /** Copy the directory tree at `src` under `dst` (files byte-for-byte,
+    * structure preserved) — the carry-over half of a copy-on-write
+    * rewrite: partitions a purge does not touch move to the new store
+    * version WITHOUT being read or re-encoded. */
+  def copyRecursively(src: Path, dst: Path): Unit = {
+    require(Files.isDirectory(src), s"copyRecursively: $src is not a dir")
+    scala.util.Using.resource(Files.walk(src)) { w =>
+      w.forEach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else {
+          Files.createDirectories(t.getParent)
+          Files.copy(p, t)
+        }
+      }
+    }
+  }
+
   /** Delete `p` now and drop it from the exit-hook queue — for callers
     * that can bound the store's lifetime to one invocation (q165's
     * compaction serve), so bench loops do not strand one temp store

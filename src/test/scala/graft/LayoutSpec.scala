@@ -287,4 +287,105 @@ class LayoutSpec extends AnyFunSuite {
         s"box $p: zorder=${f("zorder")} vs $f")
     }
   }
+
+  test("purgeUsers: tombstones gone, carried files byte-identical, one " +
+      "file per rewritten partition, no Bloom false negatives") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val laid = Layout.eventLayout(graft.ops.Tables.events(spark, sf))
+    val root = graft.util.Fs.tempRoot("graft_purge_spec").toString
+    Layout.saveLayout(laid, root)
+    val (rows, _) = Layout.loadLayout(spark, root)
+    val tombs = rows.select($"user_id").distinct()
+      .filter($"user_id" % 499 === 7).orderBy($"user_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(tombs.nonEmpty)
+    // files that REALLY hold a tombstone row, before the purge
+    val holding = rows.join(broadcast(tombs.toDF("user_id")),
+        Seq("user_id"))
+      .select($"file_z").distinct().collect().map(_.getLong(0)).toSet
+    val res = Layout.purgeUsers(spark, root, "events_z", "file_z",
+      tombs, "events_z_purged")
+    // no false negatives: every file holding a tombstone was rewritten
+    assert(holding.subsetOf(res.touched.toSet),
+      s"missed ${holding -- res.touched.toSet}")
+    val (purged, _) = Layout.loadLayout(spark, root, "events_z_purged")
+    // the delete happened and deleted ONLY tombstones
+    assert(purged.join(broadcast(tombs.toDF("user_id")), Seq("user_id"))
+      .isEmpty)
+    assert(purged.count() ==
+      rows.count() - rows.filter($"user_id" % 499 === 7).count())
+    // carried partitions are byte-identical to the incumbent's files
+    def files(name: String, f: Long) = {
+      val dir = java.nio.file.Paths.get(root, name, "rows", s"file_z=$f")
+      scala.util.Using.resource(java.nio.file.Files.list(dir)) { l =>
+        l.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(p => p.getFileName.toString ->
+            java.nio.file.Files.readAllBytes(p).toSeq).toMap
+      }
+    }
+    res.untouched.take(3).foreach { f =>
+      assert(files("events_z", f) == files("events_z_purged", f),
+        s"carried file_z=$f drifted") }
+    // rewritten partitions land as ONE file each (file = pruning unit)
+    res.touched.foreach { f =>
+      val dir = java.nio.file.Paths.get(root, "events_z_purged", "rows",
+        s"file_z=$f")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val n = scala.util.Using.resource(
+            java.nio.file.Files.list(dir)) { l =>
+          l.iterator().asScala.count(_.toString.endsWith(".parquet"))
+        }
+        assert(n == 1, s"file_z=$f has $n parquet files")
+      }
+    }
+    // purged metadata matches purged rows: zone maps re-aggregate
+    val zm = spark.read.parquet(s"$root/events_z_purged/zonemaps")
+    val zmTruth = Layout.zoneMaps(purged, "file_z")
+    assert(zm.exceptAll(zmTruth).isEmpty && zmTruth.exceptAll(zm).isEmpty)
+  }
+
+  test("upsertRows: inserts land, re-deliveries replace (never " +
+      "duplicate), carried files byte-identical, touched = delta files") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val laid = Layout.eventLayout(graft.ops.Tables.events(spark, sf))
+    val root = graft.util.Fs.tempRoot("graft_upsert_spec").toString
+    Layout.saveLayout(laid, root)
+    val (rows, _) = Layout.loadLayout(spark, root)
+    val off = 1000000000000L
+    val delta = rows.filter($"event_id" % 131 === 3)
+      .withColumn("event_id", $"event_id" + off)
+      .unionByName(rows.filter($"event_id" % 131 === 5))
+      .localCheckpoint()
+    val nIns = delta.filter($"event_id" >= off).count()
+    val res = Layout.upsertRows(spark, root, "events_z", "file_z",
+      delta, "events_z_up")
+    assert(res.touched.toSet == delta.select($"file_z").distinct()
+      .collect().map(_.getLong(0)).toSet)
+    val (up, _) = Layout.loadLayout(spark, root, "events_z_up")
+    // inserts added, re-deliveries replaced in place: count grows by
+    // exactly the insert arm, and every key stays unique
+    assert(up.count() == rows.count() + nIns)
+    assert(up.groupBy($"event_id").count().filter($"count" > 1).isEmpty)
+    // every delta row is present verbatim in the upserted store
+    assert(delta.exceptAll(up.select(delta.columns.map(col): _*))
+      .isEmpty)
+    // carried partitions byte-identical to the incumbent's files
+    def files(name: String, f: Long) = {
+      val dir = java.nio.file.Paths.get(root, name, "rows", s"file_z=$f")
+      scala.util.Using.resource(java.nio.file.Files.list(dir)) { l =>
+        l.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .map(p => p.getFileName.toString ->
+            java.nio.file.Files.readAllBytes(p).toSeq).toMap
+      }
+    }
+    res.untouched.take(3).foreach { f =>
+      assert(files("events_z", f) == files("events_z_up", f),
+        s"carried file_z=$f drifted") }
+    // metadata split matches the new content
+    val zm = spark.read.parquet(s"$root/events_z_up/zonemaps")
+    val zmTruth = Layout.zoneMaps(up, "file_z")
+    assert(zm.exceptAll(zmTruth).isEmpty && zmTruth.exceptAll(zm).isEmpty)
+  }
 }

@@ -330,6 +330,53 @@ class LlmSpec extends AnyFunSuite {
     assert(t.getAs[Long]("triple_exact") == tripleTruth, t.toString)
   }
 
+  test("q237: KMV banding recalls every overlapping pair and evals the " +
+      "top-20 with exact Jaccard") {
+    import spark.implicits._
+    val out = graft.ops.LlmQueries.queries("q237_kmv_banded_pairs")(
+      spark, sf).collect()
+    assert(out.nonEmpty)
+    val candSet = out.map(r =>
+      (r.getString(0), r.getString(1))).toSet
+    // exact all-pairs truth (fixture-sized; the production path never
+    // builds this — that is the point of the banding)
+    val docs = graft.ops.Tables.documents(spark, sf)
+    val shingleSets = docs
+      .select($"source",
+        explode(graft.llm.Corpus.shingles($"text", 8)).as("g"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    val srcs = shingleSets.keys.toSeq.sorted
+    val exact = (for {
+      a <- srcs; b <- srcs if a < b
+      inter = (shingleSets(a) & shingleSets(b)).size
+      uni = (shingleSets(a) | shingleSets(b)).size
+    } yield (a, b) -> (inter.toLong * 10000L / uni)).toMap
+    // recall: the banding may only drop essentially-disjoint pairs —
+    // on this fixture every pair at >= 20 bp true Jaccard collides in
+    // the minima (non-candidates top out at 12 bp, candidates start
+    // at 29 bp — measured, not assumed)
+    exact.foreach { case (p, j) =>
+      if (j >= 20L) assert(candSet(p), s"banding missed $p at $j bp")
+      if (!candSet(p)) assert(j < 20L, s"dropped $p carries $j bp") }
+    // the bounded eval: at most 20 rows, chosen as the top estimates,
+    // each carrying the true Jaccard (matches the all-pairs truth) and
+    // a consistent signed error; non-eval rows carry -1 sentinels
+    val eval = out.filter(_.getAs[Long]("eval") == 1L)
+    assert(eval.nonEmpty && eval.length <= 20)
+    val minEvalEst = eval.map(_.getAs[Long]("jacc_est_bp")).min
+    out.filter(_.getAs[Long]("eval") == 0L).foreach { r =>
+      assert(r.getAs[Long]("jacc_est_bp") <= minEvalEst)
+      assert(r.getAs[Long]("jacc_bp") == -1L &&
+        r.getAs[Long]("err_bp") == -1L) }
+    eval.foreach { r =>
+      val p = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("jacc_bp") == exact(p), s"$p")
+      assert(r.getAs[Long]("err_bp") ==
+        r.getAs[Long]("jacc_est_bp") - r.getAs[Long]("jacc_bp")) }
+  }
+
   test("minK udaf: k smallest distinct per group under a real shuffle") {
     import spark.implicits._
     val rows = (1L to 1000L).map(i => (i % 7, (i * 2654435761L) % 100))

@@ -454,4 +454,43 @@ class StreamingSpec extends AnyFunSuite {
       .map { case (_, rs) => rs.map(_.getLong(3)).distinct.size }
     assert(packsPerCluster.exists(_ > 1), packsPerCluster.toString)
   }
+
+  test("q239 live planner: prefix stats are monotone, decisions match " +
+      "the threshold, and the decision flips mid-stream on the halved " +
+      "fixture") {
+    import org.apache.spark.sql.Row
+    def byPair(rows: Array[Row]) = rows.groupBy(_.getString(1)).view
+      .mapValues(_.sortBy(_.getLong(0))).toMap
+    // every emitted decision is the q230 threshold applied to the
+    // emitted prefix masses; masses and estimates grow monotonically
+    // with the prefix (state never loses mass across batches)
+    def check(rows: Array[Row]): Unit = byPair(rows).foreach {
+      case (p, rs) =>
+        assert(rs.length == 4, p)
+        rs.foreach { r =>
+          val dec = if (math.min(r.getLong(2), r.getLong(3)) <= 500)
+            "broadcast" else "shuffle"
+          assert(r.getString(5) == dec, s"$p: $r") }
+        Seq[Row => Long](_.getLong(2), _.getLong(3), _.getLong(4))
+          .foreach { f =>
+            val v = rs.map(f).toSeq
+            assert(v == v.sorted, s"$p not monotone: $v") }
+    }
+    val natural = graft.ops.StreamQueries
+      .q239StreamPlanner(spark, "/root/testdata/sf0.01").collect()
+    check(natural)
+    // halved stream: clicks/purchases ~1000 events each, so the prefix
+    // crosses the 500-row broadcast threshold MID-STREAM — the same
+    // query must emit broadcast early and shuffle late for the big pair
+    val twin = graft.util.Fs.tempRoot("graft_q239_spec").toString
+    graft.ops.Tables.events(spark, "/root/testdata/sf0.01")
+      .filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$twin/events.parquet")
+    val halved = graft.ops.StreamQueries.q239StreamPlanner(spark, twin)
+      .collect()
+    check(halved)
+    val cp = byPair(halved)("clicks_purchases").map(_.getString(5))
+    assert(cp.head == "broadcast" && cp.last == "shuffle",
+      s"no mid-stream flip: ${cp.toSeq}")
+  }
 }

@@ -3137,6 +3137,115 @@ object LlmQueries {
        |  ft.files_total
        |ORDER BY file_z""".stripMargin
 
+  /** q241 — the MUTATION CAPSTONE: the full lifecycle a governed
+    * training-data store actually runs, executed end-to-end on one
+    * stored layout through three pair-atomic versions — v1 the
+    * incumbent write (q223's saveLayout), v2 = v1 + MERGE upsert
+    * (q240's delta: late inserts + re-delivered duplicates, only the
+    * delta's files rewritten), v3 = v2 − right-to-be-forgotten purge
+    * (q238's tombstones, Bloom-consulted copy-on-write) — then the
+    * emitted rows are per-file survivor aggregates over a SCAN-BACK of
+    * v3. Every seam is where capstones earn their keep (the q97/q136
+    * discipline): the purge consults v2's STORED Blooms, which for
+    * carried files are v1's untouched words and for rewritten files
+    * were recomputed from the merged rows — a metadata split that
+    * drifted from the content at EITHER step would mis-touch files and
+    * hash-fail the survivor aggregates. Note the composition detail
+    * the oracle encodes: inserts can themselves be tombstoned (a new
+    * event of a purged user must not survive), so n_deleted counts
+    * over v2, not v1. Audit constants ride every row: inserts,
+    * deletions, files touched by each mutation, store size — all
+    * replayed by the oracle including the Bloom-touch count. 100 TB
+    * shape: each version rewrites only its mutation's file fan-out;
+    * the three versions coexist under ModelStore's blue/green rule so
+    * a reader never sees a half-applied mutation. */
+  def q241MutationCapstone(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val laid = Layout.eventLayout(Tables.events(s, d))
+    val root = graft.util.Fs.tempRoot("graft_mutstore")
+    Layout.saveLayout(laid, root.toString) // v1: events_z
+    val (rows, _) = Layout.loadLayout(s, root.toString)
+    val off = 1000000000000L
+    val delta = rows.filter($"event_id" % 131 === 3)
+      .withColumn("event_id", $"event_id" + off)
+      .unionByName(rows.filter($"event_id" % 131 === 5))
+      .localCheckpoint() // audit count and the rewrite both scan it
+    val up = Layout.upsertRows(s, root.toString, "events_z", "file_z",
+      delta, "events_z_v2")
+    val (v2, _) = Layout.loadLayout(s, root.toString, "events_z_v2")
+    val tombs: Seq[Long] = v2.select($"user_id").distinct()
+      .filter($"user_id" % 499 === 7).orderBy($"user_id")
+      .collect().map(_.getLong(0)).toSeq
+    require(tombs.nonEmpty, s"q241: no tombstoned users at $d")
+    val pg = Layout.purgeUsers(s, root.toString, "events_z_v2",
+      "file_z", tombs, "events_z_v3")
+    val (v3, _) = Layout.loadLayout(s, root.toString, "events_z_v3")
+    val nIns = delta.filter($"event_id" >= off).count()
+    val nDel = v2.filter($"user_id" % 499 === 7).count()
+    v3.groupBy($"file_z")
+      .agg(count(lit(1)).as("n_rows"), sum($"user_id").as("u_mass"),
+        sum($"event_id").as("e_mass"))
+      .select($"file_z", $"n_rows", $"u_mass", $"e_mass",
+        lit(nIns).as("n_inserted"), lit(nDel).as("n_deleted"),
+        lit(up.touched.size.toLong).as("files_up"),
+        lit(pg.touched.size.toLong).as("files_purge"),
+        lit(pg.touched.size.toLong + pg.untouched.size.toLong)
+          .as("files_total"))
+      .orderBy($"file_z")
+  }
+  val q241Sql: String =
+    s"""WITH $layoutCte,
+       |ins AS (SELECT event_id + 1000000000000 AS event_id, user_id,
+       |    ub, tb, zkey, file_z, file_t
+       |  FROM laid WHERE event_id % 131 = 3),
+       |up AS (SELECT * FROM laid UNION ALL SELECT * FROM ins),
+       |tombs AS (SELECT DISTINCT user_id FROM up
+       |  WHERE user_id % 499 = 7),
+       |fu AS (SELECT DISTINCT file_z, user_id FROM up),
+       |bpos AS (SELECT f.file_z,
+       |    CAST(('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' ||
+       |      CAST(f.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3840
+       |      AS pos
+       |  FROM fu f, unnest(range(0, 3)) AS u(r)),
+       |bloom AS (SELECT file_z, pos // 60 AS word,
+       |    bit_or(1::BIGINT << CAST(pos % 60 AS INTEGER)) AS bits
+       |  FROM bpos GROUP BY 1, 2),
+       |pp AS (SELECT t.user_id, z.file_z,
+       |    CAST(('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' ||
+       |      CAST(t.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3840
+       |      AS pos
+       |  FROM tombs t, (SELECT DISTINCT file_z FROM up) z,
+       |    unnest(range(0, 3)) AS u(r)),
+       |ph AS (SELECT pp.user_id, pp.file_z,
+       |    BOOL_AND((COALESCE(b.bits, 0) &
+       |      (1::BIGINT << CAST(pp.pos % 60 AS INTEGER))) =
+       |      (1::BIGINT << CAST(pp.pos % 60 AS INTEGER))) AS hit
+       |  FROM pp LEFT JOIN bloom b
+       |    ON b.file_z = pp.file_z AND b.word = pp.pos // 60
+       |  GROUP BY 1, 2),
+       |tfp AS (SELECT CAST(COUNT(DISTINCT file_z) AS BIGINT)
+       |    AS files_purge FROM ph WHERE hit),
+       |tfu AS (SELECT CAST(COUNT(DISTINCT file_z) AS BIGINT)
+       |    AS files_up
+       |  FROM (SELECT file_z FROM ins
+       |    UNION ALL
+       |    SELECT file_z FROM laid WHERE event_id % 131 = 5)),
+       |ni AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_inserted FROM ins),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted FROM up
+       |  WHERE user_id % 499 = 7),
+       |ft AS (SELECT CAST(COUNT(DISTINCT file_z) AS BIGINT)
+       |    AS files_total FROM up)
+       |SELECT s.file_z, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(s.user_id) AS BIGINT) AS u_mass,
+       |  CAST(SUM(s.event_id) AS BIGINT) AS e_mass,
+       |  ni.n_inserted, nd.n_deleted, tfu.files_up, tfp.files_purge,
+       |  ft.files_total
+       |FROM up s, ni, nd, tfu, tfp, ft
+       |WHERE s.user_id % 499 != 7
+       |GROUP BY 1, ni.n_inserted, nd.n_deleted, tfu.files_up,
+       |  tfp.files_purge, ft.files_total
+       |ORDER BY file_z""".stripMargin
+
   /** q220 — journey transition matrix: the q200 sequence corpus read
     * as a first-order Markov chain — per (src event type → dst event
     * type) adjacent-pair count within sessions, with the conditional
@@ -7374,6 +7483,7 @@ object LlmQueries {
     "q237_kmv_banded_pairs" -> (q237KmvBandedPairs _),
     "q238_rtbf_delete" -> (q238RtbfDelete _),
     "q240_stored_upsert" -> (q240StoredUpsert _),
+    "q241_mutation_capstone" -> (q241MutationCapstone _),
     "q231_winnow_eval" -> (q231WinnowEval _),
     "q232_affinity_pack" -> (q232AffinityPack _),
     "q220_journey_transitions" -> (q220JourneyTransitions _),
@@ -7517,6 +7627,7 @@ object LlmQueries {
     "q237_kmv_banded_pairs" -> q237Sql,
     "q238_rtbf_delete" -> q238Sql,
     "q240_stored_upsert" -> q240Sql,
+    "q241_mutation_capstone" -> q241Sql,
     "q231_winnow_eval" -> q231Sql,
     "q232_affinity_pack" -> q232Sql,
     "q220_journey_transitions" -> q220Sql,

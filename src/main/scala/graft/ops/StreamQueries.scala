@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.Dedup
+import graft.llm.{Dedup, Layout}
 import graft.streaming.StreamOps
 
 /** Streaming surface exposed through the driver contract: each query runs
@@ -2108,11 +2108,93 @@ object StreamQueries {
        |${q239PairSql("purchases_dim", "p", "d")}
        |ORDER BY batch_id, pair""".stripMargin
 
+  /** q242 — STREAMING MERGE into the stored table: mutation batches
+    * arriving as a real file-source stream are applied to the q223
+    * layout store by a `foreachBatch` sink that runs
+    * [[graft.llm.Layout.upsertRows]] per micro-batch — each batch
+    * rewrites only the files its rows name and publishes a NEW
+    * pair-atomic store version, chaining v1 → s1 → s2 → s3 → s4 (the
+    * lakehouse streaming-sink pattern: bounded copy-on-write commits,
+    * one per trigger, a reader always on a complete version). The
+    * delta is q240's exact mutation mix (late inserts + re-delivered
+    * duplicates) split into 4 ascending batches; because upserts of
+    * disjoint key sets compose, the STREAMED store must serve
+    * bit-identically to q240's single-shot batch merge — so q240's SQL
+    * is the oracle verbatim (the q114/q120 ingest-twin discipline
+    * applied to storage). A re-delivery replaced in batch 1 then
+    * re-replaced never duplicates; an insert from batch 2 survives
+    * batches 3-4's rewrites of shared files — the per-file hash
+    * would catch either failure. 100 TB shape: each commit's bytes ∝
+    * that batch's file fan-out; versions retire under the blue/green
+    * rule. */
+  def q242StreamUpsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val laid = Layout.eventLayout(Tables.events(s, d))
+    val root = graft.util.Fs.tempRoot("graft_streamup").toString
+    Layout.saveLayout(laid, root) // v1: events_z
+    val (rows, _) = Layout.loadLayout(s, root)
+    val off = 1000000000000L
+    val delta = rows.filter($"event_id" % 131 === 3)
+      .withColumn("event_id", $"event_id" + off)
+      .unionByName(rows.filter($"event_id" % 131 === 5))
+      .localCheckpoint() // audit counts and the 4-way split both scan it
+    val nIns = delta.filter($"event_id" >= off).count()
+    val nRep = delta.filter($"event_id" < off).count()
+    val ftTouched = delta.select($"file_z").distinct().count()
+    val schema = new StructType()
+      .add("event_id", LongType).add("user_id", LongType)
+      .add("ub", LongType).add("tb", LongType)
+      .add("zkey", LongType).add("file_z", LongType)
+    // driver-held commit chain: version name + per-commit audit
+    val commits =
+      scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+    var current = "events_z"
+    fourBatchHarness(s, delta, "event_id", schema, "streamup") {
+      (source, sink) =>
+        val q = source.writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            val next = s"events_z_s${commits.size + 1}"
+            val res = Layout.upsertRows(s, root, current, "file_z",
+              b.localCheckpoint(), next)
+            commits += ((id, next, b.count(), res.touched.size.toLong))
+            current = next
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        require(commits.size == 4,
+          s"q242: expected 4 commits, got ${commits.size}")
+        // the audit chain IS the sink content (foreachBatch has no
+        // memory table; the harness's finish reads this view)
+        commits.toSeq
+          .toDF("batch_id", "version", "n_delta", "files_touched")
+          .createOrReplaceTempView(sink)
+    } { audit =>
+      // the streamed store must serve identically to q240's batch
+      // merge: scan the FINAL version back; audit rows pin the chain
+      val (fin, _) = Layout.loadLayout(s, root, current)
+      require(audit.agg(sum($"n_delta")).head.getLong(0) ==
+        nIns + nRep, "q242: commit chain lost delta rows")
+      val filesTotal = fin.select($"file_z").distinct().count()
+      fin.groupBy($"file_z")
+        .agg(count(lit(1)).as("n_rows"), sum($"user_id").as("u_mass"),
+          sum($"event_id").as("e_mass"))
+        .select($"file_z", $"n_rows", $"u_mass", $"e_mass",
+          lit(nIns).as("n_inserted"), lit(nRep).as("n_replaced"),
+          lit(ftTouched).as("files_touched"),
+          lit(filesTotal).as("files_total"))
+        .orderBy($"file_z")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_stream_dedup" -> (q101StreamDedup _),
     "q229_stream_kmv" -> (q229StreamKmv _),
     "q234_stream_affinity_pack" -> (q234StreamAffinityPack _),
     "q239_stream_planner" -> (q239StreamPlanner _),
+    "q242_stream_upsert" -> (q242StreamUpsert _),
     "q110_stream_decon" -> (q110StreamDecon _),
     "q106_stream_neardup" -> (q106StreamNearDup _),
     "q108_stream_simhash" -> (q108StreamSimhash _),
@@ -2163,6 +2245,9 @@ object StreamQueries {
     // batch sketch at every prefix, so counts, estimates and the q230
     // decision all replay exactly
     "q239_stream_planner" -> q239Sql,
+    // upserts of disjoint key sets compose: the streamed store serves
+    // identically to the single-shot batch merge — q240's SQL verbatim
+    "q242_stream_upsert" -> LlmQueries.q240Sql,
     // ascending id-range batches keep per-shard id order, so the online
     // prefix sums equal the batch window's; q93's SQL is the exact oracle
     "q120_stream_pack" -> LlmQueries.q93Sql,

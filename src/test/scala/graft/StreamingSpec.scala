@@ -493,4 +493,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(cp.head == "broadcast" && cp.last == "shuffle",
       s"no mid-stream flip: ${cp.toSeq}")
   }
+
+  test("q242 streamed merge serves identically to the q240 batch merge " +
+      "(4 chained copy-on-write commits = one single-shot upsert)") {
+    // the q114/q120 twin discipline applied to storage: the same delta
+    // applied as 4 per-micro-batch commits must leave a store whose
+    // per-file aggregates equal the batch merge's exactly — a
+    // re-delivery duplicated across commits, or an insert lost to a
+    // later commit's rewrite of a shared file, fails here
+    val streamed = graft.ops.StreamQueries
+      .q242StreamUpsert(spark, sf).collect().toSeq
+    val batch = graft.ops.LlmQueries
+      .q240StoredUpsert(spark, sf).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }

@@ -139,14 +139,10 @@ object Layout {
     * Footer-stats shaped, like [[zoneMaps]], at any corpus size. */
   def fileBlooms(laid: DataFrame, fileCol: String,
       keyCol: String = "user_id"): DataFrame =
-    laid.select(col(fileCol).as("file_id"),
-        explode(array((0 until BloomK).map(r =>
-          Sketch.bloomPos(col(keyCol).cast("string"), r, BloomWords)): _*))
-        .as("pos"))
-      .groupBy(col("file_id"),
-        (col("pos") / Sketch.BloomBitsPerWord).cast("long").as("word"))
-      .agg(expr(s"bit_or(shiftleft(1L, CAST(pos % " +
-        s"${Sketch.BloomBitsPerWord} AS INT)))").as("bits"))
+    Sketch.bloomBuild(
+      laid.select(col(fileCol).as("file_id"),
+        col(keyCol).cast("string").as("k")),
+      "k", BloomK, BloomWords, groupCols = Seq("file_id"))
 
   /** MATERIALIZE the Z-order layout: write the laid-out rows as parquet
     * PARTITIONED BY `file_z` — on disk the directory layout IS the
@@ -179,13 +175,18 @@ object Layout {
     * driver-side metadata cache a point-lookup planner consults:
     * file_id → 64 packed words. Bounded BY CONSTRUCTION at file-count
     * × words longs (the q223 zone-map-cache precedent). */
+  /** The pair-level crash-window rule, in ONE place: serve prod if it
+    * exists, else the backup pair (as in [[graft.llm.Ivf.loadIndex]]).
+    * Every stored-layout reader resolves through this. */
+  private def baseName(root: String, name: String): String =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(root, name)))
+      name
+    else s"${name}_backup"
+
   def loadBloomCache(spark: org.apache.spark.sql.SparkSession,
       root: String, name: String = "events_z")
       : Map[Long, Array[Long]] = {
-    val base =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(root, name)))
-        name
-      else s"${name}_backup"
+    val base = baseName(root, name)
     spark.read.parquet(s"$root/$base/bloom")
       .select(col("file_id"), col("word").cast("int"), col("bits"))
       .collect()
@@ -205,10 +206,7 @@ object Layout {
   def loadLayout(spark: org.apache.spark.sql.SparkSession, root: String,
       name: String = "events_z", fileCol: String = "file_z")
       : (DataFrame, DataFrame) = {
-    val base =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(root, name)))
-        name
-      else s"${name}_backup"
+    val base = baseName(root, name)
     (spark.read.parquet(s"$root/$base/rows")
        .withColumn(fileCol, col(fileCol).cast("long")),
       spark.read.parquet(s"$root/$base/zonemaps"))
@@ -244,9 +242,13 @@ object Layout {
     require(purgedName != name,
       s"purgeUsers: purged store must not shadow the incumbent '$name'")
     val blooms = loadBloomCache(spark, root, name)
+    // hash each tombstone ONCE, then test every file with pure bit ops
+    // (O(probes·k) digests, not O(probes·files·k))
+    val tombPos = tombs.map(u => graft.llm.Sketch.bloomPositions(
+      u.toString, BloomK, BloomWords))
     val touched = blooms.toSeq.collect { case (f, bits)
-      if tombs.exists(u => graft.llm.Sketch.bloomContains(bits,
-        u.toString, BloomK, BloomWords)) => f }.sorted
+      if tombPos.exists(ps =>
+        graft.llm.Sketch.bloomContainsAt(bits, ps)) => f }.sorted
     val (rows, _) = loadLayout(spark, root, name, fileCol)
     // rewrite arm: a partition-pruned scan of ONLY the touched files,
     // tombstones removed by a broadcast anti-join
@@ -258,16 +260,27 @@ object Layout {
   }
 
   /** MERGE-insert executed on a stored layout, the other copy-on-write
-    * mutation arm (updates compose: [[purgeUsers]] the old version,
-    * upsert the new): `delta` rows — already carrying the full layout
+    * mutation arm: `delta` rows — already carrying the full layout
     * column set (event_id, user_id, ub, tb, zkey, fileCol) — are folded
     * into the store by rewriting ONLY the files their `fileCol` names
     * (for inserts the target file is pure zkey ARITHMETIC on the new
     * row, no probe at all — cheaper than the delete's Bloom consult),
     * carrying every other partition over byte-for-byte. Same metadata
-    * split and pair-atomic publish as the delete. 100 TB shape: a
-    * late-arriving batch rewrites the handful of files its key ranges
-    * land in, not the table. */
+    * split and pair-atomic publish as the delete.
+    *
+    * CALLER CONTRACT — the replace-by-key anti-join scans only the
+    * delta's own files, which is complete exactly when any stored
+    * version of a delta key lives in the delta row's file. That holds
+    * for inserts (no stored version) and for re-deliveries (the layout
+    * columns are a function of the row's (user_id, ts), so an
+    * unchanged row always names its old file). A key-MOVING update —
+    * same event_id, changed user/ts, hence a different file — is NOT
+    * an upsert: applied here it would leave the old version alive in
+    * its unrewritten file (a duplicate key). Compose the arms instead:
+    * [[purgeUsers]] the old rows, then upsert the new — LayoutSpec
+    * pins the composition. 100 TB shape: a late-arriving batch
+    * rewrites the handful of files its key ranges land in, not the
+    * table. */
   def upsertRows(spark: org.apache.spark.sql.SparkSession, root: String,
       name: String, fileCol: String, delta: DataFrame,
       upsertName: String): PurgeResult = {
@@ -301,6 +314,11 @@ object Layout {
       root: String, name: String, fileCol: String, allFiles: Set[Long],
       touched: Seq[Long], rewritten: DataFrame, newName: String)
       : PurgeResult = {
+    // guard on the shared path (not just purgeUsers): an in-place
+    // newName == name would have the carry/metadata reads of the
+    // incumbent race its own prod→backup publish rename
+    require(newName != name,
+      s"cowRewrite: new store must not shadow the incumbent '$name'")
     val untouched = (allFiles -- touched).toSeq.sorted
     val stage = java.nio.file.Paths.get(root, "_staging", newName)
     graft.util.Fs.deleteRecursively(stage)
@@ -312,10 +330,7 @@ object Layout {
       .write.partitionBy(fileCol)
       .parquet(stage.resolve("rows").toString)
     // carry-over arm: untouched partition dirs move at the fs level
-    val base =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(root, name)))
-        name
-      else s"${name}_backup"
+    val base = baseName(root, name)
     untouched.foreach { f =>
       graft.util.Fs.copyRecursively(
         java.nio.file.Paths.get(root, base, "rows", s"$fileCol=$f"),

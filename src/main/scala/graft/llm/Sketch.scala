@@ -141,12 +141,13 @@ object Sketch {
     * and like the CMS the filter is MERGEABLE (word-wise OR), so
     * per-batch or per-executor filters union with no rescan. */
   def bloomBuild(keys: DataFrame, keyCol: String, k: Int,
-      words: Int): DataFrame = {
+      words: Int, groupCols: Seq[String] = Nil): DataFrame = {
     require(k >= 1 && k <= 8, s"k must be in [1,8], got $k")
     require(words >= 1, s"words must be >= 1, got $words")
-    keys.select(explode(array((0 until k).map(r =>
-        bloomPos(col(keyCol), r, words)): _*)).as("pos"))
-      .groupBy((col("pos") / BloomBitsPerWord).cast("long").as("word"))
+    keys.select(groupCols.map(col) :+ explode(array((0 until k).map(r =>
+        bloomPos(col(keyCol), r, words)): _*)).as("pos"): _*)
+      .groupBy(groupCols.map(col) :+
+        (col("pos") / BloomBitsPerWord).cast("long").as("word"): _*)
       .agg(expr(s"bit_or(shiftleft(1L, CAST(pos % $BloomBitsPerWord" +
         " AS INT)))").as("bits"))
   }
@@ -196,7 +197,15 @@ object Sketch {
     * probe bits are set. */
   def bloomContains(bits: Array[Long], key: String, k: Int,
       words: Int): Boolean =
-    bloomPositions(key, k, words).forall { pos =>
+    bloomContainsAt(bits, bloomPositions(key, k, words))
+
+  /** Membership from PRE-COMPUTED probe positions ([[bloomPositions]])
+    * — the driver-planning fast path: a probe-set × file-set
+    * consultation hashes each key ONCE and tests every file with pure
+    * bit ops, O(probes·k) digests instead of O(probes·files·k). */
+  def bloomContainsAt(bits: Array[Long], positions: Array[Long])
+      : Boolean =
+    positions.forall { pos =>
       val mask = 1L << (pos % BloomBitsPerWord).toInt
       (bits((pos / BloomBitsPerWord).toInt) & mask) == mask
     }

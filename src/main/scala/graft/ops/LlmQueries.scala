@@ -2790,11 +2790,13 @@ object LlmQueries {
       .collect().map(_.getLong(0))
     require(probes.nonEmpty, s"q235: no probe users at $d")
     // membership planning: probe-count × file-count arithmetic over
-    // the collected metadata cache — no Spark job, the reader's move
+    // the collected metadata cache — no Spark job, the reader's move;
+    // each probe hashes ONCE, files are tested with pure bit ops
     val pairs: Seq[(Long, Long)] = probes.toSeq.flatMap { u =>
+      val ps = Sketch.bloomPositions(u.toString, Layout.BloomK,
+        Layout.BloomWords)
       blooms.toSeq.collect { case (f, bits)
-        if Sketch.bloomContains(bits, u.toString, Layout.BloomK,
-          Layout.BloomWords) => (u, f) }
+        if Sketch.bloomContainsAt(bits, ps) => (u, f) }
     }
     val predDf = pairs.toDF("user_id", "file_t")
     val candFiles = pairs.map(_._2).distinct.sorted
@@ -2810,32 +2812,41 @@ object LlmQueries {
         lit(filesTotal).as("files_total"), $"n_rows")
       .orderBy($"user_id")
   }
-  val q235Sql: String =
-    s"""WITH $layoutCte,
-       |probes AS (SELECT DISTINCT user_id FROM laid
-       |  WHERE user_id % 17 = 0),
-       |fu AS (SELECT DISTINCT file_t, user_id FROM laid),
-       |bpos AS (SELECT f.file_t,
+  /** The stored per-file Bloom replayed in SQL — build from `rel`'s
+    * (fileCol, user_id) pairs, probe every file with `probeCte`'s
+    * user_ids — shared VERBATIM by q235/q238/q241 (the layoutCte
+    * convention: ONE copy of the geometry both engines compile). Ends
+    * with `ph(user_id, fileCol, hit)`. */
+  private def bloomReplayCte(fileCol: String, probeCte: String,
+      rel: String): String =
+    s"""fu AS (SELECT DISTINCT $fileCol, user_id FROM $rel),
+       |bpos AS (SELECT f.$fileCol,
        |    CAST(('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' ||
        |      CAST(f.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3840
        |      AS pos
        |  FROM fu f, unnest(range(0, 3)) AS u(r)),
-       |bloom AS (SELECT file_t, pos // 60 AS word,
+       |bloom AS (SELECT $fileCol, pos // 60 AS word,
        |    bit_or(1::BIGINT << CAST(pos % 60 AS INTEGER)) AS bits
        |  FROM bpos GROUP BY 1, 2),
-       |pp AS (SELECT p.user_id, z.file_t,
+       |pp AS (SELECT t.user_id, z.$fileCol,
        |    CAST(('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' ||
-       |      CAST(p.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3840
+       |      CAST(t.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3840
        |      AS pos
-       |  FROM probes p, (SELECT DISTINCT file_t FROM laid) z,
+       |  FROM $probeCte t, (SELECT DISTINCT $fileCol FROM $rel) z,
        |    unnest(range(0, 3)) AS u(r)),
-       |ph AS (SELECT pp.user_id, pp.file_t,
+       |ph AS (SELECT pp.user_id, pp.$fileCol,
        |    BOOL_AND((COALESCE(b.bits, 0) &
        |      (1::BIGINT << CAST(pp.pos % 60 AS INTEGER))) =
        |      (1::BIGINT << CAST(pp.pos % 60 AS INTEGER))) AS hit
        |  FROM pp LEFT JOIN bloom b
-       |    ON b.file_t = pp.file_t AND b.word = pp.pos // 60
-       |  GROUP BY 1, 2),
+       |    ON b.$fileCol = pp.$fileCol AND b.word = pp.pos // 60
+       |  GROUP BY 1, 2)""".stripMargin
+
+  val q235Sql: String =
+    s"""WITH $layoutCte,
+       |probes AS (SELECT DISTINCT user_id FROM laid
+       |  WHERE user_id % 17 = 0),
+       |${bloomReplayCte("file_t", "probes", "laid")},
        |pred AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS files_bloom
        |  FROM ph WHERE hit GROUP BY 1),
        |act AS (SELECT user_id,
@@ -3004,11 +3015,15 @@ object LlmQueries {
       tombs, "events_z_purged")
     val (purged, _) = Layout.loadLayout(s, root.toString,
       "events_z_purged")
+    // audit count stays partition-pruned: the Bloom has no false
+    // negatives, so every tombstone row lives in a touched file
+    val nDel = rows.filter($"file_z".isin(res.touched: _*))
+      .filter($"user_id" % 499 === 7).count()
     purged.groupBy($"file_z")
       .agg(count(lit(1)).as("n_rows"), sum($"user_id").as("u_mass"),
         sum($"event_id").as("e_mass"))
       .select($"file_z", $"n_rows", $"u_mass", $"e_mass",
-        lit(rows.filter($"user_id" % 499 === 7).count()).as("n_deleted"),
+        lit(nDel).as("n_deleted"),
         lit(tombs.size.toLong).as("n_tomb_users"),
         lit(res.touched.size.toLong).as("files_touched"),
         lit(res.touched.size.toLong + res.untouched.size.toLong)
@@ -3019,28 +3034,7 @@ object LlmQueries {
     s"""WITH $layoutCte,
        |tombs AS (SELECT DISTINCT user_id FROM laid
        |  WHERE user_id % 499 = 7),
-       |fu AS (SELECT DISTINCT file_z, user_id FROM laid),
-       |bpos AS (SELECT f.file_z,
-       |    CAST(('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' ||
-       |      CAST(f.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3840
-       |      AS pos
-       |  FROM fu f, unnest(range(0, 3)) AS u(r)),
-       |bloom AS (SELECT file_z, pos // 60 AS word,
-       |    bit_or(1::BIGINT << CAST(pos % 60 AS INTEGER)) AS bits
-       |  FROM bpos GROUP BY 1, 2),
-       |pp AS (SELECT t.user_id, z.file_z,
-       |    CAST(('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' ||
-       |      CAST(t.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3840
-       |      AS pos
-       |  FROM tombs t, (SELECT DISTINCT file_z FROM laid) z,
-       |    unnest(range(0, 3)) AS u(r)),
-       |ph AS (SELECT pp.user_id, pp.file_z,
-       |    BOOL_AND((COALESCE(b.bits, 0) &
-       |      (1::BIGINT << CAST(pp.pos % 60 AS INTEGER))) =
-       |      (1::BIGINT << CAST(pp.pos % 60 AS INTEGER))) AS hit
-       |  FROM pp LEFT JOIN bloom b
-       |    ON b.file_z = pp.file_z AND b.word = pp.pos // 60
-       |  GROUP BY 1, 2),
+       |${bloomReplayCte("file_z", "tombs", "laid")},
        |tf AS (SELECT CAST(COUNT(DISTINCT file_z) AS BIGINT)
        |    AS files_touched FROM ph WHERE hit),
        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted FROM laid
@@ -3181,7 +3175,9 @@ object LlmQueries {
       "file_z", tombs, "events_z_v3")
     val (v3, _) = Layout.loadLayout(s, root.toString, "events_z_v3")
     val nIns = delta.filter($"event_id" >= off).count()
-    val nDel = v2.filter($"user_id" % 499 === 7).count()
+    // partition-pruned by the purge's no-false-negative Bloom consult
+    val nDel = v2.filter($"file_z".isin(pg.touched: _*))
+      .filter($"user_id" % 499 === 7).count()
     v3.groupBy($"file_z")
       .agg(count(lit(1)).as("n_rows"), sum($"user_id").as("u_mass"),
         sum($"event_id").as("e_mass"))
@@ -3201,28 +3197,7 @@ object LlmQueries {
        |up AS (SELECT * FROM laid UNION ALL SELECT * FROM ins),
        |tombs AS (SELECT DISTINCT user_id FROM up
        |  WHERE user_id % 499 = 7),
-       |fu AS (SELECT DISTINCT file_z, user_id FROM up),
-       |bpos AS (SELECT f.file_z,
-       |    CAST(('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' ||
-       |      CAST(f.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3840
-       |      AS pos
-       |  FROM fu f, unnest(range(0, 3)) AS u(r)),
-       |bloom AS (SELECT file_z, pos // 60 AS word,
-       |    bit_or(1::BIGINT << CAST(pos % 60 AS INTEGER)) AS bits
-       |  FROM bpos GROUP BY 1, 2),
-       |pp AS (SELECT t.user_id, z.file_z,
-       |    CAST(('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' ||
-       |      CAST(t.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3840
-       |      AS pos
-       |  FROM tombs t, (SELECT DISTINCT file_z FROM up) z,
-       |    unnest(range(0, 3)) AS u(r)),
-       |ph AS (SELECT pp.user_id, pp.file_z,
-       |    BOOL_AND((COALESCE(b.bits, 0) &
-       |      (1::BIGINT << CAST(pp.pos % 60 AS INTEGER))) =
-       |      (1::BIGINT << CAST(pp.pos % 60 AS INTEGER))) AS hit
-       |  FROM pp LEFT JOIN bloom b
-       |    ON b.file_z = pp.file_z AND b.word = pp.pos // 60
-       |  GROUP BY 1, 2),
+       |${bloomReplayCte("file_z", "tombs", "up")},
        |tfp AS (SELECT CAST(COUNT(DISTINCT file_z) AS BIGINT)
        |    AS files_purge FROM ph WHERE hit),
        |tfu AS (SELECT CAST(COUNT(DISTINCT file_z) AS BIGINT)

@@ -388,4 +388,46 @@ class LayoutSpec extends AnyFunSuite {
     val zmTruth = Layout.zoneMaps(up, "file_z")
     assert(zm.exceptAll(zmTruth).isEmpty && zmTruth.exceptAll(zm).isEmpty)
   }
+
+  test("key-moving update composes the arms (purge old, upsert moved) " +
+      "— upsert alone would leave the stale version alive") {
+    import spark.implicits._
+    val laid = Layout.eventLayout(graft.ops.Tables.events(spark, sf))
+    val root = graft.util.Fs.tempRoot("graft_move_spec").toString
+    Layout.saveLayout(laid, root)
+    val (rows, _) = Layout.loadLayout(spark, root)
+    // move user u's events to user w's layout position (same ts, new
+    // user): ub/zkey/file_z recomputed under w — the key-moving shape
+    val u = 7L
+    val w = rows.agg(max($"user_id")).head.getLong(0)
+    assert(u != w)
+    val ubw = rows.filter($"user_id" === w).select($"ub")
+      .head.getLong(0)
+    val moved = rows.filter($"user_id" === u)
+      .withColumn("user_id", lit(w)).withColumn("ub", lit(ubw))
+      .withColumn("zkey", expr(Layout.mortonSql("ub", "tb")))
+      .withColumn("file_z", expr("zkey DIV 1024"))
+      .localCheckpoint()
+    val nU = moved.count()
+    assert(nU > 0)
+    // the documented hazard, demonstrated: upsert ALONE leaves the old
+    // version alive in its unrewritten file — duplicate event_ids
+    Layout.upsertRows(spark, root, "events_z", "file_z", moved,
+      "events_z_naive")
+    val (naive, _) = Layout.loadLayout(spark, root, "events_z_naive")
+    assert(!naive.groupBy($"event_id").count().filter($"count" > 1)
+      .isEmpty, "expected stale duplicates under naive upsert")
+    // the contract's composition: purge the old user, then upsert
+    Layout.purgeUsers(spark, root, "events_z", "file_z", Seq(u),
+      "events_z_m1")
+    Layout.upsertRows(spark, root, "events_z_m1", "file_z", moved,
+      "events_z_m2")
+    val (fin, _) = Layout.loadLayout(spark, root, "events_z_m2")
+    assert(fin.filter($"user_id" === u).isEmpty)
+    assert(fin.groupBy($"event_id").count().filter($"count" > 1).isEmpty)
+    assert(fin.count() == rows.count())
+    // the moved rows are present verbatim at their new position
+    assert(moved.exceptAll(fin.select(moved.columns.map(col): _*))
+      .isEmpty)
+  }
 }

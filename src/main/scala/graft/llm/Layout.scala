@@ -301,6 +301,63 @@ object Layout {
       blooms.keySet ++ touched, touched, merged, upsertName)
   }
 
+  /** CHANGE DATA CAPTURE between two published store versions — the
+    * change feed a downstream consumer (replica sync, materialized-view
+    * maintenance, audit) reads instead of re-scanning the table. Because
+    * every mutation here is copy-on-write ([[cowRewrite]]), untouched
+    * partition directories are byte-identical across versions, so the
+    * diff scans ONLY the `touched` files of BOTH versions (two
+    * partition-pruned scans + one key join of fan-out-bounded bytes) —
+    * never the table. The feed is typed rows `(op, commit payload)`:
+    * `insert` = key only in `after`, `delete` = key only in `before`,
+    * `update` = key in both with a differing payload (impossible on
+    * this table — every column is a function of the key's (user, ts) —
+    * so the comparator existing and emitting ZERO update rows is itself
+    * a gated fact; q243's oracle replays it). This is the backfill/audit
+    * form of a Delta-style change feed (writer-emitted CDC would be
+    * delta-sized with no diff at all; the diff is what PROVES such a
+    * feed complete). Insert/update carry the post-image, delete the
+    * pre-image. */
+  def changeFeed(spark: org.apache.spark.sql.SparkSession, root: String,
+      beforeName: String, afterName: String, fileCol: String,
+      touched: Seq[Long]): DataFrame = {
+    val cols = Seq("event_id", "user_id", "ub", "tb", "zkey", fileCol)
+    def side(nm: String, as: String) = {
+      val (r, _) = loadLayout(spark, root, nm, fileCol)
+      r.filter(col(fileCol).isin(touched: _*))
+        .select(col("event_id"),
+          struct(cols.tail.map(col): _*).as(as))
+    }
+    side(beforeName, "b")
+      .join(side(afterName, "a"), Seq("event_id"), "full_outer")
+      .withColumn("op",
+        when(col("b").isNull, "insert")
+          .when(col("a").isNull, "delete")
+          .when(col("a") =!= col("b"), "update"))
+      .filter(col("op").isNotNull)
+      .select(col("op") +: col("event_id") +:
+        cols.tail.map(c => coalesce(col(s"a.$c"), col(s"b.$c")).as(c)): _*)
+  }
+
+  /** Apply a [[changeFeed]] stream onto a base version, commits in
+    * `commit_id` order: each commit anti-joins its delete/update keys
+    * out, then unions its insert/update post-images in. The replay
+    * gate LayoutSpec pins — replay(v1, feed) row-equal to v3 — is what
+    * makes the feed a faithful substitute for re-reading the store. */
+  def replayFeed(base: DataFrame, feed: DataFrame,
+      fileCol: String): DataFrame = {
+    val cols = Seq("event_id", "user_id", "ub", "tb", "zkey", fileCol)
+    val commits = feed.select(col("commit_id")).distinct()
+      .orderBy(col("commit_id")).collect().map(_.getLong(0))
+    commits.foldLeft(base.select(cols.map(col): _*)) { (acc, c) =>
+      val cf = feed.filter(col("commit_id") === c)
+      acc.join(cf.filter(col("op").isin("delete", "update"))
+          .select(col("event_id")), Seq("event_id"), "left_anti")
+        .unionByName(cf.filter(col("op").isin("insert", "update"))
+          .select(cols.map(col): _*))
+    }
+  }
+
   /** The shared copy-on-write core of [[purgeUsers]] and [[upsertRows]]:
     * write `rewritten` (the new content of the `touched` files) as the
     * staged rows, carry every untouched partition directory over at the

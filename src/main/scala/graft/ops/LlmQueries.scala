@@ -3221,6 +3221,365 @@ object LlmQueries {
        |  tfp.files_purge, ft.files_total
        |ORDER BY file_z""".stripMargin
 
+  /** q243 — CHANGE DATA CAPTURE on the governed store: q241's
+    * three-version lifecycle (v1 incumbent → v2 MERGE upsert → v3 RTBF
+    * purge) re-run, then the typed change feed between adjacent
+    * versions DERIVED from the store itself ([[graft.llm.Layout
+    * .changeFeed]]) — the stream a replica sync or materialized view
+    * (q244) consumes instead of re-reading the table. The copy-on-write
+    * invariant is what makes the diff cheap: untouched partition
+    * directories are byte-identical across versions, so each commit's
+    * feed scans ONLY that commit's touched files on both sides (two
+    * partition-pruned scans + one fan-out-bounded key join), never the
+    * table. The feed is minimal by construction and the oracle pins
+    * that sharpness: re-delivered duplicates produce NO change row
+    * (their payload is unchanged — a feed that emitted them would
+    * shift the per-file counts and hash-fail), the `update` comparator
+    * exists but provably fires zero times on this table (every column
+    * is a function of the key's (user, ts); `n_updates` is replayed by
+    * the oracle as the honest payload-differs count over both commit
+    * diffs, not assumed), and a key inserted at commit 2 whose user is
+    * purged at commit 3 appears in BOTH commits — the cross-commit
+    * composition q241 taught. LayoutSpec pins the consumer-side
+    * contract: replaying the feed onto v1 ([[graft.llm.Layout
+    * .replayFeed]], commits in order) reconstructs v3 row-for-row.
+    * 100 TB shape: feed cost ∝ touched fan-out per commit; a
+    * writer-emitted CDC stream would be delta-sized with no diff at
+    * all — this diff is the audit that proves such a stream complete.
+    * The reference has no versioned storage to diff (one Postgres
+    * table, `/root/reference/src/db/connection.py:10-19`) — north-star
+    * extension. */
+  def q243ChangeFeed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val laid = Layout.eventLayout(Tables.events(s, d))
+    val root = graft.util.Fs.tempRoot("graft_cdcstore")
+    Layout.saveLayout(laid, root.toString) // v1: events_z
+    val (rows, _) = Layout.loadLayout(s, root.toString)
+    val off = 1000000000000L
+    val delta = rows.filter($"event_id" % 131 === 3)
+      .withColumn("event_id", $"event_id" + off)
+      .unionByName(rows.filter($"event_id" % 131 === 5))
+      .localCheckpoint() // both mutation arms scan it
+    val up = Layout.upsertRows(s, root.toString, "events_z", "file_z",
+      delta, "events_z_v2")
+    val (v2, _) = Layout.loadLayout(s, root.toString, "events_z_v2")
+    val tombs: Seq[Long] = v2.select($"user_id").distinct()
+      .filter($"user_id" % 499 === 7).orderBy($"user_id")
+      .collect().map(_.getLong(0)).toSeq
+    require(tombs.nonEmpty, s"q243: no tombstoned users at $d")
+    val pg = Layout.purgeUsers(s, root.toString, "events_z_v2",
+      "file_z", tombs, "events_z_v3")
+    val feed = Layout.changeFeed(s, root.toString, "events_z",
+        "events_z_v2", "file_z", up.touched)
+        .withColumn("commit_id", lit(2L))
+      .unionByName(Layout.changeFeed(s, root.toString, "events_z_v2",
+        "events_z_v3", "file_z", pg.touched)
+        .withColumn("commit_id", lit(3L)))
+      .localCheckpoint() // update-count constant + aggregates share it
+    val nUpd = feed.filter($"op" === "update").count()
+    feed.groupBy($"commit_id", $"op", $"file_z")
+      .agg(count(lit(1)).as("n"), sum($"event_id").as("e_mass"),
+        sum($"user_id").as("u_mass"))
+      .select($"commit_id", $"op", $"file_z", $"n", $"e_mass",
+        $"u_mass", lit(nUpd).as("n_updates"))
+      .orderBy($"commit_id", $"op", $"file_z")
+  }
+  val q243Sql: String =
+    s"""WITH $layoutCte,
+       |ins AS (SELECT event_id + 1000000000000 AS event_id, user_id,
+       |    ub, tb, zkey, file_z, file_t
+       |  FROM laid WHERE event_id % 131 = 3),
+       |up AS (SELECT * FROM laid UNION ALL SELECT * FROM ins),
+       |v3 AS (SELECT * FROM up WHERE user_id % 499 != 7),
+       |feed AS (
+       |  SELECT CAST(2 AS BIGINT) AS commit_id, 'insert' AS op,
+       |    event_id, user_id, file_z FROM ins
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), 'delete', event_id, user_id, file_z
+       |  FROM up WHERE user_id % 499 = 7),
+       |upd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_updates FROM (
+       |  SELECT b.event_id FROM laid b JOIN up a USING (event_id)
+       |  WHERE a.user_id != b.user_id OR a.ub != b.ub OR a.tb != b.tb
+       |    OR a.zkey != b.zkey OR a.file_z != b.file_z
+       |  UNION ALL
+       |  SELECT b.event_id FROM up b JOIN v3 a USING (event_id)
+       |  WHERE a.user_id != b.user_id OR a.ub != b.ub OR a.tb != b.tb
+       |    OR a.zkey != b.zkey OR a.file_z != b.file_z))
+       |SELECT commit_id, op, file_z, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(event_id) AS BIGINT) AS e_mass,
+       |  CAST(SUM(user_id) AS BIGINT) AS u_mass, upd.n_updates
+       |FROM feed, upd
+       |GROUP BY 1, 2, 3, upd.n_updates
+       |ORDER BY commit_id, op, file_z""".stripMargin
+
+  /** q244 — INCREMENTAL MATERIALIZED-VIEW MAINTENANCE: the downstream
+    * consumer that makes a change feed (q243) worth emitting. A
+    * per-user aggregate view (event count + id mass) is computed ONCE
+    * over the base, then a mutation commit arrives — late inserts plus
+    * a right-to-be-forgotten retraction of every event of the
+    * tombstoned users, including events the same commit inserted (the
+    * q241 composition rule) — and the view is MAINTAINED, never
+    * recomputed: the feed aggregates per-user into ± deltas (insert
+    * = +1/+id, delete = −1/−id — the self-maintainable SUM/COUNT
+    * algebra of Gupta & Mumick 1995), one full-outer join folds them
+    * into the stored view, and groups whose maintained count reaches
+    * zero drop out (the COUNT=0 deletion rule). The emitted rows are
+    * the CHANGED view entries (feed-touched users — a purged user
+    * surfaces with explicit zeros) plus whole-view totals as constant
+    * columns; the oracle recomputes the view directly from the final
+    * state, so any maintenance drift — a missed retraction, a
+    * double-applied insert, a zero-group kept — hash-fails, and
+    * LlmSpec pins full-view row equality (maintained == recomputed).
+    * 100 TB shape: maintenance cost ∝ feed size + view size, with the
+    * mutated base never rescanned — the entire point of maintaining a
+    * view incrementally. The reference recomputes its dashboards'
+    * aggregates from Postgres on every poll
+    * (/root/reference/src/db/log_ops.py:58-75) — north-star ext. */
+  /** The maintenance fold of q244, factored so LlmSpec can pin
+    * FULL-view equality (maintained == recomputed-from-scratch, every
+    * user — the emitted changed-row subset can't see a corrupted
+    * untouched row): feed's user-grouped ± deltas full-outer-folded
+    * into the stored view, zero-count groups dropped. */
+  def maintainUserView(s: SparkSession, viewBase: DataFrame,
+      feed: DataFrame): DataFrame = {
+    import s.implicits._
+    val deltas = feed.groupBy($"user_id").agg(
+      sum(when($"op" === "insert", 1L).otherwise(-1L)).as("dn"),
+      sum(when($"op" === "insert", $"event_id").otherwise(-$"event_id"))
+        .as("dmass"))
+    viewBase.join(deltas, Seq("user_id"), "full_outer")
+      .select($"user_id",
+        (coalesce($"n_events", lit(0L)) + coalesce($"dn", lit(0L)))
+          .as("n_events"),
+        (coalesce($"e_mass", lit(0L)) + coalesce($"dmass", lit(0L)))
+          .as("e_mass"))
+      .filter($"n_events" > 0)
+  }
+
+  def q244IncrementalView(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_id", $"user_id")
+    val off = 1000000000000L
+    val viewBase = ev.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"event_id").as("e_mass"))
+    // the arriving commit (in production: q243's feed; derived here)
+    val ins = ev.filter($"event_id" % 131 === 3)
+      .withColumn("event_id", $"event_id" + off)
+    val dels = ev.unionByName(ins).filter($"user_id" % 499 === 7)
+    val feed = ins
+      .select(lit("insert").as("op"), $"event_id", $"user_id")
+      .unionByName(dels
+        .select(lit("delete").as("op"), $"event_id", $"user_id"))
+    val maintained = maintainUserView(s, viewBase, feed)
+      .localCheckpoint() // totals and the changed-row emit share it
+    val tot = maintained.agg(count(lit(1)).as("vu"),
+      coalesce(sum($"n_events"), lit(0L)).as("vn"),
+      coalesce(sum($"e_mass"), lit(0L)).as("vm")).head
+    feed.select($"user_id").distinct()
+      .join(maintained, Seq("user_id"), "left_outer")
+      .select($"user_id",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"e_mass", lit(0L)).as("e_mass"),
+        lit(tot.getLong(0)).as("view_users"),
+        lit(tot.getLong(1)).as("view_n"),
+        lit(tot.getLong(2)).as("view_mass"))
+      .orderBy($"user_id")
+  }
+  val q244Sql: String =
+    """WITH ins AS (SELECT event_id + 1000000000000 AS event_id, user_id
+      |  FROM events WHERE event_id % 131 = 3),
+      |up AS (SELECT event_id, user_id FROM events
+      |  UNION ALL SELECT event_id, user_id FROM ins),
+      |fin AS (SELECT * FROM up WHERE user_id % 499 != 7),
+      |v AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(SUM(event_id) AS BIGINT) AS e_mass
+      |  FROM fin GROUP BY 1),
+      |changed AS (SELECT DISTINCT user_id FROM ins
+      |  UNION SELECT DISTINCT user_id FROM up WHERE user_id % 499 = 7),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS view_users,
+      |    CAST(COALESCE(SUM(n_events), 0) AS BIGINT) AS view_n,
+      |    CAST(COALESCE(SUM(e_mass), 0) AS BIGINT) AS view_mass
+      |  FROM v)
+      |SELECT c.user_id,
+      |  CAST(COALESCE(v.n_events, 0) AS BIGINT) AS n_events,
+      |  CAST(COALESCE(v.e_mass, 0) AS BIGINT) AS e_mass,
+      |  tot.view_users, tot.view_n, tot.view_mass
+      |FROM changed c LEFT JOIN v USING (user_id), tot
+      |ORDER BY user_id""".stripMargin
+
+  /** q245 — TIME TRAVEL on the governed store: after a mutation
+    * publishes, BOTH versions stay readable — the "AS OF" read every
+    * lakehouse table format offers and the property that makes q241's
+    * lifecycle auditable after the fact. The store is built (v1), a
+    * right-to-be-forgotten purge publishes v2 beside it, and then both
+    * versions are read back AFTER the mutation landed: per-version
+    * row count, user/event mass and live-file count, plus the
+    * rows_added/rows_removed transition stats derived from the q243
+    * change feed between them (not from rescanning either version).
+    * The hash gate is version IMMUTABILITY made checkable: v1's
+    * summary must equal the oracle's pre-purge replay even though v1
+    * was read after v2 published — a purge that mutated the incumbent
+    * in place (or a reader that resolved to the wrong version) shifts
+    * row 1 and hash-fails; LayoutSpec additionally pins v1
+    * byte-stability at the file level. 100 TB shape: summaries are
+    * one aggregation per version, the transition stats are
+    * feed-sized, and versions share every untouched file on disk
+    * (copy-on-write), so retention cost grows with CHANGED bytes,
+    * not versions × table. The reference's single mutable table has
+    * no history to travel to (/root/reference/src/db/
+    * connection.py:10-19) — north-star extension. */
+  def q245TimeTravel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val laid = Layout.eventLayout(Tables.events(s, d))
+    val root = graft.util.Fs.tempRoot("graft_ttstore")
+    Layout.saveLayout(laid, root.toString) // v1: events_z
+    val (v1, _) = Layout.loadLayout(s, root.toString)
+    val tombs: Seq[Long] = v1.select($"user_id").distinct()
+      .filter($"user_id" % 499 === 7).orderBy($"user_id")
+      .collect().map(_.getLong(0)).toSeq
+    require(tombs.nonEmpty, s"q245: no tombstoned users at $d")
+    val pg = Layout.purgeUsers(s, root.toString, "events_z", "file_z",
+      tombs, "events_z_v2")
+    // transition stats from the feed — feed-sized, no version rescan
+    val fa = Layout.changeFeed(s, root.toString, "events_z",
+        "events_z_v2", "file_z", pg.touched)
+      .agg(
+        coalesce(sum(when($"op" === "insert", 1L).otherwise(0L)),
+          lit(0L)).as("added"),
+        coalesce(sum(when($"op" === "delete", 1L).otherwise(0L)),
+          lit(0L)).as("removed")).head
+    // AS OF reads: both versions resolved AFTER the purge published
+    def summary(nm: String, ver: Long, added: Long, removed: Long) = {
+      val (r, _) = Layout.loadLayout(s, root.toString, nm)
+      r.agg(count(lit(1)).as("n_rows"), sum($"user_id").as("u_mass"),
+          sum($"event_id").as("e_mass"),
+          countDistinct($"file_z").as("n_files"))
+        .select(lit(ver).as("version"), $"n_rows", $"u_mass",
+          $"e_mass", $"n_files", lit(added).as("rows_added"),
+          lit(removed).as("rows_removed"))
+    }
+    summary("events_z", 1L, 0L, 0L)
+      .unionByName(summary("events_z_v2", 2L,
+        fa.getLong(0), fa.getLong(1)))
+      .orderBy($"version")
+  }
+  val q245Sql: String =
+    s"""WITH $layoutCte,
+       |v2 AS (SELECT * FROM laid WHERE user_id % 499 != 7),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_del FROM laid
+       |  WHERE user_id % 499 = 7)
+       |SELECT CAST(1 AS BIGINT) AS version,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(user_id) AS BIGINT) AS u_mass,
+       |  CAST(SUM(event_id) AS BIGINT) AS e_mass,
+       |  CAST(COUNT(DISTINCT file_z) AS BIGINT) AS n_files,
+       |  CAST(0 AS BIGINT) AS rows_added,
+       |  CAST(0 AS BIGINT) AS rows_removed
+       |FROM laid
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |  CAST(SUM(user_id) AS BIGINT), CAST(SUM(event_id) AS BIGINT),
+       |  CAST(COUNT(DISTINCT file_z) AS BIGINT), CAST(0 AS BIGINT),
+       |  nd.n_del
+       |FROM v2, nd GROUP BY nd.n_del
+       |ORDER BY version""".stripMargin
+
+  /** q246 — AGGREGATE PUSHDOWN INTO METADATA: a range COUNT answered
+    * from the stored layout's zone maps wherever they are decisive,
+    * with a residual scan ONLY over the boundary files — the
+    * metadata-only count path every lakehouse reader (Iceberg/Delta
+    * `COUNT(*)` pushdown, parquet footer stats) takes before touching
+    * data. For the box predicate `ub, tb ∈ [48, 175]` each stored
+    * file is classified from its zone map alone: fully-contained
+    * files contribute their stored `n_rows` WITHOUT being read
+    * (sound because the predicate is exactly on the zone-mapped
+    * columns and min/max bound every row), disjoint files are
+    * skipped, and only partially-overlapping boundary files are
+    * scanned — partition-pruned — with the predicate applied. The box
+    * edges (48, 175) deliberately cut THROUGH the 32×32 Morton tiles
+    * each file covers (zkey DIV 1024 = an aligned 32-bucket square),
+    * so all three arms are populated and the residual arm is real.
+    * The hash gate is sharp: the oracle's `n_exact` is the DIRECT
+    * count over all rows — metadata+residual must reproduce the truth
+    * exactly, so stale stored stats, a misclassified boundary file,
+    * or an unsound containment test all hash-fail — while the arm
+    * columns pin the classification itself. 100 TB shape: the
+    * planning input is file-count-sized metadata, the only data read
+    * is the boundary files — the fraction that shrinks as layout
+    * quality improves (q206's measurement, now CONSUMED by a query
+    * answer). Reference: Postgres answers counts from the heap or a
+    * btree (/root/reference/src/db/connection.py:10-19) — north-star
+    * extension. */
+  def q246MetaCount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val laid = Layout.eventLayout(Tables.events(s, d))
+    val root = graft.util.Fs.tempRoot("graft_metastore")
+    Layout.saveLayout(laid, root.toString)
+    val (rows, zm) = Layout.loadLayout(s, root.toString)
+    val (lo, hi) = (48L, 175L)
+    // classify every file from the STORED zone maps — file-count-sized
+    // metadata, the reader's planning input (the q235 cache move)
+    val arms: Seq[(Long, Long, String)] = zm
+      .select($"file_id", $"n_rows", $"min_ub", $"max_ub",
+        $"min_tb", $"max_tb")
+      .collect().toSeq.map { r =>
+        val arm =
+          if (r.getLong(2) >= lo && r.getLong(3) <= hi &&
+              r.getLong(4) >= lo && r.getLong(5) <= hi) "meta"
+          else if (r.getLong(3) < lo || r.getLong(2) > hi ||
+              r.getLong(5) < lo || r.getLong(4) > hi) "skip"
+          else "scan"
+        (r.getLong(0), r.getLong(1), arm)
+      }
+    val rowsMeta = arms.collect { case (_, n, "meta") => n }.sum
+    val scanFiles = arms.collect { case (f, _, "scan") => f }.sorted
+    val rowsScanned =
+      if (scanFiles.isEmpty) 0L
+      else rows.filter($"file_z".isin(scanFiles: _*))
+        .filter($"ub".between(lo, hi) && $"tb".between(lo, hi))
+        .count()
+    s.range(1).select(
+      lit(rowsMeta + rowsScanned).as("n_exact"),
+      lit(rowsMeta).as("rows_meta"),
+      lit(rowsScanned).as("rows_scanned"),
+      lit(arms.count(_._3 == "meta").toLong).as("files_meta"),
+      lit(scanFiles.size.toLong).as("files_scanned"),
+      lit(arms.count(_._3 == "skip").toLong).as("files_skipped"))
+  }
+  val q246Sql: String =
+    s"""WITH $layoutCte,
+       |zm AS (SELECT file_z AS file_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    MIN(ub) AS min_ub, MAX(ub) AS max_ub,
+       |    MIN(tb) AS min_tb, MAX(tb) AS max_tb
+       |  FROM laid GROUP BY 1),
+       |cls AS (SELECT file_id, n_rows,
+       |    CASE WHEN min_ub >= 48 AND max_ub <= 175
+       |        AND min_tb >= 48 AND max_tb <= 175 THEN 'meta'
+       |      WHEN max_ub < 48 OR min_ub > 175
+       |        OR max_tb < 48 OR min_tb > 175 THEN 'skip'
+       |      ELSE 'scan' END AS arm
+       |  FROM zm),
+       |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM laid
+       |  WHERE ub BETWEEN 48 AND 175 AND tb BETWEEN 48 AND 175),
+       |sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_scanned
+       |  FROM laid l JOIN cls c
+       |    ON l.file_z = c.file_id AND c.arm = 'scan'
+       |  WHERE l.ub BETWEEN 48 AND 175 AND l.tb BETWEEN 48 AND 175),
+       |mt AS (SELECT
+       |    CAST(COALESCE(SUM(CASE WHEN arm = 'meta' THEN n_rows END),
+       |      0) AS BIGINT) AS rows_meta,
+       |    CAST(COALESCE(SUM(CASE WHEN arm = 'meta' THEN 1 END), 0)
+       |      AS BIGINT) AS files_meta,
+       |    CAST(COALESCE(SUM(CASE WHEN arm = 'scan' THEN 1 END), 0)
+       |      AS BIGINT) AS files_scanned,
+       |    CAST(COALESCE(SUM(CASE WHEN arm = 'skip' THEN 1 END), 0)
+       |      AS BIGINT) AS files_skipped
+       |  FROM cls)
+       |SELECT tr.n_exact, mt.rows_meta, sc.rows_scanned, mt.files_meta,
+       |  mt.files_scanned, mt.files_skipped
+       |FROM tr, mt, sc""".stripMargin
+
   /** q220 — journey transition matrix: the q200 sequence corpus read
     * as a first-order Markov chain — per (src event type → dst event
     * type) adjacent-pair count within sessions, with the conditional
@@ -7459,6 +7818,10 @@ object LlmQueries {
     "q238_rtbf_delete" -> (q238RtbfDelete _),
     "q240_stored_upsert" -> (q240StoredUpsert _),
     "q241_mutation_capstone" -> (q241MutationCapstone _),
+    "q243_change_feed" -> (q243ChangeFeed _),
+    "q244_incremental_view" -> (q244IncrementalView _),
+    "q245_time_travel" -> (q245TimeTravel _),
+    "q246_meta_count" -> (q246MetaCount _),
     "q231_winnow_eval" -> (q231WinnowEval _),
     "q232_affinity_pack" -> (q232AffinityPack _),
     "q220_journey_transitions" -> (q220JourneyTransitions _),
@@ -7603,6 +7966,10 @@ object LlmQueries {
     "q238_rtbf_delete" -> q238Sql,
     "q240_stored_upsert" -> q240Sql,
     "q241_mutation_capstone" -> q241Sql,
+    "q243_change_feed" -> q243Sql,
+    "q244_incremental_view" -> q244Sql,
+    "q245_time_travel" -> q245Sql,
+    "q246_meta_count" -> q246Sql,
     "q231_winnow_eval" -> q231Sql,
     "q232_affinity_pack" -> q232Sql,
     "q220_journey_transitions" -> q220Sql,

@@ -54,4 +54,32 @@ object ModelStore {
 
   def exists(root: String, name: String): Boolean =
     Files.exists(Paths.get(root, name))
+
+  /** Retention vacuum: retire every published version under `root`
+    * whose name is not in `keep` — the lifecycle endpoint of the
+    * multi-version store (q241 leaves v1/v2/v3 coexisting; a retention
+    * policy eventually reclaims all but the serving set). A kept name
+    * keeps its `_backup` twin too (the crash-window fallback must
+    * survive a vacuum); a retired name loses prod, backup AND any
+    * leftover staging. Returns the retired names, sorted. Deliberately
+    * name-driven, not age-driven: age policies are a `keep`-set
+    * computation for the caller, while the invariant this owns is
+    * "never break a kept blue/green pair". */
+  def vacuum(root: String, keep: Set[String]): Seq[String] = {
+    def owner(dir: String): String =
+      if (dir.endsWith("_backup")) dir.stripSuffix("_backup") else dir
+    def children(p: Path): Seq[String] =
+      if (!Files.isDirectory(p)) Seq.empty
+      else scala.util.Using.resource(Files.list(p)) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSeq
+      }
+    val top = children(Paths.get(root)).filterNot(_ == "_staging")
+    val retired = top.filterNot(d => keep.contains(owner(d)))
+    retired.foreach(d => rm(Paths.get(root, d)))
+    children(Paths.get(root, "_staging"))
+      .filterNot(keep.contains)
+      .foreach(d => rm(Paths.get(root, "_staging", d)))
+    retired.map(owner).distinct.sorted
+  }
 }

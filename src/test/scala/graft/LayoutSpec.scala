@@ -430,4 +430,150 @@ class LayoutSpec extends AnyFunSuite {
     assert(moved.exceptAll(fin.select(moved.columns.map(col): _*))
       .isEmpty)
   }
+
+  test("changeFeed + replayFeed: the CDC stream reconstructs the final " +
+      "version row-for-row, is minimal, and never fires update") {
+    import spark.implicits._
+    val laid = Layout.eventLayout(graft.ops.Tables.events(spark, sf))
+    val root = graft.util.Fs.tempRoot("graft_cdc_spec").toString
+    Layout.saveLayout(laid, root) // v1
+    val (v1, _) = Layout.loadLayout(spark, root)
+    val off = 1000000000000L
+    val delta = v1.filter($"event_id" % 131 === 3)
+      .withColumn("event_id", $"event_id" + off)
+      .unionByName(v1.filter($"event_id" % 131 === 5))
+      .localCheckpoint()
+    val up = Layout.upsertRows(spark, root, "events_z", "file_z",
+      delta, "events_z_v2")
+    val (v2, _) = Layout.loadLayout(spark, root, "events_z_v2")
+    val tombs = v2.select($"user_id").distinct()
+      .filter($"user_id" % 499 === 7).collect().map(_.getLong(0)).toSeq
+    assert(tombs.nonEmpty)
+    val pg = Layout.purgeUsers(spark, root, "events_z_v2", "file_z",
+      tombs, "events_z_v3")
+    val feed = Layout.changeFeed(spark, root, "events_z",
+        "events_z_v2", "file_z", up.touched)
+        .withColumn("commit_id", lit(2L))
+      .unionByName(Layout.changeFeed(spark, root, "events_z_v2",
+        "events_z_v3", "file_z", pg.touched)
+        .withColumn("commit_id", lit(3L)))
+      .localCheckpoint()
+    // MINIMAL: commit 2 emits exactly the inserts (a re-delivered
+    // duplicate replaces an identical row — no change, no feed row)
+    val nIns = delta.filter($"event_id" >= off).count()
+    assert(feed.filter($"commit_id" === 2).count() == nIns)
+    assert(feed.filter($"commit_id" === 2 && $"op" =!= "insert").isEmpty)
+    // the update comparator exists but can never fire here: every
+    // column is a function of the key's (user, ts)
+    assert(feed.filter($"op" === "update").isEmpty)
+    // cross-commit composition: an inserted key of a tombstoned user
+    // appears again as a commit-3 delete
+    val insDel = feed.filter($"commit_id" === 2).select($"event_id")
+      .join(feed.filter($"commit_id" === 3 && $"op" === "delete")
+        .select($"event_id"), Seq("event_id"))
+    assert(insDel.count() ==
+      delta.filter($"event_id" >= off && $"user_id" % 499 === 7).count())
+    // THE consumer contract: replaying the feed onto v1 IS v3
+    val replayed = Layout.replayFeed(v1, feed, "file_z")
+    val (v3, _) = Layout.loadLayout(spark, root, "events_z_v3")
+    assert(replayed.exceptAll(v3.select(replayed.columns.map(col): _*))
+      .isEmpty &&
+      v3.select(replayed.columns.map(col): _*).exceptAll(replayed)
+        .isEmpty,
+      "replay(v1, feed) != v3")
+  }
+
+  test("time travel: a published mutation leaves the prior version " +
+      "byte-stable and still serving its pre-mutation content") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val laid = Layout.eventLayout(graft.ops.Tables.events(spark, sf))
+    val root = graft.util.Fs.tempRoot("graft_tt_spec").toString
+    Layout.saveLayout(laid, root)
+    def v1Bytes(): Map[String, Long] = {
+      val dir = java.nio.file.Paths.get(root, "events_z")
+      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { w =>
+        w.iterator().asScala.filter(p =>
+            java.nio.file.Files.isRegularFile(p))
+          .map(p => dir.relativize(p).toString ->
+            java.nio.file.Files.size(p)).toMap
+      }
+    }
+    val before = v1Bytes()
+    val (v1pre, _) = Layout.loadLayout(spark, root)
+    val n1 = v1pre.count()
+    Layout.purgeUsers(spark, root, "events_z", "file_z", Seq(7L),
+      "events_z_v2")
+    // v1's file set is untouched by v2's publish (copy-on-write means
+    // history costs only the CHANGED bytes)
+    assert(v1Bytes() == before, "v1 drifted under v2's publish")
+    // and an AS OF read of v1 still sees the pre-purge content
+    val (v1post, _) = Layout.loadLayout(spark, root)
+    assert(v1post.count() == n1)
+    assert(v1post.filter($"user_id" === 7L).count() ==
+      v1pre.filter($"user_id" === 7L).count())
+  }
+
+  test("vacuum: retires unkept versions and staging, keeps the " +
+      "blue/green pair of kept names serving") {
+    import spark.implicits._
+    val laid = Layout.eventLayout(graft.ops.Tables.events(spark, sf))
+    val root = graft.util.Fs.tempRoot("graft_vac_spec").toString
+    Layout.saveLayout(laid, root) // v1
+    Layout.purgeUsers(spark, root, "events_z", "file_z", Seq(7L),
+      "events_z_v2")
+    // publish v2 twice so its _backup pair exists (the kept pair)
+    val (v2a, _) = Layout.loadLayout(spark, root, "events_z_v2")
+    val n2 = v2a.count()
+    Layout.purgeUsers(spark, root, "events_z", "file_z", Seq(7L),
+      "events_z_v2")
+    assert(graft.state.ModelStore.exists(root, "events_z_v2_backup"))
+    val retired = graft.state.ModelStore.vacuum(root,
+      keep = Set("events_z_v2"))
+    assert(retired == Seq("events_z"), retired.toString)
+    assert(!graft.state.ModelStore.exists(root, "events_z"))
+    assert(!graft.state.ModelStore.exists(root, "events_z_backup"))
+    // the kept pair survives whole: prod AND its crash-window backup
+    assert(graft.state.ModelStore.exists(root, "events_z_v2"))
+    assert(graft.state.ModelStore.exists(root, "events_z_v2_backup"))
+    val (v2b, _) = Layout.loadLayout(spark, root, "events_z_v2")
+    assert(v2b.count() == n2)
+    // idempotent: a second vacuum finds nothing to retire
+    assert(graft.state.ModelStore.vacuum(root,
+      keep = Set("events_z_v2")).isEmpty)
+  }
+
+  test("q246 residual scan is partition-pruned to exactly the " +
+      "boundary files the zone maps classify as 'scan'") {
+    import spark.implicits._
+    val laid = Layout.eventLayout(graft.ops.Tables.events(spark, sf))
+    val root = graft.util.Fs.tempRoot("graft_meta_spec").toString
+    Layout.saveLayout(laid, root)
+    val (rows, zm) = Layout.loadLayout(spark, root)
+    val (lo, hi) = (48L, 175L)
+    val scanFiles = zm.collect().toSeq.flatMap { r =>
+      val (mnu, mxu) = (r.getAs[Long]("min_ub"), r.getAs[Long]("max_ub"))
+      val (mnt, mxt) = (r.getAs[Long]("min_tb"), r.getAs[Long]("max_tb"))
+      val contained = mnu >= lo && mxu <= hi && mnt >= lo && mxt <= hi
+      val disjoint = mxu < lo || mnu > hi || mxt < lo || mnt > hi
+      if (!contained && !disjoint) Some(r.getAs[Long]("file_id")) else None
+    }.sorted
+    assert(scanFiles.nonEmpty, "fixture lost its boundary files")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val residual = rows.filter($"file_z".isin(scanFiles: _*))
+        .filter($"ub".between(lo, hi) && $"tb".between(lo, hi))
+        .agg(count(lit(1)).as("n"))
+      residual.collect()
+      val scans = residual.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      // files actually read == the zone-map classification (the q223
+      // move: pruning is MEASURED at the scan node, not assumed)
+      val partsRead = scans.map(_.metrics("numPartitions").value).sum
+      assert(partsRead == scanFiles.size,
+        s"read $partsRead partitions, classified ${scanFiles.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

@@ -2005,4 +2005,37 @@ class LlmSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b,
       s"prefix-rerank diverges from exact: ${a.diff(b).take(3)}")
   }
+
+  test("q244 maintenance fold: the FULL maintained view equals a " +
+      "from-scratch recompute over the final state, every user") {
+    // the query emits only changed rows + totals; this pins the rest —
+    // a maintenance bug that corrupted an untouched user's row would
+    // be invisible to the oracle but fails here
+    import spark.implicits._
+    val ev = graft.ops.Tables.events(spark, sf)
+      .select($"event_id", $"user_id")
+    val off = 1000000000000L
+    val viewBase = ev.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"event_id").as("e_mass"))
+    val ins = ev.filter($"event_id" % 131 === 3)
+      .withColumn("event_id", $"event_id" + off)
+    val dels = ev.unionByName(ins).filter($"user_id" % 499 === 7)
+    val feed = ins
+      .select(lit("insert").as("op"), $"event_id", $"user_id")
+      .unionByName(dels
+        .select(lit("delete").as("op"), $"event_id", $"user_id"))
+    assert(feed.filter($"op" === "insert").count() > 0 &&
+      feed.filter($"op" === "delete").count() > 0)
+    val maintained =
+      graft.ops.LlmQueries.maintainUserView(spark, viewBase, feed)
+    val recomputed = ev.unionByName(ins)
+      .filter($"user_id" % 499 =!= 7)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"event_id").as("e_mass"))
+    assert(maintained.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(maintained).isEmpty,
+      "maintained view diverges from recompute")
+    // and the tombstoned user is truly gone from the maintained view
+    assert(maintained.filter($"user_id" === 7L).isEmpty)
+  }
 }

@@ -556,12 +556,73 @@ object Ivf {
     * inference widens it). */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, root: String,
       name: String = "ivfsq"): (DataFrame, DataFrame) = {
-    val base =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(root, name)))
-        name
-      else s"${name}_backup"
+    val base = baseName(root, name)
     (spark.read.parquet(s"$root/$base/lists")
        .withColumn("list_id", col("list_id").cast("int")),
       spark.read.parquet(s"$root/$base/centroids"))
+  }
+
+  private def baseName(root: String, name: String): String =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(root, name)))
+      name
+    else s"${name}_backup"
+
+  /** Right-to-be-forgotten PURGE of the stored IVF index — deletion
+    * propagated to the DERIVED artifact (q238 deletes the rows; a
+    * search index that still returns the purged ids is a leak). The
+    * deletion request carries the user's vectors, so the lists to
+    * rewrite are named by ONE map-only assignment of the tombstones
+    * under the STORED centroids ([[assignIndex]] — assignment is
+    * deterministic, so a stored tombstone provably lives in its
+    * assigned list; no Bloom needed where the router is exact). Only
+    * those list directories rewrite (partition-pruned scan + broadcast
+    * anti-join); every other list carries into the new version
+    * byte-for-byte at the filesystem level, and the pair publishes
+    * through [[graft.state.ModelStore.publishExclusive]] (first-writer-
+    * wins; a reader is always on a complete pair). Centroids are KEPT:
+    * they are small aggregates of the historical fit — the index must
+    * stop RETURNING purged rows immediately, while re-fitting is a
+    * separate scheduled rebuild (the standard unlearning split).
+    * Returns (touched, untouched) list ids. 100 TB shape: bytes
+    * rewritten ∝ the tombstones' list fan-out, not index size. */
+  def purgeIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+      tombVecs: DataFrame, idCol: String, vecCol: String,
+      name: String = "ivfsq", purgedName: String = "ivfsq_purged")
+      : (Seq[Int], Seq[Int]) = {
+    require(purgedName != name,
+      s"purgeIndex: purged index must not shadow the incumbent '$name'")
+    val (lists, cents) = loadIndex(spark, root, name)
+    val touched = assignIndex(tombVecs, idCol, vecCol, cents)
+      .select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    require(touched.nonEmpty, "purgeIndex: empty tombstone set")
+    // all stored lists, from the DIRECTORY layout (file-count-sized —
+    // the on-disk inverted file is the catalog)
+    val base = baseName(root, name)
+    val allLists = scala.util.Using.resource(java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, base, "lists"))) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("list_id="))
+        .map(_.stripPrefix("list_id=").toInt).toSeq
+    }
+    val untouched = allLists.filterNot(touched.contains).sorted
+    val cleaned = lists.filter(col("list_id").isin(touched: _*))
+      .join(broadcast(tombVecs.select(col(idCol).cast("long").as("id"))),
+        Seq("id"), "left_anti")
+    val stage = java.nio.file.Paths.get(root, "_staging", purgedName)
+    graft.util.Fs.deleteRecursively(stage)
+    cents.write.parquet(stage.resolve("centroids").toString)
+    cleaned.select(lists.columns.map(col): _*)
+      .repartition(col("list_id"))
+      .write.partitionBy("list_id")
+      .parquet(stage.resolve("lists").toString)
+    untouched.foreach { l =>
+      graft.util.Fs.copyRecursively(
+        java.nio.file.Paths.get(root, base, "lists", s"list_id=$l"),
+        stage.resolve("lists").resolve(s"list_id=$l"))
+    }
+    graft.state.ModelStore.publishExclusive(root, purgedName)
+    (touched, untouched)
   }
 }

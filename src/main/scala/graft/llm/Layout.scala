@@ -204,10 +204,15 @@ object Layout {
     * (rows, zoneMaps); the partition-derived file column is cast back
     * to long (partition-column inference narrows to int). */
   def loadLayout(spark: org.apache.spark.sql.SparkSession, root: String,
-      name: String = "events_z", fileCol: String = "file_z")
-      : (DataFrame, DataFrame) = {
+      name: String = "events_z", fileCol: String = "file_z",
+      mergeSchema: Boolean = false): (DataFrame, DataFrame) = {
     val base = baseName(root, name)
-    (spark.read.parquet(s"$root/$base/rows")
+    // mergeSchema reconciles files written under different schema
+    // versions (q248's evolved column): files missing an added column
+    // read as typed NULLs — opt-in, since footer merging costs a pass
+    // over every file footer
+    (spark.read.option("mergeSchema", mergeSchema.toString)
+       .parquet(s"$root/$base/rows")
        .withColumn(fileCol, col(fileCol).cast("long")),
       spark.read.parquet(s"$root/$base/zonemaps"))
   }
@@ -249,7 +254,11 @@ object Layout {
     val touched = blooms.toSeq.collect { case (f, bits)
       if tombPos.exists(ps =>
         graft.llm.Sketch.bloomContainsAt(bits, ps)) => f }.sorted
-    val (rows, _) = loadLayout(spark, root, name, fileCol)
+    // mutation arms read with mergeSchema: they REWRITE files, so an
+    // evolved column (q248) must survive the copy-on-write even when
+    // the sampled footer predates the evolution
+    val (rows, _) = loadLayout(spark, root, name, fileCol,
+      mergeSchema = true)
     // rewrite arm: a partition-pruned scan of ONLY the touched files,
     // tombstones removed by a broadcast anti-join
     val cleaned = rows.filter(col(fileCol).isin(touched: _*))
@@ -288,17 +297,73 @@ object Layout {
     val touched = delta.select(col(fileCol).cast("long"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     require(touched.nonEmpty, "upsertRows: empty delta")
-    val (rows, _) = loadLayout(spark, root, name, fileCol)
+    // mergeSchema for the same reason as purgeUsers: a rewrite must
+    // see (and re-write) every evolved column the store carries
+    val (rows, _) = loadLayout(spark, root, name, fileCol,
+      mergeSchema = true)
     val cols = Seq("event_id", "user_id", "ub", "tb", "zkey", fileCol)
-    // merge arm: incumbent rows of the touched files, minus any version
-    // of a delta key (true upsert), plus the delta itself
-    val merged = rows.filter(col(fileCol).isin(touched: _*))
-      .join(org.apache.spark.sql.functions.broadcast(
-          delta.select(col("event_id"))), Seq("event_id"), "left_anti")
-      .select(cols.map(col): _*)
-      .unionByName(delta.select(cols.map(col): _*))
+    // SCHEMA EVOLUTION: columns the delta carries beyond the layout
+    // set are adopted by the new store version — incumbent rows of the
+    // rewritten files take typed NULLs, carried files simply lack the
+    // column (a mergeSchema reader reconciles both to NULL; q248)
+    val extra = delta.schema.fields.toSeq
+      .filterNot(f => cols.contains(f.name))
+    val incumbent = extra.foldLeft(
+        rows.filter(col(fileCol).isin(touched: _*))
+          .join(org.apache.spark.sql.functions.broadcast(
+            delta.select(col("event_id"))), Seq("event_id"), "left_anti")
+          .select(cols.map(col): _*)) { (df, f) =>
+      df.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    val all = cols ++ extra.map(_.name)
+    val merged = incumbent.select(all.map(col): _*)
+      .unionByName(delta.select(all.map(col): _*))
     cowRewrite(spark, root, name, fileCol,
       blooms.keySet ++ touched, touched, merged, upsertName)
+  }
+
+  /** In-place UPDATE executed on a stored layout — the third
+    * copy-on-write DML arm beside [[purgeUsers]] (delete) and
+    * [[upsertRows]] (insert/replace), expressible once the store
+    * carries a NON-LAYOUT column (q248's schema evolution): for every
+    * row of the `keyUsers` cohort, each `assign` column is recomputed
+    * in place; layout columns are NOT assignable — updating the
+    * (user, ts)-derived key columns moves the row across files, which
+    * is the documented purge+upsert composition, not an update. Touch
+    * set = the Bloom-positive files for the cohort (the purge's
+    * consult: no false negatives, so every cohort row lives in a
+    * touched file); only those files rewrite, everything else carries
+    * byte-for-byte. 100 TB shape: bytes rewritten ∝ cohort's file
+    * fan-out. */
+  def updateRows(spark: org.apache.spark.sql.SparkSession, root: String,
+      name: String, fileCol: String, keyUsers: Seq[Long],
+      assign: Map[String, org.apache.spark.sql.Column],
+      updatedName: String): PurgeResult = {
+    require(keyUsers.nonEmpty, "updateRows: empty cohort")
+    require(assign.nonEmpty, "updateRows: no assignments")
+    val core = Set("event_id", "user_id", "ub", "tb", "zkey", fileCol)
+    require(assign.keys.forall(!core.contains(_)),
+      "updateRows: layout/key columns are not updatable in place — " +
+        "compose purgeUsers + upsertRows for a key-moving change")
+    val blooms = loadBloomCache(spark, root, name)
+    val keyPos = keyUsers.map(u => graft.llm.Sketch.bloomPositions(
+      u.toString, BloomK, BloomWords))
+    val touched = blooms.toSeq.collect { case (f, bits)
+      if keyPos.exists(ps =>
+        graft.llm.Sketch.bloomContainsAt(bits, ps)) => f }.sorted
+    val (rows, _) = loadLayout(spark, root, name, fileCol,
+      mergeSchema = true)
+    assign.keys.foreach(c => require(rows.columns.contains(c),
+      s"updateRows: column '$c' does not exist in '$name' — evolve " +
+        "the schema first (upsertRows with the new column)"))
+    val isTarget = col("user_id").isin(keyUsers: _*)
+    val rewritten = assign.foldLeft(
+        rows.filter(col(fileCol).isin(touched: _*))) {
+      case (df, (c, e)) =>
+        df.withColumn(c, when(isTarget, e).otherwise(col(c)))
+    }
+    cowRewrite(spark, root, name, fileCol, blooms.keySet, touched,
+      rewritten, updatedName)
   }
 
   /** CHANGE DATA CAPTURE between two published store versions — the
@@ -321,19 +386,33 @@ object Layout {
   def changeFeed(spark: org.apache.spark.sql.SparkSession, root: String,
       beforeName: String, afterName: String, fileCol: String,
       touched: Seq[Long]): DataFrame = {
-    val cols = Seq("event_id", "user_id", "ub", "tb", "zkey", fileCol)
-    def side(nm: String, as: String) = {
-      val (r, _) = loadLayout(spark, root, nm, fileCol)
-      r.filter(col(fileCol).isin(touched: _*))
+    val core = Seq("event_id", "user_id", "ub", "tb", "zkey", fileCol)
+    // evolved columns (q248) ride in the payload too — an in-place
+    // UPDATE of a non-layout column (q249) must surface as a change;
+    // mergeSchema reads reconcile pre-evolution files to typed NULLs
+    def load(nm: String) =
+      loadLayout(spark, root, nm, fileCol, mergeSchema = true)._1
+    val (bRaw, aRaw) = (load(beforeName), load(afterName))
+    val cols = core ++
+      (bRaw.columns ++ aRaw.columns).distinct.filterNot(core.contains)
+    def side(raw: DataFrame, as: String) = {
+      val widened = cols.filterNot(raw.columns.contains)
+        .foldLeft(raw)((d, c) => d.withColumn(c,
+          lit(null).cast(aRaw.schema.fields
+            .find(_.name == c).orElse(bRaw.schema.fields
+              .find(_.name == c)).get.dataType)))
+      widened.filter(col(fileCol).isin(touched: _*))
         .select(col("event_id"),
           struct(cols.tail.map(col): _*).as(as))
     }
-    side(beforeName, "b")
-      .join(side(afterName, "a"), Seq("event_id"), "full_outer")
+    // payload compare is NULL-SAFE (<=>): an update from NULL (a
+    // pre-evolution row) to a value is a change, not an unknown
+    side(bRaw, "b")
+      .join(side(aRaw, "a"), Seq("event_id"), "full_outer")
       .withColumn("op",
         when(col("b").isNull, "insert")
           .when(col("a").isNull, "delete")
-          .when(col("a") =!= col("b"), "update"))
+          .when(!(col("a") <=> col("b")), "update"))
       .filter(col("op").isNotNull)
       .select(col("op") +: col("event_id") +:
         cols.tail.map(c => coalesce(col(s"a.$c"), col(s"b.$c")).as(c)): _*)
@@ -379,9 +458,12 @@ object Layout {
     val untouched = (allFiles -- touched).toSeq.sorted
     val stage = java.nio.file.Paths.get(root, "_staging", newName)
     graft.util.Fs.deleteRecursively(stage)
+    // core layout columns first, then any evolved columns the caller's
+    // schema carries (q248) — carried files keep their stored schema
+    val core = Seq("event_id", "user_id", "ub", "tb", "zkey", fileCol)
+    val keep = core ++ rewritten.columns.toSeq.filterNot(core.contains)
     val rw = rewritten
-      .select(col("event_id"), col("user_id"), col("ub"), col("tb"),
-        col("zkey"), col(fileCol))
+      .select(keep.map(col): _*)
       .localCheckpoint() // rows write, zone maps and Blooms all scan it
     rw.repartition(col(fileCol))
       .write.partitionBy(fileCol)
@@ -402,7 +484,9 @@ object Layout {
     spark.read.parquet(s"$root/$base/bloom").filter(!touchedCol)
       .unionByName(fileBlooms(rw, fileCol))
       .write.parquet(stage.resolve("bloom").toString)
-    graft.state.ModelStore.publish(root, newName)
+    // first-writer-wins: a concurrent writer that derived the same new
+    // version from the same base loses here and must rebase (OCC)
+    graft.state.ModelStore.publishExclusive(root, newName)
     PurgeResult(touched, untouched)
   }
 }

@@ -520,8 +520,14 @@ object LlmQueries {
       |  FROM embeddings)""".stripMargin
 
   /** The quantized candidate + serve-ranking tail: exact-integer dot,
-    * (cos_q DESC, cid) total order, top `k`. Shared by q112 and q136. */
-  private def ivfSqServeTailSql(k: Int): String =
+    * (cos_q DESC, cid) total order, top `k`. Shared by q112 and q136;
+    * q251 parameterizes it — `candPred` adds a candidate-side filter
+    * (the purge exclusion), `extraCtes`/`extraSel`/`extraFrom` append
+    * audit-constant CTEs and columns. Defaults reproduce the q112 text
+    * byte-for-byte. */
+  private def ivfSqServeTailSql(k: Int, candPred: String = "",
+      extraCtes: String = "", extraSel: String = "",
+      extraFrom: String = ""): String =
     s""",
       |cand AS (SELECT pb.qid, a.id AS cid,
       |    CAST(list_dot_product(CAST(cq.q AS DOUBLE[]),
@@ -533,12 +539,13 @@ object LlmQueries {
       |  JOIN assign a ON a.list_id = pb.list_id
       |  JOIN qz cq ON cq.id = a.id AND cq.qn > 0
       |  JOIN qz qq ON qq.id = pb.qid AND qq.qn > 0
-      |  WHERE a.id != pb.qid),
+      |  WHERE a.id != pb.qid${
+        if (candPred.isEmpty) "" else s" AND $candPred"}),
       |r AS (SELECT qid, cid, dot_q, cos_q,
       |    ROW_NUMBER() OVER (PARTITION BY qid
       |      ORDER BY cos_q DESC, cid) AS rn
-      |  FROM cand)
-      |SELECT qid, cid, dot_q, ROUND(cos_q, 6) AS cos_q, rn FROM r
+      |  FROM cand)$extraCtes
+      |SELECT qid, cid, dot_q, ROUND(cos_q, 6) AS cos_q, rn$extraSel FROM r$extraFrom
       |WHERE rn <= $k ORDER BY qid, rn""".stripMargin
 
   val q112Sql: String =
@@ -3332,9 +3339,10 @@ object LlmQueries {
     * LlmSpec pins full-view row equality (maintained == recomputed).
     * 100 TB shape: maintenance cost ∝ feed size + view size, with the
     * mutated base never rescanned — the entire point of maintaining a
-    * view incrementally. The reference recomputes its dashboards'
-    * aggregates from Postgres on every poll
-    * (/root/reference/src/db/log_ops.py:58-75) — north-star ext. */
+    * view incrementally. The reference recomputes its per-cluster
+    * count rollup from the full logs table on every batch
+    * (/root/reference/src/db/pattern_ops.py:37-39) — north-star
+    * extension. */
   /** The maintenance fold of q244, factored so LlmSpec can pin
     * FULL-view equality (maintained == recomputed-from-scratch, every
     * user — the emitted changed-row subset can't see a corrupted
@@ -3579,6 +3587,312 @@ object LlmQueries {
        |SELECT tr.n_exact, mt.rows_meta, sc.rows_scanned, mt.files_meta,
        |  mt.files_scanned, mt.files_skipped
        |FROM tr, mt, sc""".stripMargin
+
+  /** q248 — SCHEMA EVOLUTION executed on the stored table: a MERGE
+    * commit ADDS a column, and the store absorbs it without rewriting
+    * history — the add-column path every lakehouse format ships
+    * (Delta/Iceberg schema evolution; parquet's per-file schemas make
+    * it cheap) and the one mutation q240/q241 didn't exercise. The
+    * delta carries a new `weight` column; [[graft.llm.Layout
+    * .upsertRows]] adopts it — incumbent rows of the REWRITTEN files
+    * take typed NULLs, CARRIED files keep their pre-evolution schema
+    * byte-for-byte (never read, never re-encoded) — and the reader
+    * reconciles both via a mergeSchema scan: a column physically
+    * absent from a carried file and an explicit NULL in a rewritten
+    * file must be indistinguishable. That reconciliation is exactly
+    * what the hash gate checks: per-file `n_rows` (evolution loses no
+    * rows), `n_weighted` = COUNT(weight) (exactly the inserted rows —
+    * a carried file misread as all-NULL-dropped, or an incumbent row
+    * given a non-NULL weight, shifts it), and `w_mass` = SUM(weight)
+    * (the values themselves survive the rewrite). The mutation arms
+    * read with mergeSchema from here on, so a LATER purge or merge of
+    * the evolved store re-writes the column instead of silently
+    * dropping it when the sampled footer predates the evolution
+    * (LayoutSpec pins that composition). 100 TB shape: add-column
+    * costs ONLY the mutation's own file fan-out — history is never
+    * rewritten, old files stay valid under the old schema. The
+    * reference would ALTER TABLE its one Postgres table
+    * (/root/reference/src/db/connection.py:10-19), locking and
+    * rewriting in place — north-star extension. */
+  def q248SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val laid = Layout.eventLayout(Tables.events(s, d))
+    val root = graft.util.Fs.tempRoot("graft_evostore")
+    Layout.saveLayout(laid, root.toString) // v1: pre-evolution schema
+    val (rows, _) = Layout.loadLayout(s, root.toString)
+    val off = 1000000000000L
+    val delta = rows.filter($"event_id" % 131 === 3)
+      .withColumn("event_id", $"event_id" + off)
+      .withColumn("weight", $"event_id" % 97) // the evolved column
+      .localCheckpoint() // audit count and the rewrite both scan it
+    val nIns = delta.count()
+    require(nIns > 0, s"q248: empty evolution delta at $d")
+    val res = Layout.upsertRows(s, root.toString, "events_z", "file_z",
+      delta, "events_z_v2")
+    val (v2, _) = Layout.loadLayout(s, root.toString, "events_z_v2",
+      mergeSchema = true)
+    v2.groupBy($"file_z")
+      .agg(count(lit(1)).as("n_rows"), count($"weight").as("n_weighted"),
+        coalesce(sum($"weight"), lit(0L)).as("w_mass"))
+      .select($"file_z", $"n_rows", $"n_weighted", $"w_mass",
+        lit(nIns).as("n_inserted"),
+        lit(res.touched.size.toLong).as("files_touched"),
+        lit(res.touched.size.toLong + res.untouched.size.toLong)
+          .as("files_total"))
+      .orderBy($"file_z")
+  }
+  val q248Sql: String =
+    s"""WITH $layoutCte,
+       |ins AS (SELECT event_id + 1000000000000 AS event_id, user_id,
+       |    file_z, (event_id + 1000000000000) % 97 AS weight
+       |  FROM laid WHERE event_id % 131 = 3),
+       |up AS (SELECT event_id, file_z, CAST(NULL AS BIGINT) AS weight
+       |  FROM laid
+       |  UNION ALL SELECT event_id, file_z, weight FROM ins),
+       |ni AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_inserted FROM ins),
+       |tf AS (SELECT CAST(COUNT(DISTINCT file_z) AS BIGINT)
+       |    AS files_touched FROM ins),
+       |ft AS (SELECT CAST(COUNT(DISTINCT file_z) AS BIGINT)
+       |    AS files_total FROM up)
+       |SELECT u.file_z, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(weight) AS BIGINT) AS n_weighted,
+       |  CAST(COALESCE(SUM(weight), 0) AS BIGINT) AS w_mass,
+       |  ni.n_inserted, tf.files_touched, ft.files_total
+       |FROM up u, ni, tf, ft
+       |GROUP BY 1, ni.n_inserted, tf.files_touched, ft.files_total
+       |ORDER BY file_z""".stripMargin
+
+  /** q249 — in-place UPDATE executed on the stored table, and the CDC
+    * `update` arm finally FIRING: with q248's evolved `weight` column
+    * the store has a non-key column to modify, so the third DML arm
+    * ([[graft.llm.Layout.updateRows]]) becomes expressible — set
+    * `weight := 10000 + user_id % 89` for the `user_id % 499 = 7`
+    * cohort, rewriting only the Bloom-touched files (the q238 consult)
+    * and carrying the rest byte-for-byte. The change feed between the
+    * pre- and post-update versions then consists of PURE `update` ops
+    * — the comparator q243 proved silent on key-derived payloads now
+    * detects every cohort row (NULL-safe: a pre-evolution row going
+    * NULL → 10089 is a change, not an unknown — the `<=>` detail), and
+    * `n_updates` is hash-gated against the oracle's replayed cohort
+    * count. Emitted rows are per-file post-update aggregates — a
+    * mis-applied assignment, an update leaked outside the cohort, or a
+    * carried file corrupted all shift `w_mass`/`n_weighted` — plus the
+    * Bloom-replayed touch count (write amplification, oracle-checked).
+    * 100 TB shape: bytes rewritten ∝ the cohort's file fan-out; the
+    * diff scans only touched files. The reference's
+    * `UPDATE logs SET cluster_id = ...` mutates its Postgres heap in
+    * place (/root/reference/src/db/log_ops.py:58-63); on an immutable
+    * parquet lake the bounded rewrite IS the update — north-star
+    * extension. */
+  def q249StoredUpdate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val laid = Layout.eventLayout(Tables.events(s, d))
+    val root = graft.util.Fs.tempRoot("graft_updstore")
+    Layout.saveLayout(laid, root.toString) // v1: core schema
+    val (rows, _) = Layout.loadLayout(s, root.toString)
+    val off = 1000000000000L
+    val delta = rows.filter($"event_id" % 131 === 3)
+      .withColumn("event_id", $"event_id" + off)
+      .withColumn("weight", $"event_id" % 97)
+      .localCheckpoint() // the evolve commit scans it
+    Layout.upsertRows(s, root.toString, "events_z", "file_z", delta,
+      "events_z_v2") // v2: schema evolved (q248's move)
+    val (v2, _) = Layout.loadLayout(s, root.toString, "events_z_v2",
+      mergeSchema = true)
+    val cohort: Seq[Long] = v2.select($"user_id").distinct()
+      .filter($"user_id" % 499 === 7).orderBy($"user_id")
+      .collect().map(_.getLong(0)).toSeq
+    require(cohort.nonEmpty, s"q249: empty update cohort at $d")
+    val res = Layout.updateRows(s, root.toString, "events_z_v2",
+      "file_z", cohort,
+      Map("weight" -> (lit(10000L) + $"user_id" % 89)), "events_z_v3")
+    val feed = Layout.changeFeed(s, root.toString, "events_z_v2",
+        "events_z_v3", "file_z", res.touched)
+      .localCheckpoint() // the op-purity guard and the count share it
+    val nUpd = feed.filter($"op" === "update").count()
+    require(feed.count() == nUpd,
+      "q249: non-update ops in an update-only commit")
+    val (v3, _) = Layout.loadLayout(s, root.toString, "events_z_v3",
+      mergeSchema = true)
+    v3.groupBy($"file_z")
+      .agg(count(lit(1)).as("n_rows"), count($"weight").as("n_weighted"),
+        coalesce(sum($"weight"), lit(0L)).as("w_mass"))
+      .select($"file_z", $"n_rows", $"n_weighted", $"w_mass",
+        lit(nUpd).as("n_updates"),
+        lit(res.touched.size.toLong).as("files_up"),
+        lit(res.touched.size.toLong + res.untouched.size.toLong)
+          .as("files_total"))
+      .orderBy($"file_z")
+  }
+  val q249Sql: String =
+    s"""WITH $layoutCte,
+       |ins AS (SELECT event_id + 1000000000000 AS event_id, user_id,
+       |    file_z, (event_id + 1000000000000) % 97 AS weight
+       |  FROM laid WHERE event_id % 131 = 3),
+       |up AS (SELECT event_id, user_id, file_z,
+       |    CAST(NULL AS BIGINT) AS weight
+       |  FROM laid
+       |  UNION ALL SELECT event_id, user_id, file_z, weight FROM ins),
+       |v3 AS (SELECT event_id, user_id, file_z,
+       |    CASE WHEN user_id % 499 = 7 THEN 10000 + user_id % 89
+       |      ELSE weight END AS weight
+       |  FROM up),
+       |cohort AS (SELECT DISTINCT user_id FROM up
+       |  WHERE user_id % 499 = 7),
+       |${bloomReplayCte("file_z", "cohort", "up")},
+       |tf AS (SELECT CAST(COUNT(DISTINCT file_z) AS BIGINT)
+       |    AS files_up FROM ph WHERE hit),
+       |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_updates FROM up
+       |  WHERE user_id % 499 = 7),
+       |ft AS (SELECT CAST(COUNT(DISTINCT file_z) AS BIGINT)
+       |    AS files_total FROM up)
+       |SELECT v.file_z, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(weight) AS BIGINT) AS n_weighted,
+       |  CAST(COALESCE(SUM(weight), 0) AS BIGINT) AS w_mass,
+       |  nu.n_updates, tf.files_up, ft.files_total
+       |FROM v3 v, nu, tf, ft
+       |GROUP BY 1, nu.n_updates, tf.files_up, ft.files_total
+       |ORDER BY file_z""".stripMargin
+
+  /** q250 — the LAKEHOUSE LOOP CAPSTONE: storage, CDC and view
+    * maintenance composed end-to-end on one store, every seam a
+    * hash-gated artifact of an earlier query. The q241 lifecycle runs
+    * (v1 incumbent → v2 merge → v3 purge); the per-user view is
+    * computed ONCE from the v1 SCAN-BACK (not from the source table —
+    * the serving layer only sees the store); the change feed is
+    * DERIVED from the store's own versions (q243's diff, touched
+    * files only); and the view is MAINTAINED from that real feed
+    * (q244's fold) — never rescanning v2 or v3. Because the store
+    * lifecycle applies exactly q244's logical mutation (the same
+    * inserts, the same retraction), the maintained result must equal
+    * the single-shot batch maintenance bit-for-bit: q244's SQL is the
+    * oracle VERBATIM. What this adds over its parts is the seam
+    * integrity: a copy-on-write rewrite that corrupted a carried row,
+    * a diff that missed a touched file, or a fold that double-applied
+    * a commit would each surface here even if their own gates were
+    * somehow bypassed — the q97/q136 capstone discipline pointed at
+    * the storage shelf. 100 TB shape: base view once (one store
+    * scan), then feed-sized maintenance forever — the chain a real
+    * serving layer runs on every commit. */
+  def q250CdcViewCapstone(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val laid = Layout.eventLayout(Tables.events(s, d))
+    val root = graft.util.Fs.tempRoot("graft_loopstore")
+    Layout.saveLayout(laid, root.toString) // v1: events_z
+    val (v1, _) = Layout.loadLayout(s, root.toString)
+    // the serving layer's base view — from the STORE, not the source
+    val viewBase = v1.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"event_id").as("e_mass"))
+      .localCheckpoint() // fold + emit share it; v1 never rescanned
+    val off = 1000000000000L
+    val delta = v1.filter($"event_id" % 131 === 3)
+      .withColumn("event_id", $"event_id" + off)
+      .unionByName(v1.filter($"event_id" % 131 === 5))
+      .localCheckpoint()
+    val up = Layout.upsertRows(s, root.toString, "events_z", "file_z",
+      delta, "events_z_v2")
+    val (v2, _) = Layout.loadLayout(s, root.toString, "events_z_v2")
+    val tombs: Seq[Long] = v2.select($"user_id").distinct()
+      .filter($"user_id" % 499 === 7).orderBy($"user_id")
+      .collect().map(_.getLong(0)).toSeq
+    require(tombs.nonEmpty, s"q250: no tombstoned users at $d")
+    val pg = Layout.purgeUsers(s, root.toString, "events_z_v2",
+      "file_z", tombs, "events_z_v3")
+    val feed = Layout.changeFeed(s, root.toString, "events_z",
+        "events_z_v2", "file_z", up.touched)
+      .unionByName(Layout.changeFeed(s, root.toString, "events_z_v2",
+        "events_z_v3", "file_z", pg.touched))
+      .localCheckpoint() // fold + changed-user emit share it
+    val maintained = maintainUserView(s, viewBase, feed)
+      .localCheckpoint() // totals + changed-row emit share it
+    val tot = maintained.agg(count(lit(1)).as("vu"),
+      coalesce(sum($"n_events"), lit(0L)).as("vn"),
+      coalesce(sum($"e_mass"), lit(0L)).as("vm")).head
+    feed.select($"user_id").distinct()
+      .join(maintained, Seq("user_id"), "left_outer")
+      .select($"user_id",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"e_mass", lit(0L)).as("e_mass"),
+        lit(tot.getLong(0)).as("view_users"),
+        lit(tot.getLong(1)).as("view_n"),
+        lit(tot.getLong(2)).as("view_mass"))
+      .orderBy($"user_id")
+  }
+
+  /** q251 — right-to-be-forgotten PURGE of the stored ANN index:
+    * deletion propagated to the DERIVED artifact. q238 deletes rows
+    * from the stored table, but a search index that still RETURNS the
+    * purged ids is a leak the row delete never fixes — so
+    * [[graft.llm.Ivf.purgeIndex]] rewrites the stored IVF-SQ index
+    * (q115's artifact) copy-on-write: the deletion request carries the
+    * user's vectors, one map-only assignment under the STORED
+    * centroids names exactly the list directories that can hold them
+    * (the router is exact, so no Bloom is needed where q238 needed
+    * one), only those lists rewrite via a partition-pruned scan +
+    * broadcast anti-join, every other list carries byte-for-byte, and
+    * the pair publishes first-writer-wins. Centroids are kept — the
+    * index must stop serving purged rows NOW; re-fitting the coarse
+    * quantizer is the separate scheduled rebuild (the standard
+    * unlearning split), and the oracle encodes exactly that semantic:
+    * the full q112 build replay (fit on the historical sample,
+    * tombstones included) with ONLY the candidate set excluding the
+    * tombstones — so a purged id leaking into any top-k, or a
+    * successor not promoted into the freed rank, hash-fails. Audit
+    * constants (n_purged, lists touched/total — the write
+    * amplification) ride every row, replayed from the assign CTE.
+    * 100 TB shape: bytes rewritten ∝ the tombstones' list fan-out;
+    * serving stays partition-pruned (q115's dynamic pruning pin).
+    * The reference deletes only from Postgres and its pickled sklearn
+    * index never forgets (/root/reference/src/ml/vector_engine.py:
+    * 47-61) — north-star extension. */
+  def q251IndexPurge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val sample = e.filter(pmod($"vec_id", lit(10)) === 0)
+    val cents = graft.llm.Ivf.fitCentroids(sample, "vec_id", "embedding",
+      nlist = 16)
+    val idx = graft.llm.Quantize.withInt8(
+        graft.llm.Ivf.assignIndex(e, "vec_id", "embedding", cents), "v")
+      .drop("v")
+    val root = graft.util.Fs.tempRoot("graft_idxpurge")
+    graft.llm.Ivf.saveIndex(idx, cents, root.toString) // v1: ivfsq
+    val tombVecs = e.filter($"vec_id" % 89 === 13).localCheckpoint()
+    require(tombVecs.count() > 0, s"q251: no tombstoned vectors at $d")
+    val (lists0, _) = graft.llm.Ivf.loadIndex(s, root.toString)
+    val (touched, untouched) = graft.llm.Ivf.purgeIndex(s,
+      root.toString, tombVecs, "vec_id", "embedding", "ivfsq",
+      "ivfsq_purged")
+    // audit stays partition-pruned: the exact router puts every stored
+    // tombstone in a touched list
+    val nPurged = lists0.filter($"list_id".isin(touched: _*))
+      .join(broadcast(tombVecs.select($"vec_id".as("id"))), Seq("id"))
+      .count()
+    val (lists, storedCents) = graft.llm.Ivf.loadIndex(s, root.toString,
+      "ivfsq_purged")
+    graft.llm.Ivf.knnQuantizedServe(e.filter($"vec_id" < 10), lists,
+        storedCents, "vec_id", "embedding", k = 5, nprobe = 4,
+        materializeIndex = false)
+      .select($"qid", $"cid", $"dot_q", round($"cos_q", 6).as("cos_q"),
+        $"rn", lit(nPurged).as("n_purged"),
+        lit(touched.size.toLong).as("lists_touched"),
+        lit(touched.size.toLong + untouched.size.toLong)
+          .as("lists_total"))
+      .orderBy($"qid", $"rn")
+  }
+  val q251Sql: String =
+    ivfSqBuildSql(embeddingsAllpts, nlist = 16, nprobe = 4,
+      queryPred = "p.id < 10") +
+      ivfSqServeTailSql(5,
+        candPred = "a.id % 89 != 13",
+        extraCtes = """,
+          |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_purged
+          |  FROM allpts WHERE id % 89 = 13),
+          |lt AS (SELECT CAST(COUNT(DISTINCT list_id) AS BIGINT)
+          |    AS lists_touched FROM assign WHERE id % 89 = 13),
+          |la AS (SELECT CAST(COUNT(DISTINCT list_id) AS BIGINT)
+          |    AS lists_total FROM assign)""".stripMargin,
+        extraSel = ", np.n_purged, lt.lists_touched, la.lists_total",
+        extraFrom = ", np, lt, la")
 
   /** q220 — journey transition matrix: the q200 sequence corpus read
     * as a first-order Markov chain — per (src event type → dst event
@@ -7822,6 +8136,10 @@ object LlmQueries {
     "q244_incremental_view" -> (q244IncrementalView _),
     "q245_time_travel" -> (q245TimeTravel _),
     "q246_meta_count" -> (q246MetaCount _),
+    "q248_schema_evolution" -> (q248SchemaEvolution _),
+    "q249_stored_update" -> (q249StoredUpdate _),
+    "q250_cdc_view_capstone" -> (q250CdcViewCapstone _),
+    "q251_index_purge" -> (q251IndexPurge _),
     "q231_winnow_eval" -> (q231WinnowEval _),
     "q232_affinity_pack" -> (q232AffinityPack _),
     "q220_journey_transitions" -> (q220JourneyTransitions _),
@@ -7970,6 +8288,12 @@ object LlmQueries {
     "q244_incremental_view" -> q244Sql,
     "q245_time_travel" -> q245Sql,
     "q246_meta_count" -> q246Sql,
+    "q248_schema_evolution" -> q248Sql,
+    "q249_stored_update" -> q249Sql,
+    // the store lifecycle applies exactly q244's logical mutation, so
+    // the CDC-maintained view serves identically — q244's SQL verbatim
+    "q250_cdc_view_capstone" -> q244Sql,
+    "q251_index_purge" -> q251Sql,
     "q231_winnow_eval" -> q231Sql,
     "q232_affinity_pack" -> q232Sql,
     "q220_journey_transitions" -> q220Sql,

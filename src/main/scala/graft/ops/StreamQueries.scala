@@ -2189,8 +2189,84 @@ object StreamQueries {
     }
   }
 
+  /** q247 — STREAMING incremental view maintenance: q244's fold kept
+    * LIVE on the change feed, with the state store BOOTSTRAPPED from
+    * the batch-computed view ([[StreamOps.streamingViewMaintain]]'s
+    * `initialState` — the first use of batch-seeded streaming state on
+    * this shelf; backfill once, stream forever). The q244 commit
+    * (late inserts + the RTBF retraction, including retractions of
+    * same-commit inserts) arrives as a real 4-batch file-source
+    * stream ordered by a synthetic feed_id = 2·event_id + is_delete —
+    * ascending splits mean a key's insert can never land AFTER its
+    * delete, and the ± fold is commutative so within-batch order is
+    * free. Each batch re-emits the maintained row of every user it
+    * touched (OutputMode.Update, seq-stamped); the finish side takes
+    * each user's LAST emission as its final view row and serves the
+    * untouched majority from the base snapshot (merge-on-read). The
+    * streamed result must equal the single-shot batch maintenance
+    * exactly — q244's SQL is the oracle VERBATIM (the q242 twin
+    * discipline applied to view maintenance), so a bootstrap seeded
+    * twice, a delta dropped at a batch boundary, or a zero-group kept
+    * alive all hash-fail; StreamingSpec pins the cross-batch state
+    * evolution (per-user seq counts == batches touched). 100 TB
+    * shape: state = one (count, mass, seq) triple per user, per-batch
+    * work ∝ that batch's feed, the view never recomputed. */
+  def q247StreamView(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val ev = Tables.events(s, d).select($"event_id", $"user_id")
+    val off = 1000000000000L
+    val viewBase = ev.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"event_id").as("e_mass"))
+      .localCheckpoint() // bootstrap state + merge-on-read serve share it
+    val ins = ev.filter($"event_id" % 131 === 3)
+      .withColumn("event_id", $"event_id" + off)
+    val dels = ev.unionByName(ins).filter($"user_id" % 499 === 7)
+    val feed = ins
+      .select(lit("insert").as("op"), $"event_id", $"user_id")
+      .unionByName(dels
+        .select(lit("delete").as("op"), $"event_id", $"user_id"))
+      .withColumn("feed_id", $"event_id" * 2 +
+        when($"op" === "delete", 1L).otherwise(0L))
+      .localCheckpoint() // the 4-way split scans it twice
+    val schema = new StructType()
+      .add("op", StringType).add("event_id", LongType)
+      .add("user_id", LongType).add("feed_id", LongType)
+    fourBatchHarness(s, feed, "feed_id", schema, "viewmaint") {
+      (source, sink) =>
+        val typed = source.select($"op", $"event_id", $"user_id")
+          .as[(String, Long, Long)]
+        val q = graft.streaming.StreamOps.streamingViewMaintain(typed,
+            viewBase.as[(Long, Long, Long)])
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update").start()
+        q.processAllAvailable()
+        q.stop()
+    } { emissions =>
+      // final view row per changed user = the LAST (max-seq) emission
+      val fin = emissions.groupBy($"user_id")
+        .agg(max_by(struct($"n_events", $"e_mass"), $"seq").as("v"))
+        .select($"user_id", $"v.n_events".as("n_events"),
+          $"v.e_mass".as("e_mass"))
+        .localCheckpoint() // serve union + changed-row emit share it
+      // merge-on-read serve: base snapshot overridden by maintained rows
+      val served = viewBase
+        .join(fin.select($"user_id"), Seq("user_id"), "left_anti")
+        .unionByName(fin.filter($"n_events" > 0))
+      val tot = served.agg(count(lit(1)).as("vu"),
+        coalesce(sum($"n_events"), lit(0L)).as("vn"),
+        coalesce(sum($"e_mass"), lit(0L)).as("vm")).head
+      fin.select($"user_id", $"n_events", $"e_mass",
+          lit(tot.getLong(0)).as("view_users"),
+          lit(tot.getLong(1)).as("view_n"),
+          lit(tot.getLong(2)).as("view_mass"))
+        .orderBy($"user_id")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_stream_dedup" -> (q101StreamDedup _),
+    "q247_stream_view" -> (q247StreamView _),
     "q229_stream_kmv" -> (q229StreamKmv _),
     "q234_stream_affinity_pack" -> (q234StreamAffinityPack _),
     "q239_stream_planner" -> (q239StreamPlanner _),
@@ -2230,6 +2306,9 @@ object StreamQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q101_stream_dedup" -> q101Sql,
+    // batch-bootstrapped streaming maintenance serves identically to
+    // the single-shot batch fold — q244's SQL is the oracle verbatim
+    "q247_stream_view" -> LlmQueries.q244Sql,
     // stateless stream-static join => identical to batch decontamination
     "q110_stream_decon" -> LlmQueries.q94Sql,
     "q106_stream_neardup" -> q106Sql,

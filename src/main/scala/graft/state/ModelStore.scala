@@ -41,6 +41,27 @@ object ModelStore {
     publish(root, name)
   }
 
+  /** [[publish]] with first-writer-wins semantics for IMMUTABLE
+    * version names — optimistic concurrency detected at commit: if the
+    * name was already published (prod or backup), the second of two
+    * writers that raced to derive the same new version from the same
+    * base gets an error instead of silently clobbering the first (the
+    * classic lost update), and must REBASE onto the latest version and
+    * retry — LayoutSpec pins the race and the rebase. The check is
+    * belt; the suspenders are the filesystem's own atomicity: with no
+    * prod to move aside, [[publish]] degenerates to the single
+    * staging→prod rename, and `Files.move` without REPLACE_EXISTING
+    * throws if the target appeared meanwhile — so even a cross-process
+    * race resolves to exactly one winner. The copy-on-write mutation
+    * arms ([[graft.llm.Layout]]) commit through this. */
+  def publishExclusive(root: String, name: String): Unit = {
+    require(!Files.exists(Paths.get(root, name)) &&
+      !Files.exists(Paths.get(root, s"${name}_backup")),
+      s"publishExclusive: version '$name' already exists at $root — " +
+        "rebase onto the latest version and retry")
+    publish(root, name)
+  }
+
   /** Load production state; falls back to the backup copy if prod is
     * missing (covers a crash between publish()'s two renames — prod was
     * moved aside but staging never landed). */

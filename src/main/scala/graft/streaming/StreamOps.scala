@@ -129,6 +129,56 @@ object StreamOps {
       }
   }
 
+  /** One maintained-view emission of [[streamingViewMaintain]]: the
+    * user's view row as of that update, stamped with a per-user update
+    * sequence so the finish side can take the LAST emission per user. */
+  case class ViewRow(user_id: Long, n_events: Long, e_mass: Long,
+    seq: Long)
+
+  /** INCREMENTAL VIEW MAINTENANCE kept live on a CDC feed stream, with
+    * the state BOOTSTRAPPED from the batch-computed view — the
+    * `initialState` form of `flatMapGroupsWithState`, i.e. the
+    * lakehouse "backfill once, stream forever" pattern and the
+    * streaming twin of q244's fold. Input rows are typed change events
+    * `(op ∈ insert/delete, event_id, user_id)`; keyed state per user is
+    * the maintained (count, mass) pair plus an update sequence — the
+    * view row ITSELF, nothing corpus-sized — seeded per user from
+    * `base` in the first batch. Each micro-batch folds its ± deltas
+    * (insert = +1/+id, delete = −1/−id; the fold is commutative, so
+    * in-batch order is irrelevant) and re-emits the user's new
+    * maintained row (OutputMode.Update). Spark invokes every
+    * initial-state key once in the first batch even with no data (the
+    * bootstrap pass — the one view-sized batch); such a pure-bootstrap
+    * invocation emits NOTHING, so emissions are exactly the
+    * feed-touched rows and the untouched majority keeps being served
+    * from the base snapshot (merge-on-read serving). After bootstrap,
+    * per-batch work ∝ that batch's FEED, not the view. The only
+    * exchanges are the two groupByKey hash shuffles (bootstrap +
+    * feed). */
+  def streamingViewMaintain(feed: Dataset[(String, Long, Long)],
+      base: Dataset[(Long, Long, Long)]): Dataset[ViewRow] = {
+    import feed.sparkSession.implicits._
+    val init = base.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3, 0L))
+    feed.groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout, init) {
+        (u: Long, it: Iterator[(String, Long, Long)],
+         st: GroupState[(Long, Long, Long)]) =>
+          if (it.isEmpty) Iterator.empty // bootstrap-only invocation
+          else {
+            var (n, m, seq) = st.getOption.getOrElse((0L, 0L, 0L))
+            it.foreach { case (op, eid, _) =>
+              if (op == "insert") { n += 1; m += eid }
+              else { n -= 1; m -= eid }
+            }
+            seq += 1
+            st.update((n, m, seq))
+            Iterator.single(ViewRow(u, n, m, seq))
+          }
+      }
+  }
+
   /** Streaming exact dedup — the ingest twin of [[graft.llm.Dedup.exact]]
     * for a corpus arriving as a stream: keyed state per content hash;
     * each DISTINCT content emits exactly one (hash, id) row, in the

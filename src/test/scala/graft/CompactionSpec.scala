@@ -164,4 +164,53 @@ class CompactionSpec extends AnyFunSuite {
       assert(fromStore.toSeq == oneShot.toSeq)
     } finally graft.util.Fs.deleteRecursively(root)
   }
+
+  test("index purge (q251): purged ids gone, exact-router touch " +
+      "coverage, carried list dirs byte-identical, centroids kept") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val e = embeddings
+    val cents = Ivf.fitCentroids(e.filter(pmod($"vec_id", lit(10)) === 0),
+      "vec_id", "embedding", nlist = 4)
+    val idx = Quantize.withInt8(
+      Ivf.assignIndex(e, "vec_id", "embedding", cents), "v").drop("v")
+    val root = java.nio.file.Files.createTempDirectory("graft-idxpurge")
+    try {
+      Ivf.saveIndex(idx, cents, root.toString)
+      val tombVecs = e.filter($"vec_id" % 7 === 3).localCheckpoint()
+      assert(tombVecs.count() > 0)
+      val (lists0, _) = Ivf.loadIndex(spark, root.toString)
+      // files that REALLY hold a tombstone, before the purge
+      val holding = lists0.join(broadcast(
+          tombVecs.select($"vec_id".as("id"))), Seq("id"))
+        .select($"list_id").distinct().collect().map(_.getInt(0)).toSet
+      val (touched, untouched) = Ivf.purgeIndex(spark, root.toString,
+        tombVecs, "vec_id", "embedding", "ivfsq", "ivfsq_purged")
+      // the exact router never misses: every holding list was rewritten
+      assert(holding.subsetOf(touched.toSet),
+        s"router missed ${holding -- touched.toSet}")
+      val (purged, pc) = Ivf.loadIndex(spark, root.toString,
+        "ivfsq_purged")
+      assert(purged.join(broadcast(tombVecs.select($"vec_id".as("id"))),
+        Seq("id")).isEmpty, "a purged id survived in the index")
+      assert(purged.count() == lists0.count() - lists0.join(broadcast(
+        tombVecs.select($"vec_id".as("id"))), Seq("id")).count())
+      // centroids kept verbatim (serving continuity; refit is separate)
+      assert(pc.exceptAll(cents.toDF("list_id", "c")).isEmpty)
+      // carried list dirs byte-identical at the filesystem level
+      def files(name: String, l: Int) = {
+        val dir = java.nio.file.Paths.get(root.toString, name, "lists",
+          s"list_id=$l")
+        scala.util.Using.resource(java.nio.file.Files.list(dir)) { s =>
+          s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+            .map(p => p.getFileName.toString ->
+              java.nio.file.Files.readAllBytes(p).toSeq).toMap
+        }
+      }
+      untouched.take(2).foreach { l =>
+        assert(files("ivfsq", l) == files("ivfsq_purged", l),
+          s"carried list_id=$l drifted")
+      }
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
 }

@@ -519,28 +519,158 @@ class LayoutSpec extends AnyFunSuite {
     import spark.implicits._
     val laid = Layout.eventLayout(graft.ops.Tables.events(spark, sf))
     val root = graft.util.Fs.tempRoot("graft_vac_spec").toString
-    Layout.saveLayout(laid, root) // v1
+    // saveLayout twice: the MUTABLE incumbent name republists (publish,
+    // not publishExclusive), which is what creates its _backup pair
+    Layout.saveLayout(laid, root)
+    Layout.saveLayout(laid, root)
+    assert(graft.state.ModelStore.exists(root, "events_z_backup"))
+    val (v1, _) = Layout.loadLayout(spark, root)
+    val n1 = v1.count()
     Layout.purgeUsers(spark, root, "events_z", "file_z", Seq(7L),
       "events_z_v2")
-    // publish v2 twice so its _backup pair exists (the kept pair)
-    val (v2a, _) = Layout.loadLayout(spark, root, "events_z_v2")
-    val n2 = v2a.count()
-    Layout.purgeUsers(spark, root, "events_z", "file_z", Seq(7L),
-      "events_z_v2")
-    assert(graft.state.ModelStore.exists(root, "events_z_v2_backup"))
     val retired = graft.state.ModelStore.vacuum(root,
-      keep = Set("events_z_v2"))
-    assert(retired == Seq("events_z"), retired.toString)
-    assert(!graft.state.ModelStore.exists(root, "events_z"))
-    assert(!graft.state.ModelStore.exists(root, "events_z_backup"))
+      keep = Set("events_z"))
+    assert(retired == Seq("events_z_v2"), retired.toString)
+    assert(!graft.state.ModelStore.exists(root, "events_z_v2"))
     // the kept pair survives whole: prod AND its crash-window backup
-    assert(graft.state.ModelStore.exists(root, "events_z_v2"))
-    assert(graft.state.ModelStore.exists(root, "events_z_v2_backup"))
-    val (v2b, _) = Layout.loadLayout(spark, root, "events_z_v2")
-    assert(v2b.count() == n2)
+    assert(graft.state.ModelStore.exists(root, "events_z"))
+    assert(graft.state.ModelStore.exists(root, "events_z_backup"))
+    val (v1b, _) = Layout.loadLayout(spark, root)
+    assert(v1b.count() == n1)
     // idempotent: a second vacuum finds nothing to retire
     assert(graft.state.ModelStore.vacuum(root,
-      keep = Set("events_z_v2")).isEmpty)
+      keep = Set("events_z")).isEmpty)
+  }
+
+  test("optimistic concurrency: two writers racing to the same new " +
+      "version — first wins, second must rebase onto the latest") {
+    import spark.implicits._
+    val laid = Layout.eventLayout(graft.ops.Tables.events(spark, sf))
+    val root = graft.util.Fs.tempRoot("graft_occ_spec").toString
+    Layout.saveLayout(laid, root)
+    val (rows, _) = Layout.loadLayout(spark, root)
+    val off = 1000000000000L
+    val delta = rows.filter($"event_id" % 131 === 3)
+      .withColumn("event_id", $"event_id" + off)
+      .localCheckpoint()
+    val nIns = delta.count()
+    // writer A commits v1 → v2
+    Layout.upsertRows(spark, root, "events_z", "file_z", delta,
+      "events_z_v2")
+    // writer B, working from the SAME stale base toward the SAME
+    // version name, must fail at commit (lost update prevented)
+    intercept[IllegalArgumentException] {
+      Layout.purgeUsers(spark, root, "events_z", "file_z", Seq(7L),
+        "events_z_v2")
+    }
+    // A's commit is intact after B's failed attempt
+    val (v2, _) = Layout.loadLayout(spark, root, "events_z_v2")
+    assert(v2.count() == rows.count() + nIns)
+    // B rebases: derive from the LATEST version, commit a fresh name —
+    // the final store carries BOTH mutations
+    Layout.purgeUsers(spark, root, "events_z_v2", "file_z", Seq(7L),
+      "events_z_v3")
+    val (v3, _) = Layout.loadLayout(spark, root, "events_z_v3")
+    assert(v3.filter($"user_id" === 7L).isEmpty)
+    assert(v3.filter($"event_id" >= off).count() ==
+      delta.filter($"user_id" =!= 7L).count())
+  }
+
+  test("schema evolution: carried files keep the old schema on disk, " +
+      "mergeSchema reconciles, and later mutations preserve the column") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val laid = Layout.eventLayout(graft.ops.Tables.events(spark, sf))
+    val root = graft.util.Fs.tempRoot("graft_evo_spec").toString
+    Layout.saveLayout(laid, root)
+    val (rows, _) = Layout.loadLayout(spark, root)
+    val off = 1000000000000L
+    val delta = rows.filter($"event_id" % 131 === 3)
+      .withColumn("event_id", $"event_id" + off)
+      .withColumn("weight", $"event_id" % 97)
+      .localCheckpoint()
+    val nIns = delta.count()
+    val res = Layout.upsertRows(spark, root, "events_z", "file_z",
+      delta, "events_z_e1")
+    // the evolved column exists exactly on the inserted rows
+    val (e1, _) = Layout.loadLayout(spark, root, "events_z_e1",
+      mergeSchema = true)
+    assert(e1.columns.contains("weight"))
+    assert(e1.filter($"weight".isNotNull).count() == nIns)
+    assert(e1.filter($"weight".isNotNull && $"event_id" < off).isEmpty)
+    // a CARRIED file physically lacks the column — history unrewritten
+    val carried = res.untouched.head
+    val carriedDir = java.nio.file.Paths.get(root, "events_z_e1",
+      "rows", s"file_z=$carried")
+    val carriedFile = scala.util.Using.resource(
+        java.nio.file.Files.list(carriedDir)) { l =>
+      l.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    }
+    assert(!spark.read.parquet(carriedFile.toString)
+      .columns.contains("weight"),
+      s"carried file_z=$carried was rewritten with the evolved column")
+    // composition: a purge of the EVOLVED store must re-write (not
+    // drop) the column, and the surviving weights are untouched
+    Layout.purgeUsers(spark, root, "events_z_e1", "file_z", Seq(7L),
+      "events_z_e2")
+    val (e2, _) = Layout.loadLayout(spark, root, "events_z_e2",
+      mergeSchema = true)
+    assert(e2.columns.contains("weight"))
+    val lost = e1.filter($"user_id" =!= 7L)
+      .select($"event_id", $"weight")
+      .exceptAll(e2.select($"event_id", $"weight"))
+    assert(lost.isEmpty, "purge of the evolved store lost weights")
+  }
+
+  test("updateRows: cohort-only in-place assignment, layout columns " +
+      "rejected, and the CDC diff emits pure update ops") {
+    import spark.implicits._
+    val laid = Layout.eventLayout(graft.ops.Tables.events(spark, sf))
+    val root = graft.util.Fs.tempRoot("graft_upd_spec").toString
+    Layout.saveLayout(laid, root)
+    val (rows, _) = Layout.loadLayout(spark, root)
+    val off = 1000000000000L
+    val delta = rows.filter($"event_id" % 131 === 3)
+      .withColumn("event_id", $"event_id" + off)
+      .withColumn("weight", $"event_id" % 97)
+      .localCheckpoint()
+    Layout.upsertRows(spark, root, "events_z", "file_z", delta,
+      "events_z_v2")
+    // guards: key columns are not updatable; unknown columns must be
+    // evolved first
+    intercept[IllegalArgumentException] {
+      Layout.updateRows(spark, root, "events_z_v2", "file_z", Seq(7L),
+        Map("user_id" -> lit(9L)), "events_z_bad")
+    }
+    intercept[IllegalArgumentException] {
+      Layout.updateRows(spark, root, "events_z_v2", "file_z", Seq(7L),
+        Map("nope" -> lit(9L)), "events_z_bad")
+    }
+    val res = Layout.updateRows(spark, root, "events_z_v2", "file_z",
+      Seq(7L), Map("weight" -> (lit(10000L) + $"user_id" % 89)),
+      "events_z_v3")
+    val (v2, _) = Layout.loadLayout(spark, root, "events_z_v2",
+      mergeSchema = true)
+    val (v3, _) = Layout.loadLayout(spark, root, "events_z_v3",
+      mergeSchema = true)
+    // the cohort got exactly the assigned value; nobody else moved
+    assert(v3.filter($"user_id" === 7L)
+      .filter(!($"weight" <=> (lit(10000L) + $"user_id" % 89))).isEmpty)
+    assert(v3.filter($"user_id" =!= 7L)
+      .select($"event_id", $"weight")
+      .exceptAll(v2.filter($"user_id" =!= 7L)
+        .select($"event_id", $"weight")).isEmpty,
+      "update leaked outside the cohort")
+    assert(v3.count() == v2.count())
+    // the diff between the versions is PURE update ops carrying the
+    // post-image, one per cohort row in a touched file
+    val feed = Layout.changeFeed(spark, root, "events_z_v2",
+      "events_z_v3", "file_z", res.touched)
+    val nCohort = v2.filter($"user_id" === 7L).count()
+    assert(feed.count() == nCohort && nCohort > 0)
+    assert(feed.filter($"op" =!= "update").isEmpty)
+    assert(feed.filter($"weight" =!= (lit(10000L) + $"user_id" % 89))
+      .isEmpty, "feed carries a stale pre-image")
   }
 
   test("q246 residual scan is partition-pruned to exactly the " +

@@ -508,4 +508,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("q247 streamed view maintenance equals the q244 batch fold, and " +
+      "the bootstrapped state evolves across batches") {
+    import spark.implicits._
+    // twin gate: the batch-seeded stream must serve the same changed
+    // rows + totals as the single-shot maintenance
+    val streamed = graft.ops.StreamQueries
+      .q247StreamView(spark, sf).collect().toSeq
+    val batch = graft.ops.LlmQueries
+      .q244IncrementalView(spark, sf).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // cross-batch state: drive the operator directly in batch mode over
+    // a 2-step fold — the seeded base must be visible to step 1, and
+    // step 2 must fold ON TOP of step 1's state, not the seed
+    val base = Seq((5L, 2L, 30L)).toDS() // user 5: n=2, mass=30
+    val feed = Seq(("insert", 100L, 5L), ("delete", 10L, 5L),
+      ("insert", 200L, 5L)).toDS()
+    val out = graft.streaming.StreamOps
+      .streamingViewMaintain(feed, base).collect()
+    // one batch = one emission folding all three deltas onto the seed
+    assert(out.length == 1)
+    assert(out.head.n_events == 3L && out.head.e_mass == 320L,
+      out.head.toString)
+    // a user with NO seed starts from zero (late-created group)
+    val out2 = graft.streaming.StreamOps.streamingViewMaintain(
+      Seq(("insert", 7L, 9L)).toDS(), base).collect()
+      .filter(_.user_id == 9L)
+    assert(out2.length == 1 && out2.head.n_events == 1L &&
+      out2.head.e_mass == 7L)
+  }
 }

@@ -418,6 +418,44 @@ object Layout {
         cols.tail.map(c => coalesce(col(s"a.$c"), col(s"b.$c")).as(c)): _*)
   }
 
+  /** WRITER-EMITTED change feed for an upsert commit — the delta-sized
+    * form of [[changeFeed]]: the merge writer already knows its delta
+    * and scans the incumbent's touched files anyway, so it can CLASSIFY
+    * each delta row against the stored version at commit time (key
+    * absent → `insert`; payload differs → `update`; identical
+    * re-delivery → NO feed row) without ever diffing whole versions.
+    * This is what a production CDF emits per commit; [[changeFeed]] is
+    * the backfill/audit diff that PROVES such a stream complete —
+    * LayoutSpec pins writerFeed(v1, delta) == changeFeed(v1, v2) after
+    * the corresponding upsert, and q252 gates the per-commit streamed
+    * feeds against the oracle's replay. Cost: one partition-pruned
+    * incumbent scan + one delta-sized broadcast join. Call BEFORE
+    * [[upsertRows]] publishes (the classification is against the
+    * incumbent the upsert will rewrite). */
+  def writerFeed(spark: org.apache.spark.sql.SparkSession, root: String,
+      name: String, fileCol: String, delta: DataFrame): DataFrame = {
+    val core = Seq("event_id", "user_id", "ub", "tb", "zkey", fileCol)
+    val touched = delta.select(col(fileCol).cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val (rows, _) = loadLayout(spark, root, name, fileCol,
+      mergeSchema = true)
+    val cols = core ++ delta.columns.toSeq.filterNot(core.contains)
+    val inc = cols.filterNot(rows.columns.contains)
+      .foldLeft(rows.filter(col(fileCol).isin(touched: _*))) { (d, c) =>
+        d.withColumn(c, lit(null).cast(
+          delta.schema.fields.find(_.name == c).get.dataType))
+      }
+      .select(col("event_id"), struct(cols.tail.map(col): _*).as("b"))
+    delta.select(col("event_id"), struct(cols.tail.map(col): _*).as("a"))
+      .join(inc, Seq("event_id"), "left_outer")
+      .withColumn("op",
+        when(col("b").isNull, "insert")
+          .when(!(col("a") <=> col("b")), "update"))
+      .filter(col("op").isNotNull)
+      .select(col("op") +: col("event_id") +:
+        cols.tail.map(c => col(s"a.$c").as(c)): _*)
+  }
+
   /** Apply a [[changeFeed]] stream onto a base version, commits in
     * `commit_id` order: each commit anti-joins its delete/update keys
     * out, then unions its insert/update post-images in. The replay

@@ -1292,7 +1292,7 @@ object LlmQueries {
     * (interpolated VERBATIM, the same string the Spark plan compiles),
     * and both file assignments. Ends with `laid(event_id, user_id, ub,
     * tb, zkey, file_z, file_t)`. */
-  private val layoutCte: String =
+  private[ops] val layoutCte: String =
     s"""st AS (SELECT MIN(user_id) AS lo_u, MAX(user_id) AS hi_u,
        |    MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS lo_t,
        |    MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS hi_t FROM events),

@@ -2264,9 +2264,101 @@ object StreamQueries {
     }
   }
 
+  /** q252 — WRITER-EMITTED CDC from the streaming merge: q242's
+    * commit chain, but each micro-batch's writer also emits its change
+    * feed AT COMMIT TIME ([[graft.llm.Layout.writerFeed]] — classify
+    * the delta against the incumbent the upsert is about to rewrite:
+    * key absent → insert, identical re-delivery → NO row), which is
+    * the delta-sized production CDF; q243's post-hoc diff is the audit
+    * that proves this stream complete (LayoutSpec pins the two equal
+    * commit-for-commit). The emitted rows are per-(commit, op, file)
+    * aggregates of the four streamed feeds; the oracle replays the
+    * 4-way NTILE split of the delta and classifies each tile — so a
+    * feed row for a re-delivered duplicate, an insert attributed to
+    * the wrong commit, or a lost feed row all hash-fail. The honest
+    * detail the fixture surfaces: the delta orders re-deliveries
+    * (original ids) before inserts (re-keyed ids), so the early
+    * commits are CDC-SILENT — a correct writer emits nothing for a
+    * batch of pure re-deliveries, and the oracle's tile counts pin
+    * that silence. 100 TB shape: feed cost ∝ each commit's delta +
+    * its file fan-out (one pruned incumbent scan the merge pays
+    * anyway) — no version diff ever runs on the hot path. */
+  def q252StreamCdc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val laid = Layout.eventLayout(Tables.events(s, d))
+    val root = graft.util.Fs.tempRoot("graft_streamcdc").toString
+    Layout.saveLayout(laid, root) // v1: events_z
+    val (rows, _) = Layout.loadLayout(s, root)
+    val off = 1000000000000L
+    val delta = rows.filter($"event_id" % 131 === 3)
+      .withColumn("event_id", $"event_id" + off)
+      .unionByName(rows.filter($"event_id" % 131 === 5))
+      .localCheckpoint()
+    val schema = new StructType()
+      .add("event_id", LongType).add("user_id", LongType)
+      .add("ub", LongType).add("tb", LongType)
+      .add("zkey", LongType).add("file_z", LongType)
+    // per-commit feeds stage as parquet (delta-sized — what a real CDF
+    // table IS) so the post-stream aggregation binds to the OUTER
+    // session: a micro-batch DataFrame lives in a cloned session, and
+    // a temp view created from it lands in the clone's catalog
+    val feedDir = graft.util.Fs.tempRoot("graft_streamcdc_feed")
+    var nCommits = 0
+    var current = "events_z"
+    fourBatchHarness(s, delta, "event_id", schema, "streamcdc") {
+      (source, sink) =>
+        val q = source.writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            val bb = b.localCheckpoint()
+            // the writer's feed, classified against the incumbent
+            // BEFORE the commit rewrites it
+            Layout.writerFeed(s, root, current, "file_z", bb)
+              .withColumn("commit_id", lit(id + 1))
+              .write.parquet(s"$feedDir/c${id + 1}")
+            nCommits += 1
+            val next = s"events_z_s$nCommits"
+            Layout.upsertRows(s, root, current, "file_z", bb, next)
+            current = next
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        require(nCommits == 4,
+          s"q252: expected 4 commits, got $nCommits")
+        s.read.option("recursiveFileLookup", "true")
+          .parquet(feedDir.toString)
+          .groupBy($"commit_id", $"op", $"file_z")
+          .agg(count(lit(1)).as("n"), sum($"event_id").as("e_mass"),
+            sum($"user_id").as("u_mass"))
+          .createOrReplaceTempView(sink)
+    } { agg =>
+      agg.orderBy($"commit_id", $"op", $"file_z")
+    }
+  }
+  val q252Sql: String =
+    s"""WITH ${LlmQueries.layoutCte},
+       |ins AS (SELECT event_id + 1000000000000 AS event_id, user_id,
+       |    ub, tb, zkey, file_z, file_t
+       |  FROM laid WHERE event_id % 131 = 3),
+       |delta AS (SELECT * FROM laid WHERE event_id % 131 = 5
+       |  UNION ALL SELECT * FROM ins),
+       |tiled AS (SELECT event_id, user_id, file_z,
+       |    NTILE(4) OVER (ORDER BY event_id) AS commit_id
+       |  FROM delta)
+       |SELECT CAST(commit_id AS BIGINT) AS commit_id, 'insert' AS op,
+       |  file_z, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(event_id) AS BIGINT) AS e_mass,
+       |  CAST(SUM(user_id) AS BIGINT) AS u_mass
+       |FROM tiled WHERE event_id >= 1000000000000
+       |GROUP BY 1, 3
+       |ORDER BY commit_id, op, file_z""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_stream_dedup" -> (q101StreamDedup _),
     "q247_stream_view" -> (q247StreamView _),
+    "q252_stream_cdc" -> (q252StreamCdc _),
     "q229_stream_kmv" -> (q229StreamKmv _),
     "q234_stream_affinity_pack" -> (q234StreamAffinityPack _),
     "q239_stream_planner" -> (q239StreamPlanner _),
@@ -2309,6 +2401,7 @@ object StreamQueries {
     // batch-bootstrapped streaming maintenance serves identically to
     // the single-shot batch fold — q244's SQL is the oracle verbatim
     "q247_stream_view" -> LlmQueries.q244Sql,
+    "q252_stream_cdc" -> q252Sql,
     // stateless stream-static join => identical to batch decontamination
     "q110_stream_decon" -> LlmQueries.q94Sql,
     "q106_stream_neardup" -> q106Sql,

@@ -483,6 +483,33 @@ class LayoutSpec extends AnyFunSuite {
       "replay(v1, feed) != v3")
   }
 
+  test("writerFeed == changeFeed: the commit-time feed is complete " +
+      "(the post-hoc diff proves it) and re-deliveries emit nothing") {
+    import spark.implicits._
+    val laid = Layout.eventLayout(graft.ops.Tables.events(spark, sf))
+    val root = graft.util.Fs.tempRoot("graft_wfeed_spec").toString
+    Layout.saveLayout(laid, root)
+    val (rows, _) = Layout.loadLayout(spark, root)
+    val off = 1000000000000L
+    val delta = rows.filter($"event_id" % 131 === 3)
+      .withColumn("event_id", $"event_id" + off)
+      .unionByName(rows.filter($"event_id" % 131 === 5))
+      .localCheckpoint()
+    // the writer's delta-sized feed, classified BEFORE the commit
+    val wf = Layout.writerFeed(spark, root, "events_z", "file_z", delta)
+      .localCheckpoint()
+    val res = Layout.upsertRows(spark, root, "events_z", "file_z",
+      delta, "events_z_v2")
+    // the audit diff over the published versions
+    val cf = Layout.changeFeed(spark, root, "events_z", "events_z_v2",
+      "file_z", res.touched)
+    assert(wf.exceptAll(cf).isEmpty && cf.exceptAll(wf).isEmpty,
+      "writer-emitted feed diverges from the version diff")
+    // minimality: exactly the inserts; identical re-deliveries silent
+    assert(wf.count() == delta.filter($"event_id" >= off).count())
+    assert(wf.filter($"op" =!= "insert").isEmpty)
+  }
+
   test("time travel: a published mutation leaves the prior version " +
       "byte-stable and still serving its pre-mutation content") {
     import spark.implicits._

@@ -302,22 +302,45 @@ object Layout {
     val (rows, _) = loadLayout(spark, root, name, fileCol,
       mergeSchema = true)
     val cols = Seq("event_id", "user_id", "ub", "tb", "zkey", fileCol)
-    // SCHEMA EVOLUTION: columns the delta carries beyond the layout
-    // set are adopted by the new store version — incumbent rows of the
-    // rewritten files take typed NULLs, carried files simply lack the
-    // column (a mergeSchema reader reconciles both to NULL; q248)
-    val extra = delta.schema.fields.toSeq
+    // SCHEMA EVOLUTION, column-preserving (the Delta `MERGE … UPDATE
+    // SET` rule): the merged schema is the UNION of stored and delta
+    // extras. Columns the delta carries beyond the layout set are
+    // adopted (incumbent rows of rewritten files take typed NULLs;
+    // carried files simply lack the column — a mergeSchema reader
+    // reconciles both, q248); columns the STORE carries that the delta
+    // does not are PRESERVED — untouched rows keep them verbatim, and
+    // a replaced key keeps its stored value for every column the delta
+    // did not provide, so an identical core-payload re-delivery can
+    // never clobber an evolved value back to NULL. That preservation
+    // is also what makes [[writerFeed]]'s core+delta-column compare
+    // complete: a column the delta cannot set cannot change.
+    val storeExtras = rows.schema.fields.toSeq
       .filterNot(f => cols.contains(f.name))
-    val incumbent = extra.foldLeft(
-        rows.filter(col(fileCol).isin(touched: _*))
-          .join(org.apache.spark.sql.functions.broadcast(
-            delta.select(col("event_id"))), Seq("event_id"), "left_anti")
-          .select(cols.map(col): _*)) { (df, f) =>
-      df.withColumn(f.name, lit(null).cast(f.dataType))
-    }
-    val all = cols ++ extra.map(_.name)
+    val deltaOnly = delta.schema.fields.toSeq
+      .filterNot(f => cols.contains(f.name) ||
+        storeExtras.exists(_.name == f.name))
+    val extras = storeExtras ++ deltaOnly
+    val all = cols ++ extras.map(_.name)
+    def widen(df: DataFrame): DataFrame =
+      extras.filterNot(f => df.columns.contains(f.name))
+        .foldLeft(df)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val incTouched = rows.filter(col(fileCol).isin(touched: _*))
+    val incumbent = widen(incTouched
+      .join(org.apache.spark.sql.functions.broadcast(
+        delta.select(col("event_id"))), Seq("event_id"), "left_anti"))
+    // store-only columns of a REPLACED key carry over from its stored
+    // version (a per-key left join against the touched-file scan the
+    // merge reads anyway — fan-out-bounded)
+    val storeOnly = storeExtras
+      .filterNot(f => delta.columns.contains(f.name))
+    val deltaFilled =
+      if (storeOnly.isEmpty) delta
+      else delta.join(incTouched.select(col("event_id") +:
+        storeOnly.map(f => col(f.name)): _*), Seq("event_id"),
+        "left_outer")
     val merged = incumbent.select(all.map(col): _*)
-      .unionByName(delta.select(all.map(col): _*))
+      .unionByName(deltaFilled.select(all.map(col): _*))
     cowRewrite(spark, root, name, fileCol,
       blooms.keySet ++ touched, touched, merged, upsertName)
   }
@@ -356,12 +379,20 @@ object Layout {
     assign.keys.foreach(c => require(rows.columns.contains(c),
       s"updateRows: column '$c' does not exist in '$name' — evolve " +
         "the schema first (upsertRows with the new column)"))
-    val isTarget = col("user_id").isin(keyUsers: _*)
-    val rewritten = assign.foldLeft(
-        rows.filter(col(fileCol).isin(touched: _*))) {
+    // cohort targeting by broadcast membership join (the purgeUsers
+    // pattern), NOT an isin literal list: a large cohort inlined as
+    // one In expression bloats the plan toward Janino's method limit
+    // and re-evaluates per row
+    import spark.implicits._
+    val targets = org.apache.spark.sql.functions.broadcast(
+      keyUsers.toDF("user_id").withColumn("__upd", lit(true)))
+    val flagged = rows.filter(col(fileCol).isin(touched: _*))
+      .join(targets, Seq("user_id"), "left_outer")
+    val isTarget = coalesce(col("__upd"), lit(false))
+    val rewritten = assign.foldLeft(flagged) {
       case (df, (c, e)) =>
         df.withColumn(c, when(isTarget, e).otherwise(col(c)))
-    }
+    }.drop("__upd")
     cowRewrite(spark, root, name, fileCol, blooms.keySet, touched,
       rewritten, updatedName)
   }
@@ -414,8 +445,12 @@ object Layout {
           .when(col("a").isNull, "delete")
           .when(!(col("a") <=> col("b")), "update"))
       .filter(col("op").isNotNull)
+      // op-aware image pick, NOT coalesce: an update that set a column
+      // to NULL must emit the NULL post-image, not resurrect the
+      // pre-image value
       .select(col("op") +: col("event_id") +:
-        cols.tail.map(c => coalesce(col(s"a.$c"), col(s"b.$c")).as(c)): _*)
+        cols.tail.map(c => when(col("op") === "delete", col(s"b.$c"))
+          .otherwise(col(s"a.$c")).as(c)): _*)
   }
 
   /** WRITER-EMITTED change feed for an upsert commit — the delta-sized
@@ -424,8 +459,14 @@ object Layout {
     * each delta row against the stored version at commit time (key
     * absent → `insert`; payload differs → `update`; identical
     * re-delivery → NO feed row) without ever diffing whole versions.
-    * This is what a production CDF emits per commit; [[changeFeed]] is
-    * the backfill/audit diff that PROVES such a stream complete —
+    * The compare runs over core + the DELTA's columns, and that is
+    * complete BY the merge's column-preserving contract
+    * ([[upsertRows]]): a stored column the delta does not carry is
+    * preserved verbatim on replaced keys, so it cannot change and need
+    * not be compared — the feed also (correctly) omits such columns
+    * from its payload, since the commit cannot touch them. This is
+    * what a production CDF emits per commit; [[changeFeed]] is the
+    * backfill/audit diff that PROVES such a stream complete —
     * LayoutSpec pins writerFeed(v1, delta) == changeFeed(v1, v2) after
     * the corresponding upsert, and q252 gates the per-commit streamed
     * feeds against the oracle's replay. Cost: one partition-pruned
@@ -458,16 +499,30 @@ object Layout {
 
   /** Apply a [[changeFeed]] stream onto a base version, commits in
     * `commit_id` order: each commit anti-joins its delete/update keys
-    * out, then unions its insert/update post-images in. The replay
-    * gate LayoutSpec pins — replay(v1, feed) row-equal to v3 — is what
-    * makes the feed a faithful substitute for re-reading the store. */
+    * out, then unions its insert/update post-images in. Evolved
+    * payload columns replay too — the column set is the UNION of the
+    * base's and the feed's (each side widened with typed NULLs), so a
+    * feed from a schema-evolving commit reconstructs the evolved
+    * target. The replay gate LayoutSpec pins — replay(v1, feed)
+    * row-equal to the final version — is what makes the feed a
+    * faithful substitute for re-reading the store. */
   def replayFeed(base: DataFrame, feed: DataFrame,
       fileCol: String): DataFrame = {
-    val cols = Seq("event_id", "user_id", "ub", "tb", "zkey", fileCol)
+    val core = Seq("event_id", "user_id", "ub", "tb", "zkey", fileCol)
+    val meta = Set("op", "commit_id")
+    val extras = (base.schema.fields ++ feed.schema.fields).toSeq
+      .filterNot(f => core.contains(f.name) || meta.contains(f.name))
+      .groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name)
+    val cols = core ++ extras.map(_.name)
+    def widen(df: DataFrame): DataFrame =
+      extras.filterNot(f => df.columns.contains(f.name))
+        .foldLeft(df)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val wFeed = widen(feed)
     val commits = feed.select(col("commit_id")).distinct()
       .orderBy(col("commit_id")).collect().map(_.getLong(0))
-    commits.foldLeft(base.select(cols.map(col): _*)) { (acc, c) =>
-      val cf = feed.filter(col("commit_id") === c)
+    commits.foldLeft(widen(base).select(cols.map(col): _*)) { (acc, c) =>
+      val cf = wFeed.filter(col("commit_id") === c)
       acc.join(cf.filter(col("op").isin("delete", "update"))
           .select(col("event_id")), Seq("event_id"), "left_anti")
         .unionByName(cf.filter(col("op").isin("insert", "update"))

@@ -3364,6 +3364,29 @@ object LlmQueries {
       .filter($"n_events" > 0)
   }
 
+  /** The changed-rows + whole-view-totals emit shared by q244, q250
+    * and q247's finish: look each feed-touched user up in the (whole)
+    * maintained view — a fully-retracted user surfaces with explicit
+    * zeros — and ride the view totals as constant columns (they gate
+    * the untouched majority too). Callers pass `wholeView` already
+    * materialized (it is aggregated once and joined once). */
+  private[ops] def emitChangedView(s: SparkSession, wholeView: DataFrame,
+      changedUsers: DataFrame): DataFrame = {
+    import s.implicits._
+    val tot = wholeView.agg(count(lit(1)).as("vu"),
+      coalesce(sum($"n_events"), lit(0L)).as("vn"),
+      coalesce(sum($"e_mass"), lit(0L)).as("vm")).head
+    changedUsers.select($"user_id").distinct()
+      .join(wholeView, Seq("user_id"), "left_outer")
+      .select($"user_id",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"e_mass", lit(0L)).as("e_mass"),
+        lit(tot.getLong(0)).as("view_users"),
+        lit(tot.getLong(1)).as("view_n"),
+        lit(tot.getLong(2)).as("view_mass"))
+      .orderBy($"user_id")
+  }
+
   def q244IncrementalView(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, d).select($"event_id", $"user_id")
@@ -3380,18 +3403,7 @@ object LlmQueries {
         .select(lit("delete").as("op"), $"event_id", $"user_id"))
     val maintained = maintainUserView(s, viewBase, feed)
       .localCheckpoint() // totals and the changed-row emit share it
-    val tot = maintained.agg(count(lit(1)).as("vu"),
-      coalesce(sum($"n_events"), lit(0L)).as("vn"),
-      coalesce(sum($"e_mass"), lit(0L)).as("vm")).head
-    feed.select($"user_id").distinct()
-      .join(maintained, Seq("user_id"), "left_outer")
-      .select($"user_id",
-        coalesce($"n_events", lit(0L)).as("n_events"),
-        coalesce($"e_mass", lit(0L)).as("e_mass"),
-        lit(tot.getLong(0)).as("view_users"),
-        lit(tot.getLong(1)).as("view_n"),
-        lit(tot.getLong(2)).as("view_mass"))
-      .orderBy($"user_id")
+    emitChangedView(s, maintained, feed)
   }
   val q244Sql: String =
     """WITH ins AS (SELECT event_id + 1000000000000 AS event_id, user_id
@@ -3805,18 +3817,7 @@ object LlmQueries {
       .localCheckpoint() // fold + changed-user emit share it
     val maintained = maintainUserView(s, viewBase, feed)
       .localCheckpoint() // totals + changed-row emit share it
-    val tot = maintained.agg(count(lit(1)).as("vu"),
-      coalesce(sum($"n_events"), lit(0L)).as("vn"),
-      coalesce(sum($"e_mass"), lit(0L)).as("vm")).head
-    feed.select($"user_id").distinct()
-      .join(maintained, Seq("user_id"), "left_outer")
-      .select($"user_id",
-        coalesce($"n_events", lit(0L)).as("n_events"),
-        coalesce($"e_mass", lit(0L)).as("e_mass"),
-        lit(tot.getLong(0)).as("view_users"),
-        lit(tot.getLong(1)).as("view_n"),
-        lit(tot.getLong(2)).as("view_mass"))
-      .orderBy($"user_id")
+    emitChangedView(s, maintained, feed)
   }
 
   /** q251 — right-to-be-forgotten PURGE of the stored ANN index:

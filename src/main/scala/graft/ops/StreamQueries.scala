@@ -2249,18 +2249,14 @@ object StreamQueries {
         .select($"user_id", $"v.n_events".as("n_events"),
           $"v.e_mass".as("e_mass"))
         .localCheckpoint() // serve union + changed-row emit share it
-      // merge-on-read serve: base snapshot overridden by maintained rows
+      // merge-on-read serve: base snapshot overridden by maintained
+      // rows; the shared emit looks changed users up in it (a
+      // retracted user is absent from `served` → explicit zeros)
       val served = viewBase
         .join(fin.select($"user_id"), Seq("user_id"), "left_anti")
         .unionByName(fin.filter($"n_events" > 0))
-      val tot = served.agg(count(lit(1)).as("vu"),
-        coalesce(sum($"n_events"), lit(0L)).as("vn"),
-        coalesce(sum($"e_mass"), lit(0L)).as("vm")).head
-      fin.select($"user_id", $"n_events", $"e_mass",
-          lit(tot.getLong(0)).as("view_users"),
-          lit(tot.getLong(1)).as("view_n"),
-          lit(tot.getLong(2)).as("view_mass"))
-        .orderBy($"user_id")
+        .localCheckpoint()
+      LlmQueries.emitChangedView(s, served, fin)
     }
   }
 

@@ -647,6 +647,34 @@ class LayoutSpec extends AnyFunSuite {
       .select($"event_id", $"weight")
       .exceptAll(e2.select($"event_id", $"weight"))
     assert(lost.isEmpty, "purge of the evolved store lost weights")
+    // the CDC of the evolve commit carries the evolved post-images and
+    // replays the evolved target: replay(v1, feed) == e1, weight and all
+    val feed = Layout.changeFeed(spark, root, "events_z",
+        "events_z_e1", "file_z", res.touched)
+      .withColumn("commit_id", lit(2L))
+    val replayed = Layout.replayFeed(rows, feed, "file_z")
+    assert(replayed.columns.contains("weight"))
+    val e1c = e1.select(replayed.columns.map(col): _*)
+    assert(replayed.exceptAll(e1c).isEmpty &&
+      e1c.exceptAll(replayed).isEmpty,
+      "replay(v1, evolve feed) != evolved store")
+    // column-preserving merge: a CORE-ONLY re-delivery of weighted
+    // rows must not clobber stored weights, and the writer feed is
+    // silent (nothing the delta carries changed)
+    val redeliver = e1.filter($"weight".isNotNull).limit(5)
+      .select($"event_id", $"user_id", $"ub", $"tb", $"zkey", $"file_z")
+      .localCheckpoint()
+    assert(redeliver.count() > 0)
+    assert(Layout.writerFeed(spark, root, "events_z_e1", "file_z",
+      redeliver).isEmpty, "core-only re-delivery emitted a change")
+    Layout.upsertRows(spark, root, "events_z_e1", "file_z", redeliver,
+      "events_z_e3")
+    val (e3, _) = Layout.loadLayout(spark, root, "events_z_e3",
+      mergeSchema = true)
+    assert(e3.count() == e1.count())
+    assert(e3.select($"event_id", $"weight")
+      .exceptAll(e1.select($"event_id", $"weight")).isEmpty,
+      "core-only merge clobbered stored weights")
   }
 
   test("updateRows: cohort-only in-place assignment, layout columns " +
@@ -698,6 +726,16 @@ class LayoutSpec extends AnyFunSuite {
     assert(feed.filter($"op" =!= "update").isEmpty)
     assert(feed.filter($"weight" =!= (lit(10000L) + $"user_id" % 89))
       .isEmpty, "feed carries a stale pre-image")
+    // an update that REVOKES a value (sets it NULL) must emit the NULL
+    // post-image, not resurrect the pre-image via coalesce
+    val resN = Layout.updateRows(spark, root, "events_z_v3", "file_z",
+      Seq(7L), Map("weight" -> lit(null).cast("long")), "events_z_v4")
+    val feedN = Layout.changeFeed(spark, root, "events_z_v3",
+      "events_z_v4", "file_z", resN.touched)
+    assert(feedN.count() == nCohort)
+    assert(feedN.filter($"op" =!= "update").isEmpty)
+    assert(feedN.filter($"weight".isNotNull).isEmpty,
+      "NULL-revoking update leaked a pre-image value into the feed")
   }
 
   test("q246 residual scan is partition-pruned to exactly the " +

@@ -3895,6 +3895,95 @@ object LlmQueries {
         extraSel = ", np.n_purged, lt.lists_touched, la.lists_total",
         extraFrom = ", np, lt, la")
 
+  /** q253 — CROSS-ARTIFACT ATOMIC GOVERNANCE: one right-to-be-
+    * forgotten request must land on the stored TABLE and its DERIVED
+    * VIEW as one visible transaction — q238 purges rows and q244
+    * retracts view entries, but as separate commits a reader can see
+    * the torn state (rows gone, view still counting them). The classic
+    * lakehouse answer is the CATALOG POINTER: both artifacts publish
+    * their new versions first (invisible — nothing references them),
+    * then ONE tiny pointer table mapping artifact → live version swaps
+    * through the same blue/green rename as everything else
+    * ([[graft.state.ModelStore.save]] — the pointer IS just another
+    * versioned artifact), and every reader resolves through it. The
+    * emitted rows read BOTH artifacts through the catalog and
+    * cross-check them: per-artifact row count and mass, plus
+    * `n_inconsistent` — the count of users whose resolved VIEW row
+    * disagrees with a recount over the resolved TABLE — which gates
+    * the transactional claim itself (resolving a mixed version pair
+    * makes it non-zero and hash-fails). Retention composes: the
+    * catalog's entries ARE the vacuum keep-set (StateRoundtripSpec
+    * pins swap atomicity and catalog-driven vacuum). 100 TB shape:
+    * the transaction adds one footer-sized pointer write; artifact
+    * versions stay copy-on-write. The reference has no multi-artifact
+    * consistency story — Postgres rows and the pickled model drift
+    * apart between training runs (/root/reference/scripts/
+    * run_training_batch.py:243-257) — north-star extension. */
+  def q253GovernedRtbf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val laid = Layout.eventLayout(Tables.events(s, d))
+    val root = graft.util.Fs.tempRoot("graft_govstore").toString
+    Layout.saveLayout(laid, root) // table v1
+    val (t1, _) = Layout.loadLayout(s, root)
+    val view1 = t1.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"event_id").as("e_mass"))
+    graft.state.ModelStore.save(view1, root, "user_view") // view v1
+    graft.state.ModelStore.save(
+      Seq(("table", "events_z"), ("view", "user_view"))
+        .toDF("artifact", "version"), root, "catalog") // pointer v1
+    // the RTBF transaction: both new versions publish FIRST (unreferenced),
+    // then the pointer swap makes them live together
+    val tombs: Seq[Long] = t1.select($"user_id").distinct()
+      .filter($"user_id" % 499 === 7).orderBy($"user_id")
+      .collect().map(_.getLong(0)).toSeq
+    require(tombs.nonEmpty, s"q253: no tombstoned users at $d")
+    val pg = Layout.purgeUsers(s, root, "events_z", "file_z", tombs,
+      "events_z_v2")
+    val feed = Layout.changeFeed(s, root, "events_z", "events_z_v2",
+      "file_z", pg.touched)
+    graft.state.ModelStore.save(
+      maintainUserView(s, graft.state.ModelStore.load(s, root,
+        "user_view"), feed), root, "user_view_v2")
+    graft.state.ModelStore.save(
+      Seq(("table", "events_z_v2"), ("view", "user_view_v2"))
+        .toDF("artifact", "version"), root, "catalog") // THE swap
+    // a reader: resolve the catalog, read both artifacts, cross-check
+    val cat = graft.state.ModelStore.load(s, root, "catalog")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (table, _) = Layout.loadLayout(s, root, cat("table"))
+    val view = graft.state.ModelStore.load(s, root, cat("view"))
+      .localCheckpoint() // summary + consistency join share it
+    val recount = table.groupBy($"user_id")
+      .agg(count(lit(1)).as("tn"), sum($"event_id").as("tm"))
+    val nBad = view.join(recount, Seq("user_id"), "full_outer")
+      .filter(!($"n_events" <=> $"tn") || !($"e_mass" <=> $"tm"))
+      .count()
+    val nTomb = lit(tombs.size.toLong)
+    table.agg(count(lit(1)).as("n_rows"),
+        coalesce(sum($"user_id"), lit(0L)).as("mass"))
+      .select(lit("table").as("artifact"), $"n_rows", $"mass",
+        nTomb.as("n_tomb_users"), lit(nBad).as("n_inconsistent"))
+      .unionByName(view.agg(count(lit(1)).as("n_rows"),
+          coalesce(sum($"n_events"), lit(0L)).as("mass"))
+        .select(lit("view").as("artifact"), $"n_rows", $"mass",
+          nTomb.as("n_tomb_users"), lit(nBad).as("n_inconsistent")))
+      .orderBy($"artifact")
+  }
+  val q253Sql: String =
+    s"""WITH $layoutCte,
+       |surv AS (SELECT * FROM laid WHERE user_id % 499 != 7),
+       |nt AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+       |    AS n_tomb_users FROM laid WHERE user_id % 499 = 7)
+       |SELECT 'table' AS artifact, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(COALESCE(SUM(user_id), 0) AS BIGINT) AS mass,
+       |  nt.n_tomb_users, CAST(0 AS BIGINT) AS n_inconsistent
+       |FROM surv, nt GROUP BY nt.n_tomb_users
+       |UNION ALL
+       |SELECT 'view', CAST(COUNT(DISTINCT user_id) AS BIGINT),
+       |  CAST(COUNT(*) AS BIGINT), nt.n_tomb_users, CAST(0 AS BIGINT)
+       |FROM surv, nt GROUP BY nt.n_tomb_users
+       |ORDER BY artifact""".stripMargin
+
   /** q220 — journey transition matrix: the q200 sequence corpus read
     * as a first-order Markov chain — per (src event type → dst event
     * type) adjacent-pair count within sessions, with the conditional
@@ -8141,6 +8230,7 @@ object LlmQueries {
     "q249_stored_update" -> (q249StoredUpdate _),
     "q250_cdc_view_capstone" -> (q250CdcViewCapstone _),
     "q251_index_purge" -> (q251IndexPurge _),
+    "q253_governed_rtbf" -> (q253GovernedRtbf _),
     "q231_winnow_eval" -> (q231WinnowEval _),
     "q232_affinity_pack" -> (q232AffinityPack _),
     "q220_journey_transitions" -> (q220JourneyTransitions _),
@@ -8295,6 +8385,7 @@ object LlmQueries {
     // the CDC-maintained view serves identically — q244's SQL verbatim
     "q250_cdc_view_capstone" -> q244Sql,
     "q251_index_purge" -> q251Sql,
+    "q253_governed_rtbf" -> q253Sql,
     "q231_winnow_eval" -> q231Sql,
     "q232_affinity_pack" -> q232Sql,
     "q220_journey_transitions" -> q220Sql,

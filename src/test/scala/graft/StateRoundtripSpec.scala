@@ -104,4 +104,44 @@ class StateRoundtripSpec extends AnyFunSuite {
     assert(snap(listsB) == v1)
     assert(centsB.count() == 4)
   }
+
+  test("catalog pointer: a multi-artifact transaction is invisible " +
+      "until the one pointer swap, and the catalog drives vacuum") {
+    import spark.implicits._
+    val root = graft.util.Fs.tempRoot("graft_cat_spec").toString
+    def save(nm: String, v: Long): Unit = graft.state.ModelStore.save(
+      Seq((1L, v)).toDF("k", "value"), root, nm)
+    def readVia(cat: Map[String, String], art: String): Long =
+      graft.state.ModelStore.load(spark, root, cat(art))
+        .head.getLong(1)
+    def catalog(): Map[String, String] =
+      graft.state.ModelStore.load(spark, root, "catalog")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // v1 of both artifacts + pointer
+    save("tab_v1", 10L); save("view_v1", 100L)
+    graft.state.ModelStore.save(
+      Seq(("table", "tab_v1"), ("view", "view_v1"))
+        .toDF("artifact", "version"), root, "catalog")
+    // the transaction publishes BOTH v2 artifacts — a reader resolving
+    // the catalog still sees the v1 PAIR (nothing references v2 yet)
+    save("tab_v2", 20L); save("view_v2", 200L)
+    val before = catalog()
+    assert(readVia(before, "table") == 10L &&
+      readVia(before, "view") == 100L,
+      "unswapped reader saw an unreferenced version")
+    // ONE pointer swap makes both live together
+    graft.state.ModelStore.save(
+      Seq(("table", "tab_v2"), ("view", "view_v2"))
+        .toDF("artifact", "version"), root, "catalog")
+    val after = catalog()
+    assert(readVia(after, "table") == 20L &&
+      readVia(after, "view") == 200L)
+    // retention composes: the catalog's entries ARE the keep-set
+    val retired = graft.state.ModelStore.vacuum(root,
+      keep = after.values.toSet + "catalog")
+    assert(retired.sorted == Seq("tab_v1", "view_v1"), retired.toString)
+    assert(readVia(catalog(), "table") == 20L &&
+      readVia(catalog(), "view") == 200L,
+      "vacuum broke a catalog-referenced artifact")
+  }
 }

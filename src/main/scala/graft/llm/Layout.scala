@@ -183,6 +183,16 @@ object Layout {
       name
     else s"${name}_backup"
 
+  /** Widen `df` to carry every field in `fields`, adding the missing
+    * ones as typed NULLs — the one definition of schema-union widening
+    * the CDC/merge family shares ([[upsertRows]], [[changeFeed]],
+    * [[writerFeed]], [[replayFeed]]). */
+  private def widenTo(df: DataFrame,
+      fields: Seq[org.apache.spark.sql.types.StructField]): DataFrame =
+    fields.filterNot(f => df.columns.contains(f.name))
+      .foldLeft(df)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+
   def loadBloomCache(spark: org.apache.spark.sql.SparkSession,
       root: String, name: String = "events_z")
       : Map[Long, Array[Long]] = {
@@ -321,19 +331,21 @@ object Layout {
         storeExtras.exists(_.name == f.name))
     val extras = storeExtras ++ deltaOnly
     val all = cols ++ extras.map(_.name)
-    def widen(df: DataFrame): DataFrame =
-      extras.filterNot(f => df.columns.contains(f.name))
-        .foldLeft(df)((d, f) =>
-          d.withColumn(f.name, lit(null).cast(f.dataType)))
-    val incTouched = rows.filter(col(fileCol).isin(touched: _*))
-    val incumbent = widen(incTouched
-      .join(org.apache.spark.sql.functions.broadcast(
-        delta.select(col("event_id"))), Seq("event_id"), "left_anti"))
-    // store-only columns of a REPLACED key carry over from its stored
-    // version (a per-key left join against the touched-file scan the
-    // merge reads anyway — fan-out-bounded)
     val storeOnly = storeExtras
       .filterNot(f => delta.columns.contains(f.name))
+    // when store-only columns exist, BOTH merge arms read the touched
+    // files (survivors + the preserved-value join) — materialize the
+    // pruned scan once instead of reading the bytes twice
+    val incTouched0 = rows.filter(col(fileCol).isin(touched: _*))
+    val incTouched =
+      if (storeOnly.isEmpty) incTouched0 else incTouched0.localCheckpoint()
+    val incumbent = widenTo(incTouched
+      .join(org.apache.spark.sql.functions.broadcast(
+        delta.select(col("event_id"))), Seq("event_id"), "left_anti"),
+      extras)
+    // store-only columns of a REPLACED key carry over from its stored
+    // version (a per-key left join against the materialized touched
+    // scan — fan-out-bounded)
     val deltaFilled =
       if (storeOnly.isEmpty) delta
       else delta.join(incTouched.select(col("event_id") +:
@@ -382,10 +394,12 @@ object Layout {
     // cohort targeting by broadcast membership join (the purgeUsers
     // pattern), NOT an isin literal list: a large cohort inlined as
     // one In expression bloats the plan toward Janino's method limit
-    // and re-evaluates per row
+    // and re-evaluates per row. DISTINCT first — unlike a left_anti
+    // (or an isin), a membership left_outer would duplicate every
+    // matching stored row once per duplicate cohort entry
     import spark.implicits._
     val targets = org.apache.spark.sql.functions.broadcast(
-      keyUsers.toDF("user_id").withColumn("__upd", lit(true)))
+      keyUsers.distinct.toDF("user_id").withColumn("__upd", lit(true)))
     val flagged = rows.filter(col(fileCol).isin(touched: _*))
       .join(targets, Seq("user_id"), "left_outer")
     val isTarget = coalesce(col("__upd"), lit(false))
@@ -424,18 +438,16 @@ object Layout {
     def load(nm: String) =
       loadLayout(spark, root, nm, fileCol, mergeSchema = true)._1
     val (bRaw, aRaw) = (load(beforeName), load(afterName))
-    val cols = core ++
-      (bRaw.columns ++ aRaw.columns).distinct.filterNot(core.contains)
-    def side(raw: DataFrame, as: String) = {
-      val widened = cols.filterNot(raw.columns.contains)
-        .foldLeft(raw)((d, c) => d.withColumn(c,
-          lit(null).cast(aRaw.schema.fields
-            .find(_.name == c).orElse(bRaw.schema.fields
-              .find(_.name == c)).get.dataType)))
-      widened.filter(col(fileCol).isin(touched: _*))
+    val extraFields = (bRaw.columns ++ aRaw.columns).distinct
+      .filterNot(core.contains).toSeq
+      .map(n => (bRaw.schema.fields ++ aRaw.schema.fields)
+        .find(_.name == n).get)
+    val cols = core ++ extraFields.map(_.name)
+    def side(raw: DataFrame, as: String) =
+      widenTo(raw, extraFields)
+        .filter(col(fileCol).isin(touched: _*))
         .select(col("event_id"),
           struct(cols.tail.map(col): _*).as(as))
-    }
     // payload compare is NULL-SAFE (<=>): an update from NULL (a
     // pre-evolution row) to a value is a change, not an unknown
     side(bRaw, "b")
@@ -480,21 +492,39 @@ object Layout {
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     val (rows, _) = loadLayout(spark, root, name, fileCol,
       mergeSchema = true)
-    val cols = core ++ delta.columns.toSeq.filterNot(core.contains)
-    val inc = cols.filterNot(rows.columns.contains)
-      .foldLeft(rows.filter(col(fileCol).isin(touched: _*))) { (d, c) =>
-        d.withColumn(c, lit(null).cast(
-          delta.schema.fields.find(_.name == c).get.dataType))
-      }
-      .select(col("event_id"), struct(cols.tail.map(col): _*).as("b"))
-    delta.select(col("event_id"), struct(cols.tail.map(col): _*).as("a"))
+    // schema mirrors changeFeed exactly: store extras first, then
+    // delta-only extras. The COMPARE covers only columns the delta
+    // carries (a column it cannot set is preserved by upsertRows'
+    // contract and cannot change); preserved store-only columns are
+    // still CARRIED in the emitted image from the stored side, so the
+    // writer feed is schema- and value-identical to the version diff
+    // (insert rows get their typed NULL, update rows the preserved
+    // stored value — what the merged store will hold).
+    val storeExtras = rows.schema.fields.toSeq
+      .filterNot(f => core.contains(f.name))
+    val deltaOnly = delta.schema.fields.toSeq
+      .filterNot(f => core.contains(f.name) ||
+        storeExtras.exists(_.name == f.name))
+    val extras = storeExtras ++ deltaOnly
+    val storeOnly = storeExtras
+      .filterNot(f => delta.columns.contains(f.name))
+    val cmp = core.tail ++
+      extras.collect { case f if delta.columns.contains(f.name) => f.name }
+    val inc = widenTo(rows.filter(col(fileCol).isin(touched: _*)),
+        deltaOnly)
+      .select(col("event_id") +: struct(cmp.map(col): _*).as("b") +:
+        storeOnly.map(f => col(f.name).as(s"__so_${f.name}")): _*)
+    delta.select(col("event_id"), struct(cmp.map(col): _*).as("a"))
       .join(inc, Seq("event_id"), "left_outer")
       .withColumn("op",
         when(col("b").isNull, "insert")
           .when(!(col("a") <=> col("b")), "update"))
       .filter(col("op").isNotNull)
       .select(col("op") +: col("event_id") +:
-        cols.tail.map(c => col(s"a.$c").as(c)): _*)
+        (core.tail.map(c => col(s"a.$c").as(c)) ++
+          extras.map(f =>
+            (if (delta.columns.contains(f.name)) col(s"a.${f.name}")
+             else col(s"__so_${f.name}")).as(f.name))): _*)
   }
 
   /** Apply a [[changeFeed]] stream onto a base version, commits in
@@ -514,14 +544,11 @@ object Layout {
       .filterNot(f => core.contains(f.name) || meta.contains(f.name))
       .groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name)
     val cols = core ++ extras.map(_.name)
-    def widen(df: DataFrame): DataFrame =
-      extras.filterNot(f => df.columns.contains(f.name))
-        .foldLeft(df)((d, f) =>
-          d.withColumn(f.name, lit(null).cast(f.dataType)))
-    val wFeed = widen(feed)
+    val wFeed = widenTo(feed, extras)
     val commits = feed.select(col("commit_id")).distinct()
       .orderBy(col("commit_id")).collect().map(_.getLong(0))
-    commits.foldLeft(widen(base).select(cols.map(col): _*)) { (acc, c) =>
+    commits.foldLeft(widenTo(base, extras).select(cols.map(col): _*)) {
+      (acc, c) =>
       val cf = wFeed.filter(col("commit_id") === c)
       acc.join(cf.filter(col("op").isin("delete", "update"))
           .select(col("event_id")), Seq("event_id"), "left_anti")

@@ -675,6 +675,35 @@ class LayoutSpec extends AnyFunSuite {
     assert(e3.select($"event_id", $"weight")
       .exceptAll(e1.select($"event_id", $"weight")).isEmpty,
       "core-only merge clobbered stored weights")
+    // a SECOND evolution (the delta carries a new `score`) over
+    // re-delivered weighted rows: the writer feed must CARRY the
+    // preserved weight from the stored side — schema- and
+    // value-identical to the version diff — and replaying it must
+    // reconstruct the published store, preserved values included
+    val delta2 = e1.filter($"weight".isNotNull).limit(4)
+      .select($"event_id", $"user_id", $"ub", $"tb", $"zkey", $"file_z")
+      .withColumn("score", $"event_id" % 11)
+      .localCheckpoint()
+    assert(delta2.count() > 0)
+    val wf2 = Layout.writerFeed(spark, root, "events_z_e1", "file_z",
+      delta2).localCheckpoint()
+    val res2 = Layout.upsertRows(spark, root, "events_z_e1", "file_z",
+      delta2, "events_z_e4")
+    val cf2 = Layout.changeFeed(spark, root, "events_z_e1",
+      "events_z_e4", "file_z", res2.touched)
+    assert(wf2.columns.toSeq == cf2.columns.toSeq,
+      s"writer ${wf2.columns.toSeq} vs diff ${cf2.columns.toSeq}")
+    assert(wf2.exceptAll(cf2).isEmpty && cf2.exceptAll(wf2).isEmpty,
+      "writer feed diverges from the version diff on an evolved store")
+    assert(wf2.filter($"op" === "update" && $"weight".isNull).isEmpty,
+      "update post-image lost the preserved weight")
+    val (e4, _) = Layout.loadLayout(spark, root, "events_z_e4",
+      mergeSchema = true)
+    val rp = Layout.replayFeed(e1,
+      wf2.withColumn("commit_id", lit(2L)), "file_z")
+    val e4c = e4.select(rp.columns.map(col): _*)
+    assert(rp.exceptAll(e4c).isEmpty && e4c.exceptAll(rp).isEmpty,
+      "replay(e1, writer feed) != published store")
   }
 
   test("updateRows: cohort-only in-place assignment, layout columns " +

@@ -481,17 +481,60 @@ object Ivf {
     require(extraClash.isEmpty,
       s"saveIndex: extraCols ${extraClash.mkString(", ")} collide with " +
         "the stored layout (id, qvec, qnorm, list_id)")
-    centroids.write.mode("overwrite")
-      .parquet(s"$root/_staging/$name/centroids")
+    // attempt-private staging (ModelStore.newAttempt): staged bytes are
+    // immune to a concurrent writer to the same name
+    val stage = graft.state.ModelStore.newAttempt(root, name)
+    centroids.write.parquet(stage.resolve("centroids").toString)
     // extraCols: filterable attribute payload stored NEXT TO the codes
     // (the filtered-search deployment shape, q134): a metadata
     // predicate then evaluates scan-local on the probed list files —
     // no side lookup, no join — and parquet pushes it down
     index.select(Seq("id", "qvec", "qnorm").++(extraCols).:+("list_id")
         .map(col): _*)
-      .write.mode("overwrite").partitionBy("list_id")
-      .parquet(s"$root/_staging/$name/lists")
-    graft.state.ModelStore.publish(root, name)
+      .write.partitionBy("list_id")
+      .parquet(stage.resolve("lists").toString)
+    // per-list membership Bloom over the row ids — the metadata a
+    // DELETE/UPDATE-by-id consults to name the lists to rewrite
+    // WITHOUT re-deriving the rows' vectors (no false negatives, so a
+    // Bloom-negative list provably holds no target id): the
+    // [[graft.llm.Layout.fileBlooms]] move applied to the inverted
+    // file. Footer-stats-sized (nlist × 64 words).
+    idBlooms(index).write.parquet(stage.resolve("idbloom").toString)
+    graft.state.ModelStore.publishFrom(root, name, stage)
+  }
+
+  /** Per-list Bloom over row IDS (k=3, 64 words — [[graft.llm.Layout]]'s
+    * parameters): the membership metadata [[purgeIndexByIds]] and
+    * [[maintainIndex]] consult to locate an id's list exactly (no false
+    * negatives) without needing the row's vector — removal by id is
+    * therefore immune to the drifted-vector hazard of re-assigning a
+    * request's vectors under the centroids ([[purgeIndex]]'s documented
+    * precondition). */
+  def idBlooms(index: DataFrame): DataFrame =
+    graft.llm.Sketch.bloomBuild(
+      index.select(col("list_id"), col("id").cast("string").as("k")),
+      "k", Layout.BloomK, Layout.BloomWords, groupCols = Seq("list_id"))
+
+  /** The stored per-list id-Bloom as a driver metadata cache
+    * (nlist × 64 longs — the [[graft.llm.Layout.loadBloomCache]]
+    * precedent); empty map if the stored index predates the Bloom
+    * (pre-r14 format) — callers must treat that as "every list may
+    * hold the id". */
+  def loadIdBloomCache(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String = "ivfsq"): Map[Int, Array[Long]] = {
+    val base = baseName(root, name)
+    val p = java.nio.file.Paths.get(root, base, "idbloom")
+    if (!java.nio.file.Files.isDirectory(p)) Map.empty
+    else spark.read.parquet(p.toString)
+      .select(col("list_id").cast("int"), col("word").cast("int"),
+        col("bits"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        val dense = new Array[Long](Layout.BloomWords)
+        rows.foreach(r => dense(r.getInt(1)) = r.getLong(2))
+        l -> dense
+      }
   }
 
   /** Compact DELTA rows into the stored index and republish — the
@@ -585,6 +628,20 @@ object Ivf {
     * separate scheduled rebuild (the standard unlearning split).
     * Returns (touched, untouched) list ids. 100 TB shape: bytes
     * rewritten ∝ the tombstones' list fan-out, not index size. */
+  /** PRECONDITION (r13 ADVICE): the request's vectors must be
+    * BIT-IDENTICAL copies of the stored embeddings — the touch set is
+    * named by re-assigning them under the stored centroids, so a
+    * vector that drifted (re-derived, re-quantized, a different float
+    * path) can assign to a different list and the purged id would
+    * survive in an untouched list. That failure mode is NOT silent
+    * here: after naming the touch set, the untouched lists are audited
+    * for the tombstone ids (Bloom-pruned to the id-positive lists when
+    * the stored [[idBlooms]] exist — no false negatives, so a clean
+    * Bloom proves absence without a scan) and any remaining id throws
+    * before anything publishes. Callers that cannot guarantee
+    * bit-identical vectors should remove by id instead
+    * ([[maintainIndex]] with `delete` ops — id-Bloom located, no
+    * vector needed). */
   def purgeIndex(spark: org.apache.spark.sql.SparkSession, root: String,
       tombVecs: DataFrame, idCol: String, vecCol: String,
       name: String = "ivfsq", purgedName: String = "ivfsq_purged")
@@ -607,11 +664,36 @@ object Ivf {
         .map(_.stripPrefix("list_id=").toInt).toSeq
     }
     val untouched = allLists.filterNot(touched.contains).sorted
+    // drift audit (see PRECONDITION above): a tombstone id found in an
+    // UNTOUCHED list means the request's vector assigned differently
+    // than the stored row's — fail loudly instead of leaking. Request-
+    // sized collect (the RTBF request is bounded by construction).
+    val tombIds = tombVecs.select(col(idCol).cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val idBloomCache = loadIdBloomCache(spark, root, name)
+    val tombPos = tombIds.map(id => graft.llm.Sketch.bloomPositions(
+      id.toString, Layout.BloomK, Layout.BloomWords))
+    val suspect =
+      if (idBloomCache.nonEmpty)
+        untouched.filter(l => idBloomCache.get(l).exists(bits =>
+          tombPos.exists(ps =>
+            graft.llm.Sketch.bloomContainsAt(bits, ps))))
+      else untouched // pre-Bloom store: honest full audit scan
+    if (suspect.nonEmpty) {
+      val leaked = lists.filter(col("list_id").isin(suspect: _*))
+        .join(broadcast(tombVecs.select(col(idCol).cast("long").as("id"))),
+          Seq("id"), "left_semi").count()
+      require(leaked == 0,
+        s"purgeIndex: $leaked tombstoned id(s) live outside the " +
+          "assigned touch set — the request's vectors drifted from the " +
+          "stored embeddings; remove by id (maintainIndex delete ops) " +
+          "instead")
+    }
     val cleaned = lists.filter(col("list_id").isin(touched: _*))
       .join(broadcast(tombVecs.select(col(idCol).cast("long").as("id"))),
         Seq("id"), "left_anti")
-    val stage = java.nio.file.Paths.get(root, "_staging", purgedName)
-    graft.util.Fs.deleteRecursively(stage)
+      .localCheckpoint() // rows write + recomputed id-Blooms scan it
+    val stage = graft.state.ModelStore.newAttempt(root, purgedName)
     cents.write.parquet(stage.resolve("centroids").toString)
     cleaned.select(lists.columns.map(col): _*)
       .repartition(col("list_id"))
@@ -622,7 +704,125 @@ object Ivf {
         java.nio.file.Paths.get(root, base, "lists", s"list_id=$l"),
         stage.resolve("lists").resolve(s"list_id=$l"))
     }
-    graft.state.ModelStore.publishExclusive(root, purgedName)
+    // id-Bloom metadata splits like the lists: carried lists keep their
+    // stored rows, touched lists recompute from survivors (only when
+    // the incumbent carries Blooms — a pre-Bloom store stays pre-Bloom,
+    // never a partial map whose missing lists would read as negatives)
+    if (idBloomCache.nonEmpty) {
+      val touchedCol = col("list_id").isin(touched: _*)
+      spark.read.parquet(s"$root/$base/idbloom").filter(!touchedCol)
+        .unionByName(idBlooms(cleaned))
+        .write.parquet(stage.resolve("idbloom").toString)
+    }
+    graft.state.ModelStore.publishExclusiveFrom(root, purgedName, stage)
+    (touched, untouched)
+  }
+
+  /** CDC-DRIVEN INCREMENTAL MAINTENANCE of the stored IVF-SQ index —
+    * the consumer that keeps the DERIVED search artifact fresh from a
+    * change feed instead of rebuilding (r13 verdict item 3: q251
+    * handles DELETE; this closes insert/update, so an upsert to the
+    * base table no longer leaves the index stale). `feed` rows are
+    * `(op ∈ insert|delete|update, id, vec)` with `vec` the POST-image
+    * embedding (NULL for deletes — a delete needs no vector: its list
+    * is located by id). Semantics per op, all id-keyed:
+    *
+    *  - every feed id is first REMOVED from wherever it lives — lists
+    *    located by the stored per-list id-Bloom ([[idBlooms]], no
+    *    false negatives), which makes removal exact with NO
+    *    bit-identical-vector precondition (the [[purgeIndex]] hazard
+    *    does not exist here) and makes insert-of-existing-id safe
+    *    (upsert, the at-least-once delivery contract);
+    *  - insert/update post-images are then assigned MAP-ONLY under the
+    *    STORED centroids ([[assignIndex]] — the q114 streaming-ingest
+    *    machinery) and int8-quantized ([[graft.llm.Quantize]]) into
+    *    the stored layout.
+    *
+    * Only the union of removal-touched and addition-target lists
+    * rewrites (partition-pruned scan + broadcast anti-join + union);
+    * every other list carries byte-for-byte, id-Blooms split with the
+    * rewrite, and the pair publishes first-writer-wins under an
+    * attempt-private stage. Centroids are KEPT (the [[purgeIndex]]
+    * unlearning split: serve fresh now, re-fit on schedule). Returns
+    * (touched, untouched) list ids. 100 TB shape: feed is
+    * commit-sized (broadcast), assignment is map-only, bytes
+    * rewritten ∝ the feed's list fan-out — never index size. */
+  def maintainIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, feed: DataFrame, name: String = "ivfsq",
+      newName: String = "ivfsq_m2"): (Seq[Int], Seq[Int]) = {
+    require(newName != name,
+      s"maintainIndex: new index must not shadow the incumbent '$name'")
+    val badOps = feed.filter(!col("op").isin("insert", "delete", "update"))
+      .limit(1).collect()
+    require(badOps.isEmpty,
+      s"maintainIndex: unknown op '${badOps.headOption.map(_.get(0))
+        .getOrElse("")}' (expected insert/delete/update)")
+    val (lists, cents) = loadIndex(spark, root, name)
+    val idBloomCache = loadIdBloomCache(spark, root, name)
+    require(idBloomCache.nonEmpty,
+      s"maintainIndex: stored index '$name' carries no per-list " +
+        "id-Blooms — rebuild it with saveIndex first")
+    val base = baseName(root, name)
+    val allLists = scala.util.Using.resource(java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, base, "lists"))) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("list_id="))
+        .map(_.stripPrefix("list_id=").toInt).toSeq
+    }
+    // removal arm: EVERY feed id leaves its current list (delete, the
+    // update pre-image, and any re-delivered insert's stored version) —
+    // located by id-Bloom, commit-sized collect
+    val feedIds = feed.select(col("id").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    require(feedIds.nonEmpty, "maintainIndex: empty feed")
+    val idPos = feedIds.map(id => graft.llm.Sketch.bloomPositions(
+      id.toString, Layout.BloomK, Layout.BloomWords))
+    val removalTouched = allLists.filter(l =>
+      idBloomCache.get(l).exists(bits => idPos.exists(ps =>
+        graft.llm.Sketch.bloomContainsAt(bits, ps))))
+    // addition arm: post-images assigned under the STORED centroids,
+    // quantized into the stored layout
+    val post = feed.filter(col("op").isin("insert", "update"))
+      .select(col("id"), col("vec"))
+    val nullVecs = post.filter(col("vec").isNull).limit(1).count()
+    require(nullVecs == 0,
+      "maintainIndex: insert/update rows must carry a post-image vec")
+    val additions = graft.llm.Quantize.withInt8(
+        assignIndex(post, "id", "vec", cents), "v")
+      .drop("v")
+      .localCheckpoint() // fan-out collect + rewrite union both scan it
+    val addTouched = additions.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val storedCols = lists.columns.toSeq
+    val missing = storedCols.filterNot(additions.columns.contains)
+    require(missing.isEmpty,
+      s"maintainIndex: feed post-images are missing stored column(s) " +
+        s"${missing.mkString(", ")} — the stored index carries " +
+        s"(${storedCols.mkString(", ")})")
+    val touched = (removalTouched ++ addTouched).distinct.sorted
+    val untouched = allLists.filterNot(touched.contains).sorted
+    import spark.implicits._
+    val rewritten = lists.filter(col("list_id").isin(touched: _*))
+      .join(broadcast(feedIds.toSeq.toDF("id")), Seq("id"), "left_anti")
+      .select(storedCols.map(col): _*)
+      .unionByName(additions.select(storedCols.map(col): _*))
+      .localCheckpoint() // rows write + recomputed id-Blooms scan it
+    val stage = graft.state.ModelStore.newAttempt(root, newName)
+    cents.write.parquet(stage.resolve("centroids").toString)
+    rewritten.repartition(col("list_id"))
+      .write.partitionBy("list_id")
+      .parquet(stage.resolve("lists").toString)
+    untouched.foreach { l =>
+      graft.util.Fs.copyRecursively(
+        java.nio.file.Paths.get(root, base, "lists", s"list_id=$l"),
+        stage.resolve("lists").resolve(s"list_id=$l"))
+    }
+    val touchedCol = col("list_id").isin(touched: _*)
+    spark.read.parquet(s"$root/$base/idbloom").filter(!touchedCol)
+      .unionByName(idBlooms(rewritten))
+      .write.parquet(stage.resolve("idbloom").toString)
+    graft.state.ModelStore.publishExclusiveFrom(root, newName, stage)
     (touched, untouched)
   }
 }

@@ -159,16 +159,20 @@ object Layout {
     * a pile of per-task shards. */
   def saveLayout(laid: DataFrame, root: String,
       name: String = "events_z", fileCol: String = "file_z"): Unit = {
-    zoneMaps(laid, fileCol).write.mode("overwrite")
-      .parquet(s"$root/_staging/$name/zonemaps")
-    fileBlooms(laid, fileCol).write.mode("overwrite")
-      .parquet(s"$root/_staging/$name/bloom")
+    // attempt-private staging (ModelStore.newAttempt): a concurrent
+    // writer to the same name can race only at the publish rename,
+    // never at the staged bytes
+    val stage = graft.state.ModelStore.newAttempt(root, name)
+    zoneMaps(laid, fileCol).write
+      .parquet(stage.resolve("zonemaps").toString)
+    fileBlooms(laid, fileCol).write
+      .parquet(stage.resolve("bloom").toString)
     laid.select(col("event_id"), col("user_id"), col("ub"), col("tb"),
         col("zkey"), col(fileCol))
       .repartition(col(fileCol))
-      .write.mode("overwrite").partitionBy(fileCol)
-      .parquet(s"$root/_staging/$name/rows")
-    graft.state.ModelStore.publish(root, name)
+      .write.partitionBy(fileCol)
+      .parquet(stage.resolve("rows").toString)
+    graft.state.ModelStore.publishFrom(root, name, stage)
   }
 
   /** The stored per-file Bloom written by [[saveLayout]], as the dense
@@ -386,6 +390,11 @@ object Layout {
     val touched = blooms.toSeq.collect { case (f, bits)
       if keyPos.exists(ps =>
         graft.llm.Sketch.bloomContainsAt(bits, ps)) => f }.sorted
+    // a cohort entirely absent from the store (all Blooms negative)
+    // would otherwise publish a byte-copy of the incumbent — a silent
+    // no-op commit; fail fast like purgeUsers/upsertRows (r13 ADVICE)
+    require(touched.nonEmpty,
+      "updateRows: cohort matches no stored file — nothing to update")
     val (rows, _) = loadLayout(spark, root, name, fileCol,
       mergeSchema = true)
     assign.keys.foreach(c => require(rows.columns.contains(c),
@@ -576,8 +585,12 @@ object Layout {
     require(newName != name,
       s"cowRewrite: new store must not shadow the incumbent '$name'")
     val untouched = (allFiles -- touched).toSeq.sorted
-    val stage = java.nio.file.Paths.get(root, "_staging", newName)
-    graft.util.Fs.deleteRecursively(stage)
+    // attempt-PRIVATE staging (r13 ADVICE): racing commits to the same
+    // version name each stage under their own _staging/<name>.attempt-*
+    // dir, so a loser can neither delete nor half-overwrite the
+    // winner's staged bytes — the publishExclusiveFrom rename is the
+    // only arbiter
+    val stage = graft.state.ModelStore.newAttempt(root, newName)
     // core layout columns first, then any evolved columns the caller's
     // schema carries (q248) — carried files keep their stored schema
     val core = Seq("event_id", "user_id", "ub", "tb", "zkey", fileCol)
@@ -606,7 +619,7 @@ object Layout {
       .write.parquet(stage.resolve("bloom").toString)
     // first-writer-wins: a concurrent writer that derived the same new
     // version from the same base loses here and must rebase (OCC)
-    graft.state.ModelStore.publishExclusive(root, newName)
+    graft.state.ModelStore.publishExclusiveFrom(root, newName, stage)
     PurgeResult(touched, untouched)
   }
 }

@@ -3903,9 +3903,17 @@ object LlmQueries {
     * lakehouse answer is the CATALOG POINTER: both artifacts publish
     * their new versions first (invisible — nothing references them),
     * then ONE tiny pointer table mapping artifact → live version swaps
-    * through the same blue/green rename as everything else
-    * ([[graft.state.ModelStore.save]] — the pointer IS just another
-    * versioned artifact), and every reader resolves through it. The
+    * in, and every reader resolves through it. The swap is
+    * COMPARE-AND-SWAP, not blue/green overwrite
+    * ([[graft.state.Catalog.commit]] — r13 verdict item 1): the
+    * pointer is a monotone chain of immutable `catalog_t<n>` versions,
+    * a writer that derived from txn `e` may only create `t(e+1)`
+    * through a first-writer-wins rename, so a racing governance
+    * transaction fails loudly and REBASES instead of silently
+    * unreferencing this one's executed purge (the lost-RTBF hazard —
+    * a vacuum over the winner's keep-set would have deleted the
+    * loser's compliance-mandated deletion). StateRoundtripSpec pins
+    * the two-transaction race and the rebase. The
     * emitted rows read BOTH artifacts through the catalog and
     * cross-check them: per-artifact row count and mass, plus
     * `n_inconsistent` — the count of users whose resolved VIEW row
@@ -3928,9 +3936,9 @@ object LlmQueries {
     val view1 = t1.groupBy($"user_id")
       .agg(count(lit(1)).as("n_events"), sum($"event_id").as("e_mass"))
     graft.state.ModelStore.save(view1, root, "user_view") // view v1
-    graft.state.ModelStore.save(
+    val txn1 = graft.state.Catalog.commit(
       Seq(("table", "events_z"), ("view", "user_view"))
-        .toDF("artifact", "version"), root, "catalog") // pointer v1
+        .toDF("artifact", "version"), root, expectedTxn = 0L) // txn 1
     // the RTBF transaction: both new versions publish FIRST (unreferenced),
     // then the pointer swap makes them live together
     val tombs: Seq[Long] = t1.select($"user_id").distinct()
@@ -3944,11 +3952,12 @@ object LlmQueries {
     graft.state.ModelStore.save(
       maintainUserView(s, graft.state.ModelStore.load(s, root,
         "user_view"), feed), root, "user_view_v2")
-    graft.state.ModelStore.save(
+    graft.state.Catalog.commit(
       Seq(("table", "events_z_v2"), ("view", "user_view_v2"))
-        .toDF("artifact", "version"), root, "catalog") // THE swap
-    // a reader: resolve the catalog, read both artifacts, cross-check
-    val cat = graft.state.ModelStore.load(s, root, "catalog")
+        .toDF("artifact", "version"), root, expectedTxn = txn1) // THE swap
+    // a reader: resolve the LIVE catalog txn, read both artifacts
+    // through it, cross-check
+    val cat = graft.state.Catalog.live(s, root)._2
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val (table, _) = Layout.loadLayout(s, root, cat("table"))
     val view = graft.state.ModelStore.load(s, root, cat("view"))

@@ -19,9 +19,71 @@ object ModelStore {
 
   private def rm(p: Path): Unit = graft.util.Fs.deleteRecursively(p)
 
-  /** Write `df` to the staging area of `root`. */
+  /** Write `df` to the staging area of `root`.
+    *
+    * NOTE the shared-path caveat: two writers racing to the SAME name
+    * both stage here, and the second overwrite can tear the first's
+    * staged bytes before its publish rename — acceptable for the
+    * blue/green MUTABLE names this serves (their race is last-writer-
+    * wins by contract), but the OCC/copy-on-write paths must stage
+    * under a unique per-attempt directory instead ([[newAttempt]] +
+    * [[publishExclusiveFrom]]), so a losing attempt can never corrupt
+    * the winner's staged data. */
   def stage(df: DataFrame, root: String, name: String): Unit =
     df.write.mode("overwrite").parquet(s"$root/_staging/$name")
+
+  /** The attempt-dir separator. A staged attempt lives at
+    * `_staging/<name><sep><uuid>`; [[vacuum]] maps it back to its
+    * owning name through this marker. */
+  private[state] val AttemptSep = ".attempt-"
+
+  /** A fresh, writer-private staging directory for one commit attempt
+    * of `name` — the fix for the shared-staging-path race: concurrent
+    * attempts at the same version name stage side by side and only the
+    * PUBLISH rename arbitrates, so a losing attempt can neither delete
+    * nor half-overwrite the winner's staged bytes. The caller writes
+    * its tables under the returned path, then publishes via
+    * [[publishFrom]] (blue/green) or [[publishExclusiveFrom]] (OCC). */
+  def newAttempt(root: String, name: String): Path = {
+    val p = Paths.get(root, "_staging",
+      s"$name$AttemptSep${java.util.UUID.randomUUID().toString}")
+    Files.createDirectories(p)
+    p
+  }
+
+  /** Blue/green publish from a private attempt dir ([[newAttempt]]):
+    * prod → backup, attempt → prod. Same two atomic renames as
+    * [[publish]], with the staged bytes immune to concurrent attempts
+    * at the same name. */
+  def publishFrom(root: String, name: String, attempt: Path): Unit = {
+    val prod = Paths.get(root, name)
+    val backup = Paths.get(root, s"${name}_backup")
+    require(Files.exists(attempt), s"no staged attempt at $attempt")
+    rm(backup)
+    if (Files.exists(prod))
+      Files.move(prod, backup, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(attempt, prod, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** First-writer-wins publish from a private attempt dir — the OCC
+    * commit primitive the copy-on-write mutation arms use. The
+    * existence require is the fast-fail; the arbiter is the single
+    * `Files.move` WITHOUT replace-existing: of any number of racing
+    * attempts at the same immutable version name, exactly one rename
+    * lands and every other throws, with each loser's staged bytes
+    * private to it (nothing to tear — the r13 shared-path hazard is
+    * structurally gone). A loser must REBASE onto the newly live
+    * version and retry under a fresh attempt. */
+  def publishExclusiveFrom(root: String, name: String,
+      attempt: Path): Unit = {
+    require(Files.exists(attempt), s"no staged attempt at $attempt")
+    require(!Files.exists(Paths.get(root, name)) &&
+      !Files.exists(Paths.get(root, s"${name}_backup")),
+      s"publishExclusiveFrom: version '$name' already exists at $root — " +
+        "rebase onto the latest version and retry")
+    Files.move(attempt, Paths.get(root, name),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** Blue/green publish: prod → backup, staging → prod (atomic per state
     * table, mirroring run_training_batch.py:243-257). */
@@ -95,11 +157,17 @@ object ModelStore {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.map(_.getFileName.toString).toSeq
       }
+    // an attempt dir (_staging/<name>.attempt-<uuid>) belongs to <name>:
+    // a kept name's IN-FLIGHT attempt must survive the sweep
+    def stagingOwner(dir: String): String = {
+      val i = dir.indexOf(AttemptSep)
+      if (i >= 0) dir.substring(0, i) else dir
+    }
     val top = children(Paths.get(root)).filterNot(_ == "_staging")
     val retired = top.filterNot(d => keep.contains(owner(d)))
     retired.foreach(d => rm(Paths.get(root, d)))
     children(Paths.get(root, "_staging"))
-      .filterNot(keep.contains)
+      .filterNot(d => keep.contains(stagingOwner(d)))
       .foreach(d => rm(Paths.get(root, "_staging", d)))
     retired.map(owner).distinct.sorted
   }

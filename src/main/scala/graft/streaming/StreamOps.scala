@@ -169,8 +169,14 @@ object StreamOps {
           else {
             var (n, m, seq) = st.getOption.getOrElse((0L, 0L, 0L))
             it.foreach { case (op, eid, _) =>
-              if (op == "insert") { n += 1; m += eid }
-              else { n -= 1; m -= eid }
+              op match { // strict: a typo'd/future op must fail loudly,
+                // not silently decrement the maintained view (r13 ADVICE)
+                case "insert" => n += 1; m += eid
+                case "delete" => n -= 1; m -= eid
+                case other => throw new IllegalArgumentException(
+                  s"streamingViewMaintain: unknown op '$other' " +
+                    "(expected insert/delete)")
+              }
             }
             seq += 1
             st.update((n, m, seq))

@@ -114,34 +114,169 @@ class StateRoundtripSpec extends AnyFunSuite {
     def readVia(cat: Map[String, String], art: String): Long =
       graft.state.ModelStore.load(spark, root, cat(art))
         .head.getLong(1)
-    def catalog(): Map[String, String] =
-      graft.state.ModelStore.load(spark, root, "catalog")
+    def catalogAt(txn: Long): Map[String, String] =
+      graft.state.Catalog.load(spark, root, txn)
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    // v1 of both artifacts + pointer
+    def liveCatalog(): Map[String, String] =
+      graft.state.Catalog.live(spark, root)._2
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // v1 of both artifacts + pointer txn 1
     save("tab_v1", 10L); save("view_v1", 100L)
-    graft.state.ModelStore.save(
+    val t1 = graft.state.Catalog.commit(
       Seq(("table", "tab_v1"), ("view", "view_v1"))
-        .toDF("artifact", "version"), root, "catalog")
+        .toDF("artifact", "version"), root, expectedTxn = 0L)
+    assert(t1 == 1L)
     // the transaction publishes BOTH v2 artifacts — a reader resolving
     // the catalog still sees the v1 PAIR (nothing references v2 yet)
     save("tab_v2", 20L); save("view_v2", 200L)
-    val before = catalog()
+    val before = liveCatalog()
     assert(readVia(before, "table") == 10L &&
       readVia(before, "view") == 100L,
       "unswapped reader saw an unreferenced version")
-    // ONE pointer swap makes both live together
-    graft.state.ModelStore.save(
+    // ONE CAS pointer swap makes both live together
+    val t2 = graft.state.Catalog.commit(
       Seq(("table", "tab_v2"), ("view", "view_v2"))
-        .toDF("artifact", "version"), root, "catalog")
-    val after = catalog()
+        .toDF("artifact", "version"), root, expectedTxn = t1)
+    assert(t2 == 2L && graft.state.Catalog.liveTxn(root) == 2L)
+    val after = liveCatalog()
     assert(readVia(after, "table") == 20L &&
       readVia(after, "view") == 200L)
-    // retention composes: the catalog's entries ARE the keep-set
+    // retention composes: keepSet(lastK=1) = the LIVE pointer's entries
     val retired = graft.state.ModelStore.vacuum(root,
-      keep = after.values.toSet + "catalog")
-    assert(retired.sorted == Seq("tab_v1", "view_v1"), retired.toString)
-    assert(readVia(catalog(), "table") == 20L &&
-      readVia(catalog(), "view") == 200L,
+      keep = graft.state.Catalog.keepSet(spark, root, lastK = 1))
+    assert(retired.sorted == Seq("catalog_t1", "tab_v1", "view_v1"),
+      retired.toString)
+    assert(readVia(liveCatalog(), "table") == 20L &&
+      readVia(liveCatalog(), "view") == 200L,
       "vacuum broke a catalog-referenced artifact")
+    assert(catalogAt(2L)("table") == "tab_v2")
+  }
+
+  test("catalog CAS race: of two transactions from the same base " +
+      "exactly one lands; the loser rebases; the winner's RTBF purge " +
+      "is never vacuumed") {
+    import spark.implicits._
+    val root = graft.util.Fs.tempRoot("graft_cas_spec").toString
+    def save(nm: String, v: Long): Unit = graft.state.ModelStore.save(
+      Seq((1L, v)).toDF("k", "value"), root, nm)
+    def ptr(tab: String, view: String) =
+      Seq(("table", tab), ("view", view)).toDF("artifact", "version")
+    save("tab_v1", 10L); save("view_v1", 100L)
+    val base = graft.state.Catalog.commit(ptr("tab_v1", "view_v1"),
+      root, 0L)
+    // two governance transactions derive from the SAME base txn.
+    // T_purge executes an RTBF purge (tab_purged); T_other an unrelated
+    // maintenance (tab_other). Both publish their artifact versions,
+    // then race the pointer swap.
+    save("tab_purged", 7L); save("view_purged", 70L)
+    save("tab_other", 9L); save("view_other", 90L)
+    // the purge transaction wins the CAS
+    graft.state.Catalog.commit(ptr("tab_purged", "view_purged"),
+      root, base)
+    // the other transaction LOSES — loudly, instead of silently
+    // unreferencing the winner's executed purge
+    val e = intercept[Exception] {
+      graft.state.Catalog.commit(ptr("tab_other", "view_other"),
+        root, base)
+    }
+    assert(e.getMessage.contains("rebase"), e.getMessage)
+    // loser REBASES: re-derive its maintenance off the new live base,
+    // commit against the new txn
+    val live = graft.state.Catalog.liveTxn(root)
+    assert(live == base + 1)
+    save("tab_other2", 11L) // re-derived on top of the purged table
+    graft.state.Catalog.commit(ptr("tab_other2", "view_purged"),
+      root, live)
+    // vacuum with the grace keep-set (last 2 pointers): the winner's
+    // purged version is referenced by a historical pointer in the
+    // grace window and MUST survive — a lost-update overwrite would
+    // have left it unreferenced and deleted here
+    val keep = graft.state.Catalog.keepSet(spark, root, lastK = 2)
+    assert(keep.contains("tab_purged") && keep.contains("view_purged"))
+    val retired = graft.state.ModelStore.vacuum(root, keep)
+    assert(!retired.contains("tab_purged") &&
+      !retired.contains("view_purged"),
+      s"vacuum discarded a compliance-mandated purge: $retired")
+    // the abandoned loser branch (never referenced by any pointer) IS
+    // reclaimed, along with versions referenced only outside the grace
+    assert(retired.contains("tab_other") && retired.contains("tab_v1"))
+    // every version referenced by a pointer inside the grace window
+    // still loads
+    assert(graft.state.ModelStore.load(spark, root, "tab_purged")
+      .head.getLong(1) == 7L)
+  }
+
+  test("snapshot-isolated reader vs vacuum: a reader pinned lastK-1 " +
+      "swaps back still finds its versions; beyond the grace they " +
+      "retire") {
+    import spark.implicits._
+    val root = graft.util.Fs.tempRoot("graft_grace_spec").toString
+    def save(nm: String, v: Long): Unit = graft.state.ModelStore.save(
+      Seq((1L, v)).toDF("k", "value"), root, nm)
+    def ptr(tab: String) = Seq(("table", tab)).toDF("artifact", "version")
+    save("tab_a", 1L)
+    val t1 = graft.state.Catalog.commit(ptr("tab_a"), root, 0L)
+    // a reader resolves txn 1 and pins tab_a (a long scan in flight)
+    val pinned = graft.state.Catalog.load(spark, root, t1)
+      .head.getString(1)
+    // a writer swaps to txn 2 while the reader is mid-scan
+    save("tab_b", 2L)
+    graft.state.Catalog.commit(ptr("tab_b"), root, t1)
+    // vacuum with a 2-pointer grace window: the reader's pinned version
+    // is referenced by pointer t1 (inside the grace) and survives
+    graft.state.ModelStore.vacuum(root,
+      graft.state.Catalog.keepSet(spark, root, lastK = 2))
+    assert(graft.state.ModelStore.load(spark, root, pinned)
+      .head.getLong(1) == 1L,
+      "vacuum retired a version inside the reader grace window")
+    // beyond the grace (lastK=1): the old version retires with its
+    // pointer — the documented bound on reader staleness
+    val retired = graft.state.ModelStore.vacuum(root,
+      graft.state.Catalog.keepSet(spark, root, lastK = 1))
+    assert(retired.contains("tab_a") && retired.contains("catalog_t1"))
+    assert(graft.state.ModelStore.load(spark, root, "tab_b")
+      .head.getLong(1) == 2L)
+  }
+
+  test("attempt-private staging: concurrent commit attempts at one " +
+      "version name cannot tear each other's staged bytes; exactly one " +
+      "publishes, whole") {
+    val root = graft.util.Fs.tempRoot("graft_attempt_spec").toString
+    // two writers stage DIFFERENT content for the same version name,
+    // interleaved: under the old shared _staging/<name> path, writer
+    // B's stage began by deleting A's staged bytes (the r13 ADVICE
+    // hazard); attempt dirs make staging writer-private by construction
+    val a = graft.state.ModelStore.newAttempt(root, "v2")
+    val b = graft.state.ModelStore.newAttempt(root, "v2")
+    assert(a != b, "attempts must be private per writer")
+    java.nio.file.Files.writeString(a.resolve("data.txt"), "writer-A")
+    java.nio.file.Files.writeString(b.resolve("data.txt"), "writer-B")
+    // A publishes first and wins
+    graft.state.ModelStore.publishExclusiveFrom(root, "v2", a)
+    // B's publish fails loudly (first-writer-wins) ...
+    val e = intercept[Exception] {
+      graft.state.ModelStore.publishExclusiveFrom(root, "v2", b)
+    }
+    assert(e.getMessage.contains("rebase"), e.getMessage)
+    // ... and the winner's published content is A's, whole — not torn,
+    // not B's
+    val published = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "v2", "data.txt"))
+    assert(published == "writer-A", published)
+    // vacuum maps attempts to their owning name: a retired name's
+    // abandoned attempts sweep with it; a kept name's IN-FLIGHT attempt
+    // survives (the sweeper cannot distinguish in-flight from abandoned,
+    // so ownership is the rule)
+    val c = graft.state.ModelStore.newAttempt(root, "v3")
+    java.nio.file.Files.writeString(c.resolve("data.txt"), "writer-C")
+    graft.state.ModelStore.publishExclusiveFrom(root, "v3", c)
+    val d = graft.state.ModelStore.newAttempt(root, "v3") // in-flight
+    java.nio.file.Files.writeString(d.resolve("data.txt"), "writer-D")
+    val retired = graft.state.ModelStore.vacuum(root, keep = Set("v3"))
+    assert(retired == Seq("v2"), retired.toString)
+    assert(!java.nio.file.Files.exists(b),
+      "vacuum left an abandoned attempt of a retired name")
+    assert(java.nio.file.Files.exists(d.resolve("data.txt")),
+      "vacuum destroyed an in-flight attempt of a kept name")
   }
 }

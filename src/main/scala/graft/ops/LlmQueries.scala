@@ -459,8 +459,12 @@ object LlmQueries {
     * CTE; callers append their candidate/ranking tail. */
   /** The sample→Lloyd(3)→full-assign prefix of [[ivfSqBuildSql]] as a
     * standalone WITH chain (ends at `assign`); q232 packs on the
-    * assignment without the quantize/probe tail. */
-  private def ivfSqAssignSql(allptsCte: String, nlist: Int): String = {
+    * assignment without the quantize/probe tail. `fitFrom` is the
+    * relation the centroid fit samples (default: `allpts` itself) —
+    * q254 fits on the ORIGINAL corpus and assigns the MUTATED one,
+    * replaying an index whose stored centroids predate the commit. */
+  private def ivfSqAssignSql(allptsCte: String, nlist: Int,
+      fitFrom: String = "allpts"): String = {
     def iteration(prev: String, cur: String): String =
       s"""a_$cur AS (SELECT p.id, p.v, c.list_id,
          |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
@@ -476,7 +480,7 @@ object LlmQueries {
          |    GROUP BY a.list_id, t.pos)
          |  GROUP BY list_id)""".stripMargin
     s"""WITH $allptsCte,
-      |pts AS (SELECT * FROM allpts WHERE id % 10 = 0),
+      |pts AS (SELECT * FROM $fitFrom WHERE id % 10 = 0),
       |seeds AS (SELECT id, v FROM pts ORDER BY id LIMIT $nlist),
       |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS list_id,
       |    v AS c FROM seeds),
@@ -493,8 +497,8 @@ object LlmQueries {
   }
 
   private def ivfSqBuildSql(allptsCte: String, nlist: Int, nprobe: Int,
-      queryPred: String): String = {
-    ivfSqAssignSql(allptsCte, nlist) + s""",
+      queryPred: String, fitFrom: String = "allpts"): String = {
+    ivfSqAssignSql(allptsCte, nlist, fitFrom) + s""",
       |qz AS MATERIALIZED (SELECT id, q,
       |    CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x))
       |      AS BIGINT) AS qn
@@ -2820,28 +2824,29 @@ object LlmQueries {
       .orderBy($"user_id")
   }
   /** The stored per-file Bloom replayed in SQL — build from `rel`'s
-    * (fileCol, user_id) pairs, probe every file with `probeCte`'s
-    * user_ids — shared VERBATIM by q235/q238/q241 (the layoutCte
-    * convention: ONE copy of the geometry both engines compile). Ends
-    * with `ph(user_id, fileCol, hit)`. */
+    * (fileCol, keyCol) pairs, probe every file with `probeCte`'s keys
+    * — shared VERBATIM by q235/q238/q241 over the layout's user Blooms
+    * and by q254 over the IVF index's per-list id-Blooms (the
+    * layoutCte convention: ONE copy of the geometry both engines
+    * compile). Ends with `ph(keyCol, fileCol, hit)`. */
   private def bloomReplayCte(fileCol: String, probeCte: String,
-      rel: String): String =
-    s"""fu AS (SELECT DISTINCT $fileCol, user_id FROM $rel),
+      rel: String, keyCol: String = "user_id"): String =
+    s"""fu AS (SELECT DISTINCT $fileCol, $keyCol FROM $rel),
        |bpos AS (SELECT f.$fileCol,
        |    CAST(('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' ||
-       |      CAST(f.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3840
+       |      CAST(f.$keyCol AS VARCHAR)), 1, 15)) AS BIGINT) % 3840
        |      AS pos
        |  FROM fu f, unnest(range(0, 3)) AS u(r)),
        |bloom AS (SELECT $fileCol, pos // 60 AS word,
        |    bit_or(1::BIGINT << CAST(pos % 60 AS INTEGER)) AS bits
        |  FROM bpos GROUP BY 1, 2),
-       |pp AS (SELECT t.user_id, z.$fileCol,
+       |pp AS (SELECT t.$keyCol, z.$fileCol,
        |    CAST(('0x' || substr(md5(CAST(u.r AS VARCHAR) || ':' ||
-       |      CAST(t.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 3840
+       |      CAST(t.$keyCol AS VARCHAR)), 1, 15)) AS BIGINT) % 3840
        |      AS pos
        |  FROM $probeCte t, (SELECT DISTINCT $fileCol FROM $rel) z,
        |    unnest(range(0, 3)) AS u(r)),
-       |ph AS (SELECT pp.user_id, pp.$fileCol,
+       |ph AS (SELECT pp.$keyCol, pp.$fileCol,
        |    BOOL_AND((COALESCE(b.bits, 0) &
        |      (1::BIGINT << CAST(pp.pos % 60 AS INTEGER))) =
        |      (1::BIGINT << CAST(pp.pos % 60 AS INTEGER))) AS hit
@@ -3894,6 +3899,158 @@ object LlmQueries {
           |    AS lists_total FROM assign)""".stripMargin,
         extraSel = ", np.n_purged, lt.lists_touched, la.lists_total",
         extraFrom = ", np, lt, la")
+
+  /** q254 — CDC-DRIVEN INCREMENTAL MAINTENANCE of the stored ANN
+    * index, committed as ONE cross-artifact CAS transaction (r13
+    * verdict item 3 — q251 propagates DELETEs; this closes the
+    * table→index loop for inserts and updates, so an upsert to the
+    * base no longer leaves the index stale until rebuild). The
+    * lifecycle: corpus v1 + IVF-SQ index v1 publish and go live under
+    * catalog txn 1 ([[graft.state.Catalog]]); a change-feed commit
+    * arrives (deletes, in-place vector updates, late inserts); the
+    * corpus replays it to v2 while the INDEX is maintained
+    * incrementally ([[graft.llm.Ivf.maintainIndex]] — every feed id
+    * removed from its stored list via the per-list id-Bloom, no
+    * vector precondition; post-images assigned MAP-ONLY under the
+    * STORED centroids and quantized in); then ONE compare-and-swap
+    * pointer commit (txn 2) flips corpus and index live together. The
+    * reader resolves the live catalog, cross-checks the pair
+    * (`n_inconsistent` = ids on which the resolved corpus and index
+    * disagree — a torn transaction hash-fails), and serves top-k from
+    * the MAINTAINED index. Oracle = the full rebuild replay over the
+    * post-commit corpus with the fit pinned to the ORIGINAL sample
+    * (centroids are kept across maintenance — the q251 unlearning
+    * split), so a stale post-image, a surviving delete, a dropped
+    * insert, or an update ranked under its old vector all hash-fail;
+    * the write-amplification audit (`lists_touched`) is replayed
+    * exactly, Bloom false positives included, by the same in-SQL
+    * Bloom replay as q238's. 100 TB shape: feed is commit-sized
+    * (broadcast), assignment map-only, bytes rewritten ∝ the feed's
+    * list fan-out, the pointer swap footer-sized. The reference
+    * re-pickles its whole sklearn index on every training run
+    * (/root/reference/src/ml/vector_engine.py:47-61) — north-star
+    * extension. */
+  def q254IndexMaintain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val sample = e.filter(pmod($"vec_id", lit(10)) === 0)
+    val cents = graft.llm.Ivf.fitCentroids(sample, "vec_id", "embedding",
+      nlist = 16)
+    val idx = graft.llm.Quantize.withInt8(
+        graft.llm.Ivf.assignIndex(e, "vec_id", "embedding", cents), "v")
+      .drop("v")
+    val root = graft.util.Fs.tempRoot("graft_idxmaint").toString
+    graft.llm.Ivf.saveIndex(idx, cents, root) // index v1 (+ id-Blooms)
+    graft.state.ModelStore.save(
+      e.select($"vec_id", $"embedding".cast("array<double>").as("v")),
+      root, "corpus_v1")
+    val txn1 = graft.state.Catalog.commit(
+      Seq(("corpus", "corpus_v1"), ("index", "ivfsq"))
+        .toDF("artifact", "version"), root, expectedTxn = 0L)
+    // the arriving commit: deletes + in-place vector updates (negated
+    // embedding — deterministic, oracle-replayable) + late inserts
+    val off = 1000000000L
+    val feed = e.filter($"vec_id" % 89 === 13)
+        .select(lit("delete").as("op"), $"vec_id".as("id"),
+          lit(null).cast("array<double>").as("vec"))
+      .unionByName(e.filter($"vec_id" % 97 === 11 && $"vec_id" % 89 =!= 13)
+        .select(lit("update").as("op"), $"vec_id".as("id"),
+          transform($"embedding".cast("array<double>"), x => -x).as("vec")))
+      .unionByName(e.filter($"vec_id" % 131 === 3)
+        .select(lit("insert").as("op"), ($"vec_id" + off).as("id"),
+          $"embedding".cast("array<double>").as("vec")))
+      .localCheckpoint() // audit counts, corpus replay + index both scan it
+    val nDel = feed.filter($"op" === "delete").count()
+    val nUpd = feed.filter($"op" === "update").count()
+    val nIns = feed.filter($"op" === "insert").count()
+    require(nDel > 0 && nUpd > 0 && nIns > 0,
+      s"q254: feed needs all three ops at $d (d=$nDel u=$nUpd i=$nIns)")
+    // corpus v2 = the feed replayed on v1 (remove every feed key, fold
+    // the post-images back in)
+    val v2c = graft.state.ModelStore.load(s, root, "corpus_v1")
+      .join(broadcast(feed.select($"id".as("vec_id"))), Seq("vec_id"),
+        "left_anti")
+      .unionByName(feed.filter($"op" =!= "delete")
+        .select($"id".as("vec_id"), $"vec".as("v")))
+    graft.state.ModelStore.save(v2c, root, "corpus_v2")
+    // the index maintained INCREMENTALLY from the same feed
+    val (touched, untouched) = graft.llm.Ivf.maintainIndex(s, root,
+      feed, "ivfsq", "ivfsq_m2")
+    // ONE CAS pointer commit flips corpus + index live together
+    val txn2 = graft.state.Catalog.commit(
+      Seq(("corpus", "corpus_v2"), ("index", "ivfsq_m2"))
+        .toDF("artifact", "version"), root, expectedTxn = txn1)
+    // a reader: resolve the live catalog, cross-check, serve
+    val cat = graft.state.Catalog.live(s, root)._2
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val corpus = graft.state.ModelStore.load(s, root, cat("corpus"))
+      .localCheckpoint() // consistency join + query vectors share it
+    val (lists, storedCents) = graft.llm.Ivf.loadIndex(s, root,
+      cat("index"))
+    val nBad = corpus.select($"vec_id".as("id"), lit(1).as("c"))
+      .join(lists.select($"id", lit(1).as("i")), Seq("id"), "full_outer")
+      .filter($"c".isNull || $"i".isNull).count()
+    graft.llm.Ivf.knnQuantizedServe(corpus.filter($"vec_id" < 10),
+        lists, storedCents, "vec_id", "v", k = 5, nprobe = 4,
+        materializeIndex = false)
+      .select($"qid", $"cid", $"dot_q", round($"cos_q", 6).as("cos_q"),
+        $"rn", lit(nDel).as("n_deleted"), lit(nUpd).as("n_updated"),
+        lit(nIns).as("n_inserted"),
+        lit(touched.size.toLong).as("lists_touched"),
+        lit((touched ++ untouched).distinct.size.toLong).as("lists_total"),
+        lit(nBad).as("n_inconsistent"), lit(txn2).as("txn"))
+      .orderBy($"qid", $"rn")
+  }
+  /** q254's mutated-corpus source: `base` = the stored embeddings,
+    * `allpts` = the post-commit corpus (deletes removed, updates
+    * negated in place, inserts re-keyed +10⁹). The fit samples `base`
+    * (stored centroids predate the commit). */
+  private val q254AllptsCte: String =
+    """base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |allpts AS (
+      |  SELECT id, CASE WHEN id % 97 = 11 AND id % 89 != 13
+      |      THEN list_transform(v, x -> -x) ELSE v END AS v
+      |  FROM base WHERE id % 89 != 13
+      |  UNION ALL
+      |  SELECT id + 1000000000, v FROM base WHERE id % 131 = 3)""".stripMargin
+  val q254Sql: String =
+    ivfSqBuildSql(q254AllptsCte, nlist = 16, nprobe = 4,
+      queryPred = "p.id < 10", fitFrom = "base") +
+      ivfSqServeTailSql(5,
+        extraCtes = s""",
+          |v1a AS (SELECT id, list_id FROM (
+          |  SELECT p.id, c.list_id,
+          |    ROW_NUMBER() OVER (PARTITION BY p.id ORDER BY
+          |      list_sum(list_transform(list_zip(p.v, c.c),
+          |        z -> (z[1]-z[2])*(z[1]-z[2]))), c.list_id) AS rn
+          |  FROM base p, c3m c) WHERE rn = 1),
+          |fid AS (SELECT id FROM base WHERE id % 89 = 13
+          |  UNION SELECT id FROM base WHERE id % 97 = 11 AND id % 89 != 13
+          |  UNION SELECT id + 1000000000 FROM base WHERE id % 131 = 3),
+          |${bloomReplayCte("list_id", "fid", "v1a", keyCol = "id")},
+          |fpost AS (SELECT id FROM base
+          |    WHERE id % 97 = 11 AND id % 89 != 13
+          |  UNION SELECT id + 1000000000 FROM base WHERE id % 131 = 3),
+          |addl AS (SELECT DISTINCT a.list_id FROM assign a
+          |  JOIN fpost f ON f.id = a.id),
+          |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted
+          |  FROM base WHERE id % 89 = 13),
+          |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_updated
+          |  FROM base WHERE id % 97 = 11 AND id % 89 != 13),
+          |ni AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_inserted
+          |  FROM base WHERE id % 131 = 3),
+          |lt AS (SELECT CAST(COUNT(DISTINCT list_id) AS BIGINT)
+          |    AS lists_touched FROM (
+          |  SELECT list_id FROM ph WHERE hit
+          |  UNION SELECT list_id FROM addl)),
+          |la AS (SELECT CAST(COUNT(DISTINCT list_id) AS BIGINT)
+          |    AS lists_total FROM (
+          |  SELECT list_id FROM v1a UNION SELECT list_id FROM addl))""".stripMargin,
+        extraSel = ", nd.n_deleted, nu.n_updated, ni.n_inserted, " +
+          "lt.lists_touched, la.lists_total, " +
+          "CAST(0 AS BIGINT) AS n_inconsistent, CAST(2 AS BIGINT) AS txn",
+        extraFrom = ", nd, nu, ni, lt, la")
 
   /** q253 — CROSS-ARTIFACT ATOMIC GOVERNANCE: one right-to-be-
     * forgotten request must land on the stored TABLE and its DERIVED
@@ -8240,6 +8397,7 @@ object LlmQueries {
     "q250_cdc_view_capstone" -> (q250CdcViewCapstone _),
     "q251_index_purge" -> (q251IndexPurge _),
     "q253_governed_rtbf" -> (q253GovernedRtbf _),
+    "q254_index_maintain" -> (q254IndexMaintain _),
     "q231_winnow_eval" -> (q231WinnowEval _),
     "q232_affinity_pack" -> (q232AffinityPack _),
     "q220_journey_transitions" -> (q220JourneyTransitions _),
@@ -8395,6 +8553,7 @@ object LlmQueries {
     "q250_cdc_view_capstone" -> q244Sql,
     "q251_index_purge" -> q251Sql,
     "q253_governed_rtbf" -> q253Sql,
+    "q254_index_maintain" -> q254Sql,
     "q231_winnow_eval" -> q231Sql,
     "q232_affinity_pack" -> q232Sql,
     "q220_journey_transitions" -> q220Sql,

@@ -2108,30 +2108,45 @@ object StreamQueries {
        |${q239PairSql("purchases_dim", "p", "d")}
        |ORDER BY batch_id, pair""".stripMargin
 
-  /** q242 — STREAMING MERGE into the stored table: mutation batches
-    * arriving as a real file-source stream are applied to the q223
-    * layout store by a `foreachBatch` sink that runs
-    * [[graft.llm.Layout.upsertRows]] per micro-batch — each batch
-    * rewrites only the files its rows name and publishes a NEW
-    * pair-atomic store version, chaining v1 → s1 → s2 → s3 → s4 (the
-    * lakehouse streaming-sink pattern: bounded copy-on-write commits,
-    * one per trigger, a reader always on a complete version). The
-    * delta is q240's exact mutation mix (late inserts + re-delivered
-    * duplicates) split into 4 ascending batches; because upserts of
-    * disjoint key sets compose, the STREAMED store must serve
-    * bit-identically to q240's single-shot batch merge — so q240's SQL
-    * is the oracle verbatim (the q114/q120 ingest-twin discipline
-    * applied to storage). A re-delivery replaced in batch 1 then
-    * re-replaced never duplicates; an insert from batch 2 survives
-    * batches 3-4's rewrites of shared files — the per-file hash
-    * would catch either failure. 100 TB shape: each commit's bytes ∝
-    * that batch's file fan-out; versions retire under the blue/green
-    * rule. */
-  def q242StreamUpsert(s: SparkSession, d: String): DataFrame = {
+  /** The SHARED streaming-merge commit chain backing q242 / q252 /
+    * q255 — the r13 performance-policy fix ("new lakehouse queries
+    * compose over a SHARED built store where the oracle permits,
+    * rather than each building its own 3-5 versions"): the three
+    * queries gate three different READ surfaces of the SAME storage
+    * lifecycle (final-version serve, per-commit CDC feeds, AS OF over
+    * the commit chain), so the chain builds ONCE per JVM per dataset
+    * dir and each query pays only its own serve cost. The build is
+    * fully deterministic (same fixture delta, same ascending 4-batch
+    * split, same upsert arithmetic), so results are identical
+    * whichever query triggers it.
+    *
+    * The foreachBatch sink is IDEMPOTENT under micro-batch
+    * re-execution (foreachBatch's documented at-least-once semantics —
+    * r13 ADVICE): every side effect is keyed by the batch id, never by
+    * driver-side counters — the incumbent/next version names derive
+    * from `id`, the per-commit feed writes `mode(overwrite)` to an
+    * id-derived path, the audit map is keyed by id (a re-execution
+    * overwrites the same entry with the same values), and a re-executed
+    * commit whose version already published is SKIPPED (the store is
+    * immutable-per-version; the publish was the transaction). */
+  private[ops] final case class UpsertChain(root: String,
+    versions: Seq[String], feedDir: String,
+    audit: Seq[(Long, String, Long, Long)], nIns: Long, nRep: Long,
+    ftTouched: Long)
+
+  private val chainCache =
+    scala.collection.mutable.Map[String, UpsertChain]()
+
+  private[ops] def upsertChain(s: SparkSession, d: String): UpsertChain =
+    chainCache.synchronized {
+      chainCache.getOrElseUpdate(d, buildUpsertChain(s, d))
+    }
+
+  private def buildUpsertChain(s: SparkSession, d: String): UpsertChain = {
     import s.implicits._
     import org.apache.spark.sql.types._
     val laid = Layout.eventLayout(Tables.events(s, d))
-    val root = graft.util.Fs.tempRoot("graft_streamup").toString
+    val root = graft.util.Fs.tempRoot("graft_chainstore").toString
     Layout.saveLayout(laid, root) // v1: events_z
     val (rows, _) = Layout.loadLayout(s, root)
     val off = 1000000000000L
@@ -2146,47 +2161,88 @@ object StreamQueries {
       .add("event_id", LongType).add("user_id", LongType)
       .add("ub", LongType).add("tb", LongType)
       .add("zkey", LongType).add("file_z", LongType)
-    // driver-held commit chain: version name + per-commit audit
-    val commits =
-      scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
-    var current = "events_z"
-    fourBatchHarness(s, delta, "event_id", schema, "streamup") {
+    val feedDir = graft.util.Fs.tempRoot("graft_chainfeed").toString
+    // audit keyed by batch id — idempotent under re-execution
+    val audit = new java.util.concurrent.ConcurrentHashMap[
+      Long, (String, Long, Long)]()
+    fourBatchHarness(s, delta, "event_id", schema, "chain") {
       (source, sink) =>
         val q = source.writeStream
           .foreachBatch { (b: DataFrame, id: Long) =>
-            val next = s"events_z_s${commits.size + 1}"
-            val res = Layout.upsertRows(s, root, current, "file_z",
-              b.localCheckpoint(), next)
-            commits += ((id, next, b.count(), res.touched.size.toLong))
-            current = next
+            // ALL names derive from the batch id, not a counter
+            val commitNo = id + 1
+            val next = s"events_z_s$commitNo"
+            val incumbent =
+              if (commitNo == 1L) "events_z" else s"events_z_s$id"
+            val bb = b.localCheckpoint()
+            // the writer's CDC feed, classified against the incumbent
+            // BEFORE the commit rewrites it; overwrite to the
+            // id-derived path = re-execution-safe
+            Layout.writerFeed(s, root, incumbent, "file_z", bb)
+              .withColumn("commit_id", lit(commitNo))
+              .write.mode("overwrite").parquet(s"$feedDir/c$commitNo")
+            // a re-executed batch whose version already committed is
+            // skipped — versions are immutable, the publish WAS the
+            // transaction (publishExclusiveFrom would rightly refuse)
+            if (!graft.state.ModelStore.exists(root, next))
+              Layout.upsertRows(s, root, incumbent, "file_z", bb, next)
+            audit.put(commitNo,
+              (next, bb.count(),
+                bb.select($"file_z").distinct().count()))
             ()
           }
           .start()
         q.processAllAvailable()
         q.stop()
-        require(commits.size == 4,
-          s"q242: expected 4 commits, got ${commits.size}")
-        // the audit chain IS the sink content (foreachBatch has no
-        // memory table; the harness's finish reads this view)
-        commits.toSeq
-          .toDF("batch_id", "version", "n_delta", "files_touched")
-          .createOrReplaceTempView(sink)
-    } { audit =>
-      // the streamed store must serve identically to q240's batch
-      // merge: scan the FINAL version back; audit rows pin the chain
-      val (fin, _) = Layout.loadLayout(s, root, current)
-      require(audit.agg(sum($"n_delta")).head.getLong(0) ==
-        nIns + nRep, "q242: commit chain lost delta rows")
-      val filesTotal = fin.select($"file_z").distinct().count()
-      fin.groupBy($"file_z")
-        .agg(count(lit(1)).as("n_rows"), sum($"user_id").as("u_mass"),
-          sum($"event_id").as("e_mass"))
-        .select($"file_z", $"n_rows", $"u_mass", $"e_mass",
-          lit(nIns).as("n_inserted"), lit(nRep).as("n_replaced"),
-          lit(ftTouched).as("files_touched"),
-          lit(filesTotal).as("files_total"))
-        .orderBy($"file_z")
+        require(audit.size == 4,
+          s"upsertChain: expected 4 commits, got ${audit.size}")
+        Seq.empty[Int].toDF("unused").createOrReplaceTempView(sink)
+    } { _ => Seq.empty[Int].toDF("unused") }
+    val auditRows = (1L to 4L).map { c =>
+      val (v, n, ft) = audit.get(c)
+      (c, v, n, ft)
     }
+    UpsertChain(root, auditRows.map(_._2), feedDir, auditRows, nIns,
+      nRep, ftTouched)
+  }
+
+  /** q242 — STREAMING MERGE into the stored table: mutation batches
+    * arriving as a real file-source stream are applied to the q223
+    * layout store by a `foreachBatch` sink that runs
+    * [[graft.llm.Layout.upsertRows]] per micro-batch — each batch
+    * rewrites only the files its rows name and publishes a NEW
+    * pair-atomic store version, chaining v1 → s1 → s2 → s3 → s4 (the
+    * lakehouse streaming-sink pattern: bounded copy-on-write commits,
+    * one per trigger, a reader always on a complete version; built
+    * once and SHARED with q252/q255 — [[upsertChain]], the r13
+    * shared-store policy). The delta is q240's exact mutation mix
+    * (late inserts + re-delivered duplicates) split into 4 ascending
+    * batches; because upserts of disjoint key sets compose, the
+    * STREAMED store must serve bit-identically to q240's single-shot
+    * batch merge — so q240's SQL is the oracle verbatim (the
+    * q114/q120 ingest-twin discipline applied to storage). A
+    * re-delivery replaced in batch 1 then re-replaced never
+    * duplicates; an insert from batch 2 survives batches 3-4's
+    * rewrites of shared files — the per-file hash would catch either
+    * failure. 100 TB shape: each commit's bytes ∝ that batch's file
+    * fan-out; versions retire under the blue/green rule. */
+  def q242StreamUpsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chain = upsertChain(s, d)
+    // the streamed store must serve identically to q240's batch
+    // merge: scan the FINAL version back; audit rows pin the chain
+    require(chain.audit.map(_._3).sum == chain.nIns + chain.nRep,
+      "q242: commit chain lost delta rows")
+    val (fin, _) = Layout.loadLayout(s, chain.root, chain.versions.last)
+    val filesTotal = fin.select($"file_z").distinct().count()
+    fin.groupBy($"file_z")
+      .agg(count(lit(1)).as("n_rows"), sum($"user_id").as("u_mass"),
+        sum($"event_id").as("e_mass"))
+      .select($"file_z", $"n_rows", $"u_mass", $"e_mass",
+        lit(chain.nIns).as("n_inserted"), lit(chain.nRep).as("n_replaced"),
+        lit(chain.ftTouched).as("files_touched"),
+        lit(filesTotal).as("files_total"))
+      .orderBy($"file_z")
   }
 
   /** q247 — STREAMING incremental view maintenance: q244's fold kept
@@ -2276,63 +2332,87 @@ object StreamQueries {
     * (original ids) before inserts (re-keyed ids), so the early
     * commits are CDC-SILENT — a correct writer emits nothing for a
     * batch of pure re-deliveries, and the oracle's tile counts pin
-    * that silence. 100 TB shape: feed cost ∝ each commit's delta +
-    * its file fan-out (one pruned incumbent scan the merge pays
-    * anyway) — no version diff ever runs on the hot path. */
+    * that silence. The feeds are written BY the shared chain's sink
+    * ([[upsertChain]] — built once, shared with q242/q255) with every
+    * side effect keyed by the batch id (overwrite to an id-derived
+    * path), so a re-executed micro-batch re-emits the identical feed
+    * instead of failing the write or double-advancing the commit
+    * chain. 100 TB shape: feed cost ∝ each commit's delta + its file
+    * fan-out (one pruned incumbent scan the merge pays anyway) — no
+    * version diff ever runs on the hot path. */
   def q252StreamCdc(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.types._
-    val laid = Layout.eventLayout(Tables.events(s, d))
-    val root = graft.util.Fs.tempRoot("graft_streamcdc").toString
-    Layout.saveLayout(laid, root) // v1: events_z
-    val (rows, _) = Layout.loadLayout(s, root)
-    val off = 1000000000000L
-    val delta = rows.filter($"event_id" % 131 === 3)
-      .withColumn("event_id", $"event_id" + off)
-      .unionByName(rows.filter($"event_id" % 131 === 5))
-      .localCheckpoint()
-    val schema = new StructType()
-      .add("event_id", LongType).add("user_id", LongType)
-      .add("ub", LongType).add("tb", LongType)
-      .add("zkey", LongType).add("file_z", LongType)
-    // per-commit feeds stage as parquet (delta-sized — what a real CDF
-    // table IS) so the post-stream aggregation binds to the OUTER
-    // session: a micro-batch DataFrame lives in a cloned session, and
-    // a temp view created from it lands in the clone's catalog
-    val feedDir = graft.util.Fs.tempRoot("graft_streamcdc_feed")
-    var nCommits = 0
-    var current = "events_z"
-    fourBatchHarness(s, delta, "event_id", schema, "streamcdc") {
-      (source, sink) =>
-        val q = source.writeStream
-          .foreachBatch { (b: DataFrame, id: Long) =>
-            val bb = b.localCheckpoint()
-            // the writer's feed, classified against the incumbent
-            // BEFORE the commit rewrites it
-            Layout.writerFeed(s, root, current, "file_z", bb)
-              .withColumn("commit_id", lit(id + 1))
-              .write.parquet(s"$feedDir/c${id + 1}")
-            nCommits += 1
-            val next = s"events_z_s$nCommits"
-            Layout.upsertRows(s, root, current, "file_z", bb, next)
-            current = next
-            ()
-          }
-          .start()
-        q.processAllAvailable()
-        q.stop()
-        require(nCommits == 4,
-          s"q252: expected 4 commits, got $nCommits")
-        s.read.option("recursiveFileLookup", "true")
-          .parquet(feedDir.toString)
-          .groupBy($"commit_id", $"op", $"file_z")
-          .agg(count(lit(1)).as("n"), sum($"event_id").as("e_mass"),
-            sum($"user_id").as("u_mass"))
-          .createOrReplaceTempView(sink)
-    } { agg =>
-      agg.orderBy($"commit_id", $"op", $"file_z")
-    }
+    val chain = upsertChain(s, d)
+    s.read.option("recursiveFileLookup", "true")
+      .parquet(chain.feedDir)
+      .groupBy($"commit_id", $"op", $"file_z")
+      .agg(count(lit(1)).as("n"), sum($"event_id").as("e_mass"),
+        sum($"user_id").as("u_mass"))
+      .orderBy($"commit_id", $"op", $"file_z")
   }
+
+  /** q255 — STREAMING TIME TRAVEL: AS OF reads over the streaming
+    * merge's commit chain (r13 verdict item 8 — q242 publishes s1…s4
+    * as coexisting versions and q245 time-travels a batch chain; this
+    * composes them). The commit→version mapping is the one the sink
+    * itself emitted ([[upsertChain]]'s audit — commit ids stamped by
+    * the writerFeed machinery), and each AS OF read resolves that
+    * mapping and scans the pinned version: per commit, full row count,
+    * event/user mass, live file count, and the commit's own audited
+    * delta size. Version IMMUTABILITY is the hash gate: s1 is read
+    * back AFTER s2–s4 published, so a sink that mutated a prior
+    * version in place (or a reader resolving the wrong version) shifts
+    * the early rows and hash-fails; the oracle replays each AS OF as
+    * the prefix-merge (base ∪ inserts of tiles ≤ k — re-deliveries
+    * replace identically, so the prefix content is exactly that).
+    * 100 TB shape: one aggregation per pinned version over
+    * copy-on-write-shared files; the chain itself is the shared build.
+    * The reference's single mutable table has no history
+    * (/root/reference/src/db/connection.py:10-19) — north-star
+    * extension. */
+  def q255StreamAsOf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chain = upsertChain(s, d)
+    chain.audit.map { case (commitId, version, nDelta, _) =>
+      // AS OF commit k: resolve the sink-emitted mapping, scan the
+      // pinned version
+      val (v, _) = Layout.loadLayout(s, chain.root, version)
+      v.agg(count(lit(1)).as("n_rows"),
+          sum($"event_id").as("e_mass"), sum($"user_id").as("u_mass"),
+          countDistinct($"file_z").as("files_total"))
+        .select(lit(commitId).as("commit_id"), $"n_rows", $"e_mass",
+          $"u_mass", $"files_total", lit(nDelta).as("n_delta"))
+    }.reduce(_ unionByName _)
+      .orderBy($"commit_id")
+  }
+  val q255Sql: String =
+    s"""WITH ${LlmQueries.layoutCte},
+       |ins AS (SELECT event_id + 1000000000000 AS event_id, user_id,
+       |    ub, tb, zkey, file_z, file_t
+       |  FROM laid WHERE event_id % 131 = 3),
+       |delta AS (SELECT * FROM laid WHERE event_id % 131 = 5
+       |  UNION ALL SELECT * FROM ins),
+       |tiled AS (SELECT event_id, user_id, file_z,
+       |    NTILE(4) OVER (ORDER BY event_id) AS commit_id
+       |  FROM delta),
+       |ks AS (SELECT CAST(u.i AS BIGINT) AS k FROM
+       |  unnest(range(1, 5)) AS u(i)),
+       |nd AS (SELECT commit_id, CAST(COUNT(*) AS BIGINT) AS n_delta
+       |  FROM tiled GROUP BY 1),
+       |vk AS (SELECT ks.k, l.event_id, l.user_id, l.file_z
+       |    FROM ks, laid l
+       |  UNION ALL
+       |  SELECT ks.k, t.event_id, t.user_id, t.file_z
+       |  FROM ks JOIN tiled t ON t.commit_id <= ks.k
+       |  WHERE t.event_id >= 1000000000000)
+       |SELECT vk.k AS commit_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(vk.event_id) AS BIGINT) AS e_mass,
+       |  CAST(SUM(vk.user_id) AS BIGINT) AS u_mass,
+       |  CAST(COUNT(DISTINCT vk.file_z) AS BIGINT) AS files_total,
+       |  nd.n_delta
+       |FROM vk JOIN nd ON nd.commit_id = vk.k
+       |GROUP BY 1, nd.n_delta
+       |ORDER BY commit_id""".stripMargin
   val q252Sql: String =
     s"""WITH ${LlmQueries.layoutCte},
        |ins AS (SELECT event_id + 1000000000000 AS event_id, user_id,
@@ -2355,6 +2435,7 @@ object StreamQueries {
     "q101_stream_dedup" -> (q101StreamDedup _),
     "q247_stream_view" -> (q247StreamView _),
     "q252_stream_cdc" -> (q252StreamCdc _),
+    "q255_stream_asof" -> (q255StreamAsOf _),
     "q229_stream_kmv" -> (q229StreamKmv _),
     "q234_stream_affinity_pack" -> (q234StreamAffinityPack _),
     "q239_stream_planner" -> (q239StreamPlanner _),
@@ -2398,6 +2479,10 @@ object StreamQueries {
     // the single-shot batch fold — q244's SQL is the oracle verbatim
     "q247_stream_view" -> LlmQueries.q244Sql,
     "q252_stream_cdc" -> q252Sql,
+    // each AS OF over the sink-emitted commit chain == the oracle's
+    // prefix-merge replay (re-deliveries replace identically, so the
+    // prefix content is base ∪ inserts of tiles <= k)
+    "q255_stream_asof" -> q255Sql,
     // stateless stream-static join => identical to batch decontamination
     "q110_stream_decon" -> LlmQueries.q94Sql,
     "q106_stream_neardup" -> q106Sql,

@@ -213,4 +213,143 @@ class CompactionSpec extends AnyFunSuite {
       }
     } finally graft.util.Fs.deleteRecursively(root)
   }
+
+  test("purge drift audit (r13 ADVICE): a request vector that assigns " +
+      "to a different list than the stored row fails loudly instead " +
+      "of leaking the id") {
+    import spark.implicits._
+    val e = embeddings
+    val cents = Ivf.fitCentroids(e.filter(pmod($"vec_id", lit(10)) === 0),
+      "vec_id", "embedding", nlist = 4)
+    val idx = Quantize.withInt8(
+      Ivf.assignIndex(e, "vec_id", "embedding", cents), "v").drop("v")
+    val root = java.nio.file.Files.createTempDirectory("graft-drift")
+    try {
+      Ivf.saveIndex(idx, cents, root.toString)
+      // pick a stored row A and a vector from a row B in a DIFFERENT
+      // list: (A.id, B.vec) is exactly a drifted deletion request —
+      // the touch set (assign of B.vec) misses A's real list
+      val assigned = Ivf.assignIndex(e, "vec_id", "embedding", cents)
+        .select($"id", $"list_id", $"v").localCheckpoint()
+      val a = assigned.filter($"list_id" === 0).select($"id").head.getLong(0)
+      val bVecRow = assigned.filter($"list_id" =!= 0).limit(1)
+      val drifted = bVecRow.select(lit(a).as("vec_id"),
+        $"v".as("embedding")).localCheckpoint()
+      val ex = intercept[IllegalArgumentException] {
+        Ivf.purgeIndex(spark, root.toString, drifted, "vec_id",
+          "embedding", "ivfsq", "ivfsq_drifted")
+      }
+      assert(ex.getMessage.contains("drifted"), ex.getMessage)
+      // nothing published: the audit fired before any write went live
+      assert(!graft.state.ModelStore.exists(root.toString, "ivfsq_drifted"))
+      // the same request by ID (no vector trusted) succeeds exactly
+      import org.apache.spark.sql.types._
+      val feed = Seq(("delete", a)).toDF("op", "id")
+        .withColumn("vec", lit(null).cast(ArrayType(DoubleType)))
+      val (touched, _) = Ivf.maintainIndex(spark, root.toString, feed,
+        "ivfsq", "ivfsq_byid")
+      val (after, _) = Ivf.loadIndex(spark, root.toString, "ivfsq_byid")
+      assert(after.filter($"id" === a).isEmpty,
+        "id-keyed delete missed the stored row")
+      assert(touched.contains(0), "id-Bloom missed the real list")
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
+
+  test("maintainIndex (q254): maintained == rebuilt, only the feed's " +
+      "list fan-out rewrites, re-applied feed is idempotent, malformed " +
+      "feeds fail loudly") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val e = embeddings
+    val cents = Ivf.fitCentroids(e.filter(pmod($"vec_id", lit(10)) === 0),
+      "vec_id", "embedding", nlist = 4)
+    val idx = Quantize.withInt8(
+      Ivf.assignIndex(e, "vec_id", "embedding", cents), "v").drop("v")
+    val root = java.nio.file.Files.createTempDirectory("graft-idxmaint")
+    try {
+      Ivf.saveIndex(idx, cents, root.toString)
+      // the commit: deletes, in-place updates (negated vec), inserts
+      val off = 1000000000L
+      val feed = e.filter($"vec_id" % 7 === 3)
+          .select(lit("delete").as("op"), $"vec_id".as("id"),
+            lit(null).cast("array<double>").as("vec"))
+        .unionByName(e.filter($"vec_id" % 5 === 2 && $"vec_id" % 7 =!= 3)
+          .select(lit("update").as("op"), $"vec_id".as("id"),
+            transform($"embedding".cast("array<double>"), x => -x)
+              .as("vec")))
+        .unionByName(e.filter($"vec_id" % 11 === 4)
+          .select(lit("insert").as("op"), ($"vec_id" + off).as("id"),
+            $"embedding".cast("array<double>").as("vec")))
+        .localCheckpoint()
+      val (touched, untouched) = Ivf.maintainIndex(spark, root.toString,
+        feed, "ivfsq", "ivfsq_m2")
+      // maintained content == a full rebuild over the post-commit
+      // corpus under the SAME (kept) centroids
+      val merged = e.select($"vec_id".as("id"),
+          $"embedding".cast("array<double>").as("v"))
+        .join(broadcast(feed.select($"id")), Seq("id"), "left_anti")
+        .unionByName(feed.filter($"op" =!= "delete")
+          .select($"id", $"vec".as("v")))
+      val rebuilt = Quantize.withInt8(
+        Ivf.assignIndex(merged, "id", "v", cents), "v").drop("v")
+      def snap(df: org.apache.spark.sql.DataFrame) = df
+        .select($"id", $"list_id", $"qnorm", $"qvec")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getSeq[Any](3).toSeq)).toSet
+      val (m2, m2c) = Ivf.loadIndex(spark, root.toString, "ivfsq_m2")
+      assert(snap(m2) == snap(rebuilt),
+        "maintained index drifted from the full rebuild")
+      // centroids kept verbatim
+      assert(m2c.exceptAll(cents.toDF("list_id", "c")).isEmpty)
+      // untouched dirs carried byte-identically
+      def files(name: String, l: Int) = {
+        val dir = java.nio.file.Paths.get(root.toString, name, "lists",
+          s"list_id=$l")
+        scala.util.Using.resource(java.nio.file.Files.list(dir)) { s =>
+          s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+            .map(p => p.getFileName.toString ->
+              java.nio.file.Files.readAllBytes(p).toSeq).toMap
+        }
+      }
+      untouched.foreach { l =>
+        assert(files("ivfsq", l) == files("ivfsq_m2", l),
+          s"carried list_id=$l drifted")
+      }
+      // every list REALLY holding a feed id was touched (Bloom: no
+      // false negatives)
+      val holding = spark.read.parquet(s"$root/ivfsq/lists")
+        .withColumn("list_id", $"list_id".cast("int"))
+        .join(broadcast(feed.select($"id")), Seq("id"))
+        .select($"list_id").distinct().collect().map(_.getInt(0)).toSet
+      assert(holding.subsetOf(touched.toSet),
+        s"id-Bloom missed ${holding -- touched.toSet}")
+      // id-Blooms followed the rewrite: no false negatives on the
+      // maintained store
+      val cache = Ivf.loadIdBloomCache(spark, root.toString, "ivfsq_m2")
+      m2.select($"id", $"list_id").collect().foreach { r =>
+        assert(graft.llm.Sketch.bloomContains(cache(r.getInt(1)),
+          r.getLong(0).toString, graft.llm.Layout.BloomK,
+          graft.llm.Layout.BloomWords),
+          s"idbloom false negative for id ${r.getLong(0)}")
+      }
+      // idempotency: the SAME feed re-applied to m2 (an at-least-once
+      // re-delivery of the whole commit) changes nothing
+      Ivf.maintainIndex(spark, root.toString, feed, "ivfsq_m2",
+        "ivfsq_m3")
+      val (m3, _) = Ivf.loadIndex(spark, root.toString, "ivfsq_m3")
+      assert(snap(m3) == snap(m2), "re-applied feed was not idempotent")
+      // malformed feeds fail loudly before any write
+      intercept[IllegalArgumentException] {
+        Ivf.maintainIndex(spark, root.toString,
+          feed.withColumn("op", lit("upsert")), "ivfsq", "ivfsq_bad")
+      }
+      intercept[IllegalArgumentException] {
+        Ivf.maintainIndex(spark, root.toString,
+          feed.withColumn("vec",
+            lit(null).cast("array<double>")), "ivfsq", "ivfsq_bad")
+      }
+      assert(!graft.state.ModelStore.exists(root.toString, "ivfsq_bad"))
+    } finally graft.util.Fs.deleteRecursively(root)
+  }
 }

@@ -197,6 +197,81 @@ object Layout {
       .foldLeft(df)((d, f) =>
         d.withColumn(f.name, lit(null).cast(f.dataType)))
 
+  /** Driver-path cap for the Bloom consult: up to this many files the
+    * planner collects the Bloom table ([[loadBloomCache]], ~512 B/file)
+    * and probes it with pure bit ops; above it [[consultBlooms]]
+    * switches to the distributed membership join (r13 verdict item 4 —
+    * at 10⁵–10⁶ files the collected cache is a 50–500 MB driver object
+    * and the probe loop a single-threaded scan). Override per session
+    * via the conf key for tests/profiles. */
+  val BloomDriverMaxFilesKey = "spark.graft.layout.maxDriverBloomFiles"
+  val BloomDriverMaxFilesDefault = 4096L
+
+  /** The Bloom consult both mutation arms share ([[purgeUsers]] /
+    * [[updateRows]]): which stored files can contain any of `keys`
+    * (plus the full file set, for the copy-on-write carry split). Two
+    * physical strategies, ONE answer (LayoutSpec pins equality):
+    *
+    *  - small stores (≤ [[BloomDriverMaxFilesKey]] files): collect the
+    *    footer-sized Bloom table to the driver and bit-test — hashes
+    *    each key once, O(files·keys) word ops, no job;
+    *  - large stores: a DISTRIBUTED membership join — the Bloom table
+    *    stays a DataFrame, the keys' hashed (word, mask) positions
+    *    broadcast (request-sized: ≤ k rows per key), and containment
+    *    evaluates executor-parallel as `bits & mask = mask` word
+    *    matches counted per (file, key). The exchange carries only
+    *    Bloom-positive (file, key) groups; the driver receives just
+    *    the touched file ids. This is the 100 TB shape: no
+    *    file-count-sized driver state anywhere.
+    *
+    * Determinism: both paths test the same md5-derived positions
+    * ([[graft.llm.Sketch.bloomPositions]] ≡ the SQL `bloomPos`,
+    * LlmSpec-pinned), so the touched set is bit-identical. */
+  def consultBlooms(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, keys: Seq[String])
+      : (Set[Long], Seq[Long]) = {
+    require(keys.nonEmpty, "consultBlooms: empty key set")
+    val maxDriver = spark.conf.getOption(BloomDriverMaxFilesKey)
+      .map(_.toLong).getOrElse(BloomDriverMaxFilesDefault)
+    val base = baseName(root, name)
+    val bloomDf = spark.read.parquet(s"$root/$base/bloom")
+    val allFiles = bloomDf.select(col("file_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (allFiles.size <= maxDriver) {
+      val blooms = loadBloomCache(spark, root, name)
+      val keyPos = keys.map(k =>
+        graft.llm.Sketch.bloomPositions(k, BloomK, BloomWords))
+      (allFiles, blooms.toSeq.collect { case (f, bits)
+        if keyPos.exists(ps =>
+          graft.llm.Sketch.bloomContainsAt(bits, ps)) => f }.sorted)
+    } else {
+      import spark.implicits._
+      val bpw = graft.llm.Sketch.BloomBitsPerWord
+      // per key: its k bit positions grouped by word → (word, mask,
+      // n_words); a file is positive for the key iff EVERY one of its
+      // words matches bits & mask = mask
+      val probeRows = keys.distinct.zipWithIndex.flatMap { case (k, i) =>
+        val byWord = graft.llm.Sketch.bloomPositions(k, BloomK, BloomWords)
+          .groupBy(p => p / bpw)
+          .map { case (w, ps) =>
+            (w, ps.map(p => 1L << (p % bpw).toInt).reduce(_ | _))
+          }.toSeq
+        byWord.map { case (w, m) => (i.toLong, w, m, byWord.size) }
+      }
+      val touched = bloomDf
+        .select(col("file_id"), col("word").cast("long"), col("bits"))
+        .join(broadcast(
+          probeRows.toDF("probe", "word", "mask", "n_words")), Seq("word"))
+        .filter((col("bits").bitwiseAND(col("mask"))) === col("mask"))
+        .groupBy(col("file_id"), col("probe"), col("n_words"))
+        .agg(count(lit(1)).as("n_hit"))
+        .filter(col("n_hit") === col("n_words"))
+        .select(col("file_id")).distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+      (allFiles, touched)
+    }
+  }
+
   def loadBloomCache(spark: org.apache.spark.sql.SparkSession,
       root: String, name: String = "events_z")
       : Map[Long, Array[Long]] = {
@@ -260,14 +335,10 @@ object Layout {
     require(tombs.nonEmpty, "purgeUsers: empty tombstone set")
     require(purgedName != name,
       s"purgeUsers: purged store must not shadow the incumbent '$name'")
-    val blooms = loadBloomCache(spark, root, name)
-    // hash each tombstone ONCE, then test every file with pure bit ops
-    // (O(probes·k) digests, not O(probes·files·k))
-    val tombPos = tombs.map(u => graft.llm.Sketch.bloomPositions(
-      u.toString, BloomK, BloomWords))
-    val touched = blooms.toSeq.collect { case (f, bits)
-      if tombPos.exists(ps =>
-        graft.llm.Sketch.bloomContainsAt(bits, ps)) => f }.sorted
+    // driver bit-test on small stores, distributed membership join on
+    // large ones — same touched set either way ([[consultBlooms]])
+    val (allFiles, touched) =
+      consultBlooms(spark, root, name, tombs.map(_.toString))
     // mutation arms read with mergeSchema: they REWRITE files, so an
     // evolved column (q248) must survive the copy-on-write even when
     // the sampled footer predates the evolution
@@ -278,7 +349,7 @@ object Layout {
     val cleaned = rows.filter(col(fileCol).isin(touched: _*))
       .join(org.apache.spark.sql.functions.broadcast(
         tombs.toDF("user_id")), Seq("user_id"), "left_anti")
-    cowRewrite(spark, root, name, fileCol, blooms.keySet, touched,
+    cowRewrite(spark, root, name, fileCol, allFiles, touched,
       cleaned, purgedName)
   }
 
@@ -307,7 +378,13 @@ object Layout {
   def upsertRows(spark: org.apache.spark.sql.SparkSession, root: String,
       name: String, fileCol: String, delta: DataFrame,
       upsertName: String): PurgeResult = {
-    val blooms = loadBloomCache(spark, root, name)
+    // the merge needs only the file CATALOG (no probe — insert targets
+    // are pure zkey arithmetic): distinct file ids from the stored
+    // zone maps, file-count-sized, never the 64-words-per-file cache
+    val allFiles = spark.read
+      .parquet(s"$root/${baseName(root, name)}/zonemaps")
+      .select(col("file_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
     val touched = delta.select(col(fileCol).cast("long"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     require(touched.nonEmpty, "upsertRows: empty delta")
@@ -358,7 +435,7 @@ object Layout {
     val merged = incumbent.select(all.map(col): _*)
       .unionByName(deltaFilled.select(all.map(col): _*))
     cowRewrite(spark, root, name, fileCol,
-      blooms.keySet ++ touched, touched, merged, upsertName)
+      allFiles ++ touched, touched, merged, upsertName)
   }
 
   /** In-place UPDATE executed on a stored layout — the third
@@ -384,12 +461,8 @@ object Layout {
     require(assign.keys.forall(!core.contains(_)),
       "updateRows: layout/key columns are not updatable in place — " +
         "compose purgeUsers + upsertRows for a key-moving change")
-    val blooms = loadBloomCache(spark, root, name)
-    val keyPos = keyUsers.map(u => graft.llm.Sketch.bloomPositions(
-      u.toString, BloomK, BloomWords))
-    val touched = blooms.toSeq.collect { case (f, bits)
-      if keyPos.exists(ps =>
-        graft.llm.Sketch.bloomContainsAt(bits, ps)) => f }.sorted
+    val (allFiles, touched) =
+      consultBlooms(spark, root, name, keyUsers.map(_.toString))
     // a cohort entirely absent from the store (all Blooms negative)
     // would otherwise publish a byte-copy of the incumbent — a silent
     // no-op commit; fail fast like purgeUsers/upsertRows (r13 ADVICE)
@@ -416,7 +489,7 @@ object Layout {
       case (df, (c, e)) =>
         df.withColumn(c, when(isTarget, e).otherwise(col(c)))
     }.drop("__upd")
-    cowRewrite(spark, root, name, fileCol, blooms.keySet, touched,
+    cowRewrite(spark, root, name, fileCol, allFiles, touched,
       rewritten, updatedName)
   }
 

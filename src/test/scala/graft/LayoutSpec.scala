@@ -245,6 +245,46 @@ class LayoutSpec extends AnyFunSuite {
       "every file claims every key — the filter prunes nothing")
   }
 
+  test("bloom consult: the distributed membership join names EXACTLY " +
+      "the files the driver bit-test names, and the mutation arms are " +
+      "path-invariant") {
+    import spark.implicits._
+    val laid = graft.llm.Layout.eventLayout(
+      graft.ops.Tables.events(spark, sf))
+    val root = graft.util.Fs.tempRoot("graft_bloomdist")
+    graft.llm.Layout.saveLayout(laid, root.toString)
+    val probes = laid.select($"user_id").distinct()
+      .filter($"user_id" % 17 === 0).orderBy($"user_id")
+      .collect().map(_.getLong(0).toString).toSeq
+    assert(probes.nonEmpty)
+    val key = graft.llm.Layout.BloomDriverMaxFilesKey
+    def consult(): (Set[Long], Seq[Long]) =
+      graft.llm.Layout.consultBlooms(spark, root.toString, "events_z",
+        probes)
+    val (allD, drv) = consult() // default: driver path (64 files)
+    spark.conf.set(key, "0") // force EVERY store onto the join path
+    try {
+      val (allJ, dist) = consult()
+      assert(allD == allJ, "file catalogs diverged between paths")
+      assert(drv == dist,
+        s"touched sets diverged: driver=$drv distributed=$dist")
+      // and the mutation arm built on the consult is path-invariant:
+      // a purge under the forced join path equals the driver-path purge
+      val tombs = probes.map(_.toLong)
+      val r1 = graft.llm.Layout.purgeUsers(spark, root.toString,
+        "events_z", "file_z", tombs, "events_z_pj")
+      spark.conf.unset(key)
+      val r2 = graft.llm.Layout.purgeUsers(spark, root.toString,
+        "events_z", "file_z", tombs, "events_z_pd")
+      assert(r1 == r2, s"purge results diverged: $r1 vs $r2")
+      val a = graft.llm.Layout.loadLayout(spark, root.toString,
+        "events_z_pj")._1.orderBy($"event_id").collect().toSeq
+      val b = graft.llm.Layout.loadLayout(spark, root.toString,
+        "events_z_pd")._1.orderBy($"event_id").collect().toSeq
+      assert(a == b, "purged stores diverged between consult paths")
+    } finally spark.conf.unset(key)
+  }
+
   test("q225 decision feed: append-only ingest trips the budget from " +
       "batch 1 and each batch's plan ranks by un-prunable mass") {
     val rows = graft.ops.StreamQueries

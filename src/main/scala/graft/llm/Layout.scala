@@ -311,6 +311,216 @@ object Layout {
     * carried over untouched at the filesystem level. */
   final case class PurgeResult(touched: Seq[Long], untouched: Seq[Long])
 
+  // ------------------------------------------------------------------
+  // Adaptive file fan-out: split-on-budget tiles (r13 verdict item 2).
+  //
+  // The fixed 64-file Morton grid saturates at scale: at ×100 each file
+  // holds ~160k rows and any dense mutation rewrites ~the whole store
+  // (q242's measured ×100 wall). A real lakehouse splits files on a
+  // size budget; here the split is the QUADTREE refinement of the
+  // existing zkey arithmetic — a tile is a contiguous zkey range
+  // [zlo, zlo+w), the base grid's tile f is [f·W, (f+1)·W), and an
+  // oversized tile splits into a power-of-2 count of equal sub-ranges.
+  // The TILE MANIFEST (file_id, zlo, zhi) — stored beside zone maps and
+  // Blooms, same pair-atomic publish — becomes the routing truth:
+  // inserts assign to the tile whose range holds their zkey (a
+  // broadcast range join against the footer-sized manifest instead of
+  // the fixed DIV). Legacy stores (no manifest) route by the original
+  // arithmetic, derived as the implicit 64-tile manifest.
+  // ------------------------------------------------------------------
+
+  /** The zkey domain: 2·[[Bits]] interleaved bits. */
+  val Grid: Long = Buckets.toLong * Buckets
+
+  /** Canonical id of the tile [zlo, zlo+w): base-grid tiles keep their
+    * legacy id (zlo / W — so an unsplit store is byte-compatible and a
+    * merge that restores the base tile restores its id); refined tiles
+    * get `(zlo + 1) · 131072 + w`, injective over (zlo, w) and disjoint
+    * from every legacy id. */
+  def tileId(zlo: Long, w: Long, legacyW: Long): Long =
+    if (w == legacyW && zlo % w == 0) zlo / w
+    else (zlo + 1L) * 131072L + w
+
+  /** The stored tile manifest of `name` — or, for a pre-split store,
+    * the implicit base grid (`legacyFiles` equal ranges; 64 is
+    * [[eventLayout]]'s default). Rows are (file_id, zlo, zhi); the
+    * ranges partition [0, [[Grid]]). Footer-sized. */
+  def loadManifest(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, legacyFiles: Int = 64)
+      : Seq[(Long, Long, Long)] = {
+    val p = java.nio.file.Paths.get(root, baseName(root, name), "manifest")
+    if (java.nio.file.Files.isDirectory(p))
+      spark.read.parquet(p.toString)
+        .select(col("file_id"), col("zlo"), col("zhi"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._2)
+    else {
+      val w = Grid / legacyFiles
+      (0 until legacyFiles).map(f => (f.toLong, f * w, (f + 1) * w - 1))
+    }
+  }
+
+  /** Re-derive `fileCol` on `df` from the STORED manifest of `name` —
+    * the routing step every delta must pass before [[upsertRows]] on a
+    * store that may have split: the fixed zkey arithmetic names base
+    * tiles, but after a split the row's zkey lives in a refined tile
+    * and the write must land there (also where any stored version of a
+    * re-delivered key lives — routing by CURRENT manifest is exactly
+    * what keeps the replace-by-key scan complete). One broadcast range
+    * join against the footer-sized manifest; map-only on the delta. */
+  def routeToStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, df: DataFrame, fileCol: String,
+      legacyFiles: Int = 64): DataFrame = {
+    import spark.implicits._
+    val man = loadManifest(spark, root, name, legacyFiles)
+      .toDF("__route_file", "__zlo", "__zhi")
+    df.drop(fileCol)
+      .join(broadcast(man),
+        col("zkey") >= col("__zlo") && col("zkey") <= col("__zhi"))
+      .withColumn(fileCol, col("__route_file"))
+      .drop("__route_file", "__zlo", "__zhi")
+  }
+
+  /** What [[splitOnBudget]] did: the tiles that split (old ids), the
+    * children they produced, and the post-split tile count. */
+  final case class SplitResult(split: Seq[Long],
+    children: Map[Long, Seq[Long]], filesAfter: Long)
+
+  /** Smallest power of two ≥ n (n ≥ 1). */
+  private def pow2AtLeast(n: Long): Long = {
+    var p = 1L
+    while (p < n) p <<= 1
+    p
+  }
+
+  /** OPTIMIZE-style physical maintenance commit that GROWS the file
+    * fan-out with the data: every tile whose stored row count exceeds
+    * `budget` splits into the smallest power-of-2 number of equal zkey
+    * sub-ranges that brings the AVERAGE child under budget (a skewed
+    * child may still exceed it — the next run refines further; the
+    * rule is deterministic integer arithmetic, so LayoutSpec can pin
+    * the exact child set). Only oversized tiles rewrite (partition-
+    * pruned scan + one broadcast range join to assign children); every
+    * other partition carries byte-for-byte; zone maps and Blooms split
+    * with the rewrite exactly as in [[cowRewrite]]; and the new tile
+    * MANIFEST publishes inside the same pair-atomic version. The
+    * content is untouched — a scan-back differs only in `fileCol` —
+    * so every logical oracle is invariant (the split is physical
+    * only). The inverse is [[mergeOnBudget]]. 100 TB shape: this is
+    * the knob that keeps bytes-per-mutation ∝ delta fan-out as the
+    * table grows — file count tracks data volume, so a dense commit
+    * rewrites many SMALL files instead of saturating a fixed grid
+    * (the q242 ×100 wall). */
+  def splitOnBudget(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, fileCol: String, budget: Long,
+      newName: String, legacyFiles: Int = 64): SplitResult = {
+    require(budget >= 1, s"splitOnBudget: budget must be >= 1, got $budget")
+    require(newName != name,
+      s"splitOnBudget: new store must not shadow the incumbent '$name'")
+    import spark.implicits._
+    val base = baseName(root, name)
+    val legacyW = Grid / legacyFiles
+    val man = loadManifest(spark, root, name, legacyFiles)
+      .map { case (f, zlo, zhi) => f -> (zlo, zhi) }.toMap
+    val counts = spark.read.parquet(s"$root/$base/zonemaps")
+      .select(col("file_id"), col("n_rows"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a width-1 tile cannot refine further (one zkey cell)
+    val oversized = counts.collect { case (f, n)
+      if n > budget && (man(f)._2 - man(f)._1 + 1) > 1 => f }.toSeq.sorted
+    require(oversized.nonEmpty,
+      s"splitOnBudget: no tile exceeds $budget rows — nothing to split")
+    val children: Map[Long, Seq[(Long, Long, Long)]] = oversized.map { f =>
+      val (zlo, zhi) = man(f)
+      val w = zhi - zlo + 1
+      val k = math.min(pow2AtLeast((counts(f) + budget - 1) / budget), w)
+      val cw = w / k
+      f -> (0L until k).map(i => (tileId(zlo + i * cw, cw, legacyW),
+        zlo + i * cw, zlo + i * cw + cw - 1))
+    }.toMap
+    val (rows, _) = loadLayout(spark, root, name, fileCol,
+      mergeSchema = true)
+    val keep = rows.columns.toSeq
+    val tilesDf = children.values.flatten.toSeq
+      .toDF("__new_file", "__zlo", "__zhi")
+    val rewritten = rows.filter(col(fileCol).isin(oversized: _*))
+      .drop(fileCol)
+      .join(broadcast(tilesDf),
+        col("zkey") >= col("__zlo") && col("zkey") <= col("__zhi"))
+      .withColumn(fileCol, col("__new_file"))
+      .select(keep.map(col): _*)
+    val res = cowRewrite(spark, root, name, fileCol, counts.keySet,
+      oversized, rewritten, newName,
+      // the new manifest: carried tiles keep their entry, split tiles
+      // are replaced by their children (coverage is preserved — the
+      // children partition the parent range)
+      manifestOverride = Some(
+        (man.toSeq.collect { case (f, (zlo, zhi))
+           if !children.contains(f) => (f, zlo, zhi) } ++
+         children.values.flatten).sortBy(_._2)))
+    SplitResult(oversized,
+      children.map { case (f, cs) => f -> cs.map(_._1) },
+      res.touched.size.toLong + res.untouched.size.toLong -
+        oversized.size.toLong + children.valuesIterator.map(_.size).sum)
+  }
+
+  /** The inverse maintenance commit: sibling tiles whose COMBINED row
+    * count fits the budget merge back into their parent range (a
+    * parent restored to the base grid takes its legacy id back, so
+    * split→merge round-trips to the original store shape). One level
+    * per run, like [[splitOnBudget]]; repeated runs coalesce further.
+    * Only merging tiles rewrite; everything else carries. */
+  def mergeOnBudget(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, fileCol: String, budget: Long,
+      newName: String, legacyFiles: Int = 64): SplitResult = {
+    require(newName != name,
+      s"mergeOnBudget: new store must not shadow the incumbent '$name'")
+    import spark.implicits._
+    val legacyW = Grid / legacyFiles
+    val man = loadManifest(spark, root, name, legacyFiles)
+    val counts = spark.read
+      .parquet(s"$root/${baseName(root, name)}/zonemaps")
+      .select(col("file_id"), col("n_rows"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // group refined tiles by parent range (double width, aligned);
+    // base-grid tiles have no parent here
+    val byParent = man.filter { case (_, zlo, zhi) =>
+        zhi - zlo + 1 < legacyW }
+      .groupBy { case (_, zlo, zhi) =>
+        val w = zhi - zlo + 1
+        (zlo - (zlo % (2 * w)), 2 * w)
+      }
+    val merges = byParent.toSeq.collect {
+      case ((pzlo, pw), sibs) if sibs.size == 2 &&
+        sibs.map { case (f, _, _) => counts.getOrElse(f, 0L) }.sum
+          <= budget =>
+        (tileId(pzlo, pw, legacyW), pzlo, pzlo + pw - 1,
+          sibs.map(_._1).sorted)
+    }.sortBy(_._2)
+    require(merges.nonEmpty,
+      "mergeOnBudget: no sibling pair fits the budget — nothing to merge")
+    val merging = merges.flatMap(_._4)
+    val (rows, _) = loadLayout(spark, root, name, fileCol,
+      mergeSchema = true)
+    val keep = rows.columns.toSeq
+    val parentDf = merges.map(m => (m._1, m._2, m._3))
+      .toDF("__new_file", "__zlo", "__zhi")
+    val rewritten = rows.filter(col(fileCol).isin(merging: _*))
+      .drop(fileCol)
+      .join(broadcast(parentDf),
+        col("zkey") >= col("__zlo") && col("zkey") <= col("__zhi"))
+      .withColumn(fileCol, col("__new_file"))
+      .select(keep.map(col): _*)
+    val newMan = (man.filterNot { case (f, _, _) => merging.contains(f) }
+      ++ merges.map(m => (m._1, m._2, m._3))).sortBy(_._2)
+    val res = cowRewrite(spark, root, name, fileCol, counts.keySet,
+      merging, rewritten, newName, manifestOverride = Some(newMan))
+    SplitResult(merging,
+      merges.map(m => m._1 -> m._4).toMap, // parent -> absorbed tiles
+      res.touched.size.toLong + res.untouched.size.toLong -
+        merging.size.toLong + merges.size.toLong)
+  }
+
   /** Right-to-be-forgotten DELETE executed on a stored layout, as
     * COPY-ON-WRITE: rewrite ONLY the files that can contain a
     * tombstoned user — the per-file Bloom [[saveLayout]] persists is
@@ -650,7 +860,8 @@ object Layout {
     * [[graft.state.ModelStore]] rename. */
   private def cowRewrite(spark: org.apache.spark.sql.SparkSession,
       root: String, name: String, fileCol: String, allFiles: Set[Long],
-      touched: Seq[Long], rewritten: DataFrame, newName: String)
+      touched: Seq[Long], rewritten: DataFrame, newName: String,
+      manifestOverride: Option[Seq[(Long, Long, Long)]] = None)
       : PurgeResult = {
     // guard on the shared path (not just purgeUsers): an in-place
     // newName == name would have the carry/metadata reads of the
@@ -690,6 +901,23 @@ object Layout {
     spark.read.parquet(s"$root/$base/bloom").filter(!touchedCol)
       .unionByName(fileBlooms(rw, fileCol))
       .write.parquet(stage.resolve("bloom").toString)
+    // the tile manifest (split stores) rides every copy-on-write
+    // version: mutations don't re-tile, so it carries verbatim unless
+    // the commit IS a re-tiling (split/merge pass their new manifest)
+    val manOut = manifestOverride.orElse {
+      val p = java.nio.file.Paths.get(root, base, "manifest")
+      if (java.nio.file.Files.isDirectory(p))
+        Some(spark.read.parquet(p.toString)
+          .select(col("file_id"), col("zlo"), col("zhi"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSeq.sortBy(_._2))
+      else None
+    }
+    manOut.foreach { m =>
+      import spark.implicits._
+      m.toDF("file_id", "zlo", "zhi").coalesce(1)
+        .write.parquet(stage.resolve("manifest").toString)
+    }
     // first-writer-wins: a concurrent writer that derived the same new
     // version from the same base loses here and must rebase (OCC)
     graft.state.ModelStore.publishExclusiveFrom(root, newName, stage)

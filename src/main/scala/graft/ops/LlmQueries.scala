@@ -4052,6 +4052,134 @@ object LlmQueries {
           "CAST(0 AS BIGINT) AS n_inconsistent, CAST(2 AS BIGINT) AS txn",
         extraFrom = ", nd, nu, ni, lt, la")
 
+  /** q256 — SPLIT-ON-BUDGET file fan-out, executed and then mutated
+    * through (r13 verdict item 2 — the fixed 64-file Morton grid is
+    * what saturates q242 at ×100: every file holds ~160k rows and a
+    * dense commit rewrites ~the whole store). The lifecycle: the store
+    * publishes on the base grid (v1); [[graft.llm.Layout.splitOnBudget]]
+    * refines every tile over the row budget into the smallest
+    * power-of-2 count of equal zkey sub-ranges (v2 — a PHYSICAL-only
+    * maintenance commit: only oversized tiles rewrite, zone maps,
+    * Blooms AND the new tile manifest publish pair-atomically, content
+    * untouched); then q240's mutation mix lands on the SPLIT store —
+    * the delta first re-routed to the refined tiles by a broadcast
+    * range join against the stored manifest
+    * ([[graft.llm.Layout.routeToStore]] — routing by the CURRENT
+    * manifest is also what keeps the replace-by-key scan complete on a
+    * split store), then merged copy-on-write (v3). Emitted rows are
+    * per-TILE survivor aggregates keyed by (file_id, zlo, zhi); the
+    * oracle replays the entire split arithmetic — budget, per-file
+    * power-of-2 child count, child ranges, the canonical tile-id
+    * encoding, the range routing — in SQL, so a mis-split tile, a row
+    * routed across a tile boundary, or a manifest that drifted from
+    * the rows all hash-fail. 100 TB shape: file count now tracks data
+    * volume (the q242 wall's fix — a dense delta rewrites many SMALL
+    * files, bytes ∝ delta fan-out), the split pass itself rewrites
+    * only oversized tiles, and [[graft.llm.Layout.mergeOnBudget]] is
+    * the inverse (LayoutSpec pins the round-trip). The reference has
+    * no layout concept (/root/reference/src/db/connection.py:10-19) —
+    * north-star extension. */
+  def q256SplitBudget(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val laid = Layout.eventLayout(Tables.events(s, d))
+    val root = graft.util.Fs.tempRoot("graft_splitstore").toString
+    Layout.saveLayout(laid, root) // v1: base 64-tile grid
+    val (v1, _) = Layout.loadLayout(s, root)
+    val total = v1.count()
+    val budget = total / 100 + 1
+    val filesBefore = v1.select($"file_z").distinct().count()
+    val sp = Layout.splitOnBudget(s, root, "events_z", "file_z",
+      budget, "events_z_sp") // v2: physical split, content untouched
+    // q240's mutation mix, RE-ROUTED to the refined tiles before the
+    // merge (the stored manifest is the routing truth now)
+    val off = 1000000000000L
+    val delta0 = v1.filter($"event_id" % 131 === 3)
+      .withColumn("event_id", $"event_id" + off)
+      .unionByName(v1.filter($"event_id" % 131 === 5))
+    val delta = Layout.routeToStore(s, root, "events_z_sp", delta0,
+      "file_z").localCheckpoint() // audit counts + merge both scan it
+    val nIns = delta.filter($"event_id" >= off).count()
+    val nRep = delta.filter($"event_id" < off).count()
+    val up = Layout.upsertRows(s, root, "events_z_sp", "file_z", delta,
+      "events_z_sp_up") // v3
+    val (v3, _) = Layout.loadLayout(s, root, "events_z_sp_up")
+    val man = Layout.loadManifest(s, root, "events_z_sp_up")
+      .toDF("file_id", "zlo", "zhi")
+    val agg = v3.groupBy($"file_z".as("file_id"))
+      .agg(count(lit(1)).as("n_rows"), sum($"user_id").as("u_mass"),
+        sum($"event_id").as("e_mass"))
+    val filesAfter = agg.count()
+    agg.join(broadcast(man), Seq("file_id"))
+      .select($"file_id", $"zlo", $"zhi", $"n_rows", $"u_mass",
+        $"e_mass", lit(nIns).as("n_inserted"), lit(nRep).as("n_replaced"),
+        lit(filesBefore).as("files_before"),
+        lit(sp.split.size.toLong).as("files_split"),
+        lit(up.touched.size.toLong).as("files_up"),
+        lit(filesAfter).as("files_after"))
+      .orderBy($"zlo", $"file_id")
+  }
+  val q256Sql: String =
+    s"""WITH $layoutCte,
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM laid),
+       |bud AS (SELECT (n // 100 + 1) AS b FROM tot),
+       |fc AS (SELECT file_z, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM laid GROUP BY 1),
+       |grid AS (SELECT CAST(u.i AS BIGINT) AS i
+       |  FROM unnest(range(0, 1024)) AS u(i)),
+       |pows AS (SELECT i AS p FROM grid
+       |  WHERE i IN (1,2,4,8,16,32,64,128,256,512) UNION ALL
+       |  SELECT 1024),
+       |ks AS (SELECT f.file_z,
+       |    COALESCE(MIN(p.p) FILTER (
+       |      WHERE p.p >= (f.n + bud.b - 1) // bud.b), 1024) AS k
+       |  FROM fc f, bud, pows p
+       |  WHERE f.n > bud.b
+       |  GROUP BY f.file_z, bud.b),
+       |kids AS (SELECT ks.file_z, (1024 // ks.k) AS cw,
+       |    ks.file_z * 1024 + g.i * (1024 // ks.k) AS zlo
+       |  FROM ks JOIN grid g ON g.i < ks.k),
+       |m AS (
+       |  SELECT CASE WHEN cw = 1024 AND zlo % 1024 = 0 THEN zlo // 1024
+       |      ELSE (zlo + 1) * 131072 + cw END AS file_id,
+       |    zlo, zlo + cw - 1 AS zhi
+       |  FROM kids
+       |  UNION ALL
+       |  SELECT f.file_z, f.file_z * 1024, f.file_z * 1024 + 1023
+       |  FROM fc f, bud WHERE f.n <= bud.b
+       |  UNION ALL
+       |  SELECT g.i, g.i * 1024, g.i * 1024 + 1023
+       |  FROM grid g WHERE g.i < 64
+       |    AND g.i NOT IN (SELECT file_z FROM fc)),
+       |ins AS (SELECT event_id + 1000000000000 AS event_id, user_id,
+       |    zkey FROM laid WHERE event_id % 131 = 3),
+       |up AS (SELECT event_id, user_id, zkey FROM laid
+       |  UNION ALL SELECT event_id, user_id, zkey FROM ins),
+       |asg AS (SELECT u.event_id, u.user_id, m.file_id, m.zlo, m.zhi
+       |  FROM up u JOIN m ON u.zkey BETWEEN m.zlo AND m.zhi),
+       |dasg AS (SELECT m.file_id FROM (
+       |    SELECT zkey FROM ins
+       |    UNION ALL SELECT zkey FROM laid WHERE event_id % 131 = 5) d
+       |  JOIN m ON d.zkey BETWEEN m.zlo AND m.zhi),
+       |ni AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_inserted FROM ins),
+       |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_replaced FROM laid
+       |  WHERE event_id % 131 = 5),
+       |fb AS (SELECT CAST(COUNT(*) AS BIGINT) AS files_before FROM fc),
+       |fs AS (SELECT CAST(COUNT(*) AS BIGINT) AS files_split FROM ks),
+       |fu AS (SELECT CAST(COUNT(DISTINCT file_id) AS BIGINT)
+       |    AS files_up FROM dasg),
+       |fa AS (SELECT CAST(COUNT(DISTINCT file_id) AS BIGINT)
+       |    AS files_after FROM asg)
+       |SELECT a.file_id, a.zlo, a.zhi,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(a.user_id) AS BIGINT) AS u_mass,
+       |  CAST(SUM(a.event_id) AS BIGINT) AS e_mass,
+       |  ni.n_inserted, nr.n_replaced, fb.files_before, fs.files_split,
+       |  fu.files_up, fa.files_after
+       |FROM asg a, ni, nr, fb, fs, fu, fa
+       |GROUP BY 1, 2, 3, ni.n_inserted, nr.n_replaced, fb.files_before,
+       |  fs.files_split, fu.files_up, fa.files_after
+       |ORDER BY zlo, file_id""".stripMargin
+
   /** q253 — CROSS-ARTIFACT ATOMIC GOVERNANCE: one right-to-be-
     * forgotten request must land on the stored TABLE and its DERIVED
     * VIEW as one visible transaction — q238 purges rows and q244
@@ -8398,6 +8526,7 @@ object LlmQueries {
     "q251_index_purge" -> (q251IndexPurge _),
     "q253_governed_rtbf" -> (q253GovernedRtbf _),
     "q254_index_maintain" -> (q254IndexMaintain _),
+    "q256_split_budget" -> (q256SplitBudget _),
     "q231_winnow_eval" -> (q231WinnowEval _),
     "q232_affinity_pack" -> (q232AffinityPack _),
     "q220_journey_transitions" -> (q220JourneyTransitions _),
@@ -8554,6 +8683,7 @@ object LlmQueries {
     "q251_index_purge" -> q251Sql,
     "q253_governed_rtbf" -> q253Sql,
     "q254_index_maintain" -> q254Sql,
+    "q256_split_budget" -> q256Sql,
     "q231_winnow_eval" -> q231Sql,
     "q232_affinity_pack" -> q232Sql,
     "q220_journey_transitions" -> q220Sql,

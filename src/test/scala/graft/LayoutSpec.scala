@@ -245,6 +245,102 @@ class LayoutSpec extends AnyFunSuite {
       "every file claims every key — the filter prunes nothing")
   }
 
+  test("splitOnBudget: deterministic children, content untouched, " +
+      "metadata == re-aggregated truth, routed mutations stay correct, " +
+      "merge restores the base grid") {
+    import spark.implicits._
+    val L = graft.llm.Layout
+    val laid = L.eventLayout(graft.ops.Tables.events(spark, sf))
+    val root = graft.util.Fs.tempRoot("graft_split").toString
+    L.saveLayout(laid, root)
+    val (v1, _) = L.loadLayout(spark, root)
+    val total = v1.count()
+    val budget = total / 100 + 1
+    val sp = L.splitOnBudget(spark, root, "events_z", "file_z", budget,
+      "events_z_sp")
+    assert(sp.split.nonEmpty, "fixture produced no oversized tile")
+    // determinism: a second split of the same incumbent produces the
+    // identical child set
+    val sp2 = L.splitOnBudget(spark, root, "events_z", "file_z", budget,
+      "events_z_sp_b")
+    assert(sp.split == sp2.split && sp.children == sp2.children)
+    // content untouched: the split is physical only — scan-backs agree
+    // on everything but the file assignment
+    val (v2, _) = L.loadLayout(spark, root, "events_z_sp")
+    def logical(df: org.apache.spark.sql.DataFrame) = df
+      .select($"event_id", $"user_id", $"ub", $"tb", $"zkey")
+      .orderBy($"event_id").collect().toSeq
+    assert(logical(v2) == logical(v1), "split changed logical content")
+    // every row lives inside its tile's manifest range, and the stored
+    // zone maps / Blooms / manifest re-aggregate from the rows exactly
+    val man = L.loadManifest(spark, root, "events_z_sp")
+    val manDf = man.toDF("file_z", "mzlo", "mzhi")
+    assert(v2.join(manDf, Seq("file_z"))
+      .filter($"zkey" < $"mzlo" || $"zkey" > $"mzhi").isEmpty,
+      "a row escaped its tile range")
+    // manifest ranges partition the grid: disjoint, full coverage
+    assert(man.map(t => t._3 - t._2 + 1).sum == L.Grid)
+    assert(man.sortBy(_._2).sliding(2).forall {
+      case Seq(a, b) => a._3 + 1 == b._2
+      case _ => true
+    }, "manifest ranges overlap or gap")
+    val zmStored = spark.read.parquet(s"$root/events_z_sp/zonemaps")
+      .orderBy($"file_id").collect().toSeq
+    val zmTruth = L.zoneMaps(v2, "file_z")
+      .orderBy($"file_id").collect().toSeq
+    assert(zmStored == zmTruth, "zone maps drifted from the rows")
+    // children really respect the budget rule: every split tile's
+    // child count is the smallest power of 2 bringing the AVERAGE
+    // child under budget
+    val counts1 = L.zoneMaps(v1, "file_z").select($"file_id", $"n_rows")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sp.children.foreach { case (f, kids) =>
+      val need = (counts1(f) + budget - 1) / budget
+      var p = 1L; while (p < need) p <<= 1
+      assert(kids.size == math.min(p, 1024L),
+        s"tile $f: ${kids.size} children, expected ${math.min(p, 1024L)}")
+    }
+    // a purge on the SPLIT store carries the manifest into its new
+    // version (mutations don't re-tile)
+    val tombs = v2.select($"user_id").distinct()
+      .filter($"user_id" % 499 === 7).collect().map(_.getLong(0)).toSeq
+    L.purgeUsers(spark, root, "events_z_sp", "file_z", tombs,
+      "events_z_sp_pg")
+    assert(L.loadManifest(spark, root, "events_z_sp_pg") == man,
+      "purge dropped or re-tiled the manifest")
+    // routed re-delivery on the split store replaces in place (never
+    // duplicates): re-deliver stored rows, routed by the manifest
+    val redeliver = L.routeToStore(spark, root, "events_z_sp",
+      v2.filter($"event_id" % 131 === 5).drop("file_z")
+        .withColumn("file_z", lit(0L)), "file_z")
+    L.upsertRows(spark, root, "events_z_sp", "file_z",
+      redeliver.localCheckpoint(), "events_z_sp_rd")
+    val (rd, _) = L.loadLayout(spark, root, "events_z_sp_rd")
+    assert(rd.count() == total, "routed re-delivery duplicated rows")
+    assert(logical(rd) == logical(v1))
+    // merge is the inverse: with an unbounded budget every sibling
+    // pair coalesces; repeated to fixpoint the store returns to the
+    // base grid with its legacy ids and original content
+    var cur = "events_z_sp"
+    var gen = 0
+    while (L.loadManifest(spark, root, cur).exists(t =>
+        t._3 - t._2 + 1 < L.Grid / 64)) {
+      gen += 1
+      val next = s"events_z_mg$gen"
+      L.mergeOnBudget(spark, root, cur, "file_z", Long.MaxValue, next)
+      cur = next
+    }
+    val manBack = L.loadManifest(spark, root, cur)
+    assert(manBack.map(_._1).sorted == (0L until 64L),
+      s"merge did not restore the base grid: ${manBack.map(_._1)}")
+    val (back, _) = L.loadLayout(spark, root, cur)
+    assert(back.select($"event_id", $"file_z").orderBy($"event_id")
+      .collect().toSeq ==
+      v1.select($"event_id", $"file_z").orderBy($"event_id")
+        .collect().toSeq,
+      "split→merge round-trip changed file assignments")
+  }
+
   test("bloom consult: the distributed membership join names EXACTLY " +
       "the files the driver bit-test names, and the mutation arms are " +
       "path-invariant") {

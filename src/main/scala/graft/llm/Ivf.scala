@@ -752,7 +752,11 @@ object Ivf {
       newName: String = "ivfsq_m2"): (Seq[Int], Seq[Int]) = {
     require(newName != name,
       s"maintainIndex: new index must not shadow the incumbent '$name'")
-    val badOps = feed.filter(!col("op").isin("insert", "delete", "update"))
+    // NULL-safe: a NULL op makes the isin NULL and a bare !isin filter
+    // would DROP the row from the check — its id would then be removed
+    // (removal is id-keyed over the whole feed) but never re-added
+    val badOps = feed.filter(col("op").isNull ||
+        !col("op").isin("insert", "delete", "update"))
       .limit(1).collect()
     require(badOps.isEmpty,
       s"maintainIndex: unknown op '${badOps.headOption.map(_.get(0))

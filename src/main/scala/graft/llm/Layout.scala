@@ -344,7 +344,13 @@ object Layout {
   /** The stored tile manifest of `name` — or, for a pre-split store,
     * the implicit base grid (`legacyFiles` equal ranges; 64 is
     * [[eventLayout]]'s default). Rows are (file_id, zlo, zhi); the
-    * ranges partition [0, [[Grid]]). Footer-sized. */
+    * ranges partition [0, [[Grid]]). Footer-sized.
+    *
+    * CONTRACT: the tile family ([[loadManifest]], [[routeToStore]],
+    * [[splitOnBudget]], [[mergeOnBudget]]) applies to ZKEY-range
+    * layouts (`file_z` — file = contiguous zkey range). The
+    * time-sorted incumbent (`file_t`) tiles by tb, not zkey, and must
+    * not be routed through this manifest. */
   def loadManifest(spark: org.apache.spark.sql.SparkSession,
       root: String, name: String, legacyFiles: Int = 64)
       : Seq[(Long, Long, Long)] = {

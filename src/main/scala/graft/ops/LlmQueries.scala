@@ -3905,19 +3905,25 @@ object LlmQueries {
     * verdict item 3 — q251 propagates DELETEs; this closes the
     * table→index loop for inserts and updates, so an upsert to the
     * base no longer leaves the index stale until rebuild). The
-    * lifecycle: corpus v1 + IVF-SQ index v1 publish and go live under
-    * catalog txn 1 ([[graft.state.Catalog]]); a change-feed commit
-    * arrives (deletes, in-place vector updates, late inserts); the
-    * corpus replays it to v2 while the INDEX is maintained
+    * lifecycle: corpus v1, a derived aggregate VIEW v1 (per-bucket
+    * count/mass — the Gupta–Mumick self-maintainable algebra) and the
+    * IVF-SQ index v1 publish and go live under catalog txn 1
+    * ([[graft.state.Catalog]]); a change-feed commit arrives (deletes,
+    * in-place vector updates, late inserts); the corpus replays it to
+    * v2 while the VIEW is MAINTAINED from the feed's ± deltas (q244's
+    * fold — never recomputed) and the INDEX is maintained
     * incrementally ([[graft.llm.Ivf.maintainIndex]] — every feed id
     * removed from its stored list via the per-list id-Bloom, no
     * vector precondition; post-images assigned MAP-ONLY under the
     * STORED centroids and quantized in); then ONE compare-and-swap
-    * pointer commit (txn 2) flips corpus and index live together. The
-    * reader resolves the live catalog, cross-checks the pair
-    * (`n_inconsistent` = ids on which the resolved corpus and index
-    * disagree — a torn transaction hash-fails), and serves top-k from
-    * the MAINTAINED index. Oracle = the full rebuild replay over the
+    * pointer commit (txn 2) flips corpus, view and index live
+    * together — the q250 loop closed across BOTH derived artifacts in
+    * one transaction. The reader resolves the live catalog,
+    * cross-checks all three (`n_inconsistent` = ids on which the
+    * resolved corpus and index disagree PLUS buckets on which the
+    * resolved view disagrees with a corpus recount — a torn or
+    * mis-maintained artifact hash-fails), and serves top-k from the
+    * MAINTAINED index. Oracle = the full rebuild replay over the
     * post-commit corpus with the fit pinned to the ORIGINAL sample
     * (centroids are kept across maintenance — the q251 unlearning
     * split), so a stale post-image, a surviving delete, a dropped
@@ -3944,8 +3950,17 @@ object LlmQueries {
     graft.state.ModelStore.save(
       e.select($"vec_id", $"embedding".cast("array<double>").as("v")),
       root, "corpus_v1")
+    // the derived aggregate view: per-bucket id count + mass (COUNT/SUM
+    // — the self-maintainable Gupta–Mumick algebra, as in q244)
+    def bucketView(c: DataFrame): DataFrame = c
+      .groupBy(pmod($"vec_id", lit(16)).as("bucket"))
+      .agg(count(lit(1)).as("n_vecs"), sum($"vec_id").as("id_mass"))
+    graft.state.ModelStore.save(
+      bucketView(graft.state.ModelStore.load(s, root, "corpus_v1")),
+      root, "vecview_v1")
     val txn1 = graft.state.Catalog.commit(
-      Seq(("corpus", "corpus_v1"), ("index", "ivfsq"))
+      Seq(("corpus", "corpus_v1"), ("view", "vecview_v1"),
+        ("index", "ivfsq"))
         .toDF("artifact", "version"), root, expectedTxn = 0L)
     // the arriving commit: deletes + in-place vector updates (negated
     // embedding — deterministic, oracle-replayable) + late inserts
@@ -3973,23 +3988,55 @@ object LlmQueries {
       .unionByName(feed.filter($"op" =!= "delete")
         .select($"id".as("vec_id"), $"vec".as("v")))
     graft.state.ModelStore.save(v2c, root, "corpus_v2")
+    // the VIEW maintained from the feed's ± deltas (never recomputed):
+    // insert = +1/+id, delete = −1/−id, update = ±0 (the id — hence
+    // its bucket row — is unchanged by an in-place vector update)
+    val viewDeltas = feed.filter($"op" =!= "update")
+      .select(pmod($"id", lit(16)).as("bucket"),
+        when($"op" === "insert", 1L).otherwise(-1L).as("dn"),
+        when($"op" === "insert", $"id").otherwise(-$"id").as("dm"))
+      .groupBy($"bucket")
+      .agg(sum($"dn").as("dn"), sum($"dm").as("dm"))
+    val maintainedView = graft.state.ModelStore
+      .load(s, root, "vecview_v1")
+      .join(viewDeltas, Seq("bucket"), "full_outer")
+      .select($"bucket",
+        (coalesce($"n_vecs", lit(0L)) + coalesce($"dn", lit(0L)))
+          .as("n_vecs"),
+        (coalesce($"id_mass", lit(0L)) + coalesce($"dm", lit(0L)))
+          .as("id_mass"))
+      .filter($"n_vecs" > 0)
+    graft.state.ModelStore.save(maintainedView, root, "vecview_v2")
     // the index maintained INCREMENTALLY from the same feed
     val (touched, untouched) = graft.llm.Ivf.maintainIndex(s, root,
       feed, "ivfsq", "ivfsq_m2")
-    // ONE CAS pointer commit flips corpus + index live together
+    // ONE CAS pointer commit flips corpus + view + index live together
     val txn2 = graft.state.Catalog.commit(
-      Seq(("corpus", "corpus_v2"), ("index", "ivfsq_m2"))
+      Seq(("corpus", "corpus_v2"), ("view", "vecview_v2"),
+        ("index", "ivfsq_m2"))
         .toDF("artifact", "version"), root, expectedTxn = txn1)
-    // a reader: resolve the live catalog, cross-check, serve
+    // a reader: resolve the live catalog, cross-check all three, serve
     val cat = graft.state.Catalog.live(s, root)._2
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val corpus = graft.state.ModelStore.load(s, root, cat("corpus"))
-      .localCheckpoint() // consistency join + query vectors share it
+      .localCheckpoint() // consistency joins + query vectors share it
     val (lists, storedCents) = graft.llm.Ivf.loadIndex(s, root,
       cat("index"))
-    val nBad = corpus.select($"vec_id".as("id"), lit(1).as("c"))
+    val nBadIdx = corpus.select($"vec_id".as("id"), lit(1).as("c"))
       .join(lists.select($"id", lit(1).as("i")), Seq("id"), "full_outer")
       .filter($"c".isNull || $"i".isNull).count()
+    // a maintained view row must equal a recount over the resolved
+    // corpus, bucket for bucket (the q253 cross-check discipline)
+    val nBadView = graft.state.ModelStore.load(s, root, cat("view"))
+      .join(bucketView(corpus)
+          .select($"bucket", $"n_vecs".as("tn"), $"id_mass".as("tm")),
+        Seq("bucket"), "full_outer")
+      .filter(!($"n_vecs" <=> $"tn") || !($"id_mass" <=> $"tm"))
+      .count()
+    val nBad = nBadIdx + nBadView
+    val vStats = graft.state.ModelStore.load(s, root, cat("view"))
+      .agg(count(lit(1)).as("vb"),
+        coalesce(sum($"n_vecs"), lit(0L)).as("vm")).head
     graft.llm.Ivf.knnQuantizedServe(corpus.filter($"vec_id" < 10),
         lists, storedCents, "vec_id", "v", k = 5, nprobe = 4,
         materializeIndex = false)
@@ -3998,6 +4045,8 @@ object LlmQueries {
         lit(nIns).as("n_inserted"),
         lit(touched.size.toLong).as("lists_touched"),
         lit((touched ++ untouched).distinct.size.toLong).as("lists_total"),
+        lit(vStats.getLong(0)).as("view_buckets"),
+        lit(vStats.getLong(1)).as("view_mass"),
         lit(nBad).as("n_inconsistent"), lit(txn2).as("txn"))
       .orderBy($"qid", $"rn")
   }
@@ -4046,11 +4095,15 @@ object LlmQueries {
           |  UNION SELECT list_id FROM addl)),
           |la AS (SELECT CAST(COUNT(DISTINCT list_id) AS BIGINT)
           |    AS lists_total FROM (
-          |  SELECT list_id FROM v1a UNION SELECT list_id FROM addl))""".stripMargin,
+          |  SELECT list_id FROM v1a UNION SELECT list_id FROM addl)),
+          |vw AS (SELECT CAST(COUNT(DISTINCT id % 16) AS BIGINT)
+          |    AS view_buckets, CAST(COUNT(*) AS BIGINT) AS view_mass
+          |  FROM allpts)""".stripMargin,
         extraSel = ", nd.n_deleted, nu.n_updated, ni.n_inserted, " +
           "lt.lists_touched, la.lists_total, " +
+          "vw.view_buckets, vw.view_mass, " +
           "CAST(0 AS BIGINT) AS n_inconsistent, CAST(2 AS BIGINT) AS txn",
-        extraFrom = ", nd, nu, ni, lt, la")
+        extraFrom = ", nd, nu, ni, lt, la, vw")
 
   /** q256 — SPLIT-ON-BUDGET file fan-out, executed and then mutated
     * through (r13 verdict item 2 — the fixed 64-file Morton grid is

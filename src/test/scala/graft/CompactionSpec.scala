@@ -344,6 +344,13 @@ class CompactionSpec extends AnyFunSuite {
         Ivf.maintainIndex(spark, root.toString,
           feed.withColumn("op", lit("upsert")), "ivfsq", "ivfsq_bad")
       }
+      // a NULL op must fail the same way — a bare !isin filter would
+      // silently DROP the row from the check while its id is removed
+      intercept[IllegalArgumentException] {
+        Ivf.maintainIndex(spark, root.toString,
+          feed.withColumn("op",
+            lit(null).cast("string")), "ivfsq", "ivfsq_bad")
+      }
       intercept[IllegalArgumentException] {
         Ivf.maintainIndex(spark, root.toString,
           feed.withColumn("vec",

@@ -776,7 +776,12 @@ object Ivf {
     }
     // removal arm: EVERY feed id leaves its current list (delete, the
     // update pre-image, and any re-delivered insert's stored version) —
-    // located by id-Bloom, commit-sized collect
+    // located by id-Bloom, commit-sized collect. The consult stays on
+    // the driver path deliberately: it is nlist-bounded (≤ 512 B per
+    // list — the coarse-quantizer fan-out, a design knob, not data
+    // volume); a store whose nlist outgrew that would reuse
+    // [[graft.llm.Layout.consultBlooms]]' distributed membership join
+    // (same Bloom schema, keyed by list_id)
     val feedIds = feed.select(col("id").cast("long")).distinct()
       .collect().map(_.getLong(0))
     require(feedIds.nonEmpty, "maintainIndex: empty feed")

@@ -235,6 +235,11 @@ object Layout {
       .map(_.toLong).getOrElse(BloomDriverMaxFilesDefault)
     val base = baseName(root, name)
     val bloomDf = spark.read.parquet(s"$root/$base/bloom")
+    // the FILE CATALOG (distinct ids, 8 B each) is collected on both
+    // paths: the mutation arms carry untouched partitions with
+    // driver-side filesystem renames, so a file-count-bounded id list
+    // is inherent to the carry — what the join path removes is the
+    // 64-words-PER-file cache and the single-threaded probe loop
     val allFiles = bloomDf.select(col("file_id")).distinct()
       .collect().map(_.getLong(0)).toSet
     if (allFiles.size <= maxDriver) {

@@ -100,6 +100,38 @@ object Catalog {
     next
   }
 
+  /** [[commit]] with the REBASE loop built in — the full OCC retry
+    * protocol as one call. `derive` maps the live (txn, pointer table)
+    * to the transaction's new pointer; it must RE-DERIVE from the
+    * pointer it is given (re-run the artifact maintenance off that
+    * base where needed), because on a CAS conflict it is called again
+    * against the newly live pointer. txn 0 passes an EMPTY pointer
+    * frame (the bootstrap commit). Retries are bounded: under
+    * contention someone always wins (each retry means another writer
+    * committed), so the loop starves only if the caller loses
+    * `maxRetries` consecutive races — then it throws rather than spin.
+    * Returns the committed txn id. */
+  def commitWithRebase(spark: SparkSession, root: String,
+      derive: (Long, DataFrame) => DataFrame,
+      maxRetries: Int = 10): Long = {
+    require(maxRetries >= 1, s"maxRetries must be >= 1, got $maxRetries")
+    import spark.implicits._
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val e = liveTxn(root)
+      val base =
+        if (e == 0) Seq.empty[(String, String)].toDF("artifact", "version")
+        else load(spark, root, e)
+      try return commit(derive(e, base), root, e)
+      catch {
+        case ex: Exception if attempt < maxRetries &&
+          Option(ex.getMessage).exists(_.contains("rebase")) => () // lost
+      }
+    }
+    -1L // unreachable
+  }
+
   /** The vacuum keep-set with a retention GRACE window: every artifact
     * version referenced by the last `lastK` committed pointers, plus
     * those pointer versions themselves. Vacuuming with this set

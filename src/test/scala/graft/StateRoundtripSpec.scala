@@ -206,6 +206,47 @@ class StateRoundtripSpec extends AnyFunSuite {
       .head.getLong(1) == 7L)
   }
 
+  test("commitWithRebase: two contending transactions both land, " +
+      "serialized, with both effects in the final pointer") {
+    import spark.implicits._
+    val root = graft.util.Fs.tempRoot("graft_rebase_spec").toString
+    def save(nm: String, v: Long): Unit = graft.state.ModelStore.save(
+      Seq((1L, v)).toDF("k", "value"), root, nm)
+    save("tab_v1", 10L); save("view_v1", 100L)
+    val t1 = graft.state.Catalog.commitWithRebase(spark, root,
+      (e, _) => { assert(e == 0L)
+        Seq(("table", "tab_v1"), ("view", "view_v1"))
+          .toDF("artifact", "version") })
+    assert(t1 == 1L)
+    // transaction A updates the table pointer, transaction B the view
+    // pointer. B commits FIRST from inside A's derive — so A's first
+    // attempt loses the CAS and its derive re-runs against B's base;
+    // the final pointer must carry BOTH effects (nothing lost).
+    save("tab_v2", 20L); save("view_v2", 200L)
+    var aDerives = 0
+    val tA = graft.state.Catalog.commitWithRebase(spark, root,
+      (e, base) => {
+        aDerives += 1
+        if (aDerives == 1) { // B sneaks in between A's read and commit
+          assert(e == 1L)
+          graft.state.Catalog.commit(
+            Seq(("table", "tab_v1"), ("view", "view_v2"))
+              .toDF("artifact", "version"), root, e)
+        }
+        // A re-derives OFF THE BASE IT IS GIVEN: keep base's view
+        // entry, swap only the table
+        base.filter($"artifact" =!= "table")
+          .unionByName(Seq(("table", "tab_v2"))
+            .toDF("artifact", "version"))
+      })
+    assert(aDerives == 2, "loser did not rebase")
+    assert(tA == 3L)
+    val fin = graft.state.Catalog.live(spark, root)._2
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fin == Map("table" -> "tab_v2", "view" -> "view_v2"),
+      s"an effect was lost: $fin")
+  }
+
   test("snapshot-isolated reader vs vacuum: a reader pinned lastK-1 " +
       "swaps back still finds its versions; beyond the grace they " +
       "retire") {

@@ -4132,29 +4132,53 @@ object LlmQueries {
     * the inverse (LayoutSpec pins the round-trip). The reference has
     * no layout concept (/root/reference/src/db/connection.py:10-19) —
     * north-star extension. */
+  /** The shared split-store lifecycle backing q256 (write/route gate)
+    * and q257 (read gate) — the §71 shared-store policy: built once
+    * per JVM per dataset dir, deterministic, so results are identical
+    * whichever query triggers it. Versions: v1 base grid → v2
+    * `events_z_sp` (physical split) → v3 `events_z_sp_up` (routed
+    * merge). */
+  private final case class SplitFixture(root: String, budget: Long,
+    filesBefore: Long, nIns: Long, nRep: Long,
+    sp: Layout.SplitResult, up: Layout.PurgeResult)
+
+  private val splitFixtureCache =
+    scala.collection.mutable.Map[String, SplitFixture]()
+
+  private def splitFixture(s: SparkSession, d: String): SplitFixture =
+    splitFixtureCache.synchronized {
+      splitFixtureCache.getOrElseUpdate(d, {
+        import s.implicits._
+        val laid = Layout.eventLayout(Tables.events(s, d))
+        val root = graft.util.Fs.tempRoot("graft_splitstore").toString
+        Layout.saveLayout(laid, root) // v1: base 64-tile grid
+        val (v1, _) = Layout.loadLayout(s, root)
+        val total = v1.count()
+        val budget = total / 100 + 1
+        val filesBefore = v1.select($"file_z").distinct().count()
+        val sp = Layout.splitOnBudget(s, root, "events_z", "file_z",
+          budget, "events_z_sp") // v2: physical split, content untouched
+        // q240's mutation mix, RE-ROUTED to the refined tiles before
+        // the merge (the stored manifest is the routing truth now)
+        val off = 1000000000000L
+        val delta0 = v1.filter($"event_id" % 131 === 3)
+          .withColumn("event_id", $"event_id" + off)
+          .unionByName(v1.filter($"event_id" % 131 === 5))
+        val delta = Layout.routeToStore(s, root, "events_z_sp", delta0,
+          "file_z").localCheckpoint() // audit counts + merge scan it
+        val nIns = delta.filter($"event_id" >= off).count()
+        val nRep = delta.filter($"event_id" < off).count()
+        val up = Layout.upsertRows(s, root, "events_z_sp", "file_z",
+          delta, "events_z_sp_up") // v3
+        SplitFixture(root, budget, filesBefore, nIns, nRep, sp, up)
+      })
+    }
+
   def q256SplitBudget(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val laid = Layout.eventLayout(Tables.events(s, d))
-    val root = graft.util.Fs.tempRoot("graft_splitstore").toString
-    Layout.saveLayout(laid, root) // v1: base 64-tile grid
-    val (v1, _) = Layout.loadLayout(s, root)
-    val total = v1.count()
-    val budget = total / 100 + 1
-    val filesBefore = v1.select($"file_z").distinct().count()
-    val sp = Layout.splitOnBudget(s, root, "events_z", "file_z",
-      budget, "events_z_sp") // v2: physical split, content untouched
-    // q240's mutation mix, RE-ROUTED to the refined tiles before the
-    // merge (the stored manifest is the routing truth now)
-    val off = 1000000000000L
-    val delta0 = v1.filter($"event_id" % 131 === 3)
-      .withColumn("event_id", $"event_id" + off)
-      .unionByName(v1.filter($"event_id" % 131 === 5))
-    val delta = Layout.routeToStore(s, root, "events_z_sp", delta0,
-      "file_z").localCheckpoint() // audit counts + merge both scan it
-    val nIns = delta.filter($"event_id" >= off).count()
-    val nRep = delta.filter($"event_id" < off).count()
-    val up = Layout.upsertRows(s, root, "events_z_sp", "file_z", delta,
-      "events_z_sp_up") // v3
+    val fx = splitFixture(s, d)
+    val (root, sp, up, nIns, nRep, filesBefore) =
+      (fx.root, fx.sp, fx.up, fx.nIns, fx.nRep, fx.filesBefore)
     val (v3, _) = Layout.loadLayout(s, root, "events_z_sp_up")
     val man = Layout.loadManifest(s, root, "events_z_sp_up")
       .toDF("file_id", "zlo", "zhi")
@@ -4171,44 +4195,53 @@ object LlmQueries {
         lit(filesAfter).as("files_after"))
       .orderBy($"zlo", $"file_id")
   }
+  /** The split-store replay shared by q256 and q257 — ONE copy of the
+    * split arithmetic (budget, per-file power-of-2 child count, child
+    * ranges, tile-id encoding, range routing) and of the post-merge
+    * row→tile assignment (`asg` = v3's content with its tile). Both
+    * engines compile this text; q256 gates the write side on it, q257
+    * the read side. */
+  private val splitStoreCte: String =
+    """tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM laid),
+      |bud AS (SELECT (n // 100 + 1) AS b FROM tot),
+      |fc AS (SELECT file_z, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM laid GROUP BY 1),
+      |grid AS (SELECT CAST(u.i AS BIGINT) AS i
+      |  FROM unnest(range(0, 1024)) AS u(i)),
+      |pows AS (SELECT i AS p FROM grid
+      |  WHERE i IN (1,2,4,8,16,32,64,128,256,512) UNION ALL
+      |  SELECT 1024),
+      |ks AS (SELECT f.file_z,
+      |    COALESCE(MIN(p.p) FILTER (
+      |      WHERE p.p >= (f.n + bud.b - 1) // bud.b), 1024) AS k
+      |  FROM fc f, bud, pows p
+      |  WHERE f.n > bud.b
+      |  GROUP BY f.file_z, bud.b),
+      |kids AS (SELECT ks.file_z, (1024 // ks.k) AS cw,
+      |    ks.file_z * 1024 + g.i * (1024 // ks.k) AS zlo
+      |  FROM ks JOIN grid g ON g.i < ks.k),
+      |m AS (
+      |  SELECT CASE WHEN cw = 1024 AND zlo % 1024 = 0 THEN zlo // 1024
+      |      ELSE (zlo + 1) * 131072 + cw END AS file_id,
+      |    zlo, zlo + cw - 1 AS zhi
+      |  FROM kids
+      |  UNION ALL
+      |  SELECT f.file_z, f.file_z * 1024, f.file_z * 1024 + 1023
+      |  FROM fc f, bud WHERE f.n <= bud.b
+      |  UNION ALL
+      |  SELECT g.i, g.i * 1024, g.i * 1024 + 1023
+      |  FROM grid g WHERE g.i < 64
+      |    AND g.i NOT IN (SELECT file_z FROM fc)),
+      |ins AS (SELECT event_id + 1000000000000 AS event_id, user_id,
+      |    zkey FROM laid WHERE event_id % 131 = 3),
+      |up AS (SELECT event_id, user_id, zkey FROM laid
+      |  UNION ALL SELECT event_id, user_id, zkey FROM ins),
+      |asg AS (SELECT u.event_id, u.user_id, m.file_id, m.zlo, m.zhi
+      |  FROM up u JOIN m ON u.zkey BETWEEN m.zlo AND m.zhi)""".stripMargin
+
   val q256Sql: String =
     s"""WITH $layoutCte,
-       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM laid),
-       |bud AS (SELECT (n // 100 + 1) AS b FROM tot),
-       |fc AS (SELECT file_z, CAST(COUNT(*) AS BIGINT) AS n
-       |  FROM laid GROUP BY 1),
-       |grid AS (SELECT CAST(u.i AS BIGINT) AS i
-       |  FROM unnest(range(0, 1024)) AS u(i)),
-       |pows AS (SELECT i AS p FROM grid
-       |  WHERE i IN (1,2,4,8,16,32,64,128,256,512) UNION ALL
-       |  SELECT 1024),
-       |ks AS (SELECT f.file_z,
-       |    COALESCE(MIN(p.p) FILTER (
-       |      WHERE p.p >= (f.n + bud.b - 1) // bud.b), 1024) AS k
-       |  FROM fc f, bud, pows p
-       |  WHERE f.n > bud.b
-       |  GROUP BY f.file_z, bud.b),
-       |kids AS (SELECT ks.file_z, (1024 // ks.k) AS cw,
-       |    ks.file_z * 1024 + g.i * (1024 // ks.k) AS zlo
-       |  FROM ks JOIN grid g ON g.i < ks.k),
-       |m AS (
-       |  SELECT CASE WHEN cw = 1024 AND zlo % 1024 = 0 THEN zlo // 1024
-       |      ELSE (zlo + 1) * 131072 + cw END AS file_id,
-       |    zlo, zlo + cw - 1 AS zhi
-       |  FROM kids
-       |  UNION ALL
-       |  SELECT f.file_z, f.file_z * 1024, f.file_z * 1024 + 1023
-       |  FROM fc f, bud WHERE f.n <= bud.b
-       |  UNION ALL
-       |  SELECT g.i, g.i * 1024, g.i * 1024 + 1023
-       |  FROM grid g WHERE g.i < 64
-       |    AND g.i NOT IN (SELECT file_z FROM fc)),
-       |ins AS (SELECT event_id + 1000000000000 AS event_id, user_id,
-       |    zkey FROM laid WHERE event_id % 131 = 3),
-       |up AS (SELECT event_id, user_id, zkey FROM laid
-       |  UNION ALL SELECT event_id, user_id, zkey FROM ins),
-       |asg AS (SELECT u.event_id, u.user_id, m.file_id, m.zlo, m.zhi
-       |  FROM up u JOIN m ON u.zkey BETWEEN m.zlo AND m.zhi),
+       |$splitStoreCte,
        |dasg AS (SELECT m.file_id FROM (
        |    SELECT zkey FROM ins
        |    UNION ALL SELECT zkey FROM laid WHERE event_id % 131 = 5) d
@@ -4232,6 +4265,80 @@ object LlmQueries {
        |GROUP BY 1, 2, 3, ni.n_inserted, nr.n_replaced, fb.files_before,
        |  fs.files_split, fu.files_up, fa.files_after
        |ORDER BY zlo, file_id""".stripMargin
+
+  /** q257 — point lookups THROUGH the SPLIT store's metadata: the read
+    * side of the adaptive fan-out (q256 gates the write/route side;
+    * this gates what a reader gains). The q235 planner runs against
+    * the post-merge split store (shared fixture — §71 policy, no new
+    * lifecycle): the stored per-tile Blooms load into the driver
+    * cache, each probe user keeps the tiles whose filter contains it,
+    * and ONE scan carries the literal tile IN-list. Emitted per probe:
+    * predicted vs actual tile counts, total tiles, matched rows, and
+    * `rows_pred` — the zone-map row count summed over the predicted
+    * tiles, i.e. the BYTES a pruning reader fetches. That last column
+    * is the measured read benefit of splitting: on the refined tiles
+    * rows_pred shrinks toward the probe's true rows (each predicted
+    * tile is budget-sized), where the base grid would round every
+    * predicted file up to ~total/64 rows. The oracle replays the split
+    * arithmetic (the q256 CTE verbatim), the Bloom bits AND the
+    * per-tile row counts, so a mis-split tile, a false-negative
+    * filter, or metadata drifted from the rows all hash-fail. Driver
+    * state: tile-count-sized caches; one pruned scan. */
+  def q257SplitPointLookup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fx = splitFixture(s, d)
+    val (rows, zm) = Layout.loadLayout(s, fx.root, "events_z_sp_up")
+    val blooms = Layout.loadBloomCache(s, fx.root, "events_z_sp_up")
+    val nRowsByFile = zm.select($"file_id", $"n_rows").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val filesTotal = blooms.size.toLong
+    val probes: Array[Long] = rows.select($"user_id").distinct()
+      .filter($"user_id" % 17 === 0).orderBy($"user_id")
+      .collect().map(_.getLong(0))
+    require(probes.nonEmpty, s"q257: no probe users at $d")
+    val pairs: Seq[(Long, Long)] = probes.toSeq.flatMap { u =>
+      val ps = Sketch.bloomPositions(u.toString, Layout.BloomK,
+        Layout.BloomWords)
+      blooms.toSeq.collect { case (f, bits)
+        if Sketch.bloomContainsAt(bits, ps) => (u, f) }
+    }
+    val predDf = pairs.toDF("user_id", "file_z")
+    val candFiles = pairs.map(_._2).distinct.sorted
+    val scanned = rows.filter($"file_z".isin(candFiles: _*))
+      .join(broadcast(predDf), Seq("file_z", "user_id"))
+      .groupBy($"user_id")
+      .agg(countDistinct($"file_z").as("files_actual"),
+        count(lit(1)).as("n_rows"))
+    pairs.groupBy(_._1).toSeq.map { case (u, fs) =>
+      (u, fs.size.toLong, fs.map(p => nRowsByFile(p._2)).sum) }
+      .toDF("user_id", "files_bloom", "rows_pred")
+      .join(scanned, Seq("user_id"))
+      .select($"user_id", $"files_bloom", $"rows_pred",
+        $"files_actual", lit(filesTotal).as("files_total"), $"n_rows")
+      .orderBy($"user_id")
+  }
+  val q257Sql: String =
+    s"""WITH $layoutCte,
+       |$splitStoreCte,
+       |probes AS (SELECT DISTINCT user_id FROM asg
+       |  WHERE user_id % 17 = 0),
+       |${bloomReplayCte("file_id", "probes", "asg")},
+       |zm AS (SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM asg GROUP BY 1),
+       |pred AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS files_bloom,
+       |    CAST(SUM(z.n_rows) AS BIGINT) AS rows_pred
+       |  FROM ph JOIN zm z USING (file_id) WHERE hit GROUP BY 1),
+       |act AS (SELECT user_id,
+       |    CAST(COUNT(DISTINCT file_id) AS BIGINT) AS files_actual,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM asg JOIN probes USING (user_id) GROUP BY 1),
+       |ft AS (SELECT CAST(COUNT(DISTINCT file_id) AS BIGINT)
+       |    AS files_total FROM asg)
+       |SELECT p.user_id, pred.files_bloom, pred.rows_pred,
+       |  act.files_actual, ft.files_total, act.n_rows
+       |FROM probes p JOIN pred USING (user_id)
+       |JOIN act USING (user_id), ft
+       |ORDER BY user_id""".stripMargin
 
   /** q253 — CROSS-ARTIFACT ATOMIC GOVERNANCE: one right-to-be-
     * forgotten request must land on the stored TABLE and its DERIVED
@@ -8580,6 +8687,7 @@ object LlmQueries {
     "q253_governed_rtbf" -> (q253GovernedRtbf _),
     "q254_index_maintain" -> (q254IndexMaintain _),
     "q256_split_budget" -> (q256SplitBudget _),
+    "q257_split_point_lookup" -> (q257SplitPointLookup _),
     "q231_winnow_eval" -> (q231WinnowEval _),
     "q232_affinity_pack" -> (q232AffinityPack _),
     "q220_journey_transitions" -> (q220JourneyTransitions _),
@@ -8737,6 +8845,7 @@ object LlmQueries {
     "q253_governed_rtbf" -> q253Sql,
     "q254_index_maintain" -> q254Sql,
     "q256_split_budget" -> q256Sql,
+    "q257_split_point_lookup" -> q257Sql,
     "q231_winnow_eval" -> q231Sql,
     "q232_affinity_pack" -> q232Sql,
     "q220_journey_transitions" -> q220Sql,

@@ -735,6 +735,55 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("split-store point lookup: partitions read == the Bloom " +
+      "prediction on the REFINED tiles (q257)") {
+    // the q235 pin re-run against the adaptive fan-out: after
+    // splitOnBudget + a routed merge, the stored per-TILE Blooms must
+    // still drive partition pruning to exactly the predicted tile
+    // directories — carried metadata and recomputed metadata both.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val laid = graft.llm.Layout.eventLayout(
+      graft.ops.Tables.events(spark, sf))
+    val root = graft.util.Fs.tempRoot("graft_splitpin")
+    graft.llm.Layout.saveLayout(laid, root.toString)
+    val budget = laid.count() / 100 + 1
+    graft.llm.Layout.splitOnBudget(spark, root.toString, "events_z",
+      "file_z", budget, "events_z_sp")
+    val (rows, _) = graft.llm.Layout.loadLayout(spark, root.toString,
+      "events_z_sp")
+    val cache = graft.llm.Layout.loadBloomCache(spark, root.toString,
+      "events_z_sp")
+    val probes = rows.select(col("user_id")).distinct()
+      .filter(col("user_id") % 17 === 0).collect().map(_.getLong(0))
+    assert(probes.nonEmpty)
+    val cand = probes.flatMap { u =>
+      cache.toSeq.collect { case (f, bits)
+        if graft.llm.Sketch.bloomContains(bits, u.toString,
+          graft.llm.Layout.BloomK, graft.llm.Layout.BloomWords) => f }
+    }.distinct.sorted
+    assert(cand.nonEmpty && cand.length < cache.size,
+      s"degenerate fixture: bloom keeps ${cand.length}/${cache.size}")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scan = rows.filter(col("file_z").isin(cand: _*))
+        .agg(count(lit(1)).as("n_rows"))
+      scan.collect()
+      val plan = scan.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("file_z"),
+        s"q257 scan carries no partition filter:\n$plan")
+      val scanNodes = scan.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scanNodes.nonEmpty, s"no file scan in:\n$plan")
+      val partsRead = scanNodes.map(
+        _.metrics("numPartitions").value).sum
+      assert(partsRead == cand.length,
+        s"scan read $partsRead partitions; bloom predicted " +
+          s"${cand.length}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("k-anonymity audit is pure keyed aggregation — no joins (q209)") {
     // q209 stacks session_window -> per-pattern -> per-class rollups;
     // any Join in its plan means the governance gate started pairing

@@ -4138,14 +4138,14 @@ object LlmQueries {
     * whichever query triggers it. Versions: v1 base grid → v2
     * `events_z_sp` (physical split) → v3 `events_z_sp_up` (routed
     * merge). */
-  private final case class SplitFixture(root: String, budget: Long,
+  private[ops] final case class SplitFixture(root: String, budget: Long,
     filesBefore: Long, nIns: Long, nRep: Long,
     sp: Layout.SplitResult, up: Layout.PurgeResult)
 
   private val splitFixtureCache =
     scala.collection.mutable.Map[String, SplitFixture]()
 
-  private def splitFixture(s: SparkSession, d: String): SplitFixture =
+  private[ops] def splitFixture(s: SparkSession, d: String): SplitFixture =
     splitFixtureCache.synchronized {
       splitFixtureCache.getOrElseUpdate(d, {
         import s.implicits._
@@ -4201,7 +4201,7 @@ object LlmQueries {
     * row→tile assignment (`asg` = v3's content with its tile). Both
     * engines compile this text; q256 gates the write side on it, q257
     * the read side. */
-  private val splitStoreCte: String =
+  private[ops] val splitStoreCte: String =
     """tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM laid),
       |bud AS (SELECT (n // 100 + 1) AS b FROM tot),
       |fc AS (SELECT file_z, CAST(COUNT(*) AS BIGINT) AS n

@@ -2431,11 +2431,111 @@ object StreamQueries {
        |GROUP BY 1, 3
        |ORDER BY commit_id, op, file_z""".stripMargin
 
+  /** q258 — the STREAMING MERGE running ON the ADAPTIVE (split) store:
+    * the q242 sink composed with the q256 fan-out, closing the seam
+    * between the two shelves. The shared split fixture provides the
+    * refined store (v1 base grid → `events_z_sp`, the §76 policy — no
+    * new base lifecycle); mutation batches then arrive as a real
+    * 4-batch file-source stream carrying the BASE-grid arithmetic
+    * `file_z`, and the sink re-routes EVERY batch against the
+    * incumbent's stored tile manifest
+    * ([[graft.llm.Layout.routeToStore]] — the broadcast range join,
+    * per commit) before the copy-on-write merge publishes
+    * `events_z_sp_s1…s4`. Because mutations carry the manifest into
+    * each new version, the routing truth is stable across the chain,
+    * and upserts of disjoint key sets compose — so the streamed,
+    * per-batch-routed store must hold EXACTLY the single-shot routed
+    * content: the oracle replays the whole split arithmetic + range
+    * routing (the q256 CTE verbatim) and aggregates per tile, so ONE
+    * row routed to a wrong tile in ANY commit shifts two tiles'
+    * aggregates and hash-fails. The sink is idempotent the §71 way
+    * (id-derived version names; already-published commits skipped).
+    * 100 TB shape: each commit rewrites only the right-sized tiles
+    * its rows land in — the de-saturated form of the q242 wall. */
+  def q258SplitStreamMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val fx = LlmQueries.splitFixture(s, d)
+    val root = fx.root
+    val chainDone = new java.util.concurrent.ConcurrentHashMap[
+      Long, Long]()
+    val (v1, _) = Layout.loadLayout(s, root) // the base fixed-grid v1
+    val off = 1000000000000L
+    val delta = v1.filter($"event_id" % 131 === 3)
+      .withColumn("event_id", $"event_id" + off)
+      .unionByName(v1.filter($"event_id" % 131 === 5))
+      .localCheckpoint()
+    val nIns = delta.filter($"event_id" >= off).count()
+    val nRep = delta.filter($"event_id" < off).count()
+    val schema = new StructType()
+      .add("event_id", LongType).add("user_id", LongType)
+      .add("ub", LongType).add("tb", LongType)
+      .add("zkey", LongType).add("file_z", LongType)
+    val lastVersion = "events_z_sp_s4"
+    // the chain itself is idempotent per version, so a re-invocation
+    // in the same JVM (bench passes) skips every commit
+    fourBatchHarness(s, delta, "event_id", schema, "splitchain") {
+      (source, sink) =>
+        val q = source.writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            val commitNo = id + 1
+            val next = s"events_z_sp_s$commitNo"
+            val incumbent =
+              if (commitNo == 1L) "events_z_sp"
+              else s"events_z_sp_s$id"
+            // re-route THIS batch against the incumbent's manifest —
+            // the arriving rows carry the base-grid arithmetic file_z,
+            // which post-split names tiles that no longer exist
+            val routed = Layout.routeToStore(s, root, incumbent, b,
+              "file_z").localCheckpoint()
+            if (!graft.state.ModelStore.exists(root, next))
+              Layout.upsertRows(s, root, incumbent, "file_z", routed,
+                next)
+            chainDone.put(commitNo, routed.count())
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        require(chainDone.size == 4,
+          s"q258: expected 4 commits, got ${chainDone.size}")
+        require((1L to 4L).map(chainDone.get(_)).sum == nIns + nRep,
+          "q258: commit chain lost delta rows")
+        Seq.empty[Int].toDF("unused").createOrReplaceTempView(sink)
+    } { _ => Seq.empty[Int].toDF("unused") }
+    val (fin, _) = Layout.loadLayout(s, root, lastVersion)
+    val man = Layout.loadManifest(s, root, lastVersion)
+      .toDF("file_id", "zlo", "zhi")
+    fin.groupBy($"file_z".as("file_id"))
+      .agg(count(lit(1)).as("n_rows"), sum($"user_id").as("u_mass"),
+        sum($"event_id").as("e_mass"))
+      .join(broadcast(man), Seq("file_id"))
+      .select($"file_id", $"zlo", $"zhi", $"n_rows", $"u_mass",
+        $"e_mass", lit(nIns).as("n_inserted"),
+        lit(nRep).as("n_replaced"), lit(4L).as("n_commits"))
+      .orderBy($"zlo", $"file_id")
+  }
+  val q258Sql: String =
+    s"""WITH ${LlmQueries.layoutCte},
+       |${LlmQueries.splitStoreCte},
+       |ni AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_inserted FROM ins),
+       |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_replaced FROM laid
+       |  WHERE event_id % 131 = 5)
+       |SELECT a.file_id, a.zlo, a.zhi,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(a.user_id) AS BIGINT) AS u_mass,
+       |  CAST(SUM(a.event_id) AS BIGINT) AS e_mass,
+       |  ni.n_inserted, nr.n_replaced, CAST(4 AS BIGINT) AS n_commits
+       |FROM asg a, ni, nr
+       |GROUP BY 1, 2, 3, ni.n_inserted, nr.n_replaced
+       |ORDER BY zlo, file_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_stream_dedup" -> (q101StreamDedup _),
     "q247_stream_view" -> (q247StreamView _),
     "q252_stream_cdc" -> (q252StreamCdc _),
     "q255_stream_asof" -> (q255StreamAsOf _),
+    "q258_split_stream_merge" -> (q258SplitStreamMerge _),
     "q229_stream_kmv" -> (q229StreamKmv _),
     "q234_stream_affinity_pack" -> (q234StreamAffinityPack _),
     "q239_stream_planner" -> (q239StreamPlanner _),
@@ -2483,6 +2583,9 @@ object StreamQueries {
     // prefix-merge replay (re-deliveries replace identically, so the
     // prefix content is base ∪ inserts of tiles <= k)
     "q255_stream_asof" -> q255Sql,
+    // streamed + per-batch-routed merges on the split store compose to
+    // the single-shot routed content — the split replay aggregates it
+    "q258_split_stream_merge" -> q258Sql,
     // stateless stream-static join => identical to batch decontamination
     "q110_stream_decon" -> LlmQueries.q94Sql,
     "q106_stream_neardup" -> q106Sql,

@@ -605,6 +605,18 @@ object Ivf {
       spark.read.parquet(s"$root/$base/centroids"))
   }
 
+  /** The stored list ids of an index version, from the DIRECTORY
+    * layout (file-count-sized — the on-disk inverted file is the
+    * catalog). Shared by [[purgeIndex]] and [[maintainIndex]]. */
+  private def storedListIds(root: String, base: String): Seq[Int] =
+    scala.util.Using.resource(java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, base, "lists"))) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("list_id="))
+        .map(_.stripPrefix("list_id=").toInt).toSeq
+    }
+
   private def baseName(root: String, name: String): String =
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(root, name)))
       name
@@ -656,13 +668,7 @@ object Ivf {
     // all stored lists, from the DIRECTORY layout (file-count-sized —
     // the on-disk inverted file is the catalog)
     val base = baseName(root, name)
-    val allLists = scala.util.Using.resource(java.nio.file.Files.list(
-        java.nio.file.Paths.get(root, base, "lists"))) { st =>
-      import scala.jdk.CollectionConverters._
-      st.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("list_id="))
-        .map(_.stripPrefix("list_id=").toInt).toSeq
-    }
+    val allLists = storedListIds(root, base)
     val untouched = allLists.filterNot(touched.contains).sorted
     // drift audit (see PRECONDITION above): a tombstone id found in an
     // UNTOUCHED list means the request's vector assigned differently
@@ -767,13 +773,7 @@ object Ivf {
       s"maintainIndex: stored index '$name' carries no per-list " +
         "id-Blooms — rebuild it with saveIndex first")
     val base = baseName(root, name)
-    val allLists = scala.util.Using.resource(java.nio.file.Files.list(
-        java.nio.file.Paths.get(root, base, "lists"))) { st =>
-      import scala.jdk.CollectionConverters._
-      st.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("list_id="))
-        .map(_.stripPrefix("list_id=").toInt).toSeq
-    }
+    val allLists = storedListIds(root, base)
     // removal arm: EVERY feed id leaves its current list (delete, the
     // update pre-image, and any re-delivered insert's stored version) —
     // located by id-Bloom, commit-sized collect. The consult stays on

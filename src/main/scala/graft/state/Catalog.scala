@@ -89,14 +89,26 @@ object Catalog {
     * re-commit. Returns the committed txn id. */
   def commit(pointer: DataFrame, root: String, expectedTxn: Long): Long = {
     val liveNow = liveTxn(root)
-    require(liveNow == expectedTxn,
-      s"catalog CAS conflict at $root: expected txn $expectedTxn but " +
-        s"live is $liveNow — rebase onto the live pointer and retry")
+    if (liveNow != expectedTxn)
+      throw new CasConflictException(
+        s"catalog CAS conflict at $root: expected txn $expectedTxn but " +
+          s"live is $liveNow — rebase onto the live pointer and retry")
     val next = expectedTxn + 1
     val name = s"$Prefix$next"
     val attempt = ModelStore.newAttempt(root, name)
-    pointer.write.mode("overwrite").parquet(attempt.toString)
-    ModelStore.publishExclusiveFrom(root, name, attempt)
+    // A failed attempt (CAS loss or write error) must not orphan its
+    // staged pointer dir: vacuum maps `_staging/catalog_t<n>.attempt-*`
+    // to the winner's KEPT name, so the orphan would survive every
+    // sweep for as long as txn n stays in the keep-set.
+    try {
+      pointer.write.mode("overwrite").parquet(attempt.toString)
+      ModelStore.publishExclusiveFrom(root, name, attempt)
+    } catch {
+      case e: Throwable =>
+        try graft.util.Fs.deleteRecursively(attempt)
+        catch { case _: Exception => () } // best-effort; don't mask e
+        throw e
+    }
     next
   }
 
@@ -125,8 +137,11 @@ object Catalog {
         else load(spark, root, e)
       try return commit(derive(e, base), root, e)
       catch {
-        case ex: Exception if attempt < maxRetries &&
-          Option(ex.getMessage).exists(_.contains("rebase")) => () // lost
+        // the typed loser signal ONLY — any other failure inside derive
+        // or the pointer write is a real error and must propagate, not
+        // silently re-run the transaction (which may re-publish
+        // artifact versions) up to maxRetries times
+        case _: CasConflictException if attempt < maxRetries => () // lost
       }
     }
     -1L // unreachable

@@ -67,23 +67,66 @@ object ModelStore {
 
   /** First-writer-wins publish from a private attempt dir — the OCC
     * commit primitive the copy-on-write mutation arms use. The
-    * existence require is the fast-fail; the arbiter is the single
+    * existence check is the fast-fail; the arbiter is the single
     * `Files.move` WITHOUT replace-existing: of any number of racing
     * attempts at the same immutable version name, exactly one rename
-    * lands and every other throws, with each loser's staged bytes
-    * private to it (nothing to tear — the r13 shared-path hazard is
-    * structurally gone). A loser must REBASE onto the newly live
-    * version and retry under a fresh attempt. */
+    * lands and every other throws [[CasConflictException]], with each
+    * loser's staged bytes private to it (nothing to tear — the r13
+    * shared-path hazard is structurally gone). A loser must REBASE onto
+    * the newly live version and retry under a fresh attempt.
+    *
+    * Exclusivity rests on the rename REFUSING an existing target. The
+    * Javadoc leaves existing-target behavior under ATOMIC_MOVE
+    * implementation-specific; on POSIX, rename(2) over a NON-EMPTY
+    * directory fails (ENOTEMPTY) while an empty-dir target would be
+    * silently replaced — so the invariant this method maintains
+    * inductively is "every published version is a non-empty directory":
+    * it refuses to publish an attempt with no files, hence every target
+    * a later racer can collide with is non-empty and the arbiter holds. */
   def publishExclusiveFrom(root: String, name: String,
       attempt: Path): Unit = {
     require(Files.exists(attempt), s"no staged attempt at $attempt")
-    require(!Files.exists(Paths.get(root, name)) &&
-      !Files.exists(Paths.get(root, s"${name}_backup")),
-      s"publishExclusiveFrom: version '$name' already exists at $root — " +
-        "rebase onto the latest version and retry")
-    Files.move(attempt, Paths.get(root, name),
-      StandardCopyOption.ATOMIC_MOVE)
+    require(children(attempt).nonEmpty,
+      s"publishExclusiveFrom: attempt at $attempt is empty — publishing " +
+        "it would break the non-empty-directory invariant the " +
+        "first-writer-wins rename arbiter depends on")
+    val target = Paths.get(root, name)
+    if (Files.exists(target) ||
+        Files.exists(Paths.get(root, s"${name}_backup")))
+      throw new CasConflictException(
+        s"publishExclusiveFrom: version '$name' already exists at $root " +
+          "— rebase onto the latest version and retry")
+    moveExclusive(attempt, target)
   }
+
+  /** The no-replace rename arbiter, with the filesystem's refusal
+    * translated to the typed conflict: a loser that passed the
+    * fast-fail and then lost the move throws FileAlreadyExistsException
+    * or (POSIX, directory target) a FileSystemException such as
+    * DirectoryNotEmptyException whose message is just a path — wrapped
+    * here as [[CasConflictException]] so [[Catalog.commitWithRebase]]'s
+    * retry loop sees the exact race it exists for. A FileSystemException
+    * with NO competing target on disk (e.g. the filesystem cannot do
+    * atomic moves at all) is a real error and propagates unwrapped. */
+  private[graft] def moveExclusive(attempt: Path, target: Path): Unit =
+    try Files.move(attempt, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new CasConflictException(
+          s"lost the publish race for $target — rebase onto the latest " +
+            "version and retry", e)
+      case e: java.nio.file.FileSystemException if Files.exists(target) =>
+        throw new CasConflictException(
+          s"lost the publish race for $target — rebase onto the latest " +
+            "version and retry", e)
+    }
+
+  private def children(p: Path): Seq[String] =
+    if (!Files.isDirectory(p)) Seq.empty
+    else scala.util.Using.resource(Files.list(p)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString).toSeq
+    }
 
   /** Blue/green publish: prod → backup, staging → prod (atomic per state
     * table, mirroring run_training_batch.py:243-257). */
@@ -117,10 +160,11 @@ object ModelStore {
     * race resolves to exactly one winner. The copy-on-write mutation
     * arms ([[graft.llm.Layout]]) commit through this. */
   def publishExclusive(root: String, name: String): Unit = {
-    require(!Files.exists(Paths.get(root, name)) &&
-      !Files.exists(Paths.get(root, s"${name}_backup")),
-      s"publishExclusive: version '$name' already exists at $root — " +
-        "rebase onto the latest version and retry")
+    if (Files.exists(Paths.get(root, name)) ||
+        Files.exists(Paths.get(root, s"${name}_backup")))
+      throw new CasConflictException(
+        s"publishExclusive: version '$name' already exists at $root — " +
+          "rebase onto the latest version and retry")
     publish(root, name)
   }
 
@@ -151,12 +195,6 @@ object ModelStore {
   def vacuum(root: String, keep: Set[String]): Seq[String] = {
     def owner(dir: String): String =
       if (dir.endsWith("_backup")) dir.stripSuffix("_backup") else dir
-    def children(p: Path): Seq[String] =
-      if (!Files.isDirectory(p)) Seq.empty
-      else scala.util.Using.resource(Files.list(p)) { s =>
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.map(_.getFileName.toString).toSeq
-      }
     // an attempt dir (_staging/<name>.attempt-<uuid>) belongs to <name>:
     // a kept name's IN-FLIGHT attempt must survive the sweep
     def stagingOwner(dir: String): String = {

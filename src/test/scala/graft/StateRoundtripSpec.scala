@@ -320,4 +320,98 @@ class StateRoundtripSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(d.resolve("data.txt")),
       "vacuum destroyed an in-flight attempt of a kept name")
   }
+
+  test("typed CAS conflict: all three loser sites throw " +
+      "CasConflictException; the true rename-race loser is wrapped; a " +
+      "non-conflict failure inside derive propagates instead of retrying") {
+    import spark.implicits._
+    val root = graft.util.Fs.tempRoot("graft_typed_cas_spec").toString
+    def ptr(tab: String) = Seq(("table", tab)).toDF("artifact", "version")
+    graft.state.Catalog.commit(ptr("tab_a"), root, 0L)
+    // (1) the catalog fast-fail is typed
+    intercept[graft.state.CasConflictException] {
+      graft.state.Catalog.commit(ptr("tab_b"), root, 0L)
+    }
+    // (2) the publish fast-fail is typed
+    val a = graft.state.ModelStore.newAttempt(root, "v1")
+    java.nio.file.Files.writeString(a.resolve("data.txt"), "A")
+    graft.state.ModelStore.publishExclusiveFrom(root, "v1", a)
+    val b = graft.state.ModelStore.newAttempt(root, "v1")
+    java.nio.file.Files.writeString(b.resolve("data.txt"), "B")
+    intercept[graft.state.CasConflictException] {
+      graft.state.ModelStore.publishExclusiveFrom(root, "v1", b)
+    }
+    // (3) the TRUE race loser — one that passed both existence checks
+    // and then lost the Files.move arbiter (a non-empty directory
+    // target) — is wrapped as the typed conflict, not a raw
+    // FileSystemException whose message is just a path (the r14 ADVICE
+    // medium: that loser used to escape the rebase loop entirely)
+    val c = graft.state.ModelStore.newAttempt(root, "v9")
+    java.nio.file.Files.writeString(c.resolve("data.txt"), "C")
+    val winner = java.nio.file.Paths.get(root, "v9")
+    java.nio.file.Files.createDirectories(winner)
+    java.nio.file.Files.writeString(winner.resolve("data.txt"), "W")
+    val lost = intercept[graft.state.CasConflictException] {
+      graft.state.ModelStore.moveExclusive(c, winner)
+    }
+    assert(lost.getCause.isInstanceOf[java.nio.file.FileSystemException],
+      s"expected the filesystem refusal as cause, got ${lost.getCause}")
+    assert(java.nio.file.Files.readString(winner.resolve("data.txt"))
+      == "W", "the loser disturbed the winner's published bytes")
+    // (4) commitWithRebase retries ONLY the typed conflict: an
+    // unrelated failure whose message happens to contain 'rebase' (the
+    // old substring filter would have swallowed and re-run it) now
+    // propagates after ONE derive call
+    var derives = 0
+    val boom = intercept[RuntimeException] {
+      graft.state.Catalog.commitWithRebase(spark, root, (_, _) => {
+        derives += 1
+        throw new RuntimeException(
+          "unrelated failure that happens to mention rebase")
+      })
+    }
+    assert(!boom.isInstanceOf[graft.state.CasConflictException])
+    assert(derives == 1,
+      s"a non-conflict failure was retried $derives times")
+  }
+
+  test("commit hygiene: a losing catalog commit deletes its staged " +
+      "attempt dir; an empty attempt is refused (non-empty-dir " +
+      "invariant)") {
+    import spark.implicits._
+    val root = graft.util.Fs.tempRoot("graft_hygiene_spec").toString
+    def ptr(tab: String) = Seq(("table", tab)).toDF("artifact", "version")
+    graft.state.Catalog.commit(ptr("tab_a"), root, 0L)
+    graft.state.Catalog.commit(ptr("tab_b"), root, 1L)
+    // a loser that passes the liveTxn fast-fail but loses the publish
+    // (simulated: a catalog_t3_backup blocker is invisible to liveTxn's
+    // numeric parse but trips publishExclusiveFrom's existence check):
+    // its staged pointer dir must NOT survive as an orphan — vacuum
+    // maps catalog_t3.attempt-* to the WINNER'S kept name, so an
+    // orphan would outlive every sweep
+    val blocker = java.nio.file.Paths.get(root, "catalog_t3_backup")
+    java.nio.file.Files.createDirectories(blocker)
+    java.nio.file.Files.writeString(blocker.resolve("b.txt"), "w")
+    intercept[graft.state.CasConflictException] {
+      graft.state.Catalog.commit(ptr("tab_c"), root, 2L)
+    }
+    val staged = {
+      val p = java.nio.file.Paths.get(root, "_staging")
+      if (!java.nio.file.Files.isDirectory(p)) Seq.empty[String]
+      else scala.util.Using.resource(java.nio.file.Files.list(p)) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSeq
+      }
+    }
+    assert(!staged.exists(_.startsWith("catalog_t3.attempt")),
+      s"losing commit orphaned its attempt dir: $staged")
+    // publishing an EMPTY attempt would break the non-empty-directory
+    // invariant the rename arbiter depends on (POSIX rename silently
+    // replaces an empty-dir target) — refused loudly
+    val empty = graft.state.ModelStore.newAttempt(root, "v_empty")
+    val e = intercept[IllegalArgumentException] {
+      graft.state.ModelStore.publishExclusiveFrom(root, "v_empty", empty)
+    }
+    assert(e.getMessage.contains("non-empty"), e.getMessage)
+  }
 }

@@ -371,6 +371,22 @@ object Layout {
     }
   }
 
+  /** A manifest sorted by zlo must tile [0, [[Grid]]) with no gap and
+    * no overlap — the invariant that makes the routing range join
+    * lossless (every zkey has exactly one tile). */
+  private def requireFullCoverage(man: Seq[(Long, Long, Long)],
+      who: String): Unit = {
+    require(man.nonEmpty, s"$who: empty manifest")
+    require(man.head._2 == 0L && man.last._3 == Grid - 1,
+      s"$who: manifest covers [${man.head._2}, ${man.last._3}] " +
+        s"instead of [0, ${Grid - 1}]")
+    man.sliding(2).foreach {
+      case Seq((_, _, zhi), (f, zlo, _)) => require(zlo == zhi + 1,
+        s"$who: manifest gap/overlap at tile $f (zlo=$zlo, prev zhi=$zhi)")
+      case _ => ()
+    }
+  }
+
   /** Re-derive `fileCol` on `df` from the STORED manifest of `name` —
     * the routing step every delta must pass before [[upsertRows]] on a
     * store that may have split: the fixed zkey arithmetic names base
@@ -383,8 +399,14 @@ object Layout {
       root: String, name: String, df: DataFrame, fileCol: String,
       legacyFiles: Int = 64): DataFrame = {
     import spark.implicits._
-    val man = loadManifest(spark, root, name, legacyFiles)
-      .toDF("__route_file", "__zlo", "__zhi")
+    val manifest = loadManifest(spark, root, name, legacyFiles)
+    // the inner range join silently DROPS any row outside manifest
+    // coverage — so prove statically (O(tiles), driver-side) that no
+    // such row can exist: the tiles must partition [0, Grid) exactly.
+    // Cheaper than counting routed rows per call, and catches the
+    // corruption at its source (a torn manifest), not per delta
+    requireFullCoverage(manifest, s"routeToStore($name)")
+    val man = manifest.toDF("__route_file", "__zlo", "__zhi")
     df.drop(fileCol)
       .join(broadcast(man),
         col("zkey") >= col("__zlo") && col("zkey") <= col("__zhi"))
@@ -446,6 +468,14 @@ object Layout {
       val w = zhi - zlo + 1
       val k = math.min(pow2AtLeast((counts(f) + budget - 1) / budget), w)
       val cw = w / k
+      // children must PARTITION the parent exactly: cw = w/k truncates,
+      // so a parent width that k does not divide would leave a zkey
+      // tail covered by no child — rows silently dropped by the range
+      // join below. Power-of-2 widths (the quadtree invariant every
+      // split preserves) always divide; anything else must fail loudly
+      require(k * cw == w,
+        s"splitOnBudget: tile $f width $w is not divisible by $k " +
+          "children — the store's tile widths must be powers of two")
       f -> (0L until k).map(i => (tileId(zlo + i * cw, cw, legacyW),
         zlo + i * cw, zlo + i * cw + cw - 1))
     }.toMap
@@ -475,12 +505,20 @@ object Layout {
         oversized.size.toLong + children.valuesIterator.map(_.size).sum)
   }
 
-  /** The inverse maintenance commit: sibling tiles whose COMBINED row
-    * count fits the budget merge back into their parent range (a
-    * parent restored to the base grid takes its legacy id back, so
-    * split→merge round-trips to the original store shape). One level
-    * per run, like [[splitOnBudget]]; repeated runs coalesce further.
-    * Only merging tiles rewrite; everything else carries. */
+  /** The inverse maintenance commit, ONE-RUN K-WAY: every complete
+    * sibling SET whose combined row count fits the budget merges back
+    * into its ancestor range in a single commit — the exact inverse of
+    * [[splitOnBudget]]'s k-way split (a 4-child split undoes in ONE
+    * run, not log₂(k) full commits). The PLAN runs to fixpoint on the
+    * footer-sized manifest alone (driver arithmetic: coalesce aligned
+    * same-width sibling pairs bottom-up, pairs of pairs collapsing
+    * transitively, stopping at the base-grid width); the PHYSICAL
+    * rewrite then maps each absorbed tile straight to its FINAL
+    * ancestor — one partition-pruned scan + one broadcast range join,
+    * one published version. A parent restored to the base grid takes
+    * its legacy id back, so split→merge round-trips to the original
+    * store shape. Only merging tiles rewrite; everything else
+    * carries byte-for-byte. */
   def mergeOnBudget(spark: org.apache.spark.sql.SparkSession,
       root: String, name: String, fileCol: String, budget: Long,
       newName: String, legacyFiles: Int = 64): SplitResult = {
@@ -493,23 +531,39 @@ object Layout {
       .parquet(s"$root/${baseName(root, name)}/zonemaps")
       .select(col("file_id"), col("n_rows"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // group refined tiles by parent range (double width, aligned);
-    // base-grid tiles have no parent here
-    val byParent = man.filter { case (_, zlo, zhi) =>
-        zhi - zlo + 1 < legacyW }
-      .groupBy { case (_, zlo, zhi) =>
-        val w = zhi - zlo + 1
-        (zlo - (zlo % (2 * w)), 2 * w)
+    // plan state: live tile -> (zlo, zhi, rows, absorbed ORIGINAL tiles)
+    var plan: Map[Long, (Long, Long, Long, Seq[Long])] = man.map {
+      case (f, zlo, zhi) =>
+        f -> (zlo, zhi, counts.getOrElse(f, 0L), Seq(f))
+    }.toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      // group refined tiles by candidate parent range (double width,
+      // aligned); two same-width tiles of one parent are its two
+      // halves (the manifest has no overlaps), so size==2 == complete
+      val byParent = plan.toSeq
+        .filter { case (_, (zlo, zhi, _, _)) => zhi - zlo + 1 < legacyW }
+        .groupBy { case (_, (zlo, zhi, _, _)) =>
+          val w = zhi - zlo + 1
+          (zlo - (zlo % (2 * w)), 2 * w)
+        }
+      byParent.foreach { case ((pzlo, pw), sibs) =>
+        if (sibs.size == 2 && sibs.map(_._2._3).sum <= budget) {
+          plan = plan -- sibs.map(_._1) +
+            (tileId(pzlo, pw, legacyW) ->
+              (pzlo, pzlo + pw - 1, sibs.map(_._2._3).sum,
+                sibs.flatMap(_._2._4)))
+          changed = true
+        }
       }
-    val merges = byParent.toSeq.collect {
-      case ((pzlo, pw), sibs) if sibs.size == 2 &&
-        sibs.map { case (f, _, _) => counts.getOrElse(f, 0L) }.sum
-          <= budget =>
-        (tileId(pzlo, pw, legacyW), pzlo, pzlo + pw - 1,
-          sibs.map(_._1).sorted)
+    }
+    val merges = plan.toSeq.collect {
+      case (pid, (zlo, zhi, _, absorbed)) if absorbed.size > 1 =>
+        (pid, zlo, zhi, absorbed.sorted)
     }.sortBy(_._2)
     require(merges.nonEmpty,
-      "mergeOnBudget: no sibling pair fits the budget — nothing to merge")
+      "mergeOnBudget: no sibling set fits the budget — nothing to merge")
     val merging = merges.flatMap(_._4)
     val (rows, _) = loadLayout(spark, root, name, fileCol,
       mergeSchema = true)
@@ -527,7 +581,7 @@ object Layout {
     val res = cowRewrite(spark, root, name, fileCol, counts.keySet,
       merging, rewritten, newName, manifestOverride = Some(newMan))
     SplitResult(merging,
-      merges.map(m => m._1 -> m._4).toMap, // parent -> absorbed tiles
+      merges.map(m => m._1 -> m._4).toMap, // ancestor -> absorbed tiles
       res.touched.size.toLong + res.untouched.size.toLong -
         merging.size.toLong + merges.size.toLong)
   }
@@ -734,6 +788,23 @@ object Layout {
   def changeFeed(spark: org.apache.spark.sql.SparkSession, root: String,
       beforeName: String, afterName: String, fileCol: String,
       touched: Seq[Long]): DataFrame = {
+    val (joined, cols) =
+      feedJoined(spark, root, beforeName, afterName, fileCol, touched)
+    joined
+      // op-aware image pick, NOT coalesce: an update that set a column
+      // to NULL must emit the NULL post-image, not resurrect the
+      // pre-image value
+      .select(col("op") +: col("event_id") +:
+        cols.tail.map(c => when(col("op") === "delete", col(s"b.$c"))
+          .otherwise(col(s"a.$c")).as(c)): _*)
+  }
+
+  /** The classified version diff both feed forms share: one full-outer
+    * key join of the touched files of both versions, each row carrying
+    * the pre-image (`b`), post-image (`a`) and its op. */
+  private def feedJoined(spark: org.apache.spark.sql.SparkSession,
+      root: String, beforeName: String, afterName: String,
+      fileCol: String, touched: Seq[Long]): (DataFrame, Seq[String]) = {
     val core = Seq("event_id", "user_id", "ub", "tb", "zkey", fileCol)
     // evolved columns (q248) ride in the payload too — an in-place
     // UPDATE of a non-layout column (q249) must surface as a change;
@@ -753,19 +824,45 @@ object Layout {
           struct(cols.tail.map(col): _*).as(as))
     // payload compare is NULL-SAFE (<=>): an update from NULL (a
     // pre-evolution row) to a value is a change, not an unknown
-    side(bRaw, "b")
+    (side(bRaw, "b")
       .join(side(aRaw, "a"), Seq("event_id"), "full_outer")
       .withColumn("op",
         when(col("b").isNull, "insert")
           .when(col("a").isNull, "delete")
           .when(!(col("a") <=> col("b")), "update"))
-      .filter(col("op").isNotNull)
-      // op-aware image pick, NOT coalesce: an update that set a column
-      // to NULL must emit the NULL post-image, not resurrect the
-      // pre-image value
-      .select(col("op") +: col("event_id") +:
-        cols.tail.map(c => when(col("op") === "delete", col(s"b.$c"))
-          .otherwise(col(s"a.$c")).as(c)): _*)
+      .filter(col("op").isNotNull), cols)
+  }
+
+  /** [[changeFeed]] in the BOTH-IMAGES normal form — the Delta change
+    * data feed's `_change_type` vocabulary (public: Delta Lake CDF;
+    * Armbrust et al., VLDB 2020 §4.3): ops are `insert` (post-image),
+    * `delete` (pre-image), and each update emits TWO rows,
+    * `update_preimage` and `update_postimage`. This is the form an
+    * incremental-view maintainer over VALUE columns needs: the
+    * single-image feed's update row carries only the post-image, so a
+    * maintained SUM over a column the update changed has nothing to
+    * retract — with both images every op folds under ONE signed rule
+    * (+post, −pre; Gupta & Mumick 1995's delta algebra with updates
+    * rewritten as delete+insert), and a key-moving update maintains
+    * both groups correctly for free. Same cost shape as [[changeFeed]]:
+    * two partition-pruned scans + one key join; update rows fan out
+    * 2× (delta-sized, never table-sized). */
+  def changeFeedCdf(spark: org.apache.spark.sql.SparkSession,
+      root: String, beforeName: String, afterName: String,
+      fileCol: String, touched: Seq[Long]): DataFrame = {
+    val (joined, cols) =
+      feedJoined(spark, root, beforeName, afterName, fileCol, touched)
+    def tagged(opName: String, img: String) =
+      struct(lit(opName).as("op") +:
+        cols.tail.map(c => col(s"$img.$c").as(c)): _*)
+    joined
+      .select(col("event_id"), explode(
+        when(col("op") === "insert", array(tagged("insert", "a")))
+          .when(col("op") === "delete", array(tagged("delete", "b")))
+          .otherwise(array(tagged("update_preimage", "b"),
+            tagged("update_postimage", "a")))).as("ch"))
+      .select(col("ch.op").as("op") +: col("event_id") +:
+        cols.tail.map(c => col(s"ch.$c").as(c)): _*)
   }
 
   /** WRITER-EMITTED change feed for an upsert commit — the delta-sized

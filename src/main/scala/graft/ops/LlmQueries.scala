@@ -3013,20 +3013,142 @@ object LlmQueries {
     * (/root/reference/src/db/connection.py:10-19) and lets Postgres
     * own storage; on an immutable parquet lake the rewrite IS the
     * delete — north-star extension. */
+  /** The shared mutation-store lifecycle backing the q238–q250 family
+    * (the §71/§76 shared-store policy extended per the r14 verdict):
+    * ONE memoized store root per dataset dir with the v1 incumbent
+    * saved once, and each mutation LINEAGE published lazily exactly
+    * once under its own version name — so eight queries stop paying
+    * eight private saveLayout lifecycles and instead compose read
+    * surfaces over one store, exactly how a real lakehouse is used.
+    * Lineages (all copy-on-write, all pair-atomic):
+    *   events_z      v1 incumbent                       (all)
+    *   events_z_m2   v1 + merge delta                   (q240/241/243/250)
+    *   events_z_m3   m2 − RTBF purge                    (q241/243/250)
+    *   events_z_p2   v1 − RTBF purge                    (q238/245)
+    *   events_z_e2   v1 + schema-evolving delta         (q248/249/259)
+    *   events_z_e3   e2 with weight updated in place    (q249/259)
+    * Every build is deterministic, so results are identical whichever
+    * query triggers it; oracles replay each lineage from the source
+    * table and are unaffected by the sharing. */
+  private[ops] final case class MutVersion(res: Layout.PurgeResult,
+    cohort: Seq[Long])
+
+  private[ops] object mutStore {
+    /** the standard re-keying offset for late-insert deltas */
+    val Off = 1000000000000L
+    private val rootCache = scala.collection.mutable.Map[String, String]()
+    private val verCache =
+      scala.collection.mutable.Map[(String, String), MutVersion]()
+
+    /** Store root with the v1 incumbent (`events_z`) saved, once per
+      * dataset dir. */
+    def root(s: SparkSession, d: String): String = rootCache.synchronized {
+      rootCache.getOrElseUpdate(d, {
+        val laid = Layout.eventLayout(Tables.events(s, d))
+        val r = graft.util.Fs.tempRoot("graft_mutstore").toString
+        Layout.saveLayout(laid, r)
+        r
+      })
+    }
+
+    def load(s: SparkSession, d: String, name: String,
+        mergeSchema: Boolean = false): DataFrame =
+      Layout.loadLayout(s, root(s, d), name, "file_z", mergeSchema)._1
+
+    def v1(s: SparkSession, d: String): DataFrame = load(s, d, "events_z")
+
+    /** q240's merge delta: genuinely new late inserts (re-keyed +Off)
+      * plus re-delivered duplicates of stored events. */
+    def mergeDelta(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      val rows = v1(s, d)
+      rows.filter($"event_id" % 131 === 3)
+        .withColumn("event_id", $"event_id" + Off)
+        .unionByName(rows.filter($"event_id" % 131 === 5))
+    }
+
+    /** q248's evolution delta: late inserts carrying the evolved
+      * `weight` column the v1 schema lacks. */
+    def evoDelta(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      v1(s, d).filter($"event_id" % 131 === 3)
+        .withColumn("event_id", $"event_id" + Off)
+        .withColumn("weight", $"event_id" % 97)
+    }
+
+    /** The RTBF/update cohort of a version: its `user_id % 499 == 7`
+      * users, sorted. */
+    private def cohortOf(s: SparkSession, d: String,
+        name: String): Seq[Long] = {
+      import s.implicits._
+      load(s, d, name, mergeSchema = true).select($"user_id").distinct()
+        .filter($"user_id" % 499 === 7).orderBy($"user_id")
+        .collect().map(_.getLong(0)).toSeq
+    }
+
+    // verCache's monitor is re-entrant, so a lineage builder may ensure
+    // its base lineage from inside its own build; builds serialize,
+    // which is exactly the once-per-JVM contract
+    private def ensure(s: SparkSession, d: String, name: String)(
+        build: String => MutVersion): MutVersion =
+      verCache.synchronized {
+        verCache.getOrElseUpdate((d, name), build(root(s, d)))
+      }
+
+    /** v1 + [[mergeDelta]] → `events_z_m2`. */
+    def merged(s: SparkSession, d: String): MutVersion =
+      ensure(s, d, "events_z_m2") { r =>
+        val delta = mergeDelta(s, d).localCheckpoint()
+        MutVersion(Layout.upsertRows(s, r, "events_z", "file_z", delta,
+          "events_z_m2"), Nil)
+      }
+
+    /** m2 − RTBF purge of the cohort → `events_z_m3`. */
+    def mergePurged(s: SparkSession, d: String): MutVersion =
+      ensure(s, d, "events_z_m3") { r =>
+        merged(s, d)
+        val tombs = cohortOf(s, d, "events_z_m2")
+        require(tombs.nonEmpty, s"mutStore: no tombstoned users at $d")
+        MutVersion(Layout.purgeUsers(s, r, "events_z_m2", "file_z",
+          tombs, "events_z_m3"), tombs)
+      }
+
+    /** v1 − RTBF purge of the cohort → `events_z_p2`. */
+    def purged(s: SparkSession, d: String): MutVersion =
+      ensure(s, d, "events_z_p2") { r =>
+        val tombs = cohortOf(s, d, "events_z")
+        require(tombs.nonEmpty, s"mutStore: no tombstoned users at $d")
+        MutVersion(Layout.purgeUsers(s, r, "events_z", "file_z", tombs,
+          "events_z_p2"), tombs)
+      }
+
+    /** v1 + [[evoDelta]] → `events_z_e2` (schema evolution commit). */
+    def evolved(s: SparkSession, d: String): MutVersion =
+      ensure(s, d, "events_z_e2") { r =>
+        val delta = evoDelta(s, d).localCheckpoint()
+        MutVersion(Layout.upsertRows(s, r, "events_z", "file_z", delta,
+          "events_z_e2"), Nil)
+      }
+
+    /** e2 with `weight := 10000 + user_id % 89` on the cohort →
+      * `events_z_e3` (the in-place value UPDATE commit). */
+    def updated(s: SparkSession, d: String): MutVersion =
+      ensure(s, d, "events_z_e3") { r =>
+        evolved(s, d)
+        val cohort = cohortOf(s, d, "events_z_e2")
+        require(cohort.nonEmpty, s"mutStore: empty update cohort at $d")
+        MutVersion(Layout.updateRows(s, r, "events_z_e2", "file_z",
+          cohort, Map("weight" -> (lit(10000L) + col("user_id") % 89)),
+          "events_z_e3"), cohort)
+      }
+  }
+
   def q238RtbfDelete(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val laid = Layout.eventLayout(Tables.events(s, d))
-    val root = graft.util.Fs.tempRoot("graft_rtbfstore")
-    Layout.saveLayout(laid, root.toString) // incumbent: events_z/file_z
-    val (rows, _) = Layout.loadLayout(s, root.toString)
-    val tombs: Seq[Long] = rows.select($"user_id").distinct()
-      .filter($"user_id" % 499 === 7).orderBy($"user_id")
-      .collect().map(_.getLong(0)).toSeq
-    require(tombs.nonEmpty, s"q238: no tombstoned users at $d")
-    val res = Layout.purgeUsers(s, root.toString, "events_z", "file_z",
-      tombs, "events_z_purged")
-    val (purged, _) = Layout.loadLayout(s, root.toString,
-      "events_z_purged")
+    val mv = mutStore.purged(s, d)
+    val (tombs, res) = (mv.cohort, mv.res)
+    val rows = mutStore.v1(s, d)
+    val purged = mutStore.load(s, d, "events_z_p2")
     // audit count stays partition-pruned: the Bloom has no false
     // negatives, so every tombstone row lives in a touched file
     val nDel = rows.filter($"file_z".isin(res.touched: _*))
@@ -3092,22 +3214,13 @@ object LlmQueries {
     * rewrite IS the upsert — north-star extension. */
   def q240StoredUpsert(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val laid = Layout.eventLayout(Tables.events(s, d))
-    val root = graft.util.Fs.tempRoot("graft_upsertstore")
-    Layout.saveLayout(laid, root.toString) // incumbent: events_z/file_z
-    val (rows, _) = Layout.loadLayout(s, root.toString)
-    val off = 1000000000000L
-    val delta = rows.filter($"event_id" % 131 === 3)
-      .withColumn("event_id", $"event_id" + off) // late inserts
-      .unionByName(rows.filter($"event_id" % 131 === 5)) // re-delivered
-      .localCheckpoint() // audit counts and the rewrite both scan it
-    val nIns = delta.filter($"event_id" >= off).count()
-    val nRep = delta.filter($"event_id" < off).count()
+    val res = mutStore.merged(s, d).res
+    val rows = mutStore.v1(s, d)
+    val nIns = rows.filter($"event_id" % 131 === 3).count() // re-keyed
+    val nRep = rows.filter($"event_id" % 131 === 5).count() // re-delivered
     require(nIns > 0 && nRep > 0,
       s"q240: delta needs both arms populated at $d (ins=$nIns, rep=$nRep)")
-    val res = Layout.upsertRows(s, root.toString, "events_z", "file_z",
-      delta, "events_z_upserted")
-    val (up, _) = Layout.loadLayout(s, root.toString, "events_z_upserted")
+    val up = mutStore.load(s, d, "events_z_m2")
     up.groupBy($"file_z")
       .agg(count(lit(1)).as("n_rows"), sum($"user_id").as("u_mass"),
         sum($"event_id").as("e_mass"))
@@ -3167,26 +3280,11 @@ object LlmQueries {
     * a reader never sees a half-applied mutation. */
   def q241MutationCapstone(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val laid = Layout.eventLayout(Tables.events(s, d))
-    val root = graft.util.Fs.tempRoot("graft_mutstore")
-    Layout.saveLayout(laid, root.toString) // v1: events_z
-    val (rows, _) = Layout.loadLayout(s, root.toString)
-    val off = 1000000000000L
-    val delta = rows.filter($"event_id" % 131 === 3)
-      .withColumn("event_id", $"event_id" + off)
-      .unionByName(rows.filter($"event_id" % 131 === 5))
-      .localCheckpoint() // audit count and the rewrite both scan it
-    val up = Layout.upsertRows(s, root.toString, "events_z", "file_z",
-      delta, "events_z_v2")
-    val (v2, _) = Layout.loadLayout(s, root.toString, "events_z_v2")
-    val tombs: Seq[Long] = v2.select($"user_id").distinct()
-      .filter($"user_id" % 499 === 7).orderBy($"user_id")
-      .collect().map(_.getLong(0)).toSeq
-    require(tombs.nonEmpty, s"q241: no tombstoned users at $d")
-    val pg = Layout.purgeUsers(s, root.toString, "events_z_v2",
-      "file_z", tombs, "events_z_v3")
-    val (v3, _) = Layout.loadLayout(s, root.toString, "events_z_v3")
-    val nIns = delta.filter($"event_id" >= off).count()
+    val up = mutStore.merged(s, d).res
+    val pg = mutStore.mergePurged(s, d).res
+    val v2 = mutStore.load(s, d, "events_z_m2")
+    val v3 = mutStore.load(s, d, "events_z_m3")
+    val nIns = mutStore.v1(s, d).filter($"event_id" % 131 === 3).count()
     // partition-pruned by the purge's no-false-negative Bloom consult
     val nDel = v2.filter($"file_z".isin(pg.touched: _*))
       .filter($"user_id" % 499 === 7).count()
@@ -3263,29 +3361,14 @@ object LlmQueries {
     * extension. */
   def q243ChangeFeed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val laid = Layout.eventLayout(Tables.events(s, d))
-    val root = graft.util.Fs.tempRoot("graft_cdcstore")
-    Layout.saveLayout(laid, root.toString) // v1: events_z
-    val (rows, _) = Layout.loadLayout(s, root.toString)
-    val off = 1000000000000L
-    val delta = rows.filter($"event_id" % 131 === 3)
-      .withColumn("event_id", $"event_id" + off)
-      .unionByName(rows.filter($"event_id" % 131 === 5))
-      .localCheckpoint() // both mutation arms scan it
-    val up = Layout.upsertRows(s, root.toString, "events_z", "file_z",
-      delta, "events_z_v2")
-    val (v2, _) = Layout.loadLayout(s, root.toString, "events_z_v2")
-    val tombs: Seq[Long] = v2.select($"user_id").distinct()
-      .filter($"user_id" % 499 === 7).orderBy($"user_id")
-      .collect().map(_.getLong(0)).toSeq
-    require(tombs.nonEmpty, s"q243: no tombstoned users at $d")
-    val pg = Layout.purgeUsers(s, root.toString, "events_z_v2",
-      "file_z", tombs, "events_z_v3")
-    val feed = Layout.changeFeed(s, root.toString, "events_z",
-        "events_z_v2", "file_z", up.touched)
+    val up = mutStore.merged(s, d).res
+    val pg = mutStore.mergePurged(s, d).res
+    val root = mutStore.root(s, d)
+    val feed = Layout.changeFeed(s, root, "events_z",
+        "events_z_m2", "file_z", up.touched)
         .withColumn("commit_id", lit(2L))
-      .unionByName(Layout.changeFeed(s, root.toString, "events_z_v2",
-        "events_z_v3", "file_z", pg.touched)
+      .unionByName(Layout.changeFeed(s, root, "events_z_m2",
+        "events_z_m3", "file_z", pg.touched)
         .withColumn("commit_id", lit(3L)))
       .localCheckpoint() // update-count constant + aggregates share it
     val nUpd = feed.filter($"op" === "update").count()
@@ -3455,19 +3538,11 @@ object LlmQueries {
     * connection.py:10-19) — north-star extension. */
   def q245TimeTravel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val laid = Layout.eventLayout(Tables.events(s, d))
-    val root = graft.util.Fs.tempRoot("graft_ttstore")
-    Layout.saveLayout(laid, root.toString) // v1: events_z
-    val (v1, _) = Layout.loadLayout(s, root.toString)
-    val tombs: Seq[Long] = v1.select($"user_id").distinct()
-      .filter($"user_id" % 499 === 7).orderBy($"user_id")
-      .collect().map(_.getLong(0)).toSeq
-    require(tombs.nonEmpty, s"q245: no tombstoned users at $d")
-    val pg = Layout.purgeUsers(s, root.toString, "events_z", "file_z",
-      tombs, "events_z_v2")
+    val pg = mutStore.purged(s, d).res
+    val root = mutStore.root(s, d)
     // transition stats from the feed — feed-sized, no version rescan
-    val fa = Layout.changeFeed(s, root.toString, "events_z",
-        "events_z_v2", "file_z", pg.touched)
+    val fa = Layout.changeFeed(s, root, "events_z",
+        "events_z_p2", "file_z", pg.touched)
       .agg(
         coalesce(sum(when($"op" === "insert", 1L).otherwise(0L)),
           lit(0L)).as("added"),
@@ -3475,7 +3550,7 @@ object LlmQueries {
           lit(0L)).as("removed")).head
     // AS OF reads: both versions resolved AFTER the purge published
     def summary(nm: String, ver: Long, added: Long, removed: Long) = {
-      val (r, _) = Layout.loadLayout(s, root.toString, nm)
+      val (r, _) = Layout.loadLayout(s, root, nm)
       r.agg(count(lit(1)).as("n_rows"), sum($"user_id").as("u_mass"),
           sum($"event_id").as("e_mass"),
           countDistinct($"file_z").as("n_files"))
@@ -3484,7 +3559,7 @@ object LlmQueries {
           lit(removed).as("rows_removed"))
     }
     summary("events_z", 1L, 0L, 0L)
-      .unionByName(summary("events_z_v2", 2L,
+      .unionByName(summary("events_z_p2", 2L,
         fa.getLong(0), fa.getLong(1)))
       .orderBy($"version")
   }
@@ -3537,10 +3612,7 @@ object LlmQueries {
     * extension. */
   def q246MetaCount(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val laid = Layout.eventLayout(Tables.events(s, d))
-    val root = graft.util.Fs.tempRoot("graft_metastore")
-    Layout.saveLayout(laid, root.toString)
-    val (rows, zm) = Layout.loadLayout(s, root.toString)
+    val (rows, zm) = Layout.loadLayout(s, mutStore.root(s, d))
     val (lo, hi) = (48L, 175L)
     // classify every file from the STORED zone maps — file-count-sized
     // metadata, the reader's planning input (the q235 cache move)
@@ -3633,21 +3705,10 @@ object LlmQueries {
     * rewriting in place — north-star extension. */
   def q248SchemaEvolution(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val laid = Layout.eventLayout(Tables.events(s, d))
-    val root = graft.util.Fs.tempRoot("graft_evostore")
-    Layout.saveLayout(laid, root.toString) // v1: pre-evolution schema
-    val (rows, _) = Layout.loadLayout(s, root.toString)
-    val off = 1000000000000L
-    val delta = rows.filter($"event_id" % 131 === 3)
-      .withColumn("event_id", $"event_id" + off)
-      .withColumn("weight", $"event_id" % 97) // the evolved column
-      .localCheckpoint() // audit count and the rewrite both scan it
-    val nIns = delta.count()
+    val res = mutStore.evolved(s, d).res
+    val nIns = mutStore.v1(s, d).filter($"event_id" % 131 === 3).count()
     require(nIns > 0, s"q248: empty evolution delta at $d")
-    val res = Layout.upsertRows(s, root.toString, "events_z", "file_z",
-      delta, "events_z_v2")
-    val (v2, _) = Layout.loadLayout(s, root.toString, "events_z_v2",
-      mergeSchema = true)
+    val v2 = mutStore.load(s, d, "events_z_e2", mergeSchema = true)
     v2.groupBy($"file_z")
       .agg(count(lit(1)).as("n_rows"), count($"weight").as("n_weighted"),
         coalesce(sum($"weight"), lit(0L)).as("w_mass"))
@@ -3703,34 +3764,15 @@ object LlmQueries {
     * extension. */
   def q249StoredUpdate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val laid = Layout.eventLayout(Tables.events(s, d))
-    val root = graft.util.Fs.tempRoot("graft_updstore")
-    Layout.saveLayout(laid, root.toString) // v1: core schema
-    val (rows, _) = Layout.loadLayout(s, root.toString)
-    val off = 1000000000000L
-    val delta = rows.filter($"event_id" % 131 === 3)
-      .withColumn("event_id", $"event_id" + off)
-      .withColumn("weight", $"event_id" % 97)
-      .localCheckpoint() // the evolve commit scans it
-    Layout.upsertRows(s, root.toString, "events_z", "file_z", delta,
-      "events_z_v2") // v2: schema evolved (q248's move)
-    val (v2, _) = Layout.loadLayout(s, root.toString, "events_z_v2",
-      mergeSchema = true)
-    val cohort: Seq[Long] = v2.select($"user_id").distinct()
-      .filter($"user_id" % 499 === 7).orderBy($"user_id")
-      .collect().map(_.getLong(0)).toSeq
-    require(cohort.nonEmpty, s"q249: empty update cohort at $d")
-    val res = Layout.updateRows(s, root.toString, "events_z_v2",
-      "file_z", cohort,
-      Map("weight" -> (lit(10000L) + $"user_id" % 89)), "events_z_v3")
-    val feed = Layout.changeFeed(s, root.toString, "events_z_v2",
-        "events_z_v3", "file_z", res.touched)
+    val res = mutStore.updated(s, d).res // v2 evolve + v3 update
+    val root = mutStore.root(s, d)
+    val feed = Layout.changeFeed(s, root, "events_z_e2",
+        "events_z_e3", "file_z", res.touched)
       .localCheckpoint() // the op-purity guard and the count share it
     val nUpd = feed.filter($"op" === "update").count()
     require(feed.count() == nUpd,
       "q249: non-update ops in an update-only commit")
-    val (v3, _) = Layout.loadLayout(s, root.toString, "events_z_v3",
-      mergeSchema = true)
+    val v3 = mutStore.load(s, d, "events_z_e3", mergeSchema = true)
     v3.groupBy($"file_z")
       .agg(count(lit(1)).as("n_rows"), count($"weight").as("n_weighted"),
         coalesce(sum($"weight"), lit(0L)).as("w_mass"))
@@ -3793,32 +3835,18 @@ object LlmQueries {
     * serving layer runs on every commit. */
   def q250CdcViewCapstone(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val laid = Layout.eventLayout(Tables.events(s, d))
-    val root = graft.util.Fs.tempRoot("graft_loopstore")
-    Layout.saveLayout(laid, root.toString) // v1: events_z
-    val (v1, _) = Layout.loadLayout(s, root.toString)
+    val up = mutStore.merged(s, d).res
+    val pg = mutStore.mergePurged(s, d).res
+    val root = mutStore.root(s, d)
+    val v1 = mutStore.v1(s, d)
     // the serving layer's base view — from the STORE, not the source
     val viewBase = v1.groupBy($"user_id")
       .agg(count(lit(1)).as("n_events"), sum($"event_id").as("e_mass"))
       .localCheckpoint() // fold + emit share it; v1 never rescanned
-    val off = 1000000000000L
-    val delta = v1.filter($"event_id" % 131 === 3)
-      .withColumn("event_id", $"event_id" + off)
-      .unionByName(v1.filter($"event_id" % 131 === 5))
-      .localCheckpoint()
-    val up = Layout.upsertRows(s, root.toString, "events_z", "file_z",
-      delta, "events_z_v2")
-    val (v2, _) = Layout.loadLayout(s, root.toString, "events_z_v2")
-    val tombs: Seq[Long] = v2.select($"user_id").distinct()
-      .filter($"user_id" % 499 === 7).orderBy($"user_id")
-      .collect().map(_.getLong(0)).toSeq
-    require(tombs.nonEmpty, s"q250: no tombstoned users at $d")
-    val pg = Layout.purgeUsers(s, root.toString, "events_z_v2",
-      "file_z", tombs, "events_z_v3")
-    val feed = Layout.changeFeed(s, root.toString, "events_z",
-        "events_z_v2", "file_z", up.touched)
-      .unionByName(Layout.changeFeed(s, root.toString, "events_z_v2",
-        "events_z_v3", "file_z", pg.touched))
+    val feed = Layout.changeFeed(s, root, "events_z",
+        "events_z_m2", "file_z", up.touched)
+      .unionByName(Layout.changeFeed(s, root, "events_z_m2",
+        "events_z_m3", "file_z", pg.touched))
       .localCheckpoint() // fold + changed-user emit share it
     val maintained = maintainUserView(s, viewBase, feed)
       .localCheckpoint() // totals + changed-row emit share it

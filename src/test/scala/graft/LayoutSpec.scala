@@ -330,6 +330,9 @@ class LayoutSpec extends AnyFunSuite {
       L.mergeOnBudget(spark, root, cur, "file_z", Long.MaxValue, next)
       cur = next
     }
+    // the k-way plan collapses EVERY complete sibling set in one
+    // commit — undoing the whole split must not take log2(k) runs
+    assert(gen == 1, s"merge took $gen runs to restore the base grid")
     val manBack = L.loadManifest(spark, root, cur)
     assert(manBack.map(_._1).sorted == (0L until 64L),
       s"merge did not restore the base grid: ${manBack.map(_._1)}")
@@ -339,6 +342,42 @@ class LayoutSpec extends AnyFunSuite {
       v1.select($"event_id", $"file_z").orderBy($"event_id")
         .collect().toSeq,
       "split→merge round-trip changed file assignments")
+  }
+
+  test("mergeOnBudget k-way: a deep multi-child split undoes in ONE " +
+      "commit, each ancestor absorbing its complete sibling set") {
+    import spark.implicits._
+    val L = graft.llm.Layout
+    val laid = L.eventLayout(graft.ops.Tables.events(spark, sf))
+    val root = graft.util.Fs.tempRoot("graft_kway").toString
+    L.saveLayout(laid, root)
+    val (v1, _) = L.loadLayout(spark, root)
+    val total = v1.count()
+    // avg tile ≈ total/64 ≈ 8× this budget → k = 8-way children
+    val sp = L.splitOnBudget(spark, root, "events_z", "file_z",
+      total / 512 + 1, "events_z_deep")
+    val maxFanout = sp.children.values.map(_.size).max
+    assert(maxFanout >= 4,
+      s"fixture too small for a k-way split (max fan-out $maxFanout)")
+    // ONE merge run restores the base grid (the old binary-level merge
+    // needed log2(k) commits here)
+    val mg = L.mergeOnBudget(spark, root, "events_z_deep", "file_z",
+      Long.MaxValue, "events_z_back")
+    val manBack = L.loadManifest(spark, root, "events_z_back")
+    assert(manBack.map(_._1).sorted == (0L until 64L),
+      s"one-run merge left refined tiles: ${manBack.map(_._1)}")
+    // each restored ancestor absorbed its ENTIRE child set
+    sp.children.foreach { case (parent, kids) =>
+      assert(mg.children(parent).sorted == kids.sorted,
+        s"ancestor $parent absorbed ${mg.children(parent)} != $kids")
+    }
+    // and the rewrite is content-exact: the round-trip equals v1
+    val (back, _) = L.loadLayout(spark, root, "events_z_back")
+    assert(back.select($"event_id", $"file_z").orderBy($"event_id")
+      .collect().toSeq ==
+      v1.select($"event_id", $"file_z").orderBy($"event_id")
+        .collect().toSeq,
+      "k-way split→merge round-trip changed file assignments")
   }
 
   test("bloom consult: the distributed membership join names EXACTLY " +
@@ -722,7 +761,7 @@ class LayoutSpec extends AnyFunSuite {
       "events_z_v2")
     // writer B, working from the SAME stale base toward the SAME
     // version name, must fail at commit (lost update prevented)
-    intercept[IllegalArgumentException] {
+    intercept[graft.state.CasConflictException] {
       Layout.purgeUsers(spark, root, "events_z", "file_z", Seq(7L),
         "events_z_v2")
     }

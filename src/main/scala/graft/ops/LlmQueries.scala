@@ -3452,6 +3452,49 @@ object LlmQueries {
       .filter($"n_events" > 0)
   }
 
+  /** The VALUE-aggregate maintenance fold — the IVM UPDATE arm (r14
+    * verdict item 1). [[maintainUserView]]'s insert/delete algebra is
+    * complete only while every maintained aggregate is a function of
+    * the row's KEY; a view over a VALUE column an update can change
+    * (SUM per user over a mutable column — the first view a real user
+    * maintains) needs the update's BOTH images, folding (−pre, +post).
+    * Input is the CDF normal form ([[graft.llm.Layout.changeFeedCdf]]):
+    * every op folds under ONE signed rule — weight +1 for
+    * insert/update_postimage rows, −1 for delete/update_preimage —
+    * applied to the row count, the value-presence count and the value
+    * sum (COUNT/SUM's self-maintainable algebra, Gupta & Mumick 1995,
+    * with updates rewritten as delete+insert). A key-moving update
+    * maintains both groups for free (its two images land in different
+    * groups). Strict on ops: an unknown op raises rather than silently
+    * skewing the view (the q247 rule). Groups whose maintained row
+    * count reaches zero drop out (the COUNT=0 deletion rule). NULL
+    * values fold as their aggregate identities (+0 to the sum, +0 to
+    * the presence count) — so an update from NULL to a value
+    * contributes exactly (+post). */
+  def maintainValueView(s: SparkSession, viewBase: DataFrame,
+      cdf: DataFrame, valueCol: String): DataFrame = {
+    import s.implicits._
+    val sign = when($"op".isin("insert", "update_postimage"), 1L)
+      .when($"op".isin("delete", "update_preimage"), -1L)
+      .otherwise(raise_error(concat(
+        lit("maintainValueView: unknown op '"), $"op", lit("'")))
+        .cast("long"))
+    val v = col(valueCol)
+    val deltas = cdf.groupBy($"user_id").agg(
+      sum(sign).as("dn"),
+      sum(sign * when(v.isNotNull, 1L).otherwise(0L)).as("dwc"),
+      sum(sign * coalesce(v, lit(0L))).as("dwm"))
+    viewBase.join(deltas, Seq("user_id"), "full_outer")
+      .select($"user_id",
+        (coalesce($"n_events", lit(0L)) + coalesce($"dn", lit(0L)))
+          .as("n_events"),
+        (coalesce($"n_weighted", lit(0L)) + coalesce($"dwc", lit(0L)))
+          .as("n_weighted"),
+        (coalesce($"w_mass", lit(0L)) + coalesce($"dwm", lit(0L)))
+          .as("w_mass"))
+      .filter($"n_events" > 0)
+  }
+
   /** The changed-rows + whole-view-totals emit shared by q244, q250
     * and q247's finish: look each feed-touched user up in the (whole)
     * maintained view — a fully-retracted user surfaces with explicit
@@ -3852,6 +3895,108 @@ object LlmQueries {
       .localCheckpoint() // totals + changed-row emit share it
     emitChangedView(s, maintained, feed)
   }
+
+  /** q259 — the IVM UPDATE ARM, oracle-gated on the stored table's
+    * REAL change feed: the one Gupta–Mumick arm the q244/q247/q250
+    * family left open (their folds treat update as ±0 — correct for
+    * key-derived aggregates, silently stale for a view over a VALUE
+    * column an update can change). The maintained view here is per-user
+    * (row count, weight-presence count, SUM(weight)) — `weight` being
+    * exactly the column q249's in-place UPDATE rewrites — composed
+    * end-to-end on the shared mutation store: base view from the v1
+    * scan-back (pre-evolution: its value aggregates are the typed
+    * zeros), commit A = the schema-evolving insert merge (q248),
+    * commit B = the in-place cohort update (q249), both consumed as
+    * [[graft.llm.Layout.changeFeedCdf]] both-images feeds, folded by
+    * [[maintainValueView]]'s one signed rule (+post, −pre). The gate's
+    * teeth: the feed provably contains PAIRED, value-changing update
+    * images (every cohort weight moves to 10000+u%89 ≠ any pre-value),
+    * and the oracle recomputes the view from the replayed FINAL state —
+    * so a ±0 update fold, a missed retraction of the pre-image, or a
+    * double-applied post-image all hash-fail on w_mass. Emitted rows
+    * are the feed-touched users' maintained entries plus whole-view
+    * totals and the update count as audit constants. 100 TB shape:
+    * identical to q244 — maintenance ∝ feed + view, the mutated base
+    * never rescanned; the CDF form costs one extra feed row per update,
+    * never a table scan. The reference recomputes its rollups from the
+    * full logs table every batch
+    * (/root/reference/src/db/pattern_ops.py:37-39) — north-star
+    * extension. */
+  def q259ValueView(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e2 = mutStore.evolved(s, d).res // commit A: evolution inserts
+    val e3 = mutStore.updated(s, d).res // commit B: in-place update
+    val root = mutStore.root(s, d)
+    val v1 = mutStore.v1(s, d)
+    // base view from the v1 SCAN-BACK: v1 predates the weight column,
+    // so its value aggregates are COUNT/SUM's identities
+    val viewBase = v1.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("n_weighted", lit(0L))
+      .withColumn("w_mass", lit(0L))
+      .localCheckpoint() // fold input; v1 never rescanned
+    val feed = Layout.changeFeedCdf(s, root, "events_z", "events_z_e2",
+        "file_z", e2.touched)
+      .unionByName(Layout.changeFeedCdf(s, root, "events_z_e2",
+        "events_z_e3", "file_z", e3.touched))
+      .localCheckpoint() // audit constants + fold + emit share it
+    // update images must be present and paired — the arm under test
+    val nUpd = feed.filter($"op" === "update_preimage").count()
+    require(nUpd > 0, s"q259: no update images in the feed at $d")
+    require(nUpd == feed.filter($"op" === "update_postimage").count(),
+      "q259: unpaired update images")
+    val maintained = maintainValueView(s, viewBase, feed, "weight")
+      .localCheckpoint() // totals + changed-row emit share it
+    val tot = maintained.agg(count(lit(1)).as("vu"),
+      coalesce(sum($"n_events"), lit(0L)).as("vn"),
+      coalesce(sum($"n_weighted"), lit(0L)).as("vc"),
+      coalesce(sum($"w_mass"), lit(0L)).as("vm")).head
+    feed.select($"user_id").distinct()
+      .join(maintained, Seq("user_id"), "left_outer")
+      .select($"user_id",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"n_weighted", lit(0L)).as("n_weighted"),
+        coalesce($"w_mass", lit(0L)).as("w_mass"),
+        lit(nUpd).as("n_updates"),
+        lit(tot.getLong(0)).as("view_users"),
+        lit(tot.getLong(1)).as("view_n"),
+        lit(tot.getLong(2)).as("view_wc"),
+        lit(tot.getLong(3)).as("view_wm"))
+      .orderBy($"user_id")
+  }
+  val q259Sql: String =
+    s"""WITH $layoutCte,
+       |ins AS (SELECT event_id + 1000000000000 AS event_id, user_id,
+       |    (event_id + 1000000000000) % 97 AS weight
+       |  FROM laid WHERE event_id % 131 = 3),
+       |up AS (SELECT event_id, user_id, CAST(NULL AS BIGINT) AS weight
+       |  FROM laid
+       |  UNION ALL SELECT event_id, user_id, weight FROM ins),
+       |fin AS (SELECT event_id, user_id,
+       |    CASE WHEN user_id % 499 = 7 THEN 10000 + user_id % 89
+       |      ELSE weight END AS weight
+       |  FROM up),
+       |v AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |    CAST(COUNT(weight) AS BIGINT) AS n_weighted,
+       |    CAST(COALESCE(SUM(weight), 0) AS BIGINT) AS w_mass
+       |  FROM fin GROUP BY 1),
+       |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_updates FROM up
+       |  WHERE user_id % 499 = 7),
+       |changed AS (SELECT DISTINCT user_id FROM ins
+       |  UNION SELECT DISTINCT user_id FROM up WHERE user_id % 499 = 7),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS view_users,
+       |    CAST(COALESCE(SUM(n_events), 0) AS BIGINT) AS view_n,
+       |    CAST(COALESCE(SUM(n_weighted), 0) AS BIGINT) AS view_wc,
+       |    CAST(COALESCE(SUM(w_mass), 0) AS BIGINT) AS view_wm
+       |  FROM v)
+       |SELECT c.user_id,
+       |  CAST(COALESCE(v.n_events, 0) AS BIGINT) AS n_events,
+       |  CAST(COALESCE(v.n_weighted, 0) AS BIGINT) AS n_weighted,
+       |  CAST(COALESCE(v.w_mass, 0) AS BIGINT) AS w_mass,
+       |  nu.n_updates, tot.view_users, tot.view_n, tot.view_wc,
+       |  tot.view_wm
+       |FROM changed c LEFT JOIN v USING (user_id), nu, tot
+       |ORDER BY user_id""".stripMargin
 
   /** q251 — right-to-be-forgotten PURGE of the stored ANN index:
     * deletion propagated to the DERIVED artifact. q238 deletes rows
@@ -8711,6 +8856,7 @@ object LlmQueries {
     "q248_schema_evolution" -> (q248SchemaEvolution _),
     "q249_stored_update" -> (q249StoredUpdate _),
     "q250_cdc_view_capstone" -> (q250CdcViewCapstone _),
+    "q259_value_view" -> (q259ValueView _),
     "q251_index_purge" -> (q251IndexPurge _),
     "q253_governed_rtbf" -> (q253GovernedRtbf _),
     "q254_index_maintain" -> (q254IndexMaintain _),
@@ -8869,6 +9015,7 @@ object LlmQueries {
     // the store lifecycle applies exactly q244's logical mutation, so
     // the CDC-maintained view serves identically — q244's SQL verbatim
     "q250_cdc_view_capstone" -> q244Sql,
+    "q259_value_view" -> q259Sql,
     "q251_index_purge" -> q251Sql,
     "q253_governed_rtbf" -> q253Sql,
     "q254_index_maintain" -> q254Sql,

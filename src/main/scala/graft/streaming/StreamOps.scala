@@ -185,6 +185,61 @@ object StreamOps {
       }
   }
 
+  /** One maintained-value-view emission of
+    * [[streamingValueViewMaintain]]: the user's view row as of that
+    * update, with the per-user update sequence. */
+  case class ValueViewRow(user_id: Long, n_events: Long,
+    n_weighted: Long, w_mass: Long, seq: Long)
+
+  /** [[streamingViewMaintain]] with the UPDATE ARM — the streaming twin
+    * of the batch value fold (`LlmQueries.maintainValueView`, q259).
+    * Input rows are CDF-form change events `(op, event_id, user_id,
+    * value)` with op ∈ insert / delete / update_preimage /
+    * update_postimage and the value OPTIONAL (a pre-evolution row
+    * carries none). Every op folds under ONE signed rule — +1 for
+    * insert/update_postimage, −1 for delete/update_preimage — applied
+    * to the row count, the value-presence count and the value sum, so
+    * a view over a column an update can change stays exact (the
+    * insert/delete-only fold would silently hold the stale sum). The
+    * fold is commutative, so in-batch order is irrelevant, and an
+    * update whose two images land in DIFFERENT micro-batches still
+    * converges (each image is a self-contained signed contribution).
+    * Unknown ops fail loudly (the [[streamingViewMaintain]] rule).
+    * State per user is the maintained triple — view-row-sized, never
+    * corpus-sized; per-batch work ∝ that batch's feed. */
+  def streamingValueViewMaintain(
+      feed: Dataset[(String, Long, Long, Option[Long])],
+      base: Dataset[(Long, Long, Long, Long)]): Dataset[ValueViewRow] = {
+    import feed.sparkSession.implicits._
+    val init = base.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3, r._4, 0L))
+    feed.groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout, init) {
+        (u: Long, it: Iterator[(String, Long, Long, Option[Long])],
+         st: GroupState[(Long, Long, Long, Long)]) =>
+          if (it.isEmpty) Iterator.empty // bootstrap-only invocation
+          else {
+            var (n, wc, wm, seq) = st.getOption.getOrElse((0L, 0L, 0L, 0L))
+            it.foreach { case (op, _, _, w) =>
+              val sign = op match {
+                case "insert" | "update_postimage" => 1L
+                case "delete" | "update_preimage" => -1L
+                case other => throw new IllegalArgumentException(
+                  s"streamingValueViewMaintain: unknown op '$other' " +
+                    "(expected insert/delete/update_preimage/" +
+                    "update_postimage)")
+              }
+              n += sign
+              w.foreach { v => wc += sign; wm += sign * v }
+            }
+            seq += 1
+            st.update((n, wc, wm, seq))
+            Iterator.single(ValueViewRow(u, n, wc, wm, seq))
+          }
+      }
+  }
+
   /** Streaming exact dedup — the ingest twin of [[graft.llm.Dedup.exact]]
     * for a corpus arriving as a stream: keyed state per content hash;
     * each DISTINCT content emits exactly one (hash, id) row, in the

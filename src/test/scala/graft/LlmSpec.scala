@@ -2038,4 +2038,64 @@ class LlmSpec extends AnyFunSuite {
     // and the tombstoned user is truly gone from the maintained view
     assert(maintained.filter($"user_id" === 7L).isEmpty)
   }
+
+  test("q259 value fold: the FULL maintained view — all four CDF ops, " +
+      "updates folding (−pre, +post) — equals a from-scratch recompute " +
+      "over the final stored state; the ±0 fold provably diverges") {
+    import spark.implicits._
+    val L = graft.llm.Layout
+    val laid = L.eventLayout(graft.ops.Tables.events(spark, sf))
+    val root = graft.util.Fs.tempRoot("graft_q259_spec").toString
+    L.saveLayout(laid, root)
+    val (v1, _) = L.loadLayout(spark, root)
+    val off = 1000000000000L
+    // commit A: schema-evolving inserts; B: in-place value update;
+    // C: RTBF purge — so ONE fold exercises insert, both update images
+    // AND delete
+    val delta = v1.filter($"event_id" % 131 === 3)
+      .withColumn("event_id", $"event_id" + off)
+      .withColumn("weight", $"event_id" % 97).localCheckpoint()
+    val up = L.upsertRows(spark, root, "events_z", "file_z", delta,
+      "events_z_e2")
+    val cohort = v1.select($"user_id").distinct()
+      .filter($"user_id" % 499 === 7).collect().map(_.getLong(0)).toSeq
+    val ud = L.updateRows(spark, root, "events_z_e2", "file_z", cohort,
+      Map("weight" -> (lit(10000L) + $"user_id" % 89)), "events_z_e3")
+    val tombs = v1.select($"user_id").distinct()
+      .filter($"user_id" % 499 === 11).collect().map(_.getLong(0)).toSeq
+    assert(cohort.nonEmpty && tombs.nonEmpty)
+    val pg = L.purgeUsers(spark, root, "events_z_e3", "file_z", tombs,
+      "events_z_e4")
+    val feed = L.changeFeedCdf(spark, root, "events_z", "events_z_e2",
+        "file_z", up.touched)
+      .unionByName(L.changeFeedCdf(spark, root, "events_z_e2",
+        "events_z_e3", "file_z", ud.touched))
+      .unionByName(L.changeFeedCdf(spark, root, "events_z_e3",
+        "events_z_e4", "file_z", pg.touched))
+      .localCheckpoint()
+    assert(feed.filter($"op" === "update_preimage").count() > 0 &&
+      feed.filter($"op" === "delete").count() > 0)
+    val viewBase = v1.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("n_weighted", lit(0L)).withColumn("w_mass", lit(0L))
+    val maintained = graft.ops.LlmQueries
+      .maintainValueView(spark, viewBase, feed, "weight")
+    val (e4, _) = L.loadLayout(spark, root, "events_z_e4",
+      mergeSchema = true)
+    val recomputed = e4.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count($"weight").as("n_weighted"),
+        coalesce(sum($"weight"), lit(0L)).as("w_mass"))
+    assert(maintained.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(maintained).isEmpty,
+      "maintained value view diverges from recompute")
+    // the OLD algebra (update = ±0: images dropped) must diverge on the
+    // value mass — this is the arm q259's oracle gate has teeth on
+    val stale = graft.ops.LlmQueries.maintainValueView(spark, viewBase,
+      feed.filter(!$"op".startsWith("update")), "weight")
+    assert(stale.exceptAll(recomputed).count() > 0,
+      "±0 update fold did not diverge — the gate would have no teeth")
+    // and the purged users are truly gone from the maintained view
+    assert(maintained.filter($"user_id" % 499 === 11).isEmpty)
+  }
 }

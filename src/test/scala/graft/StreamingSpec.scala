@@ -539,4 +539,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2.length == 1 && out2.head.n_events == 1L &&
       out2.head.e_mass == 7L)
   }
+
+  test("streaming value-view maintenance (update arm): cross-batch CDF " +
+      "fold over a seeded base converges to the batch recompute, " +
+      "including update images split across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // seeded base: user 5 has 2 rows, one carrying value 30
+    val base = Seq((5L, 2L, 1L, 30L)).toDS()
+    val input = MemoryStream[(String, Long, Long, Option[Long])]
+    val out = graft.streaming.StreamOps
+      .streamingValueViewMaintain(input.toDS(), base)
+    val q = out.toDF().writeStream
+      .outputMode("update")
+      .format("memory").queryName("value_view_stream")
+      .start()
+    // batch 1: an insert for user 5 (value 7), a NEW user 9 (no value —
+    // pre-evolution shape), and the PRE image of an update to user 5's
+    // value-30 row (its post image arrives in batch 2 — the split case)
+    input.addData(("insert", 100L, 5L, Some(7L)),
+      ("insert", 101L, 9L, None),
+      ("update_preimage", 50L, 5L, Some(30L)))
+    q.processAllAvailable()
+    // batch 2: the matching POST image (30 → 41), a paired same-batch
+    // update for user 9 (None → 13: schema backfill), and a delete of
+    // user 5's value-7 row
+    input.addData(("update_postimage", 50L, 5L, Some(41L)),
+      ("update_preimage", 101L, 9L, None),
+      ("update_postimage", 101L, 9L, Some(13L)),
+      ("delete", 100L, 5L, Some(7L)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("value_view_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(4)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    spark.catalog.dropTempView("value_view_stream")
+    // mid-stream (seq=1), user 5 holds the torn-update intermediate:
+    // seed(2,1,30) + insert(+1,+1,+7) + pre(−1,−1,−30) = (2,1,7);
+    // final (seq=2) equals the from-scratch recompute — user 5's rows
+    // are {valueless seed row, 50→41} → (2,1,41); user 9's {101→13} →
+    // (1,1,13)
+    assert(rows((5L, 1L)) == ((2L, 1L, 7L)), rows.toString)
+    assert(rows((5L, 2L)) == ((2L, 1L, 41L)), rows.toString)
+    assert(rows((9L, 1L)) == ((1L, 0L, 0L)), rows.toString)
+    assert(rows((9L, 2L)) == ((1L, 1L, 13L)), rows.toString)
+  }
 }

@@ -608,6 +608,43 @@ object Ivf {
   /** The stored list ids of an index version, from the DIRECTORY
     * layout (file-count-sized — the on-disk inverted file is the
     * catalog). Shared by [[purgeIndex]] and [[maintainIndex]]. */
+  /** The removal-arm id-Bloom consult, ROUTED like
+    * [[graft.llm.Layout.consultBlooms]] (r14 verdict item 5): the
+    * driver bit-test (nlist × 64 longs cache, pure word ops) while
+    * `allLists` fits under [[graft.llm.Layout.BloomDriverMaxFilesKey]],
+    * the distributed membership join above it — the idbloom table has
+    * the layout Bloom's exact schema, just keyed by list_id, so the
+    * join is [[graft.llm.Layout.bloomMembershipJoin]] verbatim.
+    * Returns every list that may hold any of `ids` (no false
+    * negatives); bit-identical between paths (CompactionSpec pins it;
+    * ProfileIdBloomConsult measures nlist = 10⁵). A stored index
+    * predating the idbloom sidecar (pre-r14) degrades to "every list
+    * may hold the id" on the driver path only — the join path requires
+    * the sidecar. */
+  def consultIdBlooms(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, allLists: Seq[Int],
+      ids: Seq[Long]): Seq[Int] = {
+    require(ids.nonEmpty, "consultIdBlooms: empty id set")
+    val maxDriver = spark.conf
+      .getOption(Layout.BloomDriverMaxFilesKey).map(_.toLong)
+      .getOrElse(Layout.BloomDriverMaxFilesDefault)
+    if (allLists.size <= maxDriver) {
+      val cache = loadIdBloomCache(spark, root, name)
+      val idPos = ids.map(id => graft.llm.Sketch.bloomPositions(
+        id.toString, Layout.BloomK, Layout.BloomWords))
+      allLists.filter(l => cache.get(l).forall(bits => idPos.exists(ps =>
+        graft.llm.Sketch.bloomContainsAt(bits, ps))))
+    } else {
+      val base = baseName(root, name)
+      val bloomDf = spark.read.parquet(s"$root/$base/idbloom")
+        .select(col("list_id").cast("long").as("file_id"),
+          col("word"), col("bits"))
+      Layout.bloomMembershipJoin(spark, bloomDf, ids.map(_.toString))
+        .select(col("file_id")).distinct()
+        .collect().map(_.getLong(0).toInt).toSeq.sorted
+    }
+  }
+
   private def storedListIds(root: String, base: String): Seq[Int] =
     scala.util.Using.resource(java.nio.file.Files.list(
         java.nio.file.Paths.get(root, base, "lists"))) { st =>
@@ -768,28 +805,22 @@ object Ivf {
       s"maintainIndex: unknown op '${badOps.headOption.map(_.get(0))
         .getOrElse("")}' (expected insert/delete/update)")
     val (lists, cents) = loadIndex(spark, root, name)
-    val idBloomCache = loadIdBloomCache(spark, root, name)
-    require(idBloomCache.nonEmpty,
+    val base = baseName(root, name)
+    require(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(root, base, "idbloom")),
       s"maintainIndex: stored index '$name' carries no per-list " +
         "id-Blooms — rebuild it with saveIndex first")
-    val base = baseName(root, name)
     val allLists = storedListIds(root, base)
     // removal arm: EVERY feed id leaves its current list (delete, the
     // update pre-image, and any re-delivered insert's stored version) —
-    // located by id-Bloom, commit-sized collect. The consult stays on
-    // the driver path deliberately: it is nlist-bounded (≤ 512 B per
-    // list — the coarse-quantizer fan-out, a design knob, not data
-    // volume); a store whose nlist outgrew that would reuse
-    // [[graft.llm.Layout.consultBlooms]]' distributed membership join
-    // (same Bloom schema, keyed by list_id)
+    // located by the ROUTED id-Bloom consult ([[consultIdBlooms]]:
+    // driver bit-test while nlist fits the threshold, distributed
+    // membership join above it), feed-sized collect
     val feedIds = feed.select(col("id").cast("long")).distinct()
       .collect().map(_.getLong(0))
     require(feedIds.nonEmpty, "maintainIndex: empty feed")
-    val idPos = feedIds.map(id => graft.llm.Sketch.bloomPositions(
-      id.toString, Layout.BloomK, Layout.BloomWords))
-    val removalTouched = allLists.filter(l =>
-      idBloomCache.get(l).exists(bits => idPos.exists(ps =>
-        graft.llm.Sketch.bloomContainsAt(bits, ps))))
+    val removalTouched =
+      consultIdBlooms(spark, root, name, allLists, feedIds.toSeq)
     // addition arm: post-images assigned under the STORED centroids,
     // quantized into the stored layout
     val post = feed.filter(col("op").isin("insert", "update"))

@@ -250,30 +250,77 @@ object Layout {
         if keyPos.exists(ps =>
           graft.llm.Sketch.bloomContainsAt(bits, ps)) => f }.sorted)
     } else {
-      import spark.implicits._
-      val bpw = graft.llm.Sketch.BloomBitsPerWord
-      // per key: its k bit positions grouped by word → (word, mask,
-      // n_words); a file is positive for the key iff EVERY one of its
-      // words matches bits & mask = mask
-      val probeRows = keys.distinct.zipWithIndex.flatMap { case (k, i) =>
-        val byWord = graft.llm.Sketch.bloomPositions(k, BloomK, BloomWords)
-          .groupBy(p => p / bpw)
-          .map { case (w, ps) =>
-            (w, ps.map(p => 1L << (p % bpw).toInt).reduce(_ | _))
-          }.toSeq
-        byWord.map { case (w, m) => (i.toLong, w, m, byWord.size) }
-      }
-      val touched = bloomDf
-        .select(col("file_id"), col("word").cast("long"), col("bits"))
-        .join(broadcast(
-          probeRows.toDF("probe", "word", "mask", "n_words")), Seq("word"))
-        .filter((col("bits").bitwiseAND(col("mask"))) === col("mask"))
-        .groupBy(col("file_id"), col("probe"), col("n_words"))
-        .agg(count(lit(1)).as("n_hit"))
-        .filter(col("n_hit") === col("n_words"))
+      val touched = bloomMembershipJoin(spark, bloomDf, keys)
         .select(col("file_id")).distinct()
         .collect().map(_.getLong(0)).toSeq.sorted
       (allFiles, touched)
+    }
+  }
+
+  /** The distributed Bloom membership join both consult forms share:
+    * per key, its k bit positions grouped by word → broadcast (key,
+    * word, mask, n_words) rows; a file is positive for the key iff
+    * EVERY one of its words matches `bits & mask = mask`. Returns the
+    * positive (key, file_id) pairs as a DataFrame — the exchange
+    * carries only Bloom-positive groups. */
+  private[graft] def bloomMembershipJoin(
+      spark: org.apache.spark.sql.SparkSession, bloomDf: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val bpw = graft.llm.Sketch.BloomBitsPerWord
+    val probeRows = keys.distinct.flatMap { k =>
+      val byWord = graft.llm.Sketch.bloomPositions(k, BloomK, BloomWords)
+        .groupBy(p => p / bpw)
+        .map { case (w, ps) =>
+          (w, ps.map(p => 1L << (p % bpw).toInt).reduce(_ | _))
+        }.toSeq
+      byWord.map { case (w, m) => (k, w, m, byWord.size) }
+    }
+    bloomDf
+      .select(col("file_id"), col("word").cast("long"), col("bits"))
+      .join(broadcast(
+        probeRows.toDF("key", "word", "mask", "n_words")), Seq("word"))
+      .filter((col("bits").bitwiseAND(col("mask"))) === col("mask"))
+      .groupBy(col("file_id"), col("key"), col("n_words"))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === col("n_words"))
+      .select(col("key"), col("file_id"))
+  }
+
+  /** PER-KEY form of [[consultBlooms]] — the point-lookup PLANNER's
+    * consult (q235/q257): returns (file catalog, Bloom-positive
+    * (key, file) pairs). Same two paths behind the same file-count
+    * threshold, bit-identical pairs either way (LayoutSpec pins
+    * equality): the driver bit-test under [[BloomDriverMaxFilesKey]]
+    * files, else the distributed membership join — which also
+    * parallelizes the PROBE axis, the r14 read-side routing item (the
+    * planner loop was the one consult still pinned to the driver; its
+    * measured ×100 tail was exactly probes × tiles single-threaded).
+    * Driver state on the join path: the catalog (8 B/file, inherent to
+    * the carry) plus the PREDICTION itself — hit-sized, which the
+    * planner must hold anyway to build its partition IN-list. */
+  def consultBloomsPerKey(spark: org.apache.spark.sql.SparkSession,
+      root: String, name: String, keys: Seq[String])
+      : (Set[Long], Seq[(String, Long)]) = {
+    require(keys.nonEmpty, "consultBloomsPerKey: empty key set")
+    val maxDriver = spark.conf.getOption(BloomDriverMaxFilesKey)
+      .map(_.toLong).getOrElse(BloomDriverMaxFilesDefault)
+    val base = baseName(root, name)
+    val bloomDf = spark.read.parquet(s"$root/$base/bloom")
+    val allFiles = bloomDf.select(col("file_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (allFiles.size <= maxDriver) {
+      val blooms = loadBloomCache(spark, root, name)
+      val pairs = keys.distinct.flatMap { k =>
+        val ps = graft.llm.Sketch.bloomPositions(k, BloomK, BloomWords)
+        blooms.toSeq.collect { case (f, bits)
+          if graft.llm.Sketch.bloomContainsAt(bits, ps) => (k, f) }
+      }
+      (allFiles, pairs)
+    } else {
+      val pairs = bloomMembershipJoin(spark, bloomDf, keys)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      (allFiles, pairs)
     }
   }
 

@@ -2771,11 +2771,12 @@ object LlmQueries {
     * pair-atomic rename as the rows and zone maps — a filter from one
     * write serving rows from another would mis-prune), and this query
     * reads the incumbent time-sorted layout the way a point-lookup
-    * planner actually runs: the stored Bloom loads into the driver's
-    * metadata cache ([[graft.llm.Layout.loadBloomCache]] — file-count ×
-    * 64 longs BY CONSTRUCTION), each probe user (`user_id % 17 = 0`,
-    * the deterministic lookup batch) keeps only the files whose filter
-    * contains it, and ONE scan over the union of predicted files
+    * planner actually runs: the ROUTED consult
+    * ([[graft.llm.Layout.consultBloomsPerKey]] — driver bit-test under
+    * the file-count threshold, distributed membership join above it)
+    * keeps for each probe user (`user_id % 17 = 0`, the deterministic
+    * lookup batch) only the files whose filter contains it, and ONE
+    * scan over the union of predicted files
     * carries a LITERAL `file_t IN (...)` partition filter — unlisted
     * directories are never opened (PlanAuditSpec pins partitions-read
     * == the Bloom prediction, the q223 move). Emits per probe the
@@ -2794,21 +2795,19 @@ object LlmQueries {
     Layout.saveLayout(laid, root.toString, "events_t", "file_t")
     val (rows, _) = Layout.loadLayout(s, root.toString, "events_t",
       "file_t")
-    val blooms = Layout.loadBloomCache(s, root.toString, "events_t")
-    val filesTotal = blooms.size.toLong
     val probes: Array[Long] = rows.select($"user_id").distinct()
       .filter($"user_id" % 17 === 0).orderBy($"user_id")
       .collect().map(_.getLong(0))
     require(probes.nonEmpty, s"q235: no probe users at $d")
-    // membership planning: probe-count × file-count arithmetic over
-    // the collected metadata cache — no Spark job, the reader's move;
-    // each probe hashes ONCE, files are tested with pure bit ops
-    val pairs: Seq[(Long, Long)] = probes.toSeq.flatMap { u =>
-      val ps = Sketch.bloomPositions(u.toString, Layout.BloomK,
-        Layout.BloomWords)
-      blooms.toSeq.collect { case (f, bits)
-        if Sketch.bloomContainsAt(bits, ps) => (u, f) }
-    }
+    // membership planning through the ROUTED consult: under the
+    // file-count threshold it is the driver's probe×file bit-test (no
+    // Spark job — the reader's move on a small store); above it the
+    // distributed membership join answers the same question
+    // executor-parallel on BOTH axes (the r14 read-side routing item)
+    val (allFiles, pred) = Layout.consultBloomsPerKey(s, root.toString,
+      "events_t", probes.map(_.toString))
+    val filesTotal = allFiles.size.toLong
+    val pairs: Seq[(Long, Long)] = pred.map { case (k, f) => (k.toLong, f) }
     val predDf = pairs.toDF("user_id", "file_t")
     val candFiles = pairs.map(_._2).distinct.sorted
     val scanned = rows.filter($"file_t".isin(candFiles: _*))
@@ -4443,8 +4442,11 @@ object LlmQueries {
     * side of the adaptive fan-out (q256 gates the write/route side;
     * this gates what a reader gains). The q235 planner runs against
     * the post-merge split store (shared fixture — §71 policy, no new
-    * lifecycle): the stored per-tile Blooms load into the driver
-    * cache, each probe user keeps the tiles whose filter contains it,
+    * lifecycle): the ROUTED per-key consult keeps for each probe user
+    * the tiles whose filter contains it (driver bit-test at this
+    * fixture's tile count; the distributed membership join past the
+    * threshold — tile counts GROW with the data here, so the read
+    * planner scales past the driver exactly as the mutation arms do),
     * and ONE scan carries the literal tile IN-list. Emitted per probe:
     * predicted vs actual tile counts, total tiles, matched rows, and
     * `rows_pred` — the zone-map row count summed over the predicted
@@ -4461,20 +4463,20 @@ object LlmQueries {
     import s.implicits._
     val fx = splitFixture(s, d)
     val (rows, zm) = Layout.loadLayout(s, fx.root, "events_z_sp_up")
-    val blooms = Layout.loadBloomCache(s, fx.root, "events_z_sp_up")
     val nRowsByFile = zm.select($"file_id", $"n_rows").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val filesTotal = blooms.size.toLong
     val probes: Array[Long] = rows.select($"user_id").distinct()
       .filter($"user_id" % 17 === 0).orderBy($"user_id")
       .collect().map(_.getLong(0))
     require(probes.nonEmpty, s"q257: no probe users at $d")
-    val pairs: Seq[(Long, Long)] = probes.toSeq.flatMap { u =>
-      val ps = Sketch.bloomPositions(u.toString, Layout.BloomK,
-        Layout.BloomWords)
-      blooms.toSeq.collect { case (f, bits)
-        if Sketch.bloomContainsAt(bits, ps) => (u, f) }
-    }
+    // the ROUTED planner consult: driver bit-test under the threshold,
+    // distributed membership join above it — the tile count is exactly
+    // what the split grows with the data, so the read planner must
+    // scale past the driver the same way the mutation arms already do
+    val (allFiles, pred) = Layout.consultBloomsPerKey(s, fx.root,
+      "events_z_sp_up", probes.map(_.toString))
+    val filesTotal = allFiles.size.toLong
+    val pairs: Seq[(Long, Long)] = pred.map { case (k, f) => (k.toLong, f) }
     val predDf = pairs.toDF("user_id", "file_z")
     val candFiles = pairs.map(_._2).distinct.sorted
     val scanned = rows.filter($"file_z".isin(candFiles: _*))

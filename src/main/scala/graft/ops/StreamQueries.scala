@@ -247,10 +247,20 @@ object StreamQueries {
   private def fourBatchHarness(s: SparkSession, df: DataFrame,
       idCol: String, schema: org.apache.spark.sql.types.StructType,
       tag: String)(run: (DataFrame, String) => Unit)(
+      finish: DataFrame => DataFrame): DataFrame =
+    fourBatchHarnessTiled(s, df.withColumn("tile",
+      tileExpr(col(idCol), ntileSplitIds(df, idCol, 4))), schema, tag)(
+      run)(finish)
+
+  /** [[fourBatchHarness]] over a PRE-TILED frame: `tiled` carries a
+    * `tile` column with values 1..4 naming each row's micro-batch —
+    * for callers whose batch boundaries are semantic (q260's localized
+    * zkey stripes) rather than an id-quartile split. */
+  private def fourBatchHarnessTiled(s: SparkSession, tiled: DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      tag: String)(run: (DataFrame, String) => Unit)(
       finish: DataFrame => DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val tiled = df.withColumn("tile",
-      tileExpr(col(idCol), ntileSplitIds(df, idCol, 4)))
     val streamDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_in")
     val stageDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_stage")
     // memory-sink name derived from the (unique) temp dir: two concurrent
@@ -2530,8 +2540,138 @@ object StreamQueries {
        |GROUP BY 1, 2, 3, ni.n_inserted, nr.n_replaced
        |ORDER BY zlo, file_id""".stripMargin
 
+  /** q260 — the split-store WRITE-AMPLIFICATION claim, HASH-GATED on a
+    * LOCALIZED streamed ingest (r14 verdict item 2): q258's fixture
+    * delta is dense, so it rewrites ~the whole store under either
+    * layout and the 6.5× localized-delta win existed only as a profile
+    * note (ProfileSplitMerge, BASELINE §73). Here each micro-batch is
+    * a narrow SUB-TILE zkey stripe — the late time-window repair shape
+    * (a 512-cell window is half a base tile) — streamed onto the
+    * shared split store as four routed copy-on-write commits, and the
+    * gated output carries PER-COMMIT `tiles_touched` and
+    * `rows_rewritten`, replayed in SQL the way q254 replays
+    * `lists_touched`: the oracle recomputes each stripe's manifest
+    * routing (the q256 split arithmetic verbatim), counts the tiles it
+    * can touch, and reconstructs the rewrite size as base-rows-in-
+    * touched-tiles + the stripe's inserts — so `rewrite ∝ delta
+    * fan-out` is a hash-checked property at every decade, not a
+    * profile note. The stripes sit in DISJOINT tile sets (16384-cell
+    * offsets), so each commit's incumbent rows in its tiles equal the
+    * pre-chain split store's — what makes the per-commit replay exact.
+    * A require pins tiles_touched ≪ tiles_total in code; the ratio
+    * itself is hash-gated. 100 TB shape: THE scale claim of the
+    * adaptive fan-out — a localized repair rewrites a few budget-sized
+    * tiles regardless of table size, where the fixed grid rewrote
+    * table-fraction-sized files (q242's measured ×100 wall). */
+  def q260LocalizedIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val fx = LlmQueries.splitFixture(s, d)
+    val root = fx.root
+    val (v1, _) = Layout.loadLayout(s, root) // content == the split store
+    val off = 1000000000000L
+    val W = 512L
+    def zl(k: Int) = k * 16384L + 256L
+    val stripes = (0 until 4).map(k => (zl(k), zl(k) + W - 1))
+    val delta = stripes.zipWithIndex.map { case ((lo, hi), k) =>
+      val in = v1.filter($"zkey" >= lo && $"zkey" <= hi)
+      in.withColumn("event_id", $"event_id" + off) // localized inserts
+        .unionByName(in.filter($"event_id" % 2 === 0)) // re-deliveries
+        .withColumn("tile", lit(k + 1))
+    }.reduce(_ unionByName _)
+      .drop("file_t")
+      .localCheckpoint()
+    val schema = new StructType()
+      .add("event_id", LongType).add("user_id", LongType)
+      .add("ub", LongType).add("tb", LongType)
+      .add("zkey", LongType).add("file_z", LongType)
+    val audit = new java.util.concurrent.ConcurrentHashMap[
+      Long, (Long, Long)]()
+    fourBatchHarnessTiled(s, delta, schema, "locingest") {
+      (source, sink) =>
+        val q = source.writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            val commitNo = id + 1
+            val next = s"events_z_L$commitNo"
+            val incumbent =
+              if (commitNo == 1L) "events_z_sp"
+              else s"events_z_L$id"
+            val routed = Layout.routeToStore(s, root, incumbent, b,
+              "file_z").localCheckpoint()
+            if (!graft.state.ModelStore.exists(root, next))
+              Layout.upsertRows(s, root, incumbent, "file_z", routed,
+                next)
+            // the audit recomputes from published state, so an
+            // idempotent re-run (bench passes) reports identically
+            val touched = routed.select($"file_z").distinct()
+              .collect().map(_.getLong(0)).toSeq
+            val (post, _) = Layout.loadLayout(s, root, next)
+            val rw = post.filter($"file_z".isin(touched: _*)).count()
+            audit.put(commitNo, (touched.size.toLong, rw))
+            ()
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        require(audit.size == 4,
+          s"q260: expected 4 commits, got ${audit.size}")
+        Seq.empty[Int].toDF("unused").createOrReplaceTempView(sink)
+    } { _ => Seq.empty[Int].toDF("unused") }
+    val tilesTotal =
+      Layout.loadManifest(s, root, "events_z_L4").size.toLong
+    // the claim itself, pinned loudly: a localized commit must rewrite
+    // a small fraction of the fan-out (the oracle hash-checks the
+    // exact numbers; this guards the ORDER of magnitude)
+    (1L to 4L).foreach { k =>
+      require(audit.get(k)._1 * 8 <= tilesTotal,
+        s"q260: commit $k touched ${audit.get(k)._1} of $tilesTotal " +
+          "tiles — the ingest is not localized")
+    }
+    val perStripe = stripes.zipWithIndex.map { case ((lo, hi), k) =>
+      val in = v1.filter($"zkey" >= lo && $"zkey" <= hi)
+      val nIns = in.count()
+      require(nIns > 0, s"q260: stripe ${k + 1} empty at $d")
+      val nRep = in.filter($"event_id" % 2 === 0).count()
+      val (tt, rw) = audit.get((k + 1).toLong)
+      (k + 1L, lo, hi, tt, rw, nIns, nRep, tilesTotal)
+    }
+    perStripe.toDF("commit_id", "zlo", "zhi", "tiles_touched",
+        "rows_rewritten", "n_ins", "n_rep", "tiles_total")
+      .orderBy($"commit_id")
+  }
+  val q260Sql: String =
+    s"""WITH ${LlmQueries.layoutCte},
+       |${LlmQueries.splitStoreCte},
+       |stripes AS (SELECT CAST(t.k AS BIGINT) AS k,
+       |    CAST(t.k * 16384 + 256 AS BIGINT) AS zl,
+       |    CAST(t.k * 16384 + 767 AS BIGINT) AS zh
+       |  FROM unnest(range(0, 4)) AS t(k)),
+       |sd AS (SELECT s.k, l.event_id, l.zkey
+       |  FROM laid l JOIN stripes s ON l.zkey BETWEEN s.zl AND s.zh),
+       |ktiles AS (SELECT DISTINCT sd.k, m.file_id
+       |  FROM sd JOIN m ON sd.zkey BETWEEN m.zlo AND m.zhi),
+       |tt AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS tiles_touched
+       |  FROM ktiles GROUP BY 1),
+       |base_asg AS (SELECT l.event_id, m.file_id
+       |  FROM laid l JOIN m ON l.zkey BETWEEN m.zlo AND m.zhi),
+       |rw AS (SELECT kt.k, CAST(COUNT(*) AS BIGINT) AS base_rows
+       |  FROM ktiles kt JOIN base_asg b USING (file_id) GROUP BY 1),
+       |ni AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_ins
+       |  FROM sd GROUP BY 1),
+       |nr AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_rep
+       |  FROM sd WHERE event_id % 2 = 0 GROUP BY 1),
+       |ftot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tiles_total FROM m)
+       |SELECT s.k + 1 AS commit_id, s.zl AS zlo, s.zh AS zhi,
+       |  tt.tiles_touched,
+       |  CAST(rw.base_rows + ni.n_ins AS BIGINT) AS rows_rewritten,
+       |  ni.n_ins, COALESCE(nr.n_rep, 0) AS n_rep, ftot.tiles_total
+       |FROM stripes s JOIN tt USING (k) JOIN rw USING (k)
+       |JOIN ni USING (k) LEFT JOIN nr USING (k), ftot
+       |ORDER BY commit_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_stream_dedup" -> (q101StreamDedup _),
+    "q260_localized_ingest" -> (q260LocalizedIngest _),
     "q247_stream_view" -> (q247StreamView _),
     "q252_stream_cdc" -> (q252StreamCdc _),
     "q255_stream_asof" -> (q255StreamAsOf _),
@@ -2586,6 +2726,10 @@ object StreamQueries {
     // streamed + per-batch-routed merges on the split store compose to
     // the single-shot routed content — the split replay aggregates it
     "q258_split_stream_merge" -> q258Sql,
+    // the per-commit write-amplification replay: stripe routing, touch
+    // counts and rewrite sizes all reconstructed from the split
+    // arithmetic
+    "q260_localized_ingest" -> q260Sql,
     // stateless stream-static join => identical to batch decontamination
     "q110_stream_decon" -> LlmQueries.q94Sql,
     "q106_stream_neardup" -> q106Sql,

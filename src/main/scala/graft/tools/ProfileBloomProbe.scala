@@ -87,6 +87,32 @@ object ProfileBloomProbe {
         println(f"""{"speedup_driver_over_join":${dSec / jSec}%.2f}""")
       case _ => ()
     }
+
+    // the PER-KEY planner consult (q235/q257's read path — r14 verdict
+    // item 3): same store, same probes, prediction pairs instead of
+    // the union
+    def timedPerKey(path: String, conf: String): (Double, Set[(String, Long)]) = {
+      spark.conf.set(key, conf)
+      val t0 = System.nanoTime()
+      val (all, pairs) = graft.llm.Layout.consultBloomsPerKey(spark,
+        root, "events_big", probes)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"path":"$path","per_key":true,"n_files":${all.size},""" +
+        f""""n_probes":$nProbes,"pairs":${pairs.size},"sec":$sec%.3f}""")
+      (sec, pairs.toSet)
+    }
+    val dp = if (which("driver"))
+      Some(timedPerKey("driver", Long.MaxValue.toString)) else None
+    val jp = if (which("distributed"))
+      Some(timedPerKey("distributed", "0")) else None
+    (dp, jp) match {
+      case (Some((dSec, dP)), Some((jSec, jP))) =>
+        require(dP == jP,
+          s"per-key paths diverged: ${dP.size} vs ${jP.size} pairs")
+        println(
+          f"""{"per_key_speedup_driver_over_join":${dSec / jSec}%.2f}""")
+      case _ => ()
+    }
     spark.stop()
   }
 }

@@ -357,6 +357,28 @@ class CompactionSpec extends AnyFunSuite {
             lit(null).cast("array<double>")), "ivfsq", "ivfsq_bad")
       }
       assert(!graft.state.ModelStore.exists(root.toString, "ivfsq_bad"))
+      // the ROUTED consult is path-invariant (r14 verdict item 5): the
+      // distributed membership join over the idbloom sidecar names
+      // EXACTLY the lists the driver bit-test names, and a maintenance
+      // commit under the forced join path publishes identical content
+      val feedIds = feed.select($"id".cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val allLists = (0 until 4).toSeq
+      val drv = Ivf.consultIdBlooms(spark, root.toString, "ivfsq",
+        allLists, feedIds)
+      val key = graft.llm.Layout.BloomDriverMaxFilesKey
+      spark.conf.set(key, "0") // force the join path
+      try {
+        val dist = Ivf.consultIdBlooms(spark, root.toString, "ivfsq",
+          allLists, feedIds)
+        assert(drv.sorted == dist.sorted,
+          s"id-Bloom consult diverged: driver=$drv join=$dist")
+        Ivf.maintainIndex(spark, root.toString, feed, "ivfsq",
+          "ivfsq_mj")
+        val (mj, _) = Ivf.loadIndex(spark, root.toString, "ivfsq_mj")
+        assert(snap(mj) == snap(m2),
+          "maintained index diverged between consult paths")
+      } finally spark.conf.unset(key)
     } finally graft.util.Fs.deleteRecursively(root)
   }
 }

@@ -418,6 +418,28 @@ class LayoutSpec extends AnyFunSuite {
         "events_z_pd")._1.orderBy($"event_id").collect().toSeq
       assert(a == b, "purged stores diverged between consult paths")
     } finally spark.conf.unset(key)
+    // the PER-KEY consult (the q235/q257 point-lookup planner) is
+    // path-invariant too: the join path must name for every probe
+    // exactly the (key, file) pairs the driver bit-test names
+    def perKey(): (Set[Long], Set[(String, Long)]) = {
+      val (af, pairs) = graft.llm.Layout.consultBloomsPerKey(spark,
+        root.toString, "events_z", probes)
+      (af, pairs.toSet)
+    }
+    val (pAllD, pDrv) = perKey() // driver path
+    spark.conf.set(key, "0")
+    try {
+      val (pAllJ, pJoin) = perKey() // forced join path
+      assert(pAllD == pAllJ, "per-key catalogs diverged between paths")
+      assert(pDrv == pJoin,
+        s"per-key predictions diverged: ${pDrv.diff(pJoin).take(3)} / " +
+          s"${pJoin.diff(pDrv).take(3)}")
+      // and the union of per-key pairs is exactly consultBlooms' set
+      val (_, union) = graft.llm.Layout.consultBlooms(spark,
+        root.toString, "events_z", probes)
+      assert(pJoin.map(_._2) == union.toSet,
+        "per-key union diverged from the union consult")
+    } finally spark.conf.unset(key)
   }
 
   test("q225 decision feed: append-only ingest trips the budget from " +

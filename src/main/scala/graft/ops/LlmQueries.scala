@@ -4515,6 +4515,124 @@ object LlmQueries {
        |JOIN act USING (user_id), ft
        |ORDER BY user_id""".stripMargin
 
+  /** q261 — the DECIDED split/merge maintenance pass: the q225/q226
+    * discipline (stats → decision → EXECUTED) pointed at the adaptive
+    * fan-out, closing the r14 verdict's item 4. The decider reads ONLY
+    * metadata — the stored tile manifest and zone-map row counts — and
+    * picks the pass a layout maintainer would schedule against an
+    * ABSOLUTE per-tile budget (4096 rows — a proxy for the fixed
+    * target file size every real lakehouse tunes, so the decision is
+    * genuinely DATA-DRIVEN across the stress decades rather than
+    * scale-free):
+    *   - any splittable tile over budget → SPLIT
+    *     ([[graft.llm.Layout.splitOnBudget]]);
+    *   - else, refined tiles present and EVERY base range under budget
+    *     → MERGE ([[graft.llm.Layout.mergeOnBudget]] — the one-run
+    *     k-way collapse; the range precondition makes the fixpoint
+    *     provably the full base grid, which is what the oracle
+    *     replays);
+    *   - else NOOP (refined tiles that neither exceed nor jointly fit
+    *     the budget stay).
+    * The decision EXECUTES and publishes; emitted is one audit row —
+    * decision, budget, files before/after, over-budget tile and range
+    * counts, and the store's content totals (a physical pass must not
+    * move a single logical row). The oracle recomputes the decision
+    * from the replayed split-store stats and reconstructs files_after
+    * arithmetically per branch (the q256 child-count rule for split,
+    * the 64-tile grid for merge), so a mis-decided pass, a partial
+    * merge, or a content-moving rewrite all hash-fail. The flip is
+    * pinned across decades in BASELINE: merge at sf0.01/sf0.1, split
+    * at ×10/×100 — same code, opposite maintenance. 100 TB shape: the
+    * decision input is footer-sized metadata; each executed pass
+    * rewrites only its decided tiles. */
+  def q261LayoutDecide(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fx = splitFixture(s, d)
+    val root = fx.root
+    val B = 4096L
+    val name = "events_z_sp_up"
+    val (_, zm) = Layout.loadLayout(s, root, name)
+    val man = Layout.loadManifest(s, root, name)
+    val counts = zm.select($"file_id", $"n_rows").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val legacyW = Layout.Grid / 64
+    val filesBefore = man.size.toLong
+    // splittable = width > 1 (a single-cell tile cannot refine)
+    val tilesOver = man.count { case (f, zlo, zhi) =>
+      counts.getOrElse(f, 0L) > B && zhi - zlo + 1 > 1 }.toLong
+    val rangesOver = man.groupBy { case (_, zlo, _) => zlo / legacyW }
+      .map { case (_, ts) =>
+        ts.map(t => counts.getOrElse(t._1, 0L)).sum }
+      .count(_ > B).toLong
+    val refined = man.exists { case (_, zlo, zhi) =>
+      zhi - zlo + 1 < legacyW }
+    val decision =
+      if (tilesOver > 0) "split"
+      else if (refined && rangesOver == 0) "merge"
+      else "noop"
+    val finalName = decision match {
+      case "noop" => name
+      case _ =>
+        if (!graft.state.ModelStore.exists(root, "events_z_opt")) {
+          if (decision == "split")
+            Layout.splitOnBudget(s, root, name, "file_z", B,
+              "events_z_opt")
+          else
+            Layout.mergeOnBudget(s, root, name, "file_z", B,
+              "events_z_opt")
+        }
+        "events_z_opt"
+    }
+    val filesAfter = Layout.loadManifest(s, root, finalName).size.toLong
+    val (fin, _) = Layout.loadLayout(s, root, finalName)
+    fin.agg(count(lit(1)).as("n_rows"), sum($"user_id").as("u_mass"),
+        sum($"event_id").as("e_mass"))
+      .select(lit(decision).as("decision"), lit(B).as("budget"),
+        lit(filesBefore).as("files_before"),
+        lit(filesAfter).as("files_after"),
+        lit(tilesOver).as("tiles_over"), lit(rangesOver).as("ranges_over"),
+        $"n_rows", $"u_mass", $"e_mass")
+  }
+  val q261Sql: String =
+    s"""WITH $layoutCte,
+       |$splitStoreCte,
+       |tc AS (SELECT m.file_id, m.zlo, m.zhi, COALESCE(a.n, 0) AS n
+       |  FROM m LEFT JOIN (SELECT file_id,
+       |      CAST(COUNT(*) AS BIGINT) AS n FROM asg GROUP BY 1) a
+       |    USING (file_id)),
+       |ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS tiles_over FROM tc
+       |  WHERE n > 4096 AND zhi - zlo + 1 > 1),
+       |rgo AS (SELECT CAST(COUNT(*) AS BIGINT) AS ranges_over FROM (
+       |  SELECT zlo // 1024 AS r, SUM(n) AS rn FROM tc GROUP BY 1)
+       |  WHERE rn > 4096),
+       |rf AS (SELECT COUNT(*) > 0 AS refined FROM tc
+       |  WHERE zhi - zlo + 1 < 1024),
+       |dec AS (SELECT CASE WHEN ov.tiles_over > 0 THEN 'split'
+       |    WHEN rf.refined AND rgo.ranges_over = 0 THEN 'merge'
+       |    ELSE 'noop' END AS decision, ov.tiles_over, rgo.ranges_over
+       |  FROM ov, rgo, rf),
+       |fb AS (SELECT CAST(COUNT(*) AS BIGINT) AS files_before FROM m),
+       |ksp AS (SELECT t.file_id,
+       |    LEAST(COALESCE(MIN(p.p) FILTER (
+       |      WHERE p.p >= (t.n + 4095) // 4096), 1024),
+       |      t.zhi - t.zlo + 1) AS k
+       |  FROM tc t, pows p WHERE t.n > 4096 AND t.zhi - t.zlo + 1 > 1
+       |  GROUP BY t.file_id, t.zhi - t.zlo + 1),
+       |fa AS (SELECT CAST(CASE dec.decision
+       |    WHEN 'merge' THEN 64
+       |    WHEN 'noop' THEN fb.files_before
+       |    ELSE fb.files_before
+       |      - (SELECT COUNT(*) FROM ksp)
+       |      + (SELECT COALESCE(SUM(k), 0) FROM ksp)
+       |    END AS BIGINT) AS files_after FROM dec, fb),
+       |ctot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(user_id) AS BIGINT) AS u_mass,
+       |    CAST(SUM(event_id) AS BIGINT) AS e_mass FROM up)
+       |SELECT dec.decision, CAST(4096 AS BIGINT) AS budget,
+       |  fb.files_before, fa.files_after, dec.tiles_over,
+       |  dec.ranges_over, ctot.n_rows, ctot.u_mass, ctot.e_mass
+       |FROM dec, fb, fa, ctot""".stripMargin
+
   /** q253 — CROSS-ARTIFACT ATOMIC GOVERNANCE: one right-to-be-
     * forgotten request must land on the stored TABLE and its DERIVED
     * VIEW as one visible transaction — q238 purges rows and q244
@@ -8864,6 +8982,7 @@ object LlmQueries {
     "q254_index_maintain" -> (q254IndexMaintain _),
     "q256_split_budget" -> (q256SplitBudget _),
     "q257_split_point_lookup" -> (q257SplitPointLookup _),
+    "q261_layout_decide" -> (q261LayoutDecide _),
     "q231_winnow_eval" -> (q231WinnowEval _),
     "q232_affinity_pack" -> (q232AffinityPack _),
     "q220_journey_transitions" -> (q220JourneyTransitions _),
@@ -9023,6 +9142,7 @@ object LlmQueries {
     "q254_index_maintain" -> q254Sql,
     "q256_split_budget" -> q256Sql,
     "q257_split_point_lookup" -> q257Sql,
+    "q261_layout_decide" -> q261Sql,
     "q231_winnow_eval" -> q231Sql,
     "q232_affinity_pack" -> q232Sql,
     "q220_journey_transitions" -> q220Sql,

@@ -57,9 +57,52 @@ object Catalog {
     }
   }
 
+  /** The checkpoint marker file — the Delta §3.2 move (Armbrust et al.,
+    * VLDB 2020: `_last_checkpoint` names a recent log position so
+    * readers resolve the tail instead of the whole log). Here every
+    * [[CheckpointEvery]]-th commit refreshes it with that txn id; it is
+    * ADVISORY — a lower bound on the live txn — so a stale or missing
+    * marker only lengthens the tail resolution, never corrupts it
+    * (last-writer-wins on the marker is benign for the same reason).
+    * Names starting with `_` are metadata to [[ModelStore.vacuum]] and
+    * survive retention sweeps. */
+  private[state] val CkptFile = "_last_checkpoint"
+
+  /** Commit interval at which [[commit]] refreshes [[CkptFile]]. */
+  val CheckpointEvery = 10L
+
+  /** The checkpointed txn id — 0 before the first checkpoint. */
+  def checkpointTxn(root: String): Long = {
+    val p = Paths.get(root, CkptFile)
+    if (!Files.isRegularFile(p)) 0L
+    else Files.readString(p).trim.toLongOption.getOrElse(0L)
+  }
+
+  private def writeCheckpoint(root: String, txn: Long): Unit = {
+    // monotone-advisory: never move the marker backwards; last-writer-
+    // wins between concurrent forward writers is benign (see CkptFile)
+    if (txn > checkpointTxn(root)) {
+      val tmp = Paths.get(root,
+        s"$CkptFile.tmp-${java.util.UUID.randomUUID().toString}")
+      Files.writeString(tmp, txn.toString)
+      Files.move(tmp, Paths.get(root, CkptFile),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
   /** The live txn id: the highest committed pointer, 0 before the first
-    * commit (so a creator CASes from expected=0). */
-  def liveTxn(root: String): Long = history(root).lastOption.getOrElse(0L)
+    * commit (so a creator CASes from expected=0). Resolution is
+    * checkpoint + tail: the result is max(checkpoint marker, directory
+    * listing) — identical with or without the marker on a full
+    * listing (StateRoundtripSpec pins it), and the shape that stays
+    * bounded on a store whose listing can start AFTER the checkpoint
+    * name (the object-store list-after primitive Delta relies on;
+    * vacuum bounds the local listing the same way by retiring pointer
+    * versions beyond the grace window). */
+  def liveTxn(root: String): Long =
+    math.max(checkpointTxn(root),
+      history(root).lastOption.getOrElse(0L))
 
   /** Load the pointer table of a specific txn. Pointer versions are
     * immutable (one atomic rename creates them whole), so there is no
@@ -109,6 +152,9 @@ object Catalog {
         catch { case _: Exception => () } // best-effort; don't mask e
         throw e
     }
+    // the commit has LANDED; the checkpoint marker is advisory tail
+    // compression (Delta §3.2) refreshed every CheckpointEvery commits
+    if (next % CheckpointEvery == 0) writeCheckpoint(root, next)
     next
   }
 

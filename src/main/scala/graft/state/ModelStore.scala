@@ -201,7 +201,10 @@ object ModelStore {
       val i = dir.indexOf(AttemptSep)
       if (i >= 0) dir.substring(0, i) else dir
     }
-    val top = children(Paths.get(root)).filterNot(_ == "_staging")
+    // names starting with "_" are store metadata (_staging, the
+    // catalog's _last_checkpoint marker), never published versions —
+    // retention must not sweep them
+    val top = children(Paths.get(root)).filterNot(_.startsWith("_"))
     val retired = top.filterNot(d => keep.contains(owner(d)))
     retired.foreach(d => rm(Paths.get(root, d)))
     children(Paths.get(root, "_staging"))

@@ -321,6 +321,46 @@ class StateRoundtripSpec extends AnyFunSuite {
       "vacuum destroyed an in-flight attempt of a kept name")
   }
 
+  test("catalog checkpoint: resolution identical with and without the " +
+      "marker, CAS still serializes through the rename, old pointers " +
+      "vacuum beyond the grace while the marker survives") {
+    import spark.implicits._
+    val root = graft.util.Fs.tempRoot("graft_ckpt_spec").toString
+    def ptr(v: Long) = Seq(("table", s"tab_v$v")).toDF("artifact", "version")
+    def save(v: Long): Unit = graft.state.ModelStore.save(
+      Seq((1L, v)).toDF("k", "value"), root, s"tab_v$v")
+    // 12 commits: the 10th refreshes _last_checkpoint
+    (1L to 12L).foreach { v =>
+      save(v); graft.state.Catalog.commit(ptr(v), root, v - 1) }
+    assert(graft.state.Catalog.checkpointTxn(root) == 10L)
+    assert(graft.state.Catalog.liveTxn(root) == 12L)
+    // identical resolution WITHOUT the marker (full-listing fallback)
+    val ck = java.nio.file.Paths.get(root, "_last_checkpoint")
+    val saved = java.nio.file.Files.readString(ck)
+    java.nio.file.Files.delete(ck)
+    assert(graft.state.Catalog.liveTxn(root) == 12L,
+      "resolution diverged without the checkpoint marker")
+    java.nio.file.Files.writeString(ck, saved)
+    // vacuum beyond the grace: pointers t1..t10 retire, the marker
+    // survives (it is metadata, not a version), resolution unchanged —
+    // the checkpoint + tail-listing shape liveTxn is built for
+    val retired = graft.state.ModelStore.vacuum(root,
+      graft.state.Catalog.keepSet(spark, root, lastK = 2))
+    assert(retired.contains("catalog_t1") && retired.contains("catalog_t10"))
+    assert(java.nio.file.Files.isRegularFile(ck),
+      "vacuum swept the checkpoint marker")
+    assert(graft.state.Catalog.liveTxn(root) == 12L)
+    // CAS still serializes through the rename: a stale base loses
+    intercept[graft.state.CasConflictException] {
+      graft.state.Catalog.commit(ptr(99L), root, 11L)
+    }
+    save(13L)
+    assert(graft.state.Catalog.commit(ptr(13L), root, 12L) == 13L)
+    // a long-stale marker never drags resolution backwards
+    java.nio.file.Files.writeString(ck, "3")
+    assert(graft.state.Catalog.liveTxn(root) == 13L)
+  }
+
   test("typed CAS conflict: all three loser sites throw " +
       "CasConflictException; the true rename-race loser is wrapped; a " +
       "non-conflict failure inside derive propagates instead of retrying") {

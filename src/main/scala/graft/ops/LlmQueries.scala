@@ -1904,10 +1904,9 @@ object LlmQueries {
     * clustered data) emits files_z = 0 without scanning. */
   def q223StoredLayoutPruning(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val laid = Layout.eventLayout(Tables.events(s, d))
-    val root = graft.util.Fs.tempRoot("graft_layoutstore")
-    Layout.saveLayout(laid, root.toString)
-    val (rows, zm) = Layout.loadLayout(s, root.toString)
+    // the shared fixture's v1 IS this store (§76 policy — one
+    // saveLayout lifecycle serves the whole q223/q226/q238-q250 family)
+    val (rows, zm) = Layout.loadLayout(s, mutStore.root(s, d))
     // the reader's metadata cache: file-count-sized BY CONSTRUCTION
     val zones = zm.select($"file_id", $"min_ub", $"max_ub",
         $"min_tb", $"max_tb").collect()
@@ -1980,15 +1979,17 @@ object LlmQueries {
         Seq("file_t"), "left")
       .withColumn("file_h",
         when($"rw".isNotNull, $"file_z" + 1000L).otherwise($"file_t"))
-    val rootB = graft.util.Fs.tempRoot("graft_optbefore")
-    Layout.saveLayout(laid, rootB.toString, "events_t", "file_t")
-    val rootA = graft.util.Fs.tempRoot("graft_optafter")
-    Layout.saveLayout(hybrid, rootA.toString, "events_h", "file_h")
-    val rootZ = graft.util.Fs.tempRoot("graft_optzorder")
-    Layout.saveLayout(laid, rootZ.toString, "events_z", "file_z")
-    def eval(root: java.nio.file.Path, name: String, fileCol: String,
+    // before (events_t) and zorder (events_z) are the SHARED fixture's
+    // incumbents (§76 policy); only the query-specific hybrid 'after'
+    // store is built here, itself once per JVM per dataset dir
+    val rootB = mutStore.tStore(s, d)
+    val rootA = mutStore.ensureStore(s, d, "events_h") { r =>
+      Layout.saveLayout(hybrid, r, "events_h", "file_h")
+    }
+    val rootZ = mutStore.root(s, d)
+    def eval(root: String, name: String, fileCol: String,
         stage: String) = {
-      val (rows, zm) = Layout.loadLayout(s, root.toString, name, fileCol)
+      val (rows, zm) = Layout.loadLayout(s, root, name, fileCol)
       val zones = zm.select($"file_id", $"min_ub", $"max_ub").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       (0 until 4).map { p =>
@@ -2790,11 +2791,8 @@ object LlmQueries {
     * exactly one pruned scan. */
   def q235StoredBloomLookup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val laid = Layout.eventLayout(Tables.events(s, d))
-    val root = graft.util.Fs.tempRoot("graft_bloomstore")
-    Layout.saveLayout(laid, root.toString, "events_t", "file_t")
-    val (rows, _) = Layout.loadLayout(s, root.toString, "events_t",
-      "file_t")
+    val root = mutStore.tStore(s, d) // the shared time-sorted incumbent
+    val (rows, _) = Layout.loadLayout(s, root, "events_t", "file_t")
     val probes: Array[Long] = rows.select($"user_id").distinct()
       .filter($"user_id" % 17 === 0).orderBy($"user_id")
       .collect().map(_.getLong(0))
@@ -2804,7 +2802,7 @@ object LlmQueries {
     // Spark job — the reader's move on a small store); above it the
     // distributed membership join answers the same question
     // executor-parallel on BOTH axes (the r14 read-side routing item)
-    val (allFiles, pred) = Layout.consultBloomsPerKey(s, root.toString,
+    val (allFiles, pred) = Layout.consultBloomsPerKey(s, root,
       "events_t", probes.map(_.toString))
     val filesTotal = allFiles.size.toLong
     val pairs: Seq[(Long, Long)] = pred.map { case (k, f) => (k.toLong, f) }
@@ -3092,6 +3090,26 @@ object LlmQueries {
         build: String => MutVersion): MutVersion =
       verCache.synchronized {
         verCache.getOrElseUpdate((d, name), build(root(s, d)))
+      }
+
+    // non-lineage sibling stores on the same root (the layout-eval
+    // family's incumbents), each saved at most once per JVM per dir
+    private val builtCache = scala.collection.mutable.Set[(String, String)]()
+    private[ops] def ensureStore(s: SparkSession, d: String,
+        name: String)(build: String => Unit): String = {
+      val r = root(s, d)
+      builtCache.synchronized {
+        if (!builtCache((d, name))) { build(r); builtCache += ((d, name)) }
+      }
+      r
+    }
+
+    /** The time-sorted incumbent (`events_t`/file_t) on the shared
+      * root — q226's 'before' store and q235's point-lookup store. */
+    def tStore(s: SparkSession, d: String): String =
+      ensureStore(s, d, "events_t") { r =>
+        Layout.saveLayout(Layout.eventLayout(Tables.events(s, d)), r,
+          "events_t", "file_t")
       }
 
     /** v1 + [[mergeDelta]] → `events_z_m2`. */

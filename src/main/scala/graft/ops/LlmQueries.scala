@@ -4125,85 +4125,108 @@ object LlmQueries {
     * re-pickles its whole sklearn index on every training run
     * (/root/reference/src/ml/vector_engine.py:47-61) — north-star
     * extension. */
+  /** q254's maintenance lifecycle, executed once per JVM per dataset
+    * dir (§76/§79 policy — re-invocations read the published state).
+    * The v1 index is a filesystem copy of the SHARED ivfsq fixture
+    * (identical build: same fit sample, same quantization), copied
+    * because [[graft.llm.Ivf.maintainIndex]] mutates versions on its
+    * own root and q254's catalog chain must stay private to it.
+    * Returns (root, touched, untouched, nDel, nUpd, nIns, txn2). */
+  private val idxMaintCache = scala.collection.mutable.Map[String,
+    (String, Seq[Int], Seq[Int], Long, Long, Long, Long)]()
+  private def idxMaintFixture(s: SparkSession, d: String)
+      : (String, Seq[Int], Seq[Int], Long, Long, Long, Long) =
+    idxMaintCache.synchronized {
+      idxMaintCache.getOrElseUpdate(d, {
+        import s.implicits._
+        val e = embeddings(s, d)
+        val root = graft.util.Fs.tempRoot("graft_idxmaint").toString
+        graft.util.Fs.copyRecursively(
+          java.nio.file.Paths.get(ivfFixture(s, d), "ivfsq"),
+          java.nio.file.Paths.get(root, "ivfsq")) // index v1 (+id-Blooms)
+        graft.state.ModelStore.save(
+          e.select($"vec_id", $"embedding".cast("array<double>").as("v")),
+          root, "corpus_v1")
+        graft.state.ModelStore.save(
+          q254BucketView(graft.state.ModelStore.load(s, root,
+            "corpus_v1")), root, "vecview_v1")
+        val txn1 = graft.state.Catalog.commit(
+          Seq(("corpus", "corpus_v1"), ("view", "vecview_v1"),
+            ("index", "ivfsq"))
+            .toDF("artifact", "version"), root, expectedTxn = 0L)
+        // the arriving commit: deletes + in-place vector updates
+        // (negated embedding — deterministic, oracle-replayable) +
+        // late inserts
+        val off = 1000000000L
+        val feed = e.filter($"vec_id" % 89 === 13)
+            .select(lit("delete").as("op"), $"vec_id".as("id"),
+              lit(null).cast("array<double>").as("vec"))
+          .unionByName(
+            e.filter($"vec_id" % 97 === 11 && $"vec_id" % 89 =!= 13)
+              .select(lit("update").as("op"), $"vec_id".as("id"),
+                transform($"embedding".cast("array<double>"), x => -x)
+                  .as("vec")))
+          .unionByName(e.filter($"vec_id" % 131 === 3)
+            .select(lit("insert").as("op"), ($"vec_id" + off).as("id"),
+              $"embedding".cast("array<double>").as("vec")))
+          .localCheckpoint() // audit counts, corpus replay + index scan it
+        val nDel = feed.filter($"op" === "delete").count()
+        val nUpd = feed.filter($"op" === "update").count()
+        val nIns = feed.filter($"op" === "insert").count()
+        require(nDel > 0 && nUpd > 0 && nIns > 0,
+          s"q254: feed needs all three ops at $d (d=$nDel u=$nUpd i=$nIns)")
+        // corpus v2 = the feed replayed on v1 (remove every feed key,
+        // fold the post-images back in)
+        val v2c = graft.state.ModelStore.load(s, root, "corpus_v1")
+          .join(broadcast(feed.select($"id".as("vec_id"))),
+            Seq("vec_id"), "left_anti")
+          .unionByName(feed.filter($"op" =!= "delete")
+            .select($"id".as("vec_id"), $"vec".as("v")))
+        graft.state.ModelStore.save(v2c, root, "corpus_v2")
+        // the VIEW maintained from the feed's ± deltas (never
+        // recomputed): insert = +1/+id, delete = −1/−id, update = ±0
+        // (the id — hence its bucket row — is unchanged by an in-place
+        // vector update; a view over the VECTOR's values would need
+        // the q259 both-images fold)
+        val viewDeltas = feed.filter($"op" =!= "update")
+          .select(pmod($"id", lit(16)).as("bucket"),
+            when($"op" === "insert", 1L).otherwise(-1L).as("dn"),
+            when($"op" === "insert", $"id").otherwise(-$"id").as("dm"))
+          .groupBy($"bucket")
+          .agg(sum($"dn").as("dn"), sum($"dm").as("dm"))
+        val maintainedView = graft.state.ModelStore
+          .load(s, root, "vecview_v1")
+          .join(viewDeltas, Seq("bucket"), "full_outer")
+          .select($"bucket",
+            (coalesce($"n_vecs", lit(0L)) + coalesce($"dn", lit(0L)))
+              .as("n_vecs"),
+            (coalesce($"id_mass", lit(0L)) + coalesce($"dm", lit(0L)))
+              .as("id_mass"))
+          .filter($"n_vecs" > 0)
+        graft.state.ModelStore.save(maintainedView, root, "vecview_v2")
+        // the index maintained INCREMENTALLY from the same feed
+        val (touched, untouched) = graft.llm.Ivf.maintainIndex(s, root,
+          feed, "ivfsq", "ivfsq_m2")
+        // ONE CAS pointer commit flips corpus + view + index together
+        val txn2 = graft.state.Catalog.commit(
+          Seq(("corpus", "corpus_v2"), ("view", "vecview_v2"),
+            ("index", "ivfsq_m2"))
+            .toDF("artifact", "version"), root, expectedTxn = txn1)
+        (root, touched, untouched, nDel, nUpd, nIns, txn2)
+      })
+    }
+
+  /** The derived aggregate view of q254: per-bucket id count + mass
+    * (COUNT/SUM — the self-maintainable Gupta–Mumick algebra, q244). */
+  private def q254BucketView(c: DataFrame): DataFrame = c
+    .groupBy(pmod(col("vec_id"), lit(16)).as("bucket"))
+    .agg(count(lit(1)).as("n_vecs"), sum(col("vec_id")).as("id_mass"))
+
   def q254IndexMaintain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = embeddings(s, d)
-    val sample = e.filter(pmod($"vec_id", lit(10)) === 0)
-    val cents = graft.llm.Ivf.fitCentroids(sample, "vec_id", "embedding",
-      nlist = 16)
-    val idx = graft.llm.Quantize.withInt8(
-        graft.llm.Ivf.assignIndex(e, "vec_id", "embedding", cents), "v")
-      .drop("v")
-    val root = graft.util.Fs.tempRoot("graft_idxmaint").toString
-    graft.llm.Ivf.saveIndex(idx, cents, root) // index v1 (+ id-Blooms)
-    graft.state.ModelStore.save(
-      e.select($"vec_id", $"embedding".cast("array<double>").as("v")),
-      root, "corpus_v1")
-    // the derived aggregate view: per-bucket id count + mass (COUNT/SUM
-    // — the self-maintainable Gupta–Mumick algebra, as in q244)
-    def bucketView(c: DataFrame): DataFrame = c
-      .groupBy(pmod($"vec_id", lit(16)).as("bucket"))
-      .agg(count(lit(1)).as("n_vecs"), sum($"vec_id").as("id_mass"))
-    graft.state.ModelStore.save(
-      bucketView(graft.state.ModelStore.load(s, root, "corpus_v1")),
-      root, "vecview_v1")
-    val txn1 = graft.state.Catalog.commit(
-      Seq(("corpus", "corpus_v1"), ("view", "vecview_v1"),
-        ("index", "ivfsq"))
-        .toDF("artifact", "version"), root, expectedTxn = 0L)
-    // the arriving commit: deletes + in-place vector updates (negated
-    // embedding — deterministic, oracle-replayable) + late inserts
-    val off = 1000000000L
-    val feed = e.filter($"vec_id" % 89 === 13)
-        .select(lit("delete").as("op"), $"vec_id".as("id"),
-          lit(null).cast("array<double>").as("vec"))
-      .unionByName(e.filter($"vec_id" % 97 === 11 && $"vec_id" % 89 =!= 13)
-        .select(lit("update").as("op"), $"vec_id".as("id"),
-          transform($"embedding".cast("array<double>"), x => -x).as("vec")))
-      .unionByName(e.filter($"vec_id" % 131 === 3)
-        .select(lit("insert").as("op"), ($"vec_id" + off).as("id"),
-          $"embedding".cast("array<double>").as("vec")))
-      .localCheckpoint() // audit counts, corpus replay + index both scan it
-    val nDel = feed.filter($"op" === "delete").count()
-    val nUpd = feed.filter($"op" === "update").count()
-    val nIns = feed.filter($"op" === "insert").count()
-    require(nDel > 0 && nUpd > 0 && nIns > 0,
-      s"q254: feed needs all three ops at $d (d=$nDel u=$nUpd i=$nIns)")
-    // corpus v2 = the feed replayed on v1 (remove every feed key, fold
-    // the post-images back in)
-    val v2c = graft.state.ModelStore.load(s, root, "corpus_v1")
-      .join(broadcast(feed.select($"id".as("vec_id"))), Seq("vec_id"),
-        "left_anti")
-      .unionByName(feed.filter($"op" =!= "delete")
-        .select($"id".as("vec_id"), $"vec".as("v")))
-    graft.state.ModelStore.save(v2c, root, "corpus_v2")
-    // the VIEW maintained from the feed's ± deltas (never recomputed):
-    // insert = +1/+id, delete = −1/−id, update = ±0 (the id — hence
-    // its bucket row — is unchanged by an in-place vector update)
-    val viewDeltas = feed.filter($"op" =!= "update")
-      .select(pmod($"id", lit(16)).as("bucket"),
-        when($"op" === "insert", 1L).otherwise(-1L).as("dn"),
-        when($"op" === "insert", $"id").otherwise(-$"id").as("dm"))
-      .groupBy($"bucket")
-      .agg(sum($"dn").as("dn"), sum($"dm").as("dm"))
-    val maintainedView = graft.state.ModelStore
-      .load(s, root, "vecview_v1")
-      .join(viewDeltas, Seq("bucket"), "full_outer")
-      .select($"bucket",
-        (coalesce($"n_vecs", lit(0L)) + coalesce($"dn", lit(0L)))
-          .as("n_vecs"),
-        (coalesce($"id_mass", lit(0L)) + coalesce($"dm", lit(0L)))
-          .as("id_mass"))
-      .filter($"n_vecs" > 0)
-    graft.state.ModelStore.save(maintainedView, root, "vecview_v2")
-    // the index maintained INCREMENTALLY from the same feed
-    val (touched, untouched) = graft.llm.Ivf.maintainIndex(s, root,
-      feed, "ivfsq", "ivfsq_m2")
-    // ONE CAS pointer commit flips corpus + view + index live together
-    val txn2 = graft.state.Catalog.commit(
-      Seq(("corpus", "corpus_v2"), ("view", "vecview_v2"),
-        ("index", "ivfsq_m2"))
-        .toDF("artifact", "version"), root, expectedTxn = txn1)
+    val (root, touched, untouched, nDel, nUpd, nIns, txn2) =
+      idxMaintFixture(s, d)
+    def bucketView(c: DataFrame): DataFrame = q254BucketView(c)
     // a reader: resolve the live catalog, cross-check all three, serve
     val cat = graft.state.Catalog.live(s, root)._2
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
@@ -4682,34 +4705,47 @@ object LlmQueries {
     * consistency story — Postgres rows and the pickled model drift
     * apart between training runs (/root/reference/scripts/
     * run_training_batch.py:243-257) — north-star extension. */
+  /** The governed CAS lifecycle, executed once per JVM per dataset dir
+    * and composed ON the shared mutation store (§76/§79 policy): the
+    * RTBF table version the swap points at IS the shared `events_z_p2`
+    * lineage — the catalog makes governance a pointer over the store
+    * every other query already shares, which is exactly how a real
+    * lakehouse catalog sits over its tables. Only q253 commits to this
+    * root's catalog, so the txn chain is deterministic. */
+  private val govCache = scala.collection.mutable.Map[String, String]()
+  private def govFixture(s: SparkSession, d: String): String =
+    govCache.synchronized {
+      govCache.getOrElseUpdate(d, {
+        import s.implicits._
+        val pv = mutStore.purged(s, d) // ensures v1 + events_z_p2
+        val root = mutStore.root(s, d)
+        val (t1, _) = Layout.loadLayout(s, root)
+        val view1 = t1.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"event_id").as("e_mass"))
+        graft.state.ModelStore.save(view1, root, "user_view") // view v1
+        val txn1 = graft.state.Catalog.commit(
+          Seq(("table", "events_z"), ("view", "user_view"))
+            .toDF("artifact", "version"), root, expectedTxn = 0L)
+        // the RTBF transaction: both new versions publish FIRST
+        // (unreferenced), then the pointer swap makes them live together
+        val feed = Layout.changeFeed(s, root, "events_z", "events_z_p2",
+          "file_z", pv.res.touched)
+        graft.state.ModelStore.save(
+          maintainUserView(s, graft.state.ModelStore.load(s, root,
+            "user_view"), feed), root, "user_view_v2")
+        graft.state.Catalog.commit(
+          Seq(("table", "events_z_p2"), ("view", "user_view_v2"))
+            .toDF("artifact", "version"), root, expectedTxn = txn1)
+        root
+      })
+    }
+
   def q253GovernedRtbf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val laid = Layout.eventLayout(Tables.events(s, d))
-    val root = graft.util.Fs.tempRoot("graft_govstore").toString
-    Layout.saveLayout(laid, root) // table v1
-    val (t1, _) = Layout.loadLayout(s, root)
-    val view1 = t1.groupBy($"user_id")
-      .agg(count(lit(1)).as("n_events"), sum($"event_id").as("e_mass"))
-    graft.state.ModelStore.save(view1, root, "user_view") // view v1
-    val txn1 = graft.state.Catalog.commit(
-      Seq(("table", "events_z"), ("view", "user_view"))
-        .toDF("artifact", "version"), root, expectedTxn = 0L) // txn 1
-    // the RTBF transaction: both new versions publish FIRST (unreferenced),
-    // then the pointer swap makes them live together
-    val tombs: Seq[Long] = t1.select($"user_id").distinct()
-      .filter($"user_id" % 499 === 7).orderBy($"user_id")
-      .collect().map(_.getLong(0)).toSeq
+    val root = govFixture(s, d)
+    val tombs = mutStore.purged(s, d).cohort
     require(tombs.nonEmpty, s"q253: no tombstoned users at $d")
-    val pg = Layout.purgeUsers(s, root, "events_z", "file_z", tombs,
-      "events_z_v2")
-    val feed = Layout.changeFeed(s, root, "events_z", "events_z_v2",
-      "file_z", pg.touched)
-    graft.state.ModelStore.save(
-      maintainUserView(s, graft.state.ModelStore.load(s, root,
-        "user_view"), feed), root, "user_view_v2")
-    graft.state.Catalog.commit(
-      Seq(("table", "events_z_v2"), ("view", "user_view_v2"))
-        .toDF("artifact", "version"), root, expectedTxn = txn1) // THE swap
     // a reader: resolve the LIVE catalog txn, read both artifacts
     // through it, cross-check
     val cat = graft.state.Catalog.live(s, root)._2

@@ -3158,6 +3158,19 @@ object LlmQueries {
           cohort, Map("weight" -> (lit(10000L) + col("user_id") % 89)),
           "events_z_e3"), cohort)
       }
+
+    /** e3 with `weight := user_id % 43` on the same cohort →
+      * `events_z_e4` — the commit that LOWERS every cohort maximum
+      * (removes all instances of each cohort user's current max), the
+      * shape that forces a MIN/MAX maintainer's re-derivation arm
+      * (q263). */
+    def updated2(s: SparkSession, d: String): MutVersion =
+      ensure(s, d, "events_z_e4") { r =>
+        val cohort = updated(s, d).cohort
+        MutVersion(Layout.updateRows(s, r, "events_z_e3", "file_z",
+          cohort, Map("weight" -> (col("user_id") % 43)),
+          "events_z_e4"), cohort)
+      }
   }
 
   def q238RtbfDelete(s: SparkSession, d: String): DataFrame = {
@@ -3510,6 +3523,63 @@ object LlmQueries {
         (coalesce($"w_mass", lit(0L)) + coalesce($"dwm", lit(0L)))
           .as("w_mass"))
       .filter($"n_events" > 0)
+  }
+
+  /** MAX-view maintenance — the NON-self-maintainable arm of the
+    * Gupta–Mumick algebra (q244/q259 close COUNT/SUM, which fold both
+    * ways; MAX folds up for free but CANNOT fold a removal of the
+    * maximum — the group must re-derive). State per group is
+    * (w_max, n_at_max): the max and HOW MANY rows attain it, the
+    * standard multiplicity counter. Per commit (CDF both-images feed):
+    * removals AT the current max decrement the counter; additions
+    * above it install a new max with its own attain-count; additions
+    * at it increment; and ONLY a group whose counter reaches zero
+    * re-derives — via the caller's `repair`, a scan of just those
+    * groups (q263 routes it through
+    * [[graft.llm.Layout.consultBloomsPerKey]], so the re-derivation
+    * reads only the damaged groups' Bloom-predicted files — work ∝
+    * damage, never view or table size). NULL values are ignored (a
+    * MAX over a column is a view over its non-null rows). Returns
+    * (maintained view, damaged users repaired). */
+  def maintainMaxView(s: SparkSession, view: DataFrame, cdf: DataFrame,
+      repair: Seq[Long] => DataFrame): (DataFrame, Seq[Long]) = {
+    import s.implicits._
+    val rm = cdf.filter($"op".isin("delete", "update_preimage") &&
+        $"weight".isNotNull)
+      .groupBy($"user_id", $"weight").agg(count(lit(1)).as("nrm"))
+    val ad = cdf.filter($"op".isin("insert", "update_postimage") &&
+        $"weight".isNotNull)
+      .groupBy($"user_id", $"weight").agg(count(lit(1)).as("nad"))
+    val adTop = ad.withColumn("am", max($"weight").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"user_id")))
+      .filter($"weight" === $"am")
+      .groupBy($"user_id").agg(max($"weight").as("am"),
+        sum($"nad").as("ant"))
+    // removals keyed by (user, value): only the row AT the current max
+    // decrements the counter — a removal below the max is invisible to
+    // a MAX view
+    val decd = view.join(
+        rm.select($"user_id", $"weight".as("w_max"), $"nrm"),
+        Seq("user_id", "w_max"), "left")
+      .select($"user_id", $"w_max",
+        ($"n_at_max" - coalesce($"nrm", lit(0L))).as("nam"))
+    val merged = decd.join(adTop, Seq("user_id"), "full_outer")
+      .select($"user_id",
+        when($"w_max".isNull || ($"am".isNotNull && $"am" > $"w_max"),
+          $"am").otherwise($"w_max").as("w_max2"),
+        when($"w_max".isNull || ($"am".isNotNull && $"am" > $"w_max"),
+          $"ant")
+          .when($"am".isNotNull && $"am" === $"w_max", $"nam" + $"ant")
+          .otherwise($"nam").as("nam2"))
+      .localCheckpoint() // damaged collect + healthy emit share it
+    val damaged = merged.filter($"nam2" <= 0)
+      .select($"user_id").collect().map(_.getLong(0)).toSeq.sorted
+    val healthy = merged.filter($"nam2" > 0)
+      .select($"user_id", $"w_max2".as("w_max"), $"nam2".as("n_at_max"))
+    val out =
+      if (damaged.isEmpty) healthy
+      else healthy.unionByName(repair(damaged))
+    (out, damaged)
   }
 
   /** The changed-rows + whole-view-totals emit shared by q244, q250
@@ -4013,6 +4083,134 @@ object LlmQueries {
        |  nu.n_updates, tot.view_users, tot.view_n, tot.view_wc,
        |  tot.view_wm
        |FROM changed c LEFT JOIN v USING (user_id), nu, tot
+       |ORDER BY user_id""".stripMargin
+
+  /** q263 — MAX maintenance with BOUNDED re-derivation, the third
+    * Gupta–Mumick arm on the shared store: COUNT/SUM fold both ways
+    * (q244/q259); MAX cannot fold a removal of the maximum, and the
+    * naive answers are both wrong at scale (recompute the view = a
+    * table scan per commit; ignore removals = a silently stale max).
+    * [[maintainMaxView]] keeps the classic (max, attain-count) state:
+    * commit B (the q249 raise — every cohort weight jumps to
+    * 10000+u%89) folds UP with ZERO repairs (the query requires it),
+    * then commit C (`events_z_e4`: weight := user_id % 43) removes
+    * EVERY instance of each cohort max, the counters hit zero, and
+    * exactly those groups re-derive — through a partition-pruned scan
+    * of the damaged users' Bloom-predicted files
+    * ([[graft.llm.Layout.consultBloomsPerKey]] — the round's routed
+    * planner consult, reused as the IVM repair planner). The gated
+    * output carries per-user (w_max, n_at_max) plus the audit the
+    * oracle replays bit-for-bit: n_damaged (the cohort), files_scanned
+    * (the Bloom replay over damaged users — repair I/O ∝ damage
+    * fan-out, hash-checked), files_total, and whole-view totals. A
+    * maintainer that skipped the repair serves the stale 10000+ max
+    * and hash-fails on w_max; one that repaired by rescanning
+    * everything fails the files_scanned gate. 100 TB shape:
+    * maintenance ∝ feed + damaged-group fan-out. */
+  def q263MaxMaintain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e2 = mutStore.evolved(s, d)
+    val e3 = mutStore.updated(s, d)
+    val e4 = mutStore.updated2(s, d)
+    val root = mutStore.root(s, d)
+    val W = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+    def maxView(rows: DataFrame): DataFrame = rows
+      .filter($"weight".isNotNull)
+      .withColumn("mx", max($"weight").over(W))
+      .filter($"weight" === $"mx")
+      .groupBy($"user_id").agg(max($"weight").as("w_max"),
+        count(lit(1)).as("n_at_max"))
+    // the bootstrap: v1 predates the weight column, so the MAX view
+    // over it is EMPTY — commit A installs every first max
+    val view0 = mutStore.v1(s, d).limit(0)
+      .select($"user_id", lit(null).cast("long").as("w_max"),
+        lit(0L).as("n_at_max"))
+    def cdfOf(b: String, a: String, touched: Seq[Long]) =
+      Layout.changeFeedCdf(s, root, b, a, "file_z", touched)
+        .select($"op", $"user_id", $"weight")
+    var filesScanned = 0L
+    var filesTotal = 0L
+    def repairFrom(name: String)(users: Seq[Long]): DataFrame = {
+      val (allF, pred) = Layout.consultBloomsPerKey(s, root, name,
+        users.map(_.toString))
+      val files = pred.map(_._2).distinct.sorted
+      filesScanned += files.size.toLong
+      filesTotal = allF.size.toLong
+      maxView(mutStore.load(s, d, name, mergeSchema = true)
+        .filter($"file_z".isin(files: _*))
+        .join(broadcast(users.toDF("user_id")), Seq("user_id")))
+    }
+    val (v0m, dmgA) = maintainMaxView(s, view0,
+      cdfOf("events_z", "events_z_e2", e2.res.touched),
+      repairFrom("events_z_e2"))
+    val (v1m, dmgB) = maintainMaxView(s, v0m.localCheckpoint(),
+      cdfOf("events_z_e2", "events_z_e3", e3.res.touched),
+      repairFrom("events_z_e3"))
+    require(dmgA.isEmpty && dmgB.isEmpty,
+      s"q263: an upward commit damaged groups (A=${dmgA.size}, " +
+        s"B=${dmgB.size})")
+    val (v2m, dmgC) = maintainMaxView(s, v1m.localCheckpoint(),
+      cdfOf("events_z_e3", "events_z_e4", e4.res.touched),
+      repairFrom("events_z_e4"))
+    require(dmgC == e4.cohort.sorted,
+      s"q263: damage set != the lowered cohort (${dmgC.size} vs " +
+        s"${e4.cohort.size})")
+    val fin = v2m.localCheckpoint() // totals + changed-row emit share it
+    val tot = fin.agg(count(lit(1)).as("vu"),
+      coalesce(sum($"w_max"), lit(0L)).as("vm")).head
+    val changed = cdfOf("events_z", "events_z_e2", e2.res.touched)
+      .select($"user_id")
+      .unionByName(cdfOf("events_z_e3", "events_z_e4", e4.res.touched)
+        .select($"user_id"))
+      .distinct()
+    changed.join(fin, Seq("user_id"), "left_outer")
+      .select($"user_id",
+        coalesce($"w_max", lit(-1L)).as("w_max"),
+        coalesce($"n_at_max", lit(0L)).as("n_at_max"),
+        lit(dmgC.size.toLong).as("n_damaged"),
+        lit(filesScanned).as("files_scanned"),
+        lit(filesTotal).as("files_total"),
+        lit(tot.getLong(0)).as("view_users"),
+        lit(tot.getLong(1)).as("view_maxsum"))
+      .orderBy($"user_id")
+  }
+  val q263Sql: String =
+    s"""WITH $layoutCte,
+       |ins AS (SELECT event_id + 1000000000000 AS event_id, user_id,
+       |    file_z, (event_id + 1000000000000) % 97 AS weight
+       |  FROM laid WHERE event_id % 131 = 3),
+       |up AS (SELECT event_id, user_id, file_z,
+       |    CAST(NULL AS BIGINT) AS weight
+       |  FROM laid
+       |  UNION ALL SELECT event_id, user_id, file_z, weight FROM ins),
+       |fin AS (SELECT user_id, file_z,
+       |    CASE WHEN user_id % 499 = 7 THEN user_id % 43
+       |      ELSE weight END AS weight
+       |  FROM up),
+       |v AS (SELECT user_id, MAX(weight) AS w_max FROM fin
+       |  WHERE weight IS NOT NULL GROUP BY 1),
+       |va AS (SELECT f.user_id, v.w_max,
+       |    CAST(COUNT(*) AS BIGINT) AS n_at_max
+       |  FROM fin f JOIN v ON f.user_id = v.user_id
+       |    AND f.weight = v.w_max
+       |  GROUP BY 1, 2),
+       |changed AS (SELECT DISTINCT user_id FROM ins
+       |  UNION SELECT DISTINCT user_id FROM up WHERE user_id % 499 = 7),
+       |dmg AS (SELECT DISTINCT user_id FROM up WHERE user_id % 499 = 7),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_damaged FROM dmg),
+       |${bloomReplayCte("file_z", "dmg", "up")},
+       |fs AS (SELECT CAST(COUNT(DISTINCT file_z) AS BIGINT)
+       |    AS files_scanned FROM ph WHERE hit),
+       |ft AS (SELECT CAST(COUNT(DISTINCT file_z) AS BIGINT)
+       |    AS files_total FROM up),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS view_users,
+       |    CAST(COALESCE(SUM(w_max), 0) AS BIGINT) AS view_maxsum
+       |  FROM v)
+       |SELECT c.user_id, CAST(COALESCE(va.w_max, -1) AS BIGINT) AS w_max,
+       |  CAST(COALESCE(va.n_at_max, 0) AS BIGINT) AS n_at_max,
+       |  nd.n_damaged, fs.files_scanned, ft.files_total,
+       |  tot.view_users, tot.view_maxsum
+       |FROM changed c LEFT JOIN va USING (user_id), nd, fs, ft, tot
        |ORDER BY user_id""".stripMargin
 
   /** q251 — right-to-be-forgotten PURGE of the stored ANN index:
@@ -9041,6 +9239,7 @@ object LlmQueries {
     "q249_stored_update" -> (q249StoredUpdate _),
     "q250_cdc_view_capstone" -> (q250CdcViewCapstone _),
     "q259_value_view" -> (q259ValueView _),
+    "q263_max_maintain" -> (q263MaxMaintain _),
     "q251_index_purge" -> (q251IndexPurge _),
     "q253_governed_rtbf" -> (q253GovernedRtbf _),
     "q254_index_maintain" -> (q254IndexMaintain _),
@@ -9201,6 +9400,7 @@ object LlmQueries {
     // the CDC-maintained view serves identically — q244's SQL verbatim
     "q250_cdc_view_capstone" -> q244Sql,
     "q259_value_view" -> q259Sql,
+    "q263_max_maintain" -> q263Sql,
     "q251_index_purge" -> q251Sql,
     "q253_governed_rtbf" -> q253Sql,
     "q254_index_maintain" -> q254Sql,

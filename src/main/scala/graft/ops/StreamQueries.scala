@@ -2669,9 +2669,103 @@ object StreamQueries {
        |JOIN ni USING (k) LEFT JOIN nr USING (k), ftot
        |ORDER BY commit_id""".stripMargin
 
+  /** q262 — the IVM UPDATE ARM kept live on a CDC stream, ORACLE-GATED:
+    * q259's batch fold has a streaming twin
+    * ([[StreamOps.streamingValueViewMaintain]]) that until now was
+    * spec-pinned only; this gates it the q247 way. The REAL both-images
+    * feed (the shared store's changeFeedCdf across the evolve and
+    * update commits) streams in four event-id-range micro-batches over
+    * the v1-seeded base state, every op folding under the one signed
+    * rule (+post, −pre) inside `flatMapGroupsWithState`; the finish
+    * takes each user's LAST emission, merges it over the base snapshot
+    * (merge-on-read serving), and emits exactly q259's changed-rows +
+    * totals shape — so q259's SQL is the oracle VERBATIM: a fold that
+    * dropped an update's retraction, double-applied a post-image, or
+    * leaked state across users would shift w_mass and hash-fail. An
+    * update's two images may straddle a batch boundary (each image is
+    * a self-contained signed contribution — the StreamingSpec torn-
+    * update pin); convergence is what this gate checks. 100 TB shape:
+    * state is the view row per user, per-batch work ∝ the feed. */
+  def q262StreamValueView(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val e2 = LlmQueries.mutStore.evolved(s, d).res
+    val e3 = LlmQueries.mutStore.updated(s, d).res
+    val root = LlmQueries.mutStore.root(s, d)
+    val v1 = LlmQueries.mutStore.v1(s, d)
+    val viewBase = v1.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("n_weighted", lit(0L))
+      .withColumn("w_mass", lit(0L))
+      .localCheckpoint() // seed state + serving snapshot + emit share it
+    val feed = Layout.changeFeedCdf(s, root, "events_z", "events_z_e2",
+        "file_z", e2.touched)
+      .unionByName(Layout.changeFeedCdf(s, root, "events_z_e2",
+        "events_z_e3", "file_z", e3.touched))
+      .select($"op", $"event_id", $"user_id", $"weight")
+      .localCheckpoint() // audit constant + stream split + emit share it
+    val nUpd = feed.filter($"op" === "update_preimage").count()
+    require(nUpd > 0, s"q262: no update images in the feed at $d")
+    val schema = new StructType()
+      .add("op", StringType).add("event_id", LongType)
+      .add("user_id", LongType).add("weight", LongType)
+    fourBatchHarness(s, feed, "event_id", schema, "valview") {
+      (source, sink) =>
+        val pairs = source
+          .select($"op".as("_1"), $"event_id".as("_2"),
+            $"user_id".as("_3"), $"weight".as("_4"))
+          .as[(String, Long, Long, Option[Long])]
+        val base = viewBase
+          .select($"user_id".as("_1"), $"n_events".as("_2"),
+            $"n_weighted".as("_3"), $"w_mass".as("_4"))
+          .as[(Long, Long, Long, Long)]
+        val out = StreamOps.streamingValueViewMaintain(pairs, base)
+        val q = out.toDF().writeStream
+          .outputMode("update")
+          .format("memory").queryName(sink)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+    } { sinkDf =>
+      import org.apache.spark.sql.expressions.Window
+      // the user's LAST emission is the maintained row; untouched
+      // users keep serving from the base snapshot (merge-on-read)
+      val last = sinkDf
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"seq".desc)))
+        .filter($"rk" === 1)
+        .select($"user_id", $"n_events".as("sn"),
+          $"n_weighted".as("sc"), $"w_mass".as("sm"))
+      val whole = viewBase.join(last, Seq("user_id"), "full_outer")
+        .select($"user_id",
+          coalesce($"sn", $"n_events").as("n_events"),
+          coalesce($"sc", $"n_weighted").as("n_weighted"),
+          coalesce($"sm", $"w_mass").as("w_mass"))
+        .filter($"n_events" > 0)
+        .localCheckpoint() // totals + changed-row emit share it
+      val tot = whole.agg(count(lit(1)).as("vu"),
+        coalesce(sum($"n_events"), lit(0L)).as("vn"),
+        coalesce(sum($"n_weighted"), lit(0L)).as("vc"),
+        coalesce(sum($"w_mass"), lit(0L)).as("vm")).head
+      feed.select($"user_id").distinct()
+        .join(whole, Seq("user_id"), "left_outer")
+        .select($"user_id",
+          coalesce($"n_events", lit(0L)).as("n_events"),
+          coalesce($"n_weighted", lit(0L)).as("n_weighted"),
+          coalesce($"w_mass", lit(0L)).as("w_mass"),
+          lit(nUpd).as("n_updates"),
+          lit(tot.getLong(0)).as("view_users"),
+          lit(tot.getLong(1)).as("view_n"),
+          lit(tot.getLong(2)).as("view_wc"),
+          lit(tot.getLong(3)).as("view_wm"))
+        .orderBy($"user_id")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_stream_dedup" -> (q101StreamDedup _),
     "q260_localized_ingest" -> (q260LocalizedIngest _),
+    "q262_stream_value_view" -> (q262StreamValueView _),
     "q247_stream_view" -> (q247StreamView _),
     "q252_stream_cdc" -> (q252StreamCdc _),
     "q255_stream_asof" -> (q255StreamAsOf _),
@@ -2730,6 +2824,9 @@ object StreamQueries {
     // counts and rewrite sizes all reconstructed from the split
     // arithmetic
     "q260_localized_ingest" -> q260Sql,
+    // batch-seeded streaming value-view maintenance serves identically
+    // to the single-shot q259 fold — its SQL is the oracle verbatim
+    "q262_stream_value_view" -> LlmQueries.q259Sql,
     // stateless stream-static join => identical to batch decontamination
     "q110_stream_decon" -> LlmQueries.q94Sql,
     "q106_stream_neardup" -> q106Sql,

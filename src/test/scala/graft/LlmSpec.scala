@@ -2098,4 +2098,42 @@ class LlmSpec extends AnyFunSuite {
     // and the purged users are truly gone from the maintained view
     assert(maintained.filter($"user_id" % 499 === 11).isEmpty)
   }
+
+  test("q263 max fold: the (max, attain-count) algebra — below-max " +
+      "removals invisible, multiplicity decrements, equal-adds " +
+      "increment, higher adds install, and ONLY dead counters repair") {
+    import spark.implicits._
+    // user 1: max 10 attained twice; user 2: max 20 once; user 3: 5 once
+    val view = Seq((1L, 10L, 2L), (2L, 20L, 1L), (3L, 5L, 1L))
+      .toDF("user_id", "w_max", "n_at_max")
+    var repaired: Seq[Long] = Nil
+    def repair(users: Seq[Long]): org.apache.spark.sql.DataFrame = {
+      repaired = users
+      // the store recompute for user 2 after its max was removed
+      Seq((2L, 7L, 3L)).toDF("user_id", "w_max", "n_at_max")
+    }
+    val cdf = Seq(
+      ("delete", 1L, Some(3L)),            // u1: below max — invisible
+      ("update_preimage", 1L, Some(10L)),  // u1: one of two maxima
+      ("update_postimage", 1L, Some(10L)), // u1: re-added at the max
+      ("delete", 2L, Some(20L)),           // u2: the ONLY max — dead
+      ("insert", 2L, Some(6L)),            // u2: below the dead max
+      ("insert", 3L, Some(9L)),            // u3: higher — installs
+      ("insert", 3L, Some(9L)),            // u3: twice
+      ("insert", 4L, None),                // u4: NULL — invisible
+      ("insert", 5L, Some(1L))             // u5: first max (bootstrap)
+    ).toDF("op", "user_id", "weight")
+    val (out, damaged) = graft.ops.LlmQueries.maintainMaxView(spark,
+      view, cdf, repair)
+    assert(damaged == Seq(2L) && repaired == Seq(2L),
+      s"repair set wrong: $damaged / $repaired")
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> ((10L, 2L)), // 2 − 1 removed + 1 re-added
+      2L -> ((7L, 3L)),  // the repair's recompute
+      3L -> ((9L, 2L)),  // new max installed with its attain-count
+      5L -> ((1L, 1L))   // bootstrap group
+    ), got.toString)
+  }
 }

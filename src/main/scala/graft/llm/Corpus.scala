@@ -821,7 +821,9 @@ object Corpus {
       textCol: String, nBuckets: Int = 4096, topK: Int = 100): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be positive, got $nBuckets")
     require(topK >= 1, s"topK must be positive, got $topK")
-    def feats(df: DataFrame): DataFrame = df
+    // fanOutSmall: the tokenize + bigram-hash explode below is the whole
+    // token stream's CPU and must not ride a 1-split scan (guide §2.5)
+    def feats(df: DataFrame): DataFrame = graft.util.Par.fanOutSmall(df)
       .select(col(idCol).as("doc_id"),
         explode(TextOps.adjacentBigrams(TextOps.tokens(col(textCol))))
           .as("bigram"))

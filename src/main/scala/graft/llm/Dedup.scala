@@ -50,9 +50,13 @@ object Dedup {
     // broadcast-joins the token arrays back for surviving pairs only and
     // verifies with a linear sorted-merge intersection
     // (SortedIntersectSize) — sort once per doc, not per pair.
-    val narrow = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+    // fanOutSmall: both phases tokenize every doc (split + distinct +
+    // sort) — orders of magnitude more CPU than the row bytes, so the
+    // per-doc work must not ride a 1-split scan (guide §2.5).
+    val src = graft.util.Par.fanOutSmall(df)
+    val narrow = src.select(col(groupCol).as("g"), col(idCol).as("id"),
       size(tokensOf(col(textCol))).as("sz"))
-    verifyCandidates(df, sizeFilteredCandidates(narrow, threshold),
+    verifyCandidates(src, sizeFilteredCandidates(narrow, threshold),
       idCol, textCol, threshold)
   }
 
@@ -427,7 +431,11 @@ object Dedup {
     // multiplicity and pair space with its square); lazy checkpoint:
     // shingles are used twice (hashing + verify) but constructing the
     // frame must not launch a job (plan audits build queries unexecuted)
-    val docs = representatives(df, idCol, textCol)
+    // fanOutSmall: AQE folds the rep aggregation's output to one
+    // partition at small size, serializing the shingle UDF + 16-hash
+    // mins that follow; the reps frame is exactly the small-bytes/
+    // heavy-CPU shape the guard targets (guide §2.5)
+    val docs = graft.util.Par.fanOutSmall(representatives(df, idCol, textCol))
       .select(col(idCol).as("id"), sh(col(textCol)).as("shs"))
       .localCheckpoint(false)
     val base = docs.select(col("id"), explode(col("shs")).as("sh"))
@@ -525,8 +533,10 @@ object Dedup {
     * signature-family eval, shared by [[simHashNearDupsSql]]. */
   def simHashSqlCandidates(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    // exact-dedup-first, as in every signature path
-    val toks = representatives(df, idCol, textCol)
+    // exact-dedup-first, as in every signature path; fanOutSmall for the
+    // per-token double-md5 + 64 vote aggregates that follow (same
+    // small-bytes/heavy-CPU shape as the minhash path)
+    val toks = graft.util.Par.fanOutSmall(representatives(df, idCol, textCol))
       .select(col(idCol).as("id"),
         explode(split(lower(col(textCol)), WsClass)).as("tok"))
       .filter(col("tok") =!= "")
@@ -901,7 +911,11 @@ object Dedup {
     require(minDocs >= 2,
       s"minDocs must be >= 2 (a 1-doc 'duplicate' is every gram), " +
         s"got $minDocs")
-    val grams = df.select(col(idCol).as("doc_id"),
+    // fanOutSmall: the k-gram explode is consumed TWICE (doc-frequency
+    // distinct + the flagged join) and each pass re-runs the per-doc
+    // gram construction — on a 1-split scan both passes serialize
+    val grams = graft.util.Par.fanOutSmall(df)
+      .select(col(idCol).as("doc_id"),
         posexplode(Corpus.kGrams(col(textCol), k, tok))
           .as(Seq("pos0", "gram")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))

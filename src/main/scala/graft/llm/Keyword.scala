@@ -31,7 +31,8 @@ object Keyword {
     * frequency) rides along per token — rankers and stop-word gates
     * both need it, and it is one window away from the pairs. */
   def postings(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val pairs = df.select(col(idCol).as("doc_id"),
+    val pairs = df
+      .select(col(idCol).as("doc_id"),
         explode(TextOps.regexTokens(lower(col(textCol)))).as("token"))
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf")) // term frequency, exact

@@ -141,11 +141,38 @@ object Pq {
     graft.functions.VectorExprs.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("qid"),
       dtabExpr(col(vecCol).cast("array<double>"), codebooks).as("dtab"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("adc_fp").asc, col("id").asc)
-    codes.crossJoin(broadcast(q))
+    // fanOutSmall: the m-lookup ADC sum per (candidate, query) rides the
+    // codes frame's partitioning — on a 1-split scan it serializes
+    val scored = graft.util.Par.fanOutSmall(codes).crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
       .withColumn("adc_fp", adcExpr(codebooks))
+      .select(col("qid"), col("id"), col("adc_fp"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Two-level top-k per query (guide §2.5 two-level aggregation): the
+    * single `Window.partitionBy(qid)` formulation sorts EVERY candidate
+    * of a query in one task — with a 10-query batch that is a 1-task
+    * sort of the whole scored corpus (profiled 2.0 s at sf0.1, round
+    * 15), and at any scale its parallelism is capped by |queries|.
+    * Phase 1 ranks within (qid, pmod(id, 64)) — an explicit hash
+    * repartition the window reuses (and AQE never coalesces a
+    * user-specified partitioning back to one task) — keeping only k
+    * rows per salt; phase 2 ranks the ≤64·k survivors per query.
+    * Identical output: (adc_fp, id) is a TOTAL order, so every global
+    * top-k row is in its salt's top-k and the final rn is unchanged. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    val salt = pmod(col("id"), lit(64))
+    val w1 = Window.partitionBy(col("qid"), col("__salt"))
+      .orderBy(col("adc_fp").asc, col("id").asc)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_fp").asc, col("id").asc)
+    scored.withColumn("__salt", salt)
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("qid"), col("__salt"))
+      .withColumn("__rn1", row_number().over(w1))
+      .filter(col("__rn1") <= k)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("id").as("cid"), col("adc_fp"), col("rn"))
@@ -217,13 +244,11 @@ object Pq {
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
       .select(col("qid"), col("dtab"), col("list_id"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("adc_fp").asc, col("id").asc)
-    codes.join(broadcast(probes), "list_id")
+    val scored = graft.util.Par.fanOutSmall(codes)
+      .join(broadcast(probes), "list_id")
       .filter(col("id") =!= col("qid"))
       .withColumn("adc_fp", adcExpr(codebooks))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("id").as("cid"), col("adc_fp"), col("rn"))
+      .select(col("qid"), col("id"), col("adc_fp"))
+    topKPerQuery(scored, k)
   }
 }

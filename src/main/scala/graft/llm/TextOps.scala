@@ -377,7 +377,10 @@ object TextOps {
   def bigramFamiliarity(df: DataFrame, idCol: String, textCol: String,
       headBp: Long = 2000L, tailBp: Long = 500L): DataFrame = {
     require(headBp >= tailBp, s"headBp $headBp must be >= tailBp $tailBp")
-    val docBg = df
+    // fanOutSmall: tokenize + bigram explode + the (doc, bigram) partial
+    // aggregation is the whole corpus's token stream — measured 2.5 s in
+    // ONE task at sf0.1 (round-15 profiling) when it rides a 1-split scan
+    val docBg = graft.util.Par.fanOutSmall(df)
       .select(col(idCol).as("doc_id"),
         explode(adjacentBigrams(tokens(col(textCol)))).as("bigram"))
       .groupBy(col("doc_id"), col("bigram"))
@@ -423,11 +426,13 @@ object TextOps {
       topK: Int = 20): DataFrame = {
     require(discount >= 0, s"discount must be >= 0, got $discount")
     require(topK >= 1, s"topK must be positive, got $topK")
-    val tok = df.select(explode(tokens(col(textCol))).as("w"))
+    // fanOutSmall once, both explodes ride it (unigram + bigram passes)
+    val src = graft.util.Par.fanOutSmall(df)
+    val tok = src.select(explode(tokens(col(textCol))).as("w"))
     val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
       .localCheckpoint(false)
     val n = uni.agg(sum(col("c"))).head.getLong(0)
-    val bg = df
+    val bg = src
       .select(explode(adjacentBigrams(tokens(col(textCol)))).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
       .filter(col("c12") > discount)

@@ -2080,7 +2080,10 @@ object LlmQueries {
     val docs = documents(s, d)
     val reps = docs.groupBy(md5($"text").as("h"))
       .agg(min($"doc_id").as("doc_id")).select($"doc_id")
-    val fps = docs.join(reps, Seq("doc_id"))
+    // fanOutSmall: the winnow HOF chain is per-CHARACTER polynomial work
+    // — the heaviest per-row projection in the suite — and must not ride
+    // the 1-split scan's partitioning into the checkpoint materialization
+    val fps = graft.util.Par.fanOutSmall(docs.join(reps, Seq("doc_id")))
       .select($"doc_id",
         explode(TextOps.winnowFingerprints($"text")).as("fp"))
       .localCheckpoint() // n_fp counts, the df cap and both pair sides reuse it
@@ -7301,14 +7304,24 @@ object LlmQueries {
   def q97Stages(s: SparkSession, d: String): CorpusStages = {
     import s.implicits._
     val tier = regexp_extract($"source", "src([0-9]+)", 1).cast("long") % 4
+    // No fan-out on `lab`: measured (round 15) — the chain re-reads this
+    // frame from several actions and an added exchange re-executed per
+    // action cost more than the 32-way scoring saved; the one-time heavy
+    // stages (shingling, pair verify) fan out inside the Dedup helpers
+    // they live in instead.
     val lab = documents(s, d).withColumn("tier", tier)
     val evalDocs = lab.filter($"tier" === 3)
     val train = lab.filter($"tier" =!= 3)
-    // 1. clean: q58's gates
+    // 1. clean: q58's gates. Lazy checkpoint: the scored prefix feeds
+    // keepIds AND the reps join (twice in one plan) and downstream
+    // actions would otherwise re-run the scan + langid/quality scoring
+    // per action (round-15 profiling: the same 33-task clean stage
+    // re-executed 5×) — materialize it once.
     val scored = TextOps.withQualityScore(
       TextOps.withLangId(train, "text"), "text")
     val clean = scored
       .filter($"lang_pred" =!= "und" && $"quality_score" >= 0.5)
+      .localCheckpoint(false)
     // 2. representatives: exact dedup, keep = min doc_id per content
     val keepIds = clean.groupBy(md5($"text").as("h"))
       .agg(min($"doc_id").as("doc_id")).select($"doc_id")

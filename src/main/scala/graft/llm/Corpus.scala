@@ -100,15 +100,19 @@ object Corpus {
   def decontaminateBy(trainDf: DataFrame, evalDf: DataFrame,
       idCol: String, textCol: String,
       shingler: Column => Column): DataFrame = {
-    val tSh = trainDf.select(col(idCol).as("doc_id"),
-      explode(shingler(col(textCol))).as("shingle"))
+    // fanOutSmall on both sides: the k-gram shingle explode is the whole
+    // corpus's token stream (see graft.util.Par — guide §2.5)
+    val tSh = graft.util.Par.fanOutSmall(trainDf)
+      .select(col(idCol).as("doc_id"),
+        explode(shingler(col(textCol))).as("shingle"))
     // collapse the eval side to one row per DISTINCT shingle before the
     // broadcast (keeping the min doc as the representative): duplicate
     // eval docs then cost nothing, the broadcast is bounded by distinct
     // eval content, and each train shingle matches at most one row —
     // the result is identical because n_shared counts train-side
     // distinct shingles and min(eval_doc) = min of per-shingle mins
-    val eSh = evalDf.select(col(idCol).as("eval_doc"),
+    val eSh = graft.util.Par.fanOutSmall(evalDf)
+      .select(col(idCol).as("eval_doc"),
         explode(shingler(col(textCol))).as("shingle"))
       .groupBy(col("shingle"))
       .agg(min(col("eval_doc")).as("eval_doc"))

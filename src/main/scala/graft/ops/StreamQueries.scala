@@ -196,7 +196,23 @@ object StreamQueries {
     * upper-bound id of tiles 1..n-1; tile assignment is then the
     * scan-local CASE of [[tileExpr]], bit-identical to the oracles'
     * NTILE(n) by the cumulative-count construction. */
+  /** [[ntileSplitIds]] results per (canonical input plan, idCol, n) per
+    * JVM: the harness computes the same boundaries TWICE per invocation
+    * (stream-side tiling + the finish side's [[tile4]] label frame) and
+    * the bench re-runs each query three times — the boundary ids are a
+    * pure deterministic function of the input, so the aggregation jobs
+    * need to run once. */
+  private val ntileCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]
+
   private def ntileSplitIds(df: DataFrame, idCol: String,
+      n: Int): Array[Long] = {
+    val key = s"$idCol|$n|" +
+      df.queryExecution.optimizedPlan.canonicalized.toString
+    ntileCache.computeIfAbsent(key, _ => ntileSplitIdsUncached(df, idCol, n))
+  }
+
+  private def ntileSplitIdsUncached(df: DataFrame, idCol: String,
       n: Int): Array[Long] = {
     val head = df.agg(min(col(idCol)).cast("long").as("mn"),
       max(col(idCol)).cast("long").as("mx"),
@@ -252,28 +268,31 @@ object StreamQueries {
       tileExpr(col(idCol), ntileSplitIds(df, idCol, 4))), schema, tag)(
       run)(finish)
 
-  /** [[fourBatchHarness]] over a PRE-TILED frame: `tiled` carries a
-    * `tile` column with values 1..4 naming each row's micro-batch —
-    * for callers whose batch boundaries are semantic (q260's localized
-    * zkey stripes) rather than an id-quartile split. */
-  private def fourBatchHarnessTiled(s: SparkSession, tiled: DataFrame,
-      schema: org.apache.spark.sql.types.StructType,
-      tag: String)(run: (DataFrame, String) => Unit)(
-      finish: DataFrame => DataFrame): DataFrame = {
+  /** Split-file fixture cache: one written four-split directory per
+    * DISTINCT input frame per JVM, keyed by the frame's CANONICALIZED
+    * optimized plan (exprIds normalized, literals — including the tile
+    * boundary ids — included, scan paths included), so two queries
+    * streaming the same deterministic column-selection of a fixture
+    * table share ONE on-disk copy instead of each rewriting it
+    * (round-15 measurement: the write + split jobs cost 0.3–0.5 s per
+    * invocation × ~25 harness queries per bench pass). The §76
+    * shared-fixture policy applied to the STREAM INPUTS: the shared
+    * artifact is the arriving-files fixture, never a query result —
+    * every query still runs its own full streaming computation over
+    * them. Entries live for the JVM (bounded by the ~10 distinct input
+    * shapes, each fixture-table-sized). */
+  private val splitDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]
+
+  private def fourSplitDir(s: SparkSession, tiled: DataFrame,
+      tag: String): java.nio.file.Path = {
     import scala.jdk.CollectionConverters._
-    val streamDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_in")
-    val stageDir = java.nio.file.Files.createTempDirectory(s"graft_${tag}_stage")
-    // memory-sink name derived from the (unique) temp dir: two concurrent
-    // invocations in one SparkSession must not collide on a fixed name
-    val sinkName = s"graft_stream_${tag}_" +
-      streamDir.getFileName.toString.replaceAll("[^A-Za-z0-9_]", "_")
-    // the unique in-memory sink table must be dropped no matter WHERE
-    // the failure happens — a throwing run() (the stream may already
-    // have registered the sink) or a throwing finish projection /
-    // checkpoint — leaking it is exactly the per-invocation
-    // accumulation this harness owns (dropTempView on a never-created
-    // view is a harmless false return)
-    try {
+    val key = tiled.queryExecution.optimizedPlan.canonicalized.toString
+    splitDirCache.computeIfAbsent(key, _ => {
+      val streamDir =
+        java.nio.file.Files.createTempDirectory(s"graft_${tag}_in")
+      val stageDir =
+        java.nio.file.Files.createTempDirectory(s"graft_${tag}_stage")
       try {
         // one job writes all four splits (partitionBy drops the tile
         // column from the files, keeping the stream schema)
@@ -295,19 +314,42 @@ object StreamQueries {
           require(dest.toFile.setLastModified(1600000000000L + k * 60000L),
             s"$tag: cannot set mtime on $dest")
         }
-        val source = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(streamDir.toString)
-        val prev = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        try run(source, sinkName)
-        finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      } finally {
-        // the memory table holds the result; the split files are dead
-        // weight (bench/stress loops would otherwise accumulate dataset
-        // copies)
-        Seq(streamDir, stageDir).foreach(graft.util.Fs.deleteRecursively)
-      }
+        streamDir
+      } catch { case t: Throwable =>
+        // a half-written fixture must not survive into the cache's dir
+        graft.util.Fs.deleteRecursively(streamDir)
+        throw t
+      } finally graft.util.Fs.deleteRecursively(stageDir)
+    })
+  }
+
+  /** [[fourBatchHarness]] over a PRE-TILED frame: `tiled` carries a
+    * `tile` column with values 1..4 naming each row's micro-batch —
+    * for callers whose batch boundaries are semantic (q260's localized
+    * zkey stripes) rather than an id-quartile split. */
+  private def fourBatchHarnessTiled(s: SparkSession, tiled: DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      tag: String)(run: (DataFrame, String) => Unit)(
+      finish: DataFrame => DataFrame): DataFrame = {
+    // memory-sink name unique per invocation: two concurrent
+    // invocations in one SparkSession must not collide on a fixed name
+    val sinkName = s"graft_stream_${tag}_" +
+      java.util.UUID.randomUUID().toString.replace("-", "_")
+    // the unique in-memory sink table must be dropped no matter WHERE
+    // the failure happens — a throwing run() (the stream may already
+    // have registered the sink) or a throwing finish projection /
+    // checkpoint — leaking it is exactly the per-invocation
+    // accumulation this harness owns (dropTempView on a never-created
+    // view is a harmless false return)
+    try {
+      val streamDir = fourSplitDir(s, tiled, tag)
+      val source = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try run(source, sinkName)
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
       finish(s.table(sinkName)).localCheckpoint()
     } finally s.catalog.dropTempView(sinkName)
   }
